@@ -1,0 +1,571 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Deterministic._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named query. `sql` is the DuckDB-runnable oracle; None => the
+  * driver records a weaker rows-only check. */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    sql: Option[String])
+
+/** Relational operator pack — reproduces SURVEY.md §2's aggregation /
+  * join / window / set-op / scalar inventory (reference:
+  * `src/stacktrend/notebooks/silver_to_gold_analytics.py`,
+  * `bronze_to_silver_transformation.py`) as Spark-first queries over the
+  * driver testdata, each with a DuckDB oracle.
+  *
+  * Determinism rules used throughout (so results hash-match an
+  * independent single-threaded engine):
+  *   - double sums/avgs/stddevs go through exact DECIMAL accumulation
+  *     ([[graft.functions.Deterministic]]) — order-independent;
+  *   - every ranking / limit has a total tie-break order;
+  *   - timestamps are emitted as formatted strings.
+  */
+object Relational {
+  private val dec = DecimalType(28, 6)
+
+  /** SQL fragment: order-independent sum of a double expression. */
+  private def dsumSql(x: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
+  private def davgSql(x: String) = s"${dsumSql(x)} / COUNT($x)"
+  private def dstdSql(x: String) = {
+    val sx = dsumSql(x)
+    val sxx = s"CAST(SUM(CAST($x AS DECIMAL(18,6)) * CAST($x AS DECIMAL(19,6))) AS DOUBLE)"
+    val n = s"CAST(COUNT($x) AS DOUBLE)"
+    s"sqrt(($sxx - $sx * $sx / $n) / ($n - 1.0))"
+  }
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // A1 (13-measure rollup, silver_to_gold_analytics.py:132-159):
+    // count / sums / avgs / conditional sum / exact countDistinct,
+    // single hash-agg pass with map-side partial aggregation.
+    Q(
+      "a1_rollup",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(when(col("l_quantity") > 25, 1)).as("n_big_qty"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               ${dsumSql("l_quantity")} AS sum_qty,
+               ${dsumSql("l_extendedprice")} AS sum_price,
+               ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+               ${davgSql("l_discount")} AS avg_disc,
+               COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big_qty,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ----------------------------------------------------------------
+    // A2 (per-category daily/period trend, silver_to_gold_analytics.py:
+    // 410-419): two-key groupBy on a derived period column.
+    Q(
+      "a2_monthly_trend",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(
+            col("l_returnflag"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            davg(col("l_discount")).as("avg_disc"))
+          .orderBy("l_returnflag", "ship_month"),
+      Some(s"""
+        SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ship_month,
+               COUNT(*) AS n_rows,
+               ${dsumSql("l_extendedprice")} AS sum_price,
+               ${davgSql("l_discount")} AS avg_disc
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY l_returnflag, ship_month""")),
+
+    // ----------------------------------------------------------------
+    // A3 (health rollup with stddev, silver_to_gold_analytics.py:459-470).
+    // stddev is computed from exact decimal moments so the result does not
+    // depend on partition order (built-in stddev is a float fold).
+    Q(
+      "a3_stddev_by_priority",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            davg(col("o_totalprice")).as("avg_price"),
+            round(dstddev(col("o_totalprice")), 6).as("std_price"))
+          .orderBy("o_orderpriority"),
+      Some(s"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ${davgSql("o_totalprice")} AS avg_price,
+               round(${dstdSql("o_totalprice")}, 6) AS std_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ----------------------------------------------------------------
+    // A6 (global no-group aggregate, personal_repos_silver_to_gold.py:
+    // 104-113): conditional counts + sums in one pass.
+    Q(
+      "a6_global_agg",
+      (s, d) =>
+        Tables.orders(s, d)
+          .agg(
+            count(lit(1)).as("n_orders"),
+            count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+            count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+            dsum(col("o_totalprice")).as("total_price"),
+            davg(col("o_totalprice")).as("avg_price"),
+            max(col("o_totalprice")).as("max_price"),
+            date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date")),
+      Some(s"""
+        SELECT COUNT(*) AS n_orders,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+               ${dsumSql("o_totalprice")} AS total_price,
+               ${davgSql("o_totalprice")} AS avg_price,
+               MAX(o_totalprice) AS max_price,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date
+        FROM orders""")),
+
+    // ----------------------------------------------------------------
+    // A7 + S8 (per-entity metrics over 7/30/90-day lookback windows,
+    // personal_repos_bronze_to_silver.py:578-630): single-pass conditional
+    // aggregates against a broadcast grand-max timestamp — the scale-safe
+    // replacement for the reference's collect()-then-loop. One shuffle.
+    Q(
+      "a7_period_metrics",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val mx = ev.agg(max(col("ts")).as("mt"))
+        ev.crossJoin(broadcast(mx))
+          .groupBy("user_id")
+          .agg(
+            count(when(col("ts") >= col("mt") - expr("INTERVAL 7 DAYS"), 1))
+              .as("cnt_7d"),
+            count(when(col("ts") >= col("mt") - expr("INTERVAL 30 DAYS"), 1))
+              .as("cnt_30d"),
+            coalesce(
+              sum(when(col("ts") >= col("mt") - expr("INTERVAL 7 DAYS"),
+                col("value").cast(dec))).cast("double"), lit(0.0))
+              .as("val_7d"),
+            coalesce(
+              sum(when(col("ts") >= col("mt") - expr("INTERVAL 30 DAYS"),
+                col("value").cast(dec))).cast("double"), lit(0.0))
+              .as("val_30d"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_seen"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH m AS (SELECT MAX(ts) AS mt FROM events)
+        SELECT user_id,
+               COUNT(CASE WHEN ts >= mt - INTERVAL 7 DAY THEN 1 END) AS cnt_7d,
+               COUNT(CASE WHEN ts >= mt - INTERVAL 30 DAY THEN 1 END) AS cnt_30d,
+               COALESCE(CAST(SUM(CASE WHEN ts >= mt - INTERVAL 7 DAY
+                 THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS val_7d,
+               COALESCE(CAST(SUM(CASE WHEN ts >= mt - INTERVAL 30 DAY
+                 THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS val_30d,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+        FROM events, m
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // ----------------------------------------------------------------
+    // A9 (top-k group counts, personal_repos_silver_to_gold.py:116-117):
+    // groupBy + count + total-order + limit -> TakeOrderedAndProject.
+    Q(
+      "a9_topk_counts",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("o_orderpriority"))
+          .limit(3),
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY cnt DESC, o_orderpriority
+        LIMIT 3""")),
+
+    // ----------------------------------------------------------------
+    // A10 (distinct projection, silver_to_gold_analytics.py:105-108).
+    Q(
+      "a10_distinct",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select("c_mktsegment", "c_nationkey")
+          .distinct()
+          .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""
+        SELECT DISTINCT c_mktsegment, c_nationkey
+        FROM customer
+        ORDER BY c_mktsegment, c_nationkey""")),
+
+    // ----------------------------------------------------------------
+    // J1 (left_anti equi-join — the smart-classification skip split,
+    // bronze_to_silver_transformation.py:474): entities with no match.
+    Q(
+      "j1_anti_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // J2 + J5 (inner equi-join chain with broadcast dims — replaces the
+    // reference's collect()+UDF lookup, bronze_to_silver_transformation.py:
+    // 533-575): orders ⋈ customer (shuffle/AQE) ⋈ nation ⋈ region
+    // (broadcast: dims are tiny at every scale).
+    Q(
+      "j2_join_enrich",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = broadcast(Tables.nation(s, d))
+        val r = broadcast(Tables.region(s, d))
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""
+        SELECT r_name, n_name,
+               COUNT(*) AS n_orders,
+               ${dsumSql("o_totalprice")} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // ----------------------------------------------------------------
+    // J3 (left outer join + coalesce defaults, personal_repos_silver_to_
+    // gold.py:166-176,193-200): keep every left row, null-safe measures.
+    Q(
+      "j3_left_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey", "c_mktsegment")
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""
+        SELECT c_custkey, c_mktsegment,
+               COUNT(o_orderkey) AS n_orders,
+               COALESCE(${dsumSql("o_totalprice")}, 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+        ORDER BY c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // W1/W3 (global ranking, silver_to_gold_analytics.py:225-236,367-370).
+    // Scale-safe shape: TakeOrderedAndProject(100) first, then the window
+    // runs on 100 rows — never a whole-table single-partition sort.
+    Q(
+      "w1_rank_global",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .limit(100)
+          .withColumn(
+            "popularity_rank",
+            row_number().over(
+              Window.orderBy(col("c_acctbal").desc, col("c_custkey"))))
+          .orderBy("popularity_rank"),
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal, popularity_rank
+        FROM (
+          SELECT c_custkey, c_name, c_acctbal,
+                 ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                   AS popularity_rank
+          FROM customer)
+        WHERE popularity_rank <= 100
+        ORDER BY popularity_rank""")),
+
+    // ----------------------------------------------------------------
+    // W2 (per-group ranking, silver_to_gold_analytics.py:364-366):
+    // partitioned window — shuffles once on the partition key, scales.
+    Q(
+      "w2_rank_pergroup",
+      (s, d) =>
+        Tables.customer(s, d)
+          .withColumn(
+            "seg_rank",
+            row_number().over(
+              Window.partitionBy("c_mktsegment")
+                .orderBy(col("c_acctbal").desc, col("c_custkey"))))
+          .filter(col("seg_rank") <= 5)
+          .select("c_mktsegment", "seg_rank", "c_custkey", "c_acctbal")
+          .orderBy("c_mktsegment", "seg_rank"),
+      Some("""
+        SELECT c_mktsegment, seg_rank, c_custkey, c_acctbal
+        FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey) AS seg_rank
+          FROM customer)
+        WHERE seg_rank <= 5
+        ORDER BY c_mktsegment, seg_rank""")),
+
+    // ----------------------------------------------------------------
+    // W4-a (windowed share-of-total, silver_to_gold_analytics.py:421-422):
+    // integer counts so the window sum is exact in any order.
+    Q(
+      "w4_share_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn(
+            "day_total",
+            sum(col("cnt")).over(Window.partitionBy("day")))
+          .withColumn(
+            "share",
+            col("cnt").cast("double") / col("day_total").cast("double"))
+          .select("day", "event_type", "cnt", "day_total", "share")
+          .orderBy("day", "event_type"),
+      Some("""
+        SELECT day, event_type, cnt, day_total,
+               CAST(cnt AS DOUBLE) / CAST(day_total AS DOUBLE) AS share
+        FROM (
+          SELECT day, event_type, cnt,
+                 SUM(cnt) OVER (PARTITION BY day) AS day_total
+          FROM (
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2))
+        ORDER BY day, event_type""")),
+
+    // ----------------------------------------------------------------
+    // W4-b (grand-total share via broadcast join — the 100 TB-safe variant
+    // of the empty-partitionBy window, SURVEY.md §4): aggregate twice from
+    // exact decimal sums, broadcast the single-row total, divide.
+    Q(
+      "w4_share_broadcast",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+        val byNation = sup.groupBy("s_nationkey")
+          .agg(dsum(col("s_acctbal")).as("nation_bal"))
+        val total = sup.agg(dsum(col("s_acctbal")).as("total_bal"))
+        byNation.crossJoin(broadcast(total))
+          .withColumn("share", col("nation_bal") / col("total_bal"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""
+        WITH t AS (SELECT ${dsumSql("s_acctbal")} AS total_bal FROM supplier)
+        SELECT s_nationkey,
+               ${dsumSql("s_acctbal")} AS nation_bal,
+               MIN(t.total_bal) AS total_bal,
+               ${dsumSql("s_acctbal")} / MIN(t.total_bal) AS share
+        FROM supplier, t
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey""")),
+
+    // ----------------------------------------------------------------
+    // O3 (schema-aligned union, bronze_to_silver_transformation.py:604):
+    // unionByName of two tagged top-k frames.
+    Q(
+      "o3_union",
+      (s, d) => {
+        val c = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        val top = c.orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .limit(50).withColumn("bucket", lit("top"))
+        val bottom = c.orderBy(col("c_acctbal").asc, col("c_custkey"))
+          .limit(50).withColumn("bucket", lit("bottom"))
+        top.unionByName(bottom).orderBy("bucket", "c_custkey")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT c_custkey, c_acctbal, 'top' AS bucket
+          FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 50)
+        UNION ALL
+        SELECT * FROM (
+          SELECT c_custkey, c_acctbal, 'bottom' AS bucket
+          FROM customer ORDER BY c_acctbal ASC, c_custkey LIMIT 50)
+        ORDER BY bucket, c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // P2/§2.8 string suite (regexp_replace/lower/trim/length/contains/
+    // split, bronze_to_silver_transformation.py:686-710): pure codegen'd
+    // built-ins, no UDFs.
+    Q(
+      "p2_string_funcs",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            trim(regexp_replace(lower(col("p_name")), "[^a-z0-9 ]", ""))
+              .as("name_clean"),
+            length(col("p_name")).as("name_len"),
+            col("p_name").contains("widget").as("is_widget"),
+            size(split(col("p_name"), " ")).as("token_cnt"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey,
+               trim(regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g'))
+                 AS name_clean,
+               length(p_name) AS name_len,
+               contains(p_name, 'widget') AS is_widget,
+               len(string_split(p_name, ' ')) AS token_cnt,
+               concat_ws('|', p_brand, p_type) AS brand_type
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // ----------------------------------------------------------------
+    // P7/§2.8 date suite (datediff vs a fixed processing date — the
+    // deterministic form of the reference's datediff(current_date(), ts),
+    // bronze_to_silver_transformation.py:723-726).
+    Q(
+      "p7_date_funcs",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            datediff(lit("1998-12-01").cast("date"),
+              col("o_orderdate").cast("date")).as("age_days"),
+            year(col("o_orderdate")).as("order_year"),
+            month(col("o_orderdate")).as("order_month"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("order_ym"))
+          .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+                 AS age_days,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+               strftime(o_orderdate, '%Y-%m') AS order_ym
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // P5 + §2.8 conditional suite (tier CASE chains, isin, additive
+    // when/otherwise scorecard clamped with greatest/least —
+    // bronze_to_silver_transformation.py:713-720,769-782;
+    // personal_repos_bronze_to_silver.py:539-544). Integer points: exact.
+    Q(
+      "p5_case_tiers",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(
+            col("c_custkey"),
+            when(col("c_acctbal") >= 7500, "platinum")
+              .when(col("c_acctbal") >= 5000, "gold")
+              .when(col("c_acctbal") >= 2500, "silver")
+              .otherwise("bronze").as("tier"),
+            col("c_mktsegment").isin("BUILDING", "AUTOMOBILE").as("is_focus"),
+            greatest(
+              least(
+                when(col("c_acctbal") > 5000, 40)
+                  .when(col("c_acctbal") > 1000, 25).otherwise(10)
+                  + when(col("c_nationkey") < 12, 20).otherwise(0)
+                  + when(col("c_mktsegment") === "BUILDING", 30).otherwise(15),
+                lit(100)),
+              lit(0)).as("score"))
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+                    WHEN c_acctbal >= 5000 THEN 'gold'
+                    WHEN c_acctbal >= 2500 THEN 'silver'
+                    ELSE 'bronze' END AS tier,
+               c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AS is_focus,
+               GREATEST(LEAST(
+                 (CASE WHEN c_acctbal > 5000 THEN 40
+                       WHEN c_acctbal > 1000 THEN 25 ELSE 10 END)
+                 + (CASE WHEN c_nationkey < 12 THEN 20 ELSE 0 END)
+                 + (CASE WHEN c_mktsegment = 'BUILDING' THEN 30 ELSE 15 END),
+                 100), 0) AS score
+        FROM customer
+        ORDER BY c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // A5 (explode + co-occurrence agg + HAVING, silver_to_gold_analytics
+    // .py:603-614): generator -> two-key hash agg -> post-agg filter.
+    Q(
+      "a5_explode_cooccur",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .groupBy("lang", "word")
+          .agg(
+            count(lit(1)).as("cnt"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("cnt") >= 3)
+          .orderBy("lang", "word"),
+      Some("""
+        SELECT lang, word, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+        FROM (
+          SELECT lang, doc_id, UNNEST(string_split(text, ' ')) AS word
+          FROM documents)
+        GROUP BY lang, word
+        HAVING COUNT(*) >= 3
+        ORDER BY lang, word""")),
+
+    // ----------------------------------------------------------------
+    // S8 (latest-partition scan: agg(max(date)) then equality filter —
+    // bronze_to_silver_transformation.py:662-668). The filter prunes
+    // partitions when the column is a partition key.
+    Q(
+      "s8_latest_slice",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val mx = o.agg(max(col("o_orderdate")).as("max_date"))
+        o.crossJoin(broadcast(mx))
+          .filter(col("o_orderdate") === col("max_date"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("order_date", "o_orderstatus")
+      },
+      Some(s"""
+        WITH m AS (SELECT MAX(o_orderdate) AS max_date FROM orders)
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderstatus,
+               COUNT(*) AS cnt, ${dsumSql("o_totalprice")} AS total
+        FROM orders, m
+        WHERE o_orderdate = max_date
+        GROUP BY 1, 2
+        ORDER BY order_date, o_orderstatus"""))
+  )
+}
