@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[Q] =
-    Relational.all
+    Relational.all ++ ExtensionQueries.all ++ VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by region/nation: broadcast-dim join chain + exact rollup

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library — language-ID, quality scoring, token
+  * counting, fingerprinting (SURVEY.md extension surface; scalar-suite
+  * style follows the reference's cleaning/scoring chains,
+  * `notebooks/bronze_to_silver_transformation.py:686-734,769-782`).
+  *
+  * Everything is built from codegen'd built-ins (no UDFs) and integer /
+  * exact arithmetic, so results are identical on any engine that
+  * implements the same ANSI semantics — which is what makes these
+  * oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** Occurrences of ` word ` in the space-padded text via replace
+    * arithmetic — non-overlapping left-to-right scan, identical semantics
+    * in every engine's `replace`. */
+  def markerCount(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val marker = s" $word "
+    ((length(padded) - length(replace(padded, lit(marker), lit(""))))
+      / lit(marker.length)).cast("int")
+  }
+
+  /** Language markers: one high-frequency function word per language. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "de" -> "der", "es" -> "el", "fr" -> "le", "zh" -> "的")
+
+  /** N-gram-heuristic language ID: argmax of marker counts with a fixed
+    * tie-break order (the declaration order of [[langMarkers]]). */
+  def langId(text: Column): Column = {
+    val counts = langMarkers.map { case (lang, w) => lang -> markerCount(text, w) }
+    val arms = counts.zipWithIndex.map { case ((lang, c), i) =>
+      val others = counts.zipWithIndex.collect { case ((_, c2), j) if j != i => c2 }
+      lang -> others.map(o => c >= o).reduce(_ && _)
+    }
+    arms.init.foldRight(lit(arms.last._1): Column) {
+      case ((lang, cond), acc) => when(cond, lang).otherwise(acc)
+    }
+  }
+
+  /** Mean word length: non-space chars / tokens (double, exact ratio of
+    * exact ints). */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+
+  /** Stopword ratio: (the|a|of|to|and occurrences) / tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = Seq("the", "a", "of", "to", "and")
+    stops.map(markerCount(text, _)).reduce(_ + _).cast("double") / tokenCount(text)
+  }
+
+  /** Additive quality scorecard in [0,100] (integer points, exact):
+    * length band + word-shape band + stopword band + no-markup. Mirrors
+    * the reference's scorecard style (bronze_to_silver_transformation.py:
+    * 769-782). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text)
+    val awl = avgWordLen(text)
+    val sr = stopwordRatio(text)
+    val noMarkup = !(text.contains("<") || text.contains("http"))
+    greatest(least(
+      when(toks.between(10, 500), 25).otherwise(0)
+        + when(awl.between(2.0, 10.0), 25).otherwise(0)
+        + when(sr.between(0.01, 0.5), 25).otherwise(10)
+        + when(noMarkup, 25).otherwise(0),
+      lit(100)), lit(0))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — stable under reformatting, the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+}

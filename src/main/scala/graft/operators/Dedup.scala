@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora — the
+  * training-data-pipeline extension surface (SURVEY.md §7.4; the
+  * reference's own dedup is a driver-side python loop,
+  * `notebooks/github_data_ingestion.py:199-219` — here each strategy is a
+  * distributed dataflow).
+  *
+  * Scale design notes (100 TB):
+  *   - exact dedup is one hash-shuffle on the digest (map-side partial
+  *     aggregation makes the shuffle carry one row per distinct digest
+  *     per partition);
+  *   - MinHash/LSH bounds pair generation to same-band buckets instead of
+  *     the O(n²) cross join;
+  *   - every hash is derived from md5 of the content, so signatures are
+  *     deterministic across runs, engines, and partitionings — no seed
+  *     state on executors.
+  */
+object Dedup {
+
+  /** Exact dedup keyed by content digest: keep the minimum id per
+    * distinct key — deterministic, unlike `dropDuplicates` which keeps an
+    * arbitrary first row per key. One shuffle.
+    */
+  def exactByDigest(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word k-shingles per document: (id, shingle) rows.
+    * Documents shorter than k words yield no shingles.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      carry: Seq[String] = Nil): DataFrame = {
+    val t = split(col(textCol), " ")
+    val grams = when(size(t) >= k,
+      expr(s"""transform(sequence(1, size(split($textCol, ' ')) - ${k - 1}),
+                i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(split($textCol, ' '), i + $j)").mkString(", ")}))"""))
+      .otherwise(array())
+    df.select((col(idCol) +: carry.map(col)) :+ explode(grams).as("shingle"): _*)
+      .distinct()
+  }
+
+  /** MinHash signatures from shingle rows: `numHashes` independent hash
+    * functions, each the lexicographic min of `md5(seed || '|' || shingle)`.
+    * Purely aggregative — one shuffle on the id, no per-executor state,
+    * identical results on any cluster layout.
+    */
+  def minhashSignatures(shingleRows: DataFrame, idCol: String, numHashes: Int = 8): DataFrame =
+    shingleRows.groupBy(col(idCol)).agg(
+      min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
+      (1 until numHashes).map(i =>
+        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
+
+  /** LSH banding: rows (id, band, key) where key is the digest of `rowsPerBand`
+    * adjacent minhashes. Two documents land in the same (band, key) bucket
+    * iff a band of their signatures agrees — candidate pair generation is
+    * then a per-bucket join instead of an all-pairs product.
+    */
+  def lshBands(sigs: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
+    }
+    sigs.select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .distinct()
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH bucket. */
+  def lshCandidatePairs(bandRows: DataFrame, idCol: String): DataFrame = {
+    val l = bandRows.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val r = bandRows.select(col("band"), col("key"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity for given candidate pairs, from the same
+    * shingle rows: |A∩B| / (|A| + |B| - |A∩B|). Join-based — only the
+    * candidate pairs are scored, never the full cross product.
+    */
+  def jaccardOnPairs(shingleRows: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val sz = shingleRows.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = shingleRows.select(col(idCol).as("id_a"), col("shingle"))
+    val b = shingleRows.select(col(idCol).as("id_b"), col("shingle"))
+    val common = pairs.join(a, "id_a").join(b, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sz.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sz.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common") / (col("n_a") + col("n_b") - col("common")))
+  }
+
+  /** 16-bit SimHash over the token multiset. Each token hashes to a
+    * 16-bit value (first 4 hex chars of its md5); per bit the signature
+    * takes the sign of Σ(±1). Integer arithmetic throughout — exact and
+    * engine-independent. One explode + one hash-agg.
+    */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("h4", substring(md5(col("w")), 1, 4))
+      .withColumn("v", expr(
+        """(position(substr(h4,1,1) IN '0123456789abcdef') - 1) * 4096
+         + (position(substr(h4,2,1) IN '0123456789abcdef') - 1) * 256
+         + (position(substr(h4,3,1) IN '0123456789abcdef') - 1) * 16
+         + (position(substr(h4,4,1) IN '0123456789abcdef') - 1)"""))
+    val bitSums = toks.groupBy(col(idCol)).agg(
+      sum(when(expr(s"(v div 1) % 2") === 1, 1).otherwise(-1)).as("b0"),
+      (1 until 16).map(j =>
+        sum(when(expr(s"(v div ${1 << j}) % 2") === 1, 1).otherwise(-1)).as(s"b$j")): _*)
+    bitSums.select(col(idCol),
+      (0 until 16).map(j => when(col(s"b$j") > 0, 1 << j).otherwise(0))
+        .reduce(_ + _).as("simhash"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — the
+  * approximate-nearest-neighbor extension surface (SURVEY.md §7.4).
+  *
+  * The dot product stays inside whole-stage codegen via higher-order
+  * functions (`zip_with` + `aggregate`); elements are cast to double
+  * before multiply so the accumulation is plain IEEE double left-to-right
+  * — deterministic and reproducible by any engine that folds in order.
+  *
+  * Scale path: `bruteForceTopK` broadcasts the (small) query set and
+  * scans the corpus once — at 100 TB the corpus never shuffles; the
+  * per-partition top-k is combined by the window over (query, sim).
+  * `lshTopK` adds random-hyperplane bucketing so the scan itself shrinks
+  * to matching buckets; hyperplanes are derived from md5 so the index is
+  * deterministic with no driver-side randomness.
+  */
+object Similarity {
+
+  /** Cosine similarity between two `array<float>` columns, in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact top-k neighbors per query. `queries`/`corpus` must expose
+    * (`idCol`, `vecCol`); self-pairs are excluded. The query side is
+    * broadcast — the corpus is scanned exactly once, no shuffle of the
+    * big side. Ranking is total-ordered (rounded sim desc, neighbor id)
+    * so results are reproducible.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Deterministic random-hyperplane sign bit: sign of Σ_i w_i·v_i where
+    * w_i ∈ {-1,+1} comes from one hex char of md5(plane || i). */
+  private def planeSign(vec: Column, plane: Int, dim: Int): Column = {
+    val terms = (0 until dim).map { i =>
+      val bit = Integer.parseInt(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$plane|$i").substring(0, 1), 16) % 2
+      element_at(vec, i + 1).cast("double") * lit(if (bit == 1) 1.0 else -1.0)
+    }
+    when(terms.reduce(_ + _) >= 0, 1).otherwise(0)
+  }
+
+  /** Approximate top-k: bucket by `nPlanes` hyperplane sign bits, then
+    * exact cosine within matching buckets only. Trades recall for a
+    * corpus scan that shrinks ~2^nPlanes-fold. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nPlanes: Int = 4): DataFrame = {
+    def bucket(df: DataFrame) = df.withColumn("bucket",
+      (0 until nPlanes).map(p => planeSign(col(vecCol), p, dim) * lit(1 << p))
+        .reduce(_ + _))
+    val q = bucket(queries).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col("bucket"))
+    val c = bucket(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col("bucket"))
+    c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Quadratic
+    * candidate generation — at scale, gate it behind `lshTopK`-style
+    * bucketing; kept exact here because the oracle is exact. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication extension pack over the `documents`
+  * table (SURVEY.md §7.4 / BASELINE north star: the operators a
+  * large-scale training-data pipeline needs). Each query has an exact
+  * DuckDB oracle; all hashing is md5-derived so both engines compute
+  * bit-identical signatures.
+  */
+object ExtensionQueries {
+
+  /** SQL mirror of [[graft.functions.TextAnalysis.markerCount]]. */
+  private def mcSql(w: String): String =
+    s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS INT)"
+
+  private val tokSql = s"len(string_split_regex(trim(text), '\\s+'))"
+
+  /** Shared shingle CTE (distinct word 3-grams, with source carried). */
+  private val shingleCte = """
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+           UNNEST(range(1, len(t) - 1)) AS u(i))"""
+
+  private val sigCte = {
+    val mins = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // Token counting + quality scoring (length / word-shape / stopword
+    // ratios as an additive scorecard — the reference's scorecard idiom,
+    // bronze_to_silver_transformation.py:769-782, applied to documents).
+    Q(
+      "t1_text_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            avgWordLen(col("text")).as("avg_word_len"),
+            stopwordRatio(col("text")).as("stop_ratio"),
+            qualityScore(col("text")).as("quality_score"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+               $tokSql AS n_tokens,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE) / $tokSql AS avg_word_len,
+               CAST(${Seq("the", "a", "of", "to", "and").map(mcSql).mkString(" + ")} AS DOUBLE)
+                 / $tokSql AS stop_ratio,
+               GREATEST(LEAST(
+                 (CASE WHEN $tokSql BETWEEN 10 AND 500 THEN 25 ELSE 0 END)
+                 + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / $tokSql
+                      BETWEEN 2.0 AND 10.0 THEN 25 ELSE 0 END)
+                 + (CASE WHEN CAST(${Seq("the", "a", "of", "to", "and").map(mcSql).mkString(" + ")} AS DOUBLE) / $tokSql
+                      BETWEEN 0.01 AND 0.5 THEN 25 ELSE 10 END)
+                 + (CASE WHEN NOT (contains(text, '<') OR contains(text, 'http'))
+                      THEN 25 ELSE 0 END),
+                 100), 0) AS quality_score
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Language ID: n-gram (function-word) heuristic, argmax with fixed
+    // tie-break order.
+    Q(
+      "t2_lang_id",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            (col("doc_id") +:
+              langMarkers.map { case (l, w) => markerCount(col("text"), w).as(s"c_$l") }) :+
+              langId(col("text")).as("lang_pred"): _*)
+          .orderBy("doc_id"),
+      Some {
+        val cnts = langMarkers.map { case (l, w) => s"${mcSql(w)} AS c_$l" }
+        val langs = langMarkers.map(_._1)
+        val arms = langs.dropRight(1).map { l =>
+          val others = langs.filterNot(_ == l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+          s"WHEN $others THEN '$l'"
+        }
+        s"""
+        SELECT doc_id, ${langs.map(l => s"c_$l").mkString(", ")},
+               CASE ${arms.mkString(" ")} ELSE '${langs.last}' END AS lang_pred
+        FROM (SELECT doc_id, ${cnts.mkString(", ")} FROM documents)
+        ORDER BY doc_id"""
+      }),
+
+    // ----------------------------------------------------------------
+    // Document fingerprint: md5 of whitespace-normalized lowercased text.
+    Q(
+      "t3_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            fingerprint(col("text")).as("fp"),
+            length(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm_len"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+               length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_len
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Exact dedup on a duplicate-injected corpus: hash-groupBy on the
+    // content digest, deterministic representative (min id). One shuffle;
+    // partial agg means the shuffle carries distinct digests only.
+    Q(
+      "d1_dedup_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val dups = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        Dedup.exactByDigest(docs.unionByName(dups), "doc_id", "text")
+          .orderBy("rep_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        SELECT md5(text) AS digest, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+        FROM corpus
+        GROUP BY md5(text)
+        ORDER BY rep_id""")),
+
+    // ----------------------------------------------------------------
+    // N-gram Jaccard near-dup, blocked by `source` (the blocking key
+    // bounds pair fan-out at scale — pairs only form inside a block).
+    Q(
+      "d2_dedup_jaccard",
+      (s, d) => {
+        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text",
+          k = 3, carry = Seq("source"))
+        val a = sh.select(col("doc_id").as("id_a"), col("source"), col("shingle"))
+        val b = sh.select(col("doc_id").as("id_b"), col("source"), col("shingle"))
+        val pairs = a.join(b, Seq("source", "shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        pairs
+          .join(sz.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+          .join(sz.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+          .withColumn("jaccard", col("common") / (col("n_a") + col("n_b") - col("common")))
+          .filter(col("jaccard") >= 0.05)
+          .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH $shingleCte,
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pr AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.source = b.source
+               AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b,
+               common / (na.n + nb.n - common) AS jaccard
+        FROM pr
+        JOIN sz na ON id_a = na.doc_id
+        JOIN sz nb ON id_b = nb.doc_id
+        WHERE common / (na.n + nb.n - common) >= 0.05
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // MinHash signatures: 8 md5-seeded min-hashes over 3-gram shingles.
+    Q(
+      "d3_minhash_sigs",
+      (s, d) =>
+        Dedup.minhashSignatures(
+          Dedup.shingles(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", numHashes = 8)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH $shingleCte
+        SELECT doc_id,
+               ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+        FROM sh
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // MinHash + LSH banding (4 bands × 2 rows): candidate pairs from
+    // band-bucket collisions, then exact Jaccard verification on just
+    // those candidates — the scale path for corpus-wide near-dup.
+    Q(
+      "d4_lsh_candidates",
+      (s, d) => {
+        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
+        val sigs = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+        val pairs = Dedup.lshCandidatePairs(
+          Dedup.lshBands(sigs, "doc_id", numHashes = 8, rowsPerBand = 2), "doc_id")
+        Dedup.jaccardOnPairs(sh, "doc_id", pairs)
+          .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH $shingleCte,
+        $sigCte,
+        bands AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
+            .mkString("\n          UNION ALL\n          ")}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        cm AS (
+          SELECT id_a, id_b, COUNT(*) AS common
+          FROM pairs
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+        SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b,
+               common / (na.n + nb.n - common) AS jaccard
+        FROM cm
+        JOIN sz na ON id_a = na.doc_id
+        JOIN sz nb ON id_b = nb.doc_id
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // 16-bit SimHash over token multisets — integer sign-sum signature.
+    Q(
+      "d5_simhash",
+      (s, d) =>
+        Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some {
+        val hexpos = (1 to 4).map(p =>
+          s"(strpos('0123456789abcdef', substr(md5(w), $p, 1)) - 1) * ${Seq(4096, 256, 16, 1)(p - 1)}")
+          .mkString(" + ")
+        val bitsums = (0 until 16).map(j =>
+          s"SUM(CASE WHEN (v // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val sig = (0 until 16).map(j =>
+          s"(CASE WHEN b$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+        s"""
+        WITH tok AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        tv AS (SELECT doc_id, $hexpos AS v FROM tok),
+        bs AS (SELECT doc_id, $bitsums FROM tv GROUP BY doc_id)
+        SELECT doc_id, $sig AS simhash FROM bs ORDER BY doc_id"""
+      })
+  )
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding similarity pack over the `embeddings` table
+  * (`array<float>`, 64-dim unit vectors) — SURVEY.md §7.4 extension
+  * surface. Dot products are double left-folds in element order on both
+  * engines; similarities are rounded to 6 dp *before* ranking so the
+  * rank order itself is engine-independent.
+  */
+object VectorQueries {
+  private val dim = 64
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cosSql(a: String, b: String) =
+    s"round(${dotSql(a, b)} / sqrt(${dotSql(a, a)}) / sqrt(${dotSql(b, b)}), 6)"
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // Brute-force cosine top-k: the exact ANN baseline. Query set is
+    // broadcast; corpus scanned once; per-query top-k via partitioned
+    // window.
+    Q(
+      "v1_cosine_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        p AS (
+          SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+          FROM c, q WHERE neighbor_id != query_id)
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ----------------------------------------------------------------
+    // Embedding near-duplicate pairs: all (a<b) with cosine >= 0.4.
+    // Exact quadratic form — the LSH-bucketed variant (v3) is the path
+    // that survives scale-up.
+    Q(
+      "v2_embedding_neardup",
+      (s, d) =>
+        Similarity.nearDupPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+          .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+        b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+        p AS (
+          SELECT id_a, id_b, ${cosSql("va", "vb")} AS sim
+          FROM a, b WHERE id_a < id_b)
+        SELECT id_a, id_b, sim FROM p
+        WHERE sim >= 0.4
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // Per-label centroids in long format (label, pos, mean): exact
+    // decimal mean per dimension — the "average embedding" building
+    // block for IVF coarse quantization.
+    Q(
+      "v3_label_centroids",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          // Plain double sum + round(9): decimal accumulation is tie-prone
+          // here (binary float expansions land exactly on .5 decimal
+          // boundaries and engines break ties differently), while the
+          // cross-engine ulp noise of a double sum is ~1e-15 — six orders
+          // below the rounding step.
+          .agg(round(sum(col("x").cast("double")) / count(lit(1)), 9).as("mean_x"))
+          .orderBy("label", "pos"),
+      Some(s"""
+        SELECT label, i - 1 AS pos,
+               round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 9) AS mean_x
+        FROM embeddings, UNNEST(range(1, ${dim + 1})) AS u(i)
+        GROUP BY label, i
+        ORDER BY label, pos""")),
+
+    // ----------------------------------------------------------------
+    // LSH-bucketed approximate top-k (random-hyperplane signs derived
+    // from md5 — deterministic, no driver randomness). Approximate by
+    // design => rows-only check; recall vs v1 is asserted in
+    // SimilaritySpec.
+    Q(
+      "v4_lsh_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.lshTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+          k = 5, dim = dim, nPlanes = 4)
+          .orderBy("query_id", "rank")
+      },
+      None)
+  )
+}
