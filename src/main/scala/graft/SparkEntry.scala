@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[Q] =
-    Relational.all ++ ExtensionQueries.all ++ VectorQueries.all
+    Relational.all ++ ExtensionQueries.all ++ VectorQueries.all ++
+      MergeQueries.all ++ FunctionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by region/nation: broadcast-dim join chain + exact rollup

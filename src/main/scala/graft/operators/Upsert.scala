@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyed MERGE/upsert as a pure DataFrame operator — Delta Lake's
+  * `MERGE INTO` re-expressed on Parquet-era storage (SURVEY.md §2.2
+  * K2/K3; reference MERGE sites: `notebooks/github_data_ingestion.py:
+  * 349-383`, `bronze_to_silver_transformation.py:867-920`,
+  * `personal_repos_ingestion.py:417-433`).
+  *
+  * Semantics implemented:
+  *   - matched rows        -> UPDATE SET (per-column resolution; default
+  *                            takes the source value);
+  *   - source-only rows    -> INSERT * ;
+  *   - target-only rows    -> kept unchanged;
+  *   - `insertOnly = true` -> WHEN NOT MATCHED INSERT only (idempotent
+  *                            append: matched rows keep the target row —
+  *                            the reference's late/duplicate-data guard).
+  *
+  * Execution shape: ONE full-outer shuffle join on the key columns.
+  * At 100 TB both sides hash-partition on the key; if the target is
+  * bucketed/pre-partitioned by the key the shuffle halves, and AQE
+  * handles skewed keys. No row ever moves to the driver.
+  *
+  * Column resolution (`smartCases`) covers the reference's "smart merge"
+  * (K3): e.g. keep an existing good classification but always refresh
+  * metric columns — pass a (targetCol, sourceCol) => Column resolver per
+  * column (`bronze_to_silver_transformation.py:899-914`).
+  */
+object Upsert {
+
+  def merge(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      smartCases: Map[String, (Column, Column) => Column] = Map.empty,
+      insertOnly: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    require(dataCols.forall(source.columns.contains),
+      s"source must be schema-aligned with target; missing ${dataCols.filterNot(source.columns.contains).mkString(",")}")
+
+    val t = target.withColumn("__t", lit(1)).alias("t")
+    val s = source.withColumn("__s", lit(1)).alias("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, cond, "full_outer")
+
+    val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+    val sourceOnly = col("t.__t").isNull
+
+    val keyCols = keys.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k))
+    val valueCols = dataCols.map { c =>
+      val tc = col(s"t.$c"); val sc = col(s"s.$c")
+      val onMatch =
+        if (insertOnly) tc
+        else smartCases.get(c).map(f => f(tc, sc)).getOrElse(sc)
+      when(matched, onMatch).when(sourceOnly, sc).otherwise(tc).as(c)
+    }
+    joined.select(keyCols ++ valueCols: _*)
+  }
+
+  /** K3 resolver: keep the target value unless it is NULL or one of the
+    * `placeholder` values (e.g. "Other"/"unknown") — the reference's
+    * preserve-good-classification rule. */
+  def keepUnlessPlaceholder(placeholders: String*): (Column, Column) => Column =
+    (tc, sc) => when(tc.isNull.or(tc.isin(placeholders: _*)), sc).otherwise(tc)
+}

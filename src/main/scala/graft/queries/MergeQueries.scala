@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Upsert
+import org.apache.spark.sql.functions._
+
+/** MERGE/upsert semantics pack — the reference's Delta `MERGE INTO`
+  * surface (SURVEY.md §2.2 K2/K3/K4) exercised through
+  * [[graft.operators.Upsert]] on testdata-derived target/source slices,
+  * with full-outer-join SQL oracles that restate MERGE semantics
+  * declaratively.
+  */
+object MergeQueries {
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // K2: classic keyed upsert — UPDATE matched from source, INSERT new,
+    // keep unmatched target (github_data_ingestion.py:349-383).
+    Q(
+      "k2_upsert",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val target = o.filter(col("o_orderkey") % 4 =!= 0)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val source = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"))
+        Upsert.merge(target, source, Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 4 != 0),
+        s AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 o_totalprice * 1.1 AS o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // K3: "smart merge" — preserve good classifications (keep target
+    // category unless NULL/'Other'), always refresh metrics
+    // (bronze_to_silver_transformation.py:899-914).
+    Q(
+      "k3_smart_merge",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val target = o.filter(col("o_orderkey") % 4 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 3 === 0, "Other")
+              .otherwise(col("o_orderpriority")).as("category"),
+            col("o_totalprice").as("metric"))
+        val source = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), lit("2-HIGH").as("category"),
+            (col("o_totalprice") + 5.0).as("metric"))
+        Upsert.merge(target, source, Seq("o_orderkey"),
+          smartCases = Map("category" -> Upsert.keepUnlessPlaceholder("Other")))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'Other'
+                      ELSE o_orderpriority END AS category,
+                 o_totalprice AS metric
+          FROM orders WHERE o_orderkey % 4 != 0),
+        s AS (
+          SELECT o_orderkey, '2-HIGH' AS category,
+                 o_totalprice + 5.0 AS metric
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE
+                 WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                   THEN CASE WHEN t.category IS NULL OR t.category = 'Other'
+                             THEN s.category ELSE t.category END
+                 WHEN t.o_orderkey IS NULL THEN s.category
+                 ELSE t.category END AS category,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.metric ELSE t.metric END AS metric
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // K4: insert-only merge on a composite key — idempotent append, the
+    // late/duplicate-data guard (personal_repos_ingestion.py:417-433).
+    Q(
+      "k4_insert_only",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val target = ev.filter(col("event_id") % 3 === 0)
+          .select("event_id", "event_type", "value")
+        val source = ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 100.0).as("value"))
+        Upsert.merge(target, source, Seq("event_id", "event_type"),
+          insertOnly = true)
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_id, event_type, value
+          FROM events WHERE event_id % 3 = 0),
+        s AS (
+          SELECT event_id, event_type, value + 100.0 AS value
+          FROM events WHERE event_id % 2 = 0)
+        SELECT event_id, event_type, value FROM t
+        UNION ALL
+        SELECT event_id, event_type, value FROM s
+        WHERE NOT EXISTS (SELECT 1 FROM t
+          WHERE t.event_id = s.event_id AND t.event_type = s.event_type)
+        ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different content about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min id") {
+    val out = Dedup.exactByDigest(docs, "doc_id", "text")
+      .orderBy("rep_id").as[(String, Long, Long)].collect()
+    assert(out.length === 3)
+    assert(out.head._2 === 1L && out.head._3 === 2L) // ids 1+2 collapse
+  }
+
+  test("identical docs share all minhash signatures; near-dups share some") {
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+      .orderBy("doc_id").collect()
+    val s1 = sigs(0).toSeq.drop(1)
+    val s2 = sigs(1).toSeq.drop(1)
+    val s3 = sigs(2).toSeq.drop(1)
+    val s4 = sigs(3).toSeq.drop(1)
+    assert(s1 === s2, "identical text => identical signature")
+    assert(s1.zip(s3).count { case (a, b) => a == b } >= 2,
+      "near-dup shares some minhashes")
+    assert(s1.zip(s4).count { case (a, b) => a == b } === 0,
+      "unrelated docs share no minhashes (w.h.p.)")
+  }
+
+  test("LSH candidates find exact and near dups, verified by jaccard") {
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(sigs, "doc_id", 8, rowsPerBand = 2), "doc_id")
+    val verified = Dedup.jaccardOnPairs(sh, "doc_id", pairs)
+      .orderBy("id_a", "id_b").collect()
+    val exact = verified.find(r => r.getLong(1) == 1L && r.getLong(0) == 2L)
+      .orElse(verified.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+    assert(exact.isDefined, s"pair (1,2) must be a candidate; got ${verified.mkString}")
+    assert(exact.get.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("simhash: identical => equal, near-dup => close, different => far") {
+    val sigs = Dedup.simhash16(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int)].collect().map(_._2)
+    def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(sigs(0) === sigs(1))
+    assert(hamming(sigs(0), sigs(2)) <= 6)
+    assert(hamming(sigs(0), sigs(3)) > hamming(sigs(0), sigs(2)))
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7071f, 0.7071f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(sims((1L, 1L)) - 1.0) < 1e-6)
+    assert(math.abs(sims((1L, 2L))) < 1e-6)
+    assert(math.abs(sims((1L, 3L)) - 0.7071) < 1e-3)
+  }
+
+  test("brute-force top-k returns nearest neighbors in rank order") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", k = 2)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(out.map(_._2).toSeq === Seq(2L, 3L), "nearest then next")
+  }
+
+  test("LSH top-k results are a subset of valid pairs with correct sims") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(
+      e.filter($"vec_id" < 5), e, "vec_id", "embedding", 5)
+    val approx = Similarity.lshTopK(
+      e.filter($"vec_id" < 5), e, "vec_id", "embedding", 5, dim = 64)
+    val exactPairs = exact.select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val approxRows = approx.select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    // approximate sims must agree with the exact computation when the
+    // pair is also in the exact top-k
+    approxRows.foreach { case (q, n, s) =>
+      exactPairs.get((q, n)).foreach(es => assert(es === s))
+    }
+    assert(approxRows.nonEmpty)
+  }
+}

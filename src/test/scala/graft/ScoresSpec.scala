@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.Scores._
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class ScoresSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("license categories") {
+    val out = Seq("MIT License", "Apache License 2.0", "GNU GPL v3", "Zlib", null)
+      .toDF("l").select(licenseCategory($"l")).as[String].collect()
+    assert(out === Seq("permissive", "permissive", "copyleft", "other", "none"))
+  }
+
+  test("activity score tiers") {
+    val out = Seq(0, 30, 31, 90, 91, 365, 366)
+      .toDF("d").select(activityScore($"d")).as[Int].collect()
+    assert(out === Seq(100, 100, 70, 70, 40, 40, 10))
+  }
+
+  test("momentum clamps to 100 and guards zero age") {
+    val out = Seq((1000L, 0), (50L, 100), (10000L, 10))
+      .toDF("stars", "age").select(momentumScore($"stars", $"age"))
+      .as[Double].collect()
+    assert(out === Seq(100.0, 5.0, 100.0))
+  }
+
+  test("quality score is additive and clamped") {
+    val out = Seq(
+      (true, 3, 1000L, 10),  // 25+25+30+20 = 100
+      (false, 0, 0L, 400),   // 0
+      (true, 1, 50L, 100)    // 25+15+10+10 = 60
+    ).toDF("hd", "nt", "stars", "push")
+      .select(qualityScore($"hd", $"nt", $"stars", $"push")).as[Int].collect()
+    assert(out === Seq(100, 0, 60))
+  }
+
+  test("health grades") {
+    val out = Seq(95, 80, 65, 50, 10).toDF("s")
+      .select(healthGrade($"s")).as[String].collect()
+    assert(out === Seq("A", "B", "C", "D", "F"))
+  }
+
+  test("lang distribution sums to 100 and splits 70/30") {
+    val out = Seq(("scala", Seq("python", "go")))
+      .toDF("primary", "topics")
+      .select(langDistribution($"primary", $"topics").as("m"))
+      .select(explode($"m")).as[(String, Double)].collect().toMap
+    assert(out === Map("scala" -> 70.0, "python" -> 15.0, "go" -> 15.0))
+    assert(out.values.sum === 100.0)
+  }
+
+  test("lang distribution with no topics gives primary 100%") {
+    val out = Seq(("rust", Seq.empty[String])).toDF("primary", "topics")
+      .select(explode(langDistribution($"primary", $"topics")))
+      .as[(String, Double)].collect().toMap
+    assert(out === Map("rust" -> 100.0))
+  }
+
+  test("lang distribution dedups primary from topics") {
+    val out = Seq(("go", Seq("go", "python"))).toDF("primary", "topics")
+      .select(explode(langDistribution($"primary", $"topics")))
+      .as[(String, Double)].collect().toMap
+    assert(out === Map("go" -> 70.0, "python" -> 30.0))
+  }
+
+  test("text quality score and token count") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    assert(df.select(TextAnalysis.tokenCount($"text")).as[Int].head() === 9)
+    assert(df.select(TextAnalysis.markerCount($"text", "the")).as[Int].head() === 2)
+    val fp = df.select(TextAnalysis.fingerprint($"text")).as[String].head()
+    assert(fp.matches("[0-9a-f]{32}"))
+    // whitespace-insensitive fingerprint
+    val fp2 = Seq("the  quick   brown fox jumps over the lazy dog").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).as[String].head()
+    assert(fp === fp2)
+  }
+}
