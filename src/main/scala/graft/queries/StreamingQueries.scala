@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch-parity streaming semantics pack (SURVEY.md §2.9): the exact
+  * transformations [[graft.streaming.EventsStream]] runs incrementally,
+  * executed as batch queries over `events` so the DuckDB oracle can
+  * replay them. Window starts are exact integer microsecond arithmetic
+  * — engine-independent.
+  */
+object StreamingQueries {
+  private val dec = DecimalType(28, 6)
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // Tumbling 1-hour window aggregate (streaming: groupBy(window(...))
+    // with watermark; batch parity: epoch-aligned hour truncation).
+    Q(
+      "st1_tumbling_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast(dec)).cast("double").as("total_value"))
+          .orderBy("window_start", "event_type"),
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type""")),
+
+    // ----------------------------------------------------------------
+    // Sliding window (1 hour, 30-min slide): every event lands in two
+    // windows. Window starts from exact integer µs arithmetic on both
+    // engines.
+    Q(
+      "st2_sliding_window",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val slid = ev.select(col("ts"), col("event_type"), col("value"),
+            explode(array(lit(0L), lit(1800000000L))).as("off"))
+          .withColumn("ws", timestamp_micros(
+            expr("((unix_micros(ts) - off) div 3600000000) * 3600000000 + off")))
+        slid.groupBy(
+            date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(dec)).cast("double").as("total_value"))
+          .orderBy("window_start")
+      },
+      Some("""
+        SELECT strftime(make_timestamp(
+                 ((epoch_us(ts) - off) // 3600000000) * 3600000000 + off),
+                 '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        FROM events, UNNEST([CAST(0 AS BIGINT), CAST(1800000000 AS BIGINT)]) AS u(off)
+        GROUP BY 1
+        ORDER BY window_start""")),
+
+    // ----------------------------------------------------------------
+    // Sessionization as gaps-and-islands (batch parity of
+    // flatMapGroupsWithState): 30-min inactivity gap, exact µs duration.
+    Q(
+      "st3_sessionize",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val flagged = ev
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull.or(
+              expr("unix_micros(ts) - unix_micros(prev_ts)") > 1800000000L), 1)
+              .otherwise(0))
+          .withColumn("session_idx",
+            sum(col("new_session")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        flagged.groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            (max(expr("unix_micros(ts)")) - min(expr("unix_micros(ts)")))
+              .as("duration_us"),
+            sum(col("value").cast(dec)).cast("double").as("total_value"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, value, event_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, ts, value, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_ts
+            FROM events)),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM flagged)
+        SELECT user_id, session_idx,
+               COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        FROM sessions
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx"""))
+  )
+}

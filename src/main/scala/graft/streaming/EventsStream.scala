@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events stream (SURVEY.md §2.9): the
+  * reference's micro-batch incrementality (6-hourly triggers + MERGE
+  * upserts + lookback windows, `fabric/data_factory_pipelines.py:74-123`)
+  * mapped onto Spark's native streaming:
+  *   - tumbling/sliding windowed aggregates with watermarks replace the
+  *     re-computed lookback windows;
+  *   - `flatMapGroupsWithState` sessionization replaces driver-side
+  *     stateful loops;
+  *   - late/duplicate handling comes from watermark + dropDuplicates
+  *     instead of idempotent insert-only MERGE.
+  *
+  * The same transformations run on a batch DataFrame unchanged (the
+  * queries in [[graft.queries.StreamingQueries]] are the batch-parity
+  * oracle surface); these entry points add the incremental execution.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, session_start: Long,
+      n_events: Long, total_value: Double)
+
+  /** Tumbling-window counts with a watermark: late events beyond
+    * `watermark` are dropped, state is bounded — the streaming form of
+    * the A2 daily-trend aggregate. */
+  def tumblingCounts(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  /** Exactly-once-style dedup on the event id within the watermark —
+    * the streaming equivalent of the insert-only MERGE (K4 /
+    * personal_repos_ingestion.py:417-433). */
+  def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Sessionization with custom state: a session closes after `gapSec`
+    * of inactivity per user (flatMapGroupsWithState with processing-time
+    * timeout). State per user is one (start, count, sum) triple —
+    * constant memory per key at any scale. */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800)
+      : Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Double), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[(Long, Long, Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (start, _, n, tot) = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, start, n, tot))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some((start, last, n, tot)) if t - last <= gapSec * 1000 =>
+                  cur = Some((start, t, n + 1, tot + e.value))
+                case Some((start, _, n, tot)) =>
+                  out ::= SessionSummary(userId, start, n, tot)
+                  cur = Some((t, t, 1L, e.value))
+                case None =>
+                  cur = Some((t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 + gapSec * 1000)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}

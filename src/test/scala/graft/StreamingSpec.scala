@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Drives the Structured Streaming entry points with a MemoryStream
+  * source and a memory sink — incremental execution, watermarks, and
+  * custom session state. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("tumbling window aggregates arrive incrementally with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStream.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 3.0))
+      query.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      input.addData(Event(4, ts(400), 2, "view", 4.0))
+      query.processAllAvailable()
+      val out = spark.table("tumbling")
+        .select("window_start", "event_type", "cnt", "total_value")
+        .as[(Timestamp, String, Long, Double)].collect().sortBy(_._1.getTime)
+      assert(out.length >= 2)
+      assert(out.head._3 === 2L && out.head._4 === 3.0) // two clicks in hour 0
+      assert(out(1)._2 === "view" && out(1)._3 === 1L)
+    } finally query.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStream.dedupedStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "view", 2.0))
+      query.processAllAvailable()
+      assert(spark.table("dedup").count() === 2)
+    } finally query.stop()
+  }
+
+  test("sessionization emits closed sessions with event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStream.sessionize(input.toDS(), gapSec = 600)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: two events 5 min apart; then a 40-min gap opens
+      // session 2; the watermark advance (late big timestamp) closes #1.
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(5), 7, "click", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(3, ts(45), 7, "view", 3.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(600), 8, "view", 9.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions").as[EventsStream.SessionSummary]
+        .collect().sortBy(_.session_start)
+      assert(out.nonEmpty)
+      assert(out.head.user_id === 7L)
+      assert(out.head.n_events === 2L)
+      assert(out.head.total_value === 3.0)
+    } finally query.stop()
+  }
+}
