@@ -34,25 +34,32 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       carry: Seq[String] = Nil): DataFrame = {
-    val t = split(col(textCol), " ")
-    val grams = when(size(t) >= k,
-      expr(s"""transform(sequence(1, size(split($textCol, ' ')) - ${k - 1}),
-                i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(split($textCol, ' '), i + $j)").mkString(", ")}))"""))
+    // bind the token array once — element_at inside the lambda must hit
+    // the already-split array, not re-split the string per element
+    val toks = df.withColumn("__toks", split(col(textCol), " "))
+    val grams = when(size(col("__toks")) >= k,
+      expr(s"""transform(sequence(1, size(__toks) - ${k - 1}),
+                i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(__toks, i + $j)").mkString(", ")}))"""))
       .otherwise(array())
-    df.select((col(idCol) +: carry.map(col)) :+ explode(grams).as("shingle"): _*)
+    toks.select((col(idCol) +: carry.map(col)) :+ explode(grams).as("shingle"): _*)
       .distinct()
   }
 
-  /** MinHash signatures from shingle rows: `numHashes` independent hash
-    * functions, each the lexicographic min of `md5(seed || '|' || shingle)`.
-    * Purely aggregative — one shuffle on the id, no per-executor state,
-    * identical results on any cluster layout.
+  /** MinHash signatures from shingle rows: `numHashes` hash functions,
+    * each the lexicographic min of a 8-hex-char (32-bit) slice of
+    * `md5(seed || '|' || shingle)` — four hashes per md5 call, so the
+    * dominant cost (md5 over every shingle) is numHashes/4 digests
+    * instead of numHashes. Purely aggregative — one shuffle on the id,
+    * no per-executor state, identical results on any cluster layout.
     */
-  def minhashSignatures(shingleRows: DataFrame, idCol: String, numHashes: Int = 8): DataFrame =
-    shingleRows.groupBy(col(idCol)).agg(
-      min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
-      (1 until numHashes).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
+  def minhashSignatures(shingleRows: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      val seed = i / 4
+      val off = (i % 4) * 8 + 1
+      min(substring(md5(concat(lit(s"$seed|"), col("shingle"))), off, 8)).as(s"mh$i")
+    }
+    shingleRows.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH banding: rows (id, band, key) where key is the digest of `rowsPerBand`
     * adjacent minhashes. Two documents land in the same (band, key) bucket

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorExpressions.dotF
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -7,10 +8,13 @@ import org.apache.spark.sql.functions._
 /** Similarity search over embedding columns (`array<float>`) — the
   * approximate-nearest-neighbor extension surface (SURVEY.md §7.4).
   *
-  * The dot product stays inside whole-stage codegen via higher-order
-  * functions (`zip_with` + `aggregate`); elements are cast to double
-  * before multiply so the accumulation is plain IEEE double left-to-right
-  * — deterministic and reproducible by any engine that folds in order.
+  * The dot product is a custom codegen'd Catalyst expression
+  * ([[graft.functions.DotProductFloat]]) — Spark's higher-order
+  * functions are CodegenFallback and were the all-pairs hot spot.
+  * Norms are computed once per vector *before* any join, so an n×m
+  * candidate scan does one dot product per pair, not three.
+  * Accumulation is left-to-right IEEE double — deterministic and
+  * reproducible by the oracle engine.
   *
   * Scale path: `bruteForceTopK` broadcasts the (small) query set and
   * scans the corpus once — at 100 TB the corpus never shuffles; the
@@ -21,13 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two `array<float>` columns, in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  /** Cosine similarity between two `array<float>` columns, in double.
+    * Division order matches the oracle: dot / ‖a‖ / ‖b‖. */
+  def cosine(a: Column, b: Column): Column =
+    dotF(a, b) / sqrt(dotF(a, a)) / sqrt(dotF(b, b))
 
   /** Exact top-k neighbors per query. `queries`/`corpus` must expose
     * (`idCol`, `vecCol`); self-pairs are excluded. The query side is
@@ -38,10 +39,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim",
+        round(dotF(col("qv"), col("cv")) / col("qn") / col("cn"), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("neighbor_id"))))
@@ -49,15 +53,19 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
-  /** Deterministic random-hyperplane sign bit: sign of Σ_i w_i·v_i where
-    * w_i ∈ {-1,+1} comes from one hex char of md5(plane || i). */
+  /** Deterministic random-hyperplane sign bit: sign of ⟨v, w⟩ where
+    * w_i ∈ {-1,+1} comes from one hex char of md5(plane || i). The
+    * hyperplane is a *constant* float array literal, so the projection
+    * runs through the codegen'd [[graft.functions.DotProductFloat]]
+    * instead of a 64-term expression tree. */
   private def planeSign(vec: Column, plane: Int, dim: Int): Column = {
-    val terms = (0 until dim).map { i =>
+    val w = (0 until dim).map { i =>
       val bit = Integer.parseInt(
         org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$plane|$i").substring(0, 1), 16) % 2
-      element_at(vec, i + 1).cast("double") * lit(if (bit == 1) 1.0 else -1.0)
+      if (bit == 1) 1.0f else -1.0f
     }
-    when(terms.reduce(_ + _) >= 0, 1).otherwise(0)
+    when(dotF(vec, array(w.map(lit): _*).cast("array<float>")) >= 0, 1)
+      .otherwise(0)
   }
 
   /** Approximate top-k: bucket by `nPlanes` hyperplane sign bits, then
@@ -70,11 +78,14 @@ object Similarity {
         .reduce(_ + _))
     val q = bucket(queries).select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), col("bucket"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
     val c = bucket(corpus).select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), col("bucket"))
+      .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
     c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim",
+        round(dotF(col("qv"), col("cv")) / col("qn") / col("cn"), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("neighbor_id"))))
@@ -88,9 +99,12 @@ object Similarity {
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", sqrt(dotF(col("va"), col("va"))))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", sqrt(dotF(col("vb"), col("vb"))))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim",
+        round(dotF(col("va"), col("vb")) / col("na") / col("nb"), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -27,10 +27,13 @@ object ExtensionQueries {
       FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
            UNNEST(range(1, len(t) - 1)) AS u(i))"""
 
-  private val sigCte = {
-    val mins = (0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
-    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
-  }
+  /** SQL mirror of [[Dedup.minhashSignatures]]: 8-hex-char slices of two
+    * seeded md5 digests. */
+  private def mhSql(i: Int): String =
+    s"min(substr(md5('${i / 4}|' || shingle), ${(i % 4) * 8 + 1}, 8)) AS mh$i"
+
+  private val sigCte =
+    s"sig AS (SELECT doc_id, ${(0 until 8).map(mhSql).mkString(", ")} FROM sh GROUP BY doc_id)"
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
@@ -139,8 +142,10 @@ object ExtensionQueries {
     Q(
       "d2_dedup_jaccard",
       (s, d) => {
+        // the shingle frame feeds the pair join twice + the size agg —
+        // persist so the explode+distinct shuffle runs once
         val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text",
-          k = 3, carry = Seq("source"))
+          k = 3, carry = Seq("source")).persist()
         val a = sh.select(col("doc_id").as("id_a"), col("source"), col("shingle"))
         val b = sh.select(col("doc_id").as("id_b"), col("source"), col("shingle"))
         val pairs = a.join(b, Seq("source", "shingle"))
@@ -183,8 +188,7 @@ object ExtensionQueries {
           .orderBy("doc_id"),
       Some(s"""
         WITH $shingleCte
-        SELECT doc_id,
-               ${(0 until 8).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")}
+        SELECT doc_id, ${(0 until 8).map(mhSql).mkString(", ")}
         FROM sh
         GROUP BY doc_id
         ORDER BY doc_id""")),
@@ -196,7 +200,8 @@ object ExtensionQueries {
     Q(
       "d4_lsh_candidates",
       (s, d) => {
-        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text")
+        // reused by signatures + pair verification + size agg
+        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text").persist()
         val sigs = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
         val pairs = Dedup.lshCandidatePairs(
           Dedup.lshBands(sigs, "doc_id", numHashes = 8, rowsPerBand = 2), "doc_id")

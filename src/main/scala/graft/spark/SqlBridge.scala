@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Spark internals for the graft library's
+  * custom Catalyst expressions (the supported extension idiom for
+  * libraries shipping native expressions: live inside the sql package
+  * namespace, as Delta/Sedona/etc. do).
+  */
+object SqlBridge {
+  /** Wrap a raw Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its analyzed Catalyst expression. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

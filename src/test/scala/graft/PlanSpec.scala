@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Asserts the physical-plan properties the engine relies on at scale:
+  * filter/column pushdown into the parquet scan, broadcast joins for
+  * dimension tables, partial (map-side) aggregation, and whole-stage
+  * codegen coverage. A plan regression here is a 100 TB regression even
+  * if results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize the adaptive plan so codegen stages materialize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and column pruning push into the parquet scan") {
+    val df = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"),
+      s"filter must reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"),
+      s"scan must read only needed columns:\n$plan")
+  }
+
+  test("dimension joins broadcast, never shuffle the big side") {
+    val q = SparkEntry.queries("j2_join_enrich")(spark, sf)
+    val plan = planOf(q)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"nation+region must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("rollup aggregation is partial (map-side combine) + final") {
+    val q = SparkEntry.queries("a1_rollup")(spark, sf)
+    val plan = planOf(q)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expect partial+final hash aggregate:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scoring pipeline") {
+    val q = SparkEntry.queries("p5_case_tiers")(spark, sf)
+    val plan = planOf(q)
+    // codegen stages print as "*(n) Operator" in the finalized plan
+    assert(plan.contains("*("), s"plan fell out of codegen:\n$plan")
+  }
+
+  test("custom dot-product expression participates in codegen") {
+    val q = SparkEntry.queries("v2_embedding_neardup")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("dot_product_float"), s"custom expr missing:\n$plan")
+    assert(plan.split("\n").exists(l =>
+      l.contains("dot_product_float") && l.trim.startsWith("+- *(") ||
+        l.contains("dot_product_float") && l.contains("*(")),
+      s"custom expr must stay inside a codegen stage:\n$plan")
+  }
+
+  test("upsert is a single full-outer shuffle join, no driver collect") {
+    val q = SparkEntry.queries("k2_upsert")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("FullOuter") || plan.contains("SortMergeJoin"),
+      s"merge must be a distributed join:\n$plan")
+  }
+
+  test("top-k ordering compiles to TakeOrderedAndProject, not global sort") {
+    val q = SparkEntry.queries("a9_topk_counts")(spark, sf)
+    assert(planOf(q).contains("TakeOrderedAndProject"))
+  }
+}
