@@ -1,0 +1,98 @@
+package graft.storage
+
+import graft.operators.Upsert
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+/** Partitioned-Parquet table catalog — the storage module of SURVEY.md
+  * §7.1: named tables as partitioned directories, the reference's Delta
+  * lakehouse surface (K1 partitioned overwrite
+  * `bronze_to_silver_transformation.py:935-941`, S6/S7 catalog scans,
+  * S8 latest-partition reads) without a Delta jar.
+  *
+  * Write paths:
+  *   - `overwrite`           — full-table K1 semantics, atomic via
+  *                             write-temp-then-swap (a reader never sees
+  *                             a half-written table);
+  *   - `overwritePartitions` — dynamic partition overwrite (only the
+  *                             partitions present in the frame are
+  *                             replaced — the per-run partition rewrite);
+  *   - `upsert`              — read + [[Upsert.merge]] + atomic rewrite:
+  *                             MERGE without Delta.
+  *
+  * At 100 TB: partition columns (e.g. `partition_date`) make every
+  * downstream equality filter a partition-pruned scan; the swap is a
+  * metadata move, not a data copy.
+  */
+final class ParquetCatalog(spark: SparkSession, root: String) {
+
+  private def tableDir(name: String): Path = Paths.get(root, name)
+
+  def exists(name: String): Boolean = Files.exists(tableDir(name))
+
+  def read(name: String): DataFrame =
+    spark.read.parquet(tableDir(name).toString)
+
+  /** Atomic full overwrite: write to a temp dir, swap directories. */
+  def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val tmp = Paths.get(root, s".tmp-$name-${System.nanoTime()}")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    val dest = tableDir(name)
+    val old = Paths.get(root, s".old-$name-${System.nanoTime()}")
+    if (Files.exists(dest)) Files.move(dest, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) deleteRecursively(old)
+  }
+
+  /** Dynamic partition overwrite: replace only the partitions present in
+    * `df`, leave the rest of the table untouched. */
+  def overwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    if (!exists(name)) overwrite(name, df, partitionBy)
+    else df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(tableDir(name).toString)
+  }
+
+  /** Append (the insert-only path when keys are known unique). */
+  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tableDir(name).toString)
+  }
+
+  /** MERGE INTO this table (K2/K3): read current state, resolve with
+    * [[Upsert.merge]], atomically rewrite. First write degenerates to
+    * the source frame. */
+  def upsert(name: String, source: DataFrame, keys: Seq[String],
+      smartCases: Map[String, (Column, Column) => Column] = Map.empty,
+      insertOnly: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit = {
+    if (!exists(name)) overwrite(name, source, partitionBy)
+    else {
+      val merged = Upsert.merge(read(name), source, keys, smartCases, insertOnly)
+        .persist() // materialize before the swap deletes the input files
+      merged.count()
+      overwrite(name, merged, partitionBy)
+      merged.unpersist()
+    }
+  }
+
+  /** S8 latest-partition slice: max over the partition column, then a
+    * partition-pruned equality scan. */
+  def latestPartition(name: String, partitionCol: String): DataFrame = {
+    val t = read(name)
+    val mx = t.select(max(col(partitionCol))).head().get(0)
+    t.filter(col(partitionCol) === lit(mx))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+}
