@@ -72,7 +72,7 @@ object Scores {
     * Result values sum to 100.
     */
   def langDistribution(primary: Column, topicLangs: Column): Column = {
-    val others = array_remove(coalesce(topicLangs, array()), primary)
+    val others = array_distinct(array_remove(coalesce(topicLangs, array()), primary))
     val n = size(others)
     when(n === 0, map_from_arrays(array(primary), array(lit(100.0))))
       .otherwise(map_from_arrays(

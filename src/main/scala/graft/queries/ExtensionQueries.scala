@@ -70,6 +70,34 @@ object ExtensionQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Token counting, three granularities: whitespace tokens, a BPE-ish
+    // regex (letter runs / digit runs / single punctuation — the GPT-2
+    // pretokenizer shape), and fixed-stride subword pieces.
+    Q(
+      "t4_regex_tokens",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("ws_tokens"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+              .as("bpe_tokens"),
+            expr("""aggregate(transform(split(text, ' '),
+                    w -> int(ceil(length(w) / 4.0))), 0, (a, x) -> a + x)""")
+              .cast("long").as("subword_tokens"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+               $tokSql AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                 AS bpe_tokens,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                 w -> CAST(ceil(length(w) / 4.0) AS INT))) AS BIGINT)
+                 AS subword_tokens
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Language ID: n-gram (function-word) heuristic, argmax with fixed
     // tie-break order.
     Q(

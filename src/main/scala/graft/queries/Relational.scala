@@ -224,11 +224,15 @@ object Relational {
     // ----------------------------------------------------------------
     // J1 (left_anti equi-join — the smart-classification skip split,
     // bronze_to_silver_transformation.py:474): entities with no match.
+    // The right side is filtered to one year so the anti set is
+    // non-empty at every scale factor (a 0-row result would reduce the
+    // oracle check to schema-only).
     Q(
       "j1_anti_join",
       (s, d) => {
         val c = Tables.customer(s, d)
         val o = Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1998)
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_mktsegment")
           .orderBy("c_custkey")
@@ -236,7 +240,10 @@ object Relational {
       Some("""
         SELECT c_custkey, c_mktsegment
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND EXTRACT(year FROM o.o_orderdate) = 1998)
         ORDER BY c_custkey""")),
 
     // ----------------------------------------------------------------

@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.Scores._
+import graft.operators.{SkewJoin, Upsert}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5): invariants that must hold for any
+  * input, driven through real Spark execution on generated frames.
+  * (scalacheck generators sampled manually — the scalatest bridge
+  * artifact is not in the offline cache.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality score is always within [0,100]") {
+    val rows = Gen.listOfN(200, for {
+      hd <- Gen.oneOf(true, false)
+      nt <- Gen.chooseNum(-5, 50)
+      st <- Gen.chooseNum(-100L, 1000000L)
+      dp <- Gen.chooseNum(-10, 5000)
+    } yield (hd, nt, st, dp)).sample.get
+    val out = rows.toDF("hd", "nt", "st", "dp")
+      .select(qualityScore($"hd", $"nt", $"st", $"dp").as("q"))
+      .as[Int].collect()
+    assert(out.forall(q => q >= 0 && q <= 100))
+  }
+
+  test("momentum score is always within [0,100] even for degenerate ages") {
+    val rows = Gen.listOfN(200, for {
+      stars <- Gen.chooseNum(0L, 10000000L)
+      age <- Gen.chooseNum(-3, 10000)
+    } yield (stars, age)).sample.get
+    val out = rows.toDF("stars", "age")
+      .select(momentumScore($"stars", $"age").as("m")).as[Double].collect()
+    assert(out.forall(m => m >= 0.0 && m <= 100.0))
+  }
+
+  test("language distribution always sums to 100") {
+    val langs = Gen.oneOf("en", "de", "fr", "zh", "es", "pt")
+    val rows = Gen.listOfN(100, for {
+      p <- langs
+      ts <- Gen.listOf(langs)
+    } yield (p, ts)).sample.get
+    val sums = rows.toDF("p", "ts")
+      .select(aggregate(map_values(langDistribution($"p", $"ts")),
+        lit(0.0), (a, x) => a + x).as("s"))
+      .as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 100.0) < 1e-9), sums.mkString(","))
+  }
+
+  test("upsert idempotence: merge(merge(t,s),s) == merge(t,s) for random frames") {
+    val keyGen = Gen.chooseNum(0L, 30L)
+    val frameGen = Gen.listOfN(25, Gen.zip(keyGen, Gen.alphaStr, Gen.chooseNum(0, 999)))
+    (1 to 5).foreach { i =>
+      val t = frameGen.apply(Gen.Parameters.default, Seed(i.toLong * 2)).get
+      val s = frameGen.apply(Gen.Parameters.default, Seed(i.toLong * 2 + 1)).get
+      val td = t.distinctBy(_._1).toDF("id", "cat", "m")
+      val sd = s.distinctBy(_._1).toDF("id", "cat", "m")
+      val once = Upsert.merge(td, sd, Seq("id")).orderBy("id").collect()
+      val twice = Upsert.merge(Upsert.merge(td, sd, Seq("id")), sd, Seq("id"))
+        .orderBy("id").collect()
+      assert(once === twice, s"iteration $i")
+    }
+  }
+
+  test("salted join returns exactly the rows of the plain join") {
+    // heavily skewed: 90% of big-side rows share one key
+    val big = (1 to 2000).map(i =>
+      (if (i % 10 == 0) i.toLong % 50 else 7L, s"row$i")).toDF("k", "payload")
+    val small = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "dim")
+    val plain = big.join(small, "k").orderBy("payload")
+      .as[(Long, String, String)].collect()
+    val salted = SkewJoin.saltedInnerJoin(big, small, "k",
+      saltFactor = 8, discriminator = "payload").orderBy("payload")
+      .as[(Long, String, String)].collect()
+    assert(salted === plain)
+  }
+}
