@@ -94,6 +94,36 @@ object Gold {
         dsum(col("stargazers_count")).as("total_stars"))
       .filter(col("co_occurrence_count") >= minCo)
 
+  /** Per-repo health dashboard (personal path, J3 + grades +
+    * recommended-actions array — personal_repos_silver_to_gold.py:
+    * 158-256,222-229): left join against activity metrics with
+    * coalesce defaults, A–F grade, and a built-up actions array. */
+  def healthDashboard(silver: DataFrame, activity: DataFrame): DataFrame = {
+    val act = activity.select(
+      col("repository_id"),
+      col("commits_30d"), col("issues_30d"))
+    silver
+      .join(broadcast(act), Seq("repository_id"), "left")
+      .withColumn("commits_30d", coalesce(col("commits_30d"), lit(0L)))
+      .withColumn("issues_30d", coalesce(col("issues_30d"), lit(0L)))
+      .withColumn("health_score",
+        greatest(least(
+          col("quality_score") * 0.5 + col("activity_score") * 0.3
+            + when(col("commits_30d") > 0, 20.0).otherwise(0.0),
+          lit(100.0)), lit(0.0)))
+      .withColumn("health_grade", healthGrade(col("health_score")))
+      .withColumn("recommended_actions",
+        filter(array(
+          when(col("days_since_push") > 180, "revive_or_archive"),
+          when(length(col("description")) === 0, "add_description"),
+          when(size(col("topics")) === 0, "add_topics"),
+          when(col("commits_30d") === 0, "recent_activity_missing")),
+          a => a.isNotNull))
+      .select("repository_id", "full_name", "technology_category",
+        "health_score", "health_grade", "commits_30d", "issues_30d",
+        "recommended_actions")
+  }
+
   /** All seven gold tables keyed by name — the reference's seven
     * saveAsTable targets (:270-644). */
   def allTables(silver: DataFrame): Map[String, DataFrame] = Map(

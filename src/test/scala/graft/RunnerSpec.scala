@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Rank
+import graft.pipeline.{Gold, Quality, Runner}
+import graft.storage.ParquetCatalog
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end medallion runs through the catalog (twice — incremental
+  * semantics), plus the quality/drift/rank machinery. */
+class RunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def repoJson(id: Long, name: String, topics: Seq[String],
+      lang: String, stars: Long, cat: String = ""): String = {
+    val topicsJson = topics.map(t => s""""$t"""").mkString("[", ",", "]")
+    s"""{"id":$id,"name":"$name","full_name":"org/$name","description":"desc $name","owner":{"login":"org"},"license":{"name":"MIT"},"stargazers_count":$stars,"forks_count":1,"watchers_count":$stars,"size":10,"language":"$lang","topics":$topicsJson,"created_at":"2022-01-01T00:00:00Z","updated_at":"2024-06-01T00:00:00Z","pushed_at":"2024-06-01T00:00:00Z","has_wiki":true,"archived":false}"""
+  }
+
+  test("two incremental runs: upserts accumulate, classifications persist") {
+    val cat = new ParquetCatalog(spark,
+      Files.createTempDirectory("runner").toString)
+    val runner = new Runner(spark, cat)
+
+    val day1 = Seq(
+      repoJson(1, "sparky", Seq("spark"), "Scala", 100),
+      repoJson(2, "webby", Seq("react"), "TypeScript", 50)).toDS()
+    val written = runner.run(day1, "2024-06-10")
+    assert(written.contains("gold_technology_metrics"))
+    assert(cat.read("silver_repos").count() === 2)
+
+    // day 2: repo 1 gains stars, repo 3 appears with no matching topics
+    val day2 = Seq(
+      repoJson(1, "sparky", Seq("spark"), "Scala", 900),
+      repoJson(3, "mystery", Seq(), "COBOL", 5)).toDS()
+    runner.run(day2, "2024-06-11")
+
+    val silver = cat.read("silver_repos")
+    assert(silver.count() === 3, "bronze upsert accumulated all repos")
+    val r1 = silver.filter($"repository_id" === 1).head()
+    assert(r1.getAs[Long]("stargazers_count") === 900L, "metrics refreshed")
+    assert(r1.getAs[String]("technology_category") === "Data Engineering",
+      "good classification persisted through the rerun")
+    assert(cat.read("gold_technology_metrics").count() >= 2)
+  }
+
+  test("health dashboard joins activity with defaults and actions") {
+    val cat = new ParquetCatalog(spark,
+      Files.createTempDirectory("runner2").toString)
+    new Runner(spark, cat).run(
+      Seq(repoJson(1, "sparky", Seq("spark"), "Scala", 100)).toDS(),
+      "2024-06-10")
+    val activity = Seq((1L, 12L, 3L))
+      .toDF("repository_id", "commits_30d", "issues_30d")
+    val dash = Gold.healthDashboard(cat.read("silver_repos"), activity)
+    val r = dash.head()
+    assert(r.getAs[String]("health_grade") !== null)
+    assert(r.getAs[Long]("commits_30d") === 12L)
+  }
+
+  test("silver validation flags violations as arrays") {
+    val bad = Seq((null.asInstanceOf[java.lang.Long], "", 150, 40, -5L, 1L, 0.5))
+      .toDF("repository_id", "name", "quality_score", "activity_score",
+        "stargazers_count", "forks_count", "classification_confidence")
+    val v = Quality.validateSilver(bad).head()
+    val flags = v.getAs[scala.collection.Seq[String]]("violations")
+    assert(flags.contains("missing_repository_id"))
+    assert(flags.contains("missing_name"))
+    assert(flags.contains("quality_score_out_of_range"))
+    assert(flags.contains("negative_stars"))
+  }
+
+  test("classification drift detects reclassification with severity") {
+    val prev = Seq((1L, "AI/ML"), (2L, "DevOps"), (3L, "Web Development"))
+      .toDF("repository_id", "technology_category")
+    val cur = Seq((1L, "AI/ML"), (2L, "Systems"), (4L, "DevOps"))
+      .toDF("repository_id", "technology_category")
+    val drift = Quality.classificationDrift(prev, cur)
+    val byStatus = drift.groupBy("status").agg(sum("n_repos").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(byStatus("reclassified") === 1L)
+    assert(byStatus("added") === 1L)
+    assert(byStatus("removed") === 1L)
+    assert(byStatus("stable") === 1L)
+    val sev = Quality.driftSeverity(drift).head()
+    assert(sev.getAs[String]("severity") === "critical") // 1/4 = 25%
+  }
+
+  test("globalRank matches the single-partition window rank") {
+    val df = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select("c_custkey", "c_acctbal")
+    val viaWindow = df.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"c_acctbal".desc, $"c_custkey")))
+      .select("c_custkey", "rank")
+      .as[(Long, Long)].collect().toMap
+    // globalRank sorts ascending on given order cols; emulate desc via negation
+    val viaScale = Rank.globalRank(
+      df.withColumn("neg_bal", -$"c_acctbal"), Seq("neg_bal", "c_custkey"))
+      .select("c_custkey", "rank").as[(Long, Long)].collect().toMap
+    assert(viaScale === viaWindow)
+  }
+}
