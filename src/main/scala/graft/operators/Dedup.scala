@@ -87,20 +87,25 @@ object Dedup {
   }
 
   /** Exact Jaccard similarity for given candidate pairs, from the same
-    * shingle rows: |A∩B| / (|A| + |B| - |A∩B|). Join-based — only the
-    * candidate pairs are scored, never the full cross product.
+    * shingle rows: |A∩B| / (|A| + |B| - |A∩B|). The shingle rows are
+    * collapsed to one set-array per document, so scoring a pair is two
+    * hash-join lookups plus an `array_intersect` — the exploded
+    * re-join (candidates × every shingle of both sides) is avoided.
+    * Candidate count is LSH-bounded, so the arrays only materialize for
+    * documents that appear in some pair.
     */
   def jaccardOnPairs(shingleRows: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val sz = shingleRows.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = shingleRows.select(col(idCol).as("id_a"), col("shingle"))
-    val b = shingleRows.select(col(idCol).as("id_b"), col("shingle"))
-    val common = pairs.join(a, "id_a").join(b, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sz.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sz.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+    val sets = shingleRows.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("sh_set"))
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("sh_set").as("sa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh_set").as("sb")), "id_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_a", size(col("sa")).cast("long"))
+      .withColumn("n_b", size(col("sb")).cast("long"))
       .withColumn("jaccard",
         col("common") / (col("n_a") + col("n_b") - col("common")))
+      .drop("sa", "sb")
   }
 
   /** 16-bit SimHash over the token multiset. Each token hashes to a
