@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.storage.ParquetCatalog
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming over the events stream (SURVEY.md §2.9): the
   * reference's micro-batch incrementality (6-hourly triggers + MERGE
@@ -44,6 +45,21 @@ object EventsStream {
   def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Streaming MERGE sink: every micro-batch upserts into a catalog
+    * table via `foreachBatch` — Structured Streaming's form of the
+    * reference's per-run `MERGE INTO` (K2), giving exactly-once keyed
+    * state on plain Parquet. Combine with [[dedupedStream]] upstream
+    * for idempotence under replays. */
+  def mergeSink(stream: DataFrame, catalog: ParquetCatalog, table: String,
+      keys: Seq[String], checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        catalog.upsert(table, batch.toDF(), keys)
+      }
+      .start()
 
   /** Sessionization with custom state: a session closes after `gapSec`
     * of inactivity per user (flatMapGroupsWithState with processing-time

@@ -55,6 +55,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch merge sink upserts each micro-batch into the catalog") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new graft.storage.ParquetCatalog(spark,
+      java.nio.file.Files.createTempDirectory("stream-cat").toString)
+    val input = MemoryStream[Event]
+    val query = EventsStream.mergeSink(
+      input.toDF().select($"event_id", $"event_type", $"value"),
+      cat, "events_state", Seq("event_id"),
+      java.nio.file.Files.createTempDirectory("stream-ckpt").toString)
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(2, ts(2), 1, "view", 99.0), Event(3, ts(3), 2, "click", 3.0))
+      query.processAllAvailable()
+      val out = cat.read("events_state").orderBy("event_id")
+        .as[(Long, String, Double)].collect()
+      assert(out === Seq((1L, "click", 1.0), (2L, "view", 99.0), (3L, "click", 3.0)),
+        "batch 2 updated key 2 and inserted key 3")
+    } finally query.stop()
+  }
+
   test("sessionization emits closed sessions with event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
