@@ -65,4 +65,19 @@ object Upsert {
     * preserve-good-classification rule. */
   def keepUnlessPlaceholder(placeholders: String*): (Column, Column) => Column =
     (tc, sc) => when(tc.isNull.or(tc.isin(placeholders: _*)), sc).otherwise(tc)
+
+  /** A11 merge reconciliation (the reference's new-vs-updated report,
+    * `github_data_ingestion.py:386-393`): one aggregation over the same
+    * outer join instead of the reference's separate before/after
+    * `count()` jobs. */
+  def mergeStats(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val t = target.select(keys.map(col): _*).withColumn("__t", lit(1)).alias("t")
+    val s = source.select(keys.map(col): _*).withColumn("__s", lit(1)).alias("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    t.join(s, cond, "full_outer").agg(
+      count(when(col("t.__t").isNotNull && col("s.__s").isNotNull, 1))
+        .as("updated"),
+      count(when(col("t.__t").isNull, 1)).as("inserted"),
+      count(when(col("s.__s").isNull, 1)).as("unchanged"))
+  }
 }

@@ -115,6 +115,28 @@ object MergeQueries {
         SELECT event_id, event_type, value FROM s
         WHERE NOT EXISTS (SELECT 1 FROM t
           WHERE t.event_id = s.event_id AND t.event_type = s.event_type)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // A11: merge reconciliation counts (new vs updated vs untouched —
+    // github_data_ingestion.py:386-393) as ONE aggregation over the
+    // outer join, replacing the reference's repeated count() jobs.
+    Q(
+      "k5_merge_stats",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Upsert.mergeStats(
+          o.filter(col("o_orderkey") % 4 =!= 0),
+          o.filter(col("o_orderkey") % 2 === 0),
+          Seq("o_orderkey"))
+      },
+      Some("""
+        WITH t AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 != 0),
+        s AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT COUNT(CASE WHEN t.o_orderkey IS NOT NULL
+                          AND s.o_orderkey IS NOT NULL THEN 1 END) AS updated,
+               COUNT(CASE WHEN t.o_orderkey IS NULL THEN 1 END) AS inserted,
+               COUNT(CASE WHEN s.o_orderkey IS NULL THEN 1 END) AS unchanged
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey"""))
   )
 }
