@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def packs: Seq[Q] =
     Relational.all ++ ExtensionQueries.all ++ VectorQueries.all ++
-      MergeQueries.all ++ FunctionQueries.all ++ StreamingQueries.all
+      MergeQueries.all ++ FunctionQueries.all ++ StreamingQueries.all ++
+      TrainingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by region/nation: broadcast-dim join chain + exact rollup

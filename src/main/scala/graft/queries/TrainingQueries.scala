@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline pack #2: as-of joins, TF-IDF, deterministic
+  * train/test splits, exact medians — operators a 100 TB corpus
+  * pipeline needs beyond the reference's own surface.
+  */
+object TrainingQueries {
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // As-of join: attach the most recent per-user hourly snapshot to
+    // every event. Spark: union-and-carry (one shuffle); oracle: native
+    // ASOF JOIN.
+    Q(
+      "j6_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val snaps = ev.groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("hour_start"))
+          .agg(max(col("value")).as("snapshot_max"))
+        val left = ev.select("event_id", "user_id", "ts", "value")
+        AsOfJoin.asOf(left, snaps, "user_id", "ts", "hour_start")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+            col("value"), col("snapshot_max"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH snaps AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour_start,
+                 MAX(value) AS snapshot_max
+          FROM events GROUP BY 1, 2)
+        SELECT event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+               l.value, snaps.snapshot_max
+        FROM events l
+        ASOF JOIN snaps
+          ON l.user_id = snaps.user_id AND snaps.hour_start <= l.ts
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // TF-IDF over the document corpus: tf = in-doc term count,
+    // idf = ln(N / df). log through libm differs by ulps across
+    // engines => round(6).
+    Q(
+      "t5_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        tf.join(df, "word").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+          .select("doc_id", "word", "tf", "df", "tfidf")
+          .orderBy("doc_id", "word")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, tf.word, tf, df,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df ON tf.word = df.word, n
+        ORDER BY doc_id, tf.word""")),
+
+    // ----------------------------------------------------------------
+    // Deterministic train/test split: md5-derived bucket per doc (no
+    // rand() — reproducible on any cluster, stable across reruns).
+    Q(
+      "t6_hash_split",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("bucket", expr(
+            """(position(substr(md5(CAST(doc_id AS STRING)), 1, 1)
+                 IN '0123456789abcdef') - 1) * 16
+             + (position(substr(md5(CAST(doc_id AS STRING)), 2, 1)
+                 IN '0123456789abcdef') - 1)"""))
+          .withColumn("split",
+            when(col("bucket") % 100 < 80, "train").otherwise("test"))
+          .select("doc_id", "lang", "bucket", "split")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, lang, bucket,
+               CASE WHEN bucket % 100 < 80 THEN 'train' ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, lang,
+                 (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+          FROM documents)
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Exact per-group median (lower median) without percentile
+    // functions whose interpolation differs across engines: total-order
+    // row_number + element selection. Deterministic everywhere.
+    Q(
+      "t7_length_median",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = Window.partitionBy("lang")
+          .orderBy(col("n_chars"), col("doc_id"))
+        docs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("lang"), col("n_chars").as("median_chars"), col("cnt").as("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, n_chars AS median_chars, cnt AS n_docs
+        FROM (
+          SELECT lang, n_chars, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY n_chars, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS cnt
+          FROM documents)
+        WHERE rn = (cnt + 1) // 2
+        ORDER BY lang"""))
+  )
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.AsOfJoin
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("as-of attaches the latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, ts(0), "e0"), (1L, ts(10), "e10"), (1L, ts(20), "e20"),
+      (2L, ts(5), "x5")
+    ).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts(0), "v0"), (1L, ts(10), "v10"), (1L, ts(15), "v15"),
+      (2L, ts(6), "v6") // after the only left row for key 2
+    ).toDF("k", "vt", "payload")
+
+    val out = AsOfJoin.asOf(left, right, "k", "t", "vt")
+      .orderBy("k", "t").as[(Long, Timestamp, String, String)].collect()
+    assert(out === Seq(
+      (1L, ts(0), "e0", "v0"),    // tie: right at same ts matches
+      (1L, ts(10), "e10", "v10"),
+      (1L, ts(20), "e20", "v15"), // carries the 15-min version forward
+      (2L, ts(5), "x5", null)))   // nothing at-or-before => null (left join)
+  }
+
+  test("as-of never drops or duplicates left rows") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val snaps = ev.groupBy($"user_id",
+        org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hs"))
+      .agg(org.apache.spark.sql.functions.max($"value").as("m"))
+    val joined = AsOfJoin.asOf(ev, snaps, "user_id", "ts", "hs")
+    assert(joined.count() === ev.count())
+    assert(joined.select("event_id").distinct().count() === ev.count())
+  }
+}
