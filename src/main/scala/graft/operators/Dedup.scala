@@ -108,6 +108,20 @@ object Dedup {
       .drop("sa", "sb")
   }
 
+  /** SimHash near-duplicate pairs: all (a < b) whose signatures are
+    * within `maxHamming` bits. Integer xor + popcount per pair — cheap
+    * enough that the quadratic candidate set is viable far longer than
+    * for full-text comparison; beyond that, band the signature bits
+    * like [[lshBands]]. */
+  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val a = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** 16-bit SimHash over the token multiset. Each token hashes to a
     * 16-bit value (first 4 hex chars of its md5); per bit the signature
     * takes the sign of Σ(±1). Integer arithmetic throughout — exact and

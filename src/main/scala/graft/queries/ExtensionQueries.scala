@@ -284,6 +284,40 @@ object ExtensionQueries {
         tv AS (SELECT doc_id, $hexpos AS v FROM tok),
         bs AS (SELECT doc_id, $bitsums FROM tv GROUP BY doc_id)
         SELECT doc_id, $sig AS simhash FROM bs ORDER BY doc_id"""
+      }),
+
+    // ----------------------------------------------------------------
+    // SimHash near-dup candidates: exact 16-bit signature collisions
+    // (hamming 0 — the bucketable form; wider radii are supported by
+    // the operator but a 16-bit signature over a shared vocabulary is
+    // too collision-dense for them to discriminate).
+    Q(
+      "d6_simhash_pairs",
+      (s, d) =>
+        Dedup.simhashPairs(
+          Dedup.simhash16(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", maxHamming = 0)
+          .orderBy("id_a", "id_b"),
+      Some {
+        val hexpos = (1 to 4).map(p =>
+          s"(strpos('0123456789abcdef', substr(md5(w), $p, 1)) - 1) * ${Seq(4096, 256, 16, 1)(p - 1)}")
+          .mkString(" + ")
+        val bitsums = (0 until 16).map(j =>
+          s"SUM(CASE WHEN (v // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val sig = (0 until 16).map(j =>
+          s"(CASE WHEN b$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+        s"""
+        WITH tok AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        tv AS (SELECT doc_id, $hexpos AS v FROM tok),
+        bs AS (SELECT doc_id, $bitsums FROM tv GROUP BY doc_id),
+        sg AS (SELECT doc_id, $sig AS simhash FROM bs)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 0
+        ORDER BY id_a, id_b"""
       })
   )
 }
