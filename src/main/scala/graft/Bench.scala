@@ -34,6 +34,9 @@ object Bench {
         coldTotal += time(fn(spark, sfDir).count()) // warmup (cold)
         time(fn(spark, sfDir).count()) // steady-state
       } catch { case _: Throwable => -1.0 }
+      // each invocation builds fresh lineage, so persisted frames from
+      // prior queries are dead weight — drop them to keep memory flat
+      spark.catalog.clearCache()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
