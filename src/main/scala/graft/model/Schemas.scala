@@ -19,19 +19,25 @@ object Schemas {
     StructField("name", StringType),
     StructField("full_name", StringType),
     StructField("description", StringType),
-    StructField("owner", StructType(Seq(StructField("login", StringType)))),
+    StructField("owner", StructType(Seq(
+      StructField("login", StringType),
+      StructField("type", StringType)))),
     StructField("license", StructType(Seq(StructField("name", StringType)))),
     StructField("stargazers_count", LongType),
     StructField("forks_count", LongType),
     StructField("watchers_count", LongType),
+    StructField("open_issues_count", LongType),
     StructField("size", LongType),
+    StructField("default_branch", StringType),
     StructField("language", StringType),
     StructField("topics", ArrayType(StringType)),
     StructField("created_at", StringType),
     StructField("updated_at", StringType),
     StructField("pushed_at", StringType),
     StructField("has_wiki", BooleanType),
-    StructField("archived", BooleanType)))
+    StructField("has_pages", BooleanType),
+    StructField("archived", BooleanType),
+    StructField("disabled", BooleanType)))
 
   /** Bronze layer: flattened, typed, partition-dated
     * (medallion_architecture.py:41-74). */
@@ -41,18 +47,24 @@ object Schemas {
     StructField("full_name", StringType),
     StructField("description", StringType),
     StructField("owner_login", StringType),
+    StructField("owner_type", StringType),
     StructField("license_name", StringType),
     StructField("stargazers_count", LongType),
     StructField("forks_count", LongType),
     StructField("watchers_count", LongType),
+    StructField("open_issues_count", LongType),
     StructField("size_kb", LongType),
+    StructField("default_branch", StringType),
     StructField("language", StringType),
     StructField("topics", ArrayType(StringType)),
     StructField("created_at", TimestampType),
     StructField("updated_at", TimestampType),
     StructField("pushed_at", TimestampType),
     StructField("has_wiki", BooleanType),
+    StructField("has_pages", BooleanType),
     StructField("archived", BooleanType),
+    StructField("disabled", BooleanType),
+    StructField("ingestion_timestamp", TimestampType),
     StructField("partition_date", StringType)))
 
   /** Silver layer columns in canonical order
