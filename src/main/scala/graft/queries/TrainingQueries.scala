@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.AsOfJoin
+import graft.pipeline.Activity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +43,56 @@ object TrainingQueries {
         ASOF JOIN snaps
           ON l.user_id = snaps.user_id AND snaps.hour_start <= l.ts
         ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // A7 via period-explode (the single-shuffle replacement of the
+    // reference's per-period loop+union, personal_repos_bronze_to_
+    // silver.py:578-630), producing the composite-key long format the
+    // activity-metrics MERGE uses. Events mapped to activity shape.
+    Q(
+      "a8_activity_explode",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val activity = ev.select(
+          col("user_id").as("repository_id"),
+          when(col("event_type") === "click", "commit")
+            .when(col("event_type") === "view", "issue")
+            .otherwise("other").as("activity_type"),
+          col("ts"),
+          col("value").as("additions"),
+          (col("value") * 0.5).as("deletions"))
+        val pd = ev.agg(to_date(max(col("ts"))).as("pd"))
+        Activity.activityMetrics(
+          activity.crossJoin(broadcast(pd)), col("pd"))
+          .withColumn("last_activity_at",
+            date_format(col("last_activity_at"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .orderBy("repository_id", "measurement_period")
+      },
+      Some("""
+        WITH m AS (SELECT CAST(MAX(ts) AS DATE) AS pd FROM events),
+        act AS (
+          SELECT user_id AS repository_id,
+                 CASE WHEN event_type = 'click' THEN 'commit'
+                      WHEN event_type = 'view' THEN 'issue'
+                      ELSE 'other' END AS activity_type,
+                 ts, value AS additions, value * 0.5 AS deletions
+          FROM events),
+        expanded AS (
+          SELECT act.*, p AS period_days
+          FROM act, m, UNNEST([7, 30, 90]) AS u(p)
+          WHERE ts >= pd - p)
+        SELECT repository_id,
+               CAST(period_days AS VARCHAR) || 'd' AS measurement_period,
+               COUNT(CASE WHEN activity_type = 'commit' THEN 1 END) AS commit_count,
+               COUNT(CASE WHEN activity_type = 'issue' THEN 1 END) AS issue_count,
+               COALESCE(CAST(SUM(CAST(additions AS DECIMAL(28,6))) AS DOUBLE), 0.0)
+                 AS total_additions,
+               COALESCE(CAST(SUM(CAST(deletions AS DECIMAL(28,6))) AS DOUBLE), 0.0)
+                 AS total_deletions,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_activity_at
+        FROM expanded
+        GROUP BY 1, 2
+        ORDER BY repository_id, measurement_period""")),
 
     // ----------------------------------------------------------------
     // TF-IDF over the document corpus: tf = in-doc term count,
