@@ -153,6 +153,31 @@ object TrainingQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Stratified sampling: deterministic top-N per stratum ordered by a
+    // content hash — reproducible train-subset selection without rand().
+    Q(
+      "t8_stratified_sample",
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(concat(lit("sample|"), col("doc_id").cast("string"))), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select("lang", "rn", "doc_id", "n_chars")
+          .orderBy("lang", "rn")
+      },
+      Some("""
+        SELECT lang, rn, doc_id, n_chars
+        FROM (
+          SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+          FROM documents)
+        WHERE rn <= 20
+        ORDER BY lang, rn""")),
+
+    // ----------------------------------------------------------------
     // Exact per-group median (lower median) without percentile
     // functions whose interpolation differs across engines: total-order
     // row_number + element selection. Deterministic everywhere.
