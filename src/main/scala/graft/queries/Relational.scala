@@ -527,6 +527,35 @@ object Relational {
         ORDER BY c_custkey""")),
 
     // ----------------------------------------------------------------
+    // §2.8 math suite (log10 score normalization, sqrt, clamping —
+    // bronze_to_silver_transformation.py:752,778-782; silver_to_gold_
+    // analytics.py:617). log10/sqrt go through libm, which may differ by
+    // ulps across engines => round(6).
+    Q(
+      "p8_math_funcs",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            round(log10(col("p_retailprice")), 6).as("log_price"),
+            round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+            greatest(least((col("p_retailprice") - lit(900.0)) / 1.0,
+              lit(100.0)), lit(0.0)).as("price_score"),
+            pmod(col("p_partkey"), lit(7)).as("bucket7"),
+            abs(col("p_retailprice") - 950.0).as("dev_from_mid"))
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey,
+               round(log10(p_retailprice), 6) AS log_price,
+               round(sqrt(p_retailprice), 6) AS sqrt_price,
+               GREATEST(LEAST((p_retailprice - 900.0) / 1.0, 100.0), 0.0)
+                 AS price_score,
+               p_partkey % 7 AS bucket7,
+               abs(p_retailprice - 950.0) AS dev_from_mid
+        FROM part
+        ORDER BY p_partkey""")),
+
+    // ----------------------------------------------------------------
     // A5 (explode + co-occurrence agg + HAVING, silver_to_gold_analytics
     // .py:603-614): generator -> two-key hash agg -> post-agg filter.
     Q(
