@@ -68,6 +68,59 @@ object StreamingQueries {
         ORDER BY window_start""")),
 
     // ----------------------------------------------------------------
+    // W5: rows-frame moving average (last 3 events per user). Frame
+    // sums go through exact decimal so segment-tree vs sequential
+    // window evaluation cannot diverge.
+    Q(
+      "w5_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-2, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("mov_sum",
+            sum(col("value").cast(dec)).over(w).cast("double"))
+          .withColumn("mov_n", count(lit(1)).over(w))
+          .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
+          .select("event_id", "user_id", "mov_sum", "mov_n", "mov_avg")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS mov_sum,
+               COUNT(*) OVER w AS mov_n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w AS mov_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // W6: running total per user (cumulative frame) — the incremental
+    // counter a dashboard keeps, as a batch window.
+    Q(
+      "w6_running_total",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("running_value",
+            sum(col("value").cast(dec)).over(w).cast("double"))
+          .withColumn("running_n", count(lit(1)).over(w))
+          .select("event_id", "user_id", "running_value", "running_n")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                 AS running_value,
+               COUNT(*) OVER w AS running_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
     // Sessionization as gaps-and-islands (batch parity of
     // flatMapGroupsWithState): 30-min inactivity gap, exact µs duration.
     Q(
