@@ -178,6 +178,50 @@ object TrainingQueries {
         ORDER BY lang, rn""")),
 
     // ----------------------------------------------------------------
+    // Exact nearest-rank percentiles per group (p50/p90/p99) by
+    // selection — no interpolation, no sketch, identical on any engine.
+    // At 100 TB this is one range-partitioned sort per group key; for
+    // sketch-budget cases approx_percentile is the documented upgrade
+    // (ScaleVariantSpec covers the approx path).
+    Q(
+      "t9_percentiles",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+          .groupBy("o_orderpriority")
+          .agg(
+            max(when(col("rn") === ceil(col("cnt") * 0.5), col("o_totalprice")))
+              .as("p50"),
+            max(when(col("rn") === ceil(col("cnt") * 0.9), col("o_totalprice")))
+              .as("p90"),
+            max(when(col("rn") === ceil(col("cnt") * 0.99), col("o_totalprice")))
+              .as("p99"),
+            max(col("cnt")).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               MAX(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT)
+                        THEN o_totalprice END) AS p50,
+               MAX(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT)
+                        THEN o_totalprice END) AS p90,
+               MAX(CASE WHEN rn = CAST(ceil(cnt * 0.99) AS BIGINT)
+                        THEN o_totalprice END) AS p99,
+               MAX(cnt) AS n_orders
+        FROM (
+          SELECT o_orderpriority, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+          FROM orders)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ----------------------------------------------------------------
     // Exact per-group median (lower median) without percentile
     // functions whose interpolation differs across engines: total-order
     // row_number + element selection. Deterministic everywhere.
