@@ -20,19 +20,46 @@ object Scores {
       .otherwise("other")
   }
 
-  /** Tiered activity score from days since last push
-    * (utils/data_transformer.py:216-251: 0-30d => 100, 31-90 => 70,
-    * 91-365 => 40, older => 10). */
+  /** Tiered activity score from days since last push. Simplified tiers
+    * *adapted from* (not identical to) utils/data_transformer.py:216-251;
+    * see [[activityScoreRef]] for the reference-exact 50/30/20 composite. */
   def activityScore(daysSincePush: Column): Column =
     when(daysSincePush <= 30, 100)
       .when(daysSincePush <= 90, 70)
       .when(daysSincePush <= 365, 40)
       .otherwise(10)
 
-  /** Momentum = stars per day of age, clamped to [0,100]
-    * (utils/data_transformer.py:202-214: stars / days_old). */
+  /** Reference-exact activity score (utils/data_transformer.py:216-251):
+    * push recency worth 50 (≤7d:50, ≤30d:30, ≤90d:10), update recency
+    * worth 30 (≤7d:30, ≤30d:20, ≤90d:5), open-issues/stars ratio worth
+    * 20 (<0.1:20, <0.3:10); stars floored at 1; result rounded to 1dp
+    * (always integral here, kept double for parity). */
+  def activityScoreRef(daysSincePush: Column, daysSinceUpdate: Column,
+      openIssues: Column, stars: Column): Column = {
+    val pushPts = when(daysSincePush.isNull, 0.0)
+      .when(daysSincePush <= 7, 50.0).when(daysSincePush <= 30, 30.0)
+      .when(daysSincePush <= 90, 10.0).otherwise(0.0)
+    val updPts = when(daysSinceUpdate.isNull, 0.0)
+      .when(daysSinceUpdate <= 7, 30.0).when(daysSinceUpdate <= 30, 20.0)
+      .when(daysSinceUpdate <= 90, 5.0).otherwise(0.0)
+    val ratio = coalesce(openIssues.cast("double"), lit(0.0)) /
+      greatest(stars.cast("double"), lit(1.0))
+    val issuePts = when(ratio < 0.1, 20.0).when(ratio < 0.3, 10.0).otherwise(0.0)
+    round(pushPts + updPts + issuePts, 1)
+  }
+
+  /** Momentum = stars per day of age, ×10 and clamped to [0,100] — a
+    * bounded-score *adaptation* of the reference's raw stars/days_old;
+    * see [[momentumScoreRef]] for the exact formula. */
   def momentumScore(stars: Column, ageDays: Column): Column =
     least(lit(100.0), stars.cast("double") / greatest(ageDays, lit(1)) * 10.0)
+
+  /** Reference-exact momentum (utils/data_transformer.py:202-214):
+    * stars / days_old rounded to 4dp, 0.0 when days_old <= 0 or the
+    * creation date is unknown. No scale factor, no clamp. */
+  def momentumScoreRef(stars: Column, ageDays: Column): Column =
+    when(ageDays.isNull.or(ageDays <= 0), 0.0)
+      .otherwise(round(stars.cast("double") / ageDays.cast("double"), 4))
 
   /** Additive quality scorecard in [0,100]
     * (bronze_to_silver_transformation.py:769-782 idiom: when(...,pts)
@@ -46,24 +73,75 @@ object Scores {
         + when(daysSincePush <= 30, 20).when(daysSincePush <= 180, 10).otherwise(0),
       lit(100)), lit(0))
 
-  /** Health grade A–F from a 0-100 score
-    * (personal_repos_silver_to_gold.py:204-210). */
+  /** Health grade A–F on a 0-100 score scale — *adapted from* the
+    * reference's 0-1 scale; see [[healthGradeRef]] for the exact
+    * 0.8/0.6/0.4/0.2 thresholds. */
   def healthGrade(score: Column): Column =
     when(score >= 90, "A").when(score >= 75, "B").when(score >= 60, "C")
       .when(score >= 40, "D").otherwise("F")
 
-  /** Lifecycle stage from age and activity
-    * (silver_to_gold_analytics.py:199-213). */
+  /** Reference-exact health grade on the 0-1 health_score scale
+    * (personal_repos_silver_to_gold.py:204-210): ≥0.8 A, ≥0.6 B,
+    * ≥0.4 C, ≥0.2 D, else F. */
+  def healthGradeRef(score01: Column): Column =
+    when(score01 >= 0.8, "A").when(score01 >= 0.6, "B")
+      .when(score01 >= 0.4, "C").when(score01 >= 0.2, "D").otherwise("F")
+
+  /** Reference-exact health score in [0,1]
+    * (personal_repos_silver_to_gold.py:197-202):
+    * quality*0.4 + velocity*0.3 + (is_active ? 0.3 : 0), capped at 1. */
+  def healthScoreRef(quality01: Column, velocity: Column,
+      isActive: Column): Column =
+    least(lit(1.0),
+      quality01 * 0.4 + coalesce(velocity, lit(0.0)) * 0.3 +
+        when(isActive, 0.3).otherwise(0.0))
+
+  /** Reference-exact activity status
+    * (personal_repos_silver_to_gold.py:211-215): ≤7d active,
+    * ≤30d stable, else dormant. */
+  def activityStatus(daysSincePush: Column): Column =
+    when(daysSincePush <= 7, "active")
+      .when(daysSincePush <= 30, "stable").otherwise("dormant")
+
+  /** Lifecycle stage from age and activity — *simplified adaptation*;
+    * see [[lifecycleStageRef]] for the reference's star-velocity rules. */
   def lifecycleStage(ageDays: Column, activityScr: Column): Column =
     when(ageDays <= 365 && activityScr >= 70, "emerging")
       .when(activityScr >= 70, "growing")
       .when(activityScr >= 40, "mature")
       .otherwise("declining")
 
-  /** Popularity tier from stars (utils/data_transformer.py:253-266). */
+  /** Reference-exact adoption lifecycle
+    * (silver_to_gold_analytics.py:199-213): velocity>1 & age<730d
+    * emerging; velocity>0.5 & ≥5 repos growing; ≥10 repos & age>1095d
+    * mature; velocity<0.1 declining; else stable. */
+  def lifecycleStageRef(avgStarVelocity: Column, avgAgeDays: Column,
+      totalRepos: Column): Column =
+    when(avgStarVelocity > 1.0 && avgAgeDays < 730, "emerging")
+      .when(avgStarVelocity > 0.5 && totalRepos >= 5, "growing")
+      .when(totalRepos >= 10 && avgAgeDays > 1095, "mature")
+      .when(avgStarVelocity < 0.1, "declining")
+      .otherwise("stable")
+
+  /** Reference-exact momentum trend (silver_to_gold_analytics.py:210-213):
+    * velocity>0.5 rising, >0.1 stable, else declining. */
+  def momentumTrend(avgStarVelocity: Column): Column =
+    when(avgStarVelocity > 0.5, "rising")
+      .when(avgStarVelocity > 0.1, "stable").otherwise("declining")
+
+  /** Popularity tier from stars — *coarse adaptation* (S/A/B/C/D); see
+    * [[popularityTierRef]] for the reference's six named tiers. */
   def popularityTier(stars: Column): Column =
     when(stars >= 10000, "S").when(stars >= 1000, "A")
       .when(stars >= 100, "B").when(stars >= 10, "C").otherwise("D")
+
+  /** Reference-exact popularity tier (utils/data_transformer.py:253-266):
+    * ≥10000 viral, ≥5000 popular, ≥1000 notable, ≥100 emerging,
+    * ≥10 developing, else new. */
+  def popularityTierRef(stars: Column): Column =
+    when(stars >= 10000, "viral").when(stars >= 5000, "popular")
+      .when(stars >= 1000, "notable").when(stars >= 100, "emerging")
+      .when(stars >= 10, "developing").otherwise("new")
 
   /** U1 language-distribution map: primary language gets 70%, the topic
     * languages share the remaining 30% equally; a repo with no topics

@@ -31,9 +31,14 @@ object Dedup {
 
   /** Distinct word k-shingles per document: (id, shingle) rows.
     * Documents shorter than k words yield no shingles.
+    *
+    * `dedupe = false` skips the distinct() shuffle — correct whenever the
+    * consumer is idempotent over duplicate shingles (MinHash `min`,
+    * `collect_set`); only per-shingle *counts* (d2's common/|A| arithmetic)
+    * need true set rows.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil, dedupe: Boolean = true): DataFrame = {
     // bind the token array once — element_at inside the lambda must hit
     // the already-split array, not re-split the string per element
     val toks = df.withColumn("__toks", split(col(textCol), " "))
@@ -41,8 +46,9 @@ object Dedup {
       expr(s"""transform(sequence(1, size(__toks) - ${k - 1}),
                 i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(__toks, i + $j)").mkString(", ")}))"""))
       .otherwise(array())
-    toks.select((col(idCol) +: carry.map(col)) :+ explode(grams).as("shingle"): _*)
-      .distinct()
+    val rows = toks.select(
+      (col(idCol) +: carry.map(col)) :+ explode(grams).as("shingle"): _*)
+    if (dedupe) rows.distinct() else rows
   }
 
   /** MinHash signatures from shingle rows: `numHashes` hash functions,
@@ -109,17 +115,41 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: all (a < b) whose signatures are
-    * within `maxHamming` bits. Integer xor + popcount per pair — cheap
-    * enough that the quadratic candidate set is viable far longer than
-    * for full-text comparison; beyond that, band the signature bits
-    * like [[lshBands]]. */
-  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val a = sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    * within `maxHamming` bits — *without* the O(n²) cross join.
+    *
+    * Pigeonhole banding: the 16-bit signature is split into
+    * `maxHamming + 1` contiguous bit-bands; two signatures within
+    * hamming distance r differ in ≤ r bits, so at least one band is
+    * untouched — every qualifying pair collides on some (band, bits)
+    * bucket. Candidate generation is an equi-join on that bucket key
+    * (a plain shuffled hash join that scales out), then the exact
+    * xor/popcount check filters false candidates and `distinct`
+    * collapses multi-band collisions. With maxHamming = 0 this
+    * degenerates to a join on full-signature equality. */
+  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
+      bits: Int = 16): DataFrame = {
+    val nBands = maxHamming + 1
+    // band b covers bit range [lo, lo+width): shiftRight + mask
+    val bandKeys = (0 until nBands).map { b =>
+      val lo = b * bits / nBands
+      val hi = (b + 1) * bits / nBands
+      val mask = (1 << (hi - lo)) - 1
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bandbits"))
+    }
+    val banded = sigs.select(col(idCol).as("id"), col("simhash"),
+      explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.bandbits"))
+    val a = banded.select(col("band"), col("bandbits"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("bandbits"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "bandbits"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** 16-bit SimHash over the token multiset. Each token hashes to a

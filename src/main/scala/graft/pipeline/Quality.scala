@@ -55,10 +55,14 @@ object Quality {
   /** Scalar drift summary: fraction reclassified, with a severity
     * label (info < 10% <= warn < 25% <= critical). */
   def driftSeverity(drift: DataFrame): DataFrame = {
-    val total = drift.agg(sum(col("n_repos"))).head().getLong(0).toDouble
+    // sum() over an empty frame is null — coalesce before getLong, and
+    // emit (0.0, "info") rather than dividing by a zero total
+    val total = drift.agg(coalesce(sum(col("n_repos")), lit(0L)))
+      .head().getLong(0).toDouble
     drift.filter(col("status") === "reclassified")
       .agg(coalesce(sum(col("n_repos")), lit(0L)).as("reclassified"))
-      .withColumn("fraction", col("reclassified") / lit(total))
+      .withColumn("fraction",
+        if (total == 0.0) lit(0.0) else col("reclassified") / lit(total))
       .withColumn("severity",
         when(col("fraction") >= 0.25, "critical")
           .when(col("fraction") >= 0.10, "warn")

@@ -211,7 +211,10 @@ object ExtensionQueries {
       "d3_minhash_sigs",
       (s, d) =>
         Dedup.minhashSignatures(
-          Dedup.shingles(Tables.documents(s, d), "doc_id", "text"),
+          // min-agg is idempotent over duplicate shingles — skip the
+          // distinct() shuffle
+          Dedup.shingles(Tables.documents(s, d), "doc_id", "text",
+            dedupe = false),
           "doc_id", numHashes = 8)
           .orderBy("doc_id"),
       Some(s"""
@@ -228,8 +231,11 @@ object ExtensionQueries {
     Q(
       "d4_lsh_candidates",
       (s, d) => {
-        // reused by signatures + pair verification + size agg
-        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text").persist()
+        // reused by signatures + pair verification + size agg; both
+        // consumers (min-agg, collect_set) dedupe inherently, so the
+        // distinct() shuffle is skipped
+        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text",
+          dedupe = false).persist()
         val sigs = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
         val pairs = Dedup.lshCandidatePairs(
           Dedup.lshBands(sigs, "doc_id", numHashes = 8, rowsPerBand = 2), "doc_id")

@@ -29,9 +29,10 @@ object FunctionQueries {
           .orderBy("doc_id", "dist_lang")
       },
       Some(s"""
-        SELECT doc_id, lang AS dist_lang, 70.0 AS pct FROM documents
+        SELECT doc_id, lang AS dist_lang, CAST(70.0 AS DOUBLE) AS pct
+        FROM documents
         UNION ALL
-        SELECT doc_id, l AS dist_lang, 7.5 AS pct
+        SELECT doc_id, l AS dist_lang, CAST(7.5 AS DOUBLE) AS pct
         FROM documents,
              UNNEST([${langs.map(l => s"'$l'").mkString(", ")}]) AS u(l)
         WHERE l != lang

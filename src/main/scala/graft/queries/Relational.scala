@@ -376,7 +376,7 @@ object Relational {
                CAST(cnt AS DOUBLE) / CAST(day_total AS DOUBLE) AS share
         FROM (
           SELECT day, event_type, cnt,
-                 SUM(cnt) OVER (PARTITION BY day) AS day_total
+                 CAST(SUM(cnt) OVER (PARTITION BY day) AS BIGINT) AS day_total
           FROM (
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                    COUNT(*) AS cnt

@@ -159,9 +159,9 @@ object StreamingQueries {
             FROM events)),
         sessions AS (
           SELECT user_id, ts, value,
-                 SUM(new_session) OVER (PARTITION BY user_id
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
                    ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_idx
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
           FROM flagged)
         SELECT user_id, session_idx,
                COUNT(*) AS n_events,

@@ -14,6 +14,29 @@ import org.apache.spark.sql.types.DecimalType
 object VectorQueries {
   private val dim = 64
 
+  /** The same md5-derived ±1 hyperplane weights as
+    * [[graft.operators.Similarity]]'s planeSign, as a DuckDB list
+    * literal — the LSH index is deterministic, so the oracle can rebuild
+    * it bit-for-bit. */
+  private def planeWeightsSql(plane: Int): String = {
+    val w = (0 until dim).map { i =>
+      val bit = Integer.parseInt(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$plane|$i")
+          .substring(0, 1), 16) % 2
+      if (bit == 1) "1.0" else "-1.0"
+    }
+    s"[${w.mkString(", ")}]"
+  }
+
+  /** Bucket id = Σ_p (sign(⟨v, w_p⟩) ? 2^p : 0), identical fold order to
+    * the Spark side (double accumulation, element order). */
+  private def bucketSql(v: String, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST($v[i] AS DOUBLE) * (${planeWeightsSql(p)})[i])) >= 0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def cosSql(a: String, b: String) =
@@ -91,8 +114,10 @@ object VectorQueries {
 
     // ----------------------------------------------------------------
     // LSH-bucketed approximate top-k (random-hyperplane signs derived
-    // from md5 — deterministic, no driver randomness). Approximate by
-    // design => rows-only check; recall vs v1 is asserted in
+    // from md5 — deterministic, no driver randomness). Because the
+    // index is deterministic, the oracle rebuilds the identical buckets
+    // from the same ±1 weight literals and checks the approximate
+    // result *exactly*; recall vs v1 is separately asserted in
     // SimilaritySpec.
     Q(
       "v4_lsh_topk",
@@ -103,6 +128,21 @@ object VectorQueries {
           k = 5, dim = dim, nPlanes = 4)
           .orderBy("query_id", "rank")
       },
-      None)
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                          ${bucketSql("embedding", 4)} AS bucket
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                     ${bucketSql("embedding", 4)} AS bucket
+              FROM embeddings),
+        p AS (
+          SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+          FROM c JOIN q USING (bucket)
+          WHERE neighbor_id != query_id)
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 }

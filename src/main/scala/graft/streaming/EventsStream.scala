@@ -41,10 +41,14 @@ object EventsStream {
 
   /** Exactly-once-style dedup on the event id within the watermark —
     * the streaming equivalent of the insert-only MERGE (K4 /
-    * personal_repos_ingestion.py:417-433). */
+    * personal_repos_ingestion.py:417-433). Uses
+    * `dropDuplicatesWithinWatermark` so dedup state is actually evicted
+    * once `event_id`s age past the watermark — plain
+    * `dropDuplicates("event_id")` would keep state forever because the
+    * event-time column isn't part of the dedup key. */
   def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming MERGE sink: every micro-batch upserts into a catalog
     * table via `foreachBatch` — Structured Streaming's form of the

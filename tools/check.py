@@ -17,10 +17,31 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+# The driver's hash treats integer widths up to 64-bit as equivalent
+# (r01: Spark INT row_number vs DuckDB BIGINT hash-matched) but HUGEINT
+# (int128, e.g. un-cast windowed SUM) as distinct.
+_INT_WIDTHS = {"TINYINT": "BIGINT", "SMALLINT": "BIGINT",
+               "INTEGER": "BIGINT", "UTINYINT": "BIGINT",
+               "USMALLINT": "BIGINT", "UINTEGER": "BIGINT"}
+
+
+def _canon_type(t):
+    t = str(t)
+    return _INT_WIDTHS.get(t, t)
+
+
+def _cell(v):
+    if isinstance(v, float):
+        # canonicalize NaN so NaN cells compare equal (tuple equality
+        # otherwise always fails on NaN)
+        return "NaN" if math.isnan(v) else float(v)
+    return v
+
+
 def norm(rows):
     out = []
     for r in rows:
-        out.append(tuple(float(v) if isinstance(v, float) else v for v in r))
+        out.append(tuple(_cell(v) for v in r))
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
@@ -35,18 +56,27 @@ def main(sf_dir, out_dir):
             got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_cols = sorted(got_rel.columns)
-            got = norm(con.sql(
-                f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall())
+            got_proj = con.sql(f"SELECT {', '.join(got_cols)} FROM got_rel")
+            got_types = [_canon_type(t) for t in got_proj.types]
+            got = norm(got_proj.fetchall())
             exp_rel = con.sql(sql)
             exp_cols = sorted(exp_rel.columns)
-            exp = norm(con.sql(
-                f"SELECT {', '.join(exp_cols)} FROM exp_rel").fetchall())
+            exp_proj = con.sql(f"SELECT {', '.join(exp_cols)} FROM exp_rel")
+            exp_types = [_canon_type(t) for t in exp_proj.types]
+            exp = norm(exp_proj.fetchall())
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_bad += 1
+        elif got_types != exp_types:
+            # the driver's hash is type-tagged: HUGEINT vs BIGINT fails
+            # even when every value matches
+            diffs = [f"{c}: {g} != {e}" for c, g, e
+                     in zip(got_cols, got_types, exp_types) if g != e]
+            print(f"FAIL {name}: column types differ — {'; '.join(diffs)}")
             n_bad += 1
         elif got != exp:
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
