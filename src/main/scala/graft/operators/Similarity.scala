@@ -93,6 +93,52 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    * a coarse quantizer partitions the corpus into inverted lists, a
+    * query probes only the `nProbe` nearest lists, and exact cosine runs
+    * inside those lists alone.
+    *
+    * The coarse quantizer here is the corpus's `labelCol` partition
+    * (at scale: any k-means / LSH assignment); list centroids are exact
+    * per-dimension means, rounded to 9 dp then cast to float so both
+    * engines materialize the identical centroid. The corpus is scanned
+    * once and never shuffled — centroids and probe lists are broadcast;
+    * only the (probe-bounded) candidate set moves for the final top-k
+    * window.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = corpus
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round(sum(col("x").cast("double")) / count(lit(1)), 9).as("mx"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).cast("array<float>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dotF(col("qv"), col("cv")) / col("qn") / sqrt(dotF(col("cv"), col("cv"))), 6))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("label"))))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "label", "qv", "qn")
+    val c = corpus.select(col(labelCol).as("label"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("cn", sqrt(dotF(col("nv"), col("nv"))))
+    c.join(broadcast(probes), "label")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(dotF(col("qv"), col("nv")) / col("qn") / col("cn"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Quadratic
     * candidate generation — at scale, gate it behind `lshTopK`-style
     * bucketing; kept exact here because the oracle is exact. */

@@ -1,0 +1,277 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Deterministic._
+import graft.functions.Scores
+import graft.pipeline.Quality
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-round coverage pack: the SURVEY §2 rows not yet exercised by a
+  * named gate query (A4 language stats, reference-exact score suite,
+  * drift detector) plus the relational shapes a training-data pipeline
+  * leans on at scale that the reference never needed — ROLLUP grouping
+  * sets, range joins, pivot, lead/lag/ntile.
+  *
+  * Determinism: double sums via exact DECIMAL accumulation, every
+  * ranking totally ordered, timestamps emitted as strings (see
+  * [[Relational]]'s header).
+  */
+object ExtendedOps {
+
+  private def dsumSql(x: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
+  private def davgSql(x: String) = s"${dsumSql(x)} / COUNT($x)"
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // A4 (language stats, silver_to_gold_analytics.py:513-524): count /
+    // sum / avg / conditional-sum by language, plus exact countDistinct
+    // of sources — one hash-agg pass.
+    Q(
+      "a4_language_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            davg(col("n_chars").cast("double")).as("avg_chars"),
+            sum(when(col("n_chars") >= 500, 1).otherwise(0)).as("n_long"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("lang"),
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(n_chars) AS avg_chars,
+               SUM(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS n_long,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    // ----------------------------------------------------------------
+    // Grouping sets: ROLLUP over the A1 keys — subtotal and grand-total
+    // rows in the same single-pass aggregate (Spark expands rollup into
+    // one Expand + hash-agg; no per-level rescan). The reference has no
+    // grouping sets; a 100 TB dashboard pipeline computes per-category,
+    // per-status and global tiles in one shuffle this way.
+    Q(
+      "a11_rollup_sets",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n_rows"), col("sum_qty"))
+          .orderBy("flag", "status"),
+      Some(s"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n_rows,
+               ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY flag, status""")),
+
+    // ----------------------------------------------------------------
+    // Range join: month-start snapshots (small, broadcast) against the
+    // 30-day validity interval [l_shipdate, l_shipdate + 30d) — the
+    // "active records as of T" shape behind every lookback window
+    // (§2.9c). Broadcast-nested-loop on the tiny side; at scale, bucket
+    // both sides by month so the range condition becomes a co-located
+    // equi-prejoin.
+    Q(
+      "j7_range_join",
+      (s, d) => {
+        val snaps = Tables.orders(s, d)
+          .select(date_trunc("month", col("o_orderdate")).as("snap"))
+          .distinct()
+        val li = Tables.lineitem(s, d)
+        li.join(broadcast(snaps),
+            col("l_shipdate") <= col("snap") &&
+              col("snap") < col("l_shipdate") + expr("INTERVAL 30 DAYS"))
+          .groupBy(date_format(col("snap"), "yyyy-MM-dd").as("snap_day"))
+          .agg(count(lit(1)).as("n_open"),
+            dsum(col("l_quantity")).as("open_qty"))
+          .orderBy("snap_day")
+      },
+      Some(s"""
+        WITH snaps AS (
+          SELECT DISTINCT date_trunc('month', o_orderdate) AS snap FROM orders)
+        SELECT strftime(snap, '%Y-%m-%d') AS snap_day,
+               COUNT(*) AS n_open,
+               ${dsumSql("l_quantity")} AS open_qty
+        FROM lineitem JOIN snaps
+          ON l_shipdate <= snap AND snap < l_shipdate + INTERVAL 30 DAY
+        GROUP BY snap
+        ORDER BY snap_day""")),
+
+    // ----------------------------------------------------------------
+    // §2.11 drift detector (llm_classifier.py:365-418): two
+    // deterministic classification snapshots derived from `part`
+    // (disjoint membership → added/removed; a rule shift → reclassified),
+    // full-outer joined and rolled up by transition.
+    Q(
+      "dr1_class_drift",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val prev = p.filter(col("p_partkey") % 11 =!= 0)
+          .select(col("p_partkey").as("repository_id"),
+            concat(lit("cat"), (col("p_partkey") % 5).cast("string"))
+              .as("technology_category"))
+        val cur = p.filter(col("p_partkey") % 13 =!= 0)
+          .select(col("p_partkey").as("repository_id"),
+            when(col("p_partkey") % 7 === 0, lit("cat9"))
+              .otherwise(concat(lit("cat"), (col("p_partkey") % 5).cast("string")))
+              .as("technology_category"))
+        Quality.classificationDrift(prev, cur)
+          .orderBy("status", "prev_category", "cur_category")
+      },
+      Some("""
+        WITH prev AS (
+          SELECT p_partkey AS id, 'cat' || CAST(p_partkey % 5 AS VARCHAR) AS pc
+          FROM part WHERE p_partkey % 11 != 0),
+        cur AS (
+          SELECT p_partkey AS id,
+                 CASE WHEN p_partkey % 7 = 0 THEN 'cat9'
+                      ELSE 'cat' || CAST(p_partkey % 5 AS VARCHAR) END AS cc
+          FROM part WHERE p_partkey % 13 != 0),
+        j AS (
+          SELECT pc AS prev_category, cc AS cur_category,
+                 CASE WHEN pc IS NULL THEN 'added'
+                      WHEN cc IS NULL THEN 'removed'
+                      WHEN pc != cc THEN 'reclassified'
+                      ELSE 'stable' END AS status
+          FROM prev FULL OUTER JOIN cur USING (id))
+        SELECT prev_category, cur_category, status, COUNT(*) AS n_repos
+        FROM j
+        GROUP BY prev_category, cur_category, status
+        ORDER BY status, prev_category, cur_category""")),
+
+    // ----------------------------------------------------------------
+    // Lead/lag/ntile per user: inter-event gaps in exact microseconds
+    // plus a per-user quartile — the navigation-function family the
+    // reference never uses but sessionization/funnel work needs.
+    Q(
+      "w7_lead_lag",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("us", expr("unix_micros(ts)"))
+          .withColumn("gap_prev_us", col("us") - lag(col("us"), 1).over(w))
+          .withColumn("gap_next_us", lead(col("us"), 1).over(w) - col("us"))
+          .withColumn("quartile", ntile(4).over(w))
+          .select("event_id", "user_id", "gap_prev_us", "gap_next_us", "quartile")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_prev_us,
+               LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_next_us,
+               NTILE(4) OVER w AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // Reference-exact scalar score suite (utils/data_transformer.py +
+    // personal_repos_silver_to_gold.py): the 50/30/20 activity
+    // composite, raw stars/days momentum, six-tier popularity,
+    // active/stable/dormant status, and the 0-1 health score → A-F
+    // grade — inputs derived deterministically from `part`.
+    Q(
+      "p9_ref_scores",
+      (s, d) => {
+        val k = col("p_partkey")
+        Tables.part(s, d)
+          .withColumn("stars", (k * 37) % 20000)
+          .withColumn("days_push", k % 400)
+          .withColumn("days_upd", k % 150)
+          .withColumn("open_issues", k % 50)
+          .withColumn("age_days", k % 2200)
+          .withColumn("quality01", (k % 101).cast("double") / 100.0)
+          .withColumn("velocity", (k % 13).cast("double") / 10.0)
+          .withColumn("activity_score", Scores.activityScoreRef(
+            col("days_push"), col("days_upd"), col("open_issues"), col("stars")))
+          .withColumn("momentum", Scores.momentumScoreRef(col("stars"), col("age_days")))
+          .withColumn("tier", Scores.popularityTierRef(col("stars")))
+          .withColumn("status", Scores.activityStatus(col("days_push")))
+          .withColumn("health_score", round(Scores.healthScoreRef(
+            col("quality01"), col("velocity"), col("days_push") <= 30), 6))
+          .withColumn("health_grade", Scores.healthGradeRef(col("health_score")))
+          .select("p_partkey", "activity_score", "momentum", "tier",
+            "status", "health_score", "health_grade")
+          .orderBy("p_partkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT p_partkey,
+                 (p_partkey * 37) % 20000 AS stars,
+                 p_partkey % 400 AS days_push,
+                 p_partkey % 150 AS days_upd,
+                 p_partkey % 50 AS open_issues,
+                 p_partkey % 2200 AS age_days,
+                 CAST(p_partkey % 101 AS DOUBLE) / 100.0 AS quality01,
+                 CAST(p_partkey % 13 AS DOUBLE) / 10.0 AS velocity
+          FROM part),
+        scored AS (
+          SELECT p_partkey,
+            round(
+              (CASE WHEN days_push <= 7 THEN 50.0 WHEN days_push <= 30 THEN 30.0
+                    WHEN days_push <= 90 THEN 10.0 ELSE 0.0 END)
+              + (CASE WHEN days_upd <= 7 THEN 30.0 WHEN days_upd <= 30 THEN 20.0
+                      WHEN days_upd <= 90 THEN 5.0 ELSE 0.0 END)
+              + (CASE WHEN CAST(open_issues AS DOUBLE) / GREATEST(CAST(stars AS DOUBLE), 1.0) < 0.1 THEN 20.0
+                      WHEN CAST(open_issues AS DOUBLE) / GREATEST(CAST(stars AS DOUBLE), 1.0) < 0.3 THEN 10.0
+                      ELSE 0.0 END), 1) AS activity_score,
+            CASE WHEN age_days <= 0 THEN 0.0
+                 ELSE round(CAST(stars AS DOUBLE) / CAST(age_days AS DOUBLE), 4)
+            END AS momentum,
+            CASE WHEN stars >= 10000 THEN 'viral' WHEN stars >= 5000 THEN 'popular'
+                 WHEN stars >= 1000 THEN 'notable' WHEN stars >= 100 THEN 'emerging'
+                 WHEN stars >= 10 THEN 'developing' ELSE 'new' END AS tier,
+            CASE WHEN days_push <= 7 THEN 'active' WHEN days_push <= 30 THEN 'stable'
+                 ELSE 'dormant' END AS status,
+            round(LEAST(CAST(1.0 AS DOUBLE),
+              quality01 * 0.4 + velocity * 0.3 +
+              CASE WHEN days_push <= 30 THEN 0.3 ELSE 0.0 END), 6) AS health_score
+          FROM base)
+        SELECT p_partkey, activity_score, momentum, tier, status, health_score,
+               CASE WHEN health_score >= 0.8 THEN 'A' WHEN health_score >= 0.6 THEN 'B'
+                    WHEN health_score >= 0.4 THEN 'C' WHEN health_score >= 0.2 THEN 'D'
+                    ELSE 'F' END AS health_grade
+        FROM scored
+        ORDER BY p_partkey""")),
+
+    // ----------------------------------------------------------------
+    // Pivot: daily event counts spread into one column per event type
+    // (explicit value list => no driver-side distinct scan; Spark plans
+    // a single hash-agg over (day, type) then a final pivot agg).
+    Q(
+      "p10_pivot",
+      (s, d) => {
+        val counted = Tables.events(s, d)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .pivot("event_type", eventTypes)
+          .agg(count(lit(1)))
+        counted.select(col("day") +:
+          eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("day")
+      },
+      Some(s"""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               ${eventTypes.map(t =>
+                  s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t")
+                 .mkString(",\n               ")}
+        FROM events
+        GROUP BY 1
+        ORDER BY day"""))
+  )
+}

@@ -143,6 +143,52 @@ object VectorQueries {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ----------------------------------------------------------------
+    // IVF approximate top-k: label partitions as inverted lists, exact
+    // per-dimension centroid means (round 9 → float, so both engines
+    // materialize identical centroids), queries probe the 3 nearest
+    // lists, exact cosine inside those lists only. Deterministic end to
+    // end => exact oracle.
+    Q(
+      "v5_ivf_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+          labelCol = "label", k = 5, nProbe = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT label, i AS pos,
+                 round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 9) AS mx
+          FROM embeddings, UNNEST(range(1, ${dim + 1})) AS u(i)
+          GROUP BY label, i),
+        cent AS (
+          SELECT label,
+                 list_transform(list(mx ORDER BY pos), x -> CAST(x AS FLOAT)) AS cv
+          FROM m GROUP BY label),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 10),
+        pc AS (
+          SELECT query_id, label, qv, ${cosSql("qv", "cv")} AS csim
+          FROM q, cent),
+        probes AS (
+          SELECT query_id, label, qv
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY csim DESC, label) AS pr FROM pc)
+          WHERE pr <= 3),
+        p AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 ${cosSql("qv", "e.embedding")} AS sim
+          FROM probes JOIN embeddings e USING (label)
+          WHERE e.vec_id != query_id)
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= 5
         ORDER BY query_id, rank"""))
   )
 }
