@@ -111,6 +111,12 @@ object Similarity {
     val cents = corpus
       .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("label", "pos")
+      // Double sum + round(9), NOT decimal accumulation: float32-derived
+      // values are dyadic rationals that can land exactly on decimal .5
+      // boundaries, where Spark (HALF_UP) and DuckDB (half-even) break the
+      // cast tie differently. Cross-engine ulp noise of the double sum is
+      // ~1e-15, six orders below the rounding step — see the identical
+      // centroid formula and rationale at v3 (queries/VectorQueries.scala).
       .agg(round(sum(col("x").cast("double")) / count(lit(1)), 9).as("mx"))
       .groupBy("label")
       .agg(transform(
