@@ -117,7 +117,7 @@ object Dedup {
   /** SimHash near-duplicate pairs: all (a < b) whose signatures are
     * within `maxHamming` bits — *without* the O(n²) cross join.
     *
-    * Pigeonhole banding: the 16-bit signature is split into
+    * Pigeonhole banding: the `bits`-wide signature is split into
     * `maxHamming + 1` contiguous bit-bands; two signatures within
     * hamming distance r differ in ≤ r bits, so at least one band is
     * untouched — every qualifying pair collides on some (band, bits)
@@ -125,17 +125,20 @@ object Dedup {
     * (a plain shuffled hash join that scales out), then the exact
     * xor/popcount check filters false candidates and `distinct`
     * collapses multi-band collisions. With maxHamming = 0 this
-    * degenerates to a join on full-signature equality. */
+    * degenerates to a join on full-signature equality. Shifts are
+    * unsigned — bit 63 of a 64-bit signature makes the long negative. */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 64): DataFrame = {
     val nBands = maxHamming + 1
-    // band b covers bit range [lo, lo+width): shiftRight + mask
+    // band b covers bit range [lo, hi): unsigned shift + mask
     val bandKeys = (0 until nBands).map { b =>
       val lo = b * bits / nBands
       val hi = (b + 1) * bits / nBands
-      val mask = (1 << (hi - lo)) - 1
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bandbits"))
+      val bandbits =
+        if (hi - lo >= 64) col("simhash")
+        else shiftrightunsigned(col("simhash").cast("long"), lo)
+          .bitwiseAND(lit((1L << (hi - lo)) - 1))
+      struct(lit(b).as("band"), bandbits.as("bandbits"))
     }
     val banded = sigs.select(col(idCol).as("id"), col("simhash"),
       explode(array(bandKeys: _*)).as("bk"))
@@ -152,25 +155,36 @@ object Dedup {
       .distinct()
   }
 
-  /** 16-bit SimHash over the token multiset. Each token hashes to a
-    * 16-bit value (first 4 hex chars of its md5); per bit the signature
-    * takes the sign of Σ(±1). Integer arithmetic throughout — exact and
-    * engine-independent. One explode + one hash-agg.
+  /** SimHash over the token multiset, `bits` wide (multiple of 16, ≤64;
+    * default 64 — a 16-bit signature over a shared vocabulary is too
+    * collision-dense to discriminate at any radius). Each token hashes
+    * to `bits/16` 16-bit chunks (4 hex chars of its md5 each); per bit
+    * the signature takes the sign of Σ(±1). Chunked integer arithmetic
+    * throughout — exact, engine-independent, and overflow-free even
+    * under ANSI (the only 2^63 term is added last as Long.MinValue,
+    * when the positive partial sum is ≤ Long.MaxValue). One explode +
+    * one hash-agg.
     */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .withColumn("h4", substring(md5(col("w")), 1, 4))
-      .withColumn("v", expr(
-        """(position(substr(h4,1,1) IN '0123456789abcdef') - 1) * 4096
-         + (position(substr(h4,2,1) IN '0123456789abcdef') - 1) * 256
-         + (position(substr(h4,3,1) IN '0123456789abcdef') - 1) * 16
-         + (position(substr(h4,4,1) IN '0123456789abcdef') - 1)"""))
-    val bitSums = toks.groupBy(col(idCol)).agg(
-      sum(when(expr(s"(v div 1) % 2") === 1, 1).otherwise(-1)).as("b0"),
-      (1 until 16).map(j =>
-        sum(when(expr(s"(v div ${1 << j}) % 2") === 1, 1).otherwise(-1)).as(s"b$j")): _*)
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64): DataFrame = {
+    require(bits > 0 && bits <= 64 && bits % 16 == 0,
+      s"bits must be a multiple of 16 in (0, 64], got $bits")
+    val toks0 = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val toks = (0 until bits / 16).foldLeft(toks0) { (t, c) =>
+      t.withColumn(s"v$c", expr(
+        s"""(position(substr(h, ${4 * c + 1}, 1) IN '0123456789abcdef') - 1) * 4096
+         + (position(substr(h, ${4 * c + 2}, 1) IN '0123456789abcdef') - 1) * 256
+         + (position(substr(h, ${4 * c + 3}, 1) IN '0123456789abcdef') - 1) * 16
+         + (position(substr(h, ${4 * c + 4}, 1) IN '0123456789abcdef') - 1)"""))
+    }
+    def bitSum(j: Int): Column =
+      sum(when(expr(s"(v${j / 16} div ${1 << (j % 16)}) % 2") === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    val bitSums = toks.groupBy(col(idCol))
+      .agg(bitSum(0), (1 until bits).map(bitSum): _*)
     bitSums.select(col(idCol),
-      (0 until 16).map(j => when(col(s"b$j") > 0, 1 << j).otherwise(0))
+      (0 until bits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
   }
 }

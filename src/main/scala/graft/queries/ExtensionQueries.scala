@@ -35,6 +35,30 @@ object ExtensionQueries {
   private val sigCte =
     s"sig AS (SELECT doc_id, ${(0 until 8).map(mhSql).mkString(", ")} FROM sh GROUP BY doc_id)"
 
+  /** SQL mirror of [[Dedup.simhash]] (64-bit): per-token 16-bit chunks
+    * v0..v3 from md5 hex, per-bit sign sums, then the signature as a sum
+    * of BIGINT bit terms — bit 63 is Long.MinValue, added last when the
+    * positive partial sum is ≤ Long.MaxValue, so neither engine
+    * overflows. */
+  private val simhashCtes: String = {
+    def chunk(c: Int) = (1 to 4).map(p =>
+      s"(strpos('0123456789abcdef', substr(md5(w), ${4 * c + p}, 1)) - 1) * ${Seq(4096, 256, 16, 1)(p - 1)}")
+      .mkString(" + ")
+    val chunks = (0 until 4).map(c => s"${chunk(c)} AS v$c").mkString(",\n               ")
+    val bitsums = (0 until 64).map(j =>
+      s"SUM(CASE WHEN (v${j / 16} // ${1 << (j % 16)}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sig = (0 until 64).map {
+      case 63 => "(CASE WHEN b63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+      case j  => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""tok AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        tv AS (SELECT doc_id, $chunks FROM tok),
+        bs AS (SELECT doc_id, $bitsums FROM tv GROUP BY doc_id),
+        sg AS (SELECT doc_id, $sig AS simhash FROM bs)"""
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // Token counting + quality scoring (length / word-shape / stopword
@@ -269,61 +293,56 @@ object ExtensionQueries {
         ORDER BY id_a, id_b""")),
 
     // ----------------------------------------------------------------
-    // 16-bit SimHash over token multisets — integer sign-sum signature.
+    // 64-bit SimHash over token multisets — integer sign-sum signature.
     Q(
       "d5_simhash",
       (s, d) =>
-        Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
+        Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
           .orderBy("doc_id"),
-      Some {
-        val hexpos = (1 to 4).map(p =>
-          s"(strpos('0123456789abcdef', substr(md5(w), $p, 1)) - 1) * ${Seq(4096, 256, 16, 1)(p - 1)}")
-          .mkString(" + ")
-        val bitsums = (0 until 16).map(j =>
-          s"SUM(CASE WHEN (v // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
-          .mkString(", ")
-        val sig = (0 until 16).map(j =>
-          s"(CASE WHEN b$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-        s"""
-        WITH tok AS (
-          SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
-        tv AS (SELECT doc_id, $hexpos AS v FROM tok),
-        bs AS (SELECT doc_id, $bitsums FROM tv GROUP BY doc_id)
-        SELECT doc_id, $sig AS simhash FROM bs ORDER BY doc_id"""
-      }),
+      Some(s"""
+        WITH $simhashCtes
+        SELECT doc_id, simhash FROM sg ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
-    // SimHash near-dup candidates: exact 16-bit signature collisions
-    // (hamming 0 — the bucketable form; wider radii are supported by
-    // the operator but a 16-bit signature over a shared vocabulary is
-    // too collision-dense for them to discriminate).
+    // SimHash near-dup candidates: exact 64-bit signature collisions
+    // (hamming 0 degenerates to a full-signature equi-join). The oracle
+    // verifies via the quadratic form — result sets are identical
+    // because pigeonhole banding loses no qualifying pair.
     Q(
       "d6_simhash_pairs",
       (s, d) =>
         Dedup.simhashPairs(
-          Dedup.simhash16(Tables.documents(s, d), "doc_id", "text"),
+          Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
           "doc_id", maxHamming = 0)
           .orderBy("id_a", "id_b"),
-      Some {
-        val hexpos = (1 to 4).map(p =>
-          s"(strpos('0123456789abcdef', substr(md5(w), $p, 1)) - 1) * ${Seq(4096, 256, 16, 1)(p - 1)}")
-          .mkString(" + ")
-        val bitsums = (0 until 16).map(j =>
-          s"SUM(CASE WHEN (v // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
-          .mkString(", ")
-        val sig = (0 until 16).map(j =>
-          s"(CASE WHEN b$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-        s"""
-        WITH tok AS (
-          SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
-        tv AS (SELECT doc_id, $hexpos AS v FROM tok),
-        bs AS (SELECT doc_id, $bitsums FROM tv GROUP BY doc_id),
-        sg AS (SELECT doc_id, $sig AS simhash FROM bs)
+      Some(s"""
+        WITH $simhashCtes
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM sg a JOIN sg b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 0
-        ORDER BY id_a, id_b"""
-      })
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // SimHash near-dup pairs at radius 3 — the wider-radius form a
+    // 16-bit signature could never discriminate (any two documents over
+    // a shared vocabulary collide within a few bits of 16). With 64
+    // bits, pigeonhole banding splits the signature into 4 × 16-bit
+    // bands; a qualifying pair agrees exactly on ≥1 band, so candidate
+    // generation stays an equi-join while radius-3 matches survive.
+    Q(
+      "d7_simhash_radius",
+      (s, d) =>
+        Dedup.simhashPairs(
+          Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", maxHamming = 3)
+          .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH $simhashCtes
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b"""))
   )
 }

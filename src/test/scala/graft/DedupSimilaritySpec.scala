@@ -49,12 +49,25 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("simhash: identical => equal, near-dup => close, different => far") {
-    val sigs = Dedup.simhash16(docs, "doc_id", "text")
-      .orderBy("doc_id").as[(Long, Int)].collect().map(_._2)
-    def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(sigs(0) === sigs(1))
-    assert(hamming(sigs(0), sigs(2)) <= 6)
+    assert(hamming(sigs(0), sigs(2)) <= 24)
     assert(hamming(sigs(0), sigs(3)) > hamming(sigs(0), sigs(2)))
+  }
+
+  test("simhash pigeonhole banding loses no qualifying pair at radius 3") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    val banded = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val raw = sigs.as[(Long, Long)].collect()
+    val exact = (for {
+      (a, sa) <- raw; (b, sb) <- raw if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(banded === exact)
+    assert(exact.contains((1L, 2L, 0)), "identical docs must pair at h=0")
   }
 
   test("cosine: self-similarity 1, orthogonal 0") {
