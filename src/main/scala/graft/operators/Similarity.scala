@@ -145,9 +145,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Near-duplicate pairs via banded hyperplane LSH — the [[Dedup]]
+    * MinHash-band pattern applied to embeddings: `nBands` independent
+    * buckets of `planesPerBand` sign bits each; a pair is a candidate iff
+    * all signs agree in ≥1 band, then the exact cosine filter verifies.
+    * Candidate generation is an equi-join on (band, bucket) — a plain
+    * shuffled hash join, no crossJoin — so this is the pairs operator
+    * that survives 100×; [[nearDupPairs]] stays as the exact-recall
+    * baseline. Planes are md5-derived (band b uses global plane indices
+    * b·planesPerBand…), so the index is deterministic and an oracle can
+    * rebuild identical buckets. Recall is tunable: P(candidate) =
+    * 1-(1-(1-θ/π)^planesPerBand)^nBands, rising steeply with similarity.
+    */
+  def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, nBands: Int = 4,
+      planesPerBand: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bandCols = (0 until nBands).map { bd =>
+      struct(lit(bd).as("band"),
+        (0 until planesPerBand)
+          .map(p => planeSign(col("v"), bd * planesPerBand + p, dim) * lit(1 << p))
+          .reduce(_ + _).as("bucket"))
+    }
+    val bk = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val pairs = bk.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bk.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val va = base.select(col("id").as("id_a"), col("v").as("va"))
+      .withColumn("na", sqrt(dotF(col("va"), col("va"))))
+    val vb = base.select(col("id").as("id_b"), col("v").as("vb"))
+      .withColumn("nb", sqrt(dotF(col("vb"), col("vb"))))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim",
+        round(dotF(col("va"), col("vb")) / col("na") / col("nb"), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Quadratic
-    * candidate generation — at scale, gate it behind `lshTopK`-style
-    * bucketing; kept exact here because the oracle is exact. */
+    * candidate generation — the exact-recall oracle baseline; at scale
+    * use [[nearDupPairsBanded]]. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))

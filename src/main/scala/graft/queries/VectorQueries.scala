@@ -28,12 +28,12 @@ object VectorQueries {
     s"[${w.mkString(", ")}]"
   }
 
-  /** Bucket id = Σ_p (sign(⟨v, w_p⟩) ? 2^p : 0), identical fold order to
-    * the Spark side (double accumulation, element order). */
-  private def bucketSql(v: String, nPlanes: Int): String =
+  /** Bucket id = Σ_p (sign(⟨v, w_(p+offset)⟩) ? 2^p : 0), identical fold
+    * order to the Spark side (double accumulation, element order). */
+  private def bucketSql(v: String, nPlanes: Int, offset: Int = 0): String =
     (0 until nPlanes).map { p =>
       s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
-        s"i -> CAST($v[i] AS DOUBLE) * (${planeWeightsSql(p)})[i])) >= 0 " +
+        s"i -> CAST($v[i] AS DOUBLE) * (${planeWeightsSql(p + offset)})[i])) >= 0 " +
         s"THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -189,6 +189,37 @@ object VectorQueries {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= 5
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // ----------------------------------------------------------------
+    // Banded-LSH near-dup pairs — v2's semantics without the crossJoin:
+    // 4 bands × 4 hyperplane sign bits; candidates equi-join on
+    // (band, bucket), exact cosine verifies. Deterministic md5 planes →
+    // the oracle rebuilds identical buckets and checks the approximate
+    // result exactly; recall vs v2 is asserted in DedupSimilaritySpec.
+    Q(
+      "v6_neardup_lsh",
+      (s, d) =>
+        Similarity.nearDupPairsBanded(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, dim = dim)
+          .orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH bk AS (
+          ${(0 until 4).map(bd =>
+            s"SELECT vec_id, $bd AS band, ${bucketSql("embedding", 4, bd * 4)} AS bucket FROM embeddings")
+            .mkString("\n          UNION ALL\n          ")}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        p AS (
+          SELECT id_a, id_b, ${cosSql("ea.embedding", "eb.embedding")} AS sim
+          FROM cand
+          JOIN embeddings ea ON ea.vec_id = id_a
+          JOIN embeddings eb ON eb.vec_id = id_b)
+        SELECT id_a, id_b, sim FROM p
+        WHERE sim >= 0.4
+        ORDER BY id_a, id_b"""))
   )
 }

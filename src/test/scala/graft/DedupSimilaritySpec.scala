@@ -97,6 +97,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(2L, 3L), "nearest then next")
   }
 
+  test("banded near-dup pairs are a subset of exact pairs with identical sims") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val banded = Similarity.nearDupPairsBanded(e, "vec_id", "embedding", 0.4, dim = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(banded.nonEmpty, "planted near-dups must surface")
+    banded.foreach { case (a, b, s) =>
+      assert(exact.get((a, b)).contains(s),
+        s"banded pair ($a,$b,$s) must appear in the exact set with the same sim")
+    }
+    // high-similarity pairs (the ones a dedup user cares about) must be
+    // recalled: P(miss) = (1-(1-θ/π)^4)^4 is <2% at cos >= 0.9
+    val hot = exact.filter(_._2 >= 0.9).keySet
+    val found = banded.map(t => (t._1, t._2)).toSet
+    assert(hot.forall(found), s"missed high-sim pairs: ${hot -- found}")
+  }
+
   test("LSH top-k results are a subset of valid pairs with correct sims") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.bruteForceTopK(
