@@ -143,19 +143,59 @@ object Scores {
       .when(stars >= 1000, "notable").when(stars >= 100, "emerging")
       .when(stars >= 10, "developing").otherwise("new")
 
-  /** U1 language-distribution map: primary language gets 70%, the topic
-    * languages share the remaining 30% equally; a repo with no topics
-    * gives the primary 100% (bronze_to_silver_transformation.py:403-445,
-    * rebuilt from `map_from_arrays` + higher-order functions — no UDF).
-    * Result values sum to 100.
+  /** The reference's 23-entry topic→language substring lookup
+    * (bronze_to_silver_transformation.py:412-420), in its exact
+    * iteration order — order matters because duplicate appends inflate
+    * the per-language share's denominator. */
+  val programmingLanguages: Seq[(String, String)] = Seq(
+    "python" -> "Python", "javascript" -> "JavaScript",
+    "typescript" -> "TypeScript", "java" -> "Java", "go" -> "Go",
+    "rust" -> "Rust", "cpp" -> "C++", "c++" -> "C++", "csharp" -> "C#",
+    "c#" -> "C#", "php" -> "PHP", "ruby" -> "Ruby", "swift" -> "Swift",
+    "kotlin" -> "Kotlin", "scala" -> "Scala", "r" -> "R",
+    "julia" -> "Julia", "shell" -> "Shell", "bash" -> "Shell",
+    "dockerfile" -> "Dockerfile", "yaml" -> "YAML", "json" -> "JSON",
+    "sql" -> "SQL")
+
+  /** U1 language-distribution map, reference-exact
+    * (bronze_to_silver_transformation.py:403-445), rebuilt as pure
+    * Column logic (constant struct-array dict + higher-order functions —
+    * no UDF):
+    *   - a valid primary language ('' / 'null' / 'none' excluded,
+    *     case-insensitively) takes 70.0;
+    *   - every (topic, dict-entry) substring match appends one share —
+    *     duplicates *count* in the denominator ('spark' matches 'r', so
+    *     does 'kernel'), exactly like the reference's list append;
+    *   - matched languages (minus an exact-match primary) split the
+    *     remaining 30.0 (or 100.0 with no primary) per *append*;
+    *   - nothing at all → {Unknown: 100.0};
+    *   - values normalized to sum 100 and rounded to 1 dp.
+    * The total is computed as 70 + per·n (one multiply, not a fold) so
+    * both engines build bit-identical doubles.
     */
-  def langDistribution(primary: Column, topicLangs: Column): Column = {
-    val others = array_distinct(array_remove(coalesce(topicLangs, array()), primary))
-    val n = size(others)
-    when(n === 0, map_from_arrays(array(primary), array(lit(100.0))))
-      .otherwise(map_from_arrays(
-        concat(array(primary), others),
-        concat(array(lit(70.0)),
-          transform(others, _ => lit(30.0) / n.cast("double")))))
+  def langDistribution(primary: Column, topics: Column): Column = {
+    val dict = array(programmingLanguages.map { case (k, v) =>
+      struct(lit(k).as("k"), lit(v).as("v")) }: _*)
+    val topicLangs = flatten(transform(coalesce(topics, array()),
+      t => transform(
+        filter(dict, e => contains(lower(t), e.getField("k"))),
+        e => e.getField("v"))))
+    val pValid = primary.isNotNull && trim(primary) =!= "" &&
+      !lower(primary).isin("null", "none")
+    val distinctLangs = array_distinct(topicLangs)
+    val others =
+      when(pValid, array_remove(distinctLangs, primary)).otherwise(distinctLangs)
+    val nT = size(topicLangs).cast("double")
+    val nO = size(others).cast("double")
+    val per = when(pValid, lit(30.0)).otherwise(lit(100.0)) / nT
+    val keys = when(pValid, concat(array(primary), others))
+      .otherwise(when(size(others) > 0, others).otherwise(array(lit("Unknown"))))
+    val raws = when(pValid, concat(array(lit(70.0)), transform(others, _ => per)))
+      .otherwise(when(size(others) > 0, transform(others, _ => per))
+        .otherwise(array(lit(100.0))))
+    val total = when(pValid,
+        lit(70.0) + when(size(others) > 0, per * nO).otherwise(lit(0.0)))
+      .otherwise(when(size(others) > 0, per * nO).otherwise(lit(100.0)))
+    map_from_arrays(keys, transform(raws, v => round(v / total * 100.0, 1)))
   }
 }

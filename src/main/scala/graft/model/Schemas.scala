@@ -68,13 +68,19 @@ object Schemas {
     StructField("partition_date", StringType)))
 
   /** Silver layer columns in canonical order
-    * (bronze_to_silver_transformation.py:822-853). */
+    * (bronze_to_silver_transformation.py:822-853 select list: raw
+    * timestamps, owner_type, open_issues_count, language_distribution,
+    * the 30d velocity/frequency metrics, community health, and the
+    * processing timestamp all pass through to silver). */
   val silverColumns: Seq[String] = Seq(
     "repository_id", "name", "full_name", "description", "owner_login",
-    "stargazers_count", "forks_count", "watchers_count", "size_kb",
-    "language", "topics", "license_category", "age_days",
-    "days_since_push", "is_active", "activity_score", "momentum_score",
-    "quality_score", "popularity_tier", "technology_category",
+    "owner_type", "created_at", "updated_at", "pushed_at",
+    "stargazers_count", "forks_count", "watchers_count",
+    "open_issues_count", "size_kb", "language", "language_distribution",
+    "topics", "license_category", "age_days", "days_since_push",
+    "is_active", "activity_score", "momentum_score", "quality_score",
+    "popularity_tier", "star_velocity_30d", "commit_frequency_30d",
+    "community_health_score", "technology_category",
     "technology_subcategory", "classification_confidence",
-    "data_quality_flags", "partition_date")
+    "data_quality_flags", "processed_timestamp", "partition_date")
 }

@@ -31,7 +31,11 @@ object Silver {
           coalesce(col("topics"), array()), t => lower(trim(t))))
 
   /** Derived metrics + scores for one processing date (reference
-    * :723-726 date arithmetic, :748-787 scorecards). */
+    * :723-726 date arithmetic, :748-787 scorecards, :744-791 velocity /
+    * health metrics). The reference's `rand()*10` commit-frequency
+    * placeholder (:756-758) is replaced by a deterministic md5-derived
+    * uniform in [0,10) so results are reproducible; `current_date()` /
+    * `current_timestamp()` become the processing-date parameter. */
   def score(df: DataFrame, processingDate: Column): DataFrame =
     df.withColumn("age_days",
         datediff(processingDate, to_date(col("created_at"))))
@@ -46,6 +50,30 @@ object Silver {
         length(col("description")) > 0, size(col("topics")),
         col("stargazers_count"), col("days_since_push")))
       .withColumn("popularity_tier", popularityTier(col("stargazers_count")))
+      // star velocity (reference :751-755): stars per day of age
+      .withColumn("star_velocity_30d",
+        when(col("age_days") > 0,
+          col("stargazers_count") / greatest(col("age_days"), lit(1)))
+          .otherwise(lit(0.0)))
+      // commit frequency (reference :756-758): deterministic stand-in for
+      // rand()*10 — first 8 md5 hex chars of the id, scaled to [0,10)
+      .withColumn("commit_frequency_30d",
+        when(col("is_active"),
+          conv(substring(md5(concat(lit("cf|"),
+            col("repository_id").cast("string"))), 1, 8), 16, 10)
+            .cast("double") / 4294967296.0 * 10.0)
+          .otherwise(lit(0.0)))
+      // community health (reference :760-777): 20 points per signal
+      .withColumn("community_health_score",
+        (when(length(col("description")) > 0, 20).otherwise(0)
+          + when(col("license_name").isNotNull, 20).otherwise(0)
+          + when(size(col("topics")) > 0, 20).otherwise(0)
+          + when(col("is_active"), 20).otherwise(0)
+          + when(col("size_kb") > 0, 20).otherwise(0)).cast("double"))
+      // topic→language distribution (reference :403-445 via :694-697)
+      .withColumn("language_distribution",
+        langDistribution(col("language"), col("topics")))
+      .withColumn("processed_timestamp", processingDate.cast("timestamp"))
 
   /** Data-quality flags + reject filter (reference :795-814). */
   def qualityGate(df: DataFrame): DataFrame =

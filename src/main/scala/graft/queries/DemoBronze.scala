@@ -20,7 +20,8 @@ object DemoBronze {
       concat(col("p_brand"), lit("/"), col("p_name")).as("full_name"),
       concat(lit("A "), col("p_type"), lit(" part")).as("description"),
       col("p_brand").as("owner_login"),
-      lit(null).cast("string").as("owner_type"),
+      when(col("p_partkey") % 6 === 0, "Organization")
+        .otherwise("User").as("owner_type"),
       when(col("p_partkey") % 3 === 0, "MIT License")
         .when(col("p_partkey") % 3 === 1, "GPL v3")
         .otherwise(null).as("license_name"),

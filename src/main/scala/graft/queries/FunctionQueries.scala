@@ -12,31 +12,159 @@ import org.apache.spark.sql.functions._
   */
 object FunctionQueries {
 
-  private val langs = Seq("en", "de", "es", "fr", "zh")
+  /** DuckDB mirror of [[Scores.langDistribution]] as a CTE chain ending
+    * in `ld(<id>, dist_lang, pct)`. `baseSelect` must yield
+    * (<id>, prim, topics). Duplicate (topic, dict-entry) matches count
+    * in the denominator, exact-match primary is excluded from the topic
+    * shares, Unknown backfills, and the total is 70 + per·n (one
+    * multiply) — identical double construction to the Spark side. */
+  private def langDistSql(baseSelect: String, id: String): String = {
+    val dictVals = Scores.programmingLanguages
+      .map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+    s"""dict(k, v) AS (VALUES $dictVals),
+        base AS ($baseSelect),
+        pv AS (
+          SELECT $id, prim,
+                 (prim IS NOT NULL AND trim(prim) <> ''
+                  AND lower(prim) NOT IN ('null', 'none')) AS pvalid
+          FROM base),
+        tl AS (
+          SELECT $id, v FROM base, UNNEST(topics) AS ut(t), dict
+          WHERE contains(lower(t), k)),
+        cnt AS (SELECT $id, COUNT(*) AS n_t FROM tl GROUP BY $id),
+        oth AS (
+          SELECT DISTINCT tl.$id, v FROM tl JOIN pv USING ($id)
+          WHERE NOT (pvalid AND v = prim)),
+        no_ AS (SELECT $id, COUNT(*) AS n_o FROM oth GROUP BY $id),
+        tot AS (
+          SELECT pv.$id,
+                 CASE WHEN pvalid THEN CAST(70.0 AS DOUBLE)
+                        + COALESCE((CAST(30.0 AS DOUBLE) / cnt.n_t) * no_.n_o,
+                                   CAST(0.0 AS DOUBLE))
+                      ELSE COALESCE((CAST(100.0 AS DOUBLE) / cnt.n_t) * no_.n_o,
+                                    CAST(100.0 AS DOUBLE)) END AS total
+          FROM pv LEFT JOIN cnt USING ($id) LEFT JOIN no_ USING ($id)),
+        lrows AS (
+          SELECT $id, prim AS dist_lang, CAST(70.0 AS DOUBLE) AS raw
+          FROM pv WHERE pvalid
+          UNION ALL
+          SELECT o.$id, o.v AS dist_lang,
+                 CAST(CASE WHEN pvalid THEN 30.0 ELSE 100.0 END AS DOUBLE)
+                   / cnt.n_t AS raw
+          FROM oth o JOIN pv USING ($id) JOIN cnt USING ($id)
+          UNION ALL
+          SELECT pv.$id, 'Unknown' AS dist_lang, CAST(100.0 AS DOUBLE) AS raw
+          FROM pv LEFT JOIN cnt USING ($id)
+          WHERE NOT pvalid AND cnt.$id IS NULL),
+        ld AS (
+          SELECT r.$id, r.dist_lang, round(r.raw / t.total * 100.0, 1) AS pct
+          FROM lrows r JOIN tot t USING ($id))"""
+  }
 
   val all: Seq[Q] = Seq(
-    // U1 (bronze_to_silver_transformation.py:403-445): primary language
-    // 70%, topic languages share 30% equally; here each document's
-    // "topic languages" are the other four corpus languages.
+    // U1 (bronze_to_silver_transformation.py:403-445), reference-exact:
+    // the 23-entry substring lookup (with its quirks — 'r' matches any
+    // topic containing the letter, duplicate appends inflate the
+    // denominator), 70/30 primary split, '' / 'null' / 'none' primaries
+    // rejected, Unknown fallback, normalize-to-100 + round(1). Primary
+    // and topics are derived deterministically from doc_id to hit every
+    // path: valid/invalid primaries, multi-match topics, a topic set
+    // matching nothing (→ Unknown), and a topic language equal to the
+    // primary (skipped but still counted in the denominator).
     Q(
       "u1_langdist",
       (s, d) => {
-        val topicLangs = array(langs.map(lit): _*)
+        val m4 = col("doc_id") % 4
+        val m5 = col("doc_id") % 5
+        val m3 = col("doc_id") % 3
+        val prim = when(m4 === 0, "Python").when(m4 === 1, "")
+          .when(m4 === 2, "null").otherwise("Go")
+        val t1 = when(m5 === 0, "python3").when(m5 === 1, "typescript-starter")
+          .when(m5 === 2, "web").when(m5 === 3, "golang").otherwise("c++-lib")
+        val t2 = when(m3 === 0, "docker").when(m3 === 1, "bash").otherwise("ml")
         Tables.documents(s, d)
           .select(col("doc_id"),
-            explode(Scores.langDistribution(col("lang"), topicLangs))
+            explode(Scores.langDistribution(prim, array(t1, t2)))
               .as(Seq("dist_lang", "pct")))
           .orderBy("doc_id", "dist_lang")
       },
       Some(s"""
-        SELECT doc_id, lang AS dist_lang, CAST(70.0 AS DOUBLE) AS pct
-        FROM documents
-        UNION ALL
-        SELECT doc_id, l AS dist_lang, CAST(7.5 AS DOUBLE) AS pct
-        FROM documents,
-             UNNEST([${langs.map(l => s"'$l'").mkString(", ")}]) AS u(l)
-        WHERE l != lang
+        WITH ${langDistSql("""
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN 'Python'
+                      WHEN doc_id % 4 = 1 THEN ''
+                      WHEN doc_id % 4 = 2 THEN 'null' ELSE 'Go' END AS prim,
+                 [CASE WHEN doc_id % 5 = 0 THEN 'python3'
+                       WHEN doc_id % 5 = 1 THEN 'typescript-starter'
+                       WHEN doc_id % 5 = 2 THEN 'web'
+                       WHEN doc_id % 5 = 3 THEN 'golang' ELSE 'c++-lib' END,
+                  CASE WHEN doc_id % 3 = 0 THEN 'docker'
+                       WHEN doc_id % 3 = 1 THEN 'bash' ELSE 'ml' END] AS topics
+          FROM documents""", "doc_id")}
+        SELECT doc_id, dist_lang, pct FROM ld
         ORDER BY doc_id, dist_lang""")),
+
+    // ----------------------------------------------------------------
+    // Silver schema parity (bronze_to_silver_transformation.py:822-853):
+    // the columns VERDICT r2 flagged as missing — owner_type, raw
+    // timestamps, open_issues_count, star_velocity_30d, the
+    // deterministic commit_frequency_30d, community_health_score,
+    // processed_timestamp, and the exploded language_distribution — all
+    // re-derived independently by the oracle over the same part-shaped
+    // bronze.
+    Q(
+      "g2_silver_schema",
+      (s, d) => {
+        val silver = Silver.transform(DemoBronze.fromPart(s, d), "2024-06-15")
+        silver.select(
+          col("repository_id"), col("owner_type"),
+          date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_ts"),
+          date_format(col("pushed_at"), "yyyy-MM-dd HH:mm:ss").as("pushed_ts"),
+          col("open_issues_count"), col("star_velocity_30d"),
+          col("commit_frequency_30d"), col("community_health_score"),
+          date_format(col("processed_timestamp"), "yyyy-MM-dd HH:mm:ss")
+            .as("processed_ts"),
+          explode(col("language_distribution")).as(Seq("dist_lang", "pct")))
+          .orderBy("repository_id", "dist_lang")
+      },
+      Some {
+        val cfv = (1 to 8).map(p =>
+          s"(strpos('0123456789abcdef', substr(md5('cf|' || CAST(repository_id AS VARCHAR)), $p, 1)) - 1) * ${1L << (4 * (8 - p))}")
+          .mkString(" + ")
+        s"""
+        WITH ${langDistSql("""
+          SELECT p_partkey AS repository_id,
+                 CASE WHEN p_partkey % 2 = 0 THEN 'Scala' ELSE 'Rust' END AS prim,
+                 [CASE WHEN p_partkey % 4 = 0 THEN 'spark' ELSE 'kernel' END,
+                  lower(p_type)] AS topics
+          FROM part""", "repository_id")},
+        feat AS (
+          SELECT p_partkey AS repository_id,
+                 CASE WHEN p_partkey % 6 = 0 THEN 'Organization' ELSE 'User' END
+                   AS owner_type,
+                 '2022-01-01 00:00:00' AS created_ts,
+                 CASE WHEN p_partkey % 5 = 0 THEN '2023-01-01 00:00:00'
+                      ELSE '2024-06-01 00:00:00' END AS pushed_ts,
+                 CAST(0 AS BIGINT) AS open_issues_count,
+                 CAST(floor(p_retailprice * 10) AS BIGINT) / 896
+                   AS star_velocity_30d,
+                 CASE WHEN p_partkey % 5 = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE ($cfv) / 4294967296.0 * 10.0 END
+                   AS commit_frequency_30d,
+                 CAST(20 + (CASE WHEN p_partkey % 3 IN (0, 1) THEN 20 ELSE 0 END)
+                      + 20
+                      + (CASE WHEN p_partkey % 5 = 0 THEN 0 ELSE 20 END)
+                      + (CASE WHEN p_size > 0 THEN 20 ELSE 0 END) AS DOUBLE)
+                   AS community_health_score,
+                 '2024-06-15 00:00:00' AS processed_ts
+          FROM part)
+        SELECT f.repository_id, f.owner_type, f.created_ts, f.pushed_ts,
+               f.open_issues_count, f.star_velocity_30d,
+               f.commit_frequency_30d, f.community_health_score,
+               f.processed_ts, ld.dist_lang, ld.pct
+        FROM feat f JOIN ld ON ld.repository_id = f.repository_id
+        ORDER BY f.repository_id, ld.dist_lang"""
+      }),
 
     // ----------------------------------------------------------------
     // THE PIPELINE ORACLE: the full bronze→silver→gold computation

@@ -36,17 +36,20 @@ class PropertySpec extends SparkSpec {
     assert(out.forall(m => m >= 0.0 && m <= 100.0))
   }
 
-  test("language distribution always sums to 100") {
-    val langs = Gen.oneOf("en", "de", "fr", "zh", "es", "pt")
+  test("language distribution sums to ~100 (1dp rounding per entry)") {
+    val topics = Gen.oneOf("python3", "golang", "spark", "web", "rusty",
+      "docker", "bash-tools", "c++-lib", "typescript-starter", "ml")
     val rows = Gen.listOfN(100, for {
-      p <- langs
-      ts <- Gen.listOf(langs)
+      p <- Gen.oneOf("Python", "Go", "", "null", "Rust")
+      ts <- Gen.listOf(topics)
     } yield (p, ts)).sample.get
     val sums = rows.toDF("p", "ts")
       .select(aggregate(map_values(langDistribution($"p", $"ts")),
         lit(0.0), (a, x) => a + x).as("s"))
       .as[Double].collect()
-    assert(sums.forall(s => math.abs(s - 100.0) < 1e-9), sums.mkString(","))
+    // each entry is rounded to 1dp AFTER normalization (reference
+    // behavior), so the sum can drift by up to 0.05 per entry
+    assert(sums.forall(s => math.abs(s - 100.0) <= 0.5), sums.mkString(","))
   }
 
   test("upsert idempotence: merge(merge(t,s),s) == merge(t,s) for random frames") {

@@ -42,27 +42,48 @@ class ScoresSpec extends SparkSpec {
     assert(out === Seq("A", "B", "C", "D", "F"))
   }
 
-  test("lang distribution sums to 100 and splits 70/30") {
+  test("lang distribution maps topics through the lookup and splits 70/30") {
+    // 'python' and 'go' each match exactly one dict entry (no stray 'r')
     val out = Seq(("scala", Seq("python", "go")))
       .toDF("primary", "topics")
       .select(langDistribution($"primary", $"topics").as("m"))
       .select(explode($"m")).as[(String, Double)].collect().toMap
-    assert(out === Map("scala" -> 70.0, "python" -> 15.0, "go" -> 15.0))
+    assert(out === Map("scala" -> 70.0, "Python" -> 15.0, "Go" -> 15.0))
     assert(out.values.sum === 100.0)
   }
 
-  test("lang distribution with no topics gives primary 100%") {
-    val out = Seq(("rust", Seq.empty[String])).toDF("primary", "topics")
+  test("lang distribution with no matching topics gives primary 100%") {
+    // 'web' and 'ml' match no dict entry
+    val out = Seq(("rust", Seq("web", "ml"))).toDF("primary", "topics")
       .select(explode(langDistribution($"primary", $"topics")))
       .as[(String, Double)].collect().toMap
     assert(out === Map("rust" -> 100.0))
   }
 
-  test("lang distribution dedups primary from topics") {
-    val out = Seq(("go", Seq("go", "python"))).toDF("primary", "topics")
+  test("lang distribution: invalid primary and no matches => Unknown") {
+    val out = Seq(("null", Seq("web"))).toDF("primary", "topics")
       .select(explode(langDistribution($"primary", $"topics")))
       .as[(String, Double)].collect().toMap
-    assert(out === Map("go" -> 70.0, "python" -> 30.0))
+    assert(out === Map("Unknown" -> 100.0))
+  }
+
+  test("lang distribution skips exact-match primary but keeps its share in the denominator") {
+    // topic 'go' maps to 'Go' == primary -> skipped from the map, but its
+    // append still counts: per = 30/2 = 15, total = 70 + 15 = 85
+    // (reference behavior: sum < 100 pre-normalize, then scaled back up)
+    val out = Seq(("Go", Seq("go", "python"))).toDF("primary", "topics")
+      .select(explode(langDistribution($"primary", $"topics")))
+      .as[(String, Double)].collect().toMap
+    assert(out === Map("Go" -> 82.4, "Python" -> 17.6))
+  }
+
+  test("lang distribution counts duplicate appends ('r' quirk) in the denominator") {
+    // 'spark' and 'kernel' both contain 'r' -> R appended twice; n_t = 2,
+    // per = 15, others = [R] once => total = 85
+    val out = Seq(("Scala", Seq("spark", "kernel"))).toDF("primary", "topics")
+      .select(explode(langDistribution($"primary", $"topics")))
+      .as[(String, Double)].collect().toMap
+    assert(out === Map("Scala" -> 82.4, "R" -> 17.6))
   }
 
   test("text quality score and token count") {
