@@ -112,6 +112,12 @@ object Gold {
             + when(col("commits_30d") > 0, 20.0).otherwise(0.0),
           lit(100.0)), lit(0.0)))
       .withColumn("health_grade", healthGrade(col("health_score")))
+      // activity status + attention flag (reference :211-223)
+      .withColumn("activity_status", activityStatus(col("days_since_push")))
+      .withColumn("attention_needed",
+        col("health_grade").isin("D", "F") ||
+          col("activity_status") === "dormant" ||
+          col("issues_30d") > 10)
       .withColumn("recommended_actions",
         filter(array(
           when(col("days_since_push") > 180, "revive_or_archive"),
@@ -120,8 +126,47 @@ object Gold {
           when(col("commits_30d") === 0, "recent_activity_missing")),
           a => a.isNotNull))
       .select("repository_id", "full_name", "technology_category",
-        "health_score", "health_grade", "commits_30d", "issues_30d",
+        "health_score", "health_grade", "activity_status",
+        "attention_needed", "commits_30d", "issues_30d",
         "recommended_actions")
+  }
+
+  /** Personal portfolio overview (personal_repos_silver_to_gold.py:
+    * 101-149) — one summary row: repo/star/fork totals, activity level,
+    * top-5 technology and language arrays, diversity score. The
+    * reference computes the top-5 arrays and ratios driver-side
+    * (`.collect()` loops, :121-137); here they are single-pass
+    * aggregates — ordered `collect_list(struct)` over the (small,
+    * already-aggregated) per-category counts, sliced to 5 — so nothing
+    * leaves the executors until the final one-row result. */
+  def portfolioOverview(silver: DataFrame, processingDate: String): DataFrame = {
+    val base = silver.agg(
+      count(lit(1)).as("total_repositories"),
+      dsum(col("stargazers_count")).as("total_stars"),
+      dsum(col("forks_count")).as("total_forks"),
+      count(when(col("is_active"), 1)).as("active_repositories"),
+      davg(col("quality_score")).as("avg_quality_score"),
+      dsum(col("size_kb").cast("double") / 1024.0).as("total_size_mb"))
+    def top5(c: String, alias: String) =
+      silver.filter(col(c).isNotNull).groupBy(c).agg(count(lit(1)).as("n"))
+        .agg(
+          slice(transform(
+            array_sort(collect_list(struct((-col("n")).as("nn"), col(c).as("v")))),
+            s => s.getField("v")), 1, 5).as(alias),
+          least(count(lit(1)), lit(5L)).as(s"__${alias}_n"))
+    base
+      .crossJoin(top5("technology_category", "primary_technologies"))
+      .crossJoin(top5("language", "primary_languages"))
+      .withColumn("portfolio_diversity_score",
+        (col("__primary_technologies_n") / greatest(col("total_repositories"), lit(1L))
+          + col("__primary_languages_n") / greatest(col("total_repositories"), lit(1L)))
+          / 2.0)
+      .withColumn("activity_level",
+        when(col("active_repositories") / col("total_repositories") >= 0.7, "high")
+          .when(col("active_repositories") / col("total_repositories") >= 0.3, "medium")
+          .otherwise("low"))
+      .withColumn("measurement_date", lit(processingDate))
+      .drop("__primary_technologies_n", "__primary_languages_n")
   }
 
   /** All seven gold tables keyed by name — the reference's seven

@@ -167,6 +167,67 @@ object FunctionQueries {
       }),
 
     // ----------------------------------------------------------------
+    // Personal-portfolio overview (personal_repos_silver_to_gold.py:
+    // 101-149): the one-row summary with top-5 arrays and diversity
+    // ratios — computed as single-pass aggregates where the reference
+    // collect()s driver-side. The oracle re-derives every input scalar
+    // (classification, quality score, is_active) independently.
+    Q(
+      "g3_portfolio_overview",
+      (s, d) =>
+        Gold.portfolioOverview(
+          Silver.transform(DemoBronze.fromPart(s, d), "2024-06-15"),
+          "2024-06-15"),
+      Some {
+        def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
+        s"""
+        WITH b AS (
+          SELECT p_partkey AS id,
+                 CAST(floor(p_retailprice * 10) AS BIGINT) AS stars,
+                 CAST(p_size AS BIGINT) AS forks,
+                 CAST(p_size AS BIGINT) AS size_kb,
+                 CASE WHEN p_partkey % 4 = 0 THEN 'Data Engineering'
+                      ELSE 'Systems' END AS cat,
+                 CASE WHEN p_partkey % 2 = 0 THEN 'Scala' ELSE 'Rust' END AS lang,
+                 CASE WHEN p_partkey % 5 = 0 THEN 531 ELSE 14 END AS days_since_push
+          FROM part),
+        s AS (
+          SELECT *, days_since_push <= 365 AS is_active,
+                 GREATEST(LEAST(25 + 15
+                   + (CASE WHEN stars >= 1000 THEN 30 WHEN stars >= 100 THEN 20
+                           WHEN stars >= 10 THEN 10 ELSE 0 END)
+                   + (CASE WHEN days_since_push <= 30 THEN 20
+                           WHEN days_since_push <= 180 THEN 10 ELSE 0 END),
+                   100), 0) AS quality_score
+          FROM b),
+        base AS (
+          SELECT COUNT(*) AS total_repositories,
+                 ${dsum("stars")} AS total_stars,
+                 ${dsum("forks")} AS total_forks,
+                 COUNT(CASE WHEN is_active THEN 1 END) AS active_repositories,
+                 ${dsum("quality_score")} / COUNT(quality_score) AS avg_quality_score,
+                 ${dsum("CAST(size_kb AS DOUBLE) / 1024.0")} AS total_size_mb
+          FROM s),
+        tc AS (SELECT cat, COUNT(*) AS n FROM s GROUP BY cat),
+        tech AS (SELECT list(cat ORDER BY n DESC, cat)[1:5] AS primary_technologies,
+                        LEAST(COUNT(*), 5) AS tn FROM tc),
+        lc AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY lang),
+        langs AS (SELECT list(lang ORDER BY n DESC, lang)[1:5] AS primary_languages,
+                         LEAST(COUNT(*), 5) AS ln FROM lc)
+        SELECT total_repositories, total_stars, total_forks,
+               active_repositories, avg_quality_score, total_size_mb,
+               primary_technologies, primary_languages,
+               (tn / GREATEST(total_repositories, 1)
+                 + ln / GREATEST(total_repositories, 1)) / 2.0
+                 AS portfolio_diversity_score,
+               CASE WHEN active_repositories / total_repositories >= 0.7 THEN 'high'
+                    WHEN active_repositories / total_repositories >= 0.3 THEN 'medium'
+                    ELSE 'low' END AS activity_level,
+               '2024-06-15' AS measurement_date
+        FROM base, tech, langs"""
+      }),
+
+    // ----------------------------------------------------------------
     // THE PIPELINE ORACLE: the full bronze→silver→gold computation
     // (DemoBronze mapping → Silver.transform: clean / rule-classify /
     // score / gate → Gold.techMetrics 13-measure rollup + lifecycle)

@@ -1,10 +1,11 @@
 package graft
 
 import graft.operators.Rank
-import graft.pipeline.{Gold, Quality, Runner}
+import graft.pipeline.{Gold, PersonalRunner, Quality, Runner}
 import graft.storage.ParquetCatalog
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
+import java.sql.Timestamp
 
 /** End-to-end medallion runs through the catalog (twice — incremental
   * semantics), plus the quality/drift/rank machinery. */
@@ -42,6 +43,42 @@ class RunnerSpec extends SparkSpec {
     assert(r1.getAs[String]("technology_category") === "Data Engineering",
       "good classification persisted through the rerun")
     assert(cat.read("gold_technology_metrics").count() >= 2)
+  }
+
+  test("personal runner: MERGE'd gold accumulates by date and re-runs are idempotent") {
+    val cat = new ParquetCatalog(spark,
+      Files.createTempDirectory("personal").toString)
+    val runner = new PersonalRunner(spark, cat)
+    val activity = Seq(
+      (1L, "commit", "c1", Timestamp.valueOf("2024-06-05 10:00:00"), 10L, 2L),
+      (1L, "issue", "i1", Timestamp.valueOf("2024-06-01 09:00:00"), 0L, 0L),
+      (2L, "commit", "c2", Timestamp.valueOf("2024-04-01 10:00:00"), 5L, 1L))
+      .toDF("repository_id", "activity_type", "activity_id", "ts",
+        "additions", "deletions")
+    val repos = Seq(
+      repoJson(1, "sparky", Seq("spark"), "Scala", 100),
+      repoJson(2, "webby", Seq("react"), "TypeScript", 50)).toDS()
+
+    val written = runner.run(repos, activity, "2024-06-10")
+    assert(written.contains("gold_portfolio_overview"))
+    assert(cat.read("gold_portfolio_overview").count() === 1)
+    assert(cat.read("gold_repo_health").count() === 2)
+    val h1 = cat.read("gold_repo_health")
+      .filter($"repository_id" === 1).head()
+    assert(h1.getAs[Long]("commits_30d") === 1L, "30d slice joined in")
+    assert(h1.getAs[String]("activity_status") !== null)
+
+    // next-day run: overview/health history accumulates one row per date
+    runner.run(repos, activity, "2024-06-11")
+    assert(cat.read("gold_portfolio_overview").count() === 2)
+    assert(cat.read("gold_repo_health").count() === 4)
+    val velocityAfter2 = cat.read("gold_velocity_trends").count()
+
+    // same-day re-run: merge keys match, nothing duplicates
+    runner.run(repos, activity, "2024-06-11")
+    assert(cat.read("gold_portfolio_overview").count() === 2)
+    assert(cat.read("gold_repo_health").count() === 4)
+    assert(cat.read("gold_velocity_trends").count() === velocityAfter2)
   }
 
   test("health dashboard joins activity with defaults and actions") {
