@@ -164,6 +164,60 @@ object ExtendedOps {
         ORDER BY status, prev_category, cur_category""")),
 
     // ----------------------------------------------------------------
+    // §2.11 per-repo drift records (llm_classifier.py:372-418): the
+    // reviewer-facing surface — old/new classification triples with
+    // confidence drop, requires_review, and the reference's exact
+    // severity ladder — over two deterministic snapshots derived from
+    // `part` whose confidences sweep the full [0,1] range so every
+    // severity branch fires.
+    Q(
+      "dr2_drift_records",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val k = col("p_partkey")
+        val prev = p.filter(k % 11 =!= 0).select(
+          k.as("repository_id"),
+          concat(lit("cat"), (k % 5).cast("string")).as("technology_category"),
+          concat(lit("sub"), (k % 3).cast("string")).as("technology_subcategory"),
+          ((k % 101).cast("double") / 100.0).as("classification_confidence"))
+        val cur = p.filter(k % 13 =!= 0).select(
+          k.as("repository_id"),
+          when(k % 7 === 0, lit("cat9"))
+            .otherwise(concat(lit("cat"), (k % 5).cast("string")))
+            .as("technology_category"),
+          concat(lit("sub"), ((k + 1) % 3).cast("string"))
+            .as("technology_subcategory"),
+          (((k * 7) % 101).cast("double") / 100.0)
+            .as("classification_confidence"))
+        Quality.driftRecords(prev, cur).orderBy("repository_id")
+      },
+      Some("""
+        WITH prev AS (
+          SELECT p_partkey AS repository_id,
+                 'cat' || CAST(p_partkey % 5 AS VARCHAR) AS old_category,
+                 'sub' || CAST(p_partkey % 3 AS VARCHAR) AS old_subcategory,
+                 CAST(p_partkey % 101 AS DOUBLE) / 100.0 AS old_confidence
+          FROM part WHERE p_partkey % 11 != 0),
+        cur AS (
+          SELECT p_partkey AS repository_id,
+                 CASE WHEN p_partkey % 7 = 0 THEN 'cat9'
+                      ELSE 'cat' || CAST(p_partkey % 5 AS VARCHAR) END AS new_category,
+                 'sub' || CAST((p_partkey + 1) % 3 AS VARCHAR) AS new_subcategory,
+                 CAST((p_partkey * 7) % 101 AS DOUBLE) / 100.0 AS new_confidence
+          FROM part WHERE p_partkey % 13 != 0)
+        SELECT repository_id, old_category, old_subcategory, old_confidence,
+               new_category, new_subcategory, new_confidence,
+               old_confidence - new_confidence AS confidence_change,
+               (old_confidence - new_confidence) > 0.3 AS requires_review,
+               CASE WHEN old_confidence - new_confidence > 0.5 THEN 'high'
+                    WHEN old_confidence - new_confidence > 0.3 THEN 'medium'
+                    WHEN old_confidence > 0.9 AND new_confidence < 0.7 THEN 'medium'
+                    ELSE 'low' END AS drift_severity
+        FROM prev JOIN cur USING (repository_id)
+        WHERE old_category != new_category
+        ORDER BY repository_id""")),
+
+    // ----------------------------------------------------------------
     // Lead/lag/ntile per user: inter-event gaps in exact microseconds
     // plus a per-user quartile — the navigation-function family the
     // reference never uses but sessionization/funnel work needs.

@@ -107,6 +107,46 @@ class RunnerSpec extends SparkSpec {
     assert(flags.contains("negative_stars"))
   }
 
+  test("bronze and gold validation apply only the rules their columns support") {
+    val bronze = Seq(
+      (0L, null.asInstanceOf[String], "org/x", -3L),
+      (5L, "ok", "org/ok", 10L))
+      .toDF("repository_id", "name", "full_name", "stargazers_count")
+    val bv = Quality.validateBronze(bronze).collect()
+    assert(bv.length === 1)
+    val bFlags = bv.head.getAs[scala.collection.Seq[String]]("violations")
+    assert(bFlags.contains("missing_name"))
+    assert(bFlags.contains("negative_stars"))
+    assert(bFlags.contains("non_positive_repository_id"))
+    // created_at/ingestion_timestamp rules skipped: columns absent
+
+    val gold = Seq((1L, 150.0, 0), (2L, 50.0, 3))
+      .toDF("repository_id", "momentum_score", "category_rank")
+    val gv = Quality.validateGold(gold).collect()
+    assert(gv.length === 1)
+    val gFlags = gv.head.getAs[scala.collection.Seq[String]]("violations")
+    assert(gFlags.contains("momentum_score_out_of_range"))
+    assert(gFlags.contains("non_positive_category_rank"))
+  }
+
+  test("per-repo drift records carry severity and review flags") {
+    val prev = Seq((1L, "AI/ML", "nlp", 0.95), (2L, "DevOps", "ci", 0.5),
+      (3L, "Web Development", "frontend", 0.9))
+      .toDF("repository_id", "technology_category", "technology_subcategory",
+        "classification_confidence")
+    val cur = Seq((1L, "Systems", "kernel", 0.2), (2L, "DevOps", "ci", 0.5),
+      (3L, "Data Engineering", "etl", 0.85))
+      .toDF("repository_id", "technology_category", "technology_subcategory",
+        "classification_confidence")
+    val recs = Quality.driftRecords(prev, cur)
+      .collect().map(r => r.getAs[Long]("repository_id") -> r).toMap
+    assert(recs.size === 2, "unchanged categories emit no record")
+    assert(recs(1L).getAs[String]("drift_severity") === "high") // drop 0.75
+    assert(recs(1L).getAs[Boolean]("requires_review"))
+    assert(recs(3L).getAs[String]("drift_severity") === "low")  // drop 0.05
+    assert(!recs(3L).getAs[Boolean]("requires_review"))
+  }
+
   test("classification drift detects reclassification with severity") {
     val prev = Seq((1L, "AI/ML"), (2L, "DevOps"), (3L, "Web Development"))
       .toDF("repository_id", "technology_category")
