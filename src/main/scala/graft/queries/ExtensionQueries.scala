@@ -310,11 +310,14 @@ object ExtensionQueries {
     // because pigeonhole banding loses no qualifying pair.
     Q(
       "d6_simhash_pairs",
-      (s, d) =>
-        Dedup.simhashPairs(
-          Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
-          "doc_id", maxHamming = 0)
-          .orderBy("id_a", "id_b"),
+      (s, d) => {
+        // persist: both sides of the bucket self-join read the signature
+        // frame — without it the tokenize+md5+64-sum subtree runs twice
+        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+          .persist()
+        Dedup.simhashPairs(sigs, "doc_id", maxHamming = 0)
+          .orderBy("id_a", "id_b")
+      },
       Some(s"""
         WITH $simhashCtes
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -332,11 +335,12 @@ object ExtensionQueries {
     // generation stays an equi-join while radius-3 matches survive.
     Q(
       "d7_simhash_radius",
-      (s, d) =>
-        Dedup.simhashPairs(
-          Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
-          "doc_id", maxHamming = 3)
-          .orderBy("id_a", "id_b"),
+      (s, d) => {
+        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+          .persist()
+        Dedup.simhashPairs(sigs, "doc_id", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
       Some(s"""
         WITH $simhashCtes
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -70,4 +70,24 @@ class PlanSpec extends SparkSpec {
     val q = SparkEntry.queries("a9_topk_counts")(spark, sf)
     assert(planOf(q).contains("TakeOrderedAndProject"))
   }
+
+  test("range join is a hash equi-join on the month bucket, never a nested loop") {
+    val q = SparkEntry.queries("j7_range_join")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"month-bucket equi-join must hash-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the r2 BNL regression must not return:\n$plan")
+  }
+
+  test("banded near-dup candidate generation never goes quadratic") {
+    for (name <- Seq("v6_neardup_lsh", "d6_simhash_pairs", "d7_simhash_radius",
+        "d4_lsh_candidates")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay an equi-join on the bucket key:\n$plan")
+    }
+  }
 }
