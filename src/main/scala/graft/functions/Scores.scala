@@ -176,9 +176,11 @@ object Scores {
   def langDistribution(primary: Column, topics: Column): Column = {
     val dict = array(programmingLanguages.map { case (k, v) =>
       struct(lit(k).as("k"), lit(v).as("v")) }: _*)
-    val topicLangs = flatten(transform(coalesce(topics, array()),
+    // lower() each topic once, not once per dict entry (23×)
+    val topicsLower = transform(coalesce(topics, array()), t => lower(t))
+    val topicLangs = flatten(transform(topicsLower,
       t => transform(
-        filter(dict, e => contains(lower(t), e.getField("k"))),
+        filter(dict, e => contains(t, e.getField("k"))),
         e => e.getField("v"))))
     val pValid = primary.isNotNull && trim(primary) =!= "" &&
       !lower(primary).isin("null", "none")

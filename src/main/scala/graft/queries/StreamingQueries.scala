@@ -170,6 +170,40 @@ object StreamingQueries {
                CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
         FROM sessions
         GROUP BY user_id, session_idx
-        ORDER BY user_id, session_idx"""))
+        ORDER BY user_id, session_idx""")),
+
+    // ----------------------------------------------------------------
+    // Stream-static enrichment (batch parity of
+    // [[graft.streaming.EventsStream.enrichedCounts]]): events
+    // broadcast-left-join the customer dimension on user_id, then the
+    // tumbling-hour aggregate per market segment. In streaming form the
+    // dimension is re-resolved per micro-batch; the batch form is the
+    // identical plan minus the watermark.
+    Q(
+      "st4_stream_enrich",
+      (s, d) => {
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("seg"))
+        Tables.events(s, d)
+          .join(broadcast(dim), Seq("user_id"), "left")
+          .withColumn("segment", coalesce(col("seg"), lit("unknown")))
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
+            col("segment"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast(dec)).cast("double").as("total_value"))
+          .orderBy("window_start", "segment")
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               COALESCE(c_mktsegment, 'unknown') AS segment,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+        ORDER BY window_start, segment"""))
   )
 }

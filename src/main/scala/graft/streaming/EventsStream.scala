@@ -65,6 +65,24 @@ object EventsStream {
       }
       .start()
 
+  /** Stream-static enrichment (§2.9): each micro-batch left-joins the
+    * (small, broadcast) static dimension — the streaming form of J3/J5
+    * dimension enrichment. No join state is kept: the static side is
+    * re-resolved per batch, so a dimension refresh is picked up without
+    * restarting the query; the stream side only shuffles for the
+    * windowed aggregate. Batch parity: `st4_stream_enrich`. */
+  def enrichedCounts(events: DataFrame, dim: DataFrame,
+      joinKey: String, segmentCol: String, windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq(joinKey), "left")
+      .withColumn("segment", coalesce(col(segmentCol), lit("unknown")))
+      .groupBy(window(col("ts"), windowDur), col("segment"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("cnt"), col("total_value"))
+
   /** Sessionization with custom state: a session closes after `gapSec`
     * of inactivity per user (flatMapGroupsWithState with processing-time
     * timeout). State per user is one (start, count, sum) triple —

@@ -76,6 +76,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment broadcast-joins the dimension per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("user_id", "seg")
+    val input = MemoryStream[Event]
+    val query = EventsStream.enrichedCounts(input.toDF(), dim, "user_id", "seg")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(20), 9, "view", 5.0)) // user 9 not in dim -> unknown
+      query.processAllAvailable()
+      input.addData(Event(4, ts(400), 2, "view", 4.0)) // advance watermark
+      query.processAllAvailable()
+      val out = spark.table("enriched")
+        .select("segment", "cnt", "total_value")
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      assert(out.map(_._1).toSeq === Seq("BUILDING", "unknown"))
+      assert(out.head._2 === 2L && out.head._3 === 3.0)
+      assert(out(1)._2 === 1L && out(1)._3 === 5.0)
+    } finally query.stop()
+  }
+
   test("sessionization emits closed sessions with event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
