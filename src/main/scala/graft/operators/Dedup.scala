@@ -114,6 +114,54 @@ object Dedup {
       .drop("sa", "sb")
   }
 
+  /** Duplicate clusters from verified near-dup pairs: connected
+    * components by iterative min-label propagation. Each round joins the
+    * (bidirectional) edge list against current labels, takes the min
+    * neighbor label per node, and stops at fixpoint — O(diameter)
+    * rounds, each one equi-join + hash-agg shuffle. Components produced
+    * by near-dup detection have tiny diameters (duplicates of a common
+    * original), so a handful of rounds converge; for adversarial
+    * long-chain graphs swap in the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce"),
+    * which converges in O(log n) rounds with the same join-shape.
+    * Deterministic: the representative is the component's min id.
+    *
+    * Returns (idCol, cluster_rep); nodes without any pair are singleton
+    * clusters of themselves.
+    */
+  def dedupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("id"))
+      .withColumn("cluster_rep", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_rep")).as("neighbor_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_rep"),
+            coalesce(col("neighbor_min"), col("cluster_rep")))
+            .as("cluster_rep"))
+        .persist()
+      // one count per round: the convergence check IS the materialization
+      val changed = updated.join(
+          labels.withColumnRenamed("cluster_rep", "prev"), Seq("id"))
+        .filter(col("cluster_rep") =!= col("prev")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("cluster_rep"))
+  }
+
   /** SimHash near-duplicate pairs: all (a < b) whose signatures are
     * within `maxHamming` bits — *without* the O(n²) cross join.
     *

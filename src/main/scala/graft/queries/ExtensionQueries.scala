@@ -347,6 +347,64 @@ object ExtensionQueries {
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM sg a JOIN sg b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // Duplicate clusters: the full dedup endgame — MinHash/LSH candidate
+    // pairs, exact-Jaccard verification (≥ 0.5), then connected
+    // components so every document maps to its cluster representative
+    // (min id; unpaired docs are singletons). The oracle replays the
+    // whole pipeline and resolves components with a recursive CTE.
+    Q(
+      "d8_dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = Dedup.shingles(docs, "doc_id", "text", dedupe = false)
+          .persist()
+        val sigs = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+        val pairs = Dedup.lshCandidatePairs(
+          Dedup.lshBands(sigs, "doc_id", numHashes = 8, rowsPerBand = 2),
+          "doc_id")
+        val verified = Dedup.jaccardOnPairs(sh, "doc_id", pairs)
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+        Dedup.dedupClusters(docs.select("doc_id"), "doc_id", verified)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $shingleCte,
+        $sigCte,
+        bands AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
+            .mkString("\n          UNION ALL\n          ")}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        cm AS (
+          SELECT id_a, id_b, COUNT(*) AS common
+          FROM pairs
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+          SELECT id_a, id_b
+          FROM cm
+          JOIN sz na ON id_a = na.doc_id
+          JOIN sz nb ON id_b = nb.doc_id
+          WHERE common / (na.n + nb.n - common) >= 0.5),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified),
+        walk AS (
+          SELECT doc_id AS id, doc_id AS label FROM documents
+          UNION
+          SELECT e.src AS id, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+        SELECT id AS doc_id, MIN(label) AS cluster_rep
+        FROM walk
+        GROUP BY id
+        ORDER BY doc_id"""))
   )
 }

@@ -70,6 +70,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.contains((1L, 2L, 0)), "identical docs must pair at h=0")
   }
 
+  test("dedup clusters: chains collapse to the min id, singletons stand alone") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2-3 (transitive through 2), pair 5-6, singleton 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("cosine: self-similarity 1, orthogonal 0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
