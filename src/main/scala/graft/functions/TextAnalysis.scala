@@ -19,6 +19,19 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Reference-exact description cleaning
+    * (utils/data_transformer.py:286-299), in its order: collapse
+    * whitespace runs + strip, remove markdown images `![..](..)`, then
+    * links `[..](..)` (non-greedy, leftmost — identical in RE2 and Java
+    * regex for these patterns), cap at 500 chars, final strip. */
+  def cleanDescription(description: Column): Column = {
+    val collapsed =
+      trim(regexp_replace(coalesce(description, lit("")), "\\s+", " "))
+    val noImages = regexp_replace(collapsed, "!\\[.*?\\]\\(.*?\\)", "")
+    val noLinks = regexp_replace(noImages, "\\[.*?\\]\\(.*?\\)", "")
+    trim(substring(noLinks, 1, 500))
+  }
+
   /** Occurrences of ` word ` in the space-padded text via replace
     * arithmetic — non-overlapping left-to-right scan, identical semantics
     * in every engine's `replace`. */

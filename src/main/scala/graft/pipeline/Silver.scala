@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Silver {
 
-  /** Cleaning + standardization (reference :686-734). */
+  /** Cleaning + standardization (reference :686-734; description via the
+    * reference-exact markdown-stripping cleaner,
+    * utils/data_transformer.py:286-299). */
   def clean(bronze: DataFrame): DataFrame =
     bronze
       .withColumn("name", trim(regexp_replace(col("name"), "[\\r\\n\\t]+", " ")))
       .withColumn("description",
-        substring(trim(regexp_replace(coalesce(col("description"), lit("")),
-          "[\\r\\n\\t]+", " ")), 1, 500))
+        graft.functions.TextAnalysis.cleanDescription(col("description")))
       .withColumn("topics",
         org.apache.spark.sql.functions.transform(
           coalesce(col("topics"), array()), t => lower(trim(t))))

@@ -166,6 +166,40 @@ object ExtensionQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Reference-exact description cleaning
+    // (utils/data_transformer.py:286-299): whitespace collapse, markdown
+    // image/link strip (non-greedy), 500-char cap — over synthetic
+    // markdown built from each document's own columns so badges, links,
+    // tabs, and run-on spaces all appear.
+    Q(
+      "t10_clean_markdown",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            cleanDescription(concat(
+              lit("  ![badge](https://img.shields.io/"), col("source"),
+              lit(")\t intro  "), substring(col("text"), 1, 80),
+              lit(" see [docs](https://docs.example/"), col("lang"),
+              lit(") tail  "))).as("clean_desc"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               trim(substr(
+                 regexp_replace(
+                   regexp_replace(
+                     trim(regexp_replace(
+                       '  ![badge](https://img.shields.io/' || source || ')'
+                         || chr(9) || ' intro  ' || substr(text, 1, 80)
+                         || ' see [docs](https://docs.example/' || lang
+                         || ') tail  ',
+                       '\s+', ' ', 'g')),
+                     '!\[.*?\]\(.*?\)', '', 'g'),
+                   '\[.*?\]\(.*?\)', '', 'g'),
+                 1, 500)) AS clean_desc
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Exact dedup on a duplicate-injected corpus: hash-groupBy on the
     // content digest, deterministic representative (min id). One shuffle;
     // partial agg means the shuffle carries distinct digests only.
