@@ -200,6 +200,32 @@ object ExtensionQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Vocabulary build: top-k tokens by corpus frequency with document
+    // frequency — the tokenizer-training / vocab-pruning primitive. One
+    // explode + hash-agg (partial combine carries distinct tokens per
+    // partition), min-frequency HAVING, then a total-ordered top-k that
+    // plans as TakeOrderedAndProject — no global sort at scale.
+    Q(
+      "t11_vocab_topk",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n_total"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_total") >= 5)
+          .orderBy(col("n_total").desc, col("token"))
+          .limit(100),
+      Some("""
+        SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token
+        HAVING COUNT(*) >= 5
+        ORDER BY n_total DESC, token
+        LIMIT 100""")),
+
+    // ----------------------------------------------------------------
     // Exact dedup on a duplicate-injected corpus: hash-groupBy on the
     // content digest, deterministic representative (min id). One shuffle;
     // partial agg means the shuffle carries distinct digests only.
