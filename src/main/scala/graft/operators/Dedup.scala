@@ -131,11 +131,24 @@ object Dedup {
     */
   def dedupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist) on every iterated frame: persist
+    // truncates EXECUTION but the logical plan still embeds the previous
+    // round's plan twice (labels feeds both join sides), so plan size —
+    // and Catalyst optimization time — doubles per round. Checkpointing
+    // truncates the lineage itself: constant plan size per round. On a
+    // real cluster use reliable checkpoints (setCheckpointDir) so a lost
+    // executor can't kill a long convergence run.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = nodes.select(col(idCol).as("id"))
-      .withColumn("cluster_rep", col("id")).persist()
+      .withColumn("cluster_rep", col("id")).localCheckpoint(true)
+    // min-propagation only ever LOWERS labels, so Σ label is strictly
+    // monotone decreasing while anything changes — convergence detection
+    // is one aggregate over the checkpointed label frame, not a
+    // join-and-compare against the previous round
+    var prevSum = labels.agg(coalesce(sum(col("cluster_rep")), lit(0L)))
+      .head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -148,17 +161,14 @@ object Dedup {
           least(col("cluster_rep"),
             coalesce(col("neighbor_min"), col("cluster_rep")))
             .as("cluster_rep"))
-        .persist()
-      // one count per round: the convergence check IS the materialization
-      val changed = updated.join(
-          labels.withColumnRenamed("cluster_rep", "prev"), Seq("id"))
-        .filter(col("cluster_rep") =!= col("prev")).count()
-      labels.unpersist()
+        .localCheckpoint(true)
+      val curSum = updated.agg(coalesce(sum(col("cluster_rep")), lit(0L)))
+        .head().getLong(0)
       labels = updated
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
       i += 1
     }
-    edges.unpersist()
     labels.select(col("id").as(idCol), col("cluster_rep"))
   }
 
