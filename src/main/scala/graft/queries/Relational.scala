@@ -247,6 +247,35 @@ object Relational {
         ORDER BY c_custkey""")),
 
     // ----------------------------------------------------------------
+    // Left-semi join (J1's dual): lineitems whose order is URGENT —
+    // existence check only, no order columns carried, no row
+    // multiplication (a lineitem matches at most once however many
+    // order rows match). Then the usual rollup.
+    Q(
+      "j8_semi_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"))
+        li.join(urgent, Seq("l_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_orderkey = l_orderkey
+            AND o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ----------------------------------------------------------------
     // J2 + J5 (inner equi-join chain with broadcast dims — replaces the
     // reference's collect()+UDF lookup, bronze_to_silver_transformation.py:
     // 533-575): orders ⋈ customer (shuffle/AQE) ⋈ nation ⋈ region
