@@ -52,6 +52,50 @@ class PropertySpec extends SparkSpec {
     assert(sums.forall(s => math.abs(s - 100.0) <= 0.5), sums.mkString(","))
   }
 
+  test("language distribution matches a direct port of the reference function") {
+    // model: a literal Scala transcription of extract_language_distribution
+    // (bronze_to_silver_transformation.py:403-445), evaluated driver-side
+    def model(primary: String, topics: Seq[String]): Map[String, Double] = {
+      val languages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val pValid = primary != null && primary.trim.nonEmpty &&
+        !Seq("null", "none", "").contains(primary.toLowerCase)
+      if (pValid) languages(primary) = 70.0
+      val topicLangs = for {
+        t <- topics; tl = t.toLowerCase
+        (k, v) <- programmingLanguages if tl.contains(k)
+      } yield v
+      if (topicLangs.nonEmpty) {
+        val per = (if (languages.nonEmpty) 30.0 else 100.0) / topicLangs.length
+        topicLangs.foreach(l => if (!languages.contains(l)) languages(l) = per)
+      }
+      if (languages.isEmpty) languages("Unknown") = 100.0
+      val total = languages.values.sum
+      languages.map { case (k, v) =>
+        k -> math.round(v / total * 100.0 * 10.0) / 10.0
+      }.toMap
+    }
+    val primaries = Seq(null, "", "null", "NONE", "Python", "Go", "rust",
+      "R", "Scala", "COBOL")
+    val topicWords = Seq("python3", "golang", "spark", "kernel", "web", "ml",
+      "typescript-starter", "c++-lib", "bash", "docker", "r", "data-sql",
+      "julia-sets", "rusty", "php8", "none")
+    val gen = for {
+      p <- Gen.oneOf(primaries)
+      ts <- Gen.listOf(Gen.oneOf(topicWords)).map(_.take(4))
+    } yield (p, ts)
+    val rows = Gen.listOfN(200, gen)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    val got = rows.zipWithIndex.map { case ((p, ts), i) => (i.toLong, p, ts) }
+      .toDF("i", "p", "ts")
+      .select($"i", langDistribution($"p", $"ts").as("m"))
+      .select($"i", explode($"m").as(Seq("k", "v")))
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._1).map { case (i, es) => i -> es.map(e => e._2 -> e._3).toMap }
+    rows.zipWithIndex.foreach { case ((p, ts), i) =>
+      assert(got(i.toLong) === model(p, ts), s"input ($p, $ts)")
+    }
+  }
+
   test("upsert idempotence: merge(merge(t,s),s) == merge(t,s) for random frames") {
     val keyGen = Gen.chooseNum(0L, 30L)
     val frameGen = Gen.listOfN(25, Gen.zip(keyGen, Gen.alphaStr, Gen.chooseNum(0, 999)))
