@@ -313,6 +313,53 @@ object ExtendedOps {
         ORDER BY p_partkey""")),
 
     // ----------------------------------------------------------------
+    // Cube over the A1 keys — every subtotal combination (including the
+    // column-wise marginals ROLLUP skips) in one Expand + hash-agg pass.
+    Q(
+      "a12_cube_sets",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n_rows"), col("sum_qty"))
+          .orderBy("flag", "status"),
+      Some(s"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n_rows,
+               ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY flag, status""")),
+
+    // ----------------------------------------------------------------
+    // Unpivot (melt) — p10's dual: wide metric columns to long
+    // (key, metric, value) rows, the shape feature-store ingestion
+    // wants. Pure projection + Expand, no shuffle.
+    Q(
+      "p12_unpivot",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            col("p_retailprice").cast("double").as("retail_price"),
+            col("p_size").cast("double").as("size"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("retail_price"), col("size")), "metric", "value")
+          .orderBy("p_partkey", "metric"),
+      Some("""
+        SELECT p_partkey, 'retail_price' AS metric,
+               CAST(p_retailprice AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE)
+        FROM part
+        ORDER BY p_partkey, metric""")),
+
+    // ----------------------------------------------------------------
     // Pivot: daily event counts spread into one column per event type
     // (explicit value list => no driver-side distinct scan; Spark plans
     // a single hash-agg over (day, type) then a final pivot agg).
