@@ -200,6 +200,48 @@ object ExtensionQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Binary media columns through the full gate (the oracled side of
+    // [[graft.operators.Multimodal]]'s plumbing): deterministic variable
+    // -length payloads built from md5 hex, carried as true BINARY
+    // through parquet, with byte length, magic-prefix sniffing (from the
+    // binary on the Spark side, from the hex construction in the
+    // oracle), and a first-byte-derived media type.
+    Q(
+      "m1_media_metadata",
+      (s, d) => {
+        val header = md5(concat(lit("media|"), col("doc_id").cast("string")))
+        val hexPayload = concat(header,
+          expr("repeat(md5(text), CAST(doc_id % 5 + 1 AS INT))"))
+        val firstByte = conv(substring(header, 1, 2), 16, 10).cast("int")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            unhex(hexPayload).as("payload"),
+            length(unhex(hexPayload)).as("n_bytes"),
+            hex(substring(unhex(hexPayload), 1, 4)).as("magic"),
+            when(firstByte % 3 === 0, "image/jpeg")
+              .when(firstByte % 3 === 1, "image/png")
+              .otherwise("video/webm").as("media_type"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 md5('media|' || CAST(doc_id AS VARCHAR)) AS hdr,
+                 md5('media|' || CAST(doc_id AS VARCHAR))
+                   || repeat(md5(text), CAST(doc_id % 5 + 1 AS INT)) AS hp
+          FROM documents)
+        SELECT doc_id,
+               from_hex(hp) AS payload,
+               octet_length(from_hex(hp)) AS n_bytes,
+               upper(substr(hp, 1, 8)) AS magic,
+               CASE ((strpos('0123456789abcdef', substr(hdr, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(hdr, 2, 1)) - 1)) % 3
+                 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+                 ELSE 'video/webm' END AS media_type
+        FROM b
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Vocabulary build: top-k tokens by corpus frequency with document
     // frequency — the tokenizer-training / vocab-pruning primitive. One
     // explode + hash-agg (partial combine carries distinct tokens per
