@@ -276,6 +276,38 @@ object Relational {
         ORDER BY l_returnflag""")),
 
     // ----------------------------------------------------------------
+    // Salted skew join (§4 scale notes): lineitem joined to the nation
+    // dim through a deliberately skewed key (suppkey % 3 — three hot
+    // keys carry everything). The salt splits each hot key across 8
+    // reducers (big side salted by a discriminator, small side
+    // replicated per salt); the oracle is the PLAIN join — salting must
+    // be invisible in the result.
+    Q(
+      "j9_skew_salted",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("hot_key", (col("l_suppkey") % 3).cast("long"))
+        val dim = Tables.nation(s, d)
+          .filter(col("n_nationkey") < 3)
+          .select(col("n_nationkey").as("hot_key"), col("n_name"))
+        graft.operators.SkewJoin
+          .saltedInnerJoin(li, dim, "hot_key", saltFactor = 8,
+            discriminator = "l_orderkey")
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("n_name")
+      },
+      Some(s"""
+        SELECT n_name, COUNT(*) AS n_items,
+               ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        JOIN nation ON n_nationkey = l_suppkey % 3
+        WHERE n_nationkey < 3
+        GROUP BY n_name
+        ORDER BY n_name""")),
+
+    // ----------------------------------------------------------------
     // J2 + J5 (inner equi-join chain with broadcast dims — replaces the
     // reference's collect()+UDF lookup, bronze_to_silver_transformation.py:
     // 533-575): orders ⋈ customer (shuffle/AQE) ⋈ nation ⋈ region
