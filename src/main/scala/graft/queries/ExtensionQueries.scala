@@ -268,6 +268,30 @@ object ExtensionQueries {
         LIMIT 100""")),
 
     // ----------------------------------------------------------------
+    // Sequence packing for training: global token cumsum over the doc_id
+    // order (range-partitioned two-pass prefix sum — NO single-partition
+    // window) and the concat-then-chunk bin each document starts in.
+    Q(
+      "t12_seq_packing",
+      (s, d) =>
+        graft.operators.Prefix.packSequences(
+          Tables.documents(s, d)
+            .select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
+          Seq("doc_id"), "n_tokens", capacity = 4096)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $tokSql AS n_tokens FROM documents),
+        c AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t)
+        SELECT doc_id, n_tokens, cum_tokens,
+               (cum_tokens - n_tokens) // 4096 AS bin_id
+        FROM c
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Exact dedup on a duplicate-injected corpus: hash-groupBy on the
     // content digest, deterministic representative (min id). One shuffle;
     // partial agg means the shuffle carries distinct digests only.

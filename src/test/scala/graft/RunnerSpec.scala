@@ -163,6 +163,19 @@ class RunnerSpec extends SparkSpec {
     assert(sev.getAs[String]("severity") === "critical") // 1/4 = 25%
   }
 
+  test("globalCumsum matches the single-partition window running total") {
+    val df = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select($"c_custkey", $"c_acctbal".cast("long").as("v"))
+    val viaWindow = df.withColumn("cum",
+      sum($"v").over(org.apache.spark.sql.expressions.Window
+        .orderBy("c_custkey").rowsBetween(Long.MinValue, 0)))
+      .select("c_custkey", "cum").as[(Long, Long)].collect().toMap
+    val viaScale = graft.operators.Prefix
+      .globalCumsum(df, Seq("c_custkey"), "v", "cum")
+      .select("c_custkey", "cum").as[(Long, Long)].collect().toMap
+    assert(viaScale === viaWindow)
+  }
+
   test("globalRank matches the single-partition window rank") {
     val df = Tables.customer(spark, "/root/testdata/sf0.001")
       .select("c_custkey", "c_acctbal")
