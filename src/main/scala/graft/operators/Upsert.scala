@@ -66,6 +66,15 @@ object Upsert {
   def keepUnlessPlaceholder(placeholders: String*): (Column, Column) => Column =
     (tc, sc) => when(tc.isNull.or(tc.isin(placeholders: _*)), sc).otherwise(tc)
 
+  /** Incremental-rollup resolver: running aggregate + new partial
+    * (counts, exact decimal sums). With it, `merge` maintains an
+    * aggregate table without recomputing history — the don't-rescan-
+    * the-cube pattern that matters at 100 TB. Keep sums in DECIMAL
+    * through the merge and cast to double only at the end, so the
+    * incrementally-maintained value is bit-identical to a full
+    * recompute. */
+  def additive: (Column, Column) => Column = (tc, sc) => tc + sc
+
   /** A11 merge reconciliation (the reference's new-vs-updated report,
     * `github_data_ingestion.py:386-393`): one aggregation over the same
     * outer join instead of the reference's separate before/after

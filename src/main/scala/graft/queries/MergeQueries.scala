@@ -137,6 +137,39 @@ object MergeQueries {
                           AND s.o_orderkey IS NOT NULL THEN 1 END) AS updated,
                COUNT(CASE WHEN t.o_orderkey IS NULL THEN 1 END) AS inserted,
                COUNT(CASE WHEN s.o_orderkey IS NULL THEN 1 END) AS unchanged
-        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey"""))
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // Incremental rollup maintenance: an aggregate table (history before
+    // the cutoff) MERGEd with the new slice's partial aggregates via
+    // additive resolution — history is never rescanned. Sums stay in
+    // DECIMAL through the merge (exact, associative) and cast to double
+    // only at the end, so the oracle can simply be the FULL recompute:
+    // incremental maintenance must be indistinguishable from it.
+    Q(
+      "k6_incremental_rollup",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("l_returnflag", "l_linestatus")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_quantity")
+                .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+                .as("sum_qty_dec"))
+        val history = partial(li.filter(col("l_shipdate") < "1997-01-01"))
+        val newDay = partial(li.filter(col("l_shipdate") >= "1997-01-01"))
+        Upsert.merge(history, newDay, Seq("l_returnflag", "l_linestatus"),
+          smartCases = Map("n_rows" -> Upsert.additive,
+            "sum_qty_dec" -> Upsert.additive))
+          .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+            col("sum_qty_dec").cast("double").as("sum_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""))
   )
 }
