@@ -92,6 +92,36 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     t.filter(col(partitionCol) === lit(mx))
   }
 
+  /** Compaction: rewrite the table into ~`rowsPerFile`-row files. Every
+    * incremental upsert/append leaves small files behind; at scale the
+    * scan cost becomes file-open dominated (the classic small-file
+    * problem). One repartition + atomic swap; optionally clustered so
+    * parquet row-group min/max stats line up with the hot filter columns
+    * and scans can skip row groups (the poor-man's Z-order — exact for
+    * single-column range predicates). */
+  def compact(name: String, rowsPerFile: Long,
+      partitionBy: Seq[String] = Nil, clusterBy: Seq[String] = Nil): Unit = {
+    val df = read(name)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val repart =
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(files, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else df.repartition(files)
+    // persist+count before the swap: the lazy plan must not read files
+    // the overwrite is about to replace
+    repart.persist().count()
+    overwrite(name, repart, partitionBy)
+    repart.unpersist()
+  }
+
+  /** Number of data files currently backing the table (compaction
+    * telemetry). */
+  def fileCount(name: String): Long =
+    Files.walk(tableDir(name)).filter(p =>
+      p.toString.endsWith(".parquet") && Files.isRegularFile(p)).count()
+
   private def deleteRecursively(p: Path): Unit =
     Files.walk(p).sorted(Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))

@@ -68,4 +68,21 @@ class CatalogSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(partition_date"),
       s"equality on the partition column must prune:\n$plan")
   }
+
+  test("compaction collapses small files and preserves content") {
+    val cat = freshCatalog
+    // 10 appends of 10 rows -> many small files
+    (0 until 10).foreach { i =>
+      cat.append("t", (0 until 10).map(j => (i * 10L + j, s"v$i"))
+        .toDF("id", "v"))
+    }
+    val before = cat.fileCount("t")
+    assert(before >= 10, s"expected many small files, got $before")
+    val expected = cat.read("t").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    cat.compact("t", rowsPerFile = 50, clusterBy = Seq("id"))
+    assert(cat.fileCount("t") === 2, "100 rows / 50 per file = 2 files")
+    assert(cat.read("t").orderBy("id").as[(Long, String)].collect().toSeq
+      === expected, "compaction must not change content")
+  }
 }
