@@ -15,4 +15,12 @@ object SqlBridge {
 
   /** Unwrap a Column to its analyzed Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder on an ALREADY-RUNNING session (session
+    * extensions only apply at build time). Same builders as
+    * [[graft.spark.GraftExtensions]]. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

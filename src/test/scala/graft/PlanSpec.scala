@@ -81,6 +81,25 @@ class PlanSpec extends SparkSpec {
       s"the r2 BNL regression must not return:\n$plan")
   }
 
+  test("dot_product_float registers as a SQL function and stays codegen'd") {
+    org.apache.spark.sql.graftbridge.SqlBridge.registerFunction(spark,
+      "dot_product_float", args =>
+        graft.spark.GraftExtensions.dotProductFloat._3(args))
+    // literal arguments constant-fold away (itself proof the expression
+    // is first-class Catalyst); check the value on a literal and the
+    // plan on a real column
+    val lit = spark.sql("""
+      SELECT dot_product_float(CAST(array(1.0, 2.0) AS array<float>),
+                               CAST(array(3.0, 4.0) AS array<float>)) AS d""")
+    assert(lit.head().getDouble(0) === 11.0)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_ext")
+    val df = spark.sql(
+      "SELECT dot_product_float(embedding, embedding) AS d FROM emb_ext")
+    assert(df.head().getDouble(0) > 0.0)
+    val plan = planOf(df)
+    assert(plan.contains("dot_product_float"), plan)
+  }
+
   test("banded near-dup candidate generation never goes quadratic") {
     for (name <- Seq("v6_neardup_lsh", "d6_simhash_pairs", "d7_simhash_radius",
         "d4_lsh_candidates")) {
