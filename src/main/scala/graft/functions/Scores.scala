@@ -174,14 +174,11 @@ object Scores {
     * both engines build bit-identical doubles.
     */
   def langDistribution(primary: Column, topics: Column): Column = {
-    val dict = array(programmingLanguages.map { case (k, v) =>
-      struct(lit(k).as("k"), lit(v).as("v")) }: _*)
-    // lower() each topic once, not once per dict entry (23×)
-    val topicsLower = transform(coalesce(topics, array()), t => lower(t))
-    val topicLangs = flatten(transform(topicsLower,
-      t => transform(
-        filter(dict, e => contains(t, e.getField("k"))),
-        e => e.getField("v"))))
+    // codegen'd dict scan — the HOF formulation
+    // (flatten(transform(filter(dict, contains)))) is CodegenFallback
+    // and was the silver pipeline's hot spot; see [[TopicLangMatches]]
+    val topicLangs =
+      TopicLangMatches.topicLangs(coalesce(topics, array().cast("array<string>")))
     val pValid = primary.isNotNull && trim(primary) =!= "" &&
       !lower(primary).isin("null", "none")
     val distinctLangs = array_distinct(topicLangs)
