@@ -67,6 +67,23 @@ object Dedup {
     shingleRows.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Shuffle-free MinHash signatures: the whole signature computed as
+    * one narrow map-side expression per document
+    * ([[graft.functions.MinHashSignature]]) — identical results to
+    * [[minhashSignatures]] with NO shingle explode and NO shuffle. At
+    * 100 TB this is the shape to use when only signatures are needed
+    * (LSH banding); keep the shingle-row path when exact Jaccard
+    * verification needs the shingle sets anyway. Documents shorter than
+    * k words are dropped (as the aggregation form does). */
+  def minhashSignaturesNarrow(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8): DataFrame = {
+    val sig = graft.functions.MinHashSignature.minhashSig(col(textCol), numHashes)
+    df.select(col(idCol), sig.as("__sig"))
+      .filter(size(col("__sig")) > 0)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
+  }
+
   /** LSH banding: rows (id, band, key) where key is the digest of `rowsPerBand`
     * adjacent minhashes. Two documents land in the same (band, key) bucket
     * iff a band of their signatures agrees — candidate pair generation is

@@ -360,12 +360,11 @@ object ExtensionQueries {
     Q(
       "d3_minhash_sigs",
       (s, d) =>
-        Dedup.minhashSignatures(
-          // min-agg is idempotent over duplicate shingles — skip the
-          // distinct() shuffle
-          Dedup.shingles(Tables.documents(s, d), "doc_id", "text",
-            dedupe = false),
-          "doc_id", numHashes = 8)
+        // narrow form: whole signature as one map-side expression — no
+        // shingle explode, no shuffle (equality with the aggregation
+        // form is asserted in DedupSimilaritySpec)
+        Dedup.minhashSignaturesNarrow(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 8)
           .orderBy("doc_id"),
       Some(s"""
         WITH $shingleCte

@@ -35,6 +35,17 @@ class DedupSimilaritySpec extends SparkSpec {
       "unrelated docs share no minhashes (w.h.p.)")
   }
 
+  test("narrow minhash signatures equal the shuffle/aggregation form") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaAgg = Dedup.minhashSignatures(
+      Dedup.shingles(docs, "doc_id", "text", dedupe = false), "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaNarrow = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaNarrow.length === viaAgg.length)
+    viaNarrow.zip(viaAgg).foreach { case (n, a) => assert(n === a) }
+  }
+
   test("LSH candidates find exact and near dups, verified by jaccard") {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val sigs = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
