@@ -230,6 +230,14 @@ object Dedup {
       .distinct()
   }
 
+  /** Shuffle-free 64-bit SimHash: one narrow map-side expression per
+    * document ([[graft.functions.SimHash64]]) — identical results to
+    * [[simhash]] at bits=64 with no token explode and no shuffle (the
+    * scale shape; equality asserted in DedupSimilaritySpec). */
+  def simhashNarrow(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("simhash"))
+
   /** SimHash over the token multiset, `bits` wide (multiple of 16, ≤64;
     * default 64 — a 16-bit signature over a shared vocabulary is too
     * collision-dense to discriminate at any radius). Each token hashes

@@ -422,7 +422,9 @@ object ExtensionQueries {
     Q(
       "d5_simhash",
       (s, d) =>
-        Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        // narrow form: one map-side expression, no explode/shuffle
+        // (equality with the aggregation form spec-asserted)
+        Dedup.simhashNarrow(Tables.documents(s, d), "doc_id", "text")
           .orderBy("doc_id"),
       Some(s"""
         WITH $simhashCtes
@@ -436,9 +438,9 @@ object ExtensionQueries {
     Q(
       "d6_simhash_pairs",
       (s, d) => {
-        // persist: both sides of the bucket self-join read the signature
-        // frame — without it the tokenize+md5+64-sum subtree runs twice
-        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        // narrow signature + persist: both sides of the bucket self-join
+        // read the signature frame
+        val sigs = Dedup.simhashNarrow(Tables.documents(s, d), "doc_id", "text")
           .persist()
         Dedup.simhashPairs(sigs, "doc_id", maxHamming = 0)
           .orderBy("id_a", "id_b")
@@ -461,7 +463,7 @@ object ExtensionQueries {
     Q(
       "d7_simhash_radius",
       (s, d) => {
-        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        val sigs = Dedup.simhashNarrow(Tables.documents(s, d), "doc_id", "text")
           .persist()
         Dedup.simhashPairs(sigs, "doc_id", maxHamming = 3)
           .orderBy("id_a", "id_b")

@@ -35,6 +35,15 @@ class DedupSimilaritySpec extends SparkSpec {
       "unrelated docs share no minhashes (w.h.p.)")
   }
 
+  test("narrow simhash equals the shuffle/aggregation form") {
+    val docsT = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaAgg = Dedup.simhash(docsT, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val viaNarrow = Dedup.simhashNarrow(docsT, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(viaNarrow === viaAgg)
+  }
+
   test("narrow minhash signatures equal the shuffle/aggregation form") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val viaAgg = Dedup.minhashSignatures(
