@@ -385,7 +385,10 @@ object ExtensionQueries {
         // distinct() shuffle is skipped
         val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text",
           dedupe = false).persist()
-        val sigs = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+        // narrow signatures (no sig shuffle); sh persists only for the
+        // exact-Jaccard verification, which needs the shingle sets
+        val sigs = Dedup.minhashSignaturesNarrow(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 8)
         val pairs = Dedup.lshCandidatePairs(
           Dedup.lshBands(sigs, "doc_id", numHashes = 8, rowsPerBand = 2), "doc_id")
         Dedup.jaccardOnPairs(sh, "doc_id", pairs)
@@ -488,7 +491,8 @@ object ExtensionQueries {
         val docs = Tables.documents(s, d)
         val sh = Dedup.shingles(docs, "doc_id", "text", dedupe = false)
           .persist()
-        val sigs = Dedup.minhashSignatures(sh, "doc_id", numHashes = 8)
+        val sigs = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text",
+          numHashes = 8)
         val pairs = Dedup.lshCandidatePairs(
           Dedup.lshBands(sigs, "doc_id", numHashes = 8, rowsPerBand = 2),
           "doc_id")
