@@ -204,6 +204,30 @@ object StreamingQueries {
                CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
         FROM events LEFT JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
-        ORDER BY window_start, segment"""))
+        ORDER BY window_start, segment""")),
+
+    // ----------------------------------------------------------------
+    // Stream-stream interval join (batch parity of
+    // [[graft.streaming.EventsStream.clickAttribution]]): purchases
+    // attributed to same-user clicks within the preceding 30 minutes —
+    // an equi-join on user_id with a two-sided event-time bound (the
+    // condition that lets streaming evict join state).
+    Q(
+      "st5_click_attrib",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.streaming.EventsStream.clickAttribution(ev)
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               p.value,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, purchase_id"""))
   )
 }

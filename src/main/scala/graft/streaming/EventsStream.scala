@@ -83,6 +83,34 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("segment"),
         col("cnt"), col("total_value"))
 
+  /** Stream-stream interval join (§2.9): purchases attributed to the
+    * clicks they follow within `gapMinutes`, per user. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so Spark can size the join state and evict expired rows — the
+    * stream-stream shape that runs indefinitely without unbounded
+    * state. Batch parity: `st5_click_attrib` (identical plan minus
+    * watermarks). */
+  def clickAttribution(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("purchase_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") +
+          expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"),
+        (expr("unix_micros(purchase_ts)") - expr("unix_micros(click_ts)"))
+          .as("gap_us"))
+  }
+
   /** Sessionization with custom state: a session closes after `gapSec`
     * of inactivity per user (flatMapGroupsWithState with processing-time
     * timeout). State per user is one (start, count, sum) triple —

@@ -101,6 +101,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStream.clickAttribution(input.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(10), 1, "purchase", 9.99), // within 30m of click 1
+        Event(3, ts(0), 2, "click", 0.0))
+      query.processAllAvailable()
+      input.addData(
+        Event(4, ts(50), 2, "purchase", 5.0),  // 50m after click 3: too late
+        Event(5, ts(600), 9, "view", 0.0))     // watermark advance
+      query.processAllAvailable()
+      val out = spark.table("attrib")
+        .select("click_id", "purchase_id", "value", "gap_us")
+        .as[(Long, Long, Double, Long)].collect()
+      assert(out.toSeq === Seq((1L, 2L, 9.99, 600000000L)),
+        s"only the in-window pair attributes; got ${out.mkString}")
+    } finally query.stop()
+  }
+
   test("sessionization emits closed sessions with event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
