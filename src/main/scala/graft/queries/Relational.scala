@@ -493,6 +493,34 @@ object Relational {
         ORDER BY bucket, c_custkey""")),
 
     // ----------------------------------------------------------------
+    // O-family set ops: INTERSECT / EXCEPT (both plan as hash
+    // left-semi/anti joins over distinct inputs) — customers active in
+    // both 1997 and 1998 vs churned after 1997, tagged and unioned.
+    Q(
+      "o4_set_ops",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .select("o_custkey")
+        buyers(1997).intersect(buyers(1998))
+          .withColumn("set_op", lit("retained"))
+          .unionByName(buyers(1997).except(buyers(1998))
+            .withColumn("set_op", lit("churned")))
+          .orderBy("set_op", "o_custkey")
+      },
+      Some("""
+        WITH y97 AS (SELECT o_custkey FROM orders
+                     WHERE EXTRACT(year FROM o_orderdate) = 1997),
+        y98 AS (SELECT o_custkey FROM orders
+                WHERE EXTRACT(year FROM o_orderdate) = 1998)
+        SELECT o_custkey, 'retained' AS set_op
+        FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+        UNION ALL
+        SELECT o_custkey, 'churned'
+        FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+        ORDER BY set_op, o_custkey""")),
+
+    // ----------------------------------------------------------------
     // P2/§2.8 string suite (regexp_replace/lower/trim/length/contains/
     // split, bronze_to_silver_transformation.py:686-710): pure codegen'd
     // built-ins, no UDFs.
