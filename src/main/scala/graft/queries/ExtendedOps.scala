@@ -243,6 +243,81 @@ object ExtendedOps {
         ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // first/last/nth_value per user session window — the remaining
+    // §2.6 navigation functions: entry event, latest event (running,
+    // default frame), and second event per user.
+    Q(
+      "w8_first_last",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wFull = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.events(s, d)
+          .withColumn("entry_event", first(col("event_type")).over(wFull))
+          .withColumn("final_event", last(col("event_type")).over(wFull))
+          .withColumn("second_event", nth_value(col("event_type"), 2).over(wFull))
+          .select("event_id", "user_id", "entry_event", "final_event",
+            "second_event")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               FIRST_VALUE(event_type) OVER w AS entry_event,
+               LAST_VALUE(event_type) OVER w AS final_event,
+               NTH_VALUE(event_type, 2) OVER w AS second_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // Funnel analysis: per user, the first click → first subsequent
+    // purchase → conversion flag and time-to-convert — the sequence
+    // pattern behind every conversion dashboard, as two min-aggregates
+    // and a conditional join (no per-row state machine).
+    Q(
+      "f1_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min(col("ts")).as("first_click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        firstClick.join(purchases, Seq("user_id"), "left")
+          .withColumn("p_ts_after",
+            when(col("p_ts") >= col("first_click_ts"), col("p_ts")))
+          .groupBy("user_id", "first_click_ts")
+          .agg(min(col("p_ts_after")).as("first_purchase_ts"))
+          .withColumn("converted", col("first_purchase_ts").isNotNull)
+          .withColumn("us_to_convert",
+            expr("unix_micros(first_purchase_ts)")
+              - expr("unix_micros(first_click_ts)"))
+          .select(col("user_id"),
+            date_format(col("first_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("first_click"),
+            col("converted"), col("us_to_convert"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH fc AS (
+          SELECT user_id, MIN(ts) AS first_click_ts
+          FROM events WHERE event_type = 'click' GROUP BY user_id),
+        fp AS (
+          SELECT fc.user_id, fc.first_click_ts,
+                 MIN(CASE WHEN p.ts >= fc.first_click_ts THEN p.ts END)
+                   AS first_purchase_ts
+          FROM fc LEFT JOIN events p
+            ON p.user_id = fc.user_id AND p.event_type = 'purchase'
+          GROUP BY fc.user_id, fc.first_click_ts)
+        SELECT user_id,
+               strftime(first_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+               first_purchase_ts IS NOT NULL AS converted,
+               epoch_us(first_purchase_ts) - epoch_us(first_click_ts)
+                 AS us_to_convert
+        FROM fp
+        ORDER BY user_id""")),
+
+    // ----------------------------------------------------------------
     // Reference-exact scalar score suite (utils/data_transformer.py +
     // personal_repos_silver_to_gold.py): the 50/30/20 activity
     // composite, raw stars/days momentum, six-tier popularity,
