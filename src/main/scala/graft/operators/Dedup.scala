@@ -186,7 +186,77 @@ object Dedup {
       prevSum = curSum
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"min-label propagation did not converge in $maxIter rounds — the " +
+        "component diameter exceeds the budget; use dedupClustersLogN " +
+        "(alternating large-star/small-star, O(log n) rounds)")
     labels.select(col("id").as(idCol), col("cluster_rep"))
+  }
+
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * O(log n)-round alternative to [[dedupClusters]]' min-propagation
+    * for graphs with long chains (min-propagation needs O(diameter)
+    * rounds). Each round is two gather-emit passes, each one shuffle:
+    *
+    *   - large-star: every node u links its LARGER neighbors to
+    *     m(u) = min(Γ(u) ∪ u);
+    *   - small-star: every node u links its smaller-or-equal neighbors
+    *     (and itself) to m(u).
+    *
+    * Converges when the edge multiset stops changing (detected by the
+    * (count, Σsrc, Σdst) signature — one aggregate over checkpointed
+    * edges); at the fixpoint the graph is a union of stars centered on
+    * component minima. Same output contract as [[dedupClusters]]:
+    * (idCol, cluster_rep), singletons included — equality on random
+    * graphs is property-tested.
+    */
+  def dedupClustersLogN(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    def gatherEmit(edges: DataFrame, large: Boolean): DataFrame = {
+      // undirected gather: every node sees all its neighbors
+      val adj = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      val withMin = adj.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val linked = adj.join(withMin, Seq("u"))
+      val emitted =
+        if (large) linked.filter(col("v") > col("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+        else linked.filter(col("v") <= col("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+          .union(withMin.select(col("u").as("src"), col("m").as("dst")))
+      emitted.filter(col("src") =!= col("dst")).distinct()
+    }
+    var edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(col("src")), lit(0L)),
+        coalesce(sum(col("dst")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      edges = gatherEmit(gatherEmit(edges, large = true), large = false)
+        .localCheckpoint(true)
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
+      i += 1
+    }
+    // stars: every node's label is its min neighbor (the center), or
+    // itself for singletons
+    val labels = edges.select(col("src").as("id"), col("dst").as("l"))
+      .union(edges.select(col("dst").as("id"), col("src").as("l")))
+      .groupBy("id").agg(min(col("l")).as("nmin"))
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        least(col("id"), coalesce(col("nmin"), col("id"))).as("cluster_rep"))
   }
 
   /** SimHash near-duplicate pairs: all (a < b) whose signatures are

@@ -99,6 +99,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("large-star/small-star components equal min-propagation on random graphs") {
+    import org.scalacheck.{Gen, rng}
+    val nodeGen = Gen.chooseNum(0L, 40L)
+    (1 to 5).foreach { seedI =>
+      val pairsRaw = Gen.listOfN(30, Gen.zip(nodeGen, nodeGen))
+        .apply(Gen.Parameters.default, rng.Seed(seedI.toLong)).get
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val nodes = (0L to 40L).toDF("doc_id")
+      val pairs = pairsRaw.toDF("id_a", "id_b")
+      val viaProp = Dedup.dedupClusters(nodes, "doc_id", pairs)
+        .as[(Long, Long)].collect().toMap
+      val viaStar = Dedup.dedupClustersLogN(nodes, "doc_id", pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar === viaProp, s"seed $seedI, pairs $pairsRaw")
+    }
+  }
+
+  test("large-star/small-star handles a long chain (the min-propagation worst case)") {
+    // path 0-1-2-...-30: min-propagation needs ~30 rounds; the
+    // alternating algorithm converges in O(log n)
+    val n = 30L
+    val nodes = (0L to n).toDF("doc_id")
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClustersLogN(nodes, "doc_id", chain)
+      .as[(Long, Long)].collect()
+    assert(out.forall(_._2 === 0L), s"all chain nodes join cluster 0: ${out.mkString}")
+  }
+
   test("cosine: self-similarity 1, orthogonal 0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
