@@ -271,6 +271,37 @@ object ExtendedOps {
         ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // RANGE frame (vs w5/w6's ROWS frames): per-user trailing-1-hour
+    // event-value sum keyed by event TIME, not row count — peers at the
+    // same timestamp aggregate together and gaps shrink the window.
+    // Exact integer-second range on both engines.
+    Q(
+      "w9_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_sec"))
+          .rangeBetween(-3600L, 0L)
+        Tables.events(s, d)
+          .withColumn("ts_sec", expr("unix_micros(ts) div 1000000"))
+          .withColumn("trailing_1h",
+            sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(28, 6))).over(w)
+              .cast("double"))
+          .select("event_id", "user_id", "ts_sec", "trailing_1h")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, ts_sec,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                 PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS trailing_1h
+        FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec,
+                     value
+              FROM events)
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
     // Funnel analysis: per user, the first click → first subsequent
     // purchase → conversion flag and time-to-convert — the sequence
     // pattern behind every conversion dashboard, as two min-aggregates
