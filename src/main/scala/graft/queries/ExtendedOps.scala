@@ -419,6 +419,34 @@ object ExtendedOps {
         ORDER BY p_partkey""")),
 
     // ----------------------------------------------------------------
+    // Explicit GROUPING SETS (the two one-column marginals + grand
+    // total, none of the pair combos rollup/cube produce) through the
+    // SQL front-end — the one query pack entry exercising spark.sql()
+    // end to end. Same single Expand + hash-agg plan as a11/a12.
+    Q(
+      "a13_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                 COALESCE(l_linestatus, 'ALL') AS status,
+                 COUNT(*) AS n_rows,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_qty
+          FROM lineitem_v
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY flag, status""")
+      },
+      Some(s"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n_rows,
+               ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY flag, status""")),
+
+    // ----------------------------------------------------------------
     // Cube over the A1 keys — every subtotal combination (including the
     // column-wise marginals ROLLUP skips) in one Expand + hash-agg pass.
     Q(
