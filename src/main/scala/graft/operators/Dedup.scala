@@ -241,10 +241,15 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val prev = edges
       edges = gatherEmit(gatherEmit(edges, large = true), large = false)
         .localCheckpoint(true)
       val next = signature(edges)
-      converged = next == sig
+      // the cheap signature filters non-fixpoints; on a match, confirm
+      // exactly (except is symmetric-difference on distinct edge sets) —
+      // runs once, at convergence, not every round
+      converged = next == sig &&
+        edges.exceptAll(prev).isEmpty && prev.exceptAll(edges).isEmpty
       sig = next
       i += 1
     }
