@@ -61,26 +61,29 @@ object RuleClassifier extends Classifier {
     "Rust" -> "Systems", "C" -> "Systems", "C++" -> "Systems")
 
   def classify(df: DataFrame): DataFrame = {
-    val topics = coalesce(col("topics"), array())
-    val byTopic = rules.foldRight(lit(null).cast("string")) {
-      case ((cat, _, kws), acc) =>
-        when(exists(topics, t => lower(t).isin(kws: _*)), cat).otherwise(acc)
-    }
-    val bySub = rules.foldRight(lit("unknown")) {
-      case ((_, sub, kws), acc) =>
-        when(exists(topics, t => lower(t).isin(kws: _*)), sub).otherwise(acc)
-    }
+    // codegen'd first-matching-rule index (the HOF formulation ran up to
+    // 10 interpreted exists() scans per row — see RuleMatchIndex)
+    val idx = graft.functions.RuleMatchIndex.ruleMatchIndex(
+      coalesce(col("topics"), array().cast("array<string>")),
+      rules.map(_._3))
+    val cats = array(rules.map(r => lit(r._1)): _*)
+    val subs = array(rules.map(r => lit(r._2)): _*)
     val byLang = langFallback.foldRight(lit(null).cast("string")) {
       case ((l, cat), acc) => when(col("language") === l, cat).otherwise(acc)
     }
-    df.withColumn("technology_category",
-        coalesce(byTopic, byLang, lit("Other")))
+    df.withColumn("__rule_idx", idx)
+      .withColumn("technology_category",
+        coalesce(
+          when(col("__rule_idx") >= 0, element_at(cats, col("__rule_idx") + 1)),
+          byLang, lit("Other")))
       .withColumn("technology_subcategory",
-        when(byTopic.isNotNull, bySub).otherwise(lit("unknown")))
+        when(col("__rule_idx") >= 0, element_at(subs, col("__rule_idx") + 1))
+          .otherwise(lit("unknown")))
       .withColumn("classification_confidence",
-        when(byTopic.isNotNull, 0.9)
+        when(col("__rule_idx") >= 0, 0.9)
           .when(byLang.isNotNull, 0.6)
           .otherwise(0.3))
+      .drop("__rule_idx")
   }
 }
 
