@@ -24,9 +24,13 @@ import java.util.Comparator
   *
   * At 100 TB: partition columns (e.g. `partition_date`) make every
   * downstream equality filter a partition-pruned scan; the swap is a
-  * metadata move, not a data copy.
+  * metadata move, not a data copy. Tables are written zstd-compressed
+  * by default — ~2× the ratio of Spark's snappy default at comparable
+  * scan speed, which at 100 TB is the difference in storage and scan
+  * I/O; override `codec` for hot tables where decode CPU dominates.
   */
-final class ParquetCatalog(spark: SparkSession, root: String) {
+final class ParquetCatalog(spark: SparkSession, root: String,
+    codec: String = "zstd") {
 
   private def tableDir(name: String): Path = Paths.get(root, name)
 
@@ -38,7 +42,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
   /** Atomic full overwrite: write to a temp dir, swap directories. */
   def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val tmp = Paths.get(root, s".tmp-$name-${System.nanoTime()}")
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", codec)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
     val dest = tableDir(name)
@@ -56,13 +60,14 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     else df.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
+      .option("compression", codec)
       .partitionBy(partitionBy: _*)
       .parquet(tableDir(name).toString)
   }
 
   /** Append (the insert-only path when keys are known unique). */
   def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Append)
+    val w = df.write.mode(SaveMode.Append).option("compression", codec)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tableDir(name).toString)
   }
