@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextAnalysis._
 import graft.operators.Dedup
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication extension pack over the `documents`
@@ -266,6 +267,42 @@ object ExtensionQueries {
         HAVING COUNT(*) >= 5
         ORDER BY n_total DESC, token
         LIMIT 100""")),
+
+    // ----------------------------------------------------------------
+    // Bigram language-model counts: corpus-wide (w1, w2) frequencies and
+    // each head word's top-3 continuations — the n-gram LM / next-token
+    // statistics primitive. One explode + hash-agg + per-head window.
+    Q(
+      "t13_bigram_lm",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val bigrams = toks.select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+               i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""))
+          .as("b"))
+          .select(col("b.w1"), col("b.w2"))
+        val counted = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        counted
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("w1").orderBy(col("n").desc, col("w2"))))
+          .filter(col("rk") <= 3)
+          .filter(col("n") >= 10)
+          .orderBy("w1", "rk")
+      },
+      Some("""
+        WITH b AS (
+          SELECT t[i] AS w1, t[i+1] AS w2
+          FROM (SELECT string_split(text, ' ') AS t FROM documents),
+               UNNEST(range(1, len(t))) AS u(i)),
+        c AS (SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY w1, w2),
+        r AS (SELECT w1, w2, n,
+                     ROW_NUMBER() OVER (PARTITION BY w1
+                       ORDER BY n DESC, w2) AS rk
+              FROM c)
+        SELECT w1, w2, n, rk FROM r
+        WHERE rk <= 3 AND n >= 10
+        ORDER BY w1, rk""")),
 
     // ----------------------------------------------------------------
     // Sequence packing for training: global token cumsum over the doc_id

@@ -220,6 +220,39 @@ object VectorQueries {
           JOIN embeddings eb ON eb.vec_id = id_b)
         SELECT id_a, id_b, sim FROM p
         WHERE sim >= 0.4
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // Int8 vector quantization: per-vector absmax scale (rounded to 9dp
+    // so both engines divide by the identical double) and symmetric
+    // round-to-nearest int8 codes — the 4× storage/bandwidth reduction
+    // step before an int8 ANN index. Pure map-side column work.
+    Q(
+      "v7_quantize_int8",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+                    (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))""")
+              .as("scale_raw"))
+          .select(col("vec_id"), round(col("scale_raw"), 9).as("scale"),
+            col("embedding"))
+          .select(col("vec_id"), col("scale"),
+            expr("""transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT))""")
+              .as("q"))
+          .orderBy("vec_id"),
+      Some("""
+        WITH s1 AS (
+          SELECT vec_id, embedding,
+                 round(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 9) AS scale
+          FROM embeddings)
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT))
+                 AS q
+        FROM s1
+        ORDER BY vec_id"""))
   )
 }
