@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Similarity
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -254,5 +255,73 @@ object VectorQueries {
                  AS q
         FROM s1
         ORDER BY vec_id"""))
+  ,
+
+    // ----------------------------------------------------------------
+    // Quantized ANN top-k: v7's int8 codes searched directly — integer
+    // dot products (exact: |q|≤127, 64 dims, far inside int range)
+    // descaled by the two absmax factors. The int8 index is 4× smaller
+    // to scan; ranking stays deterministic because the integer dot is
+    // exact and the descale is one double multiply chain both engines
+    // share. (The integer fold is a HOF here — at scale give it the
+    // DotProductFloat treatment.)
+    Q(
+      "v8_int8_topk",
+      (s, d) => {
+        val quant = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+                    (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))""")
+              .as("scale_raw"))
+          .select(col("vec_id"), round(col("scale_raw"), 9).as("scale"),
+            col("embedding"))
+          .select(col("vec_id"), col("scale"),
+            expr("""transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT))""")
+              .as("q"))
+        val queries = quant.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("scale").as("qscale"),
+            col("q").as("qq"))
+        val corpus = quant
+          .select(col("vec_id").as("neighbor_id"), col("scale").as("cscale"),
+            col("q").as("cq"))
+        corpus.crossJoin(broadcast(queries))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("dot_i",
+            expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), 0, (a, x) -> a + x)"))
+          .withColumn("sim_q", round(
+            col("dot_i").cast("double") * col("qscale") * col("cscale")
+              / 16129.0, 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("sim_q").desc, col("neighbor_id"))))
+          .filter(col("rank") <= 5)
+          .select("query_id", "neighbor_id", "rank", "sim_q")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH s1 AS (
+          SELECT vec_id, embedding,
+                 round(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 9) AS scale
+          FROM embeddings),
+        qt AS (
+          SELECT vec_id, scale,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT))
+                   AS q
+          FROM s1),
+        p AS (
+          SELECT qy.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(CAST(list_sum(list_transform(range(1, ${dim + 1}),
+                     i -> c.q[i] * qy.q[i])) AS DOUBLE)
+                   * qy.scale * c.scale / 16129.0, 6) AS sim_q
+          FROM qt c, qt qy
+          WHERE qy.vec_id < 10 AND c.vec_id != qy.vec_id)
+        SELECT query_id, neighbor_id, rank, sim_q
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim_q DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 }
