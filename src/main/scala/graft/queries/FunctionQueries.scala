@@ -61,6 +61,20 @@ object FunctionQueries {
           FROM lrows r JOIN tot t USING ($id))"""
   }
 
+  /** u1/u2 shared deterministic (prim, topics) derivation. */
+  private val u1BaseSql = """
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN 'Python'
+                      WHEN doc_id % 4 = 1 THEN ''
+                      WHEN doc_id % 4 = 2 THEN 'null' ELSE 'Go' END AS prim,
+                 [CASE WHEN doc_id % 5 = 0 THEN 'python3'
+                       WHEN doc_id % 5 = 1 THEN 'typescript-starter'
+                       WHEN doc_id % 5 = 2 THEN 'web'
+                       WHEN doc_id % 5 = 3 THEN 'golang' ELSE 'c++-lib' END,
+                  CASE WHEN doc_id % 3 = 0 THEN 'docker'
+                       WHEN doc_id % 3 = 1 THEN 'bash' ELSE 'ml' END] AS topics
+          FROM documents"""
+
   val all: Seq[Q] = Seq(
     // U1 (bronze_to_silver_transformation.py:403-445), reference-exact:
     // the 23-entry substring lookup (with its quirks — 'r' matches any
@@ -89,19 +103,36 @@ object FunctionQueries {
           .orderBy("doc_id", "dist_lang")
       },
       Some(s"""
-        WITH ${langDistSql("""
-          SELECT doc_id,
-                 CASE WHEN doc_id % 4 = 0 THEN 'Python'
-                      WHEN doc_id % 4 = 1 THEN ''
-                      WHEN doc_id % 4 = 2 THEN 'null' ELSE 'Go' END AS prim,
-                 [CASE WHEN doc_id % 5 = 0 THEN 'python3'
-                       WHEN doc_id % 5 = 1 THEN 'typescript-starter'
-                       WHEN doc_id % 5 = 2 THEN 'web'
-                       WHEN doc_id % 5 = 3 THEN 'golang' ELSE 'c++-lib' END,
-                  CASE WHEN doc_id % 3 = 0 THEN 'docker'
-                       WHEN doc_id % 3 = 1 THEN 'bash' ELSE 'ml' END] AS topics
-          FROM documents""", "doc_id")}
+        WITH ${langDistSql(u1BaseSql, "doc_id")}
         SELECT doc_id, dist_lang, pct FROM ld
+        ORDER BY doc_id, dist_lang""")),
+
+    // ----------------------------------------------------------------
+    // map_filter over the language-distribution map (§2.8 map suite):
+    // keep only languages holding >= 10% — the map-valued HOF the
+    // reference's key-value distributions imply, over u1's inputs.
+    Q(
+      "u2_langdist_major",
+      (s, d) => {
+        val m4 = col("doc_id") % 4
+        val m5 = col("doc_id") % 5
+        val m3 = col("doc_id") % 3
+        val prim = when(m4 === 0, "Python").when(m4 === 1, "")
+          .when(m4 === 2, "null").otherwise("Go")
+        val t1 = when(m5 === 0, "python3").when(m5 === 1, "typescript-starter")
+          .when(m5 === 2, "web").when(m5 === 3, "golang").otherwise("c++-lib")
+        val t2 = when(m3 === 0, "docker").when(m3 === 1, "bash").otherwise("ml")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(map_filter(
+              Scores.langDistribution(prim, array(t1, t2)),
+              (_, v) => v >= 10.0)).as(Seq("dist_lang", "pct")))
+          .orderBy("doc_id", "dist_lang")
+      },
+      Some(s"""
+        WITH ${langDistSql(u1BaseSql, "doc_id")}
+        SELECT doc_id, dist_lang, pct FROM ld
+        WHERE pct >= 10.0
         ORDER BY doc_id, dist_lang""")),
 
     // ----------------------------------------------------------------
