@@ -206,7 +206,10 @@ object ExtensionQueries {
     // -length payloads built from md5 hex, carried as true BINARY
     // through parquet, with byte length, magic-prefix sniffing (from the
     // binary on the Spark side, from the hex construction in the
-    // oracle), and a first-byte-derived media type.
+    // oracle), and a first-byte-derived media type. The raw BINARY never
+    // reaches the output (the gate's row hash cannot sort bytes) —
+    // instead `payload_md5` digests the binary after a hex round-trip,
+    // so any corruption of the bytes themselves still breaks the hash.
     Q(
       "m1_media_metadata",
       (s, d) => {
@@ -214,11 +217,12 @@ object ExtensionQueries {
         val hexPayload = concat(header,
           expr("repeat(md5(text), CAST(doc_id % 5 + 1 AS INT))"))
         val firstByte = conv(substring(header, 1, 2), 16, 10).cast("int")
+        val payload = unhex(hexPayload)
         Tables.documents(s, d)
           .select(col("doc_id"),
-            unhex(hexPayload).as("payload"),
-            length(unhex(hexPayload)).as("n_bytes"),
-            hex(substring(unhex(hexPayload), 1, 4)).as("magic"),
+            md5(lower(hex(payload))).as("payload_md5"),
+            length(payload).as("n_bytes"),
+            hex(substring(payload, 1, 4)).as("magic"),
             when(firstByte % 3 === 0, "image/jpeg")
               .when(firstByte % 3 === 1, "image/png")
               .otherwise("video/webm").as("media_type"))
@@ -232,7 +236,7 @@ object ExtensionQueries {
                    || repeat(md5(text), CAST(doc_id % 5 + 1 AS INT)) AS hp
           FROM documents)
         SELECT doc_id,
-               from_hex(hp) AS payload,
+               md5(lower(hex(from_hex(hp)))) AS payload_md5,
                octet_length(from_hex(hp)) AS n_bytes,
                upper(substr(hp, 1, 8)) AS magic,
                CASE ((strpos('0123456789abcdef', substr(hdr, 1, 1)) - 1) * 16

@@ -202,13 +202,19 @@ object FunctionQueries {
     // 101-149): the one-row summary with top-5 arrays and diversity
     // ratios — computed as single-pass aggregates where the reference
     // collect()s driver-side. The oracle re-derives every input scalar
-    // (classification, quality score, is_active) independently.
+    // (classification, quality score, is_active) independently. The
+    // library API keeps the top-5 lists as real arrays; the gate view
+    // CSV-joins them (the gate's row hash cannot sort array cells).
     Q(
       "g3_portfolio_overview",
       (s, d) =>
         Gold.portfolioOverview(
           Silver.transform(DemoBronze.fromPart(s, d), "2024-06-15"),
-          "2024-06-15"),
+          "2024-06-15")
+          .withColumn("primary_technologies",
+            concat_ws(",", col("primary_technologies")))
+          .withColumn("primary_languages",
+            concat_ws(",", col("primary_languages"))),
       Some {
         def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
         s"""
@@ -247,7 +253,8 @@ object FunctionQueries {
                          LEAST(COUNT(*), 5) AS ln FROM lc)
         SELECT total_repositories, total_stars, total_forks,
                active_repositories, avg_quality_score, total_size_mb,
-               primary_technologies, primary_languages,
+               array_to_string(primary_technologies, ',') AS primary_technologies,
+               array_to_string(primary_languages, ',') AS primary_languages,
                (tn / GREATEST(total_repositories, 1)
                  + ln / GREATEST(total_repositories, 1)) / 2.0
                  AS portfolio_diversity_score,

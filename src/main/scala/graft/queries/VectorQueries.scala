@@ -227,7 +227,10 @@ object VectorQueries {
     // Int8 vector quantization: per-vector absmax scale (rounded to 9dp
     // so both engines divide by the identical double) and symmetric
     // round-to-nearest int8 codes — the 4× storage/bandwidth reduction
-    // step before an int8 ANN index. Pure map-side column work.
+    // step before an int8 ANN index. Pure map-side column work. The
+    // codes ship as a CSV string (the gate's row hash cannot sort raw
+    // arrays), and the divide is guarded against all-zero vectors
+    // (scale = 0 → NaN/div-by-zero skew between engines).
     Q(
       "v7_quantize_int8",
       (s, d) =>
@@ -239,9 +242,11 @@ object VectorQueries {
           .select(col("vec_id"), round(col("scale_raw"), 9).as("scale"),
             col("embedding"))
           .select(col("vec_id"), col("scale"),
-            expr("""transform(embedding,
-                    x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT))""")
-              .as("q"))
+            expr("""array_join(transform(embedding,
+                    x -> CAST(CAST(round(CAST(x AS DOUBLE)
+                           / greatest(scale, 1e-9) * 127.0, 0) AS INT)
+                         AS STRING)), ',')""")
+              .as("q_csv"))
           .orderBy("vec_id"),
       Some("""
         WITH s1 AS (
@@ -250,9 +255,10 @@ object VectorQueries {
                    x -> abs(CAST(x AS DOUBLE)))), 9) AS scale
           FROM embeddings)
         SELECT vec_id, scale,
-               list_transform(embedding,
-                 x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT))
-                 AS q
+               array_to_string(list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE)
+                        / greatest(scale, 1e-9) * 127.0, 0) AS INT)), ',')
+                 AS q_csv
         FROM s1
         ORDER BY vec_id"""))
   ,
@@ -277,7 +283,8 @@ object VectorQueries {
             col("embedding"))
           .select(col("vec_id"), col("scale"),
             expr("""transform(embedding,
-                    x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT))""")
+                    x -> CAST(round(CAST(x AS DOUBLE)
+                           / greatest(scale, 1e-9) * 127.0, 0) AS INT))""")
               .as("q"))
         val queries = quant.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("scale").as("qscale"),
@@ -308,7 +315,8 @@ object VectorQueries {
         qt AS (
           SELECT vec_id, scale,
                  list_transform(embedding,
-                   x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0, 0) AS INT))
+                   x -> CAST(round(CAST(x AS DOUBLE)
+                          / greatest(scale, 1e-9) * 127.0, 0) AS INT))
                    AS q
           FROM s1),
         p AS (

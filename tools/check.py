@@ -68,6 +68,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
+        # The driver sorts rows with pandas before hashing; array/binary
+        # cells (ndarray / bytearray) are unhashable there and the whole
+        # query records `err`. Mimic that strictness so such outputs
+        # fail locally too.
+        try:
+            import pandas as pd
+            for df in (got_proj.df(), exp_proj.df()):
+                if len(df.columns):
+                    df.sort_values(by=list(df.columns), inplace=True)
+                pd.util.hash_pandas_object(df, index=False)
+        except TypeError as e:
+            print(f"FAIL {name}: driver-unhashable output ({e})")
+            n_bad += 1
+            continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
             n_bad += 1
