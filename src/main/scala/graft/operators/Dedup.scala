@@ -253,6 +253,10 @@ object Dedup {
       sig = next
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"large-star/small-star did not reach a fixpoint in $maxIter " +
+        "rounds — labeling a non-fixpoint edge set would return wrong " +
+        "clusters; raise maxIter")
     // stars: every node's label is its min neighbor (the center), or
     // itself for singletons
     val labels = edges.select(col("src").as("id"), col("dst").as("l"))

@@ -21,14 +21,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object Prefix {
 
-  /** Global running total of `valueCol` (cast to long) over the total
-    * order given by `orderCols`, without a single-partition window. */
+  /** Global running total of `valueCol` (cast to long; nulls count as
+    * 0) over the total order given by `orderCols`, without a
+    * single-partition window. Values may be negative — partition
+    * offsets come from per-partition SUMs, not the (non-monotone when
+    * negative) running max. */
   def globalCumsum(df: DataFrame, orderCols: Seq[String], valueCol: String,
       cumCol: String = "cumsum"): DataFrame = {
     val spark = df.sparkSession
     val sortExprs = orderCols.map(col)
     val partitioned = df
-      .withColumn(valueCol, col(valueCol).cast(LongType))
+      .withColumn(valueCol, coalesce(col(valueCol).cast(LongType), lit(0L)))
       .repartitionByRange(sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
     val vIdx = partitioned.schema.fieldIndex(valueCol)
@@ -44,8 +47,9 @@ object Prefix {
       StructField("__pid", IntegerType) :+ StructField("__cum", LongType))
     val local = spark.createDataFrame(withLocal, schema)
     // per-partition totals -> exclusive prefix offsets (one row per
-    // partition on the driver)
-    val sizes = local.groupBy("__pid").agg(max("__cum").as("total"))
+    // partition on the driver); SUM, not max("__cum") — the running
+    // cum is not monotone when values go negative
+    val sizes = local.groupBy("__pid").agg(sum(col(valueCol)).as("total"))
       .orderBy("__pid").collect()
     val offsets = sizes.scanLeft(0L)(_ + _.getAs[Long]("total")).init
     val offsetMap = sizes.map(_.getAs[Int]("__pid")).zip(offsets).toMap

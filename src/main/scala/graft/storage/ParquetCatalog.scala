@@ -123,11 +123,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   /** Number of data files currently backing the table (compaction
     * telemetry). */
-  def fileCount(name: String): Long =
-    Files.walk(tableDir(name)).filter(p =>
+  def fileCount(name: String): Long = {
+    val s = Files.walk(tableDir(name))
+    try s.filter(p =>
       p.toString.endsWith(".parquet") && Files.isRegularFile(p)).count()
+    finally s.close()
+  }
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-      .forEach(f => Files.delete(f))
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    finally s.close()
+  }
 }

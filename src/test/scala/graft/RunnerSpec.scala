@@ -176,6 +176,28 @@ class RunnerSpec extends SparkSpec {
     assert(viaScale === viaWindow)
   }
 
+  test("globalCumsum handles negative values and nulls in every partition") {
+    // every partition's running cum dips negative at its end, so a
+    // max("__cum")-based partition offset would be wrong everywhere;
+    // nulls must count as 0, not NPE inside mapPartitions
+    val rows = (1 to 400).map { i =>
+      val v: java.lang.Long =
+        if (i % 13 == 0) null
+        else if (i % 2 == 0) java.lang.Long.valueOf(-3L * i)
+        else java.lang.Long.valueOf(i.toLong)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("k", "v").repartition(8)
+    val expect = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (k, v)) =>
+        (k, acc + Option(v).map(_.longValue).getOrElse(0L))
+      }.tail.toMap
+    val got = graft.operators.Prefix
+      .globalCumsum(df, Seq("k"), "v", "cum")
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert(got === expect)
+  }
+
   test("globalRank matches the single-partition window rank") {
     val df = Tables.customer(spark, "/root/testdata/sf0.001")
       .select("c_custkey", "c_acctbal")
