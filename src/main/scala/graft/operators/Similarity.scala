@@ -186,6 +186,49 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Corpus×corpus approximate top-k — the full-kNN-graph shape
+    * (dedup/curation over every document) where the "query set" IS the
+    * corpus, so [[bruteForceTopK]]'s broadcast-the-queries contract
+    * cannot hold. Candidate generation is [[nearDupPairsBanded]]'s
+    * banded hyperplane equi-join on (band, bucket), emitted *directed*
+    * (each id is a query of its bucket-mates), then the exact cosine
+    * and per-query rank window keep the best `k`. Every stage is an
+    * equi-join or hash aggregate — nothing is broadcast, nothing is
+    * quadratic, the corpus shuffles by bucket/id only — so the operator
+    * scales out with executor count. Ids with no bucket-mates return no
+    * rows (ANN semantics); raise `nBands`/lower `planesPerBand` for
+    * recall. Deterministic md5 planes → oracle-reproducible. */
+  def selfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int, nBands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bandCols = (0 until nBands).map { bd =>
+      struct(lit(bd).as("band"),
+        (0 until planesPerBand)
+          .map(p => planeSign(col("v"), bd * planesPerBand + p, dim) * lit(1 << p))
+          .reduce(_ + _).as("bucket"))
+    }
+    val bk = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val cand = bk.select(col("band"), col("bucket"), col("id").as("query_id"))
+      .join(bk.select(col("band"), col("bucket"), col("id").as("neighbor_id")),
+        Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val vq = base.select(col("id").as("query_id"), col("v").as("qv"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+    val vn = base.select(col("id").as("neighbor_id"), col("v").as("nv"))
+      .withColumn("nn", sqrt(dotF(col("nv"), col("nv"))))
+    cand.join(vq, "query_id").join(vn, "neighbor_id")
+      .withColumn("sim",
+        round(dotF(col("qv"), col("nv")) / col("qn") / col("nn"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Quadratic
     * candidate generation — the exact-recall oracle baseline; at scale
     * use [[nearDupPairsBanded]]. */

@@ -330,6 +330,42 @@ object VectorQueries {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY sim_q DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ----------------------------------------------------------------
+    // Corpus×corpus self-top-k: the full-kNN-graph shape where the
+    // query set IS the corpus, so v1/v4/v5's broadcast-the-queries
+    // contract can't hold. Banded-LSH directed candidates (v6's
+    // machinery) + exact cosine + per-query rank window — equi-joins
+    // and hash aggregates only, nothing broadcast, nothing quadratic.
+    // Deterministic md5 planes → the oracle rebuilds identical buckets
+    // and checks the approximate result exactly.
+    Q(
+      "v9_self_topk",
+      (s, d) =>
+        Similarity.selfTopK(
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 5, dim = dim)
+          .orderBy("query_id", "rank"),
+      Some(s"""
+        WITH bk AS (
+          ${(0 until 4).map(bd =>
+            s"SELECT vec_id, $bd AS band, ${bucketSql("embedding", 4, bd * 4)} AS bucket FROM embeddings")
+            .mkString("\n          UNION ALL\n          ")}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.vec_id != b.vec_id),
+        p AS (
+          SELECT query_id, neighbor_id,
+                 ${cosSql("ea.embedding", "eb.embedding")} AS sim
+          FROM cand
+          JOIN embeddings ea ON ea.vec_id = query_id
+          JOIN embeddings eb ON eb.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, rank, sim
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+        WHERE rank <= 5
         ORDER BY query_id, rank"""))
   )
 }

@@ -190,4 +190,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(approxRows.nonEmpty)
   }
+
+  test("selfTopK covers every id's bucket-mates with exact sims") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val self = Similarity.selfTopK(e, "vec_id", "embedding", k = 3, dim = 64)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(self.nonEmpty)
+    // every reported sim must equal the exact cosine for that pair, and
+    // ranks must be 1..n dense per query
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding",
+      k = Int.MaxValue)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    self.foreach { case (q, n, _, s) =>
+      assert(exact((q, n)) === s, s"sim mismatch for ($q,$n)")
+    }
+    self.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq,
+        s"ranks for $q must be dense from 1")
+    }
+    // the planted near-dup pairs (cos >= 0.9 somewhere in the fixture)
+    // are exactly what a kNN-graph dedup needs — they must be recalled
+    // as each other's rank-1 neighbors
+    val hot = exact.filter { case (_, s) => s >= 0.9 }.keySet
+    val found = self.map(t => (t._1, t._2)).toSet
+    assert(hot.forall(found), s"missed high-sim edges: ${hot -- found}")
+  }
 }
