@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Upsert
+import graft.operators.{SqlMerge, Upsert}
 import org.apache.spark.sql.functions._
 
 /** MERGE/upsert semantics pack — the reference's Delta `MERGE INTO`
@@ -170,6 +170,68 @@ object MergeQueries {
                CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus"""))
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ----------------------------------------------------------------
+    // K4's literal API shape: k3's smart merge expressed as the MERGE
+    // statement TEXT a reference notebook would run
+    // (bronze_to_silver_transformation.py:867-920), staged through temp
+    // views and executed by operators.SqlMerge — regex skeleton parse,
+    // Catalyst-parsed assignment expressions, one full-outer shuffle
+    // join. The oracle is k3's: the SQL surface must be
+    // indistinguishable from the programmatic operator.
+    Q(
+      "k7_sql_merge",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 4 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 3 === 0, "Other")
+              .otherwise(col("o_orderpriority")).as("category"),
+            col("o_totalprice").as("metric"))
+          .createOrReplaceTempView("graft_k7_target")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), lit("2-HIGH").as("category"),
+            (col("o_totalprice") + 5.0).as("metric"))
+          .createOrReplaceTempView("graft_k7_source")
+        SqlMerge.run(s, """
+          MERGE INTO graft_k7_target AS target
+          USING graft_k7_source AS source
+          ON target.o_orderkey = source.o_orderkey
+          WHEN MATCHED THEN
+            UPDATE SET
+              metric = source.metric,
+              -- keep a good classification, refresh the metric
+              category = CASE
+                  WHEN target.category = 'Other' OR target.category IS NULL
+                  THEN source.category
+                  ELSE target.category
+              END
+          WHEN NOT MATCHED THEN
+            INSERT *""")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'Other'
+                      ELSE o_orderpriority END AS category,
+                 o_totalprice AS metric
+          FROM orders WHERE o_orderkey % 4 != 0),
+        s AS (
+          SELECT o_orderkey, '2-HIGH' AS category,
+                 o_totalprice + 5.0 AS metric
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE
+                 WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                   THEN CASE WHEN t.category IS NULL OR t.category = 'Other'
+                             THEN s.category ELSE t.category END
+                 WHEN t.o_orderkey IS NULL THEN s.category
+                 ELSE t.category END AS category,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.metric ELSE t.metric END AS metric
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        ORDER BY o_orderkey"""))
   )
 }
