@@ -1,9 +1,10 @@
 package graft.spark
 
-import graft.functions.DotProductFloat
+import graft.functions.{DotProductFloat, MinHashSignature, SimHash64, TopicLangMatches}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session-extension registration (the SURVEY §7.3 (c)-tier mechanism):
   * makes the library's native Catalyst expressions available to pure-SQL
@@ -13,15 +14,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session, `SqlBridge.registerFunction` installs the same builders.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductFloat)
+    ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectFunction(GraftExtensions.simhash64)
+    ext.injectFunction(GraftExtensions.topicLangMatches)
+  }
 }
 
 object GraftExtensions {
+
+  type Registration =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
   /** `dot_product_float(array<float>, array<float>) -> double` — the
     * codegen'd [[DotProductFloat]] as a SQL function. */
-  val dotProductFloat
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  val dotProductFloat: Registration =
     (FunctionIdentifier("dot_product_float"),
       new ExpressionInfo(classOf[DotProductFloat].getName,
         "dot_product_float"),
@@ -30,4 +38,51 @@ object GraftExtensions {
           s"dot_product_float expects 2 arguments, got ${args.length}")
         DotProductFloat(args.head, args(1))
       })
+
+  /** `minhash_sig(text[, num_hashes, shingle_k]) -> array<string>` —
+    * the narrow no-shuffle [[MinHashSignature]]; the hash count and
+    * shingle width must be literals (they parameterize codegen). */
+  val minhashSig: Registration =
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => MinHashSignature(t, 8, 3)
+        case Seq(t, n, k) =>
+          MinHashSignature(t, intLit(n, "num_hashes"), intLit(k, "shingle_k"))
+        case _ => throw new IllegalArgumentException(
+          s"minhash_sig expects 1 or 3 arguments, got ${args.length}")
+      })
+
+  /** `simhash64(text) -> bigint` — the narrow no-shuffle 64-bit
+    * [[SimHash64]] over space-separated tokens. */
+  val simhash64: Registration =
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"simhash64 expects 1 argument, got ${args.length}")
+        SimHash64(args.head)
+      })
+
+  /** `topic_lang_matches(array<string>) -> array<string>` — the
+    * reference-exact 23-entry substring dict scan over a topics array
+    * ([[TopicLangMatches]], U1's hot per-row fold). */
+  val topicLangMatches: Registration =
+    (FunctionIdentifier("topic_lang_matches"),
+      new ExpressionInfo(classOf[TopicLangMatches].getName,
+        "topic_lang_matches"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"topic_lang_matches expects 1 argument, got ${args.length}")
+        TopicLangMatches(args.head)
+      })
+
+  val all: Seq[Registration] =
+    Seq(dotProductFloat, minhashSig, simhash64, topicLangMatches)
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
 }

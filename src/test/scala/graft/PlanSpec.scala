@@ -100,6 +100,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("dot_product_float"), plan)
   }
 
+  test("every native expression registers for SQL and matches its column API") {
+    import graft.spark.GraftExtensions
+    for (reg <- GraftExtensions.all)
+      org.apache.spark.sql.graftbridge.SqlBridge.registerFunction(
+        spark, reg._1.funcName, reg._3)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_sqlfn")
+    val viaSql = spark.sql("""
+      SELECT doc_id,
+             minhash_sig(text) AS mh,
+             minhash_sig(text, 8, 3) AS mh83,
+             simhash64(text) AS sh,
+             topic_lang_matches(split(text, ' ')) AS tl
+      FROM docs_sqlfn""")
+    val viaCol = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.MinHashSignature.minhashSig(col("text")).as("mh"),
+      graft.functions.MinHashSignature.minhashSig(col("text"), 8, 3).as("mh83"),
+      graft.functions.SimHash64.simhash64(col("text")).as("sh"),
+      graft.functions.TopicLangMatches.topicLangs(split(col("text"), " ")).as("tl"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    // the narrow signature path must stay inside whole-stage codegen
+    // from the SQL front-end too
+    val plan = planOf(viaSql)
+    for (fn <- Seq("minhash_sig", "simhash64", "topic_lang_matches"))
+      assert(plan.contains(fn), s"$fn missing from plan:\n$plan")
+    assert(plan.contains("*("), s"plan fell out of codegen:\n$plan")
+  }
+
   test("banded near-dup candidate generation never goes quadratic") {
     for (name <- Seq("v6_neardup_lsh", "d6_simhash_pairs", "d7_simhash_radius",
         "d4_lsh_candidates", "v9_self_topk")) {
