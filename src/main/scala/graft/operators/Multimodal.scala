@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * and decode / feature-extract / resize / frame-sample as distributed
   * per-partition stages.
   *
-  * The DECODE STEP IS STUBBED: this container has no image/audio codecs,
-  * so `decodeBytes` derives deterministic fake pixel statistics from the
-  * payload bytes. Everything around it — the schema contract, the
-  * `mapPartitions` batch shape (one JVM-side batch per partition, the
-  * Scala analogue of `mapInPandas`), partitioning, and the embedding
-  * hand-off into [[Similarity]] — is real and tested, so swapping in a
-  * real codec is a one-function change.
+  * IMAGE DECODE IS REAL: the JDK ships PNG/JPEG/GIF/BMP codecs
+  * (`javax.imageio`), so image rows carry genuine PNG payloads and
+  * `decode` parses them — width/height/mean-luminance come from actual
+  * pixels, not metadata. AUDIO/VIDEO DECODE IS STUBBED (no such codecs
+  * in the JDK or this container): those rows fall back to declared
+  * deterministic byte statistics. Everything around the codec — the
+  * schema contract, the `mapPartitions` batch shape (one JVM-side
+  * batch per partition, the Scala analogue of `mapInPandas`),
+  * partitioning, and the embedding hand-off into [[Similarity]] — is
+  * identical for both paths, so a real audio/video codec is a
+  * one-function swap.
   *
   * Scale design: payload bytes never shuffle — decode/featurize run
   * map-side on the scan partitions; only the small derived columns
@@ -32,40 +36,102 @@ object Multimodal {
       frame_checksum: String)
   final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
 
-  /** Deterministic fake corpus: payload bytes derived from md5(id). */
+  /** Deterministic fake corpus: image rows carry REAL PNG payloads
+    * (JDK codec) with md5-seeded pixels; audio/video rows carry opaque
+    * md5-derived bytes. */
   def fakeMedia(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n.toLong, 1, partitions).map { i =>
-      val digest = org.apache.commons.codec.digest.DigestUtils.md5(s"media|$i")
-      val bytes = Iterator.continually(digest).flatten.take(256 + (i % 64).toInt * 16).toArray
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
-      MediaRow(i, kind, bytes, 64 + (i % 8).toInt * 32, 64 + (i % 5).toInt * 48, "fake")
+      val w = 64 + (i % 8).toInt * 32
+      val h = 64 + (i % 5).toInt * 48
+      if (kind == "image") MediaRow(i, kind, pngBytes(i, w, h), w, h, "png")
+      else {
+        val digest = org.apache.commons.codec.digest.DigestUtils.md5(s"media|$i")
+        val bytes = Iterator.continually(digest).flatten
+          .take(256 + (i % 64).toInt * 16).toArray
+        MediaRow(i, kind, bytes, w, h, "fake")
+      }
     }
   }
 
-  /** STUB decode: deterministic statistics from the raw bytes (a real
-    * implementation would parse the container format here). Pure
-    * function of the payload — identical on any executor. */
-  private[operators] def decodeBytes(bytes: Array[Byte]): (Double, String) = {
+  /** A real PNG: deterministic md5-seeded pixel pattern, encoded with
+    * the JDK's built-in codec. */
+  private[graft] def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val digest = org.apache.commons.codec.digest.DigestUtils.md5(s"media|$seed")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = digest((x * 31 + y * 17) % 16) & 0xff
+        img.setRGB(x, y, (((v + x) & 0xff) << 16) | (((v + y) & 0xff) << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode via the JDK codec: (width, height, mean
+    * luminance in 0–255, ITU-R 601 weights) from the actual pixels.
+    * None when the payload is not a decodable image. */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+    Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum / (w.toLong * h))
+    }
+
+  /** STUB audio/video decode: deterministic statistics from the raw
+    * bytes (a real implementation would parse the container format
+    * here). Pure function of the payload — identical on any executor. */
+  private[operators] def byteStats(bytes: Array[Byte]): Double = {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-    val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-    (mean, org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes))
+    if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
   }
 
   /** Decode stage: mapPartitions over the media rows — the per-partition
-    * iterator is the batch boundary (where a real decoder would reuse a
-    * native context per partition, exactly like `mapInPandas` reuses the
-    * Arrow batch). */
+    * iterator is the batch boundary (a real audio/video decoder would
+    * reuse a native context per partition, exactly like `mapInPandas`
+    * reuses the Arrow batch; ImageIO's disk cache is disabled once per
+    * partition for the same reason). Image rows report REAL decoded
+    * dimensions/luminance; others fall back to metadata dims + byte
+    * stats. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup would initialize a codec context here
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
       rows.map { m =>
-        val (mean, sum) = decodeBytes(m.bytes)
-        DecodedRow(m.media_id, m.kind, m.width, m.height,
-          m.bytes.length.toLong, mean, sum)
+        val checksum = org.apache.commons.codec.digest.DigestUtils.md5Hex(m.bytes)
+        val decoded =
+          if (m.kind == "image") decodeImage(m.bytes) else None
+        decoded match {
+          case Some((w, h, mean)) =>
+            DecodedRow(m.media_id, m.kind, w, h, m.bytes.length.toLong,
+              mean, checksum)
+          case None =>
+            DecodedRow(m.media_id, m.kind, m.width, m.height,
+              m.bytes.length.toLong, byteStats(m.bytes), checksum)
+        }
       }
     }
   }

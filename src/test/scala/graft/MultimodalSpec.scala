@@ -11,13 +11,39 @@ class MultimodalSpec extends SparkSpec {
   test("decode derives stats per row without shuffling payloads") {
     val out = Multimodal.decode(media)
     assert(out.count() === 99)
-    val r = out.filter($"media_id" === 0).head()
-    assert(r.n_bytes === 256)
-    assert(r.mean_intensity > 0 && r.mean_intensity < 255)
-    assert(r.checksum.matches("[0-9a-f]{32}"))
+    // id 0 is an image: REAL PNG decode — dims from the actual pixels
+    val img = out.filter($"media_id" === 0).head()
+    assert(img.width === 64 && img.height === 64)
+    assert(img.mean_intensity > 0 && img.mean_intensity < 255)
+    assert(img.checksum.matches("[0-9a-f]{32}"))
+    // id 1 is audio: declared byte-stats stub on the opaque payload
+    val aud = out.filter($"media_id" === 1).head()
+    assert(aud.n_bytes === 256 + 16)
+    assert(aud.mean_intensity > 0 && aud.mean_intensity < 255)
     // determinism: same id => same checksum on re-run
     val again = Multimodal.decode(media).filter($"media_id" === 0).head()
-    assert(again.checksum === r.checksum)
+    assert(again.checksum === img.checksum)
+  }
+
+  test("image decode is real: dimensions and luminance come from the PNG") {
+    // metadata lies (999×888); the decoder must report the true 40×25
+    val png = Multimodal.pngBytes(7L, 40, 25)
+    val lied = Seq(Multimodal.MediaRow(123L, "image", png, 999, 888, "png")).toDS()
+    val out = Multimodal.decode(lied).head()
+    assert(out.width === 40 && out.height === 25)
+    // luminance must match an independent per-pixel recomputation
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val lum = (for (y <- 0 until 25; x <- 0 until 40) yield {
+      val rgb = img.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+    }).sum / (40 * 25)
+    assert(math.abs(out.mean_intensity - lum) < 1e-9)
+    // a corrupt payload on an image row falls back to the stub, not a crash
+    val broken = Seq(Multimodal.MediaRow(124L, "image",
+      Array.fill[Byte](32)(7), 8, 8, "png")).toDS()
+    val b = Multimodal.decode(broken).head()
+    assert(b.width === 8 && b.height === 8 && b.n_bytes === 32)
   }
 
   test("resize clamps the longest edge and drops payload bytes") {
