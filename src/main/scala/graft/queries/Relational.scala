@@ -75,6 +75,24 @@ object Relational {
         ORDER BY l_returnflag, l_linestatus""")),
 
     // ----------------------------------------------------------------
+    // A1's sketch tier: the same rollup with approx_count_distinct
+    // (HLL++) replacing the exact distinct — the 100 TB form, where the
+    // exact distinct's per-group shuffle of every l_orderkey becomes a
+    // constant-size sketch merged map-side. Oracle-less (sketches are
+    // engine-specific); ScaleVariantSpec pins the ≤5%-of-exact bound at
+    // sf0.1, and the exact a1 stays the correctness gate.
+    Q(
+      "a14_approx_rollup",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders_approx"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      None),
+
+    // ----------------------------------------------------------------
     // A2 (per-category daily/period trend, silver_to_gold_analytics.py:
     // 410-419): two-key groupBy on a derived period column.
     Q(

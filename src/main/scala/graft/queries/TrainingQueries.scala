@@ -247,6 +247,30 @@ object TrainingQueries {
                  COUNT(*) OVER (PARTITION BY lang) AS cnt
           FROM documents)
         WHERE rn = (cnt + 1) // 2
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    // ----------------------------------------------------------------
+    // t7/t9's sketch tier: percentile_approx (KLL-style quantile
+    // sketch) replacing the per-group sort windows — ONE hash-agg pass
+    // with map-side sketch merge instead of a range sort per group; the
+    // shape that survives 100 TB where a full per-group sort won't.
+    // Oracle-less (sketch internals are engine-specific);
+    // ScaleVariantSpec pins the error vs the exact forms at sf0.1, and
+    // exact t7/t9 stay the correctness gate.
+    Q(
+      "t14_approx_percentiles",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+              .as("p50_approx"),
+            percentile_approx(col("o_totalprice"), lit(0.9), lit(10000))
+              .as("p90_approx"),
+            percentile_approx(col("o_totalprice"), lit(0.99), lit(10000))
+              .as("p99_approx"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority"),
+      None)
   )
 }

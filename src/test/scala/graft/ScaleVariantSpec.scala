@@ -46,4 +46,56 @@ class ScaleVariantSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  test("a14 sketch rollup stays within 5% of a1's exact distinct per group at sf0.1") {
+    val exact = SparkEntry.queries("a1_rollup")(spark, sf01)
+      .select("l_returnflag", "l_linestatus", "n_orders").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val approx = SparkEntry.queries("a14_approx_rollup")(spark, sf01)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_orders_approx")).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, a) <- approx) {
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.05,
+        s"group $k: approx=$a exact=$e")
+    }
+  }
+
+  test("t14 sketch percentiles stay within 1% of t9's exact selection at sf0.1") {
+    val exact = SparkEntry.queries("t9_percentiles")(spark, sf01)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99")))
+      .toMap
+    val approx = SparkEntry.queries("t14_approx_percentiles")(spark, sf01)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("p50_approx"), r.getAs[Double]("p90_approx"),
+          r.getAs[Double]("p99_approx"))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (a50, a90, a99)) <- approx) {
+      val (e50, e90, e99) = exact(k)
+      for (((a, e), p) <- Seq(a50 -> e50, a90 -> e90, a99 -> e99)
+          .zip(Seq("p50", "p90", "p99")))
+        assert(math.abs(a - e) / e < 0.01, s"group $k $p: approx=$a exact=$e")
+    }
+  }
+
+  test("sketch median of document lengths stays within 5% of t7's exact at sf0.1") {
+    val exact = SparkEntry.queries("t7_length_median")(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("median_chars")).toMap
+    val approx = Tables.documents(spark, sf01)
+      .groupBy("lang")
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("m")).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, a) <- approx) {
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"lang $k: approx=$a exact=$e")
+    }
+  }
 }
