@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.functions.TextAnalysis
+import graft.operators.{AsOfJoin, Contamination}
 import graft.pipeline.Activity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -271,6 +272,102 @@ object TrainingQueries {
               .as("p99_approx"),
             count(lit(1)).as("n_orders"))
           .orderBy("o_orderpriority"),
-      None)
+      None),
+
+    // ----------------------------------------------------------------
+    // Intra-document repetition (the Gopher-style quality filter):
+    // duplicate-3-gram fraction and most-frequent-3-gram share per doc.
+    // The Spark side is entirely NARROW — grams, sort, and the
+    // longest-equal-run fold happen inside the row, no explode, no
+    // shuffle (the 100 TB shape for a per-doc filter); the oracle
+    // restates the same statistics relationally.
+    Q(
+      "t15_repetition",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("r", TextAnalysis.ngramRepetition(col("text"), 3))
+          .filter(col("r.n_grams") > 0)
+          .select(col("doc_id"),
+            col("r.n_grams").as("n_grams"),
+            col("r.n_distinct").as("n_distinct"),
+            round(lit(1.0) - col("r.n_distinct") / col("r.n_grams").cast("double"), 6)
+              .as("dup_frac"),
+            round(col("r.top_n") / col("r.n_grams").cast("double"), 6)
+              .as("top_frac"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH g AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               UNNEST(range(1, len(t) - 1)) AS u(i)),
+        c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+        s AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+                     COUNT(*) AS n_distinct, MAX(n) AS top_n
+              FROM c GROUP BY 1)
+        SELECT doc_id, n_grams, n_distinct,
+               round(1.0 - n_distinct / CAST(n_grams AS DOUBLE), 6) AS dup_frac,
+               round(top_n / CAST(n_grams AS DOUBLE), 6) AS top_frac
+        FROM s
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Benchmark-contamination sweep: t6's deterministic 80/20 split,
+    // then every held-out doc audited for word-3-gram overlap with the
+    // train corpus — overlapping train docs, largest single-doc
+    // overlap, and covered-shingle share (zeros when clean). Candidate
+    // generation is the equi-join on the shingle; nothing pairwise.
+    Q(
+      "c1_contamination",
+      (s, d) => {
+        val split = Tables.documents(s, d)
+          .withColumn("bucket", expr(
+            """(position(substr(md5(CAST(doc_id AS STRING)), 1, 1)
+                 IN '0123456789abcdef') - 1) * 16
+             + (position(substr(md5(CAST(doc_id AS STRING)), 2, 1)
+                 IN '0123456789abcdef') - 1)"""))
+        Contamination.report(
+          split.filter(col("bucket") % 100 < 80),
+          split.filter(col("bucket") % 100 >= 80),
+          "doc_id", "text", k = 3)
+          .orderBy("test_id")
+      },
+      Some("""
+        WITH sp AS (
+          SELECT doc_id, text,
+                 ((strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+                   % 100 < 80 AS is_train
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, is_train,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM (SELECT doc_id, is_train, string_split(text, ' ') AS t FROM sp),
+               UNNEST(range(1, len(t) - 1)) AS u(i)),
+        tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE is_train),
+        te AS (SELECT doc_id AS test_id, shingle FROM sh WHERE NOT is_train),
+        pairs AS (
+          SELECT test_id, train_id, COUNT(*) AS n_common
+          FROM te JOIN tr USING (shingle) GROUP BY 1, 2),
+        pt AS (SELECT test_id, COUNT(*) AS n_train_docs,
+                      MAX(n_common) AS max_common
+               FROM pairs GROUP BY 1),
+        sz AS (SELECT test_id, COUNT(*) AS n_shingles FROM te GROUP BY 1),
+        fnd AS (SELECT test_id, COUNT(*) AS n_found
+                FROM (SELECT DISTINCT te.test_id, te.shingle
+                      FROM te JOIN tr ON te.shingle = tr.shingle)
+                GROUP BY 1)
+        SELECT sz.test_id,
+               COALESCE(pt.n_train_docs, 0) AS n_train_docs,
+               COALESCE(pt.max_common, 0) AS max_common,
+               sz.n_shingles,
+               COALESCE(fnd.n_found, 0) AS n_found,
+               round(COALESCE(fnd.n_found, 0)
+                 / CAST(sz.n_shingles AS DOUBLE), 6) AS contaminated_frac
+        FROM sz
+        LEFT JOIN pt ON sz.test_id = pt.test_id
+        LEFT JOIN fnd ON sz.test_id = fnd.test_id
+        ORDER BY sz.test_id"""))
   )
 }

@@ -216,4 +216,45 @@ class DedupSimilaritySpec extends SparkSpec {
     val found = self.map(t => (t._1, t._2)).toSet
     assert(hot.forall(found), s"missed high-sim edges: ${hot -- found}")
   }
+
+  test("contamination report finds planted train/test overlap with exact counts") {
+    import graft.operators.Contamination
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "totally unrelated training words here")).toDF("id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma delta zeta"),   // shares 2 3-grams with doc 1
+      (11L, "clean holdout document nothing shared"),
+      (12L, "xx one two three four yy")        // shares 2 3-grams with doc 2
+    ).toDF("id", "text")
+    val rep = Contamination.report(train, test, "id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("test_id") ->
+        (r.getAs[Long]("n_train_docs"), r.getAs[Long]("max_common"),
+          r.getAs[Long]("n_shingles"), r.getAs[Long]("n_found"))).toMap
+    // doc 10: grams {abg, bgd, gdz}; train doc 1 has {abg, bgd, gde} -> 2
+    assert(rep(10L) === ((1L, 2L, 3L, 2L)))
+    assert(rep(11L) === ((0L, 0L, 3L, 0L)))
+    assert(rep(12L) === ((1L, 2L, 4L, 2L)))
+  }
+
+  test("contamination df-cap drops stop-phrase shingles from candidates") {
+    import graft.operators.Contamination
+    // "the end of" appears in EVERY train doc (df=3) — a stop phrase;
+    // the real signal is doc 1's unique overlap
+    val train = Seq(
+      (1L, "unique alpha signal the end of"),
+      (2L, "other words entirely the end of"),
+      (3L, "more filler text the end of")).toDF("id", "text")
+    val test = Seq((10L, "unique alpha signal the end of")).toDF("id", "text")
+    val capped = Contamination.overlapPairs(train, test, "id", "text",
+      k = 3, maxShingleDf = Some(2))
+      .collect().map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"))
+        -> r.getAs[Long]("n_common")).toMap
+    // with the stop-shingle dropped only doc 1's genuine grams remain
+    assert(capped.keySet === Set((10L, 1L)))
+    val uncapped = Contamination.overlapPairs(train, test, "id", "text", k = 3)
+      .collect()
+    assert(uncapped.length === 3, "without the cap every train doc collides")
+  }
 }

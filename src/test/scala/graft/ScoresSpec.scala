@@ -97,4 +97,18 @@ class ScoresSpec extends SparkSpec {
       .select(TextAnalysis.fingerprint($"text")).as[String].head()
     assert(fp === fp2)
   }
+
+  test("ngram repetition stats match hand-computed values") {
+    // "a b a b a b": 3-grams = [aba, bab, aba, bab] -> 4 total, 2
+    // distinct, most frequent appears 2x
+    val out = Seq("a b a b a b", "x y z w", "q q q q q", "a b")
+      .toDF("text")
+      .select(TextAnalysis.ngramRepetition($"text", 3).as("r"))
+      .select($"r.n_grams", $"r.n_distinct", $"r.top_n")
+      .as[(Long, Long, Long)].collect()
+    assert(out(0) === ((4L, 2L, 2L)))
+    assert(out(1) === ((2L, 2L, 1L))) // x y z, y z w — all unique
+    assert(out(2) === ((3L, 1L, 3L))) // q q q three times
+    assert(out(3) === ((0L, 0L, 0L))) // too short
+  }
 }
