@@ -95,32 +95,10 @@ object TextAnalysis {
   /** Intra-document n-gram repetition statistics (the Gopher-style
     * repetition quality filter): `struct(n_grams, n_distinct, top_n)` —
     * total word n-grams, distinct n-grams, and the count of the most
-    * frequent one. Entirely NARROW: grams, a sort, and a fold run
-    * inside the row (higher-order functions), so the filter is
-    * map-side-only at any corpus size — no explode, no shuffle. The
-    * most-frequent count is the longest equal-run of the sorted gram
-    * array (fold keeps (prev, run, best)). Documents with fewer than
-    * `n` tokens report (0, 0, 0). */
-  def ngramRepetition(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
-    val sorted = array_sort(grams)
-    val top = aggregate(
-      sorted,
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    struct(size(grams).cast("long").as("n_grams"),
-      size(array_distinct(grams)).cast("long").as("n_distinct"),
-      top.as("top_n"))
-  }
+    * frequent one. Entirely NARROW (no explode, no shuffle — the
+    * per-doc-filter shape that holds at 100 TB), computed by the
+    * codegen'd [[NgramRepetition]] expression in one hash-map pass per
+    * document. Documents with fewer than `n` tokens report (0, 0, 0). */
+  def ngramRepetition(text: Column, n: Int): Column =
+    NgramRepetition.ngramRepetition(text, n)
 }
