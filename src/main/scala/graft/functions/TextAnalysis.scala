@@ -92,6 +92,34 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** PII patterns for the pre-training scrub pass: emails, URLs, and
+    * NANP-style phone numbers. Deliberately conservative and
+    * RE2-compatible (no lookarounds, no backrefs) so any engine —
+    * Spark's Java regex, DuckDB/RE2 — reproduces the identical
+    * redaction; that reproducibility is what makes the scrub
+    * oracle-checkable. Order matters and is part of the contract:
+    * emails redact before URLs so `http://user@host/` becomes
+    * `http://<EMAIL>/` then `<URL>`, identically everywhere. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "URL" -> "https?://[^\\s]+",
+    "PHONE" -> "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b")
+
+  /** Redact every PII match with its `<KIND>` token. Map-side only. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (kind, p)) =>
+      regexp_replace(c, p, s"<$kind>")
+    }
+
+  /** Per-kind PII match counts:
+    * `struct(n_email, n_url, n_phone)` — the audit/reporting side of
+    * the scrub (counted on the ORIGINAL text, before redaction). */
+  def piiCounts(text: Column): Column =
+    struct(piiPatterns.map { case (kind, p) =>
+      size(regexp_extract_all(text, lit(p), lit(0))).cast("long")
+        .as(s"n_${kind.toLowerCase}")
+    }: _*)
+
   /** Intra-document n-gram repetition statistics (the Gopher-style
     * repetition quality filter): `struct(n_grams, n_distinct, top_n)` —
     * total word n-grams, distinct n-grams, and the count of the most

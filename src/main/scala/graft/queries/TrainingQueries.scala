@@ -368,6 +368,51 @@ object TrainingQueries {
         FROM sz
         LEFT JOIN pt ON sz.test_id = pt.test_id
         LEFT JOIN fnd ON sz.test_id = fnd.test_id
-        ORDER BY sz.test_id"""))
+        ORDER BY sz.test_id""")),
+
+    // ----------------------------------------------------------------
+    // PII scrub (the pre-training redaction pass): deterministic PII
+    // injected into every 7th doc, then per-kind match counts and the
+    // fully-redacted text (as md5 — the gate needn't carry megabytes).
+    // RE2-compatible patterns mean DuckDB reproduces the identical
+    // redaction byte-for-byte; map-side only, no shuffle.
+    Q(
+      "t16_pii_scrub",
+      (s, d) => {
+        val injected = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" reach jane.doe+x@mail-example.org" +
+            " or https://ex.io/p?q=1 or 555-123-4567")))
+          .otherwise(col("text"))
+        Tables.documents(s, d)
+          .withColumn("text", injected)
+          .withColumn("c", TextAnalysis.piiCounts(col("text")))
+          .select(col("doc_id"),
+            col("c.n_email").as("n_email"),
+            col("c.n_url").as("n_url"),
+            col("c.n_phone").as("n_phone"),
+            md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val Seq(email, url, phone) = TextAnalysis.piiPatterns.map(_._2)
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' reach jane.doe+x@mail-example.org' ||
+                           ' or https://ex.io/p?q=1 or 555-123-4567'
+                      ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_url,
+               CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '$email', '<EMAIL>', 'g'),
+                 '$url', '<URL>', 'g'),
+                 '$phone', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM t
+        ORDER BY doc_id"""
+      })
   )
 }

@@ -98,6 +98,21 @@ class ScoresSpec extends SparkSpec {
     assert(fp === fp2)
   }
 
+  test("pii scrub redacts emails/urls/phones and counts match") {
+    val df = Seq(
+      "mail bob@x.io and visit https://a.b/c?d=1 or call 555-123-4567 now",
+      "no pii here at all",
+      "two mails a@b.co c.d@e-f.org").toDF("text")
+    val scrubbed = df.select(TextAnalysis.scrubPii($"text")).as[String].collect()
+    assert(scrubbed(0) === "mail <EMAIL> and visit <URL> or call <PHONE> now")
+    assert(scrubbed(1) === "no pii here at all")
+    assert(scrubbed(2) === "two mails <EMAIL> <EMAIL>")
+    val counts = df.select(TextAnalysis.piiCounts($"text").as("c"))
+      .select($"c.n_email", $"c.n_url", $"c.n_phone")
+      .as[(Long, Long, Long)].collect()
+    assert(counts.toSeq === Seq((1L, 1L, 1L), (0L, 0L, 0L), (2L, 0L, 0L)))
+  }
+
   test("ngram repetition stats match hand-computed values") {
     // "a b a b a b": 3-grams = [aba, bab, aba, bab] -> 4 total, 2
     // distinct, most frequent appears 2x
