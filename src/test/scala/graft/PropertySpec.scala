@@ -111,6 +111,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ngram repetition expression matches an independent Scala model") {
+    def model(text: String, n: Int): (Long, Long, Long) = {
+      val toks = text.split(" ", -1)
+      if (toks.length < n) (0L, 0L, 0L)
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toList
+        val counts = grams.groupBy(identity).map { case (_, v) => v.size }
+        (grams.size.toLong, counts.size.toLong, counts.max.toLong)
+      }
+    }
+    // small vocab forces heavy gram collisions; include empty tokens
+    // (consecutive spaces survive split(" ", -1) as "")
+    val texts = Gen.listOfN(300,
+      Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "", "zz"))
+        .map(_.mkString(" "))).sample.get
+    val got = texts.toDF("text")
+      .select(graft.functions.TextAnalysis.ngramRepetition($"text", 3).as("r"))
+      .select($"r.n_grams", $"r.n_distinct", $"r.top_n")
+      .as[(Long, Long, Long)].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g === model(t, 3), s"text '$t'")
+    }
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     // heavily skewed: 90% of big-side rows share one key
     val big = (1 to 2000).map(i =>
