@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's SQL `MERGE INTO` surface (SURVEY.md §2.2 K2–K4):
@@ -10,43 +10,61 @@ import org.apache.spark.sql.functions._
   * 303-336,417-433`). Without Delta, Spark cannot execute `MERGE INTO`
   * against parquet — so this wrapper accepts the statement *text*,
   * parses the skeleton (target/source/aliases/ON keys/WHEN clauses) at
-  * regex level, hands every UPDATE SET right-hand side to Catalyst's
-  * own expression parser, and runs [[Upsert]]-style full-outer-join
-  * semantics. A reference notebook's MERGE string runs verbatim; the
-  * caller writes the returned frame back (the reference's `spark.sql`
-  * write-back is Delta's half of MERGE, not the semantics').
+  * regex level, hands every condition and UPDATE SET right-hand side to
+  * Catalyst's own expression parser, and runs [[Upsert]]-style
+  * full-outer-join semantics. A reference notebook's MERGE string runs
+  * verbatim; the caller writes the returned frame back (the reference's
+  * `spark.sql` write-back is Delta's half of MERGE, not the
+  * semantics').
   *
-  * Statement forms covered — exactly the reference's usage:
-  *   - `WHEN MATCHED THEN UPDATE SET c = source.c, c2 = CASE ... END`
-  *     (columns not listed KEEP the target value — note this differs
-  *     from [[Upsert.merge]]'s update-everything default);
-  *   - `WHEN NOT MATCHED THEN INSERT *`;
-  *   - either clause may be absent: no-MATCHED = insert-only merge, no
-  *     NOT-MATCHED = source-only rows are dropped (true MERGE
-  *     semantics);
+  * Statement forms covered — the full Delta-style action surface:
+  *   - any number of ordered `WHEN MATCHED [AND <cond>] THEN
+  *     UPDATE SET c = source.c, c2 = CASE ... END | DELETE` clauses —
+  *     the FIRST clause whose condition holds applies; matched rows
+  *     hitting no clause (or columns not listed in the applied SET)
+  *     keep the target value — note this differs from
+  *     [[Upsert.merge]]'s update-everything default;
+  *   - `WHEN NOT MATCHED THEN INSERT *`; absent → source-only rows are
+  *     dropped (true MERGE semantics);
   *   - `ON target.k = source.k [AND ...]` composite equi-keys;
-  *   - `--` comments anywhere (the reference statement has them).
+  *   - `--` comments anywhere (the reference statement has them);
+  *   - CASE..END expressions in conditions and assignments (the clause
+  *     split is CASE-aware — a CASE's own WHENs are not clause
+  *     boundaries).
   *
   * Execution shape is identical to [[Upsert.merge]]: ONE full-outer
-  * shuffle join on the key columns; assignment expressions are Catalyst
-  * expressions over the aliased join, inside whole-stage codegen.
+  * shuffle join on the key columns; conditions and assignments are
+  * Catalyst expressions over the aliased join, inside whole-stage
+  * codegen.
   */
 object SqlMerge {
+
+  sealed trait MatchedAction { def cond: Option[String] }
+  final case class UpdateAction(cond: Option[String],
+      set: Seq[(String, String)]) extends MatchedAction
+  final case class DeleteAction(cond: Option[String]) extends MatchedAction
 
   final case class ParsedMerge(
       targetTable: String, targetAlias: String,
       sourceTable: String, sourceAlias: String,
       onPairs: Seq[(String, String)],
-      updateSet: Option[Seq[(String, String)]],
-      insertAll: Boolean)
+      matchedActions: Seq[MatchedAction],
+      insertAll: Boolean) {
+    /** First UPDATE clause's assignments (the common single-clause
+      * case). */
+    def updateSet: Option[Seq[(String, String)]] =
+      matchedActions.collectFirst { case UpdateAction(_, s) => s }
+  }
 
   private val headRe =
     ("(?i)^MERGE INTO (\\S+)(?: (?:AS )?(?!USING\\b)(\\w+))?" +
-      " USING (\\S+)(?: (?:AS )?(?!ON\\b)(\\w+))? ON (.+?)( WHEN .+)$").r
-  private val matchedRe =
-    "(?is)WHEN MATCHED THEN UPDATE SET (.*?)(?= WHEN NOT MATCHED|$)".r
-  private val notMatchedRe =
-    "(?i)WHEN NOT MATCHED THEN INSERT \\*".r
+      " USING (\\S+)(?: (?:AS )?(?!ON\\b)(\\w+))? ON (.+?) WHEN (.+)$").r
+  private val updRe =
+    "(?is)^MATCHED(?: AND (.+?))? THEN UPDATE SET (.+)$".r
+  private val delRe =
+    "(?is)^MATCHED(?: AND (.+?))? THEN DELETE$".r
+  private val insRe =
+    "(?i)^NOT MATCHED THEN INSERT \\*$".r
   private val onPairRe =
     "(?i)^(\\w+)\\.(\\w+) ?= ?(\\w+)\\.(\\w+)$".r
 
@@ -58,7 +76,6 @@ object SqlMerge {
         s"not a MERGE INTO ... USING ... ON ... WHEN ... statement: $flat"))
     val (tTab, tAl) = (m.group(1), Option(m.group(2)).getOrElse(m.group(1)))
     val (sTab, sAl) = (m.group(3), Option(m.group(4)).getOrElse(m.group(3)))
-    val whenTail = m.group(6)
 
     val onPairs = splitTopLevel(m.group(5), "(?i) AND ").map(_.trim).map {
       case onPairRe(a, ak, b, bk) =>
@@ -70,27 +87,27 @@ object SqlMerge {
         s"unsupported ON term (equi-key only): $other")
     }
 
-    val updateSet = matchedRe.findFirstMatchIn(whenTail).map { um =>
-      splitAssignments(um.group(1).trim).map { a =>
-        val eq = topLevelIndexOf(a, '=')
-        require(eq > 0, s"malformed assignment: $a")
-        val lhs = a.take(eq).trim
-        val colName = lhs.split('.').last // strip optional target. prefix
-        colName -> a.drop(eq + 1).trim
-      }
+    // ordered WHEN clauses: split the tail on WHEN tokens that sit at
+    // paren depth 0 AND outside any CASE..END (a CASE's own WHENs are
+    // part of an assignment expression, not clause boundaries)
+    val clauses = splitClauses(m.group(6)).map(_.trim)
+    var insertAll = false
+    val matched = clauses.flatMap {
+      case updRe(cond, set) =>
+        Some(UpdateAction(Option(cond).map(_.trim),
+          splitAssignments(set.trim).map { a =>
+            val eq = topLevelIndexOf(a, '=')
+            require(eq > 0, s"malformed assignment: $a")
+            a.take(eq).trim.split('.').last -> a.drop(eq + 1).trim
+          }))
+      case delRe(cond) => Some(DeleteAction(Option(cond).map(_.trim)))
+      case c if insRe.findFirstIn(c).isDefined => insertAll = true; None
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN clause (UPDATE SET / DELETE / INSERT * only): WHEN $other")
     }
-    val insertAll = notMatchedRe.findFirstIn(whenTail).isDefined
-    // unsupported clause shapes must fail loudly, not silently drop or
-    // keep rows (e.g. `WHEN MATCHED AND cond`, `INSERT (cols) VALUES`)
-    require(updateSet.isDefined ||
-      !"(?i)WHEN MATCHED".r.findFirstIn(whenTail).isDefined,
-      s"unsupported WHEN MATCHED form (only `WHEN MATCHED THEN UPDATE SET ...`): $whenTail")
-    require(insertAll ||
-      !"(?i)WHEN NOT MATCHED".r.findFirstIn(whenTail).isDefined,
-      s"unsupported WHEN NOT MATCHED form (only `INSERT *`): $whenTail")
-    require(updateSet.isDefined || insertAll,
-      "MERGE needs at least one WHEN clause (UPDATE SET or INSERT *)")
-    ParsedMerge(tTab, tAl, sTab, sAl, onPairs, updateSet, insertAll)
+    require(matched.nonEmpty || insertAll,
+      "MERGE needs at least one WHEN clause")
+    ParsedMerge(tTab, tAl, sTab, sAl, onPairs, matched, insertAll)
   }
 
   /** Parse and execute `mergeSql` against the session catalog (the
@@ -119,24 +136,72 @@ object SqlMerge {
       col(s"${p.targetAlias}.__t").isNotNull &&
         col(s"${p.sourceAlias}.__s").isNotNull
     val sourceOnly = col(s"${p.targetAlias}.__t").isNull
-    val assign = p.updateSet.getOrElse(Nil)
-      .map { case (c, rhs) => c.toLowerCase -> rhs }.toMap
+
+    // first matching clause index under `matched`, -1 = no clause hits
+    val actionIdx = p.matchedActions.zipWithIndex
+      .foldRight(lit(-1): Column) { case ((a, i), els) =>
+        when(a.cond.map(expr).getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    val act = when(matched, actionIdx).otherwise(lit(-1))
+    val deleteIdx = p.matchedActions.zipWithIndex
+      .collect { case (_: DeleteAction, i) => i }
+    val updates = p.matchedActions.zipWithIndex
+      .collect { case (u: UpdateAction, i) =>
+        i -> u.set.map { case (c, rhs) => c.toLowerCase -> rhs }.toMap
+      }
+
     val outCols = target.columns.toSeq.map { c =>
       val tc = col(s"${p.targetAlias}.$c")
       val sc = col(s"${p.sourceAlias}.$c")
       val out = keyOf.get(c) match {
         case Some(sk) => coalesce(tc, col(s"${p.sourceAlias}.$sk"))
         case None =>
-          val onMatch = assign.get(c.toLowerCase).map(expr).getOrElse(tc)
+          val onMatch = updates.foldRight(tc) { case ((i, set), els) =>
+            when(col("__act") === i,
+              set.get(c.toLowerCase).map(expr).getOrElse(tc)).otherwise(els)
+          }
           if (p.insertAll)
             when(matched, onMatch).when(sourceOnly, sc).otherwise(tc)
           else when(matched, onMatch).otherwise(tc)
       }
       out.as(c)
     }
-    t.join(s, cond, "full_outer")
-      .filter(if (p.insertAll) lit(true) else !sourceOnly)
-      .select(outCols: _*)
+    val joined = t.join(s, cond, "full_outer").withColumn("__act", act)
+    val kept = deleteIdx.foldLeft(
+      if (p.insertAll) joined else joined.filter(!sourceOnly)) {
+      (df, i) => df.filter(col("__act") =!= i)
+    }
+    kept.select(outCols: _*)
+  }
+
+  /** Split the WHEN-clause tail at `WHEN` word tokens that are at
+    * paren depth 0 and not inside a CASE..END expression. */
+  private def splitClauses(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var paren = 0
+    var caseDepth = 0
+    var i = 0
+    def wordAt(w: String): Boolean =
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+        (i + w.length >= s.length ||
+          !Character.isLetterOrDigit(s.charAt(i + w.length)))
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '(') paren += 1 else if (ch == ')') paren -= 1
+      if (paren == 0 && wordAt("CASE")) {
+        caseDepth += 1; cur ++= s.substring(i, i + 4); i += 4
+      } else if (paren == 0 && caseDepth > 0 && wordAt("END")) {
+        caseDepth -= 1; cur ++= s.substring(i, i + 3); i += 3
+      } else if (paren == 0 && caseDepth == 0 && wordAt("WHEN")) {
+        parts += cur.toString; cur.clear(); i += 4
+      } else {
+        cur += ch; i += 1
+      }
+    }
+    parts += cur.toString
+    parts.filter(_.trim.nonEmpty).toSeq
   }
 
   /** Split on a regex separator, but only at paren depth 0. */

@@ -193,13 +193,39 @@ class SqlMergeSpec extends SparkSpec {
     assert(out === Set((1L, "a"), (2L, "b"), (3L, "C")))
   }
 
+  test("conditional matched clauses: first match wins, DELETE drops the row") {
+    Seq((1L, "keep"), (2L, "del"), (3L, "upd"), (4L, "lone"))
+      .toDF("k", "v").createOrReplaceTempView("cmt")
+    Seq((2L, "DEL"), (3L, "NEW"), (5L, "INS"))
+      .toDF("k", "v").createOrReplaceTempView("cms")
+    val out = SqlMerge.run(spark, """
+      MERGE INTO cmt t USING cms s ON t.k = s.k
+      WHEN MATCHED AND t.v = 'del' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+      .as[(Long, String)].collect().toSet
+    // 1: target-only kept; 2: matched+cond -> deleted; 3: matched,
+    // first clause's cond false -> second clause updates; 4: target-only
+    // kept; 5: source-only inserted
+    assert(out === Set((1L, "keep"), (3L, "NEW"), (4L, "lone"), (5L, "INS")))
+    // clause ORDER is semantic: update-first never reaches the delete
+    val swapped = SqlMerge.run(spark, """
+      MERGE INTO cmt t USING cms s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN MATCHED AND t.v = 'del' THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *""")
+      .as[(Long, String)].collect().toSet
+    assert(swapped === Set((1L, "keep"), (2L, "DEL"), (3L, "NEW"),
+      (4L, "lone"), (5L, "INS")))
+  }
+
   test("unsupported clause shapes fail loudly") {
-    intercept[IllegalArgumentException](SqlMerge.parse(
-      "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE"))
     intercept[IllegalArgumentException](SqlMerge.parse(
       "MERGE INTO t USING s ON t.k = s.k " +
         "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"))
     intercept[IllegalArgumentException](SqlMerge.parse(
       "MERGE INTO t USING s ON t.k < s.k WHEN NOT MATCHED THEN INSERT *"))
+    intercept[IllegalArgumentException](SqlMerge.parse(
+      "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN TRUNCATE"))
   }
 }
