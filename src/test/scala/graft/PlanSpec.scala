@@ -129,7 +129,7 @@ class PlanSpec extends SparkSpec {
 
   test("banded near-dup candidate generation never goes quadratic") {
     for (name <- Seq("v6_neardup_lsh", "d6_simhash_pairs", "d7_simhash_radius",
-        "d4_lsh_candidates", "v9_self_topk")) {
+        "d4_lsh_candidates", "v9_self_topk", "c1_contamination")) {
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
