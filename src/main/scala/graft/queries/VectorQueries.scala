@@ -265,12 +265,12 @@ object VectorQueries {
 
     // ----------------------------------------------------------------
     // Quantized ANN top-k: v7's int8 codes searched directly — integer
-    // dot products (exact: |q|≤127, 64 dims, far inside int range)
+    // dot products (exact: |q|≤127, 64 dims, far inside long range)
     // descaled by the two absmax factors. The int8 index is 4× smaller
     // to scan; ranking stays deterministic because the integer dot is
     // exact and the descale is one double multiply chain both engines
-    // share. (The integer fold is a HOF here — at scale give it the
-    // DotProductFloat treatment.)
+    // share. The fold is the codegen'd DotProductInt expression — the
+    // same treatment DotProductFloat gives the float scans.
     Q(
       "v8_int8_topk",
       (s, d) => {
@@ -295,7 +295,7 @@ object VectorQueries {
         corpus.crossJoin(broadcast(queries))
           .filter(col("neighbor_id") =!= col("query_id"))
           .withColumn("dot_i",
-            expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), 0, (a, x) -> a + x)"))
+            graft.functions.VectorExpressions.dotI(col("qq"), col("cq")))
           .withColumn("sim_q", round(
             col("dot_i").cast("double") * col("qscale") * col("cscale")
               / 16129.0, 6))

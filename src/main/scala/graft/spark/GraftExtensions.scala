@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.functions.{DotProductFloat, MinHashSignature, SimHash64, TopicLangMatches}
+import graft.functions.{DotProductFloat, DotProductInt, MinHashSignature, SimHash64, TopicLangMatches}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -14,12 +14,8 @@ import org.apache.spark.sql.types.IntegerType
   * session, `SqlBridge.registerFunction` installs the same builders.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotProductFloat)
-    ext.injectFunction(GraftExtensions.minhashSig)
-    ext.injectFunction(GraftExtensions.simhash64)
-    ext.injectFunction(GraftExtensions.topicLangMatches)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -77,8 +73,20 @@ object GraftExtensions {
         TopicLangMatches(args.head)
       })
 
+  /** `dot_product_int(array<int>, array<int>) -> bigint` — the exact
+    * integer fold for int8-quantized codes ([[DotProductInt]]). */
+  val dotProductInt: Registration =
+    (FunctionIdentifier("dot_product_int"),
+      new ExpressionInfo(classOf[DotProductInt].getName, "dot_product_int"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"dot_product_int expects 2 arguments, got ${args.length}")
+        DotProductInt(args.head, args(1))
+      })
+
   val all: Seq[Registration] =
-    Seq(dotProductFloat, minhashSig, simhash64, topicLangMatches)
+    Seq(dotProductFloat, dotProductInt, minhashSig, simhash64,
+      topicLangMatches)
 
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

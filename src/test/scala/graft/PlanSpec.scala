@@ -106,6 +106,9 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.graftbridge.SqlBridge.registerFunction(
         spark, reg._1.funcName, reg._3)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_sqlfn")
+    assert(spark.sql(
+      "SELECT dot_product_int(array(1, 2), array(3, 4)) AS d")
+      .head().getLong(0) === 11L)
     val viaSql = spark.sql("""
       SELECT doc_id,
              minhash_sig(text) AS mh,
