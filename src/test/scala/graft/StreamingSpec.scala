@@ -76,6 +76,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("merge sink recovers from its checkpoint across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new graft.storage.ParquetCatalog(spark,
+      java.nio.file.Files.createTempDirectory("restart-cat").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("restart-ckpt").toString
+    val input = MemoryStream[Event]
+    def start() = EventsStream.mergeSink(
+      input.toDF().select($"event_id", $"event_type", $"value"),
+      cat, "events_state", Seq("event_id"), ckpt)
+
+    val q1 = start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // data arriving while the query is DOWN...
+    input.addData(Event(2, ts(2), 1, "view", 99.0),
+      Event(3, ts(3), 2, "click", 3.0))
+
+    // ...is picked up exactly once on restart from the same checkpoint:
+    // offsets resume past batch 0, and even a replayed batch would be
+    // idempotent because the sink is a keyed MERGE, not an append
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val out = cat.read("events_state").orderBy("event_id")
+        .as[(Long, String, Double)].collect()
+      assert(out === Seq((1L, "click", 1.0), (2L, "view", 99.0),
+        (3L, "click", 3.0)))
+    } finally q2.stop()
+  }
+
   test("stream-static enrichment broadcast-joins the dimension per batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
