@@ -46,6 +46,45 @@ object TrainingQueries {
         ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // Forward as-of with tolerance (pandas merge_asof parity): attach
+    // the NEXT per-user hourly snapshot to each event, but only when it
+    // starts within 30 minutes — the "what happened next, soon" join
+    // (lead-time attribution, next-checkpoint lookup). Same single
+    // union-and-carry shuffle, reversed order; tolerance is a
+    // post-carry null-out on exact integer-micros arithmetic. Oracle:
+    // DuckDB's native forward ASOF (<=) + the same CASE bound.
+    Q(
+      "j10_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val snaps = ev.groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("hour_start"))
+          .agg(max(col("value")).as("snapshot_max"))
+        val left = ev.select("event_id", "user_id", "ts", "value")
+        AsOfJoin.asOf(left, snaps, "user_id", "ts", "hour_start",
+          direction = "forward", toleranceSec = Some(1800.0))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+            col("value"), col("snapshot_max"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH snaps AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour_start,
+                 MAX(value) AS snapshot_max
+          FROM events GROUP BY 1, 2)
+        SELECT event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+               l.value,
+               CASE WHEN epoch_us(snaps.hour_start) - epoch_us(l.ts)
+                         <= 1800 * 1000000
+                    THEN snaps.snapshot_max END AS snapshot_max
+        FROM events l
+        ASOF LEFT JOIN snaps
+          ON l.user_id = snaps.user_id AND l.ts <= snaps.hour_start
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
     // A7 via period-explode (the single-shuffle replacement of the
     // reference's per-period loop+union, personal_repos_bronze_to_
     // silver.py:578-630), producing the composite-key long format the

@@ -27,6 +27,43 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, ts(5), "x5", null)))   // nothing at-or-before => null (left join)
   }
 
+  test("forward as-of attaches the earliest right row at or after each left ts") {
+    val left = Seq(
+      (1L, ts(0), "e0"), (1L, ts(10), "e10"), (1L, ts(20), "e20"),
+      (2L, ts(5), "x5")
+    ).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts(0), "v0"), (1L, ts(12), "v12"),
+      (2L, ts(3), "v3") // before the only left row for key 2
+    ).toDF("k", "vt", "payload")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "vt",
+      direction = "forward")
+      .orderBy("k", "t").as[(Long, Timestamp, String, String)].collect()
+    assert(out === Seq(
+      (1L, ts(0), "e0", "v0"),     // tie matches in forward mode too
+      (1L, ts(10), "e10", "v12"),  // next right row after ts 10
+      (1L, ts(20), "e20", null),   // nothing at-or-after
+      (2L, ts(5), "x5", null)))    // v3 is BEFORE => no forward match
+  }
+
+  test("tolerance nulls matches farther than the bound, keeps the rest") {
+    val left = Seq((1L, ts(60), "e")).toDF("k", "t", "ev")
+    val right = Seq((1L, ts(0), "old"), (1L, ts(55), "recent"))
+      .toDF("k", "vt", "payload")
+    // backward nearest is ts(55), 5 min away: within 600 s, outside 120 s
+    def run(tol: Double) =
+      AsOfJoin.asOf(left, right, "k", "t", "vt",
+        toleranceSec = Some(tol))
+        .as[(Long, Timestamp, String, String)].head()._4
+    assert(run(600.0) === "recent")
+    assert(run(120.0) === null)
+    // forward with tolerance: nearest-after is missing entirely
+    val fwd = AsOfJoin.asOf(left, right, "k", "t", "vt",
+      direction = "forward", toleranceSec = Some(600.0))
+      .as[(Long, Timestamp, String, String)].head()._4
+    assert(fwd === null)
+  }
+
   test("as-of never drops or duplicates left rows") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select($"event_id", $"user_id", $"ts", $"value")
