@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{AsOfJoin, Contamination}
+import graft.operators.{AsOfJoin, Contamination, InvertedIndex}
 import graft.pipeline.Activity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -452,6 +452,59 @@ object TrainingQueries {
                  '$phone', '<PHONE>', 'g')) AS scrubbed_md5
         FROM t
         ORDER BY doc_id"""
-      })
+      }),
+
+    // ----------------------------------------------------------------
+    // Inverted index: posting lists for the useful middle of the term-
+    // frequency spectrum (the df band — relative to corpus size so it
+    // holds at any sf — drops both hapax noise and stop-word hot keys,
+    // the same skew guard as c1's shingle cap). One explode + one
+    // hash-agg; postings ship CSV'd for the gate.
+    Q(
+      "t17_inverted_index",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count() // bounded driver scalar, like s8's max-date
+        InvertedIndex.build(docs, "doc_id", "text",
+          minDf = (n * 0.05).toLong, maxDf = (n * 0.78).toLong)
+          .select(col("term"), col("df"),
+            concat_ws(",", col("postings")).as("postings"))
+          .orderBy("term")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, t AS term
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        p AS (
+          SELECT term, COUNT(*) AS df,
+                 array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+          FROM tok GROUP BY 1)
+        SELECT term, df, postings FROM p, n
+        WHERE df BETWEEN CAST(floor(0.05 * n_docs) AS BIGINT)
+                     AND CAST(floor(0.78 * n_docs) AS BIGINT)
+        ORDER BY term""")),
+
+    // ----------------------------------------------------------------
+    // Conjunctive search: documents containing ALL query terms, no
+    // index materialization — isin filter at the scan, one
+    // count-matched-terms aggregate.
+    Q(
+      "t18_search_and",
+      (s, d) =>
+        InvertedIndex.searchAll(Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "window", "merge"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, t AS term
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents))
+        SELECT doc_id FROM tok
+        WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY doc_id
+        HAVING COUNT(*) = 3
+        ORDER BY doc_id"""))
   )
 }

@@ -217,6 +217,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hot.forall(found), s"missed high-sim edges: ${hot -- found}")
   }
 
+  test("inverted index builds banded posting lists; AND-search is exact") {
+    import graft.operators.InvertedIndex
+    val docs = Seq(
+      (1L, "spark window merge"),
+      (2L, "spark window"),
+      (3L, "spark spark spark"),   // per-doc distinct: df counts once
+      (4L, "merge window spark"),
+      (5L, "unrelated words")).toDF("id", "text")
+    val idx = InvertedIndex.build(docs, "id", "text", minDf = 2, maxDf = 3)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), r.getAs[collection.Seq[Long]]("postings").toSeq))
+      .toMap
+    // spark df=4 exceeds maxDf; unrelated/words df=1 below minDf
+    assert(idx.keySet === Set("window", "merge"))
+    assert(idx("window") === ((3L, Seq(1L, 2L, 4L))))
+    assert(idx("merge") === ((2L, Seq(1L, 4L))))
+    val hits = InvertedIndex.searchAll(docs, "id", "text",
+      Seq("spark", "window", "merge")).as[Long].collect().sorted
+    assert(hits.toSeq === Seq(1L, 4L))
+  }
+
   test("contamination report finds planted train/test overlap with exact counts") {
     import graft.operators.Contamination
     val train = Seq(
