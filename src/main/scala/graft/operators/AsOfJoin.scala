@@ -38,29 +38,39 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val rtsType = right.schema(rightTs).dataType
 
+    // the whole right row is carried as ONE struct, so the matched
+    // timestamp and payload values stay atomic — carrying them as
+    // separate last(ignoreNulls) columns would let a null payload VALUE
+    // on the nearest row fall through to an older row's value while
+    // __rts pointed at the nearest (wrong match, and wrong tolerance
+    // verdict). With the struct, a nearest row whose payload is null
+    // yields null — merge_asof's "value of the nearest row" semantics.
+    val matchStruct = struct(
+      col(rightTs).as("__rts") +: payloadCols.map(col): _*)
     val taggedRight = right.select(
       (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
-        col(rightTs).as("__rts") +: payloadCols.map(col)) ++
+        matchStruct.as("__match") +: Nil) ++
         leftCols.filterNot(c => c == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val nullMatch = lit(null).cast(
+      taggedRight.schema("__match").dataType).as("__match")
     val taggedLeft = left.select(
       (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:
-        lit(null).cast(rtsType).as("__rts") +:
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))) ++
+        nullMatch +: Nil) ++
         leftCols.filterNot(c => c == key).map(col): _*)
 
     // right rows (tag 0) sort before left rows at equal timestamps =>
-    // a right row taking effect AT ts is visible to that ts's left rows
-    // (in forward mode the time order is reversed, tag order kept)
+    // a right row taking effect AT ts is visible to that ts's left rows.
+    // Forward mode reverses time order but keeps nulls FIRST (desc's
+    // default is nulls last) so a null-ts left row matches nothing in
+    // either direction.
     val ord: Seq[Column] =
       if (direction == "backward") Seq(col("__ts"), col("__tag"))
-      else Seq(col("__ts").desc, col("__tag"))
+      else Seq(col("__ts").desc_nulls_first, col("__tag"))
     val w = Window.partitionBy(key).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = ("__rts" +: payloadCols)
-      .foldLeft(taggedRight.unionByName(taggedLeft)) {
-        case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-    val matchedOnly = carried.filter(col("__tag") === 1)
+    val matchedOnly = taggedRight.unionByName(taggedLeft)
+      .withColumn("__match", last(col("__match"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
 
     val withTol = toleranceSec match {
       case Some(tol) =>
@@ -69,16 +79,14 @@ object AsOfJoin {
           case _ => c.cast("double")
         }
         val lts = epoch(col("__ts"), matchedOnly.schema("__ts").dataType)
-        val rts = epoch(col("__rts"), rtsType)
+        val rts = epoch(col("__match.__rts"), rtsType)
         val diff = if (direction == "backward") lts - rts else rts - lts
-        val ok = col("__rts").isNotNull && diff <= tol
-        payloadCols.foldLeft(matchedOnly) { case (df, c) =>
-          df.withColumn(c, when(ok, col(c)))
-        }
+        val ok = col("__match").isNotNull && diff <= tol
+        matchedOnly.withColumn("__match", when(ok, col("__match")))
       case None => matchedOnly
     }
     withTol.select((col(key) +: col("__ts").as(leftTs) +:
       leftCols.filterNot(c => c == key || c == leftTs).map(col)) ++
-      payloadCols.map(col): _*)
+      payloadCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 }

@@ -24,13 +24,9 @@ object Contamination {
     * every overlapping cross-corpus pair. */
   def overlapPairs(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, k: Int = 3,
-      maxShingleDf: Option[Long] = None): DataFrame = {
-    val te = Dedup.shingles(test, idCol, textCol, k)
-      .select(col(idCol).as("test_id"), col("shingle"))
-    te.join(trainShingles(train, idCol, textCol, k, maxShingleDf), "shingle")
-      .groupBy("test_id", "train_id")
-      .agg(count(lit(1)).as("n_common"))
-  }
+      maxShingleDf: Option[Long] = None): DataFrame =
+    pairsFrom(testShingles(test, idCol, textCol, k),
+      trainShingles(train, idCol, textCol, k, maxShingleDf))
 
   /** Per-held-out-document contamination report: every test doc (with
     * ≥ k tokens) with the number of training docs it overlaps, the
@@ -41,12 +37,11 @@ object Contamination {
   def report(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, k: Int = 3,
       maxShingleDf: Option[Long] = None): DataFrame = {
-    val tr = trainShingles(train, idCol, textCol, k, maxShingleDf)
-    val te = Dedup.shingles(test, idCol, textCol, k)
-      .select(col(idCol).as("test_id"), col("shingle"))
-    val pairs = te.join(tr, "shingle")
-      .groupBy("test_id", "train_id")
-      .agg(count(lit(1)).as("n_common"))
+    // both shingle frames feed two joins each — persist so the
+    // explode+distinct shuffles run once (the d2 pattern)
+    val tr = trainShingles(train, idCol, textCol, k, maxShingleDf).persist()
+    val te = testShingles(test, idCol, textCol, k).persist()
+    val pairs = pairsFrom(te, tr)
     val perTest = pairs.groupBy("test_id").agg(
       count(lit(1)).as("n_train_docs"),
       max(col("n_common")).as("max_common"))
@@ -66,6 +61,16 @@ object Contamination {
         round(coalesce(col("n_found"), lit(0L)) /
           col("n_shingles").cast("double"), 6).as("contaminated_frac"))
   }
+
+  private def pairsFrom(te: DataFrame, tr: DataFrame): DataFrame =
+    te.join(tr, "shingle")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_common"))
+
+  private def testShingles(test: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    Dedup.shingles(test, idCol, textCol, k)
+      .select(col(idCol).as("test_id"), col("shingle"))
 
   private def trainShingles(train: DataFrame, idCol: String, textCol: String,
       k: Int, maxShingleDf: Option[Long]): DataFrame = {

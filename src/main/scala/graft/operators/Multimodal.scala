@@ -78,10 +78,12 @@ object Multimodal {
 
   /** REAL image decode via the JDK codec: (width, height, mean
     * luminance in 0–255, ITU-R 601 weights) from the actual pixels.
-    * None when the payload is not a decodable image. */
+    * None when the payload is not a decodable image — including data
+    * with a valid magic but a corrupt body, where ImageIO.read throws
+    * (IIOException) rather than returning null. */
   private[graft] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
-    Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes))).map { img =>
+    scala.util.Try(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))).toOption.flatMap(Option(_)).map { img =>
       val w = img.getWidth
       val h = img.getHeight
       var sum = 0.0

@@ -114,12 +114,15 @@ object SqlMerge {
     * reference's temp-view staging, K4: views registered with
     * `createOrReplaceTempView` resolve by name). Returns the merged
     * frame in target column order. */
-  def run(spark: SparkSession, mergeSql: String): DataFrame = {
+  def run(spark: SparkSession, mergeSql: String,
+      checkSourceMultiplicity: Boolean = true): DataFrame = {
     val p = parse(mergeSql)
-    execute(spark.table(p.targetTable), spark.table(p.sourceTable), p)
+    execute(spark.table(p.targetTable), spark.table(p.sourceTable), p,
+      checkSourceMultiplicity)
   }
 
-  def execute(target: DataFrame, source: DataFrame, p: ParsedMerge): DataFrame = {
+  def execute(target: DataFrame, source: DataFrame, p: ParsedMerge,
+      checkSourceMultiplicity: Boolean = true): DataFrame = {
     val keyOf = p.onPairs.toMap
     if (p.insertAll) {
       val missing = target.columns.filterNot(c =>
@@ -127,10 +130,31 @@ object SqlMerge {
       require(missing.isEmpty,
         s"INSERT * needs source to carry every target column; missing ${missing.mkString(",")}")
     }
+    // Delta's MERGE raises on a target row matched by MULTIPLE source
+    // rows (silent nondeterministic duplication otherwise); mirror that
+    // with one semi-join + aggregate pre-check. Source keys that match
+    // nothing may repeat freely — INSERT * legally inserts them all.
+    if (checkSourceMultiplicity && p.matchedActions.nonEmpty) {
+      val sKeys = p.onPairs.map(_._2)
+      val tAsS = target.select(p.onPairs.map { case (tk, sk) =>
+        col(tk).as(sk)
+      }: _*)
+      val dup = source.select(sKeys.map(col): _*)
+        .join(tAsS, sKeys, "left_semi")
+        .groupBy(sKeys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        "MERGE: multiple source rows match the same target key " +
+          s"(${sKeys.mkString(",")} = ${dup.head.toSeq.init.mkString(",")}) — " +
+          "deduplicate the source, or pass checkSourceMultiplicity = false")
+    }
     val t = target.withColumn("__t", lit(1)).alias(p.targetAlias)
     val s = source.withColumn("__s", lit(1)).alias(p.sourceAlias)
+    // plain equality, NOT null-safe: SQL MERGE never matches NULL keys
+    // (a NULL-keyed target row is kept as-is, a NULL-keyed source row
+    // is an insert) — k7's oracle joins with = for the same reason
     val cond = p.onPairs.map { case (tk, sk) =>
-      col(s"${p.targetAlias}.$tk") <=> col(s"${p.sourceAlias}.$sk")
+      col(s"${p.targetAlias}.$tk") === col(s"${p.sourceAlias}.$sk")
     }.reduce(_ && _)
     val matched =
       col(s"${p.targetAlias}.__t").isNotNull &&
@@ -182,11 +206,13 @@ object SqlMerge {
     var paren = 0
     var caseDepth = 0
     var i = 0
+    // '_' is a word character in SQL identifiers — week_end / use_case
+    // must not register as END/CASE tokens
+    def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
     def wordAt(w: String): Boolean =
       s.regionMatches(true, i, w, 0, w.length) &&
-        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-        (i + w.length >= s.length ||
-          !Character.isLetterOrDigit(s.charAt(i + w.length)))
+        (i == 0 || !wordChar(s.charAt(i - 1))) &&
+        (i + w.length >= s.length || !wordChar(s.charAt(i + w.length)))
     while (i < s.length) {
       val ch = s.charAt(i)
       if (ch == '(') paren += 1 else if (ch == ')') paren -= 1

@@ -64,6 +64,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd === null)
   }
 
+  test("nearest row wins atomically even when its payload value is null") {
+    // right rows: (ts 0, "a") and (ts 100, null). Left at ts 101 must
+    // get the NEAREST row's value — null — not "a" carried past it;
+    // and with tolerance 5 s the old row must NOT masquerade as a
+    // within-tolerance match.
+    val left = Seq((1L, ts(101), "e")).toDF("k", "t", "ev")
+    val right = Seq((1L, ts(0), "a"), (1L, ts(100), null))
+      .toDF("k", "vt", "payload")
+    val plain = AsOfJoin.asOf(left, right, "k", "t", "vt")
+      .as[(Long, Timestamp, String, String)].head()
+    assert(plain._4 === null, "nearest row's (null) value, not an older row's")
+    val tol = AsOfJoin.asOf(left, right, "k", "t", "vt",
+      toleranceSec = Some(300.0))
+      .as[(Long, Timestamp, String, String)].head()
+    assert(tol._4 === null)
+  }
+
+  test("null left timestamps match nothing in either direction") {
+    val left = Seq((1L, null.asInstanceOf[Timestamp], "e")).toDF("k", "t", "ev")
+    val right = Seq((1L, ts(5), "x")).toDF("k", "vt", "payload")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOfJoin.asOf(left, right, "k", "t", "vt", direction = dir)
+        .as[(Long, Timestamp, String, String)].head()
+      assert(out._4 === null, s"direction $dir must not match a null ts")
+    }
+  }
+
   test("as-of never drops or duplicates left rows") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select($"event_id", $"user_id", $"ts", $"value")

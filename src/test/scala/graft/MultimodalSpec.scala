@@ -39,11 +39,17 @@ class MultimodalSpec extends SparkSpec {
         0.114 * (rgb & 0xff)
     }).sum / (40 * 25)
     assert(math.abs(out.mean_intensity - lum) < 1e-9)
-    // a corrupt payload on an image row falls back to the stub, not a crash
-    val broken = Seq(Multimodal.MediaRow(124L, "image",
+    // a corrupt payload on an image row falls back to the stub, not a
+    // crash — both the no-recognizable-magic case (ImageIO.read returns
+    // null) and the valid-magic-truncated-body case (ImageIO.read THROWS)
+    val noMagic = Seq(Multimodal.MediaRow(124L, "image",
       Array.fill[Byte](32)(7), 8, 8, "png")).toDS()
-    val b = Multimodal.decode(broken).head()
+    val b = Multimodal.decode(noMagic).head()
     assert(b.width === 8 && b.height === 8 && b.n_bytes === 32)
+    val truncated = Seq(Multimodal.MediaRow(125L, "image",
+      png.take(50), 9, 9, "png")).toDS()
+    val tr = Multimodal.decode(truncated).head()
+    assert(tr.width === 9 && tr.height === 9 && tr.n_bytes === 50)
   }
 
   test("resize clamps the longest edge and drops payload bytes") {

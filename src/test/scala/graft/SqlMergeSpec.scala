@@ -219,6 +219,55 @@ class SqlMergeSpec extends SparkSpec {
       (4L, "lone"), (5L, "INS")))
   }
 
+  test("NULL keys never match: target kept, source inserted") {
+    Seq((Option(1L), "t1"), (None, "tnull")).toDF("k", "v")
+      .createOrReplaceTempView("nkt")
+    Seq((Option(1L), "S1"), (None, "snull")).toDF("k", "v")
+      .createOrReplaceTempView("nks")
+    val out = SqlMerge.run(spark, """
+      MERGE INTO nkt t USING nks s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+      .as[(Option[Long], String)].collect().toSet
+    // the two NULL-keyed rows are strangers: target's kept, source's
+    // inserted — exactly what the oracle's FULL OUTER ... ON = does
+    assert(out === Set((Some(1L), "S1"), (None, "tnull"), (None, "snull")))
+  }
+
+  test("multiple source rows matching one target key raise, like Delta") {
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("dmt")
+    Seq((1L, "B"), (1L, "C"), (2L, "D"), (2L, "E")).toDF("k", "v")
+      .createOrReplaceTempView("dms")
+    val sql = """
+      MERGE INTO dmt t USING dms s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *"""
+    intercept[IllegalStateException](SqlMerge.run(spark, sql))
+    // unmatched duplicates (k=2) alone are legal — INSERT * takes both
+    Seq((1L, "B"), (2L, "D"), (2L, "E")).toDF("k", "v")
+      .createOrReplaceTempView("dms")
+    assert(SqlMerge.run(spark, sql).as[(Long, String)].collect().toSet
+      === Set((1L, "B"), (2L, "D"), (2L, "E")))
+  }
+
+  test("identifiers containing case/end/when words parse correctly") {
+    Seq((1L, "x", "y", 10L)).toDF("k", "use_case", "week_end", "when_col")
+      .createOrReplaceTempView("wct")
+    Seq((1L, "X", "Y", 20L)).toDF("k", "use_case", "week_end", "when_col")
+      .createOrReplaceTempView("wcs")
+    val out = SqlMerge.run(spark, """
+      MERGE INTO wct t USING wcs s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET
+        use_case = s.use_case,
+        week_end = CASE WHEN s.when_col > 15 THEN s.week_end
+                        WHEN s.when_col > 5 THEN t.week_end
+                        ELSE 'z' END,
+        when_col = s.when_col
+      WHEN NOT MATCHED THEN INSERT *""")
+      .as[(Long, String, String, Long)].head()
+    assert(out === ((1L, "X", "Y", 20L)))
+  }
+
   test("unsupported clause shapes fail loudly") {
     intercept[IllegalArgumentException](SqlMerge.parse(
       "MERGE INTO t USING s ON t.k = s.k " +

@@ -78,7 +78,9 @@ def main(sf_dir, out_dir):
                 if len(df.columns):
                     df.sort_values(by=list(df.columns), inplace=True)
                 pd.util.hash_pandas_object(df, index=False)
-        except TypeError as e:
+        except (TypeError, ValueError) as e:
+            # ndarray cells raise ValueError from sort_values, bytearray
+            # raises TypeError from the hash — both mean driver `err`
             print(f"FAIL {name}: driver-unhashable output ({e})")
             n_bad += 1
             continue
