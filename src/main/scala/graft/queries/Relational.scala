@@ -432,6 +432,36 @@ object Relational {
         ORDER BY c_mktsegment, seg_rank""")),
 
     // ----------------------------------------------------------------
+    // W2's 100 TB sibling: top-k per group WITHOUT the sort window —
+    // the custom BoundedTopK TypedImperativeAggregate keeps a k-bounded
+    // heap in the map-side partial, so the shuffle carries ≤ k entries
+    // per group per partition and no group is ever fully sorted.
+    // Identical total order (score desc, id asc) => the window oracle
+    // checks it exactly; ScaleVariantSpec asserts plan shape
+    // (partial+final ObjectHashAggregate) and equality with w2.
+    Q(
+      "w10_topk_agg",
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy("c_mktsegment")
+          .agg(graft.functions.TopKAggregate.boundedTopK(
+            col("c_acctbal").cast("double"), col("c_custkey"), 5).as("tk"))
+          .select(col("c_mktsegment"), posexplode(col("tk")))
+          .select(col("c_mktsegment"), (col("pos") + 1).as("seg_rank"),
+            col("col.id").as("c_custkey"), col("col.score").as("c_acctbal"))
+          .orderBy("c_mktsegment", "seg_rank"),
+      Some("""
+        SELECT c_mktsegment, seg_rank, c_custkey,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey) AS seg_rank
+          FROM customer)
+        WHERE seg_rank <= 5
+        ORDER BY c_mktsegment, seg_rank""")),
+
+    // ----------------------------------------------------------------
     // W4-a (windowed share-of-total, silver_to_gold_analytics.py:421-422):
     // integer counts so the window sum is exact in any order.
     Q(

@@ -49,6 +49,23 @@ class ScaleVariantSpec extends SparkSpec {
 
   private val sf01 = "/root/testdata/sf0.1"
 
+  test("bounded top-k aggregate equals the rank window and aggregates partially") {
+    val w2 = SparkEntry.queries("w2_rank_pergroup")(spark, "/root/testdata/sf0.01")
+      .select("c_mktsegment", "seg_rank", "c_custkey")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val w10df = SparkEntry.queries("w10_topk_agg")(spark, "/root/testdata/sf0.01")
+    val w10 = w10df.select("c_mktsegment", "seg_rank", "c_custkey")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(w10 === w2)
+    // the heap aggregate must run partial (map-side) + final — the
+    // whole point vs a full sort window
+    w10df.collect()
+    val plan = w10df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expect partial+final object hash aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no sort window on this path:\n$plan")
+  }
+
   test("a14 sketch rollup stays within 5% of a1's exact distinct per group at sf0.1") {
     val exact = SparkEntry.queries("a1_rollup")(spark, sf01)
       .select("l_returnflag", "l_linestatus", "n_orders").collect()
