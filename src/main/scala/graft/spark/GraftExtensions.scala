@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.functions.{DotProductFloat, DotProductInt, MinHashSignature, SimHash64, TopicLangMatches}
+import graft.functions.{BoundedTopK, DotProductFloat, DotProductInt, MinHashSignature, SimHash64, TopicLangMatches}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -84,9 +84,21 @@ object GraftExtensions {
         DotProductInt(args.head, args(1))
       })
 
+  /** `bounded_topk(score double, id bigint, k) -> array<struct>` — the
+    * k-bounded-heap top-k aggregate ([[BoundedTopK]]); the analyzer
+    * wraps the raw AggregateFunction in aggregate context. */
+  val boundedTopK: Registration =
+    (FunctionIdentifier("bounded_topk"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"bounded_topk expects 3 arguments, got ${args.length}")
+        BoundedTopK(args.head, args(1), intLit(args(2), "k"))
+      })
+
   val all: Seq[Registration] =
     Seq(dotProductFloat, dotProductInt, minhashSig, simhash64,
-      topicLangMatches)
+      topicLangMatches, boundedTopK)
 
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -109,6 +109,14 @@ class PlanSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT dot_product_int(array(1, 2), array(3, 4)) AS d")
       .head().getLong(0) === 11L)
+    // the aggregate registers too: the analyzer wraps the raw
+    // AggregateFunction when used in aggregate context
+    val tk = spark.sql("""
+      SELECT bounded_topk(CAST(v AS DOUBLE), id, 2) AS tk
+      FROM VALUES (1L, 10.0), (2L, 30.0), (3L, 20.0) AS t(id, v)""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => (r.getDouble(0), r.getLong(1))) === Seq(
+      (30.0, 2L), (20.0, 3L)))
     val viaSql = spark.sql("""
       SELECT doc_id,
              minhash_sig(text) AS mh,
