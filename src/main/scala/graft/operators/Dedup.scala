@@ -146,6 +146,25 @@ object Dedup {
     * Returns (idCol, cluster_rep); nodes without any pair are singleton
     * clusters of themselves.
     */
+  /** Corpus rewrite — the dedup ENDGAME after cluster resolution: keep
+    * exactly one canonical row per cluster, chosen by `preference`
+    * order (e.g. longest text first, then min id for determinism;
+    * require a total order). One rank window partitioned by the cluster
+    * — clusters from near-dup detection are tiny, so the per-cluster
+    * sort is bounded; survivors carry `cluster_size` so downstream can
+    * weight or audit the collapse. */
+  def keepCanonical(docs: DataFrame, idCol: String, clusters: DataFrame,
+      preference: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_rep").orderBy(preference: _*)
+    docs.join(clusters, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_rep")))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   def dedupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // localCheckpoint (not persist) on every iterated frame: persist

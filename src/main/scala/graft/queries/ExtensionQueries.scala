@@ -577,6 +577,76 @@ object ExtensionQueries {
         SELECT id AS doc_id, MIN(label) AS cluster_rep
         FROM walk
         GROUP BY id
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // The dedup ENDGAME acting on d8's clusters: rewrite the corpus to
+    // one canonical doc per cluster — keep the LONGEST version (min id
+    // tiebreak), carry the cluster size for auditing. d1–d8 detect;
+    // this is the step that actually shrinks the corpus.
+    Q(
+      "d9_dedup_rewrite",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = Dedup.shingles(docs, "doc_id", "text", dedupe = false)
+          .persist()
+        val sigs = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text",
+          numHashes = 8)
+        val pairs = Dedup.lshCandidatePairs(
+          Dedup.lshBands(sigs, "doc_id", numHashes = 8, rowsPerBand = 2),
+          "doc_id")
+        val verified = Dedup.jaccardOnPairs(sh, "doc_id", pairs)
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+        val clusters = Dedup.dedupClusters(docs.select("doc_id"), "doc_id",
+          verified)
+        Dedup.keepCanonical(docs, "doc_id", clusters,
+          Seq(col("n_chars").desc, col("doc_id")))
+          .select("doc_id", "cluster_rep", "n_chars", "cluster_size")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $shingleCte,
+        $sigCte,
+        bands AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
+            .mkString("\n          UNION ALL\n          ")}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        cm AS (
+          SELECT id_a, id_b, COUNT(*) AS common
+          FROM pairs
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+          SELECT id_a, id_b
+          FROM cm
+          JOIN sz na ON id_a = na.doc_id
+          JOIN sz nb ON id_b = nb.doc_id
+          WHERE common / (na.n + nb.n - common) >= 0.5),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified),
+        walk AS (
+          SELECT doc_id AS id, doc_id AS label FROM documents
+          UNION
+          SELECT e.src AS id, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+        cl AS (
+          SELECT id AS doc_id, MIN(label) AS cluster_rep
+          FROM walk GROUP BY id),
+        ranked AS (
+          SELECT cl.doc_id, cl.cluster_rep, d.n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY cl.cluster_rep
+                   ORDER BY d.n_chars DESC, cl.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cl.cluster_rep) AS cluster_size
+          FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+        SELECT doc_id, cluster_rep, n_chars, cluster_size
+        FROM ranked WHERE rn = 1
         ORDER BY doc_id"""))
   )
 }

@@ -217,6 +217,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hot.forall(found), s"missed high-sim edges: ${hot -- found}")
   }
 
+  test("keepCanonical keeps one best doc per cluster with sizes") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "much longer text", 16L), (3L, "mid", 3L),
+      (4L, "solo", 4L)).toDF("doc_id", "text", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_rep")
+    val kept = Dedup.keepCanonical(docs, "doc_id", clusters,
+      Seq($"n_chars".desc, $"doc_id"))
+      .select("doc_id", "cluster_rep", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    // cluster 1: doc 2 wins on length; cluster 3: doc 4 wins (4 > 3)
+    assert(kept === Set((2L, 1L, 2L), (4L, 3L, 2L)))
+  }
+
   test("inverted index builds banded posting lists; AND-search is exact") {
     import graft.operators.InvertedIndex
     val docs = Seq(
