@@ -135,6 +135,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SqlMerge statement text is equivalent to Upsert.merge on random frames") {
+    // randomized differential: the MERGE text surface and the
+    // programmatic operator must agree wherever their contracts overlap
+    // (non-null distinct keys; smart-case on one column, plain update
+    // on the other)
+    val gen = for {
+      tKeys <- Gen.someOf(0L to 40L)
+      sKeys <- Gen.someOf(0L to 40L)
+      placeholders <- Gen.someOf(0L to 40L)
+    } yield (tKeys.toSeq, sKeys.toSeq.distinct, placeholders.toSet)
+    val scenarios = Gen.listOfN(8, gen).sample.get
+    for (((tk, sk, ph), i) <- scenarios.zipWithIndex) {
+      val target = tk.map(k => (k, if (ph(k)) "X" else s"t$k", s"ta$k"))
+        .toDF("k", "cat", "a")
+      val source = sk.map(k => (k, s"s$k", s"sa$k")).toDF("k", "cat", "a")
+      target.createOrReplaceTempView(s"fz_t$i")
+      source.createOrReplaceTempView(s"fz_s$i")
+      val viaSql = graft.operators.SqlMerge.run(spark, s"""
+        MERGE INTO fz_t$i AS target USING fz_s$i AS source
+        ON target.k = source.k
+        WHEN MATCHED THEN UPDATE SET
+          a = source.a,
+          cat = CASE WHEN target.cat = 'X' OR target.cat IS NULL
+                     THEN source.cat ELSE target.cat END
+        WHEN NOT MATCHED THEN INSERT *""")
+        .as[(Long, String, String)].collect().toSet
+      val viaOp = Upsert.merge(target, source, Seq("k"),
+        smartCases = Map("cat" -> Upsert.keepUnlessPlaceholder("X")))
+        .as[(Long, String, String)].collect().toSet
+      assert(viaSql === viaOp, s"scenario $i: tk=$tk sk=$sk ph=$ph")
+    }
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     // heavily skewed: 90% of big-side rows share one key
     val big = (1 to 2000).map(i =>
