@@ -455,6 +455,51 @@ object TrainingQueries {
       }),
 
     // ----------------------------------------------------------------
+    // Weighted corpus mixing (the data-mixing step before training):
+    // downsample each language to a target weight with a DETERMINISTIC
+    // per-doc uniform — 16 bits of md5('mix|'||doc_id) — compared to an
+    // integer threshold (weight × 65536), so the sample is reproducible
+    // on any cluster, any partitioning, any engine. No rand(), no
+    // state; map-side only. en is halved, the rest rebalanced.
+    Q(
+      "t19_weighted_mix",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("mix_bucket", expr(
+            (1 to 4).map(j =>
+              s"""(position(substr(md5('mix|' || CAST(doc_id AS STRING)), $j, 1)
+                    IN '0123456789abcdef') - 1) * ${1 << (4 * (4 - j))}""")
+              .mkString(" + ")))
+          .withColumn("threshold",
+            when(col("lang") === "en", 32768)      // 0.50
+              .when(col("lang") === "de", 65536)   // 1.00
+              .when(col("lang") === "es", 52428)   // 0.80
+              .when(col("lang") === "fr", 58982)   // 0.90
+              .otherwise(39321))                   // zh 0.60
+          .filter(col("mix_bucket") < col("threshold"))
+          .select("doc_id", "lang", "mix_bucket")
+          .orderBy("doc_id"),
+      Some("""
+        WITH u AS (
+          SELECT doc_id, lang,
+                 (strpos('0123456789abcdef',
+                    substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef',
+                    substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef',
+                    substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                    substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                   AS mix_bucket
+          FROM documents)
+        SELECT doc_id, lang, mix_bucket
+        FROM u
+        WHERE mix_bucket < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 65536
+                             WHEN 'es' THEN 52428 WHEN 'fr' THEN 58982
+                             ELSE 39321 END
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Inverted index: posting lists for the useful middle of the term-
     // frequency spectrum (the df band — relative to corpus size so it
     // holds at any sf — drops both hapax noise and stop-word hot keys,
