@@ -78,9 +78,13 @@ object Relational {
     // A1's sketch tier: the same rollup with approx_count_distinct
     // (HLL++) replacing the exact distinct — the 100 TB form, where the
     // exact distinct's per-group shuffle of every l_orderkey becomes a
-    // constant-size sketch merged map-side. Oracle-less (sketches are
-    // engine-specific); ScaleVariantSpec pins the ≤5%-of-exact bound at
-    // sf0.1, and the exact a1 stays the correctness gate.
+    // constant-size sketch merged map-side. Sketch internals are
+    // engine-specific, so the query emits a bounded-error VERDICT
+    // instead of the sketch value: `within_tol` = the HLL++ estimate is
+    // within 5% of the exact distinct (rsd 0.02 → 5% is ~2.5σ), which
+    // DuckDB predicts exactly as an all-ones frame. A drifting sketch
+    // flips a row to 0 and the gate hash catches it. The tight error
+    // curve itself stays pinned in ScaleVariantSpec at sf0.1.
     Q(
       "a14_approx_rollup",
       (s, d) =>
@@ -88,9 +92,21 @@ object Relational {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             count(lit(1)).as("n_rows"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders_approx"))
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("__approx"))
+          .withColumn("within_tol",
+            when(abs(col("__approx") - col("n_orders")) /
+              col("n_orders").cast("double") <= 0.05, 1).otherwise(0))
+          .drop("__approx")
           .orderBy("l_returnflag", "l_linestatus"),
-      None),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               CAST(1 AS INTEGER) AS within_tol
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
 
     // ----------------------------------------------------------------
     // A2 (per-category daily/period trend, silver_to_gold_analytics.py:

@@ -294,24 +294,35 @@ object TrainingQueries {
     // sketch) replacing the per-group sort windows — ONE hash-agg pass
     // with map-side sketch merge instead of a range sort per group; the
     // shape that survives 100 TB where a full per-group sort won't.
-    // Oracle-less (sketch internals are engine-specific);
-    // ScaleVariantSpec pins the error vs the exact forms at sf0.1, and
-    // exact t7/t9 stay the correctness gate.
+    // Sketch internals are engine-specific, so the query emits
+    // bounded-error VERDICTS: each approx percentile must land within
+    // 2% of the exact interpolated percentile computed in the same
+    // pass — an all-ones frame DuckDB predicts exactly. A drifting
+    // sketch flips its verdict to 0 and the gate hash catches it; the
+    // tight error curve stays pinned in ScaleVariantSpec at sf0.1.
     Q(
       "t14_approx_percentiles",
-      (s, d) =>
+      (s, d) => {
+        def ok(q: Double, name: String) = {
+          val approx = percentile_approx(col("o_totalprice"), lit(q), lit(10000))
+          val exact = expr(s"percentile(o_totalprice, $q)")
+          when(abs(approx - exact) / exact <= 0.02, 1).otherwise(0).as(name)
+        }
         Tables.orders(s, d)
           .groupBy("o_orderpriority")
           .agg(
-            percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-              .as("p50_approx"),
-            percentile_approx(col("o_totalprice"), lit(0.9), lit(10000))
-              .as("p90_approx"),
-            percentile_approx(col("o_totalprice"), lit(0.99), lit(10000))
-              .as("p99_approx"),
-            count(lit(1)).as("n_orders"))
-          .orderBy("o_orderpriority"),
-      None),
+            count(lit(1)).as("n_orders"),
+            ok(0.5, "p50_ok"), ok(0.9, "p90_ok"), ok(0.99, "p99_ok"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(1 AS INTEGER) AS p50_ok,
+               CAST(1 AS INTEGER) AS p90_ok,
+               CAST(1 AS INTEGER) AS p99_ok
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
 
     // ----------------------------------------------------------------
     // Intra-document repetition (the Gopher-style quality filter):
