@@ -99,14 +99,33 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH bucket. */
-  def lshCandidatePairs(bandRows: DataFrame, idCol: String): DataFrame = {
-    val l = bandRows.select(col("band"), col("key"), col(idCol).as("id_a"))
-    val r = bandRows.select(col("band"), col("key"), col(idCol).as("id_b"))
-    l.join(r, Seq("band", "key"))
+  /** Candidate pairs (a < b) sharing at least one LSH bucket.
+    *
+    * Hot-bucket guard: a dup-heavy corpus is the NORMAL dedup input, and
+    * a million near-identical docs land in one (band, key) bucket — the
+    * within-bucket join would go quadratic inside that bucket even
+    * though the plan is a hash join. Buckets larger than `maxBucket`
+    * switch from all-pairs to a HUB STAR (every member paired with the
+    * bucket's min id): O(n) pairs instead of O(n²), and — because the
+    * downstream consumer is verify → cluster — connectivity through the
+    * hub keeps the cluster intact, which is exactly what an oversized
+    * bucket (a massive near-dup cluster) means semantically. One extra
+    * hash-agg (bucket sizes), join shapes unchanged. */
+  def lshCandidatePairs(bandRows: DataFrame, idCol: String,
+      maxBucket: Int = 4096): DataFrame = {
+    val sizes = bandRows.groupBy("band", "key")
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__hub"))
+    val tagged = bandRows.join(sizes, Seq("band", "key"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val l = small.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val r = small.select(col("band"), col("key"), col(idCol).as("id_b"))
+    val allPairs = l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+    val starPairs = tagged
+      .filter(col("__n") > maxBucket && col(idCol) =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col(idCol).as("id_b"))
+    allPairs.union(starPairs).distinct()
   }
 
   /** Exact Jaccard similarity for given candidate pairs, from the same
@@ -299,9 +318,16 @@ object Dedup {
     * xor/popcount check filters false candidates and `distinct`
     * collapses multi-band collisions. With maxHamming = 0 this
     * degenerates to a join on full-signature equality. Shifts are
-    * unsigned — bit 63 of a 64-bit signature makes the long negative. */
+    * unsigned — bit 63 of a 64-bit signature makes the long negative.
+    *
+    * Hot-bucket guard (same rationale as [[lshCandidatePairs]]): a
+    * (band, bandbits) bucket larger than `maxBucket` — a massive
+    * near-identical cluster — emits a hub star (min id vs each member)
+    * instead of all pairs, O(n) not O(n²); the exact hamming filter
+    * still verifies every emitted pair, and connectivity through the
+    * hub keeps downstream clustering intact. */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
-      bits: Int = 64): DataFrame = {
+      bits: Int = 64, maxBucket: Int = 4096): DataFrame = {
     val nBands = maxHamming + 1
     // band b covers bit range [lo, hi): unsigned shift + mask
     val bandKeys = (0 until nBands).map { b =>
@@ -316,12 +342,23 @@ object Dedup {
     val banded = sigs.select(col(idCol).as("id"), col("simhash"),
       explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.bandbits"))
-    val a = banded.select(col("band"), col("bandbits"),
+    val sizes = banded.groupBy("band", "bandbits")
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"),
+        min_by(col("simhash"), col("id")).as("__hubsig"))
+    val tagged = banded.join(sizes, Seq("band", "bandbits"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val a = small.select(col("band"), col("bandbits"),
       col("id").as("id_a"), col("simhash").as("sig_a"))
-    val b = banded.select(col("band"), col("bandbits"),
+    val b = small.select(col("band"), col("bandbits"),
       col("id").as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("band", "bandbits"))
+    val allPairs = a.join(b, Seq("band", "bandbits"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+    val starPairs = tagged
+      .filter(col("__n") > maxBucket && col("id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b"),
+        col("__hubsig").as("sig_a"), col("simhash").as("sig_b"))
+    allPairs.union(starPairs)
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -159,7 +159,7 @@ object Similarity {
     */
   def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, nBands: Int = 4,
-      planesPerBand: Int = 4): DataFrame = {
+      planesPerBand: Int = 4, maxBucket: Int = 4096): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bandCols = (0 until nBands).map { bd =>
       struct(lit(bd).as("band"),
@@ -169,12 +169,26 @@ object Similarity {
     }
     val bk = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
-    val pairs = bk.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(bk.select(col("band"), col("bucket"), col("id").as("id_b")),
+    // hot-bucket guard ([[Dedup.lshCandidatePairs]]'s pattern): a
+    // (band, bucket) group larger than maxBucket — a massive
+    // near-identical cluster, the NORMAL case in a dup-heavy corpus —
+    // emits a hub star (min id vs each member) instead of all pairs,
+    // O(n) not O(n²); the exact cosine filter still verifies every
+    // emitted pair and hub connectivity keeps downstream clustering
+    // intact
+    val sizes = bk.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"))
+    val tagged = bk.join(sizes, Seq("band", "bucket"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val allPairs = small.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(small.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+    val starPairs = tagged
+      .filter(col("__n") > maxBucket && col("id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b"))
+    val pairs = allPairs.union(starPairs).distinct()
     val va = base.select(col("id").as("id_a"), col("v").as("va"))
       .withColumn("na", sqrt(dotF(col("va"), col("va"))))
     val vb = base.select(col("id").as("id_b"), col("v").as("vb"))
@@ -199,7 +213,8 @@ object Similarity {
     * rows (ANN semantics); raise `nBands`/lower `planesPerBand` for
     * recall. Deterministic md5 planes → oracle-reproducible. */
   def selfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      dim: Int, nBands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+      dim: Int, nBands: Int = 4, planesPerBand: Int = 4,
+      maxBucket: Int = 4096): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bandCols = (0 until nBands).map { bd =>
       struct(lit(bd).as("band"),
@@ -209,9 +224,26 @@ object Similarity {
     }
     val bk = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
-    val cand = bk.select(col("band"), col("bucket"), col("id").as("query_id"))
-      .join(bk.select(col("band"), col("bucket"), col("id").as("neighbor_id")),
-        Seq("band", "bucket"))
+    // hot-bucket guard: unlike the pair-listing paths, a hub star would
+    // starve every non-hub query of neighbors, so oversized buckets are
+    // SUB-SPLIT instead: members hash (deterministic md5, no rand()) into
+    // ceil(n/maxBucket) sub-buckets and candidates form within a
+    // sub-bucket only — O(n·maxBucket) candidates, and every query in a
+    // near-identical hot bucket still sees ~maxBucket candidates of
+    // ~equal similarity, which is what top-k of a dup cluster means
+    val sizes = bk.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+    val nSub = greatest(lit(1L),
+      ceil(col("__n").cast("double") / maxBucket).cast("long"))
+    val tagged = bk.join(sizes, Seq("band", "bucket"))
+      .withColumn("sub",
+        when(col("__n") <= maxBucket, lit(0L))
+          .otherwise(pmod(
+            conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+              .cast("long"), nSub)))
+    val cand = tagged.select(col("band"), col("bucket"), col("sub"),
+        col("id").as("query_id"))
+      .join(tagged.select(col("band"), col("bucket"), col("sub"),
+        col("id").as("neighbor_id")), Seq("band", "bucket", "sub"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
