@@ -30,6 +30,33 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotF(a, b) / sqrt(dotF(a, a)) / sqrt(dotF(b, b))
 
+  /** Final per-query top-k over scored candidates
+    * (query_id, neighbor_id, sim, ...).
+    *
+    * `bounded = false`: rank window — sorts EVERY candidate of every
+    * query; total-ordered and oracle-exact, but the sort is the scale
+    * ceiling. `bounded = true`: the k-bounded heap aggregate
+    * ([[graft.functions.BoundedTopK]]) — the partial (map-side)
+    * aggregate keeps at most k entries per query per partition, the
+    * shuffle carries O(k) rows per query, and nothing is ever sorted
+    * beyond the k-element heaps. Output is IDENTICAL: both forms rank
+    * by the same (sim DESC, neighbor_id ASC) total order (asserted in
+    * ScaleVariantSpec; the no-sort plan shape in PlanSpec). */
+  private def finishTopK(scored: DataFrame, k: Int, bounded: Boolean): DataFrame =
+    if (!bounded)
+      scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    else
+      scored.groupBy("query_id")
+        .agg(graft.functions.TopKAggregate.boundedTopK(
+          col("sim"), col("neighbor_id"), k).as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("query_id"), col("__e.id").as("neighbor_id"),
+          (col("__pos") + 1).cast("int").as("rank"), col("__e.score").as("sim"))
+
   /** Exact top-k neighbors per query. `queries`/`corpus` must expose
     * (`idCol`, `vecCol`); self-pairs are excluded. The query side is
     * broadcast — the corpus is scanned exactly once, no shuffle of the
@@ -37,20 +64,16 @@ object Similarity {
     * so results are reproducible.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, bounded: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         round(dotF(col("qv"), col("cv")) / col("qn") / col("cn"), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    finishTopK(scored, k, bounded)
   }
 
   /** Deterministic random-hyperplane sign bit: sign of ⟨v, w⟩ where
@@ -72,7 +95,8 @@ object Similarity {
     * exact cosine within matching buckets only. Trades recall for a
     * corpus scan that shrinks ~2^nPlanes-fold. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, dim: Int, nPlanes: Int = 4): DataFrame = {
+      vecCol: String, k: Int, dim: Int, nPlanes: Int = 4,
+      bounded: Boolean = false): DataFrame = {
     def bucket(df: DataFrame) = df.withColumn("bucket",
       (0 until nPlanes).map(p => planeSign(col(vecCol), p, dim) * lit(1 << p))
         .reduce(_ + _))
@@ -82,15 +106,11 @@ object Similarity {
     val c = bucket(corpus).select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), col("bucket"))
       .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
-    c.join(broadcast(q), "bucket")
+    val scored = c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         round(dotF(col("qv"), col("cv")) / col("qn") / col("cn"), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    finishTopK(scored, k, bounded)
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
@@ -107,7 +127,8 @@ object Similarity {
     * window.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, labelCol: String, k: Int, nProbe: Int): DataFrame = {
+      vecCol: String, labelCol: String, k: Int, nProbe: Int,
+      bounded: Boolean = false): DataFrame = {
     val cents = corpus
       .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("label", "pos")
@@ -134,15 +155,11 @@ object Similarity {
     val c = corpus.select(col(labelCol).as("label"),
       col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .withColumn("cn", sqrt(dotF(col("nv"), col("nv"))))
-    c.join(broadcast(probes), "label")
+    val scored = c.join(broadcast(probes), "label")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         round(dotF(col("qv"), col("nv")) / col("qn") / col("cn"), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    finishTopK(scored, k, bounded)
   }
 
   /** Near-duplicate pairs via banded hyperplane LSH — the [[Dedup]]
@@ -214,7 +231,7 @@ object Similarity {
     * recall. Deterministic md5 planes → oracle-reproducible. */
   def selfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int, nBands: Int = 4, planesPerBand: Int = 4,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096, bounded: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bandCols = (0 until nBands).map { bd =>
       struct(lit(bd).as("band"),
@@ -251,14 +268,10 @@ object Similarity {
       .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
     val vn = base.select(col("id").as("neighbor_id"), col("v").as("nv"))
       .withColumn("nn", sqrt(dotF(col("nv"), col("nv"))))
-    cand.join(vq, "query_id").join(vn, "neighbor_id")
+    val scored = cand.join(vq, "query_id").join(vn, "neighbor_id")
       .withColumn("sim",
         round(dotF(col("qv"), col("nv")) / col("qn") / col("nn"), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    finishTopK(scored, k, bounded)
   }
 
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Quadratic

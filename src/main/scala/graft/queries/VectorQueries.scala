@@ -346,7 +346,30 @@ object VectorQueries {
         Similarity.selfTopK(
           Tables.embeddings(s, d), "vec_id", "embedding", k = 5, dim = dim)
           .orderBy("query_id", "rank"),
-      Some(s"""
+      Some(selfTopKOracle)),
+
+    // ----------------------------------------------------------------
+    // v9's bounded sibling — the SAME candidates and the SAME total
+    // order, but the final rank window (which sorts every candidate of
+    // every query) replaced by the k-bounded heap aggregate
+    // (graft.functions.BoundedTopK): the partial aggregate keeps ≤k
+    // entries per query per partition, the shuffle carries O(k) rows
+    // per query, and no sort appears anywhere in the plan (pinned in
+    // PlanSpec). Output is identical by construction, so v9's oracle
+    // gates it verbatim — the 100 TB form of the full-kNN graph.
+    Q(
+      "v10_self_topk_bounded",
+      (s, d) =>
+        Similarity.selfTopK(
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 5, dim = dim,
+          bounded = true)
+          .orderBy("query_id", "rank"),
+      Some(selfTopKOracle))
+  )
+
+  /** Shared oracle for v9/v10: both forms produce the identical
+    * (sim DESC, neighbor_id ASC) per-query top-5. */
+  private lazy val selfTopKOracle: String = s"""
         WITH bk AS (
           ${(0 until 4).map(bd =>
             s"SELECT vec_id, $bd AS band, ${bucketSql("embedding", 4, bd * 4)} AS bucket FROM embeddings")
@@ -366,6 +389,5 @@ object VectorQueries {
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) AS rank FROM p)
         WHERE rank <= 5
-        ORDER BY query_id, rank"""))
-  )
+        ORDER BY query_id, rank"""
 }

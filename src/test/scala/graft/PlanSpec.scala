@@ -140,11 +140,29 @@ class PlanSpec extends SparkSpec {
 
   test("banded near-dup candidate generation never goes quadratic") {
     for (name <- Seq("v6_neardup_lsh", "d6_simhash_pairs", "d7_simhash_radius",
-        "d4_lsh_candidates", "v9_self_topk", "c1_contamination")) {
+        "d4_lsh_candidates", "v9_self_topk", "v10_self_topk_bounded",
+        "c1_contamination")) {
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         s"$name must stay an equi-join on the bucket key:\n$plan")
     }
+  }
+
+  test("bounded ANN top-k ranks via the heap aggregate: no window, no sim sort") {
+    val e = Tables.embeddings(spark, sf)
+    val bnd = graft.operators.Similarity.selfTopK(
+      e, "vec_id", "embedding", k = 5, dim = 64, bounded = true)
+    val plan = planOf(bnd)
+    assert(plan.contains("bounded_topk"),
+      s"heap aggregate must appear in the plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"bounded form must not rank via a window:\n$plan")
+    assert(!plan.contains("Sort [sim"),
+      s"no candidate may ever be sorted by similarity:\n$plan")
+    // the window form DOES sort — the contrast that proves the upgrade
+    val win = graft.operators.Similarity.selfTopK(
+      e, "vec_id", "embedding", k = 5, dim = 64)
+    assert(planOf(win).contains("Window"))
   }
 }

@@ -70,16 +70,20 @@ class ScaleVariantSpec extends SparkSpec {
     val exact = SparkEntry.queries("a1_rollup")(spark, sf01)
       .select("l_returnflag", "l_linestatus", "n_orders").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val approx = SparkEntry.queries("a14_approx_rollup")(spark, sf01)
+    val approx = Tables.lineitem(spark, sf01)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("a"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        r.getAs[Long]("n_orders_approx")).toMap
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("a")).toMap
     assert(approx.keySet === exact.keySet)
     for ((k, a) <- approx) {
       val e = exact(k)
       assert(math.abs(a - e).toDouble / e < 0.05,
         s"group $k: approx=$a exact=$e")
     }
+    // and the gate query's own verdicts hold at 10× the gate's SF
+    assert(SparkEntry.queries("a14_approx_rollup")(spark, sf01)
+      .collect().forall(_.getAs[Int]("within_tol") == 1))
   }
 
   test("t14 sketch percentiles stay within 1% of t9's exact selection at sf0.1") {
@@ -88,11 +92,16 @@ class ScaleVariantSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99")))
       .toMap
-    val approx = SparkEntry.queries("t14_approx_percentiles")(spark, sf01)
+    val approx = Tables.orders(spark, sf01)
+      .groupBy("o_orderpriority")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("a90"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("a99"))
       .collect()
       .map(r => r.getString(0) ->
-        (r.getAs[Double]("p50_approx"), r.getAs[Double]("p90_approx"),
-          r.getAs[Double]("p99_approx"))).toMap
+        (r.getAs[Double]("a50"), r.getAs[Double]("a90"), r.getAs[Double]("a99")))
+      .toMap
     assert(approx.keySet === exact.keySet)
     for ((k, (a50, a90, a99)) <- approx) {
       val (e50, e90, e99) = exact(k)
@@ -100,6 +109,20 @@ class ScaleVariantSpec extends SparkSpec {
           .zip(Seq("p50", "p90", "p99")))
         assert(math.abs(a - e) / e < 0.01, s"group $k $p: approx=$a exact=$e")
     }
+    // and the gate query's own verdicts hold at 10× the gate's SF
+    val verdicts = SparkEntry.queries("t14_approx_percentiles")(spark, sf01)
+      .collect()
+    assert(verdicts.forall(r => r.getAs[Int]("p50_ok") == 1 &&
+      r.getAs[Int]("p90_ok") == 1 && r.getAs[Int]("p99_ok") == 1))
+  }
+
+  test("bounded selfTopK (v10) equals the rank-window form (v9) row for row") {
+    val win = SparkEntry.queries("v9_self_topk")(spark, "/root/testdata/sf0.01")
+      .collect().map(_.toSeq)
+    val bnd = SparkEntry.queries("v10_self_topk_bounded")(spark, "/root/testdata/sf0.01")
+      .collect().map(_.toSeq)
+    assert(bnd.length === win.length)
+    bnd.zip(win).foreach { case (b, w) => assert(b === w) }
   }
 
   test("sketch median of document lengths stays within 5% of t7's exact at sf0.1") {
