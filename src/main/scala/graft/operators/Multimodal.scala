@@ -30,27 +30,37 @@ object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int, format: String)
+  /** Audio rows carry the decoded stream properties in the optional
+    * fields (None for image/video); `mean_intensity` is pixel luminance
+    * 0–255 for images, mean |amplitude| scaled to 0–255 for audio. */
   final case class DecodedRow(media_id: Long, kind: String, width: Int,
-      height: Int, n_bytes: Long, mean_intensity: Double, checksum: String)
+      height: Int, n_bytes: Long, mean_intensity: Double, checksum: String,
+      sample_rate: Option[Int] = None, n_frames: Option[Long] = None,
+      duration_sec: Option[Double] = None)
   final case class FrameRow(media_id: Long, frame_idx: Int,
       frame_checksum: String)
   final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
 
   /** Deterministic fake corpus: image rows carry REAL PNG payloads
-    * (JDK codec) with md5-seeded pixels; audio/video rows carry opaque
-    * md5-derived bytes. */
+    * (JDK codec) with md5-seeded pixels; audio rows carry REAL WAV
+    * payloads (JDK `javax.sound.sampled`) with md5-seeded sine tones;
+    * video rows carry opaque md5-derived bytes (no container codec in
+    * the JDK). */
   def fakeMedia(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n.toLong, 1, partitions).map { i =>
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
       val w = 64 + (i % 8).toInt * 32
       val h = 64 + (i % 5).toInt * 48
-      if (kind == "image") MediaRow(i, kind, pngBytes(i, w, h), w, h, "png")
-      else {
-        val digest = org.apache.commons.codec.digest.DigestUtils.md5(s"media|$i")
-        val bytes = Iterator.continually(digest).flatten
-          .take(256 + (i % 64).toInt * 16).toArray
-        MediaRow(i, kind, bytes, w, h, "fake")
+      kind match {
+        case "image" => MediaRow(i, kind, pngBytes(i, w, h), w, h, "png")
+        case "audio" =>
+          MediaRow(i, kind, wavBytes(i, 400 + (i % 64).toInt * 50), w, h, "wav")
+        case _ =>
+          val digest = org.apache.commons.codec.digest.DigestUtils.md5(s"media|$i")
+          val bytes = Iterator.continually(digest).flatten
+            .take(256 + (i % 64).toInt * 16).toArray
+          MediaRow(i, kind, bytes, w, h, "fake")
       }
     }
   }
@@ -101,9 +111,62 @@ object Multimodal {
       (w, h, sum / (w.toLong * h))
     }
 
-  /** STUB audio/video decode: deterministic statistics from the raw
-    * bytes (a real implementation would parse the container format
-    * here). Pure function of the payload — identical on any executor. */
+  /** A real WAV: deterministic md5-seeded sine tone (seed-derived
+    * frequency and amplitude), 16-bit mono little-endian PCM, encoded
+    * with the JDK's built-in `javax.sound.sampled` writer. */
+  private[graft] def wavBytes(seed: Long, nSamples: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val digest = org.apache.commons.codec.digest.DigestUtils.md5(s"media|$seed")
+    val freq = 200.0 + (digest(0) & 0xff) * 10.0 // 200..2750 Hz
+    val amp = 0.25 + (digest(1) & 0xff) / 1024.0 // 0.25..0.5 of full scale
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode via the JDK parser: (sample rate, channels,
+    * frames, mean |amplitude| scaled to 0–255) from the actual PCM
+    * frames. None when the payload is not parseable 16-bit signed PCM
+    * (the WAV/AIFF/AU formats the JDK ships readers for). */
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] =
+    scala.util.Try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        var sum = 0.0
+        var i = 0
+        while (i < n) {
+          val s = (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+          sum += math.abs(s)
+          i += 1
+        }
+        val channels = fmt.getChannels
+        (fmt.getSampleRate.toInt, channels, n.toLong / channels,
+          if (n == 0) 0.0 else sum / n / 32768.0 * 255.0)
+      } finally ais.close()
+    }.toOption
+
+  /** STUB video decode: deterministic statistics from the raw bytes (a
+    * real implementation would parse the container format here). Pure
+    * function of the payload — identical on any executor. */
   private[operators] def byteStats(bytes: Array[Byte]): Double = {
     var sum = 0L
     var i = 0
@@ -112,27 +175,37 @@ object Multimodal {
   }
 
   /** Decode stage: mapPartitions over the media rows — the per-partition
-    * iterator is the batch boundary (a real audio/video decoder would
-    * reuse a native context per partition, exactly like `mapInPandas`
-    * reuses the Arrow batch; ImageIO's disk cache is disabled once per
-    * partition for the same reason). Image rows report REAL decoded
-    * dimensions/luminance; others fall back to metadata dims + byte
-    * stats. */
+    * iterator is the batch boundary (a real video decoder would reuse a
+    * native context per partition, exactly like `mapInPandas` reuses the
+    * Arrow batch; ImageIO's disk cache is disabled once per partition
+    * for the same reason). Image rows report REAL decoded
+    * dimensions/luminance, audio rows REAL sample rate/frames/mean
+    * amplitude; video (and corrupt payloads) fall back to metadata dims
+    * + byte stats. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
       rows.map { m =>
         val checksum = org.apache.commons.codec.digest.DigestUtils.md5Hex(m.bytes)
-        val decoded =
-          if (m.kind == "image") decodeImage(m.bytes) else None
-        decoded match {
-          case Some((w, h, mean)) =>
-            DecodedRow(m.media_id, m.kind, w, h, m.bytes.length.toLong,
-              mean, checksum)
-          case None =>
-            DecodedRow(m.media_id, m.kind, m.width, m.height,
-              m.bytes.length.toLong, byteStats(m.bytes), checksum)
+        val fallback = DecodedRow(m.media_id, m.kind, m.width, m.height,
+          m.bytes.length.toLong, byteStats(m.bytes), checksum)
+        m.kind match {
+          case "image" => decodeImage(m.bytes) match {
+            case Some((w, h, mean)) =>
+              DecodedRow(m.media_id, m.kind, w, h, m.bytes.length.toLong,
+                mean, checksum)
+            case None => fallback
+          }
+          case "audio" => decodeAudio(m.bytes) match {
+            case Some((rate, _, frames, meanAmp)) =>
+              DecodedRow(m.media_id, m.kind, m.width, m.height,
+                m.bytes.length.toLong, meanAmp, checksum,
+                sample_rate = Some(rate), n_frames = Some(frames),
+                duration_sec = Some(frames.toDouble / rate))
+            case None => fallback
+          }
+          case _ => fallback
         }
       }
     }

@@ -16,13 +16,39 @@ class MultimodalSpec extends SparkSpec {
     assert(img.width === 64 && img.height === 64)
     assert(img.mean_intensity > 0 && img.mean_intensity < 255)
     assert(img.checksum.matches("[0-9a-f]{32}"))
-    // id 1 is audio: declared byte-stats stub on the opaque payload
+    // id 1 is audio: REAL WAV decode — stream properties from frames
     val aud = out.filter($"media_id" === 1).head()
-    assert(aud.n_bytes === 256 + 16)
+    assert(aud.sample_rate === Some(8000))
+    assert(aud.n_frames === Some(400 + 50L)) // 400 + (1 % 64) * 50 samples
+    assert(aud.duration_sec.exists(d => math.abs(d - 450.0 / 8000) < 1e-9))
     assert(aud.mean_intensity > 0 && aud.mean_intensity < 255)
+    // image/video rows carry no audio stream properties
+    assert(img.sample_rate.isEmpty && img.n_frames.isEmpty)
     // determinism: same id => same checksum on re-run
     val again = Multimodal.decode(media).filter($"media_id" === 0).head()
     assert(again.checksum === img.checksum)
+  }
+
+  test("audio decode is real: rate, frames and amplitude come from the WAV") {
+    // metadata lies; the decoder must report the true stream properties
+    val wav = Multimodal.wavBytes(7L, nSamples = 1234, sampleRate = 16000)
+    val lied = Seq(Multimodal.MediaRow(200L, "audio", wav, 999, 888, "wav")).toDS()
+    val out = Multimodal.decode(lied).head()
+    assert(out.sample_rate === Some(16000))
+    assert(out.n_frames === Some(1234L))
+    assert(out.duration_sec.exists(d => math.abs(d - 1234.0 / 16000) < 1e-9))
+    // mean |amplitude| of a sine of amplitude A is 2A/π: recompute the
+    // seed-derived A independently and pin the decoded mean against it
+    val digest = org.apache.commons.codec.digest.DigestUtils.md5("media|7")
+    val amp = 0.25 + (digest(1) & 0xff) / 1024.0
+    val expected = 2.0 * amp / math.Pi * 255.0
+    assert(math.abs(out.mean_intensity - expected) / expected < 0.02,
+      s"decoded mean ${out.mean_intensity} vs sine mean $expected")
+    // a corrupt payload falls back to byte stats, not a crash
+    val corrupt = Seq(Multimodal.MediaRow(201L, "audio",
+      Array.fill[Byte](64)(3), 8, 8, "wav")).toDS()
+    val c = Multimodal.decode(corrupt).head()
+    assert(c.sample_rate.isEmpty && c.n_bytes === 64)
   }
 
   test("image decode is real: dimensions and luminance come from the PNG") {
