@@ -184,6 +184,89 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental dedup — the production shape at 100 TB: the corpus is
+    * NEVER re-deduped; the daily batch is deduped against a persisted
+    * signature INDEX (one row per seen doc: its minhash signature
+    * columns mh0..mh{n-1} plus its `cluster_rep`), and against itself.
+    * Corpus text is consulted only for docs that appear in some
+    * candidate pair (a candidate-bounded point lookup, not a corpus
+    * scan); corpus-corpus pairs are never re-verified — they are
+    * contracted through the persisted reps.
+    *
+    * Exactness: the emitted labels equal what a full-corpus
+    * [[dedupClusters]] re-run over corpus ∪ batch would produce.
+    * Candidate generation is band-equality in both runs, so the edge
+    * set is identical; contracting corpus endpoints to their reps
+    * preserves connectivity and minima (every corpus doc ≥ its rep, a
+    * component's min is a rep or a batch id); and a batch doc that
+    * BRIDGES two existing clusters lowers the larger rep exactly as a
+    * re-run would (the mini-clustering runs over batch ids ∪ touched
+    * reps only — bounded by the increment, not the corpus).
+    *
+    * The persisted state is two tables: `corpusSigs` — the signature
+    * index, (idCol, mh0..mh{n-1}), one row per signature-bearing seen
+    * doc — and `corpusClusters` — the label table, (idCol,
+    * cluster_rep) for EVERY seen doc (docs too short to sign are
+    * singletons there). Maintain both for the next increment with
+    * `Upsert.merge(state, newRows, keys = Seq(idCol))` (exercised in
+    * IncrementalDedupSpec).
+    *
+    * Returns (idCol, cluster_rep) for every corpus AND batch doc.
+    */
+  def incrementalDedup(corpusSigs: DataFrame, corpusClusters: DataFrame,
+      corpusDocs: DataFrame, batchDocs: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+    val batchSigs = minhashSignaturesNarrow(batchDocs, idCol, textCol, numHashes)
+    val batchBands = lshBands(batchSigs, idCol, numHashes, rowsPerBand)
+      .persist()
+    val indexBands = lshBands(corpusSigs, idCol, numHashes, rowsPerBand)
+    // one-sided candidates: batch vs index — the corpus side never
+    // self-joins, so the work is proportional to the increment
+    val bc = batchBands.select(col("band"), col("key"), col(idCol).as("id_a"))
+      .join(indexBands.select(col("band"), col("key"), col(idCol).as("id_b")),
+        Seq("band", "key"))
+      .select("id_a", "id_b")
+      .distinct()
+    val bb = lshCandidatePairs(batchBands, idCol, maxBucket)
+    // exact verification shingles: all batch docs + ONLY the corpus
+    // docs some candidate touches
+    val candCorpus = corpusDocs
+      .join(bc.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val sh = shingles(
+      batchDocs.select(col(idCol), col(textCol))
+        .unionByName(candCorpus.select(col(idCol), col(textCol))),
+      idCol, textCol, dedupe = false)
+    val verified = jaccardOnPairs(sh, idCol, bc.unionByName(bb))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b")
+    // contract corpus endpoints to their persisted reps (batch ids and
+    // corpus ids are disjoint, so the lookup misses exactly on id_b in
+    // the batch)
+    val rep = corpusClusters
+      .select(col(idCol).as("id_b"), col("cluster_rep").as("__rep_b"))
+    val edges = verified.join(rep, Seq("id_b"), "left")
+      .select(col("id_a"), coalesce(col("__rep_b"), col("id_b")).as("id_b"))
+    // mini-clustering over the increment only: batch ids + the reps
+    // some edge actually touches — bounded by the increment size, never
+    // by the corpus (untouched reps cannot change)
+    val nodes = batchDocs.select(col(idCol))
+      .unionByName(edges.select(col("id_b").as(idCol)))
+      .distinct()
+    val mini = dedupClusters(nodes, idCol, edges)
+    val batchLabels = mini.join(batchDocs.select(col(idCol)), Seq(idCol), "left_semi")
+    // reps lowered by the increment (batch canonical or bridge merge)
+    // propagate to every corpus doc they label
+    val remap = mini.filter(col("cluster_rep") =!= col(idCol))
+      .select(col(idCol).as("__old_rep"), col("cluster_rep").as("__new_rep"))
+    val corpusLabels = corpusClusters.select(col(idCol), col("cluster_rep"))
+      .join(remap, col("cluster_rep") === col("__old_rep"), "left")
+      .select(col(idCol),
+        coalesce(col("__new_rep"), col("cluster_rep")).as("cluster_rep"))
+    batchLabels.unionByName(corpusLabels)
+  }
+
   def dedupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // localCheckpoint (not persist) on every iterated frame: persist

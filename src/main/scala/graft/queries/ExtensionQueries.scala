@@ -604,7 +604,52 @@ object ExtensionQueries {
           .select("doc_id", "cluster_rep", "n_chars", "cluster_size")
           .orderBy("doc_id")
       },
-      Some(s"""
+      Some(dedupRewriteOracle)),
+
+    // ----------------------------------------------------------------
+    // Incremental dedup — the shape that actually runs at 100 TB: you
+    // never re-dedup the corpus, you dedup the daily increment against
+    // the persisted state (signature index + label table). Stage 1
+    // builds that state for the 80% "corpus" split (standing in for
+    // previous runs of this very pipeline); stage 2 runs the 20% batch
+    // against it: batch-vs-index one-sided LSH candidates, batch-vs-
+    // batch candidates, exact-Jaccard verification touching only
+    // candidate corpus docs, then a mini-clustering over batch ids +
+    // touched reps (bridge merges included). The rewrite over the
+    // combined labels is asserted IDENTICAL to the full-corpus d9 —
+    // the oracle is d9's verbatim.
+    Q(
+      "d10_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        // stage 1 — the persisted state (index + labels)
+        val csh = Dedup.shingles(corpus, "doc_id", "text", dedupe = false)
+          .persist()
+        val csigs = Dedup.minhashSignaturesNarrow(corpus, "doc_id", "text",
+          numHashes = 8).persist()
+        val cpairs = Dedup.lshCandidatePairs(
+          Dedup.lshBands(csigs, "doc_id", numHashes = 8, rowsPerBand = 2),
+          "doc_id")
+        val cver = Dedup.jaccardOnPairs(csh, "doc_id", cpairs)
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+        val cclusters = Dedup.dedupClusters(corpus.select("doc_id"), "doc_id",
+          cver)
+        // stage 2 — the increment
+        val labels = Dedup.incrementalDedup(csigs, cclusters, corpus, batch,
+          "doc_id", "text")
+        Dedup.keepCanonical(docs, "doc_id", labels,
+          Seq(col("n_chars").desc, col("doc_id")))
+          .select("doc_id", "cluster_rep", "n_chars", "cluster_size")
+          .orderBy("doc_id")
+      },
+      Some(dedupRewriteOracle))
+  )
+
+  /** Shared oracle for d9/d10: the incremental composition is exact, so
+    * the full-corpus rewrite SQL gates both. */
+  private lazy val dedupRewriteOracle: String = s"""
         WITH RECURSIVE $shingleCte,
         $sigCte,
         bands AS (
@@ -647,6 +692,5 @@ object ExtensionQueries {
           FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
         SELECT doc_id, cluster_rep, n_chars, cluster_size
         FROM ranked WHERE rn = 1
-        ORDER BY doc_id"""))
-  )
+        ORDER BY doc_id"""
 }
