@@ -24,13 +24,17 @@ import org.apache.spark.sql.functions._
   *     hitting no clause (or columns not listed in the applied SET)
   *     keep the target value — note this differs from
   *     [[Upsert.merge]]'s update-everything default;
-  *   - `WHEN NOT MATCHED THEN INSERT *`; absent → source-only rows are
-  *     dropped (true MERGE semantics);
+  *   - `WHEN NOT MATCHED THEN INSERT *` or `INSERT (cols) VALUES
+  *     (exprs)` (unlisted columns NULL, Delta semantics); absent →
+  *     source-only rows are dropped (true MERGE semantics);
   *   - `ON target.k = source.k [AND ...]` composite equi-keys;
   *   - `--` comments anywhere (the reference statement has them);
   *   - CASE..END expressions in conditions and assignments (the clause
   *     split is CASE-aware — a CASE's own WHENs are not clause
-  *     boundaries).
+  *     boundaries);
+  *   - string literals are opaque to the skeleton parser: quoted
+  *     `--`, WHEN/CASE/END words, commas and runs of spaces inside
+  *     `'...'` survive comment-stripping and clause/assignment splits.
   *
   * Execution shape is identical to [[Upsert.merge]]: ONE full-outer
   * shuffle join on the key columns; conditions and assignments are
@@ -49,11 +53,13 @@ object SqlMerge {
       sourceTable: String, sourceAlias: String,
       onPairs: Seq[(String, String)],
       matchedActions: Seq[MatchedAction],
-      insertAll: Boolean) {
+      insertAll: Boolean,
+      insertValues: Option[Seq[(String, String)]] = None) {
     /** First UPDATE clause's assignments (the common single-clause
       * case). */
     def updateSet: Option[Seq[(String, String)]] =
       matchedActions.collectFirst { case UpdateAction(_, s) => s }
+    def hasInsert: Boolean = insertAll || insertValues.isDefined
   }
 
   private val headRe =
@@ -65,12 +71,13 @@ object SqlMerge {
     "(?is)^MATCHED(?: AND (.+?))? THEN DELETE$".r
   private val insRe =
     "(?i)^NOT MATCHED THEN INSERT \\*$".r
+  private val insColsRe =
+    "(?is)^NOT MATCHED THEN INSERT \\((.+?)\\) VALUES \\((.+)\\)$".r
   private val onPairRe =
     "(?i)^(\\w+)\\.(\\w+) ?= ?(\\w+)\\.(\\w+)$".r
 
   def parse(mergeSql: String): ParsedMerge = {
-    val flat = mergeSql.replaceAll("--[^\n]*", " ")
-      .replaceAll("\\s+", " ").trim.stripSuffix(";")
+    val flat = normalize(mergeSql)
     val m = headRe.findFirstMatchIn(flat).getOrElse(
       throw new IllegalArgumentException(
         s"not a MERGE INTO ... USING ... ON ... WHEN ... statement: $flat"))
@@ -92,6 +99,7 @@ object SqlMerge {
     // part of an assignment expression, not clause boundaries)
     val clauses = splitClauses(m.group(6)).map(_.trim)
     var insertAll = false
+    var insertValues: Option[Seq[(String, String)]] = None
     val matched = clauses.flatMap {
       case updRe(cond, set) =>
         Some(UpdateAction(Option(cond).map(_.trim),
@@ -102,12 +110,36 @@ object SqlMerge {
           }))
       case delRe(cond) => Some(DeleteAction(Option(cond).map(_.trim)))
       case c if insRe.findFirstIn(c).isDefined => insertAll = true; None
+      case insColsRe(cols, vals) =>
+        val cs = splitAssignments(cols).map(_.trim.split('.').last)
+        val vs = splitAssignments(vals)
+        require(cs.length == vs.length,
+          s"INSERT column/value count mismatch: ${cs.length} vs ${vs.length}")
+        require(cs.map(_.toLowerCase).distinct.length == cs.length,
+          s"INSERT lists a column twice: ${cs.mkString(",")}")
+        insertValues = Some(cs.zip(vs))
+        None
       case other => throw new IllegalArgumentException(
-        s"unsupported WHEN clause (UPDATE SET / DELETE / INSERT * only): WHEN $other")
+        "unsupported WHEN clause (UPDATE SET / DELETE / INSERT * / " +
+          s"INSERT (cols) VALUES (...) only): WHEN $other")
     }
-    require(matched.nonEmpty || insertAll,
+    require(matched.nonEmpty || insertAll || insertValues.isDefined,
       "MERGE needs at least one WHEN clause")
-    ParsedMerge(tTab, tAl, sTab, sAl, onPairs, matched, insertAll)
+    require(!(insertAll && insertValues.isDefined),
+      "MERGE cannot combine INSERT * with INSERT (cols) VALUES")
+    // Delta applies UPDATE SET on an ON-key column, silently breaking
+    // the join contract downstream; this engine's convention is to fail
+    // loudly on shapes whose semantics would surprise (ADVICE r4)
+    val keyLc = onPairs.map(_._1.toLowerCase).toSet
+    matched.foreach {
+      case UpdateAction(_, set) => set.foreach { case (c, _) =>
+        require(!keyLc(c.toLowerCase),
+          s"UPDATE SET must not assign ON key column '$c' — re-keying a " +
+            "matched row is not a merge; update it as a delete + insert")
+      }
+      case _ => ()
+    }
+    ParsedMerge(tTab, tAl, sTab, sAl, onPairs, matched, insertAll, insertValues)
   }
 
   /** Parse and execute `mergeSql` against the session catalog (the
@@ -174,37 +206,91 @@ object SqlMerge {
         i -> u.set.map { case (c, rhs) => c.toLowerCase -> rhs }.toMap
       }
 
+    // value a source-only row inserts for target column c: INSERT * →
+    // the same-named source column (ON keys via their mapped source
+    // key); INSERT (cols) VALUES → the listed expression, NULL for
+    // unlisted columns (Delta semantics); no insert clause → None
+    val insertMap = p.insertValues.map(_.map { case (c, e) =>
+      c.toLowerCase -> e
+    }.toMap)
+    def insertValueFor(c: String): Option[Column] =
+      if (p.insertAll)
+        Some(keyOf.get(c).map(sk => col(s"${p.sourceAlias}.$sk"))
+          .getOrElse(col(s"${p.sourceAlias}.$c")))
+      else insertMap.map(m => m.get(c.toLowerCase).map(expr)
+        .getOrElse(lit(null).cast(target.schema(c).dataType)))
+
     val outCols = target.columns.toSeq.map { c =>
       val tc = col(s"${p.targetAlias}.$c")
-      val sc = col(s"${p.sourceAlias}.$c")
       val out = keyOf.get(c) match {
-        case Some(sk) => coalesce(tc, col(s"${p.sourceAlias}.$sk"))
+        // sourceOnly-gated, not coalesce: a NULL-keyed target row (kept
+        // as-is per MERGE semantics) must keep its NULL key even when
+        // the insert expression is a non-null literal
+        case Some(_) => insertValueFor(c) match {
+          case Some(iv) => when(sourceOnly, iv).otherwise(tc)
+          case None => tc
+        }
         case None =>
           val onMatch = updates.foldRight(tc) { case ((i, set), els) =>
             when(col("__act") === i,
               set.get(c.toLowerCase).map(expr).getOrElse(tc)).otherwise(els)
           }
-          if (p.insertAll)
-            when(matched, onMatch).when(sourceOnly, sc).otherwise(tc)
-          else when(matched, onMatch).otherwise(tc)
+          insertValueFor(c) match {
+            case Some(iv) =>
+              when(matched, onMatch).when(sourceOnly, iv).otherwise(tc)
+            case None => when(matched, onMatch).otherwise(tc)
+          }
       }
       out.as(c)
     }
     val joined = t.join(s, cond, "full_outer").withColumn("__act", act)
     val kept = deleteIdx.foldLeft(
-      if (p.insertAll) joined else joined.filter(!sourceOnly)) {
+      if (p.hasInsert) joined else joined.filter(!sourceOnly)) {
       (df, i) => df.filter(col("__act") =!= i)
     }
     kept.select(outCols: _*)
   }
 
+  /** Pre-scan: strip `--` comments and collapse whitespace — but leave
+    * single-quoted literal content untouched (the r4 scanners comment-
+    * stripped and whitespace-collapsed INSIDE literals, truncating a
+    * quoted '--' and mangling multi-space literals). `''` is the SQL
+    * quote escape: the scanner momentarily closes and reopens, which
+    * keeps the region opaque either way. */
+  private def normalize(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    var lastWs = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) {
+        sb += c
+        if (c == '\'') inQ = false
+        i += 1
+      } else if (c == '\'') {
+        sb += c; inQ = true; lastWs = false; i += 1
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      } else if (c.isWhitespace) {
+        if (!lastWs && sb.nonEmpty) { sb += ' '; lastWs = true }
+        i += 1
+      } else {
+        sb += c; lastWs = false; i += 1
+      }
+    }
+    sb.toString.trim.stripSuffix(";")
+  }
+
   /** Split the WHEN-clause tail at `WHEN` word tokens that are at
-    * paren depth 0 and not inside a CASE..END expression. */
+    * paren depth 0, not inside a CASE..END expression, and not inside
+    * a string literal. */
   private def splitClauses(s: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var paren = 0
     var caseDepth = 0
+    var inQ = false
     var i = 0
     // '_' is a word character in SQL identifiers — week_end / use_case
     // must not register as END/CASE tokens
@@ -215,36 +301,48 @@ object SqlMerge {
         (i + w.length >= s.length || !wordChar(s.charAt(i + w.length)))
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (ch == '(') paren += 1 else if (ch == ')') paren -= 1
-      if (paren == 0 && wordAt("CASE")) {
-        caseDepth += 1; cur ++= s.substring(i, i + 4); i += 4
-      } else if (paren == 0 && caseDepth > 0 && wordAt("END")) {
-        caseDepth -= 1; cur ++= s.substring(i, i + 3); i += 3
-      } else if (paren == 0 && caseDepth == 0 && wordAt("WHEN")) {
-        parts += cur.toString; cur.clear(); i += 4
-      } else {
+      if (inQ) {
+        if (ch == '\'') inQ = false
         cur += ch; i += 1
+      } else if (ch == '\'') {
+        inQ = true; cur += ch; i += 1
+      } else {
+        if (ch == '(') paren += 1 else if (ch == ')') paren -= 1
+        if (paren == 0 && wordAt("CASE")) {
+          caseDepth += 1; cur ++= s.substring(i, i + 4); i += 4
+        } else if (paren == 0 && caseDepth > 0 && wordAt("END")) {
+          caseDepth -= 1; cur ++= s.substring(i, i + 3); i += 3
+        } else if (paren == 0 && caseDepth == 0 && wordAt("WHEN")) {
+          parts += cur.toString; cur.clear(); i += 4
+        } else {
+          cur += ch; i += 1
+        }
       }
     }
     parts += cur.toString
     parts.filter(_.trim.nonEmpty).toSeq
   }
 
-  /** Split on a regex separator, but only at paren depth 0. */
+  /** Split on a regex separator, but only at paren depth 0 and outside
+    * string literals. */
   private def splitTopLevel(s: String, sepRe: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
+    var inQ = false
     val sep = sepRe.r
     var i = 0
     while (i < s.length) {
       val rest = s.substring(i)
-      val m = if (depth == 0) sep.findPrefixOf(rest) else None
+      val m = if (depth == 0 && !inQ) sep.findPrefixOf(rest) else None
       m match {
         case Some(tok) => parts += cur.toString; cur.clear(); i += tok.length
         case None =>
           val ch = s.charAt(i)
-          if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+          if (inQ) { if (ch == '\'') inQ = false }
+          else if (ch == '\'') inQ = true
+          else if (ch == '(') depth += 1
+          else if (ch == ')') depth -= 1
           cur += ch; i += 1
       }
     }
@@ -260,10 +358,13 @@ object SqlMerge {
 
   private def topLevelIndexOf(s: String, ch: Char): Int = {
     var depth = 0
+    var inQ = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '(') depth += 1
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(') depth += 1
       else if (c == ')') depth -= 1
       else if (c == ch && depth == 0) return i
       i += 1

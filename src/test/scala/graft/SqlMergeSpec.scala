@@ -270,11 +270,62 @@ class SqlMergeSpec extends SparkSpec {
 
   test("unsupported clause shapes fail loudly") {
     intercept[IllegalArgumentException](SqlMerge.parse(
-      "MERGE INTO t USING s ON t.k = s.k " +
-        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"))
-    intercept[IllegalArgumentException](SqlMerge.parse(
       "MERGE INTO t USING s ON t.k < s.k WHEN NOT MATCHED THEN INSERT *"))
     intercept[IllegalArgumentException](SqlMerge.parse(
       "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN TRUNCATE"))
+    // column/value arity mismatch and re-keying updates fail at parse
+    intercept[IllegalArgumentException](SqlMerge.parse(
+      "MERGE INTO t USING s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"))
+    intercept[IllegalArgumentException](SqlMerge.parse(
+      "MERGE INTO t USING s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v"))
+  }
+
+  test("INSERT (cols) VALUES: listed columns get their expressions, unlisted NULL") {
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "n")
+      .createOrReplaceTempView("ivt")
+    Seq((2L, "B", 200L), (3L, "C", 300L)).toDF("k", "v", "n")
+      .createOrReplaceTempView("ivs")
+    val out = SqlMerge.run(spark, """
+      MERGE INTO ivt t USING ivs s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, upper(s.v))""")
+      .as[(Long, String, Option[Long])].collect().toSet
+    // 3 is inserted with the VALUES expressions; its unlisted n is NULL;
+    // matched 2 updates v but keeps its n
+    assert(out === Set((1L, "a", Some(10L)), (2L, "B", Some(20L)),
+      (3L, "C", None)))
+  }
+
+  test("INSERT (cols) VALUES with a literal key never re-keys a NULL-keyed target row") {
+    Seq((Option(1L), "t1"), (None, "tnull")).toDF("k", "v")
+      .createOrReplaceTempView("lkt")
+    Seq((Option(7L), "s7")).toDF("k", "v").createOrReplaceTempView("lks")
+    val out = SqlMerge.run(spark, """
+      MERGE INTO lkt t USING lks s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (99, s.v)""")
+      .as[(Option[Long], String)].collect().toSet
+    // the NULL-keyed target row keeps its NULL key; the source-only row
+    // inserts under the literal key
+    assert(out === Set((Some(1L), "t1"), (None, "tnull"), (Some(99L), "s7")))
+  }
+
+  test("string literals are opaque: comments, WHEN/CASE/END words, commas, spaces") {
+    Seq((1L, "old", "x"), (2L, "keep", "y")).toDF("k", "v", "w")
+      .createOrReplaceTempView("qlt")
+    Seq((1L, "ignored", "z"), (5L, "src", "q")).toDF("k", "v", "w")
+      .createOrReplaceTempView("qls")
+    val out = SqlMerge.run(spark, """
+      MERGE INTO qlt t USING qls s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET
+        v = 'a -- not a comment',  -- a real comment
+        w = 'WHEN CASE  END, two  spaces'
+      WHEN NOT MATCHED THEN INSERT (k, v, w) VALUES (s.k, 'lit, with comma', s.w)""")
+      .as[(Long, String, String)].collect().toSet
+    assert(out === Set(
+      (1L, "a -- not a comment", "WHEN CASE  END, two  spaces"),
+      (2L, "keep", "y"),
+      (5L, "lit, with comma", "q")))
   }
 }
