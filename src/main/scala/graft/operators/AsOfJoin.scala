@@ -47,7 +47,11 @@ object AsOfJoin {
     // yields null — merge_asof's "value of the nearest row" semantics.
     val matchStruct = struct(
       col(rightTs).as("__rts") +: payloadCols.map(col): _*)
-    val taggedRight = right.select(
+    // a NULL right timestamp is not an event in time: standard ASOF /
+    // merge_asof semantics never match it, but nulls-first ordering
+    // would sort such a row before every row in its key partition and
+    // let left rows inherit its payload — filter it out before tagging
+    val taggedRight = right.filter(col(rightTs).isNotNull).select(
       (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
         matchStruct.as("__match") +: Nil) ++
         leftCols.filterNot(c => c == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -74,14 +78,20 @@ object AsOfJoin {
 
     val withTol = toleranceSec match {
       case Some(tol) =>
-        def epoch(c: Column, dt: DataType): Column = dt match {
-          case TimestampType => unix_micros(c).cast("double") / 1e6
-          case _ => c.cast("double")
+        // compare in LONG MICROS, not double seconds: the double
+        // round-trip (unix_micros/1e6 twice) rounds each side, so a
+        // diff exactly at the bound could flip the <= verdict relative
+        // to an exact integer comparison (the j10 oracle's
+        // epoch_us(a) - epoch_us(b) <= tol * 1000000)
+        val tolMicros = math.round(tol * 1e6)
+        def epochMicros(c: Column, dt: DataType): Column = dt match {
+          case TimestampType => unix_micros(c)
+          case _ => round(c.cast("double") * 1e6).cast("long")
         }
-        val lts = epoch(col("__ts"), matchedOnly.schema("__ts").dataType)
-        val rts = epoch(col("__match.__rts"), rtsType)
+        val lts = epochMicros(col("__ts"), matchedOnly.schema("__ts").dataType)
+        val rts = epochMicros(col("__match.__rts"), rtsType)
         val diff = if (direction == "backward") lts - rts else rts - lts
-        val ok = col("__match").isNotNull && diff <= tol
+        val ok = col("__match").isNotNull && diff <= tolMicros
         matchedOnly.withColumn("__match", when(ok, col("__match")))
       case None => matchedOnly
     }

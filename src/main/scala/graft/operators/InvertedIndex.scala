@@ -21,15 +21,26 @@ object InvertedIndex {
 
   /** Posting lists: (term, df, postings = sorted doc ids). Terms are
     * per-document distinct; `minDf`/`maxDf` bound the index to the
-    * useful middle of the frequency spectrum. */
+    * useful middle of the frequency spectrum.
+    *
+    * TWO-PASS build: pass 1 aggregates df only (counts — constant-size
+    * buffers), the band filter runs on df, and only SURVIVING terms
+    * are semi-joined back for the collect_list pass. A stop word's
+    * O(n_docs) posting array is never accumulated just to be thrown
+    * away — the r4 single-pass build paid that skew/memory cost before
+    * filtering (ADVICE r4). */
   def build(docs: DataFrame, idCol: String, textCol: String,
-      minDf: Long = 1, maxDf: Long = Long.MaxValue): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+      minDf: Long = 1, maxDf: Long = Long.MaxValue): DataFrame = {
+    val termRows = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(split(col(textCol), " "))).as("term"))
+    val surviving = termRows
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+    termRows.join(surviving.select("term"), Seq("term"), "left_semi")
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
-      .filter(col("df").between(minDf, maxDf))
+  }
 
   /** Conjunctive (AND) search: ids of documents containing EVERY query
     * term, straight off the corpus — no index materialization. */

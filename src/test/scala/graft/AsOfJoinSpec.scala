@@ -81,6 +81,52 @@ class AsOfJoinSpec extends SparkSpec {
     assert(tol._4 === null)
   }
 
+  test("null right timestamps are never matchable in either direction") {
+    val left = Seq((1L, ts(10), "e10")).toDF("k", "t", "ev")
+    // a null-ts right row would sort nulls-first (backward asc /
+    // forward desc_nulls_first) ahead of every real row — it must be
+    // invisible, not a universal match
+    val right = Seq(
+      (1L, Option(ts(0)), "v0"),
+      (1L, Option.empty[Timestamp], "vnull")
+    ).toDF("k", "vt", "payload")
+    val back = AsOfJoin.asOf(left, right, "k", "t", "vt")
+      .as[(Long, Timestamp, String, String)].head()
+    assert(back === ((1L, ts(10), "e10", "v0")))
+    val fwd = AsOfJoin.asOf(left, right, "k", "t", "vt",
+      direction = "forward")
+      .as[(Long, Timestamp, String, String)].head()
+    assert(fwd === ((1L, ts(10), "e10", null)))
+    // a key with ONLY null-ts right rows matches nothing
+    val onlyNull = right.filter($"vt".isNull)
+    val none = AsOfJoin.asOf(left, onlyNull, "k", "t", "vt")
+      .as[(Long, Timestamp, String, String)].head()
+    assert(none === ((1L, ts(10), "e10", null)))
+  }
+
+  test("tolerance verdict is exact at the boundary (integer micros, not doubles)") {
+    // diff exactly equal to the bound must MATCH (<=), bound + 1 micro
+    // must not — double-seconds arithmetic can flip this
+    val base = new Timestamp(1700000000000L)
+    def plusMicros(us: Long) = {
+      val t = new Timestamp(base.getTime + us / 1000)
+      t.setNanos((t.getNanos / 1000000 * 1000000) + (us % 1000 * 1000).toInt)
+      t
+    }
+    val left = Seq((1L, plusMicros(1800L * 1000000), "e")).toDF("k", "t", "ev")
+    val atBound = Seq((1L, base, "v")).toDF("k", "vt", "payload")
+    val hit = AsOfJoin.asOf(left, atBound, "k", "t", "vt",
+      toleranceSec = Some(1800.0))
+      .as[(Long, Timestamp, String, String)].head()
+    assert(hit._4 === "v", "diff == bound must match under <=")
+    val leftOver = Seq((1L, plusMicros(1800L * 1000000 + 1), "e"))
+      .toDF("k", "t", "ev")
+    val miss = AsOfJoin.asOf(leftOver, atBound, "k", "t", "vt",
+      toleranceSec = Some(1800.0))
+      .as[(Long, Timestamp, String, String)].head()
+    assert(miss._4 === null, "diff == bound + 1 micro must not match")
+  }
+
   test("null left timestamps match nothing in either direction") {
     val left = Seq((1L, null.asInstanceOf[Timestamp], "e")).toDF("k", "t", "ev")
     val right = Seq((1L, ts(5), "x")).toDF("k", "vt", "payload")
