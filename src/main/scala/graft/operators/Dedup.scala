@@ -133,13 +133,25 @@ object Dedup {
     * collapsed to one set-array per document, so scoring a pair is two
     * hash-join lookups plus an `array_intersect` — the exploded
     * re-join (candidates × every shingle of both sides) is avoided.
-    * Candidate count is LSH-bounded, so the arrays only materialize for
-    * documents that appear in some pair.
+    *
+    * The set collapse runs ONLY for documents that appear in some pair:
+    * Catalyst cannot push the pair semi-join below the collect_set
+    * aggregate, so it is applied explicitly — candidate-touched docs
+    * are a small fraction of the corpus in a typical dedup run, and
+    * collapsing the rest would be the dominant (wasted) cost. `pairs`
+    * and the collapsed sets each feed two joins, so both persist for
+    * the duration of the plan.
     */
   def jaccardOnPairs(shingleRows: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val sets = shingleRows.groupBy(col(idCol))
+    val p = pairs.persist()
+    val ids = p.select(col("id_a").as(idCol))
+      .unionByName(p.select(col("id_b").as(idCol)))
+      .distinct()
+    val sets = shingleRows.join(ids, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("sh_set"))
-    pairs
+      .persist()
+    p
       .join(sets.select(col(idCol).as("id_a"), col("sh_set").as("sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh_set").as("sb")), "id_b")
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
@@ -224,20 +236,24 @@ object Dedup {
     val indexBands = lshBands(corpusSigs, idCol, numHashes, rowsPerBand)
     // one-sided candidates: batch vs index — the corpus side never
     // self-joins, so the work is proportional to the increment
+    // persisted: feeds both the corpus text lookup and verification
     val bc = batchBands.select(col("band"), col("key"), col(idCol).as("id_a"))
       .join(indexBands.select(col("band"), col("key"), col(idCol).as("id_b")),
         Seq("band", "key"))
       .select("id_a", "id_b")
       .distinct()
+      .persist()
     val bb = lshCandidatePairs(batchBands, idCol, maxBucket)
     // exact verification shingles: all batch docs + ONLY the corpus
     // docs some candidate touches
     val candCorpus = corpusDocs
       .join(bc.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    // persist: jaccardOnPairs joins the collapsed shingle sets on BOTH
+    // pair sides, so an unpersisted shingle pipeline would run twice
     val sh = shingles(
       batchDocs.select(col(idCol), col(textCol))
         .unionByName(candCorpus.select(col(idCol), col(textCol))),
-      idCol, textCol, dedupe = false)
+      idCol, textCol, dedupe = false).persist()
     val verified = jaccardOnPairs(sh, idCol, bc.unionByName(bb))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b")
