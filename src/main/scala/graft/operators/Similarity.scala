@@ -184,8 +184,11 @@ object Similarity {
           .map(p => planeSign(col("v"), bd * planesPerBand + p, dim) * lit(1 << p))
           .reduce(_ + _).as("bucket"))
     }
+    // persisted: the hyperplane projections feed the bucket-size
+    // aggregate AND both pair sides
     val bk = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
+      .persist()
     // hot-bucket guard ([[Dedup.lshCandidatePairs]]'s pattern): a
     // (band, bucket) group larger than maxBucket — a massive
     // near-identical cluster, the NORMAL case in a dup-heavy corpus —
@@ -239,8 +242,12 @@ object Similarity {
           .map(p => planeSign(col("v"), bd * planesPerBand + p, dim) * lit(1 << p))
           .reduce(_ + _).as("bucket"))
     }
+    // persisted: the 16 hyperplane projections per row feed the bucket-
+    // size aggregate AND both candidate sides — without it the dot
+    // products run three times
     val bk = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
+      .persist()
     // hot-bucket guard: unlike the pair-listing paths, a hub star would
     // starve every non-hub query of neighbors, so oversized buckets are
     // SUB-SPLIT instead: members hash (deterministic md5, no rand()) into

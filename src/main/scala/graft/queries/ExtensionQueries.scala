@@ -309,6 +309,71 @@ object ExtensionQueries {
         ORDER BY w1, rk""")),
 
     // ----------------------------------------------------------------
+    // Document perplexity under the corpus bigram LM — the KenLM-style
+    // quality filter every training pipeline runs: score each document
+    // by its average negative log-likelihood under P(w2|w1) =
+    // c(w1,w2)/c(w1) estimated from the same corpus, then filter or
+    // weight on the score downstream. One explode feeds the LM counts
+    // AND the scoring join (persisted); the LM probability is an exact
+    // count ratio so both engines materialize the identical double;
+    // per-bigram NLLs round to 6 dp (libm ln differs by ulps across
+    // engines) and then sum EXACTLY in decimal so the per-doc average
+    // is partition-order-independent. abs() not minus: p = 1 bigrams
+    // would otherwise emit -0.0, which hashes differently from 0.0.
+    Q(
+      "t20_doc_perplexity",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val docBigrams = toks.select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+               i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""))
+          .as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"))
+          .persist()
+        val pairCounts = docBigrams.groupBy("w1", "w2")
+          .agg(count(lit(1)).as("n12"))
+        val headCounts = docBigrams.groupBy("w1")
+          .agg(count(lit(1)).as("n1"))
+        val lm = pairCounts.join(headCounts, "w1")
+          .select(col("w1"), col("w2"),
+            (col("n12").cast("double") / col("n1")).as("p"))
+        val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+        docBigrams.join(lm, Seq("w1", "w2"))
+          .select(col("doc_id"), round(abs(log(col("p"))), 6).as("nll"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("nll").cast(dec)).cast("double") / count(lit(1)))
+              .as("__avg"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("__avg"), 6).as("avg_nll"),
+            round(exp(col("__avg")), 6).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               UNNEST(range(1, len(t))) AS u(i)),
+        c AS (SELECT w1, w2, COUNT(*) AS n12 FROM b GROUP BY w1, w2),
+        h AS (SELECT w1, COUNT(*) AS n1 FROM b GROUP BY w1),
+        lm AS (SELECT c.w1, c.w2, CAST(n12 AS DOUBLE) / n1 AS p
+               FROM c JOIN h ON c.w1 = h.w1),
+        sc AS (
+          SELECT doc_id, round(abs(ln(p)), 6) AS nll
+          FROM b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2),
+        ag AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_raw
+          FROM sc GROUP BY doc_id)
+        SELECT doc_id, n_bigrams,
+               round(avg_raw, 6) AS avg_nll,
+               round(exp(avg_raw), 6) AS ppl
+        FROM ag
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Sequence packing for training: global token cumsum over the doc_id
     // order (range-partitioned two-pass prefix sum — NO single-partition
     // window) and the concat-then-chunk bin each document starts in.
