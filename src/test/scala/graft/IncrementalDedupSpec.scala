@@ -75,4 +75,64 @@ class IncrementalDedupSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels2 === full)
   }
+
+  /** Deterministic random corpus: clusters of mutated copies over a
+    * small vocabulary, ids interleaved across clusters so any modular
+    * split scatters cluster members between corpus and batch. */
+  private def genDocs(seed: Int, nClusters: Int, maxSize: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    for (_ <- 0 until nClusters) {
+      val base = Vector.fill(12 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      for (_ <- 0 until 1 + rnd.nextInt(maxSize)) {
+        // 0-2 word substitutions: high-Jaccard near-dups of the base
+        val words = base.toArray
+        for (_ <- 0 until rnd.nextInt(3))
+          words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        rows += ((id, words.mkString(" "))); id += 1
+      }
+    }
+    rnd.shuffle(rows.toSeq).zipWithIndex
+      .map { case ((_, text), i) => (i.toLong, text) }
+      .toDF("doc_id", "text")
+  }
+
+  test("random corpora: incremental equals full for any modular split") {
+    for (seed <- Seq(11, 23, 37)) {
+      val docs = genDocs(seed, nClusters = 12, maxSize = 4).persist()
+      val m = 2 + seed % 3
+      val batch = docs.filter(col("doc_id") % m === 0)
+      val corpus = docs.filter(col("doc_id") % m =!= 0)
+      val (sigs, labels) = state(corpus)
+      val inc = Dedup.incrementalDedup(sigs, labels, corpus, batch,
+        "doc_id", "text")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val full = fullLabels(docs)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(inc === full, s"seed $seed, split % $m")
+    }
+  }
+
+  test("degenerate splits: empty batch and empty corpus") {
+    val docs = genDocs(5, nClusters = 6, maxSize = 3).persist()
+    val empty = docs.filter(col("doc_id") < 0)
+    val full = fullLabels(docs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // empty batch: labels are exactly the persisted corpus labels
+    val (sigsAll, labelsAll) = state(docs)
+    val noBatch = Dedup.incrementalDedup(sigsAll, labelsAll, docs, empty,
+      "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(noBatch === full)
+    // empty corpus: the increment IS the corpus — pure batch dedup
+    val (sigsNone, labelsNone) = state(empty)
+    val allBatch = Dedup.incrementalDedup(sigsNone, labelsNone, empty, docs,
+      "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(allBatch === full)
+  }
 }
