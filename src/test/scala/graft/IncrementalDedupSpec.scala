@@ -117,6 +117,54 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming foreachBatch dedup maintains exact full-corpus labels") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val docs = genDocs(7, nClusters = 10, maxSize = 3).persist()
+    val rows = docs.as[(Long, String)].collect()
+
+    // mutable persisted state, exactly as a production job would keep
+    // it in tables: signature index + label table + seen docs
+    val none = docs.filter(col("doc_id") < 0)
+    var corpus: DataFrame = none.localCheckpoint(true)
+    var sigs: DataFrame = Dedup.minhashSignaturesNarrow(
+      none, "doc_id", "text", numHashes = 8).localCheckpoint(true)
+    var labels: DataFrame = none.select(col("doc_id"),
+      col("doc_id").as("cluster_rep")).localCheckpoint(true)
+
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        labels = Dedup.incrementalDedup(sigs, labels, corpus, b,
+          "doc_id", "text").localCheckpoint(true)
+        sigs = Upsert.merge(sigs,
+          Dedup.minhashSignaturesNarrow(b, "doc_id", "text", numHashes = 8),
+          keys = Seq("doc_id")).localCheckpoint(true)
+        corpus = corpus.unionByName(b).localCheckpoint(true)
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dedup-ckpt").toString)
+      .start()
+    try {
+      for (m <- 0 until 3) {
+        input.addData(rows.filter(_._1 % 3 == m).toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val streamed = labels
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = fullLabels(docs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed === full,
+      "three micro-batches must label exactly like one full run")
+  }
+
   test("degenerate splits: empty batch and empty corpus") {
     val docs = genDocs(5, nClusters = 6, maxSize = 3).persist()
     val empty = docs.filter(col("doc_id") < 0)
