@@ -81,6 +81,38 @@ object ExtendedOps {
         ORDER BY flag, status""")),
 
     // ----------------------------------------------------------------
+    // Semi-structured extraction: events carry a JSON `props` payload
+    // (the telemetry-envelope shape — §2's S4 JSON parse applied to a
+    // COLUMN instead of a file). get_json_object evaluates inside
+    // whole-stage codegen, the extracted value feeds a plain hash-agg,
+    // and the path never leaves the scan stage — at 100 TB this is the
+    // "parse on read" plan, no staging table. Integer sums cast to
+    // BIGINT on both engines (DuckDB SUM yields HUGEINT).
+    Q(
+      "e1_json_extract",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            count(when(col("k") >= 50, 1)).as("n_hi"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+               COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                     THEN 1 END) AS n_hi
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ----------------------------------------------------------------
     // Range join: month-start snapshots against the 30-day validity
     // interval [l_shipdate, l_shipdate + 30d) — the "active records as
     // of T" shape behind every lookback window (§2.9c). A naive
