@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -222,6 +222,67 @@ object VectorQueries {
         SELECT id_a, id_b, sim FROM p
         WHERE sim >= 0.4
         ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): near-duplicate
+    // detection in EMBEDDING space — catches paraphrases and
+    // translations that n-gram dedup misses — composed end-to-end from
+    // the existing machinery: v6's banded hyperplane candidates +
+    // exact cosine verify, d8's connected components over the verified
+    // pairs, d9's canonical rewrite of the documents table (ids are
+    // shared between documents and embeddings). Every stage is an
+    // equi-join or hash aggregate; the oracle replays the whole
+    // pipeline with a recursive CTE.
+    Q(
+      "d11_semantic_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Similarity.nearDupPairsBanded(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, dim = dim)
+          .select("id_a", "id_b")
+        val clusters = Dedup.dedupClusters(
+          docs.select(col("doc_id")), "doc_id", pairs)
+        Dedup.keepCanonical(docs, "doc_id", clusters,
+          Seq(col("n_chars").desc, col("doc_id")))
+          .select("doc_id", "cluster_rep", "n_chars", "cluster_size")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE bk AS (
+          ${(0 until 4).map(bd =>
+            s"SELECT vec_id, $bd AS band, ${bucketSql("embedding", 4, bd * 4)} AS bucket FROM embeddings")
+            .mkString("\n          UNION ALL\n          ")}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        verified AS (
+          SELECT id_a, id_b
+          FROM cand
+          JOIN embeddings ea ON ea.vec_id = id_a
+          JOIN embeddings eb ON eb.vec_id = id_b
+          WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified),
+        walk AS (
+          SELECT doc_id AS id, doc_id AS label FROM documents
+          UNION
+          SELECT e.src AS id, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+        cl AS (
+          SELECT id AS doc_id, MIN(label) AS cluster_rep
+          FROM walk GROUP BY id),
+        ranked AS (
+          SELECT cl.doc_id, cl.cluster_rep, dd.n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY cl.cluster_rep
+                   ORDER BY dd.n_chars DESC, cl.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY cl.cluster_rep) AS cluster_size
+          FROM cl JOIN documents dd ON dd.doc_id = cl.doc_id)
+        SELECT doc_id, cluster_rep, n_chars, cluster_size
+        FROM ranked WHERE rn = 1
+        ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
     // Int8 vector quantization: per-vector absmax scale (rounded to 9dp
