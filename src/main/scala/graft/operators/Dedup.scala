@@ -295,7 +295,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("id"))
+    // iterate ONLY over edge endpoints: every other node is a
+    // singleton that cannot change, and carrying it through each
+    // round's join + checkpoint would cost O(corpus × rounds) instead
+    // of O(dup-docs × rounds) — at 100 TB most docs are singletons.
+    // Singletons rejoin at the end.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_rep", col("id")).localCheckpoint(true)
     // min-propagation only ever LOWERS labels, so Σ label is strictly
     // monotone decreasing while anything changes — convergence detection
@@ -310,10 +315,23 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_rep")).as("neighbor_min"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_rep"),
             coalesce(col("neighbor_min"), col("cluster_rep")))
+            .as("cluster_rep"))
+      // pointer jump (path compression): follow the rep's own label
+      // once per round — labels are always node ids, so the lookup
+      // hits — squaring the propagation distance: O(log diameter)
+      // rounds instead of O(diameter). Labels still only ever
+      // decrease, so the Σ-label convergence detection is unchanged.
+      val updated = stepped.alias("a")
+        .join(stepped.select(col("id").as("__rid"),
+          col("cluster_rep").as("__rrep")).alias("b"),
+          col("a.cluster_rep") === col("__rid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.cluster_rep"),
+            coalesce(col("__rrep"), col("a.cluster_rep")))
             .as("cluster_rep"))
         .localCheckpoint(true)
       val curSum = updated.agg(coalesce(sum(col("cluster_rep")), lit(0L)))
@@ -327,7 +345,10 @@ object Dedup {
       s"min-label propagation did not converge in $maxIter rounds — the " +
         "component diameter exceeds the budget; use dedupClustersLogN " +
         "(alternating large-star/small-star, O(log n) rounds)")
-    labels.select(col("id").as(idCol), col("cluster_rep"))
+    nodes.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("cluster_rep", "__rep"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__rep"), col("id")).as("cluster_rep"))
   }
 
   /** Connected components by alternating large-star/small-star (Kiveris

@@ -237,10 +237,13 @@ object VectorQueries {
       "d11_semantic_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // persisted: the edge union inside dedupClusters reads the
+        // pair frame twice before its checkpoint
         val pairs = Similarity.nearDupPairsBanded(
           Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4, dim = dim)
           .select("id_a", "id_b")
+          .persist()
         val clusters = Dedup.dedupClusters(
           docs.select(col("doc_id")), "doc_id", pairs)
         Dedup.keepCanonical(docs, "doc_id", clusters,
