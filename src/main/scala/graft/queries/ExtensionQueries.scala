@@ -374,6 +374,56 @@ object ExtensionQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Corpus-wide boilerplate line removal ([[graft.operators.LineDedup]]):
+    // lines occurring verbatim in >= minDocFreq distinct documents are
+    // dropped from every document, order preserved. The testdata's
+    // documents are single-line, so the query builds 4-line documents by
+    // wrapping each document's own text in two known boilerplate banners
+    // (same synthetic-construction precedent as t10/m1) — the banners hit
+    // df = n_docs and vanish; the per-document content substrings stay.
+    Q(
+      "t21_boilerplate_lines",
+      (s, d) => {
+        val synth = Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            lit("GENERATED BY exporter v1 -- do not edit\n"),
+            substring(col("text"), 1, 60), lit("\n"),
+            lit("Copyright (c) 2024 Example Corp\n"),
+            substring(col("text"), 61, 60)).as("text"))
+        graft.operators.LineDedup
+          .removeBoilerplateLines(synth, "doc_id", "text", minDocFreq = 50)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH synth AS (
+          SELECT doc_id,
+                 'GENERATED BY exporter v1 -- do not edit' || chr(10)
+                   || substr(text, 1, 60) || chr(10)
+                   || 'Copyright (c) 2024 Example Corp' || chr(10)
+                   || substr(text, 61, 60) AS text
+          FROM documents),
+        l AS (
+          SELECT doc_id, ls[i] AS line, i AS pos
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM synth),
+               UNNEST(range(1, len(ls) + 1)) AS u(i)),
+        hot AS (
+          SELECT line
+          FROM (SELECT DISTINCT doc_id, line FROM l
+                WHERE length(trim(line)) > 0)
+          GROUP BY line HAVING COUNT(*) >= 50),
+        f AS (
+          SELECT l.doc_id, l.pos, l.line, (h.line IS NOT NULL) AS is_hot
+          FROM l LEFT JOIN hot h ON l.line = h.line)
+        SELECT doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                 FILTER (WHERE NOT is_hot), '') AS clean_text,
+               COUNT(*) FILTER (WHERE NOT is_hot) AS n_kept,
+               COUNT(*) FILTER (WHERE is_hot) AS n_removed
+        FROM f GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Sequence packing for training: global token cumsum over the doc_id
     // order (range-partitioned two-pass prefix sum — NO single-partition
     // window) and the concat-then-chunk bin each document starts in.
