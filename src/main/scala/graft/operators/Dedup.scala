@@ -262,8 +262,11 @@ object Dedup {
     // the batch)
     val rep = corpusClusters
       .select(col(idCol).as("id_b"), col("cluster_rep").as("__rep_b"))
+    // persisted: read once for the node set and once by the
+    // mini-clustering — each read would otherwise re-verify Jaccard
     val edges = verified.join(rep, Seq("id_b"), "left")
       .select(col("id_a"), coalesce(col("__rep_b"), col("id_b")).as("id_b"))
+      .persist()
     // mini-clustering over the increment only: batch ids + the reps
     // some edge actually touches — bounded by the increment size, never
     // by the corpus (untouched reps cannot change)
@@ -292,8 +295,13 @@ object Dedup {
     // truncates the lineage itself: constant plan size per round. On a
     // real cluster use reliable checkpoints (setCheckpointDir) so a lost
     // executor can't kill a long convergence run.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // symmetrize in ONE pass over `pairs` (explode, not self-union): the
+    // candidate pipeline feeding this is typically expensive and
+    // unpersisted — a union would execute it twice before the checkpoint.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .localCheckpoint(true)
     // iterate ONLY over edge endpoints: every other node is a
     // singleton that cannot change, and carrying it through each
