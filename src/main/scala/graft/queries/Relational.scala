@@ -342,6 +342,53 @@ object Relational {
         ORDER BY n_name""")),
 
     // ----------------------------------------------------------------
+    // Bloom-prefiltered semi join (§4 scale notes; the runtime-filter
+    // shape every warehouse engine uses for big⋉small): aggregate the
+    // small side's keys into a Bloom filter (BloomAgg — map-side
+    // partials, OR-merge, one fixed-size bitset per partition on the
+    // wire), broadcast the single-row filter, and drop big-side rows at
+    // the scan with the codegen'd bloom_contains probe BEFORE they pay
+    // the semi-join shuffle. The exact semi join that follows kills the
+    // false positives; false negatives are impossible — so the oracle is
+    // the PLAIN semi join, and the bloom must be invisible in the
+    // result. At 100 TB this turns "shuffle everything, discard most"
+    // into "discard most at the scan" (here: 1/5 of customers are
+    // BUILDING → ~80% of orders never leave the map stage).
+    Q(
+      "b1_bloom_semi",
+      (s, d) => {
+        import graft.functions.BloomFunctions._
+        val custKeys = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        // 2^17 bits / 5 hashes ≈ 1.6% fpr at sf0.1's ~15k build keys;
+        // at larger SF you size bits ∝ build-side count — the shape
+        // (one broadcast row, map-side probe) is unchanged.
+        val bloomRow = broadcast(
+          custKeys.agg(bloomAgg(col("c_custkey"), 1 << 17, 5).as("bf")))
+        val pre = Tables.orders(s, d)
+          .join(bloomRow) // 1-row broadcast: map-side, no shuffle
+          .where(bloomContains(col("bf"), col("o_custkey")))
+          .drop("bf")
+        pre.join(custKeys, pre("o_custkey") === custKeys("c_custkey"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               ${dsumSql("o_totalprice")} AS sum_price
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM customer
+          WHERE c_custkey = o_custkey
+            AND c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ----------------------------------------------------------------
     // J2 + J5 (inner equi-join chain with broadcast dims — replaces the
     // reference's collect()+UDF lookup, bronze_to_silver_transformation.py:
     // 533-575): orders ⋈ customer (shuffle/AQE) ⋈ nation ⋈ region

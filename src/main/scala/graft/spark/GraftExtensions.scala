@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.functions.{BoundedTopK, DotProductFloat, DotProductInt, MinHashSignature, SimHash64, TopicLangMatches}
+import graft.functions.{BloomAgg, BloomContains, BoundedTopK, DotProductFloat, DotProductInt, MinHashSignature, SimHash64, TopicLangMatches}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -96,9 +96,33 @@ object GraftExtensions {
         BoundedTopK(args.head, args(1), intLit(args(2), "k"))
       })
 
+  /** `bloom_agg(key bigint, num_bits, num_hashes) -> binary` — the
+    * distributed Bloom-filter build ([[BloomAgg]]); sizes must be
+    * literals (they fix the buffer layout). */
+  val bloomAgg: Registration =
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"bloom_agg expects 3 arguments, got ${args.length}")
+        BloomAgg(args.head, intLit(args(1), "num_bits"),
+          intLit(args(2), "num_hashes"))
+      })
+
+  /** `bloom_contains(bloom binary, key bigint) -> boolean` — the
+    * codegen'd probe ([[BloomContains]]). */
+  val bloomContains: Registration =
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"bloom_contains expects 2 arguments, got ${args.length}")
+        BloomContains(args.head, args(1))
+      })
+
   val all: Seq[Registration] =
     Seq(dotProductFloat, dotProductInt, minhashSig, simhash64,
-      topicLangMatches, boundedTopK)
+      topicLangMatches, boundedTopK, bloomAgg, bloomContains)
 
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
