@@ -547,6 +547,48 @@ object ExtendedOps {
                  .mkString(",\n               ")}
         FROM events
         GROUP BY 1
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    // ----------------------------------------------------------------
+    // Heavy hitters via count-min sketch (a14's pattern, applied to
+    // per-key counts): Spark's builtin `count_min_sketch` aggregate
+    // builds the sketch in one pass (map-side partials, fixed-size
+    // merge — at 100 TB the sketch replaces a full per-key shuffle when
+    // only the heavy tail matters); the library's `cms_estimate` probes
+    // it per candidate key from a broadcast single-row frame. Sketch
+    // cell layout is engine-specific, so the emitted columns are the
+    // EXACT count and a bounded-error VERDICT: est is never below the
+    // true count (CMS guarantee) and within 3·eps·N above it (eps
+    // 0.0005, depth 7 → overshoot odds are (1/6)^7 per key; seed fixed
+    // → deterministic). DuckDB predicts the all-ones frame; a drifting
+    // sketch flips a row and the gate hash catches it.
+    Q(
+      "h1_heavy_hitters",
+      (s, d) => {
+        import graft.functions.SketchFunctions.cmsEstimate
+        val ev = Tables.events(s, d)
+        val skRow = broadcast(ev.agg(
+          count_min_sketch(col("user_id"), lit(0.0005d), lit(0.99d), lit(42))
+            .as("sk"),
+          count(lit(1)).as("total")))
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .filter(col("n_events") >= 75) // heavy-hitter band (top ~17%)
+          .join(skRow) // 1-row broadcast: map-side probe
+          .withColumn("est", cmsEstimate(col("sk"), col("user_id")))
+          .withColumn("within_bound",
+            when(col("est") >= col("n_events") &&
+              col("est") <= col("n_events") +
+                ceil(lit(3 * 0.0005d) * col("total")), 1).otherwise(0))
+          .select("user_id", "n_events", "within_bound")
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(1 AS INTEGER) AS within_bound
+        FROM events
+        GROUP BY user_id
+        HAVING COUNT(*) >= 75
+        ORDER BY user_id"""))
   )
 }

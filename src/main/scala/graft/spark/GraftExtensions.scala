@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.functions.{BloomAgg, BloomContains, BoundedTopK, DotProductFloat, DotProductInt, MinHashSignature, SimHash64, TopicLangMatches}
+import graft.functions.{BloomAgg, BloomContains, BoundedTopK, CmsEstimate, DotProductFloat, DotProductInt, MinHashSignature, SimHash64, TopicLangMatches}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -120,9 +120,20 @@ object GraftExtensions {
         BloomContains(args.head, args(1))
       })
 
+  /** `cms_estimate(sketch binary, key bigint) -> bigint` — probe for
+    * the builtin `count_min_sketch` aggregate ([[CmsEstimate]]). */
+  val cmsEstimate: Registration =
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"cms_estimate expects 2 arguments, got ${args.length}")
+        CmsEstimate(args.head, args(1))
+      })
+
   val all: Seq[Registration] =
     Seq(dotProductFloat, dotProductInt, minhashSig, simhash64,
-      topicLangMatches, boundedTopK, bloomAgg, bloomContains)
+      topicLangMatches, boundedTopK, bloomAgg, bloomContains, cmsEstimate)
 
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
