@@ -389,6 +389,44 @@ object Relational {
         ORDER BY o_orderpriority""")),
 
     // ----------------------------------------------------------------
+    // Bucketed co-located join (§4 scale notes): both sides written
+    // once bucketed by the join key (graft.storage.Bucketed), after
+    // which the fact⋈dim equi-join runs with NO Exchange on either side
+    // — the per-run shuffle a plain join pays on 100 TB every execution
+    // is paid once at write time and amortized over every later join
+    // and aggregation on that key (BucketedSpec pins the Exchange-free
+    // plan). The merge hint keeps the plan on the bucket-aware
+    // SortMergeJoin path; results must equal the plain join (the
+    // oracle).
+    Q(
+      "b2_bucketed_join",
+      (s, d) => {
+        import graft.storage.Bucketed
+        val suffix = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val root = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$suffix"
+        Bucketed.write(s, Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          s"graft_b2_orders_$suffix", s"$root/orders", "o_custkey", 8, d)
+        Bucketed.write(s, Tables.customer(s, d)
+            .select("c_custkey", "c_mktsegment"),
+          s"graft_b2_customer_$suffix", s"$root/customer", "c_custkey", 8, d)
+        val o = Bucketed.read(s, s"graft_b2_orders_$suffix")
+        val c = Bucketed.read(s, s"graft_b2_customer_$suffix")
+        o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ${dsumSql("o_totalprice")} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ----------------------------------------------------------------
     // J2 + J5 (inner equi-join chain with broadcast dims — replaces the
     // reference's collect()+UDF lookup, bronze_to_silver_transformation.py:
     // 533-575): orders ⋈ customer (shuffle/AQE) ⋈ nation ⋈ region
