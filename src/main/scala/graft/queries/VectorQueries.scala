@@ -428,7 +428,40 @@ object VectorQueries {
           Tables.embeddings(s, d), "vec_id", "embedding", k = 5, dim = dim,
           bounded = true)
           .orderBy("query_id", "rank"),
-      Some(selfTopKOracle))
+      Some(selfTopKOracle)),
+
+    // ----------------------------------------------------------------
+    // Distributed k-means training (operators/KMeans): the trained
+    // coarse quantizer under an IVF index and SemDeDup's clustering
+    // stage. Assignment is a narrow codegen'd argmin scan (centroids
+    // ride as a k·dim reference object); the update is one hash-agg
+    // shuffle per iteration with decimal (order-independent) sums, so
+    // the whole trajectory is bit-deterministic under any partitioning.
+    // Iteration internals are engine-specific (a14's situation), so
+    // the gated frame is the Lloyd INVARIANT — per-step inertia is
+    // non-increasing — which DuckDB predicts as an all-ones frame; a
+    // broken update or a nondeterministic sum flips a row. The real
+    // trajectory and the recall of IVF-over-trained-centroids are
+    // pinned in KMeansSpec.
+    Q(
+      "km1_kmeans_verdict",
+      (s, d) => {
+        val res = graft.operators.KMeans.train(
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 16, iters = 4)
+        val rows = res.inertia.sliding(2).zipWithIndex.map {
+          case (Seq(prev, cur), i) =>
+            (i + 1, if (cur <= prev * (1 + 1e-9)) 1 else 0)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("iter", "monotone")
+          .select(col("iter").cast("int").as("iter"),
+            col("monotone").cast("int").as("monotone"))
+          .orderBy("iter")
+      },
+      Some("""
+        SELECT CAST(iter AS INTEGER) AS iter, CAST(1 AS INTEGER) AS monotone
+        FROM (SELECT unnest(generate_series(1, 4)) AS iter)
+        ORDER BY iter"""))
   )
 
   /** Shared oracle for v9/v10: both forms produce the identical
