@@ -296,4 +296,48 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** SemDeDup as published (Abbas et al. 2023, §3): k-means-cluster the
+    * embeddings, then compare pairs ONLY within each cluster — the
+    * coarse quantizer bounds candidate generation the way LSH bands do
+    * in [[nearDupPairsBanded]], but with a TRAINED partition, which
+    * concentrates semantic neighbors far better than data-independent
+    * hyperplanes (KMeansSpec measures the recall gap on testdata).
+    *
+    * Scale contract: within-cluster pairing is quadratic in cluster
+    * size, so k must grow with the corpus (the paper uses
+    * k ≈ n/5000 at LAION scale — cluster size is a constant you pick,
+    * never a function of n). `maxCluster` enforces that contract
+    * LOUDLY: a cluster over the cap means the quantizer degenerated
+    * (or k was sized wrong), and silently going quadratic inside it is
+    * exactly the hot-bucket hazard the LSH paths guard against.
+    *
+    * Returns verified pairs (id_a < id_b, exact cosine ≥ threshold) —
+    * feed to [[Dedup.dedupClusters]] + [[Dedup.keepCanonical]] like any
+    * other pair source. */
+  def semanticDedupPairsKMeans(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int, iters: Int = 4,
+      maxCluster: Int = 4096): DataFrame = {
+    val res = KMeans.train(df, idCol, vecCol, k, iters)
+    val labeled = KMeans.assign(df, vecCol, res.centroids)
+      .select(col(idCol), col("cluster_id"), col(vecCol))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__cn"))
+    val oversized = sizes.filter(col("__cn") > maxCluster).limit(1).collect()
+    require(oversized.isEmpty,
+      s"cluster ${oversized.headOption.map(_.get(0)).getOrElse("")} exceeds " +
+        s"maxCluster=$maxCluster rows — raise k (cluster size must stay " +
+        "constant as the corpus grows) or raise the cap explicitly")
+    val a = labeled.select(col("cluster_id"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+      .withColumn("na", sqrt(dotF(col("va"), col("va"))))
+    val b = labeled.select(col("cluster_id"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+      .withColumn("nb", sqrt(dotF(col("vb"), col("vb"))))
+    a.join(b, Seq("cluster_id")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(dotF(col("va"), col("vb")) / col("na") / col("nb"), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
 }

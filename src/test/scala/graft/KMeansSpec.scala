@@ -54,6 +54,31 @@ class KMeansSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low over trained centroids: $recall")
   }
 
+  test("SemDeDup pairs are sound, recall-floored, and the cluster cap fails loudly") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Similarity.semanticDedupPairsKMeans(emb, "vec_id", "embedding",
+      threshold = 0.4, k = 4, iters = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness is exact: the within-cluster verify is a true cosine
+    assert(sem.subsetOf(exact))
+    // recall floor on SYNTHETIC near-uniform vectors (real semantic
+    // embeddings cluster far tighter — measured 0.545 here, 0.68 at
+    // k=2; the quantizer can only concentrate what the geometry has)
+    val recall = (exact & sem).size.toDouble / exact.size
+    assert(recall >= 0.45, s"SemDeDup recall regressed: $recall")
+    // the scale contract: an oversized cluster must throw, not go
+    // quadratic silently
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupPairsKMeans(emb, "vec_id", "embedding",
+        threshold = 0.4, k = 2, iters = 1, maxCluster = 10).count()
+    }
+    assert(e.getMessage.contains("maxCluster"))
+  }
+
   test("km1 verdict frame is all-ones") {
     val rows = SparkEntry.queries("km1_kmeans_verdict")(spark, sf).collect()
     assert(rows.length == 4)
