@@ -511,6 +511,113 @@ object TrainingQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Token-BUDGET corpus mix (t19's successor): t19 samples at fixed
+    // per-class rates; real pretraining mixes are specified as "B total
+    // tokens, source s gets share w_s" — and a source can run OUT of
+    // tokens, in which case its shortfall is re-allocated to sources
+    // that still have headroom (single-pass waterfilling). All
+    // allocation math happens on the 20-row per-source frame (two tiny
+    // broadcast joins; the corpus itself is touched exactly once, by
+    // the final map-side threshold filter); every accumulation is
+    // decimal (order-independent) and every intermediate double is
+    // rounded to 6 dp, so the derived per-source rates — and therefore
+    // the md5-threshold sample — are bit-identical in both engines.
+    Q(
+      "t22_token_budget",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(28, 6)
+        val toks = Tables.documents(s, d)
+          .withColumn("n_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("wgt",
+            regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1)
+        val per = toks.groupBy("source", "wgt")
+          .agg(sum(col("n_tokens")).as("avail"))
+        val tot = per.agg(sum(col("avail")).as("tok_total"),
+          sum(col("wgt")).as("wgt_total"))
+        val alloc = per.join(broadcast(tot))
+          .withColumn("want",
+            lit(0.8) * col("tok_total").cast("double") * col("wgt") /
+              col("wgt_total"))
+          .withColumn("alloc1",
+            round(least(col("want"), col("avail").cast("double")), 6))
+          .withColumn("headroom",
+            round(col("avail").cast("double") - col("alloc1"), 6))
+        val sums = alloc.agg(
+          sum(col("alloc1").cast(dec)).cast("double").as("A1"),
+          sum(col("headroom").cast(dec)).cast("double").as("H"))
+        val rates = alloc.join(broadcast(sums))
+          .withColumn("leftover",
+            lit(0.8) * col("tok_total").cast("double") - col("A1"))
+          .withColumn("alloc2", round(col("alloc1") +
+            when(col("H") > 0,
+              least(col("headroom"),
+                col("leftover") * col("headroom") / col("H")))
+              .otherwise(lit(0.0)), 6))
+          .withColumn("threshold",
+            floor(least(lit(1.0), col("alloc2") / col("avail").cast("double"))
+              * 65536).cast("int"))
+          .select("source", "threshold")
+        toks.join(broadcast(rates), "source")
+          .withColumn("tok_bucket", expr(
+            (1 to 4).map(j =>
+              s"""(position(substr(md5('tok|' || CAST(doc_id AS STRING)), $j, 1)
+                    IN '0123456789abcdef') - 1) * ${1 << (4 * (4 - j))}""")
+              .mkString(" + ")))
+          .filter(col("tok_bucket") < col("threshold"))
+          .select("doc_id", "source", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                 CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4 + 1 AS wgt
+          FROM documents),
+        per AS (
+          SELECT source, wgt, SUM(n_tokens) AS avail FROM toks GROUP BY 1, 2),
+        tot AS (SELECT SUM(avail) AS tok_total, SUM(wgt) AS wgt_total FROM per),
+        alloc AS (
+          SELECT source, avail,
+                 round(least(0.8 * CAST(tok_total AS DOUBLE) * wgt / wgt_total,
+                             CAST(avail AS DOUBLE)), 6) AS alloc1,
+                 round(CAST(avail AS DOUBLE) -
+                   round(least(0.8 * CAST(tok_total AS DOUBLE) * wgt / wgt_total,
+                               CAST(avail AS DOUBLE)), 6), 6) AS headroom,
+                 tok_total
+          FROM per CROSS JOIN tot),
+        sums AS (
+          SELECT CAST(SUM(CAST(alloc1 AS DECIMAL(28,6))) AS DOUBLE) AS A1,
+                 CAST(SUM(CAST(headroom AS DECIMAL(28,6))) AS DOUBLE) AS H
+          FROM alloc),
+        rates AS (
+          SELECT source,
+                 CAST(floor(least(1.0,
+                   round(alloc1 + CASE WHEN H > 0 THEN
+                       least(headroom,
+                         (0.8 * CAST(tok_total AS DOUBLE) - A1) * headroom / H)
+                     ELSE 0.0 END, 6)
+                   / CAST(avail AS DOUBLE)) * 65536) AS INTEGER) AS threshold
+          FROM alloc CROSS JOIN sums),
+        bucketed AS (
+          SELECT t.doc_id, t.source, t.n_tokens, r.threshold,
+                 (strpos('0123456789abcdef',
+                    substr(md5('tok|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef',
+                    substr(md5('tok|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef',
+                    substr(md5('tok|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                    substr(md5('tok|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                   AS tok_bucket
+          FROM toks t JOIN rates r USING (source))
+        SELECT doc_id, source, n_tokens
+        FROM bucketed
+        WHERE tok_bucket < threshold
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Inverted index: posting lists for the useful middle of the term-
     // frequency spectrum (the df band — relative to corpus size so it
     // holds at any sf — drops both hapax noise and stop-word hot keys,
