@@ -167,6 +167,60 @@ object ExtensionQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Cross-document duplicated SPANS (the substring-granular dedup of
+    // Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better", at token-window resolution): fingerprint every 8-token
+    // window, mark windows whose fingerprint occurs in ≥2 distinct
+    // docs, report per-doc duplicated-window counts — the audit that
+    // finds shared boilerplate/quotes INSIDE otherwise-unique docs,
+    // which doc-level (d1/d2) and line-level (t21) dedup both miss.
+    // Shape note for 100 TB: entirely explode + hash-agg + one
+    // fp-equality join — window multiplicity never pairs docs against
+    // each other, so a million-fold-duplicated span costs its row
+    // count, not its row count squared. Complete audit: zero-dup docs
+    // (and docs too short to window) stay in the output.
+    Q(
+      "t23_dup_spans",
+      (s, d) => {
+        val w = 8
+        val wins = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .select(col("doc_id"), explode_outer(expr(
+            s"""CASE WHEN size(t) >= $w THEN
+                  transform(sequence(0, size(t) - $w),
+                            i -> md5(array_join(slice(t, i + 1, $w), ' ')))
+                ELSE CAST(array() AS array<string>) END""")).as("fp"))
+        val shared = wins.filter(col("fp").isNotNull)
+          .groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("fp"), lit(1).as("is_dup"))
+        wins.join(shared, Seq("fp"), "left")
+          .groupBy("doc_id")
+          .agg(count(col("fp")).as("n_windows"),
+            coalesce(sum(col("is_dup")), lit(0L)).as("n_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        wins AS (
+          SELECT doc_id, md5(array_to_string(t[i+1:i+8], ' ')) AS fp
+          FROM toks, UNNEST(range(0, greatest(len(t) - 7, 0))) AS u(i)),
+        dupfp AS (
+          SELECT fp FROM wins GROUP BY fp
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+        per AS (
+          SELECT w.doc_id, COUNT(*) AS n_windows, COUNT(d.fp) AS n_dup
+          FROM wins w LEFT JOIN dupfp d USING (fp)
+          GROUP BY w.doc_id)
+        SELECT doc_id,
+               COALESCE(n_windows, 0) AS n_windows,
+               COALESCE(n_dup, 0) AS n_dup
+        FROM documents LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Reference-exact description cleaning
     // (utils/data_transformer.py:286-299): whitespace collapse, markdown
     // image/link strip (non-greedy), 500-char cap — over synthetic
