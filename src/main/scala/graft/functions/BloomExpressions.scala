@@ -19,11 +19,20 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * eligible shapes, and what every warehouse engine calls a runtime
   * filter / sideways information passing) is: aggregate the small side's
   * join keys into a Bloom filter (map-side partials, OR-merge — one tiny
-  * shuffle of fixed-size bitsets), broadcast the single-row result, and
-  * drop non-matching big-side rows AT THE SCAN, before they pay the
+  * shuffle of fixed-size bitsets), hand the finished filter to the big
+  * side, and drop non-matching rows AT THE SCAN, before they pay the
   * shuffle. False positives are then killed by the exact join that
   * follows; false negatives are impossible, so the composition is
   * EXACTLY the semi join (which is what the b1 oracle asserts).
+  *
+  * Handing the filter over: collect the single finished filter (a
+  * bounded model artifact — 16 KB at 2^17 bits, never a function of
+  * data size) and embed it as a LITERAL in the probe predicate. A
+  * literal filter is a plain narrow `Filter` that predicate pushdown
+  * drives below the downstream join to the scan; the prettier
+  * 1-row-broadcast-join form is NOT equivalent — Catalyst may reorder
+  * the exact semi join below it, silently un-prefiltering the shuffle
+  * (PlanSpec pins the literal form's placement).
   *
   * [[BloomAgg]] is the build side: a `TypedImperativeAggregate` whose
   * buffer IS the serialized filter (8-byte header + bitset), so partial
@@ -152,8 +161,8 @@ case class BloomAgg(
 }
 
 /** `bloom_contains(bloom binary, key bigint) -> boolean` — codegen'd
-  * probe; the filter bytes come from a broadcast single-row frame so the
-  * probe is map-side only. */
+  * probe; with the filter as a literal the predicate is fully narrow
+  * and map-side. */
 case class BloomContains(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -362,14 +362,20 @@ object Relational {
           .filter(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey"))
         // 2^17 bits / 5 hashes ≈ 1.6% fpr at sf0.1's ~15k build keys;
-        // at larger SF you size bits ∝ build-side count — the shape
-        // (one broadcast row, map-side probe) is unchanged.
-        val bloomRow = broadcast(
-          custKeys.agg(bloomAgg(col("c_custkey"), 1 << 17, 5).as("bf")))
+        // at larger SF you size bits ∝ build-side count — the shape is
+        // unchanged. The BUILD is distributed (map-side partials, one
+        // OR-merge); the finished 16 KB filter is then collected — a
+        // bounded model artifact, like Rank's boundaries or KMeans'
+        // centroids, never a function of data size — and embedded as a
+        // LITERAL, so the probe is a pure narrow Filter that predicate
+        // pushdown drives below the semi join to the scan. (A 1-row
+        // broadcast-join probe reads nicer but Catalyst may reorder
+        // the exact semi join BELOW it, silently un-prefiltering the
+        // shuffle — PlanSpec pins the literal form's placement.)
+        val bf = custKeys.agg(bloomAgg(col("c_custkey"), 1 << 17, 5))
+          .head().getAs[Array[Byte]](0)
         val pre = Tables.orders(s, d)
-          .join(bloomRow) // 1-row broadcast: map-side, no shuffle
-          .where(bloomContains(col("bf"), col("o_custkey")))
-          .drop("bf")
+          .where(bloomContains(lit(bf), col("o_custkey")))
         pre.join(custKeys, pre("o_custkey") === custKeys("c_custkey"),
             "left_semi")
           .groupBy("o_orderpriority")

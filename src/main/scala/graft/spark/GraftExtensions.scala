@@ -131,9 +131,45 @@ object GraftExtensions {
         CmsEstimate(args.head, args(1))
       })
 
+  /** `nearest_centroid(vec array<float>, cents array<array<float>>
+    * [, return_dist]) -> int | double` — k-means argmin assignment
+    * ([[graft.functions.NearestCentroid]]); the centroid matrix must be
+    * foldable (it compiles into the generated code as a reference
+    * object). */
+  val nearestCentroid: Registration =
+    (FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(
+        classOf[graft.functions.NearestCentroid].getName, "nearest_centroid"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          s"nearest_centroid expects 2 or 3 arguments, got ${args.length}")
+        require(args(1).foldable,
+          "nearest_centroid centroids must be a literal array<array<float>>")
+        val m = args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(args(1).dataType
+                .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+              .map {
+                case row: org.apache.spark.sql.catalyst.util.ArrayData =>
+                  row.toFloatArray()
+                case other => throw new IllegalArgumentException(
+                  s"centroid rows must be array<float>, got $other")
+              }
+          case other => throw new IllegalArgumentException(
+            s"centroids must evaluate to an array, got $other")
+        }
+        val dist = args.length == 3 && (args(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"return_dist must be a boolean literal, got $other")
+        })
+        graft.functions.NearestCentroid(args.head, m, returnDist = dist)
+      })
+
   val all: Seq[Registration] =
     Seq(dotProductFloat, dotProductInt, minhashSig, simhash64,
-      topicLangMatches, boundedTopK, bloomAgg, bloomContains, cmsEstimate)
+      topicLangMatches, boundedTopK, bloomAgg, bloomContains, cmsEstimate,
+      nearestCentroid)
 
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -44,11 +44,12 @@ class BloomSpec extends SparkSpec {
     assert(q.toSeq === exact.toSeq)
     // the prefilter must do real work: far fewer rows pass the bloom
     // than exist (1/5 of customers are BUILDING + ~1.6% fp)
-    val bloomRow = broadcast(
-      custKeys.agg(BloomFunctions.bloomAgg(col("c_custkey"), 1 << 17, 5).as("bf")))
+    val bf = custKeys
+      .agg(BloomFunctions.bloomAgg(col("c_custkey"), 1 << 17, 5))
+      .head().getAs[Array[Byte]](0)
     val orders = Tables.orders(spark, sf)
-    val kept = orders.join(bloomRow)
-      .where(BloomFunctions.bloomContains(col("bf"), col("o_custkey"))).count()
+    val kept = orders
+      .where(BloomFunctions.bloomContains(lit(bf), col("o_custkey"))).count()
     val total = orders.count()
     val exactKept = orders
       .join(custKeys, col("o_custkey") === col("c_custkey"), "left_semi").count()

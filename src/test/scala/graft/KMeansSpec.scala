@@ -79,6 +79,21 @@ class KMeansSpec extends SparkSpec {
     assert(e.getMessage.contains("maxCluster"))
   }
 
+  test("nearest_centroid registers for SQL") {
+    for (reg <- graft.spark.GraftExtensions.all)
+      org.apache.spark.sql.graftbridge.SqlBridge.registerFunction(
+        spark, reg._1.funcName, reg._3)
+    val r = spark.sql("""
+      SELECT nearest_centroid(CAST(array(0.9, 0.1) AS array<float>),
+               CAST(array(array(1.0, 0.0), array(0.0, 1.0))
+                 AS array<array<float>>)) AS cid,
+             nearest_centroid(CAST(array(0.0, 1.0) AS array<float>),
+               CAST(array(array(1.0, 0.0), array(0.0, 1.0))
+                 AS array<array<float>>), true) AS dist""").head()
+    assert(r.getInt(0) === 0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
   test("km1 verdict frame is all-ones") {
     val rows = SparkEntry.queries("km1_kmeans_verdict")(spark, sf).collect()
     assert(rows.length == 4)

@@ -71,6 +71,21 @@ class PlanSpec extends SparkSpec {
     assert(planOf(q).contains("TakeOrderedAndProject"))
   }
 
+  test("bloom prefilter probes map-side, below the exact semi join") {
+    val plan = planOf(SparkEntry.queries("b1_bloom_semi")(spark, sf))
+    // the probe is a literal-filter Filter on the fact scan — pushdown
+    // must place it BELOW the semi join (plan text: printed after),
+    // so at scale the bloom thins the rows before any join exchange
+    val semiIdx = plan.indexOf("LeftSemi")
+    val probeIdx = plan.indexOf("bloom_contains")
+    assert(semiIdx >= 0 && probeIdx > semiIdx,
+      s"probe must sit under the exact semi join:\n$plan")
+    // and it stays inside whole-stage codegen
+    assert(plan.split("\n").exists(l =>
+      l.contains("bloom_contains") && l.contains("*(")),
+      s"probe fell out of codegen:\n$plan")
+  }
+
   test("range join is a hash equi-join on the month bucket, never a nested loop") {
     val q = SparkEntry.queries("j7_range_join")(spark, sf)
     val plan = planOf(q)
