@@ -550,6 +550,42 @@ object ExtendedOps {
         ORDER BY day""")),
 
     // ----------------------------------------------------------------
+    // Salted two-stage HOLISTIC aggregation (§4 skew notes, j9's dual
+    // for aggregations): algebraic aggregates (sum/count/avg) never
+    // need salting — Spark's map-side partials already shrink every
+    // partition to one row per group. The state-accumulating
+    // (holistic) aggregates DO: collect_set / exact-distinct state
+    // grows with group size, so one hot group concentrates its whole
+    // state on one reducer. Stage 1 splits each group across 16 salts
+    // (groupBy(key, salt) → bounded per-salt sets); stage 2 merges the
+    // 16 partial sets per group (flatten + array_distinct). The salt
+    // must be invisible in the result — the oracle is the PLAIN
+    // distinct aggregation.
+    Q(
+      "a15_salted_collect",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy("l_returnflag", "salt")
+          .agg(collect_set(col("l_suppkey")).as("partial_supp"))
+          .groupBy("l_returnflag")
+          .agg(array_sort(array_distinct(flatten(
+            collect_list(col("partial_supp"))))).as("supp"))
+          .select(col("l_returnflag"),
+            size(col("supp")).as("n_supp"),
+            concat_ws(",",
+              transform(col("supp"), x => x.cast("string"))).as("supp_csv"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS INTEGER) AS n_supp,
+               array_to_string(list(l_suppkey ORDER BY l_suppkey),
+                               ',') AS supp_csv
+        FROM (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ----------------------------------------------------------------
     // Heavy hitters via count-min sketch (a14's pattern, applied to
     // per-key counts): Spark's builtin `count_min_sketch` aggregate
     // builds the sketch in one pass (map-side partials, fixed-size

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Deterministic.davg
 import graft.functions.TextAnalysis._
 import graft.operators.Dedup
 import org.apache.spark.sql.expressions.Window
@@ -165,6 +166,97 @@ object ExtensionQueries {
                length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_len
         FROM documents
         ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // The curation PIPELINE, end to end — the composition a real
+    // training-data run executes, stitched from the already-oracled
+    // stages: quality gate (t1's additive scorecard ≥ 50) → repetition
+    // gate (t15's duplicate-3-gram fraction ≤ 0.2; docs too short to
+    // gram pass) → exact dedup (t3's fingerprint, min-id canonical) →
+    // per-source audit (docs in/kept, token sum, mean quality of the
+    // survivors). Every stage is narrow or one hash-agg; the dedup is
+    // d1's digest groupBy. The oracle replays the whole chain.
+    Q(
+      "cp1_curation_pipeline",
+      (s, d) => {
+        import graft.functions.TextAnalysis._
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            tokenCount(col("text")).as("n_tokens"),
+            qualityScore(col("text")).as("q"),
+            ngramRepetition(col("text"), 3).as("r"))
+        val gated = scored.filter(col("q") >= 50 &&
+          (col("r.n_grams") === 0 ||
+            lit(1.0) - col("r.n_distinct") / col("r.n_grams").cast("double")
+              <= 0.2))
+        val fp = gated.withColumn("fp", fingerprint(col("text")))
+        val canonical = fp.groupBy("fp")
+          .agg(min(col("doc_id")).as("doc_id"))
+        val kept = fp.join(canonical, Seq("fp", "doc_id"))
+        Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .join(kept.groupBy("source")
+            .agg(count(lit(1)).as("n_kept"),
+              sum(col("n_tokens")).as("tok_kept"),
+              davg(col("q").cast("double")).as("avg_q")), Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("tok_kept"), lit(0L)).as("tok_kept"),
+            round(coalesce(col("avg_q"), lit(0.0)), 6).as("avg_q"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, source, text,
+                 $tokSql AS n_tokens,
+                 GREATEST(LEAST(
+                   (CASE WHEN $tokSql BETWEEN 10 AND 500 THEN 25 ELSE 0 END)
+                   + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / $tokSql
+                        BETWEEN 2.0 AND 10.0 THEN 25 ELSE 0 END)
+                   + (CASE WHEN CAST(${Seq("the", "a", "of", "to", "and").map(mcSql).mkString(" + ")} AS DOUBLE) / $tokSql
+                        BETWEEN 0.01 AND 0.5 THEN 25 ELSE 10 END)
+                   + (CASE WHEN NOT (contains(text, '<') OR contains(text, 'http'))
+                        THEN 25 ELSE 0 END),
+                   100), 0) AS q
+          FROM documents),
+        rep AS (
+          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+                 COUNT(*) AS n_distinct
+          FROM (SELECT doc_id, gram, COUNT(*) AS n
+                FROM (SELECT doc_id,
+                             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                      FROM (SELECT doc_id, string_split(text, ' ') AS t
+                            FROM documents),
+                           UNNEST(range(1, len(t) - 1)) AS u(i))
+                GROUP BY 1, 2)
+          GROUP BY 1),
+        gated AS (
+          SELECT s.*
+          FROM scored s LEFT JOIN rep r USING (doc_id)
+          WHERE s.q >= 50
+            AND (r.doc_id IS NULL OR r.n_grams = 0
+                 OR 1.0 - r.n_distinct / CAST(r.n_grams AS DOUBLE) <= 0.2)),
+        fp AS (
+          SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+          FROM gated),
+        kept AS (
+          SELECT fp.* FROM fp
+          JOIN (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f) c
+            USING (f, doc_id)),
+        per AS (
+          SELECT source, COUNT(*) AS n_kept,
+                 CAST(SUM(n_tokens) AS BIGINT) AS tok_kept,
+                 CAST(SUM(CAST(CAST(q AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(q) AS avg_q
+          FROM kept GROUP BY source),
+        base AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                 GROUP BY source)
+        SELECT b.source, b.n_docs,
+               COALESCE(per.n_kept, 0) AS n_kept,
+               COALESCE(per.tok_kept, 0) AS tok_kept,
+               round(COALESCE(per.avg_q, 0.0), 6) AS avg_q
+        FROM base b LEFT JOIN per USING (source)
+        ORDER BY source""")),
 
     // ----------------------------------------------------------------
     // Cross-document duplicated SPANS (the substring-granular dedup of
