@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
   * IMAGE DECODE IS REAL: the JDK ships PNG/JPEG/GIF/BMP codecs
   * (`javax.imageio`), so image rows carry genuine PNG payloads and
   * `decode` parses them — width/height/mean-luminance come from actual
-  * pixels, not metadata. AUDIO/VIDEO DECODE IS STUBBED (no such codecs
-  * in the JDK or this container): those rows fall back to declared
-  * deterministic byte statistics. Everything around the codec — the
-  * schema contract, the `mapPartitions` batch shape (one JVM-side
-  * batch per partition, the Scala analogue of `mapInPandas`),
-  * partitioning, and the embedding hand-off into [[Similarity]] — is
-  * identical for both paths, so a real audio/video codec is a
-  * one-function swap.
+  * pixels, not metadata. AUDIO DECODE IS REAL: `javax.sound.sampled`
+  * parses WAV/AIFF/AU, so sample rate / frame count / mean amplitude
+  * come from actual PCM frames. VIDEO CONTAINER PARSING IS REAL
+  * (ISO-BMFF box walk: `moov`/`mvhd`/`tkhd` give duration and display
+  * size) but FRAME DECODE IS STUBBED — the JDK ships no video codec,
+  * so the per-frame statistic stays a declared byte-level stand-in.
+  * Everything around that one gap — the schema contract, the
+  * `mapPartitions` batch shape (one JVM-side batch per partition, the
+  * Scala analogue of `mapInPandas`), partitioning, and the embedding
+  * hand-off into [[Similarity]] — is identical for all paths, so a
+  * real video codec is a one-function swap.
   *
   * Scale design: payload bytes never shuffle — decode/featurize run
   * map-side on the scan partitions; only the small derived columns
@@ -44,8 +47,9 @@ object Multimodal {
   /** Deterministic fake corpus: image rows carry REAL PNG payloads
     * (JDK codec) with md5-seeded pixels; audio rows carry REAL WAV
     * payloads (JDK `javax.sound.sampled`) with md5-seeded sine tones;
-    * video rows carry opaque md5-derived bytes (no container codec in
-    * the JDK). */
+    * video rows carry REAL (minimal, valid) MP4 containers — `moov`
+    * metadata genuinely parseable, only the coded samples in `mdat`
+    * are md5 filler (the JDK ships no video codec). */
   def fakeMedia(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n.toLong, 1, partitions).map { i =>
@@ -57,10 +61,8 @@ object Multimodal {
         case "audio" =>
           MediaRow(i, kind, wavBytes(i, 400 + (i % 64).toInt * 50), w, h, "wav")
         case _ =>
-          val digest = org.apache.commons.codec.digest.DigestUtils.md5(s"media|$i")
-          val bytes = Iterator.continually(digest).flatten
-            .take(256 + (i % 64).toInt * 16).toArray
-          MediaRow(i, kind, bytes, w, h, "fake")
+          MediaRow(i, kind,
+            mp4Bytes(i, 1000 + (i % 60).toInt * 250, w, h), w, h, "mp4")
       }
     }
   }
@@ -164,8 +166,86 @@ object Multimodal {
       } finally ais.close()
     }.toOption
 
-  /** STUB video decode: deterministic statistics from the raw bytes (a
-    * real implementation would parse the container format here). Pure
+  /** A real (minimal, valid) MP4 container: `ftyp` + `moov` holding an
+    * `mvhd` (timescale/duration) and one `trak`/`tkhd` (16.16
+    * fixed-point width/height), then an `mdat` of md5-derived filler
+    * standing in for coded samples. Box layout per ISO/IEC 14496-12;
+    * everything a JDK-only pipeline can genuinely produce — the coded
+    * stream itself is the only fake. */
+  private[graft] def mp4Bytes(seed: Long, durationMs: Int, w: Int,
+      h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24 + 216 + 8 + 256)
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size); bb.put(typ.getBytes("US-ASCII"))
+    }
+    box(24, "ftyp")
+    bb.put("isom".getBytes("US-ASCII")); bb.putInt(0x200)
+    bb.put("isommp42".getBytes("US-ASCII"))
+    box(216, "moov")
+    box(108, "mvhd")
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0); bb.putInt(0) // ctime, mtime
+    bb.putInt(1000) // timescale: ms
+    bb.putInt(durationMs)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+    bb.putLong(0) // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    (0 until 6).foreach(_ => bb.putInt(0)) // predefined
+    bb.putInt(2) // next track id
+    box(100, "trak")
+    box(92, "tkhd")
+    bb.putInt(0x7) // version 0, flags: enabled+in-movie+in-preview
+    bb.putInt(0); bb.putInt(0) // ctime, mtime
+    bb.putInt(1); bb.putInt(0) // track id, reserved
+    bb.putInt(durationMs)
+    bb.putLong(0) // reserved
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    bb.putInt(w << 16); bb.putInt(h << 16) // 16.16 fixed
+    box(8 + 256, "mdat")
+    val digest = org.apache.commons.codec.digest.DigestUtils.md5(s"media|$seed")
+    (0 until 256).foreach(i => bb.put(digest(i % 16)))
+    bb.array()
+  }
+
+  /** REAL MP4 container parse (no codec needed): walk the top-level
+    * boxes for `moov`, read `mvhd`'s timescale/duration and the first
+    * `tkhd`'s 16.16 width/height. None for anything malformed —
+    * truncated boxes, absurd sizes, missing `moov`/`mvhd`. Bounds are
+    * checked before every read, so corrupt payloads degrade to the
+    * byte-stats fallback instead of throwing on an executor. */
+  private[graft] def parseMp4(bytes: Array[Byte]): Option[(Double, Int, Int)] = {
+    def beInt(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def typ(o: Int): String = new String(bytes, o + 4, 4, "US-ASCII")
+    def findBox(from: Int, until: Int, name: String): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= until) {
+        val size = beInt(o)
+        if (size < 8 || o + size > until) return None
+        if (typ(o) == name) return Some((o + 8, (o + size).toInt))
+        o += size.toInt
+      }
+      None
+    }
+    if (bytes.length < 8) return None
+    for {
+      (moovStart, moovEnd) <- findBox(0, bytes.length, "moov")
+      (mvhd, mvhdEnd) <- findBox(moovStart, moovEnd, "mvhd")
+      if mvhd + 20 <= mvhdEnd && (beInt(mvhd) >>> 24) == 0 // version 0
+      timescale = beInt(mvhd + 12)
+      if timescale > 0
+      duration = beInt(mvhd + 16)
+      (trak, trakEnd) <- findBox(moovStart, moovEnd, "trak")
+      (tkhd, tkhdEnd) <- findBox(trak, trakEnd, "tkhd")
+      if tkhdEnd - tkhd >= 84 && (beInt(tkhd) >>> 24) == 0
+    } yield (duration.toDouble / timescale,
+      (beInt(tkhdEnd - 8) >> 16).toInt, (beInt(tkhdEnd - 4) >> 16).toInt)
+  }
+
+  /** Byte statistics — the fallback for corrupt payloads and the stand-
+    * in for coded-frame statistics (the JDK ships no video codec). Pure
     * function of the payload — identical on any executor. */
   private[operators] def byteStats(bytes: Array[Byte]): Double = {
     var sum = 0L
@@ -180,8 +260,9 @@ object Multimodal {
     * Arrow batch; ImageIO's disk cache is disabled once per partition
     * for the same reason). Image rows report REAL decoded
     * dimensions/luminance, audio rows REAL sample rate/frames/mean
-    * amplitude; video (and corrupt payloads) fall back to metadata dims
-    * + byte stats. */
+    * amplitude, video rows REAL container duration/display size (frame
+    * stats byte-level — no JDK codec); corrupt payloads fall back to
+    * metadata dims + byte stats. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -203,6 +284,14 @@ object Multimodal {
                 m.bytes.length.toLong, meanAmp, checksum,
                 sample_rate = Some(rate), n_frames = Some(frames),
                 duration_sec = Some(frames.toDouble / rate))
+            case None => fallback
+          }
+          case "video" => parseMp4(m.bytes) match {
+            // container metadata is REAL (moov/mvhd/tkhd); the frame
+            // statistic stays byte-level — no codec in the JDK
+            case Some((durSec, w, h)) =>
+              DecodedRow(m.media_id, m.kind, w, h, m.bytes.length.toLong,
+                byteStats(m.bytes), checksum, duration_sec = Some(durSec))
             case None => fallback
           }
           case _ => fallback

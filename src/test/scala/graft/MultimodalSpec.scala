@@ -22,11 +22,33 @@ class MultimodalSpec extends SparkSpec {
     assert(aud.n_frames === Some(400 + 50L)) // 400 + (1 % 64) * 50 samples
     assert(aud.duration_sec.exists(d => math.abs(d - 450.0 / 8000) < 1e-9))
     assert(aud.mean_intensity > 0 && aud.mean_intensity < 255)
-    // image/video rows carry no audio stream properties
+    // id 2 is video: REAL container parse — duration from mvhd,
+    // display size from tkhd (16.16 fixed), not from row metadata
+    val vid = out.filter($"media_id" === 2).head()
+    assert(vid.duration_sec.exists(d =>
+      math.abs(d - (1000 + 2 % 60 * 250) / 1000.0) < 1e-9))
+    assert(vid.width === 64 + 2 % 8 * 32 && vid.height === 64 + 2 % 5 * 48)
+    assert(vid.sample_rate.isEmpty)
+    // image rows carry no audio stream properties
     assert(img.sample_rate.isEmpty && img.n_frames.isEmpty)
     // determinism: same id => same checksum on re-run
     val again = Multimodal.decode(media).filter($"media_id" === 0).head()
     assert(again.checksum === img.checksum)
+  }
+
+  test("mp4 container parse is real and corrupt payloads degrade, not throw") {
+    // round-trip: parse what the builder wrote
+    val b = Multimodal.mp4Bytes(7, durationMs = 4250, w = 320, h = 240)
+    assert(Multimodal.parseMp4(b) === Some((4.25, 320, 240)))
+    // magic is genuine ISO-BMFF: 'ftyp' at offset 4
+    assert(new String(b.slice(4, 8), "US-ASCII") === "ftyp")
+    // corrupt: truncated mid-moov, garbage, empty — all None, no throw
+    assert(Multimodal.parseMp4(b.take(40)).isEmpty)
+    assert(Multimodal.parseMp4(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(Multimodal.parseMp4(Array.emptyByteArray).isEmpty)
+    // zero-size box loop guard: size field of 0 must not hang
+    val loop = b.clone(); loop(0) = 0; loop(1) = 0; loop(2) = 0; loop(3) = 0
+    assert(Multimodal.parseMp4(loop).isEmpty)
   }
 
   test("audio decode is real: rate, frames and amplitude come from the WAV") {

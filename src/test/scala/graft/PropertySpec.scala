@@ -36,6 +36,49 @@ class PropertySpec extends SparkSpec {
     assert(out.forall(m => m >= 0.0 && m <= 100.0))
   }
 
+  test("bloom filter: no false negatives for any key set, any sizing") {
+    val cases = Gen.listOfN(20, for {
+      nBits <- Gen.oneOf(1 << 10, 1 << 13, 1 << 16)
+      nHash <- Gen.chooseNum(1, 8)
+      keys <- Gen.listOfN(500, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    } yield (nBits, nHash, keys)).sample.get
+    for ((nBits, nHash, keys) <- cases) {
+      val bf = graft.functions.BloomRuntime.alloc(nBits, nHash)
+      keys.foreach(k => graft.functions.BloomRuntime.add(bf, k))
+      assert(keys.forall(k => graft.functions.BloomRuntime.contains(bf, k)),
+        s"false negative at bits=$nBits hashes=$nHash")
+      // merge of a split build equals the single build, bit for bit
+      val (l, r) = keys.splitAt(keys.length / 2)
+      val b1 = graft.functions.BloomRuntime.alloc(nBits, nHash)
+      val b2 = graft.functions.BloomRuntime.alloc(nBits, nHash)
+      l.foreach(k => graft.functions.BloomRuntime.add(b1, k))
+      r.foreach(k => graft.functions.BloomRuntime.add(b2, k))
+      assert(java.util.Arrays.equals(
+        graft.functions.BloomRuntime.merge(b1, b2), bf))
+    }
+  }
+
+  test("nearest centroid: argmin matches a reference model, ties to lower index") {
+    val cases = Gen.listOfN(50, for {
+      k <- Gen.chooseNum(1, 6)
+      dim <- Gen.chooseNum(1, 8)
+      cents <- Gen.listOfN(k, Gen.listOfN(dim,
+        Gen.chooseNum(-4, 4).map(_.toFloat)))
+      v <- Gen.listOfN(dim, Gen.chooseNum(-4, 4).map(_.toFloat))
+    } yield (cents.map(_.toArray).toArray, v.toArray)).sample.get
+    for ((cents, v) <- cases) {
+      val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+      val got = graft.functions.NearestCentroidRuntime.bestIndex(ad, cents)
+      val dists = cents.map(c =>
+        c.zip(v).map { case (a, b) =>
+          (b.toDouble - a.toDouble) * (b.toDouble - a.toDouble) }.sum)
+      val want = dists.zipWithIndex.minBy { case (dd, i) => (dd, i) }._2
+      assert(got == want, s"argmin mismatch: $got vs $want (${dists.toSeq})")
+      assert(graft.functions.NearestCentroidRuntime.bestDist(ad, cents)
+        == dists.min)
+    }
+  }
+
   test("language distribution sums to ~100 (1dp rounding per entry)") {
     val topics = Gen.oneOf("python3", "golang", "spark", "web", "rusty",
       "docker", "bash-tools", "c++-lib", "typescript-starter", "ml")
