@@ -393,6 +393,48 @@ object ExtensionQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // The multimodal DECODE path in the gate (m1 covers payload
+    // plumbing; this covers the codecs): fakeMedia's real PNG / WAV /
+    // MP4 payloads run through Multimodal.decode map-side, and each
+    // row verifies the decoded properties against what the generator
+    // wrote — image dims from actual pixels, audio rate/frames/
+    // duration from actual PCM, video duration/display size from the
+    // actual moov box. DuckDB cannot run codecs, but it predicts the
+    // verdict frame exactly (a14's pattern): any decode drift flips a
+    // row and the gate hash catches it.
+    Q(
+      "m2_decode_verdict",
+      (s, _) => {
+        val dec = graft.operators.Multimodal.decode(
+          graft.operators.Multimodal.fakeMedia(s, 99)).toDF()
+        val id = col("media_id")
+        val ok = when(col("kind") === "image",
+            col("width") === lit(64) + id % 8 * 32 &&
+            col("height") === lit(64) + id % 5 * 48 &&
+            col("mean_intensity") > 0 && col("mean_intensity") < 255)
+          .when(col("kind") === "audio",
+            col("sample_rate") === 8000 &&
+            col("n_frames") === lit(400) + id % 64 * 50 &&
+            abs(col("duration_sec") -
+              (lit(400) + id % 64 * 50).cast("double") / 8000) < 1e-9)
+          .otherwise(
+            abs(col("duration_sec") -
+              (lit(1000) + id % 60 * 250).cast("double") / 1000) < 1e-9 &&
+            col("width") === lit(64) + id % 8 * 32 &&
+            col("height") === lit(64) + id % 5 * 48)
+        dec.select(id.as("media_id"), col("kind"),
+            when(ok, 1).otherwise(0).as("ok"))
+          .orderBy("media_id")
+      },
+      Some("""
+        SELECT i AS media_id,
+               CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(1 AS INTEGER) AS ok
+        FROM (SELECT unnest(generate_series(0, 98)) AS i)
+        ORDER BY media_id""")),
+
+    // ----------------------------------------------------------------
     // Vocabulary build: top-k tokens by corpus frequency with document
     // frequency — the tokenizer-training / vocab-pruning primitive. One
     // explode + hash-agg (partial combine carries distinct tokens per
