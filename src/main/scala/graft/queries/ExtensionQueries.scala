@@ -435,6 +435,78 @@ object ExtensionQueries {
         ORDER BY media_id""")),
 
     // ----------------------------------------------------------------
+    // BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterative
+    // merge loop itself, not just the vocab count: each round counts
+    // all adjacent symbol pairs across the corpus (one explode + one
+    // hash-agg — the 100 TB shape), picks the most frequent (pair-ASC
+    // tie-break), and applies the merge corpus-wide with a left-to-
+    // right non-overlapping replace (identical scan semantics in both
+    // engines). The merge table is the MODEL — k rows held on the
+    // driver, like k-means centroids or Rank's boundaries; per-round
+    // corpus state persists so round r reads r-1's frame, not the full
+    // replace chain. The oracle replays all 8 rounds as unrolled CTEs.
+    Q(
+      "t24_bpe_merges",
+      (s, d) => {
+        val k = 8
+        var txt = Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit(" "), trim(col("text")), lit(" ")).as("t"))
+          .persist()
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+        for (r <- 1 to k) {
+          val top = txt
+            .select(explode(expr(
+              """transform(sequence(0, size(split(trim(t), ' ')) - 2),
+                 i -> concat(split(trim(t), ' ')[i], ' ',
+                             split(trim(t), ' ')[i + 1]))""")).as("pair"))
+            .groupBy("pair").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("pair"))
+            .limit(1).head() // bounded: one (pair, count) — the model row
+          val pair = top.getString(0)
+          merges += ((r, pair, top.getLong(1)))
+          val next = txt.withColumn("t",
+            expr(s"replace(t, ' $pair ', ' ${pair.replace(" ", "@@")} ')"))
+            .persist()
+          next.count() // materialize so the old frame can go
+          txt.unpersist()
+          txt = next
+        }
+        txt.unpersist()
+        import s.implicits._
+        merges.toSeq.toDF("rank", "pair", "n_pairs")
+          .select(col("rank").cast("int").as("rank"), col("pair"),
+            col("n_pairs"))
+          .orderBy("rank")
+      },
+      Some {
+        val stages = (1 to 8).map { r =>
+          s"""p$r AS (
+            SELECT pair, COUNT(*) AS n
+            FROM (SELECT s[i] || ' ' || s[i+1] AS pair
+                  FROM (SELECT string_split(trim(t), ' ') AS s
+                        FROM t${r - 1}),
+                       UNNEST(range(1, len(s))) AS u(i))
+            GROUP BY pair),
+          m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+          t$r AS (
+            SELECT doc_id,
+                   replace(t, ' ' || (SELECT pair FROM m$r) || ' ',
+                           ' ' || replace((SELECT pair FROM m$r), ' ', '@@')
+                             || ' ') AS t
+            FROM t${r - 1})"""
+        }.mkString(",\n          ")
+        s"""
+        WITH t0 AS (
+          SELECT doc_id, ' ' || trim(text) || ' ' AS t FROM documents),
+          $stages
+        ${(1 to 8).map(r =>
+            s"SELECT CAST($r AS INTEGER) AS rank, pair, n AS n_pairs FROM m$r")
+          .mkString("\n        UNION ALL\n        ")}
+        ORDER BY rank"""
+      }),
+
+    // ----------------------------------------------------------------
     // Vocabulary build: top-k tokens by corpus frequency with document
     // frequency — the tokenizer-training / vocab-pruning primitive. One
     // explode + hash-agg (partial combine carries distinct tokens per
