@@ -982,6 +982,36 @@ object ExtensionQueries {
       Some(dedupRewriteOracle)),
 
     // ----------------------------------------------------------------
+    // Dedup-health HISTOGRAM over d8's clusters: how many clusters of
+    // each size, and how many docs they hold — the audit a curation
+    // run reads before deciding thresholds (a fat tail here means the
+    // corpus is template-heavy; all-singletons means the thresholds
+    // are too tight). Same resolution pipeline, one extra two-level
+    // hash-agg; the frame is O(max cluster size), tiny at any scale.
+    Q(
+      "d12_cluster_histogram",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = Dedup.shingles(docs, "doc_id", "text", dedupe = false)
+          .persist()
+        val sigs = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text",
+          numHashes = 8)
+        val pairs = Dedup.lshCandidatePairs(
+          Dedup.lshBands(sigs, "doc_id", numHashes = 8, rowsPerBand = 2),
+          "doc_id")
+        val verified = Dedup.jaccardOnPairs(sh, "doc_id", pairs)
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+        Dedup.dedupClusters(docs.select("doc_id"), "doc_id", verified)
+          .groupBy("cluster_rep")
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size")).as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      Some(dedupHistogramOracle)),
+
+    // ----------------------------------------------------------------
     // Incremental dedup — the shape that actually runs at 100 TB: you
     // never re-dedup the corpus, you dedup the daily increment against
     // the persisted state (signature index + label table). Stage 1
@@ -1087,4 +1117,20 @@ object ExtensionQueries {
         SELECT doc_id, cluster_rep, n_chars, cluster_size
         FROM ranked WHERE rn = 1
         ORDER BY doc_id"""
+
+  /** d12's oracle: the same cluster resolution, aggregated into the
+    * cluster-size histogram (the dedup-health audit view). */
+  private lazy val dedupHistogramOracle: String = {
+    val prefix = dedupRewriteOracle.substring(0,
+      dedupRewriteOracle.indexOf("ranked AS"))
+    s"""${prefix}per AS (
+          SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM cl GROUP BY cluster_rep)
+        SELECT cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM per
+        GROUP BY cluster_size
+        ORDER BY cluster_size"""
+  }
 }
