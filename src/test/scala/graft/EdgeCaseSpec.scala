@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Dedup, KMeans, Prefix, Similarity, Upsert}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior across the operator library: empty frames,
+  * singleton corpora, k > n. Every operator must either return the
+  * correct empty/degenerate result or fail loudly — never hang, throw
+  * obscurely, or return wrong shapes. (These are the first inputs a
+  * real pipeline hits: day-one runs, filtered-to-nothing partitions.) */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String, Long)]
+    .toDF("doc_id", "text", "n_chars")
+  private def oneDoc = Seq((1L, "the quick brown fox jumps over the lazy dog", 43L))
+    .toDF("doc_id", "text", "n_chars")
+
+  test("dedup pipeline on an empty corpus yields empty everything") {
+    val sh = Dedup.shingles(emptyDocs, "doc_id", "text", dedupe = false)
+    assert(sh.count() == 0)
+    val sigs = Dedup.minhashSignaturesNarrow(emptyDocs, "doc_id", "text", 8)
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
+    assert(pairs.count() == 0)
+    val clusters = Dedup.dedupClusters(
+      emptyDocs.select("doc_id"), "doc_id", pairs)
+    assert(clusters.count() == 0)
+    assert(Dedup.keepCanonical(emptyDocs, "doc_id", clusters,
+      Seq(col("n_chars").desc, col("doc_id"))).count() == 0)
+  }
+
+  test("dedup pipeline on a single doc yields one singleton cluster") {
+    val sigs = Dedup.minhashSignaturesNarrow(oneDoc, "doc_id", "text", 8)
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
+    assert(pairs.count() == 0)
+    val clusters = Dedup.dedupClusters(oneDoc.select("doc_id"), "doc_id", pairs)
+    val row = clusters.head()
+    assert(clusters.count() == 1 && row.getLong(0) == 1L && row.getLong(1) == 1L)
+    assert(Dedup.keepCanonical(oneDoc, "doc_id", clusters,
+      Seq(col("n_chars").desc, col("doc_id"))).count() == 1)
+  }
+
+  test("similarity search over an empty corpus returns no neighbors") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.selfTopK(empty, "vec_id", "embedding", 5, 64).count() == 0)
+    assert(Similarity.nearDupPairsBanded(empty, "vec_id", "embedding",
+      0.4, 64).count() == 0)
+  }
+
+  test("k-means: k larger than the corpus degrades to n clusters; empty fails loudly") {
+    val three = Seq(
+      (1L, Array.fill(4)(1.0f)), (2L, Array.fill(4)(-1.0f)),
+      (3L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    val res = KMeans.train(three, "vec_id", "embedding", k = 10, iters = 2)
+    assert(res.centroids.length == 3) // only 3 seeds exist
+    assert(res.inertia.last <= res.inertia.head * (1 + 1e-9))
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[Exception] {
+      KMeans.train(empty, "vec_id", "embedding", k = 2, iters = 1)
+    }
+  }
+
+  test("upsert with an empty source is the target; empty target is the source") {
+    val t = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val s0 = t.limit(0)
+    assert(Upsert.merge(t, s0, Seq("k")).orderBy("k").collect().toSeq ==
+      t.orderBy("k").collect().toSeq)
+    assert(Upsert.merge(s0, t, Seq("k")).orderBy("k").collect().toSeq ==
+      t.orderBy("k").collect().toSeq)
+  }
+
+  test("global cumsum over an empty frame is empty, over one row is that row") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "x")
+    assert(Prefix.globalCumsum(empty, Seq("id"), "x").count() == 0)
+    val one = Seq((7L, 25L)).toDF("id", "x")
+    val r = Prefix.globalCumsum(one, Seq("id"), "x").head()
+    assert(r.getAs[Long]("cumsum") == 25L)
+  }
+
+  test("bloom over zero build rows rejects every probe") {
+    val empty = Seq.empty[Long].toDF("k")
+    val bf = empty.agg(graft.functions.BloomFunctions
+      .bloomAgg(col("k"), 1 << 12, 4)).head().getAs[Array[Byte]](0)
+    assert((0L until 100L).forall(k =>
+      !graft.functions.BloomRuntime.contains(bf, k)))
+  }
+}
