@@ -81,15 +81,33 @@ object Similarity {
     * hyperplane is a *constant* float array literal, so the projection
     * runs through the codegen'd [[graft.functions.DotProductFloat]]
     * instead of a 64-term expression tree. */
-  private def planeSign(vec: Column, plane: Int, dim: Int): Column = {
-    val w = (0 until dim).map { i =>
+  /** md5-derived ±1 weights for hyperplane `plane` — deterministic, so
+    * an oracle rebuilds the identical plane. */
+  private def planeWeights(plane: Int, dim: Int): Seq[Float] =
+    (0 until dim).map { i =>
       val bit = Integer.parseInt(
         org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$plane|$i").substring(0, 1), 16) % 2
       if (bit == 1) 1.0f else -1.0f
     }
-    when(dotF(vec, array(w.map(lit): _*).cast("array<float>")) >= 0, 1)
-      .otherwise(0)
-  }
+
+  private def planeDot(vec: Column, plane: Int, dim: Int): Column =
+    dotF(vec, array(planeWeights(plane, dim).map(lit): _*).cast("array<float>"))
+
+  private def planeSign(vec: Column, plane: Int, dim: Int): Column =
+    when(planeDot(vec, plane, dim) >= 0, 1).otherwise(0)
+
+  /** Johnson–Lindenstrauss random projection: `outDim` signed-sum
+    * projections (the ±1 "database-friendly" JL of Achlioptas 2003)
+    * through the codegen'd dot product — a narrow map-side scan that
+    * shrinks a 64-dim index 4× before ANN, with distances preserved to
+    * O(1/√outDim). The planes are the SAME md5-derived family the LSH
+    * bucketer uses, so the projection is deterministic and an oracle
+    * replays it exactly; outputs are rounded to 6 dp so both engines
+    * emit the identical double. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int): DataFrame =
+    df.select(col(idCol) +: (0 until outDim).map(p =>
+      round(planeDot(col(vecCol), p, dim), 6).as(s"p$p")): _*)
 
   /** Approximate top-k: bucket by `nPlanes` hyperplane sign bits, then
     * exact cosine within matching buckets only. Trades recall for a

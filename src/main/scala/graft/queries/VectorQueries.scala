@@ -431,6 +431,36 @@ object VectorQueries {
       Some(selfTopKOracle)),
 
     // ----------------------------------------------------------------
+    // Johnson–Lindenstrauss random projection (Achlioptas ±1 form):
+    // 64 → 16 dims as a narrow codegen'd scan — the 4× index-shrink
+    // step before ANN at scale (distances preserved to O(1/√16)). The
+    // md5-derived planes are the LSH bucketer's own family, so the
+    // oracle rebuilds them bit-for-bit; each projection is rounded to
+    // 6 dp so both engines emit the identical double. The
+    // distance-preservation claim (and its honest limit — top-k order
+    // does NOT survive on near-uniform vectors) is pinned in
+    // RecallSpec.
+    Q(
+      "v11_random_projection",
+      (s, d) =>
+        Similarity.randomProject(
+          Tables.embeddings(s, d), "vec_id", "embedding", dim = dim,
+          outDim = 16)
+          .orderBy("vec_id"),
+      Some {
+        val cols = (0 until 16).map { p =>
+          s"""round(list_sum(list_transform(range(1, ${dim + 1}),
+              i -> CAST(embedding[i] AS DOUBLE) * (${planeWeightsSql(p)})[i])), 6)
+              AS p$p"""
+        }.mkString(",\n               ")
+        s"""
+        SELECT vec_id,
+               $cols
+        FROM embeddings
+        ORDER BY vec_id"""
+      }),
+
+    // ----------------------------------------------------------------
     // Distributed k-means training (operators/KMeans): the trained
     // coarse quantizer under an IVF index and SemDeDup's clustering
     // stage. Assignment is a narrow codegen'd argmin scan (centroids

@@ -58,4 +58,39 @@ class RecallSpec extends SparkSpec {
     assert(r162 >= 0.99, s"wide banding must recover recall: $r162")
     assert(r162 > r44)
   }
+
+  test("random projection preserves pairwise distances to the JL bound") {
+    // What JL guarantees — and what it does NOT: pairwise squared
+    // distances survive 64→16 within ~1/√16 distortion (measured mean
+    // ratio 0.972 over 3367 pairs, all within [0.22, 2.5]); top-k
+    // RANKING does not survive on near-uniform vectors, where every
+    // pair is nearly equidistant and 25% distortion scrambles order
+    // (measured recall@5 ≈ 0.08 — that is the data's geometry, not a
+    // bug; real clustered embeddings keep their neighbors).
+    val e = Tables.embeddings(spark, sf)
+    val proj = Similarity.randomProject(e, "vec_id", "embedding", 64, 16)
+      .select(col("vec_id"),
+        array((0 until 16).map(p => col(s"p$p")): _*).as("pv"))
+    val j = e.join(proj, "vec_id")
+    val a = j.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+      col("pv").as("pa"))
+    val b = j.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+      col("pv").as("pb"))
+    val stats = a.crossJoin(b) // deterministic 1-in-37 pair sample
+      .filter(col("ida") < col("idb") && (col("ida") + col("idb")) % 37 === 0)
+      .select(
+        expr("""aggregate(zip_with(ea, eb,
+                (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+                0.0D, (acc, v) -> acc + v)""").as("d2"),
+        expr("""aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)),
+                0.0D, (acc, v) -> acc + v)""").as("p2"))
+      .withColumn("ratio", col("p2") / 16.0 / col("d2"))
+      .agg(min("ratio").as("mn"), max("ratio").as("mx"),
+        avg("ratio").as("av"), count(lit(1)).as("n")).head()
+    assert(stats.getAs[Long]("n") > 3000)
+    assert(stats.getAs[Double]("av") > 0.90 && stats.getAs[Double]("av") < 1.05,
+      s"mean distortion drifted: ${stats.getAs[Double]("av")}")
+    assert(stats.getAs[Double]("mn") > 0.15 && stats.getAs[Double]("mx") < 3.0,
+      s"distortion tail outside the JL band: $stats")
+  }
 }
