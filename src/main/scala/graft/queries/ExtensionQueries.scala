@@ -455,11 +455,15 @@ object ExtensionQueries {
           .persist()
         val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
         for (r <- 1 to k) {
+          // materialize the token array ONCE per row (a separate
+          // projection), then index it — inlining `split` into every
+          // subscript makes the pair scan O(tokens²) string work
           val top = txt
+            .select(split(trim(col("t")), " ").as("toks"))
+            .filter(size(col("toks")) >= 2)
             .select(explode(expr(
-              """transform(sequence(0, size(split(trim(t), ' ')) - 2),
-                 i -> concat(split(trim(t), ' ')[i], ' ',
-                             split(trim(t), ' ')[i + 1]))""")).as("pair"))
+              """transform(sequence(0, size(toks) - 2),
+                 i -> concat(toks[i], ' ', toks[i + 1]))""")).as("pair"))
             .groupBy("pair").agg(count(lit(1)).as("n"))
             .orderBy(col("n").desc, col("pair"))
             .limit(1).head() // bounded: one (pair, count) — the model row
