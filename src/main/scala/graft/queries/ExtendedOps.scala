@@ -334,6 +334,35 @@ object ExtendedOps {
         ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // Distribution ranks (the remaining ANSI window trio): percent_rank
+    // / cume_dist / ntile(10) per priority group over a total tie-break
+    // order (price, key), so every value — including the rank-based
+    // divisions — is engine-independent. Deciles are the
+    // length-bucketing primitive a curation pipeline uses for balanced
+    // batch construction.
+    Q(
+      "w11_distribution_ranks",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cum_dist"),
+            ntile(10).over(w).as("decile"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cum_dist,
+               CAST(ntile(10) OVER w AS INTEGER) AS decile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
     // Funnel analysis: per user, the first click → first subsequent
     // purchase → conversion flag and time-to-convert — the sequence
     // pattern behind every conversion dashboard, as two min-aggregates
