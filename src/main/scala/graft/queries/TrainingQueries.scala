@@ -618,6 +618,87 @@ object TrainingQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // TEMPERATURE-scaled corpus mix (the multilingual-sampling α of
+    // mBERT/XLM-R, at α = 0.5): sampling weight ∝ share^α flattens the
+    // source distribution — big sources are down-weighted, small ones
+    // boosted — without the hard per-class rates of t19 or the budget
+    // waterfilling of t22. α = 0.5 is computed as sqrt, which IEEE
+    // requires correctly rounded (pow does not!), so both engines
+    // derive bit-identical weights; all accumulation is decimal and
+    // every intermediate rounds to 6 dp, t22's determinism recipe.
+    Q(
+      "t25_temperature_mix",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(28, 6)
+        val toks = Tables.documents(s, d)
+          .withColumn("n_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+        val per = toks.groupBy("source").agg(sum(col("n_tokens")).as("avail"))
+        val tot = per.agg(sum(col("avail")).as("tok_total"))
+        val weighted = per.join(broadcast(tot))
+          .withColumn("wgt",
+            round(sqrt(col("avail").cast("double") /
+              col("tok_total").cast("double")), 6))
+        val wsum = weighted.agg(
+          sum(col("wgt").cast(dec)).cast("double").as("wgt_total"))
+        // budget: half the corpus tokens, allocated ∝ share^0.5
+        val rates = weighted.join(broadcast(wsum))
+          .withColumn("alloc", round(lit(0.5) *
+            col("tok_total").cast("double") * col("wgt") / col("wgt_total"), 6))
+          .withColumn("threshold",
+            floor(least(lit(1.0), col("alloc") / col("avail").cast("double"))
+              * 65536).cast("int"))
+          .select("source", "threshold")
+        toks.join(broadcast(rates), "source")
+          .withColumn("mix_bucket", expr(
+            (1 to 4).map(j =>
+              s"""(position(substr(md5('temp|' || CAST(doc_id AS STRING)), $j, 1)
+                    IN '0123456789abcdef') - 1) * ${1 << (4 * (4 - j))}""")
+              .mkString(" + ")))
+          .filter(col("mix_bucket") < col("threshold"))
+          .select("doc_id", "source", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\s+')) AS n_tokens
+          FROM documents),
+        per AS (SELECT source, SUM(n_tokens) AS avail FROM toks GROUP BY 1),
+        tot AS (SELECT SUM(avail) AS tok_total FROM per),
+        weighted AS (
+          SELECT source, avail, tok_total,
+                 round(sqrt(CAST(avail AS DOUBLE) /
+                            CAST(tok_total AS DOUBLE)), 6) AS wgt
+          FROM per CROSS JOIN tot),
+        ws AS (
+          SELECT CAST(SUM(CAST(wgt AS DECIMAL(28,6))) AS DOUBLE) AS wgt_total
+          FROM weighted),
+        rates AS (
+          SELECT source,
+                 CAST(floor(least(1.0,
+                   round(0.5 * CAST(tok_total AS DOUBLE) * wgt / wgt_total, 6)
+                     / CAST(avail AS DOUBLE)) * 65536) AS INTEGER) AS threshold
+          FROM weighted CROSS JOIN ws),
+        bucketed AS (
+          SELECT t.doc_id, t.source, t.n_tokens, r.threshold,
+                 (strpos('0123456789abcdef',
+                    substr(md5('temp|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef',
+                    substr(md5('temp|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef',
+                    substr(md5('temp|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                    substr(md5('temp|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                   AS mix_bucket
+          FROM toks t JOIN rates r USING (source))
+        SELECT doc_id, source, n_tokens
+        FROM bucketed
+        WHERE mix_bucket < threshold
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Inverted index: posting lists for the useful middle of the term-
     // frequency spectrum (the df band — relative to corpus size so it
     // holds at any sf — drops both hapax noise and stop-word hot keys,
