@@ -79,6 +79,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getAs[Long]("cumsum") == 25L)
   }
 
+  test("w11 distribution ranks obey their contracts per group") {
+    val rows = SparkEntry.queries("w11_distribution_ranks")(
+      spark, "/root/testdata/sf0.001").collect()
+    val byGroup = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    for ((_, g) <- byGroup) {
+      // ntile balance: bucket sizes differ by at most 1
+      val sizes = g.groupBy(_.getAs[Int]("decile")).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+      // percent_rank spans exactly [0, 1]; cume_dist ends at 1
+      val pr = g.map(_.getAs[Double]("pct_rank"))
+      assert(pr.min == 0.0 && pr.max == 1.0)
+      assert(g.map(_.getAs[Double]("cum_dist")).max == 1.0)
+    }
+  }
+
   test("bloom over zero build rows rejects every probe") {
     val empty = Seq.empty[Long].toDF("k")
     val bf = empty.agg(graft.functions.BloomFunctions
