@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   * (K3): e.g. keep an existing good classification but always refresh
   * metric columns — pass a (targetCol, sourceCol) => Column resolver per
   * column (`bronze_to_silver_transformation.py:899-914`).
+  *
+  * Schema evolution (`evolveSchema = true`) covers the reference's Delta
+  * `overwriteSchema=true` + `MERGE ... INSERT *` tolerance of drifting
+  * schemas (`bronze_to_silver_transformation.py:915-941`; SURVEY §1.3):
+  *   - source columns absent from the target are APPENDED to the output
+  *     schema (null for rows the source never touched);
+  *   - target columns absent from the source PASS THROUGH unchanged
+  *     (null for newly inserted rows).
+  * With `evolveSchema = false` (default) any column-set difference fails
+  * loudly — silent column drops are how pipelines corrupt tables.
   */
 object Upsert {
 
@@ -35,11 +45,19 @@ object Upsert {
       source: DataFrame,
       keys: Seq[String],
       smartCases: Map[String, (Column, Column) => Column] = Map.empty,
-      insertOnly: Boolean = false): DataFrame = {
+      insertOnly: Boolean = false,
+      evolveSchema: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
+    require(keys.forall(target.columns.contains) && keys.forall(source.columns.contains),
+      s"both sides must carry the key columns ${keys.mkString(",")}")
     val dataCols = target.columns.filterNot(keys.contains).toSeq
-    require(dataCols.forall(source.columns.contains),
-      s"source must be schema-aligned with target; missing ${dataCols.filterNot(source.columns.contains).mkString(",")}")
+    val dropped = dataCols.filterNot(source.columns.contains)
+    val added = source.columns.filterNot(keys.contains)
+      .filterNot(target.columns.contains).toSeq
+    if (!evolveSchema) require(dropped.isEmpty && added.isEmpty,
+      s"source must be schema-aligned with target " +
+        s"(missing: ${dropped.mkString(",")}; extra: ${added.mkString(",")}); " +
+        "pass evolveSchema = true for Delta MERGE schema-evolution semantics")
 
     val t = target.withColumn("__t", lit(1)).alias("t")
     val s = source.withColumn("__s", lit(1)).alias("s")
@@ -51,13 +69,24 @@ object Upsert {
 
     val keyCols = keys.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k))
     val valueCols = dataCols.map { c =>
-      val tc = col(s"t.$c"); val sc = col(s"s.$c")
-      val onMatch =
-        if (insertOnly) tc
-        else smartCases.get(c).map(f => f(tc, sc)).getOrElse(sc)
-      when(matched, onMatch).when(sourceOnly, sc).otherwise(tc).as(c)
+      val tc = col(s"t.$c")
+      if (!source.columns.contains(c)) tc.as(c) // evolved away: pass through
+      else {
+        val sc = col(s"s.$c")
+        val onMatch =
+          if (insertOnly) tc
+          else smartCases.get(c).map(f => f(tc, sc)).getOrElse(sc)
+        when(matched, onMatch).when(sourceOnly, sc).otherwise(tc).as(c)
+      }
     }
-    joined.select(keyCols ++ valueCols: _*)
+    // Evolved-in columns: source value wherever the source touched the row
+    // (insert-only merges keep the target row on match, so matched rows
+    // stay null — the target never had the column); null elsewhere.
+    val newCols = added.map { c =>
+      val sc = col(s"s.$c")
+      (if (insertOnly) when(sourceOnly, sc) else when(col("s.__s").isNotNull, sc)).as(c)
+    }
+    joined.select(keyCols ++ valueCols ++ newCols: _*)
   }
 
   /** K3 resolver: keep the target value unless it is NULL or one of the

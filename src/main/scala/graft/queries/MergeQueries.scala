@@ -232,6 +232,43 @@ object MergeQueries {
                CASE WHEN s.o_orderkey IS NOT NULL
                     THEN s.metric ELSE t.metric END AS metric
         FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // Schema evolution: the source drops a target column (o_orderstatus)
+    // and brings a new one (o_orderpriority) — Delta `overwriteSchema=true` +
+    // `MERGE ... INSERT *` drift tolerance
+    // (bronze_to_silver_transformation.py:915-941; SURVEY §1.3).
+    // Evolved-away columns pass through (null for inserted rows);
+    // evolved-in columns carry the source value wherever the source
+    // touched the row and null for target-only rows.
+    Q(
+      "k8_schema_evolution",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val target = o.filter(col("o_orderkey") % 4 =!= 0)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val source = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"),
+            col("o_orderpriority"))
+        Upsert.merge(target, source, Seq("o_orderkey"), evolveSchema = true)
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 4 != 0),
+        s AS (
+          SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+                 o_orderpriority
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               t.o_orderstatus AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+               s.o_orderpriority AS o_orderpriority
+        FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
         ORDER BY o_orderkey"""))
   )
 }

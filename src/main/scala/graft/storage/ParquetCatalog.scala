@@ -74,15 +74,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   /** MERGE INTO this table (K2/K3): read current state, resolve with
     * [[Upsert.merge]], atomically rewrite. First write degenerates to
-    * the source frame. */
+    * the source frame. `evolveSchema = true` is the storage add-column
+    * path — the atomic rewrite persists the widened schema (Delta
+    * `overwriteSchema=true` parity, reference
+    * `bronze_to_silver_transformation.py:939`). */
   def upsert(name: String, source: DataFrame, keys: Seq[String],
       smartCases: Map[String, (Column, Column) => Column] = Map.empty,
       insertOnly: Boolean = false,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Unit = {
     if (!exists(name)) overwrite(name, source, partitionBy)
     else {
-      val merged = Upsert.merge(read(name), source, keys, smartCases, insertOnly)
-        .persist() // materialize before the swap deletes the input files
+      val merged =
+        Upsert.merge(read(name), source, keys, smartCases, insertOnly, evolveSchema)
+          .persist() // materialize before the swap deletes the input files
       merged.count()
       overwrite(name, merged, partitionBy)
       merged.unpersist()

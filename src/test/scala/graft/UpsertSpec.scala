@@ -60,4 +60,55 @@ class UpsertSpec extends SparkSpec {
       Upsert.merge(target, bad, Seq("id"))
     }
   }
+
+  test("extra source columns are rejected unless evolveSchema") {
+    val extra = Seq((1L, "Web", 11.0, "fresh")).toDF("id", "category", "metric", "note")
+    assertThrows[IllegalArgumentException] {
+      Upsert.merge(target, extra, Seq("id"))
+    }
+  }
+
+  test("evolveSchema appends new source columns, null where untouched") {
+    val extra = Seq((1L, "Web", 11.0, "m1"), (4L, "Sys", 44.0, "m4"))
+      .toDF("id", "category", "metric", "note")
+    val out = Upsert.merge(target, extra, Seq("id"), evolveSchema = true)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[String]("note")).toSeq ===
+      Seq("m1", null, null, "m4")) // matched + inserted get it; target-only null
+    assert(out(0).getAs[String]("category") === "Web")
+  }
+
+  test("evolveSchema passes dropped target columns through") {
+    val narrow = Seq((1L, 11.0), (4L, 44.0)).toDF("id", "metric")
+    val out = Upsert.merge(target, narrow, Seq("id"), evolveSchema = true)
+      .orderBy("id").collect()
+    // category survives for pre-existing rows, null for the inserted row
+    assert(out.map(_.getAs[String]("category")).toSeq ===
+      Seq("Other", "AI/ML", "DevOps", null))
+    assert(out.map(_.getAs[Double]("metric")).toSeq === Seq(11.0, 20.0, 30.0, 44.0))
+  }
+
+  test("evolveSchema add+drop+reorder in one merge") {
+    // reordered columns, category dropped, note added
+    val src = Seq((99.0, 2L, "n2"), (55.0, 5L, "n5")).toDF("metric", "id", "note")
+    val out = Upsert.merge(target, src, Seq("id"), evolveSchema = true)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L, 3L, 5L))
+    assert(out(1).getAs[Double]("metric") === 99.0)  // matched by name, not position
+    assert(out(1).getAs[String]("category") === "AI/ML")
+    assert(out(1).getAs[String]("note") === "n2")
+    assert(out(3).getAs[String]("category") === null)
+    // evolved schema order: target columns first, new columns appended
+    assert(out.head.schema.fieldNames.toSeq === Seq("id", "category", "metric", "note"))
+  }
+
+  test("evolveSchema with insertOnly: matched rows stay null in new columns") {
+    val src = Seq((1L, "X", 0.0, "m1"), (4L, "Sys", 44.0, "m4"))
+      .toDF("id", "category", "metric", "note")
+    val out = Upsert.merge(target, src, Seq("id"),
+      insertOnly = true, evolveSchema = true).orderBy("id").collect()
+    assert(out(0).getAs[String]("category") === "Other") // kept
+    assert(out(0).getAs[String]("note") === null)        // target row had no note
+    assert(out(3).getAs[String]("note") === "m4")        // inserted row carries it
+  }
 }
