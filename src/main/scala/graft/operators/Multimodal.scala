@@ -14,15 +14,18 @@ import org.apache.spark.sql.functions._
   * `decode` parses them — width/height/mean-luminance come from actual
   * pixels, not metadata. AUDIO DECODE IS REAL: `javax.sound.sampled`
   * parses WAV/AIFF/AU, so sample rate / frame count / mean amplitude
-  * come from actual PCM frames. VIDEO CONTAINER PARSING IS REAL
-  * (ISO-BMFF box walk: `moov`/`mvhd`/`tkhd` give duration and display
-  * size) but FRAME DECODE IS STUBBED — the JDK ships no video codec,
-  * so the per-frame statistic stays a declared byte-level stand-in.
-  * Everything around that one gap — the schema contract, the
-  * `mapPartitions` batch shape (one JVM-side batch per partition, the
-  * Scala analogue of `mapInPandas`), partitioning, and the embedding
-  * hand-off into [[Similarity]] — is identical for all paths, so a
-  * real video codec is a one-function swap.
+  * come from actual PCM frames. VIDEO IS REAL ON BOTH AXES: container
+  * parsing walks ISO-BMFF boxes (`moov`/`mvhd`/`tkhd` give duration
+  * and display size) AND per-frame pixel decode is real for MJPEG-in-
+  * AVI ([[decodeVideoFrames]] walks the RIFF `movi` chunks and decodes
+  * every frame with the JDK's JPEG codec — MJPEG frames ARE complete
+  * JPEGs). Only non-MJPEG coded streams (H.264 etc. inside MP4) keep a
+  * byte-level stand-in, because the JDK ships no inter-frame codec.
+  * The schema contract, the `mapPartitions` batch shape (one JVM-side
+  * batch per partition, the Scala analogue of `mapInPandas`),
+  * partitioning, and the embedding hand-off into [[Similarity]] are
+  * identical for all paths, so an external codec is a one-function
+  * swap.
   *
   * Scale design: payload bytes never shuffle — decode/featurize run
   * map-side on the scan partitions; only the small derived columns
@@ -242,6 +245,163 @@ object Multimodal {
       if tkhdEnd - tkhd >= 84 && (beInt(tkhd) >>> 24) == 0
     } yield (duration.toDouble / timescale,
       (beInt(tkhdEnd - 8) >> 16).toInt, (beInt(tkhdEnd - 4) >> 16).toInt)
+  }
+
+  final case class VideoFrameRow(media_id: Long, frame_idx: Int,
+      frame_w: Int, frame_h: Int, mean_lum: Double)
+
+  /** Per-frame luminance the generator encodes and the verdict query
+    * re-derives: md5-keyed, kept away from the 0/255 rails so JPEG DC
+    * quantization can't clamp. All three engines (generator, Spark
+    * query, DuckDB oracle) compute it independently from the same md5. */
+  private[graft] def frameLum(seed: Long, idx: Int): Int = {
+    val hex = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(s"frame|$seed|$idx")
+    16 + Integer.parseInt(hex.substring(0, 2), 16) % 224
+  }
+
+  /** A real baseline JPEG of a solid gray (l, l, l) frame — the one
+    * image whose post-decode mean luminance is predictable (DC-only;
+    * quantization moves it by at most ~1 code value). */
+  private[graft] def jpegGray(l: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(l, l, l))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** A real MJPEG-in-AVI container: RIFF `AVI ` with a spec-shaped
+    * `hdrl` (avih + one `vids`/`MJPG` stream with its
+    * BITMAPINFOHEADER) and a `movi` list of `00dc` chunks, each a
+    * genuine baseline JPEG (layout per the AVI RIFF form / OpenDML).
+    * MJPEG is what makes video frame decode honest in a JDK-only
+    * sandbox: every coded frame is a complete JPEG, and the JDK ships a
+    * JPEG codec — no stub left in the video path. */
+  private[graft] def aviBytes(seed: Long, nFrames: Int, w: Int,
+      h: Int): Array[Byte] = {
+    val frames = (0 until nFrames)
+      .map(f => jpegGray(frameLum(seed, f), w, h))
+    val padded = frames.map(b =>
+      if (b.length % 2 == 1) b :+ 0.toByte else b)
+    val moviSize = 4 + padded.map(8 + _.length).sum
+    val strlSize = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize) // 'hdrl' + avih + LIST strl
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fcc("RIFF"); bb.putInt(riffSize); fcc("AVI ")
+    fcc("LIST"); bb.putInt(hdrlSize); fcc("hdrl")
+    fcc("avih"); bb.putInt(56)
+    bb.putInt(40000) // µs/frame: 25 fps
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // maxBytesPerSec, padding, flags
+    bb.putInt(nFrames); bb.putInt(0) // totalFrames, initialFrames
+    bb.putInt(1) // one stream
+    bb.putInt(padded.map(_.length).max + 8) // suggested buffer
+    bb.putInt(w); bb.putInt(h)
+    (0 until 4).foreach(_ => bb.putInt(0)) // reserved
+    fcc("LIST"); bb.putInt(strlSize); fcc("strl")
+    fcc("strh"); bb.putInt(56)
+    fcc("vids"); fcc("MJPG")
+    bb.putInt(0); bb.putInt(0) // flags, priority+language
+    bb.putInt(0) // initial frames
+    bb.putInt(1); bb.putInt(25) // scale, rate -> 25 fps
+    bb.putInt(0); bb.putInt(nFrames) // start, length in frames
+    bb.putInt(padded.map(_.length).max + 8)
+    bb.putInt(-1); bb.putInt(0) // quality (default), sample size (varies)
+    bb.putShort(0); bb.putShort(0)
+    bb.putShort(w.toShort); bb.putShort(h.toShort) // rcFrame
+    fcc("strf"); bb.putInt(40) // BITMAPINFOHEADER
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)
+    bb.putShort(1); bb.putShort(24) // planes, bit count
+    fcc("MJPG"); bb.putInt(w * h * 3)
+    (0 until 4).foreach(_ => bb.putInt(0)) // xpels/ypels/clrused/clrimp
+    fcc("LIST"); bb.putInt(moviSize); fcc("movi")
+    frames.zip(padded).foreach { case (raw, pad) =>
+      fcc("00dc"); bb.putInt(raw.length) // RIFF size excludes the pad byte
+      bb.put(pad)
+    }
+    bb.array()
+  }
+
+  /** REAL AVI walk (no codec needed for the container): verify the RIFF
+    * `AVI ` signature, pull the declared frame count from `hdrl`/`avih`,
+    * and return the raw coded-frame payloads from the `movi` list
+    * (`00dc`/`00db` chunks, even-byte aligned per RIFF). None for
+    * malformed input — every read is bounds-checked first, so corrupt
+    * payloads degrade loudly-but-safely on executors. */
+  private[graft] def parseAvi(bytes: Array[Byte]): Option[(Int, Seq[Array[Byte]])] = {
+    def leInt(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def fcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+    val end = math.min(bytes.length.toLong, 8L + leInt(4)).toInt
+    var declared = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var o = 12
+    while (o + 8 <= end) {
+      val id = fcc(o)
+      val size = leInt(o + 4)
+      if (size < 0 || o + 8 + size > end) return None
+      if (id == "LIST" && size >= 4) {
+        val listType = fcc(o + 8)
+        var p = o + 12
+        val listEnd = o + 8 + size
+        while (p + 8 <= listEnd) {
+          val cid = fcc(p)
+          val csize = leInt(p + 4)
+          if (csize < 0 || p + 8 + csize > listEnd) return None
+          if (listType == "movi" && (cid == "00dc" || cid == "00db"))
+            frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + csize)
+          if (listType == "hdrl" && cid == "avih" && csize >= 56)
+            declared = leInt(p + 8 + 16) // dwTotalFrames
+          p += 8 + csize + (csize & 1) // RIFF pads chunks to even offsets
+        }
+      }
+      o += 8 + size + (size & 1)
+    }
+    if (declared < 0) None else Some((declared, frames.toSeq))
+  }
+
+  /** REAL per-frame video decode: walk the AVI `movi` chunks, decode
+    * each MJPEG frame with the JDK's JPEG codec, and emit one row per
+    * frame with its true decoded dimensions and mean luminance — long
+    * format, payloads never leave the map stage. Closes the decode gap
+    * the MP4 path has to stub (ISO-BMFF coded samples need an external
+    * codec; MJPEG frames don't). */
+  def decodeVideoFrames(media: Dataset[MediaRow]): Dataset[VideoFrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.format == "avi").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        parseAvi(m.bytes).toSeq.flatMap { case (_, frames) =>
+          frames.zipWithIndex.flatMap { case (jpeg, idx) =>
+            decodeImage(jpeg).map { case (fw, fh, mean) =>
+              VideoFrameRow(m.media_id, idx, fw, fh, mean)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic MJPEG-in-AVI corpus for the frame-decode path:
+    * every video carries 3–7 real JPEG frames of md5-keyed solid
+    * grays, so per-frame decoded luminance is independently
+    * predictable by the verdict query and the DuckDB oracle. */
+  def fakeVideos(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n.toLong, 1, partitions).map { i =>
+      val w = 48 + (i % 4).toInt * 16
+      val h = 32 + (i % 3).toInt * 16
+      MediaRow(i, "video", aviBytes(i, 3 + (i % 5).toInt, w, h), w, h, "avi")
+    }
   }
 
   /** Byte statistics — the fallback for corrupt payloads and the stand-

@@ -130,4 +130,33 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length === 6)
     assert(rows.forall(_.getAs[Double]("sim") <= 1.000001))
   }
+
+  test("AVI frame decode is real: per-frame pixels match the generator") {
+    val vids = Multimodal.fakeVideos(spark, 12)
+    val frames = Multimodal.decodeVideoFrames(vids).collect()
+    // every generated frame decodes: Σ over ids of (3 + id % 5)
+    val expectedCount = (0 until 12).map(i => 3 + i % 5).sum
+    assert(frames.length === expectedCount)
+    for (f <- frames) {
+      val i = f.media_id
+      assert(f.frame_w === 48 + (i % 4).toInt * 16)
+      assert(f.frame_h === 32 + (i % 3).toInt * 16)
+      // solid-gray MJPEG frame: decoded mean luminance ≈ encoded value
+      // (JPEG DC quantization moves it by at most ~1 code value)
+      val enc = Multimodal.frameLum(i, f.frame_idx)
+      assert(math.abs(f.mean_lum - enc) <= 2.0,
+        s"media $i frame ${f.frame_idx}: decoded ${f.mean_lum} vs encoded $enc")
+    }
+  }
+
+  test("AVI parse rejects malformed containers instead of throwing") {
+    assert(Multimodal.parseAvi(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseAvi("RIFFxxxxWAVE".getBytes).isEmpty)
+    val good = Multimodal.aviBytes(7L, 4, 64, 48)
+    assert(Multimodal.parseAvi(good).exists(_._2.length == 4))
+    // truncate mid-movi: bounds check refuses rather than slicing air
+    assert(Multimodal.parseAvi(good.take(good.length / 2)).isEmpty)
+    // declared frame count comes from avih
+    assert(Multimodal.parseAvi(good).exists(_._1 == 4))
+  }
 }
