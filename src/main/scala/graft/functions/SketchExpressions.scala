@@ -38,17 +38,21 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedSketch: CountMinSketch = _
+  // one volatile (bytes, sketch) pair written atomically: a shared plan
+  // evaluated from multiple threads in local mode must never observe a
+  // torn cache — bytes from one sketch, deserialized object from another
+  @transient @volatile
+  private var cached: (Array[Byte], CountMinSketch) = _
 
   override def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedBytes) &&
-        (cachedBytes == null || !java.util.Arrays.equals(bytes, cachedBytes))) {
-      cachedSketch = CountMinSketch.readFrom(bytes)
-      cachedBytes = bytes
+    var c = cached
+    if (c == null ||
+        (!(bytes eq c._1) && !java.util.Arrays.equals(bytes, c._1))) {
+      c = (bytes, CountMinSketch.readFrom(bytes))
+      cached = c
     }
-    cachedSketch.estimateCount(key.asInstanceOf[Long])
+    c._2.estimateCount(key.asInstanceOf[Long])
   }
 
   override protected def withNewChildrenInternal(

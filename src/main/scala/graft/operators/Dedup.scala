@@ -288,13 +288,13 @@ object Dedup {
 
   def dedupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (not persist) on every iterated frame: persist
+    // Lineage.truncate (not persist) on every iterated frame: persist
     // truncates EXECUTION but the logical plan still embeds the previous
     // round's plan twice (labels feeds both join sides), so plan size —
     // and Catalyst optimization time — doubles per round. Checkpointing
     // truncates the lineage itself: constant plan size per round. On a
-    // real cluster use reliable checkpoints (setCheckpointDir) so a lost
-    // executor can't kill a long convergence run.
+    // real cluster set spark.graft.checkpoint.dir for reliable
+    // checkpoints so a lost executor can't kill a long convergence run.
     // symmetrize in ONE pass over `pairs` (explode, not self-union): the
     // candidate pipeline feeding this is typically expensive and
     // unpersisted — a union would execute it twice before the checkpoint.
@@ -302,14 +302,14 @@ object Dedup {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .localCheckpoint(true)
+      .transform(graft.spark.Lineage.truncate)
     // iterate ONLY over edge endpoints: every other node is a
     // singleton that cannot change, and carrying it through each
     // round's join + checkpoint would cost O(corpus × rounds) instead
     // of O(dup-docs × rounds) — at 100 TB most docs are singletons.
     // Singletons rejoin at the end.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_rep", col("id")).localCheckpoint(true)
+      .withColumn("cluster_rep", col("id")).transform(graft.spark.Lineage.truncate)
     // min-propagation only ever LOWERS labels, so Σ label is strictly
     // monotone decreasing while anything changes — convergence detection
     // is one aggregate over the checkpointed label frame, not a
@@ -341,7 +341,7 @@ object Dedup {
           least(col("a.cluster_rep"),
             coalesce(col("__rrep"), col("a.cluster_rep")))
             .as("cluster_rep"))
-        .localCheckpoint(true)
+        .transform(graft.spark.Lineage.truncate)
       val curSum = updated.agg(coalesce(sum(col("cluster_rep")), lit(0L)))
         .head().getLong(0)
       labels = updated
@@ -397,7 +397,7 @@ object Dedup {
     var edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.spark.Lineage.truncate)
     def signature(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(sum(col("src")), lit(0L)),
         coalesce(sum(col("dst")), lit(0L))).head()
@@ -409,7 +409,7 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prev = edges
       edges = gatherEmit(gatherEmit(edges, large = true), large = false)
-        .localCheckpoint(true)
+        .transform(graft.spark.Lineage.truncate)
       val next = signature(edges)
       // the cheap signature filters non-fixpoints; on a match, confirm
       // exactly (except is symmetric-difference on distinct edge sets) —

@@ -59,7 +59,14 @@ object KMeans {
 
   def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): Result = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // one aggregate proves the vector length uniform up front: ragged or
+    // empty vectors would silently skew the per-dim means (posexplode
+    // emits nothing for an empty vector) and the inertia's /dim rescale
+    val dimRange = df.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    val dim = dimRange.getInt(0)
+    require(dim == dimRange.getInt(1) && dim > 0,
+      s"$vecCol must be non-empty and uniform-length; " +
+        s"saw sizes in [${dimRange.getInt(0)}, ${dimRange.getInt(1)}]")
     var cents = seedCentroids(df, idCol, vecCol, k)
     val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
     var i = 0
@@ -75,8 +82,12 @@ object KMeans {
           Deterministic.dsum(col("sq_dist")).as("sd"))
         .collect() // k·dim rows — bounded by the model, not the data
       // inertia: each input row contributes its sq_dist once per dim in
-      // the exploded frame, so divide the dim-summed total back out
-      inertias += stats.map(_.getAs[Double]("sd")).sum / dim
+      // the exploded frame, so divide the dim-summed total back out.
+      // Sort before the driver-side sum — collect() order follows
+      // partition arrival, and a float sum must not depend on it.
+      inertias += stats
+        .sortBy(r => (r.getAs[Int]("cluster_id"), r.getAs[Int]("pos")))
+        .map(_.getAs[Double]("sd")).sum / dim
       val next = cents.map(_.clone())
       stats.foreach { r =>
         val c = r.getAs[Int]("cluster_id"); val p = r.getAs[Int]("pos")

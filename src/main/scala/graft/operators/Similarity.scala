@@ -300,10 +300,19 @@ object Similarity {
   }
 
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Quadratic
-    * candidate generation — the exact-recall oracle baseline; at scale
-    * use [[nearDupPairsBanded]]. */
+    * candidate generation — the exact-recall oracle baseline (RecallSpec
+    * grounds every approximate path against it), NOT a production path:
+    * `maxExact` fails loudly above the cap — same convention as the LSH
+    * hot-bucket caps — pointing at [[nearDupPairsBanded]], so an
+    * accidental call on a full corpus cannot silently go O(n²). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxExact: Int = 10000): DataFrame = {
+    val n = df.count()
+    require(n <= maxExact,
+      s"nearDupPairs is the O(n²) exact-recall baseline and got n=$n > " +
+        s"maxExact=$maxExact rows — use nearDupPairsBanded (LSH) or " +
+        "semanticDedupPairsKMeans for a real corpus, or raise maxExact " +
+        "explicitly for a bigger oracle run")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("na", sqrt(dotF(col("va"), col("va"))))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))

@@ -407,16 +407,19 @@ object Relational {
     Q(
       "b2_bucketed_join",
       (s, d) => {
-        import graft.storage.Bucketed
-        val suffix = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        import graft.storage.{Bucketed, Scratch}
+        // table/path suffix AND write-skip marker both keyed on the
+        // input's content fingerprint (sizes+mtimes, not just the
+        // path) — mutated inputs rebuild instead of reusing stale
+        // buckets
+        val suffix = Scratch.fingerprint(d).take(8)
         val root = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$suffix"
         Bucketed.write(s, Tables.orders(s, d)
             .select("o_orderkey", "o_custkey", "o_totalprice"),
-          s"graft_b2_orders_$suffix", s"$root/orders", "o_custkey", 8, d)
+          s"graft_b2_orders_$suffix", s"$root/orders", "o_custkey", 8, suffix)
         Bucketed.write(s, Tables.customer(s, d)
             .select("c_custkey", "c_mktsegment"),
-          s"graft_b2_customer_$suffix", s"$root/customer", "c_custkey", 8, d)
+          s"graft_b2_customer_$suffix", s"$root/customer", "c_custkey", 8, suffix)
         val o = Bucketed.read(s, s"graft_b2_orders_$suffix")
         val c = Bucketed.read(s, s"graft_b2_customer_$suffix")
         o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))

@@ -1,0 +1,38 @@
+package graft.spark
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative operators (connected components,
+  * incremental dedup, BPE training): every iterated frame must be cut
+  * from its ancestry or the logical plan — and Catalyst optimization
+  * time — grows per round (doubling, when a frame feeds both sides of
+  * a join).
+  *
+  * Default is `localCheckpoint(eager = true)`: fast, no configuration,
+  * blocks live on executors. Its failure mode is durability — a lost
+  * executor loses blocks that, unlike cached data, have NO lineage to
+  * recompute from, killing a long convergence run. On a real cluster
+  * set `spark.graft.checkpoint.dir` to a reliable path (HDFS/object
+  * store) and every iterative operator switches to reliable
+  * `checkpoint()` writes — same semantics, survives executor loss.
+  */
+object Lineage {
+
+  /** Session conf key: when set, iterative operators use reliable
+    * checkpoints rooted at this directory instead of executor-local
+    * block storage. */
+  val DirConf = "spark.graft.checkpoint.dir"
+
+  def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirConf) match {
+      case Some(dir) if dir.nonEmpty =>
+        // setCheckpointDir is idempotent for the same path; only touch
+        // it when it doesn't already point inside the configured root
+        if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(eager = true)
+    }
+  }
+}

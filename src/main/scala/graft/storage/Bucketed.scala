@@ -30,6 +30,10 @@ object Bucketed {
     * the previous write AND the catalog already knows the table. */
   def write(spark: SparkSession, df: DataFrame, table: String, path: String,
       bucketCol: String, numBuckets: Int, fingerprint: String): Unit = {
+    // the name is interpolated into SQL text below — reject anything
+    // that couldn't be a plain identifier rather than trusting callers
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"table name must match [A-Za-z0-9_]+, got '$table'")
     val marker = Paths.get(path + ".fingerprint")
     val current = s"$fingerprint|$bucketCol|$numBuckets"
     val upToDate = Files.exists(marker) &&

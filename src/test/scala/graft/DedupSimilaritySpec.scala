@@ -99,6 +99,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("reliable-checkpoint path (spark.graft.checkpoint.dir) gives identical clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    spark.conf.set(graft.spark.Lineage.DirConf, dir)
+    try {
+      val out = Dedup.dedupClusters(nodes, "doc_id", pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+      val outStar = Dedup.dedupClustersLogN(nodes, "doc_id", pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(outStar === out)
+      // the iterated frames really were checkpointed reliably (to disk)
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, s"expected reliable checkpoint files under $dir")
+    } finally {
+      spark.conf.unset(graft.spark.Lineage.DirConf)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("large-star/small-star components equal min-propagation on random graphs") {
     import org.scalacheck.{Gen, rng}
     val nodeGen = Gen.chooseNum(0L, 40L)

@@ -101,4 +101,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert((0L until 100L).forall(k =>
       !graft.functions.BloomRuntime.contains(bf, k)))
   }
+
+  test("nearDupPairs refuses to go quadratic above maxExact") {
+    val vecs = (1L to 20L).map(i => (i, Array(i.toFloat, 1f)))
+      .toDF("id", "v")
+    // under the cap: runs
+    assert(Similarity.nearDupPairs(vecs, "id", "v", 0.999).count() >= 0)
+    // over the cap: loud failure naming the scale paths
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(vecs, "id", "v", 0.9, maxExact = 10).count()
+    }
+    assert(e.getMessage.contains("nearDupPairsBanded"))
+  }
 }

@@ -153,6 +153,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), s"plan fell out of codegen:\n$plan")
   }
 
+  test("b1/b2 plan contracts survive AQE re-planning with skew-join handling") {
+    // AQE may re-plan every stage at runtime; with skew-join splitting
+    // forced, it actively tries to rewrite joins. Neither the bloom
+    // probe's position below the semi join (b1) nor the bucketed join's
+    // zero-Exchange property (b2) may be casualties of that rewrite.
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "true"))
+    try {
+      val b1 = planOf(SparkEntry.queries("b1_bloom_semi")(spark, sf))
+      val semiIdx = b1.indexOf("LeftSemi")
+      val probeIdx = b1.indexOf("bloom_contains")
+      assert(semiIdx >= 0 && probeIdx > semiIdx,
+        s"AQE re-plan moved the bloom probe above the semi join:\n$b1")
+      // materialize the bucketed tables, then pin the BARE join: the
+      // join subtree must carry zero Exchange even after skew handling
+      SparkEntry.queries("b2_bucketed_join")(spark, sf).collect()
+      val suffix = graft.storage.Scratch.fingerprint(sf).take(8)
+      val o = graft.storage.Bucketed.read(spark, s"graft_b2_orders_$suffix")
+      val c = graft.storage.Bucketed.read(spark, s"graft_b2_customer_$suffix")
+      val b2 = planOf(o.hint("merge").join(c, o("o_custkey") === c("c_custkey")))
+      assert(b2.contains("SortMergeJoin") && !b2.contains("Exchange"),
+        s"bucketed join must stay Exchange-free under AQE skew handling:\n$b2")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("banded near-dup candidate generation never goes quadratic") {
     for (name <- Seq("v6_neardup_lsh", "d6_simhash_pairs", "d7_simhash_radius",
         "d4_lsh_candidates", "v9_self_topk", "v10_self_topk_bounded",
