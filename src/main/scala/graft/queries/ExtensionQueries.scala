@@ -61,7 +61,9 @@ object ExtensionQueries {
         sg AS (SELECT doc_id, $sig AS simhash FROM bs)"""
   }
 
-  val all: Seq[Q] = Seq(
+  lazy val all: Seq[Q] = coreQueries ++ moreQueries
+
+  private lazy val coreQueries: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // Token counting + quality scoring (length / word-shape / stopword
     // ratios as an additive scorecard — the reference's scorecard idiom,
@@ -493,7 +495,48 @@ object ExtensionQueries {
     Q(
       "t24_bpe_merges",
       (s, d) => {
-        val k = 8
+        val (merges, _) = bpeTrain(s, d, 8)
+        import s.implicits._
+        merges.toDF("rank", "pair", "n_pairs")
+          .select(col("rank").cast("int").as("rank"), col("pair"),
+            col("n_pairs"))
+          .orderBy("rank")
+      },
+      Some(bpeMergesOracle(8))),
+
+    // ----------------------------------------------------------------
+    // BPE ENCODE — the apply side of t24's training loop: the corpus
+    // rewritten under all k learned merges (train → encode is the full
+    // tokenizer lifecycle a data pipeline runs; encoding cost per doc
+    // is what the token-budget planners consume). Per doc: tokens after
+    // merging and how many merged symbols were formed. The oracle
+    // replays the identical k rounds and reads the final corpus state.
+    Q(
+      "t26_bpe_encode",
+      (s, d) => {
+        val (_, txt) = bpeTrain(s, d, 8)
+        txt.select(col("doc_id"),
+            size(split(trim(col("t")), " ")).as("n_tokens"),
+            ((length(col("t")) -
+              length(call_function("replace", col("t"), lit("@@"), lit("")))) / 2)
+              .cast("int").as("n_merged"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${bpeOracleCtes(8)}
+        SELECT doc_id,
+               CAST(len(string_split(trim(t), ' ')) AS INTEGER) AS n_tokens,
+               CAST((length(t) - length(replace(t, '@@', ''))) / 2 AS INTEGER)
+                 AS n_merged
+        FROM t8
+        ORDER BY doc_id"""))
+  )
+
+  /** Shared BPE training loop (t24 trains, t26 encodes): returns the
+    * merge table (the model) and the corpus rewritten under all k
+    * merges. See the t24 comment block for the per-round design. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = {
         // materialize the token array ONCE per row (a separate
         // projection), then index it — inlining `split` into every
         // subscript makes the pair scan O(tokens²) string work
@@ -563,43 +606,50 @@ object ExtensionQueries {
             call_function("replace", col("t"), needle, mergedTok))
           if (r % 4 == 0 && r < k) txt = txt.localCheckpoint(true)
         }
+        (merges.toSeq, txt)
         } finally savedConf.foreach {
           case (c, Some(v)) => s.conf.set(c, v)
           case (c, None) => s.conf.unset(c)
         }
-        import s.implicits._
-        merges.toSeq.toDF("rank", "pair", "n_pairs")
-          .select(col("rank").cast("int").as("rank"), col("pair"),
-            col("n_pairs"))
-          .orderBy("rank")
-      },
-      Some {
-        val stages = (1 to 8).map { r =>
-          s"""p$r AS (
+  }
+
+  /** DuckDB replay of the k training rounds as unrolled CTEs — shared
+    * by the t24 (merge table) and t26 (encoded corpus) oracles. Yields
+    * CTEs `t0..tk` (corpus state) and `m1..mk` (round winners). */
+  private def bpeOracleCtes(k: Int): String = {
+    // MATERIALIZED is load-bearing: each t_r references t_{r-1} plus two
+    // scalar subqueries on m_r — inlined, DuckDB re-evaluates the chain
+    // combinatorially (minutes at sf0.01; 0.2 s materialized)
+    val stages = (1 to k).map { r =>
+      s"""p$r AS MATERIALIZED (
             SELECT pair, COUNT(*) AS n
             FROM (SELECT s[i] || ' ' || s[i+1] AS pair
                   FROM (SELECT string_split(trim(t), ' ') AS s
                         FROM t${r - 1}),
                        UNNEST(range(1, len(s))) AS u(i))
             GROUP BY pair),
-          m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
-          t$r AS (
+          m$r AS MATERIALIZED (
+            SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+          t$r AS MATERIALIZED (
             SELECT doc_id,
                    replace(t, ' ' || (SELECT pair FROM m$r) || ' ',
                            ' ' || replace((SELECT pair FROM m$r), ' ', '@@')
                              || ' ') AS t
             FROM t${r - 1})"""
-        }.mkString(",\n          ")
-        s"""
-        WITH t0 AS (
+    }.mkString(",\n          ")
+    s"""t0 AS MATERIALIZED (
           SELECT doc_id, ' ' || trim(text) || ' ' AS t FROM documents),
-          $stages
-        ${(1 to 8).map(r =>
-            s"SELECT CAST($r AS INTEGER) AS rank, pair, n AS n_pairs FROM m$r")
-          .mkString("\n        UNION ALL\n        ")}
-        ORDER BY rank"""
-      }),
+          $stages"""
+  }
 
+  private def bpeMergesOracle(k: Int): String = s"""
+        WITH ${bpeOracleCtes(k)}
+        ${(1 to k).map(r =>
+          s"SELECT CAST($r AS INTEGER) AS rank, pair, n AS n_pairs FROM m$r")
+        .mkString("\n        UNION ALL\n        ")}
+        ORDER BY rank"""
+
+  private lazy val moreQueries: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // Vocabulary build: top-k tokens by corpus frequency with document
     // frequency — the tokenizer-training / vocab-pruning primitive. One

