@@ -105,17 +105,42 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   /** Compaction: rewrite the table into ~`rowsPerFile`-row files. Every
     * incremental upsert/append leaves small files behind; at scale the
     * scan cost becomes file-open dominated (the classic small-file
-    * problem). One repartition + atomic swap; optionally clustered so
-    * parquet row-group min/max stats line up with the hot filter columns
-    * and scans can skip row groups (the poor-man's Z-order — exact for
-    * single-column range predicates). */
+    * problem). One repartition + atomic swap. Layout options:
+    *
+    *   - `clusterBy`: lexicographic range-cluster — tight min/max (and
+    *     thus file/row-group skipping) for the FIRST column only;
+    *   - `zorderBy`: Morton-interleaved multi-column cluster
+    *     ([[graft.functions.ZOrder]]) — every file is a hypercube in
+    *     bucket space, so predicates on ANY clustered column skip
+    *     files (ZOrderSpec measures the difference). Normalization
+    *     bounds come from one min/max aggregate — O(columns), not a
+    *     global ranking window.
+    */
   def compact(name: String, rowsPerFile: Long,
-      partitionBy: Seq[String] = Nil, clusterBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, clusterBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil, zorderBits: Int = 8): Unit = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "pick clusterBy OR zorderBy, not both")
     val df = read(name)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
     val repart =
-      if (clusterBy.nonEmpty)
+      if (zorderBy.nonEmpty) {
+        // one aggregate row carries every column's lo/hi
+        val aggs = zorderBy.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val lohi = zorderBy.indices.map(i =>
+          (rowDouble(row, 2 * i), rowDouble(row, 2 * i + 1)))
+        val zkey = graft.functions.ZOrder.zorderKey(zorderBits,
+          zorderBy.zip(lohi).map { case (c, (lo, hi)) =>
+            graft.functions.ZOrder.bucketize(col(c), lo, hi, zorderBits)
+          }: _*)
+        df.withColumn("__zkey", zkey)
+          .repartitionByRange(files, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      } else if (clusterBy.nonEmpty)
         df.repartitionByRange(files, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df.repartition(files)
@@ -125,6 +150,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     overwrite(name, repart, partitionBy)
     repart.unpersist()
   }
+
+  private def rowDouble(r: org.apache.spark.sql.Row, i: Int): Double =
+    r.get(i) match {
+      case null => 0.0
+      case n: Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
 
   /** Number of data files currently backing the table (compaction
     * telemetry). */
