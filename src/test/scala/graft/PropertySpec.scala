@@ -223,4 +223,73 @@ class PropertySpec extends SparkSpec {
       .as[(Long, String, String)].collect()
     assert(salted === plain)
   }
+
+  test("pair_delta equals the brute-force pair-count difference on any strings") {
+    // the incremental BPE trainer's entire exactness claim rests on this
+    def pairs(t: String): Map[String, Long] = {
+      val toks = t.trim.split(" ", -1)
+      (0 until toks.length - 1).map(i => toks(i) + " " + toks(i + 1))
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    }
+    val tokGen = Gen.oneOf("a", "b", "ab", "x'y", "q\\z", "\"w\"", "", " ")
+    val strGen = Gen.listOfN(12, tokGen).map(_.mkString(" "))
+    (1 to 40).foreach { i =>
+      val before = strGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val after = strGen.apply(Gen.Parameters.default, Seed(i.toLong + 1000)).get
+      val expected = (pairs(after).keySet ++ pairs(before).keySet).flatMap { p =>
+        val d = pairs(after).getOrElse(p, 0L) - pairs(before).getOrElse(p, 0L)
+        if (d != 0) Some(p -> d) else None
+      }.toMap
+      val got = Seq((before, after)).toDF("b", "a")
+        .select(explode(graft.functions.PairDelta.pairDelta(col("b"), col("a"))).as("pw"))
+        .select(col("pw.pair"), col("pw.n"))
+        .as[(String, Long)].collect().toMap
+      assert(got === expected, s"iteration $i: before='$before' after='$after'")
+    }
+  }
+
+  test("evolveSchema: common columns merge identically; new/dropped columns obey nulls") {
+    val keyGen = Gen.chooseNum(0L, 20L)
+    val frameGen = Gen.listOfN(15, Gen.zip(keyGen, Gen.alphaStr, Gen.chooseNum(0, 99)))
+    (1 to 5).foreach { i =>
+      val t = frameGen.apply(Gen.Parameters.default, Seed(i * 31L)).get
+        .distinctBy(_._1)
+      val s = frameGen.apply(Gen.Parameters.default, Seed(i * 31L + 7)).get
+        .distinctBy(_._1)
+      val td = t.toDF("id", "cat", "m")
+      // source drops cat, adds note
+      val sd = s.toDF("id", "note", "m")
+      val out = Upsert.merge(td, sd, Seq("id"), evolveSchema = true)
+        .orderBy("id").collect()
+      assert(out.head.schema.fieldNames.toSeq === Seq("id", "cat", "m", "note"))
+      val tKeys = t.map(_._1).toSet
+      val sKeys = s.map(_._1).toSet
+      // union of keys, exactly once each
+      assert(out.map(_.getAs[Long]("id")).toSeq === (tKeys ++ sKeys).toSeq.sorted)
+      out.foreach { r =>
+        val id = r.getAs[Long]("id")
+        // dropped column survives for target rows, null for inserted
+        assert((r.getAs[String]("cat") == null) === !tKeys.contains(id))
+        // new column carried wherever the source touched the row
+        assert((r.getAs[String]("note") == null) === !sKeys.contains(id))
+        // common column resolves exactly like a plain merge: source wins
+        val expM = s.find(_._1 == id).map(_._3).getOrElse(t.find(_._1 == id).get._3)
+        assert(r.getAs[Int]("m") === expM)
+      }
+    }
+  }
+
+  test("morton key round-trips: de-interleaving recovers the clamped buckets") {
+    val g = Gen.zip(Gen.chooseNum(-10, 300), Gen.chooseNum(-10, 300))
+    (1 to 100).foreach { i =>
+      val (x, y) = g.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val bits = 1 + i % 8
+      val mask = (1 << bits) - 1
+      val z = graft.functions.ZOrder.mortonKey(bits, x, y)
+      def extract(c: Int): Int =
+        (0 until bits).map(b => (((z >> (b * 2 + c)) & 1L) << b).toInt).sum
+      assert(extract(0) === math.min(math.max(x, 0), mask))
+      assert(extract(1) === math.min(math.max(y, 0), mask))
+    }
+  }
 }
