@@ -308,8 +308,11 @@ object Dedup {
     // round's join + checkpoint would cost O(corpus × rounds) instead
     // of O(dup-docs × rounds) — at 100 TB most docs are singletons.
     // Singletons rejoin at the end.
+    // truncateLazy: the Σ-label aggregate right below materializes the
+    // checkpoint — one action per round instead of checkpoint + sum
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_rep", col("id")).transform(graft.spark.Lineage.truncate)
+      .withColumn("cluster_rep", col("id"))
+      .transform(graft.spark.Lineage.truncateLazy)
     // min-propagation only ever LOWERS labels, so Σ label is strictly
     // monotone decreasing while anything changes — convergence detection
     // is one aggregate over the checkpointed label frame, not a
@@ -341,9 +344,9 @@ object Dedup {
           least(col("a.cluster_rep"),
             coalesce(col("__rrep"), col("a.cluster_rep")))
             .as("cluster_rep"))
-        .transform(graft.spark.Lineage.truncate)
+        .transform(graft.spark.Lineage.truncateLazy)
       val curSum = updated.agg(coalesce(sum(col("cluster_rep")), lit(0L)))
-        .head().getLong(0)
+        .head().getLong(0) // materializes the round's checkpoint
       labels = updated
       converged = curSum == prevSum
       prevSum = curSum
@@ -397,7 +400,7 @@ object Dedup {
     var edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .transform(graft.spark.Lineage.truncate)
+      .transform(graft.spark.Lineage.truncateLazy) // signature() materializes
     def signature(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(sum(col("src")), lit(0L)),
         coalesce(sum(col("dst")), lit(0L))).head()
@@ -409,7 +412,7 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prev = edges
       edges = gatherEmit(gatherEmit(edges, large = true), large = false)
-        .transform(graft.spark.Lineage.truncate)
+        .transform(graft.spark.Lineage.truncateLazy) // signature() materializes
       val next = signature(edges)
       // the cheap signature filters non-fixpoints; on a match, confirm
       // exactly (except is symmetric-difference on distinct edge sets) —

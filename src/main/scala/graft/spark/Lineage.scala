@@ -23,7 +23,16 @@ object Lineage {
     * block storage. */
   val DirConf = "spark.graft.checkpoint.dir"
 
-  def truncate(df: DataFrame): DataFrame = {
+  def truncate(df: DataFrame): DataFrame = truncate(df, eager = true)
+
+  /** Lazy variant: the plan is cut immediately, but materialization
+    * rides the NEXT action over the frame (iterative operators follow
+    * every round's checkpoint with a convergence aggregate — fusing
+    * the two halves the actions per round; the aggregate computes over
+    * the checkpointed RDD, so the blocks are stored as a side effect). */
+  def truncateLazy(df: DataFrame): DataFrame = truncate(df, eager = false)
+
+  private def truncate(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(DirConf) match {
       case Some(dir) if dir.nonEmpty =>
@@ -31,8 +40,8 @@ object Lineage {
         // it when it doesn't already point inside the configured root
         if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
           spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
-      case _ => df.localCheckpoint(eager = true)
+        df.checkpoint(eager = eager)
+      case _ => df.localCheckpoint(eager = eager)
     }
   }
 }
