@@ -261,6 +261,136 @@ object ExtensionQueries {
         ORDER BY source""")),
 
     // ----------------------------------------------------------------
+    // The FULL training-data run (cp1 + the two stages a production
+    // curation adds): quality gate → contamination EXCISION against the
+    // held-out eval slice (train docs sharing ≥3 distinct 3-gram
+    // shingles with the eval set are dropped — the Lee et al. /
+    // GPT-3-appendix decontamination rule) → exact dedup → per-source
+    // TOKEN-BUDGET selection (best-quality-first cumulative fill, the
+    // t22 primitive applied inside the pipeline) → per-source audit.
+    // Scale shape: the eval shingle set is tiny at any corpus size
+    // (broadcast side of the excision semi-join); selection is one
+    // window over kept docs per source; nothing quadratic anywhere.
+    Q(
+      "cp2_full_curation",
+      (s, d) => {
+        import graft.functions.TextAnalysis._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val bucket = expr(
+          """(position(substr(md5(CAST(doc_id AS STRING)), 1, 1)
+               IN '0123456789abcdef') - 1) * 16
+           + (position(substr(md5(CAST(doc_id AS STRING)), 2, 1)
+               IN '0123456789abcdef') - 1)""") % 100
+        val train = docs.filter(bucket < 80)
+        val eval_ = docs.filter(bucket >= 80)
+        val scored = train
+          .select(col("doc_id"), col("source"), col("text"),
+            tokenCount(col("text")).as("n_tokens"),
+            qualityScore(col("text")).as("q"))
+          .filter(col("q") >= 50)
+        // contamination: ≥3 distinct shingles shared with the eval SET
+        val evalShingles = Dedup.shingles(eval_, "doc_id", "text")
+          .select("shingle").distinct()
+        val contaminated = Dedup.shingles(scored, "doc_id", "text")
+          .join(broadcast(evalShingles), Seq("shingle"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .select("doc_id")
+        val clean = scored.join(contaminated, Seq("doc_id"), "left_anti")
+        // exact dedup, canonical = min doc_id per fingerprint
+        val fp = clean.withColumn("fp", fingerprint(col("text")))
+        val kept = fp.join(
+          fp.groupBy("fp").agg(min(col("doc_id")).as("doc_id")),
+          Seq("fp", "doc_id"))
+        // token budget: best quality first (doc_id tiebreak), keep while
+        // the running total stays within the per-source budget
+        val w = Window.partitionBy("source")
+          .orderBy(col("q").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val selected = kept
+          .withColumn("cum_tok", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tok") <= 2000)
+        docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(selected.groupBy("source")
+            .agg(count(lit(1)).as("n_sel"),
+              sum(col("n_tokens")).as("tok_sel"),
+              davg(col("q").cast("double")).as("avg_q")),
+            Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+            coalesce(col("tok_sel"), lit(0L)).as("tok_sel"),
+            round(coalesce(col("avg_q"), lit(0.0)), 6).as("avg_q"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH sp AS (
+          SELECT doc_id, source, text,
+                 ((strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+                   % 100 < 80 AS is_train
+          FROM documents),
+        scored AS (
+          SELECT doc_id, source, text,
+                 $tokSql AS n_tokens,
+                 GREATEST(LEAST(
+                   (CASE WHEN $tokSql BETWEEN 10 AND 500 THEN 25 ELSE 0 END)
+                   + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / $tokSql
+                        BETWEEN 2.0 AND 10.0 THEN 25 ELSE 0 END)
+                   + (CASE WHEN CAST(${Seq("the", "a", "of", "to", "and").map(mcSql).mkString(" + ")} AS DOUBLE) / $tokSql
+                        BETWEEN 0.01 AND 0.5 THEN 25 ELSE 10 END)
+                   + (CASE WHEN NOT (contains(text, '<') OR contains(text, 'http'))
+                        THEN 25 ELSE 0 END),
+                   100), 0) AS q
+          FROM sp WHERE is_train),
+        gated AS (SELECT * FROM scored WHERE q >= 50),
+        esh AS (
+          SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM (SELECT string_split(text, ' ') AS t FROM sp WHERE NOT is_train),
+               UNNEST(range(1, len(t) - 1)) AS u(i)),
+        tsh AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM gated),
+               UNNEST(range(1, len(t) - 1)) AS u(i)),
+        contaminated AS (
+          SELECT doc_id FROM tsh JOIN esh USING (shingle)
+          GROUP BY doc_id HAVING COUNT(*) >= 3),
+        clean AS (
+          SELECT g.* FROM gated g
+          WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        fp AS (
+          SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+          FROM clean),
+        kept AS (
+          SELECT fp.* FROM fp
+          JOIN (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f) c
+            USING (f, doc_id)),
+        sel AS (
+          SELECT * FROM (
+            SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY q DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+            FROM kept)
+          WHERE cum_tok <= 2000),
+        per AS (
+          SELECT source, COUNT(*) AS n_sel,
+                 CAST(SUM(n_tokens) AS BIGINT) AS tok_sel,
+                 CAST(SUM(CAST(CAST(q AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(q) AS avg_q
+          FROM sel GROUP BY source),
+        base AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                 GROUP BY source)
+        SELECT b.source, b.n_docs,
+               COALESCE(per.n_sel, 0) AS n_sel,
+               COALESCE(per.tok_sel, 0) AS tok_sel,
+               round(COALESCE(per.avg_q, 0.0), 6) AS avg_q
+        FROM base b LEFT JOIN per USING (source)
+        ORDER BY source""")),
+
+    // ----------------------------------------------------------------
     // Cross-document duplicated SPANS (the substring-granular dedup of
     // Lee et al., "Deduplicating Training Data Makes Language Models
     // Better", at token-window resolution): fingerprint every 8-token
