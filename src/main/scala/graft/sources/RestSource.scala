@@ -12,11 +12,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * schema. At scale the same contract is fulfilled by staging files and
   * reading them directly — the pipeline downstream is identical.
   *
-  * Zero-egress environment => the production HTTP implementation is out
-  * of scope; [[FixturePageSource]] provides the deterministic test
-  * backend. Rate limiting is modeled as a pluggable hook so an HTTP
-  * impl can sleep/backoff without changing the pagination logic
-  * (reference backoff: `personal_repos_ingestion.py:110-131`).
+  * [[HttpPageSource]] is the REAL production transport
+  * (`java.net.http`: Retry-After rate-limit handling, 5xx backoff,
+  * GitHub `items` envelope — reference backoff:
+  * `personal_repos_ingestion.py:110-131`), exercised against an
+  * in-process HTTP server in HttpTransportSpec; [[FixturePageSource]]
+  * stays the deterministic backend for pagination-logic tests.
   */
 trait PageSource {
   /** Fetch one page of raw JSON records; empty = pagination done. */
