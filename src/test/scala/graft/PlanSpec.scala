@@ -60,10 +60,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("upsert is a single full-outer shuffle join, no driver collect") {
-    val q = SparkEntry.queries("k2_upsert")(spark, sf)
-    val plan = planOf(q)
-    assert(plan.contains("FullOuter") || plan.contains("SortMergeJoin"),
-      s"merge must be a distributed join:\n$plan")
+    for (name <- Seq("k2_upsert", "k8_schema_evolution")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("FullOuter") || plan.contains("SortMergeJoin"),
+        s"$name must be a distributed join:\n$plan")
+    }
+  }
+
+  test("curation pipelines stay on equi-joins, nothing quadratic") {
+    for (name <- Seq("cp1_curation_pipeline", "cp2_full_curation")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name fell off the equi-join path:\n$plan")
+    }
+    // cp2's contamination excision broadcasts the (tiny) eval shingle set
+    val cp2 = planOf(SparkEntry.queries("cp2_full_curation")(spark, sf))
+    assert(cp2.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n$cp2")
   }
 
   test("top-k ordering compiles to TakeOrderedAndProject, not global sort") {
