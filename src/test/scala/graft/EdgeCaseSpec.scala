@@ -102,6 +102,27 @@ class EdgeCaseSpec extends SparkSpec {
       !graft.functions.BloomRuntime.contains(bf, k)))
   }
 
+  test("product quantizer rejects impossible configurations loudly") {
+    import graft.operators.ProductQuantizer
+    val vecs = (1L to 8L).map(i => (i, Array.fill(8)(i.toFloat)))
+      .toDF("id", "v")
+    // dim must split evenly into subspaces
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.train(vecs, "id", "v", dim = 8, m = 3, k = 4)
+    }
+    // fewer vectors than codewords cannot seed a codebook
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.train(vecs, "id", "v", dim = 8, m = 2, k = 16)
+    }
+    // a legal tiny config trains and encodes
+    val model = ProductQuantizer.train(vecs, "id", "v", dim = 8, m = 2,
+      k = 4, iters = 1)
+    val codes = vecs.select(
+      ProductQuantizer.encodeCol(col("v"), model).as("c")).head()
+      .getSeq[Int](0)
+    assert(codes.length === 2 && codes.forall(c => c >= 0 && c < 4))
+  }
+
   test("nearDupPairs refuses to go quadratic above maxExact") {
     val vecs = (1L to 20L).map(i => (i, Array(i.toFloat, 1f)))
       .toDF("id", "v")
