@@ -307,9 +307,11 @@ object Similarity {
     * accidental call on a full corpus cannot silently go O(n²). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxExact: Int = 10000): DataFrame = {
-    val n = df.count()
+    // limit+count bounds the guard itself: it never materializes more
+    // than maxExact+1 rows of a possibly-expensive upstream plan
+    val n = df.limit(maxExact + 1).count()
     require(n <= maxExact,
-      s"nearDupPairs is the O(n²) exact-recall baseline and got n=$n > " +
+      s"nearDupPairs is the O(n²) exact-recall baseline and got n>" +
         s"maxExact=$maxExact rows — use nearDupPairsBanded (LSH) or " +
         "semanticDedupPairsKMeans for a real corpus, or raise maxExact " +
         "explicitly for a bigger oracle run")

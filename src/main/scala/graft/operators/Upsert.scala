@@ -51,6 +51,13 @@ object Upsert {
     require(keys.forall(target.columns.contains) && keys.forall(source.columns.contains),
       s"both sides must carry the key columns ${keys.mkString(",")}")
     val dataCols = target.columns.filterNot(keys.contains).toSeq
+    // a resolver only ever fires for columns present on BOTH sides; a
+    // key on an evolved-in/away or misspelled column would be silently
+    // ignored — fail loudly instead
+    val resolvable = dataCols.filter(source.columns.contains).toSet
+    require(smartCases.keySet.subsetOf(resolvable),
+      s"smartCases must be keyed on shared non-key columns; not resolvable: " +
+        s"${(smartCases.keySet -- resolvable).mkString(",")}")
     val dropped = dataCols.filterNot(source.columns.contains)
     val added = source.columns.filterNot(keys.contains)
       .filterNot(target.columns.contains).toSeq

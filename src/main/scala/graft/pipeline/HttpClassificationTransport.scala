@@ -63,6 +63,13 @@ final class HttpClassificationTransport(
     val arr = root.get("verdicts")
     (0 until arr.size()).map { i =>
       val v = arr.get(i)
+      // validate per-verdict fields so a malformed entry surfaces as a
+      // descriptive transport IOException (which BatchedClassifier's
+      // retry loop handles) instead of an opaque NPE
+      val missing = VerdictFields.filterNot(v.has)
+      if (missing.nonEmpty) throw new java.io.IOException(
+        s"malformed verdict at index $i: missing field(s) " +
+          s"${missing.mkString(",")} in ${v.toString.take(200)}")
       ClassificationVerdict(
         v.get("repositoryId").asLong(),
         v.get("category").asText(),
@@ -70,4 +77,7 @@ final class HttpClassificationTransport(
         v.get("confidence").asDouble())
     }
   }
+
+  private val VerdictFields =
+    Seq("repositoryId", "category", "subcategory", "confidence")
 }

@@ -76,8 +76,12 @@ object VectorQueries {
     Q(
       "v2_embedding_neardup",
       (s, d) =>
+        // explicit cap: this query IS the exact oracle baseline, sized
+        // for gate-scale corpora (sf<=0.3); past the cap it fails loudly
+        // toward the banded path rather than silently going O(n^2)
         Similarity.nearDupPairs(
-          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4)
+          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.4,
+          maxExact = 20000)
           .orderBy("id_a", "id_b"),
       Some(s"""
         WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),

@@ -16,10 +16,17 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *     field is the array (the GitHub search-API envelope); each
   *     element is re-serialized to one record string for
   *     [[JsonIngest]]'s schema-first parse;
-  *   - 429/403 (rate limit) → honor `Retry-After` seconds when present,
+  *   - 429/403 (rate limit) → honor `Retry-After` seconds when present
+  *     (clamped to `maxBackoffMs` — a hostile or broken server must not
+  *     be able to park the driver for a day; a non-integer value, e.g.
+  *     the RFC 7231 HTTP-date form, falls back to exponential backoff),
   *     else exponential backoff, then retry;
   *   - 5xx / IO errors → exponential backoff retry up to `maxAttempts`;
   *   - other 4xx → fail loudly (a bad request never resolves itself).
+  *
+  * Every sleep counts against `maxAttempts`, and no failure path echoes
+  * request header VALUES (they routinely carry auth tokens) — error
+  * text names only the URL, status, and a body snippet.
   *
   * The JSON split uses Jackson (already on Spark's classpath — Spark's
   * own JSON datasource is built on it). Tested against an in-process
@@ -32,6 +39,7 @@ final class HttpPageSource(
     headers: Map[String, String] = Map.empty,
     maxAttempts: Int = 4,
     backoffBaseMs: Long = 500,
+    maxBackoffMs: Long = 30000,
     requestTimeout: Duration = Duration.ofSeconds(30),
     sleeper: Long => Unit = Thread.sleep) extends PageSource {
 
@@ -58,24 +66,32 @@ final class HttpPageSource(
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"rate-limited after $maxAttempts attempts: HTTP ${r.statusCode()} $uri")
           val retryAfter = r.headers().firstValue("Retry-After")
-          val ms = if (retryAfter.isPresent) retryAfter.get.toLong * 1000
+          val ms =
+            if (retryAfter.isPresent)
+              // integer-seconds form only; the HTTP-date form (RFC 7231)
+              // falls back to exponential backoff rather than throwing
+              scala.util.Try(retryAfter.get.trim.toLong * 1000)
+                .getOrElse(backoffBaseMs << (attempt - 1))
             else backoffBaseMs << (attempt - 1)
-          sleeper(ms)
+          sleeper(clampBackoff(ms))
         case Right(r) if r.statusCode() >= 500 =>
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"server error after $maxAttempts attempts: HTTP ${r.statusCode()} $uri")
-          sleeper(backoffBaseMs << (attempt - 1))
+          sleeper(clampBackoff(backoffBaseMs << (attempt - 1)))
         case Right(r) =>
           throw new IllegalArgumentException(
             s"unretryable HTTP ${r.statusCode()} for $uri: ${r.body().take(200)}")
         case Left(e) =>
           if (attempt >= maxAttempts) throw new IllegalStateException(
             s"IO failure after $maxAttempts attempts for $uri", e)
-          sleeper(backoffBaseMs << (attempt - 1))
+          sleeper(clampBackoff(backoffBaseMs << (attempt - 1)))
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  private def clampBackoff(ms: Long): Long =
+    math.min(math.max(ms, 0L), maxBackoffMs)
 
   /** Top-level JSON array, or the GitHub search envelope's `items`. */
   private def parseRecords(body: String): Seq[String] = {

@@ -29,7 +29,16 @@ object Lineage {
     * rides the NEXT action over the frame (iterative operators follow
     * every round's checkpoint with a convergence aggregate — fusing
     * the two halves the actions per round; the aggregate computes over
-    * the checkpointed RDD, so the blocks are stored as a side effect). */
+    * the checkpointed RDD, so the blocks are stored as a side effect).
+    *
+    * The one-job-per-round fusion holds only for `localCheckpoint`. In
+    * reliable mode (`spark.graft.checkpoint.dir` set) a lazy
+    * `checkpoint()` would RECOMPUTE the frame when the checkpoint-file
+    * job runs after the first action — roughly doubling every round on
+    * a cluster — so the reliable branch always persists, checkpoints
+    * eagerly (the write job reads the cached blocks), and unpersists:
+    * one computation per round, at the cost of one extra (cache-read)
+    * job. Durability is what the knob buys; the extra job is its price. */
   def truncateLazy(df: DataFrame): DataFrame = truncate(df, eager = false)
 
   private def truncate(df: DataFrame, eager: Boolean): DataFrame = {
@@ -40,7 +49,9 @@ object Lineage {
         // it when it doesn't already point inside the configured root
         if (!spark.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
           spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = eager)
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally cached.unpersist(blocking = false)
       case _ => df.localCheckpoint(eager = eager)
     }
   }

@@ -26,8 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketed {
 
   /** Write `df` bucketed by `bucketCol` into `numBuckets` buckets as
-    * catalog table `table` at `path`; skip when `fingerprint` matches
-    * the previous write AND the catalog already knows the table. */
+    * catalog table `table` rooted at `path`; skip when `fingerprint`
+    * matches the previous write AND the catalog already knows the table.
+    *
+    * Atomicity: the build lands in a SIDE table at a SIDE path while any
+    * existing `table` stays fully readable — `df` may even read from the
+    * table being rebuilt (self-rebuild, asserted in BucketedSpec). The
+    * swap is two metadata-only catalog ops (drop + rename); a failure
+    * mid-build leaves the live table untouched. The marker records the
+    * current data location (4th field) so the superseded generation's
+    * files are cleaned up without consulting catalog internals. */
   def write(spark: SparkSession, df: DataFrame, table: String, path: String,
       bucketCol: String, numBuckets: Int, fingerprint: String): Unit = {
     // the name is interpolated into SQL text below — reject anything
@@ -35,23 +43,43 @@ object Bucketed {
     require(table.matches("[A-Za-z0-9_]+"),
       s"table name must match [A-Za-z0-9_]+, got '$table'")
     val marker = Paths.get(path + ".fingerprint")
-    val current = s"$fingerprint|$bucketCol|$numBuckets"
-    val upToDate = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8") == current &&
-      spark.catalog.tableExists(table)
+    val recorded: Seq[String] =
+      if (Files.exists(marker))
+        new String(Files.readAllBytes(marker), "UTF-8").split('|').toSeq
+      else Nil
+    val spec = Seq(fingerprint, bucketCol, numBuckets.toString)
+    val upToDate = recorded.take(3) == spec && spark.catalog.tableExists(table)
     if (!upToDate) {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // previous generation's data dir: marker field 4, or (legacy
+      // single-generation layout) `path` itself
+      val oldData = recorded.drop(3).headOption.getOrElse(path)
+      val buildTable = table + "__build"
+      val buildPath = s"$path-gen-${System.nanoTime()}"
+      spark.sql(s"DROP TABLE IF EXISTS $buildTable")
       df.write.mode("overwrite")
-        .option("path", path)
+        .option("path", buildPath)
         .bucketBy(numBuckets, bucketCol)
         .sortBy(bucketCol)
         .format("parquet")
-        .saveAsTable(table)
+        .saveAsTable(buildTable)
+      // swap: metadata-only, external-table rename keeps the location
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"ALTER TABLE $buildTable RENAME TO $table")
       Files.createDirectories(marker.getParent)
-      Files.write(marker, current.getBytes("UTF-8"),
+      Files.write(marker, (spec :+ buildPath).mkString("|").getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
         StandardOpenOption.WRITE)
+      val stale = Paths.get(oldData)
+      if (stale != Paths.get(buildPath) && Files.exists(stale))
+        deleteRecursively(stale)
     }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => Files.delete(f))
+    finally s.close()
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)

@@ -60,6 +60,34 @@ class BucketedSpec extends SparkSpec {
     assert(Bucketed.read(spark, "b2spec_fp").count() == df.count())
   }
 
+  test("rebuild is atomic: the live table stays readable during the build") {
+    import graft.storage.Bucketed
+    val root = java.nio.file.Files.createTempDirectory("graft-b2-atomic").toString
+    val df = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    Bucketed.write(spark, df, "b2spec_atomic", s"$root/t", "k", 2, "gen1")
+    // a rebuild whose SOURCE reads the table being rebuilt: under the old
+    // DROP-then-write scheme the scan finds no table/files mid-build; the
+    // side-path build keeps generation 1 fully readable until the
+    // metadata-only swap
+    val selfRebuild = Bucketed.read(spark, "b2spec_atomic")
+      .withColumn("n_name", upper(col("n_name")))
+    Bucketed.write(spark, selfRebuild, "b2spec_atomic", s"$root/t", "k", 2, "gen2")
+    val out = Bucketed.read(spark, "b2spec_atomic")
+    assert(out.count() == df.count())
+    assert(out.filter(col("n_name") =!= upper(col("n_name"))).isEmpty,
+      "generation 2 (uppercased) must be what the swap published")
+    // superseded generation's files are cleaned up: exactly one data dir
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .toArray.map(_.toString).filter(p => !p.endsWith(".fingerprint"))
+    assert(dirs.length == 1, s"stale generation left behind: ${dirs.mkString(",")}")
+    // and the rebuilt table still joins Exchange-free on the bucket key
+    val o = Bucketed.read(spark, "b2spec_atomic")
+    val plan = planOf(o.hint("merge").join(
+      o.select(col("k"), col("n_name").as("m")), "k"))
+    assert(!plan.contains("Exchange"), s"rebuilt table lost bucketing:\n$plan")
+  }
+
   test("b2 gate query runs green at sf0.001") {
     val rows = SparkEntry.queries("b2_bucketed_join")(spark, sf).collect()
     assert(rows.length == 5) // one per mktsegment

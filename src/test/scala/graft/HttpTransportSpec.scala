@@ -92,6 +92,47 @@ class HttpTransportSpec extends SparkSpec {
     }
   }
 
+  test("a huge Retry-After is clamped to maxBackoffMs; HTTP-date falls back to backoff") {
+    val hits = new AtomicInteger()
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    withServer("/hostile" -> { ex =>
+      hits.incrementAndGet() match {
+        // a hostile/broken server must not park the driver for a day
+        case 1 => respond(ex, 429, "later", Map("Retry-After" -> "86400"))
+        // RFC 7231 also allows an HTTP-date here — not a crash, a backoff
+        case 2 => respond(ex, 429, "later",
+          Map("Retry-After" -> "Fri, 31 Dec 1999 23:59:59 GMT"))
+        case _ => respond(ex, 200, s"[${repoJson(1)}]")
+      }
+    }) { base =>
+      val src = new HttpPageSource(s"$base/hostile", backoffBaseMs = 8,
+        maxBackoffMs = 50, sleeper = slept += _)
+      assert(src.fetchPage(0).length === 1)
+      assert(slept.head === 50, "86400 s Retry-After clamps to maxBackoffMs")
+      assert(slept(1) === 16, "HTTP-date form falls back to base << 1")
+    }
+  }
+
+  test("failure text never echoes request header values (auth tokens)") {
+    val secret = "Bearer sekrit-token-123"
+    withServer(
+      "/nope" -> { ex => respond(ex, 404, "missing") },
+      "/dead" -> { ex => respond(ex, 500, "down") }) { base =>
+      val e1 = intercept[IllegalArgumentException] {
+        new HttpPageSource(s"$base/nope", headers = Map("Authorization" -> secret),
+          sleeper = _ => ()).fetchPage(0)
+      }
+      val e2 = intercept[IllegalStateException] {
+        new HttpPageSource(s"$base/dead", headers = Map("Authorization" -> secret),
+          maxAttempts = 2, backoffBaseMs = 1, sleeper = _ => ()).fetchPage(0)
+      }
+      Seq(e1, e2).foreach { e =>
+        assert(!e.getMessage.contains("sekrit"),
+          s"header value leaked into: ${e.getMessage}")
+      }
+    }
+  }
+
   test("unretryable 4xx and exhausted retries fail loudly") {
     withServer(
       "/nope" -> { ex => respond(ex, 404, "missing") },
@@ -127,6 +168,25 @@ class HttpTransportSpec extends SparkSpec {
       val row = bronze.head()
       assert(row.getAs[Long]("repository_id") === 42L)
       assert(row.getAs[String]("owner_login") === "o")
+    }
+  }
+
+  test("a verdict with missing fields raises a descriptive transport error, not an NPE") {
+    withServer("/classify" -> { ex =>
+      // second verdict lacks `category` and `confidence`
+      respond(ex, 200,
+        """{"verdicts": [
+          {"repositoryId": 1, "category": "AI/ML", "subcategory": "s", "confidence": 0.9},
+          {"repositoryId": 2, "subcategory": "s"}]}""")
+    }) { base =>
+      val e = intercept[java.io.IOException] {
+        new HttpClassificationTransport(s"$base/classify").classifyBatch(Seq(
+          graft.pipeline.RepoForClassification(1L, "a", "d", Seq("t"), "Scala", 1L),
+          graft.pipeline.RepoForClassification(2L, "b", "d", Seq("t"), "Scala", 1L)))
+      }
+      assert(e.getMessage.contains("index 1") &&
+        e.getMessage.contains("category") && e.getMessage.contains("confidence"),
+        s"error must name the malformed entry and fields: ${e.getMessage}")
     }
   }
 

@@ -102,6 +102,29 @@ class UpsertSpec extends SparkSpec {
     assert(out.head.schema.fieldNames.toSeq === Seq("id", "category", "metric", "note"))
   }
 
+  test("smartCases keyed on an unresolvable column fails loudly") {
+    // misspelled column
+    val e1 = intercept[IllegalArgumentException] {
+      Upsert.merge(target, source, Seq("id"),
+        smartCases = Map("catgory" -> Upsert.keepUnlessPlaceholder("Other")))
+    }
+    assert(e1.getMessage.contains("catgory"))
+    // evolved-in (source-only) column: resolver would be silently ignored
+    val extra = Seq((1L, "Web", 11.0, "m1")).toDF("id", "category", "metric", "note")
+    val e2 = intercept[IllegalArgumentException] {
+      Upsert.merge(target, extra, Seq("id"), evolveSchema = true,
+        smartCases = Map("note" -> Upsert.additive))
+    }
+    assert(e2.getMessage.contains("note"))
+    // evolved-away (target-only) column passes through, never resolved
+    val narrow = Seq((1L, 11.0)).toDF("id", "metric")
+    val e3 = intercept[IllegalArgumentException] {
+      Upsert.merge(target, narrow, Seq("id"), evolveSchema = true,
+        smartCases = Map("category" -> Upsert.keepUnlessPlaceholder("Other")))
+    }
+    assert(e3.getMessage.contains("category"))
+  }
+
   test("evolveSchema with insertOnly: matched rows stay null in new columns") {
     val src = Seq((1L, "X", 0.0, "m1"), (4L, "Sys", 44.0, "m4"))
       .toDF("id", "category", "metric", "note")
