@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
@@ -33,6 +34,20 @@ object NearestCentroidRuntime {
       c += 1
     }
     best
+  }
+
+  /** v − cents(c): the coarse-quantizer residual (IVF-PQ's encode
+    * input). Returned as a primitive float array — no boxing. */
+  def residual(v: ArrayData, c: Int, cents: Array[Array[Float]]): ArrayData = {
+    val cent = cents(c)
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = v.getFloat(i) - (if (i < cent.length) cent(i) else 0.0f)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** squared L2 distance to the nearest centroid. */
@@ -85,6 +100,41 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Float]],
     copy(child = newChild)
 }
 
+/** vec − cents(clusterId): the coarse residual IVF-PQ quantizes
+  * (Jégou et al. 2011 §IV: encoding the residual instead of the raw
+  * vector shrinks the energy the product quantizer must capture, which
+  * is where IVFADC's accuracy comes from). Codegen'd; the centroid
+  * table rides as a reference object like [[NearestCentroid]]'s. */
+case class CentroidResidual(left: Expression, right: Expression,
+    cents: Array[Array[Float]]) extends BinaryExpression {
+
+  require(cents.nonEmpty, "centroid set must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, int), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "centroid_residual"
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    NearestCentroidRuntime.residual(
+      v.asInstanceOf[ArrayData], c.asInstanceOf[Int], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "float[][]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.NearestCentroidRuntime.residual($v, $c, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NearestCentroidFunctions {
   def nearestCentroid(vec: Column, cents: Array[Array[Float]]): Column =
     SqlBridge.column(
@@ -93,4 +143,9 @@ object NearestCentroidFunctions {
   def nearestSqDist(vec: Column, cents: Array[Array[Float]]): Column =
     SqlBridge.column(
       NearestCentroid(SqlBridge.expression(vec), cents, returnDist = true))
+
+  def centroidResidual(vec: Column, clusterId: Column,
+      cents: Array[Array[Float]]): Column =
+    SqlBridge.column(CentroidResidual(
+      SqlBridge.expression(vec), SqlBridge.expression(clusterId), cents))
 }

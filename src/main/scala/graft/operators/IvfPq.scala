@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.NearestCentroidFunctions
+import graft.functions.VectorExpressions.dotF
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF + product quantization — the composed production ANN index
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * PAMI 2011 §IV, the IVFADC setup): a coarse k-means quantizer routes
+  * each vector to an inverted list, and a product quantizer encodes the
+  * RESIDUAL (vector − its coarse centroid). Residual encoding is the
+  * load-bearing idea: the residual field has far less energy than the
+  * raw vectors, so the same m×k codebook budget quantizes it much more
+  * accurately — v5 (IVF, exact in-list) and v12 (PQ, full scan) each
+  * prove half of this; the composition is what a real 100 TB index runs.
+  *
+  * Spark shape:
+  *   - TRAIN: [[KMeans.train]] for the coarse centroids (driver-held
+  *     nLists·dim floats), then one narrow codegen'd residual projection
+  *     ([[graft.functions.CentroidResidual]]) feeding
+  *     [[ProductQuantizer.train]] — both trainings are ONE
+  *     decimal-deterministic hash-agg shuffle per Lloyd round;
+  *   - INDEX: per corpus row, `(list_id, codes)` — two map-side
+  *     codegen'd expressions, no shuffle; the 100 TB memory contract is
+  *     dim·4 bytes → m one-byte-ish codes + one int list id;
+  *   - SEARCH: queries rank the nLists coarse centroids (a broadcast
+  *     crossJoin against a model-sized frame), keep `nProbe` lists, and
+  *     the index scan joins the BROADCAST probe set on `list_id` — the
+  *     corpus/index side never shuffles; scoring reconstructs
+  *     centroid + codeword residual per scanned row and the bounded
+  *     top-k heap keeps shuffle traffic O(k) per query.
+  *
+  * Determinism: md5-ordered seeds, decimal sums, lower-index tie breaks
+  * — the trajectory is bit-stable, so the v13 recall verdict is a
+  * regression pin, not a statistical hope (RecallSpec measures the
+  * curve and pins v13 ≥ v12 at full probe width, the residual payoff).
+  */
+object IvfPq {
+
+  /** Driver-held model: nLists coarse centroids + the residual-space
+    * product quantizer — O(nLists·dim + m·k·dim/m) floats, never a
+    * function of corpus size. */
+  final case class Model(coarse: Array[Array[Float]],
+      pq: ProductQuantizer.Model)
+
+  def train(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nLists: Int = 16, coarseIters: Int = 2,
+      m: Int = 8, k: Int = 16, pqIters: Int = 2): Model = {
+    val km = KMeans.train(df, idCol, vecCol, nLists, coarseIters)
+    val resid = KMeans.assign(df, vecCol, km.centroids)
+      .select(col(idCol), NearestCentroidFunctions.centroidResidual(
+        col(vecCol), col("cluster_id"), km.centroids).as("__resid"))
+    val pq = ProductQuantizer.train(resid, idCol, "__resid", dim, m, k, pqIters)
+    Model(km.centroids, pq)
+  }
+
+  /** The persisted index frame: (idCol, list_id, codes) — what a 100 TB
+    * deployment writes once and searches many times. Pure map-side
+    * projection: assignment and encode are codegen'd expressions. */
+  def index(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val listId = NearestCentroidFunctions.nearestCentroid(col(vecCol), model.coarse)
+    corpus
+      .withColumn("list_id", listId)
+      .select(col(idCol), col("list_id"),
+        ProductQuantizer.encodeCol(
+          NearestCentroidFunctions.centroidResidual(
+            col(vecCol), col("list_id"), model.coarse), model.pq).as("codes"))
+  }
+
+  /** Approximate vector from the index entry: coarse centroid + PQ
+    * reconstruction of the residual codes. */
+  private def reconstruct(listId: Column, codes: Column, model: Model): Column = {
+    val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
+    zip_with(
+      element_at(coarseLit, listId + 1),
+      ProductQuantizer.reconstructCol(codes, model.pq),
+      (a, b) => a + b).cast("array<float>")
+  }
+
+  /** Asymmetric search (exact queries vs reconstructed index) over the
+    * nProbe nearest lists per query. */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, model: Model, k: Int, nProbe: Int,
+      bounded: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = model.coarse.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "cv")
+      .select(col("list_id"), col("cv").cast("array<float>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dotF(col("qv"), col("cv")) / col("qn") / sqrt(dotF(col("cv"), col("cv"))), 6))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("list_id"))))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "list_id", "qv", "qn")
+    val idx = index(corpus, idCol, vecCol, model)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val scored = idx.join(broadcast(probes), "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("nv", reconstruct(col("list_id"), col("codes"), model))
+      .withColumn("sim",
+        round(dotF(col("qv"), col("nv")) / col("qn") / sqrt(dotF(col("nv"), col("nv"))), 6))
+    Similarity.finishTopK(scored, k, bounded)
+  }
+}

@@ -42,7 +42,7 @@ object Similarity {
     * beyond the k-element heaps. Output is IDENTICAL: both forms rank
     * by the same (sim DESC, neighbor_id ASC) total order (asserted in
     * ScaleVariantSpec; the no-sort plan shape in PlanSpec). */
-  private def finishTopK(scored: DataFrame, k: Int, bounded: Boolean): DataFrame =
+  private[operators] def finishTopK(scored: DataFrame, k: Int, bounded: Boolean): DataFrame =
     if (!bounded)
       scored.withColumn("rank", row_number().over(
         Window.partitionBy("query_id")

@@ -518,6 +518,46 @@ object VectorQueries {
         FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
         ORDER BY query_id""")),
 
+    // ----------------------------------------------------------------
+    // IVF + PQ composed (operators/IvfPq): the production ANN index —
+    // a trained coarse quantizer routes vectors to inverted lists and a
+    // product quantizer encodes the RESIDUAL (Jégou et al. 2011 §IV,
+    // IVFADC). v5 proves IVF, v12 proves PQ; this is the composition a
+    // 100 TB corpus actually serves: per-row index payload is one int
+    // list id + 8 codes, queries probe 8 of 16 lists, and the index
+    // side never shuffles (PlanSpec pins the plan). Trajectory is
+    // bit-deterministic (md5 seeds, decimal sums), so the gated frame
+    // is the same recall-verdict shape as v12: per-query recall@10 vs
+    // the exact top-10 stays ≥ 0.15 (measured 0.2–0.4 per query across
+    // sf0.001–0.1; RecallSpec pins the full curve and the ≥-v12
+    // residual payoff at full probe width).
+    Q(
+      "v13_ivfpq_topk",
+      (s, d) => {
+        import graft.operators.IvfPq
+        val emb = Tables.embeddings(s, d)
+        val model = IvfPq.train(emb, "vec_id", "embedding", dim = dim,
+          nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
+        val queries = emb.filter(col("vec_id") < 5)
+        val k = 10
+        val approx = IvfPq.topK(queries, emb, "vec_id", "embedding",
+          model, k, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+          "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        approx.join(exact, Seq("query_id", "neighbor_id"), "inner")
+          .groupBy("query_id")
+          .agg((count(lit(1)).cast("double") / k).as("recall"))
+          .select(col("query_id"),
+            when(col("recall") >= 0.15, 1).otherwise(0).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""
+        SELECT query_id, CAST(1 AS INTEGER) AS recall_ok
+        FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
+        ORDER BY query_id""")),
+
     Q(
       "km1_kmeans_verdict",
       (s, d) => {

@@ -80,6 +80,29 @@ class PlanSpec extends SparkSpec {
       s"eval shingles must broadcast:\n$cp2")
   }
 
+  test("IVF-PQ search never shuffles the index side") {
+    // after the index build, search = index scan + broadcast probe join;
+    // every Exchange in the plan re-keys QUERY-side frames (probe
+    // ranking, final per-query top-k) — a hashpartitioning(list_id) or
+    // round-robin Exchange would mean the 100 TB index moved
+    import graft.operators.IvfPq
+    val e = Tables.embeddings(spark, sf)
+    val model = IvfPq.train(e, "vec_id", "embedding", 64,
+      nLists = 4, coarseIters = 1, m = 8, k = 8, pqIters = 1)
+    val q = IvfPq.topK(e.filter(col("vec_id") < 3), e, "vec_id", "embedding",
+      model, 5, nProbe = 2, bounded = true)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probes must broadcast against the index scan:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(_.contains("query_id")),
+      s"only query-keyed exchanges allowed:\n${exchanges.mkString("\n")}\n$plan")
+    assert(!plan.contains("Exchange roundrobin") &&
+      !plan.split("\n").exists(l => l.contains("Exchange hashpartitioning(list_id")),
+      s"index side must never shuffle:\n$plan")
+  }
+
   test("top-k ordering compiles to TakeOrderedAndProject, not global sort") {
     val q = SparkEntry.queries("a9_topk_counts")(spark, sf)
     assert(planOf(q).contains("TakeOrderedAndProject"))

@@ -130,4 +130,40 @@ class RecallSpec extends SparkSpec {
     assert(recalls.values.forall(_ >= 0.15),
       s"per-query recall under the v12 verdict bound: $recalls")
   }
+
+  test("IVF-PQ residual encoding pays: v13 beats plain PQ at full probe width") {
+    // The composed index (IvfPq: coarse lists + PQ over RESIDUALS) vs
+    // v12's plain PQ at the same codebook budget (m=8, k=64, 3 Lloyd
+    // rounds). Measured overall recall@10 at sf0.01 (deterministic —
+    // these are regression pins): v12 = 0.42; v13 nProbe=16 (all lists,
+    // pure residual effect) = 0.50; nProbe=8 (half the lists probed,
+    // the v13 gate shape) = 0.44 with per-query min 0.2 — which is why
+    // the v13 verdict bound of 0.15 holds with margin at every sf.
+    import graft.operators.{IvfPq, ProductQuantizer}
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val a = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (a & exact).size.toDouble / exact.size
+    }
+    val pq = ProductQuantizer.train(e, "vec_id", "embedding", 64, 8, 64, 3)
+    val v12 = recallOf(ProductQuantizer.topK(queries, e, "vec_id", "embedding", pq, 10))
+    val model = IvfPq.train(e, "vec_id", "embedding", 64,
+      nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
+    val full = recallOf(IvfPq.topK(queries, e, "vec_id", "embedding", model, 10, 16))
+    val half = recallOf(IvfPq.topK(queries, e, "vec_id", "embedding", model, 10, 8))
+    assert(full >= v12,
+      s"residual encoding must not lose to plain PQ at full probe: $full < $v12")
+    assert(half >= 0.4, s"half-probe recall regressed: $half")
+    // bounded (scale) and window forms agree exactly
+    val win = IvfPq.topK(queries, e, "vec_id", "embedding", model, 10, 8)
+    val bnd = IvfPq.topK(queries, e, "vec_id", "embedding", model, 10, 8,
+      bounded = true)
+    assert(win.exceptAll(bnd).isEmpty && bnd.exceptAll(win).isEmpty,
+      "bounded-heap and window top-k must be identical")
+  }
 }
