@@ -230,7 +230,13 @@ object Dedup {
       idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
-    val batchSigs = minhashSignaturesNarrow(batchDocs, idCol, textCol, numHashes)
+    // ONE scan of the increment feeds both candidate generation (narrow
+    // minhash sigs → bands) and verification (shingle sets): the batch
+    // text is read from storage once and every downstream pass works off
+    // the persisted (id, text) block — at 100 TB the increment is the
+    // frame worth caching, never the corpus
+    val batchScan = batchDocs.select(col(idCol), col(textCol)).persist()
+    val batchSigs = minhashSignaturesNarrow(batchScan, idCol, textCol, numHashes)
     val batchBands = lshBands(batchSigs, idCol, numHashes, rowsPerBand)
       .persist()
     val indexBands = lshBands(corpusSigs, idCol, numHashes, rowsPerBand)
@@ -251,7 +257,7 @@ object Dedup {
     // persist: jaccardOnPairs joins the collapsed shingle sets on BOTH
     // pair sides, so an unpersisted shingle pipeline would run twice
     val sh = shingles(
-      batchDocs.select(col(idCol), col(textCol))
+      batchScan
         .unionByName(candCorpus.select(col(idCol), col(textCol))),
       idCol, textCol, dedupe = false).persist()
     val verified = jaccardOnPairs(sh, idCol, bc.unionByName(bb))
@@ -287,7 +293,12 @@ object Dedup {
   }
 
   def dedupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    // every reduce side in the loop is dup-edge-endpoint-sized, so the
+    // loop runs under Loop.pinned (narrow shuffles, no AQE re-plan per
+    // round); the corpus-sized singleton rejoin below plans under the
+    // caller's conf because it executes after pinned() restores it
+    graft.spark.Loop.pinned(nodes.sparkSession) {
     // Lineage.truncate (not persist) on every iterated frame: persist
     // truncates EXECUTION but the logical plan still embeds the previous
     // round's plan twice (labels feeds both join sides), so plan size —
@@ -360,7 +371,7 @@ object Dedup {
       .join(labels.withColumnRenamed("cluster_rep", "__rep"), Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("__rep"), col("id")).as("cluster_rep"))
-  }
+    }
 
   /** Connected components by alternating large-star/small-star (Kiveris
     * et al., "Connected Components in MapReduce and Beyond") — the
@@ -381,7 +392,8 @@ object Dedup {
     * graphs is property-tested.
     */
   def dedupClustersLogN(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    graft.spark.Loop.pinned(nodes.sparkSession) {
     def gatherEmit(edges: DataFrame, large: Boolean): DataFrame = {
       // undirected gather: every node sees all its neighbors
       val adj = edges.select(col("src").as("u"), col("dst").as("v"))
@@ -435,7 +447,7 @@ object Dedup {
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol),
         least(col("id"), coalesce(col("nmin"), col("id"))).as("cluster_rep"))
-  }
+    }
 
   /** SimHash near-duplicate pairs: all (a < b) whose signatures are
     * within `maxHamming` bits — *without* the O(n²) cross join.

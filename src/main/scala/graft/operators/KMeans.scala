@@ -70,6 +70,10 @@ object KMeans {
     var cents = seedCentroids(df, idCol, vecCol, k)
     val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
     var i = 0
+    // the per-round reduce side is k·dim rows (map-side combine compacts
+    // the corpus scan), so Lloyd rounds run under Loop.pinned — see its
+    // scaladoc for the measured per-round scheduling constant it removes
+    graft.spark.Loop.pinned(df.sparkSession) {
     while (i < iters) {
       val assigned = assign(df, vecCol, cents)
       // one shuffle: per-(cluster, dim) decimal mean + the global inertia
@@ -99,6 +103,7 @@ object KMeans {
     // final inertia under the trained centroids
     inertias += assign(df, vecCol, cents)
       .agg(Deterministic.dsum(col("sq_dist"))).head().getDouble(0)
+    }
     Result(inertias.toSeq, cents)
   }
 

@@ -57,6 +57,9 @@ object ProductQuantizer {
         .as("x"))
       .select(col("x.sub").as("sub"), col("x.sv").as("sv"))
 
+    // reduce side per round is m·k·subDim rows — model-sized, so the
+    // Lloyd rounds run under Loop.pinned (see its scaladoc)
+    graft.spark.Loop.pinned(df.sparkSession) {
     for (_ <- 1 to iters) {
       val assign = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
         when(col("sub") === s,
@@ -75,6 +78,7 @@ object ProductQuantizer {
           (r.getAs[Double]("sx") / r.getAs[Long]("n")).toFloat
       }
       books = next // empty codes keep their previous codeword
+    }
     }
     Model(m, k, sd, books)
   }

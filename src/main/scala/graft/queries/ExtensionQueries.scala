@@ -687,16 +687,12 @@ object ExtensionQueries {
         // (Durability note: see Dedup.scala — an optional reliable
         // checkpoint dir covers executor loss on real clusters.)
         // The maintained counts frame is distinct-pair-sized (hundreds
-        // to low millions of rows at any corpus scale) — the session's
-        // shuffle width and AQE re-planning are pure per-round overhead
-        // on it. Pin a narrow shuffle for the training loop, restore
-        // after; at 100 TB you'd size this to the pair vocabulary.
-        val savedConf = Seq("spark.sql.shuffle.partitions",
-          "spark.sql.adaptive.enabled").map(c => c -> s.conf.getOption(c))
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        s.conf.set("spark.sql.adaptive.enabled", "false")
+        // to low millions of rows at any corpus scale) — Loop.pinned
+        // narrows the shuffle and drops AQE re-planning for the
+        // training rounds; at 100 TB size spark.graft.loop.partitions
+        // to the pair vocabulary.
         val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-        try {
+        graft.spark.Loop.pinned(s) {
         var txt = Tables.documents(s, d)
           .select(col("doc_id"),
             concat(lit(" "), trim(col("text")), lit(" ")).as("t"))
@@ -737,9 +733,6 @@ object ExtensionQueries {
           if (r % 4 == 0 && r < k) txt = txt.localCheckpoint(true)
         }
         (merges.toSeq, txt)
-        } finally savedConf.foreach {
-          case (c, Some(v)) => s.conf.set(c, v)
-          case (c, None) => s.conf.unset(c)
         }
   }
 
