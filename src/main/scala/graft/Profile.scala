@@ -76,8 +76,102 @@ object Profile {
           SparkEntry.queries("km1_kmeans_verdict")(spark, sfDir).count()
         }
       case "d10" =>
+        // replicate the query's stage structure to locate the cost;
+        // state is assumed already built (run the full query once first)
+        SparkEntry.queries("d10_incremental_dedup")(spark, sfDir).count()
+        val docs10 = Tables.documents(spark, sfDir)
+        val batch = docs10.filter(col("doc_id") % 5 === 0)
+        val corpus = docs10.filter(col("doc_id") % 5 =!= 0)
+        val suffix = graft.storage.Scratch.fingerprint(sfDir).take(8)
+        val stateDir = s"${sys.props("java.io.tmpdir")}/graft_dedup_state_$suffix"
+        val csigs = spark.read.parquet(s"$stateDir/sigs")
+        val cclusters = spark.read.parquet(s"$stateDir/clusters")
+        timed("state_read") { csigs.count() + cclusters.count() }
+        timed("batch_bands") {
+          graft.operators.Dedup.lshBands(
+            graft.operators.Dedup.minhashSignaturesNarrow(
+              batch, "doc_id", "text", 8), "doc_id", 8, 2).count()
+        }
+        timed("incremental_labels") {
+          graft.operators.Dedup.incrementalDedup(csigs, cclusters, corpus,
+            batch, "doc_id", "text").count()
+        }
+        val labels10 = graft.operators.Dedup.incrementalDedup(csigs, cclusters,
+          corpus, batch, "doc_id", "text").persist()
+        labels10.count()
+        timed("rewrite_given_labels") {
+          graft.operators.Dedup.keepCanonical(docs10, "doc_id", labels10,
+            Seq(col("n_chars").desc, col("doc_id")))
+            .select("doc_id", "cluster_rep", "n_chars", "cluster_size")
+            .orderBy("doc_id").count()
+        }
         timed("full_query") {
           SparkEntry.queries("d10_incremental_dedup")(spark, sfDir).count()
+        }
+      case "d10x" =>
+        SparkEntry.queries("d10_incremental_dedup")(spark, sfDir).count()
+        val docsx = Tables.documents(spark, sfDir)
+        val batchx = docsx.filter(col("doc_id") % 5 === 0)
+        val corpusx = docsx.filter(col("doc_id") % 5 =!= 0)
+        val sx = graft.storage.Scratch.fingerprint(sfDir).take(8)
+        val sd = s"${sys.props("java.io.tmpdir")}/graft_dedup_state_$sx"
+        val csx = spark.read.parquet(s"$sd/sigs")
+        val ccx = spark.read.parquet(s"$sd/clusters")
+        val lx = graft.operators.Dedup.incrementalDedup(csx, ccx, corpusx,
+          batchx, "doc_id", "text").persist()
+        lx.count()
+        timed("labels_cached_count") { lx.count() }
+        timed("plan_only") {
+          val df = graft.operators.Dedup.keepCanonical(docsx, "doc_id", lx,
+            Seq(col("n_chars").desc, col("doc_id")))
+          df.queryExecution.executedPlan; 0L
+        }
+        timed("join_only") { docsx.join(lx, "doc_id").count() }
+        timed("rewrite") {
+          graft.operators.Dedup.keepCanonical(docsx, "doc_id", lx,
+            Seq(col("n_chars").desc, col("doc_id"))).count()
+        }
+      case "d10y" =>
+        SparkEntry.queries("d10_incremental_dedup")(spark, sfDir).count()
+        val dy = Tables.documents(spark, sfDir)
+        val by = dy.filter(col("doc_id") % 5 === 0)
+        val cy = dy.filter(col("doc_id") % 5 =!= 0)
+        val sy = graft.storage.Scratch.fingerprint(sfDir).take(8)
+        val sdy = s"${sys.props("java.io.tmpdir")}/graft_dedup_state_$sy"
+        val csy = spark.read.parquet(s"$sdy/sigs")
+        val ccy = spark.read.parquet(s"$sdy/clusters")
+        import graft.operators.Dedup
+        val bscan = by.select(col("doc_id"), col("text"))
+        val bbands = Dedup.lshBands(
+          Dedup.minhashSignaturesNarrow(bscan, "doc_id", "text", 8),
+          "doc_id", 8, 2)
+        val ibands = Dedup.lshBands(csy, "doc_id", 8, 2)
+        timed("bc_candidates") {
+          bbands.select(col("band"), col("key"), col("doc_id").as("id_a"))
+            .join(ibands.select(col("band"), col("key"),
+              col("doc_id").as("id_b")), Seq("band", "key"))
+            .select("id_a", "id_b").distinct().count()
+        }
+        val bcy = bbands.select(col("band"), col("key"), col("doc_id").as("id_a"))
+          .join(ibands.select(col("band"), col("key"),
+            col("doc_id").as("id_b")), Seq("band", "key"))
+          .select("id_a", "id_b").distinct().persist()
+        bcy.count()
+        timed("bb_candidates") {
+          Dedup.lshCandidatePairs(bbands, "doc_id").count()
+        }
+        val bby = Dedup.lshCandidatePairs(bbands, "doc_id")
+        val candC = cy.join(bcy.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+        val shy = Dedup.shingles(
+          bscan.unionByName(candC.select(col("doc_id"), col("text"))),
+          "doc_id", "text", dedupe = false).persist()
+        timed("verify_jaccard") {
+          Dedup.jaccardOnPairs(shy, "doc_id", bcy.unionByName(bby))
+            .filter(col("jaccard") >= 0.5).count()
+        }
+        timed("full_incremental") {
+          Dedup.incrementalDedup(csy, ccy, cy, by, "doc_id", "text").count()
         }
       case other =>
         timed("full_query") {

@@ -268,11 +268,19 @@ object Dedup {
     // the batch)
     val rep = corpusClusters
       .select(col(idCol).as("id_b"), col("cluster_rep").as("__rep_b"))
-    // persisted: read once for the node set and once by the
-    // mini-clustering — each read would otherwise re-verify Jaccard
-    val edges = verified.join(rep, Seq("id_b"), "left")
-      .select(col("id_a"), coalesce(col("__rep_b"), col("id_b")).as("id_b"))
-      .persist()
+    // TRUNCATE (not persist): edges is read by the node set, the
+    // mini-clustering, and (via mini) the rep remap — persist would
+    // dedup execution but every consumer's LOGICAL plan still embeds
+    // the whole candidate+Jaccard subtree once per reference, and the
+    // analysis of that duplicated tree (~1.5 s at sf0.1) dominates the
+    // steady-state increment. Checkpointing cuts the plan to a
+    // LogicalRDD; the upstream scaffolding persists are then released —
+    // they exist only to dedup work within this one materialization.
+    val edges = graft.spark.Lineage.truncate(
+      verified.join(rep, Seq("id_b"), "left")
+        .select(col("id_a"), coalesce(col("__rep_b"), col("id_b")).as("id_b")))
+    batchScan.unpersist(); batchBands.unpersist()
+    bc.unpersist(); sh.unpersist()
     // mini-clustering over the increment only: batch ids + the reps
     // some edge actually touches — bounded by the increment size, never
     // by the corpus (untouched reps cannot change)
