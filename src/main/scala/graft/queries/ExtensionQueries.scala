@@ -1184,42 +1184,32 @@ object ExtensionQueries {
         Dedup.dedupClusters(docs.select("doc_id"), "doc_id", verified)
           .orderBy("doc_id")
       },
-      Some(s"""
-        WITH RECURSIVE $shingleCte,
-        $sigCte,
-        bands AS (
-          ${(0 until 4).map(b =>
-            s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
-            .mkString("\n          UNION ALL\n          ")}),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        cm AS (
-          SELECT id_a, id_b, COUNT(*) AS common
-          FROM pairs
-          JOIN sh sa ON sa.doc_id = id_a
-          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
-          GROUP BY 1, 2),
-        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        verified AS (
-          SELECT id_a, id_b
-          FROM cm
-          JOIN sz na ON id_a = na.doc_id
-          JOIN sz nb ON id_b = nb.doc_id
-          WHERE common / (na.n + nb.n - common) >= 0.5),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM verified
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM verified),
-        walk AS (
-          SELECT doc_id AS id, doc_id AS label FROM documents
-          UNION
-          SELECT e.src AS id, w.label FROM edges e JOIN walk w ON w.id = e.dst)
-        SELECT id AS doc_id, MIN(label) AS cluster_rep
-        FROM walk
-        GROUP BY id
-        ORDER BY doc_id""")),
+      Some(dedupClustersOracle)),
+
+    // ----------------------------------------------------------------
+    // The same cluster resolution through the ALTERNATE algorithm:
+    // large-star/small-star (Kiveris et al.) — O(log n) rounds where
+    // min-propagation needs O(diameter). Property tests pin the two
+    // equal on random graphs; this gates the log-n path against the
+    // recursive-CTE oracle on the real pipeline's edge set, so BOTH
+    // cluster-resolution algorithms carry a green correctness entry.
+    Q(
+      "d13_dedup_clusters_star",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = Dedup.shingles(docs, "doc_id", "text", dedupe = false)
+          .persist()
+        val sigs = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text",
+          numHashes = 8)
+        val pairs = Dedup.lshCandidatePairs(
+          Dedup.lshBands(sigs, "doc_id", numHashes = 8, rowsPerBand = 2),
+          "doc_id")
+        val verified = Dedup.jaccardOnPairs(sh, "doc_id", pairs)
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+        Dedup.dedupClustersLogN(docs.select("doc_id"), "doc_id", verified)
+          .orderBy("doc_id")
+      },
+      Some(dedupClustersOracle)),
 
     // ----------------------------------------------------------------
     // The dedup ENDGAME acting on d8's clusters: rewrite the corpus to
@@ -1338,6 +1328,46 @@ object ExtensionQueries {
       },
       Some(dedupRewriteOracle))
   )
+
+  /** Shared oracle for d8/d13: cluster labels via a recursive CTE —
+    * algorithm-independent, so it gates both min-propagation and
+    * large-star/small-star. */
+  private lazy val dedupClustersOracle: String = s"""
+        WITH RECURSIVE $shingleCte,
+        $sigCte,
+        bands AS (
+          ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS key FROM sig")
+            .mkString("\n          UNION ALL\n          ")}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        cm AS (
+          SELECT id_a, id_b, COUNT(*) AS common
+          FROM pairs
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        verified AS (
+          SELECT id_a, id_b
+          FROM cm
+          JOIN sz na ON id_a = na.doc_id
+          JOIN sz nb ON id_b = nb.doc_id
+          WHERE common / (na.n + nb.n - common) >= 0.5),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM verified),
+        walk AS (
+          SELECT doc_id AS id, doc_id AS label FROM documents
+          UNION
+          SELECT e.src AS id, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+        SELECT id AS doc_id, MIN(label) AS cluster_rep
+        FROM walk
+        GROUP BY id
+        ORDER BY doc_id"""
 
   /** Shared oracle for d9/d10: the incremental composition is exact, so
     * the full-corpus rewrite SQL gates both. */
