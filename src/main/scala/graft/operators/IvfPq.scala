@@ -80,11 +80,10 @@ object IvfPq {
       (a, b) => a + b).cast("array<float>")
   }
 
-  /** Asymmetric search (exact queries vs reconstructed index) over the
-    * nProbe nearest lists per query. */
-  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, model: Model, k: Int, nProbe: Int,
-      bounded: Boolean = false): DataFrame = {
+  /** Per-query probe set: the nProbe coarse lists nearest each query —
+    * a broadcast crossJoin against the model-sized centroid frame. */
+  private def probeSet(queries: DataFrame, idCol: String, vecCol: String,
+      model: Model, nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = model.coarse.toSeq.zipWithIndex
@@ -93,20 +92,87 @@ object IvfPq {
       .select(col("list_id"), col("cv").cast("array<float>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
-    val probes = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("csim",
         round(dotF(col("qv"), col("cv")) / col("qn") / sqrt(dotF(col("cv"), col("cv"))), 6))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("list_id"))))
       .filter(col("pr") <= nProbe)
       .select("query_id", "list_id", "qv", "qn")
-    val idx = index(corpus, idCol, vecCol, model)
+  }
+
+  /** Asymmetric search (exact queries vs reconstructed index) over the
+    * nProbe nearest lists per query, indexing the corpus inline. */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, model: Model, k: Int, nProbe: Int,
+      bounded: Boolean = false): DataFrame =
+    search(probeSet(queries, idCol, vecCol, model, nProbe),
+      index(corpus, idCol, vecCol, model).withColumnRenamed(idCol, "neighbor_id"),
+      model, k, bounded)
+
+  /** Search a PERSISTED index frame (`(neighbor_id, list_id, codes)` —
+    * written once by [[index]]/[[save]], read many): the steady-state
+    * production path. The probed list ids are collected (bounded by
+    * nQueries·nProbe, a model-sized set) and applied as a LITERAL
+    * `isin` filter, so an index written `partitionBy("list_id")` is
+    * PARTITION-PRUNED at the scan — at 100 TB with thousands of lists,
+    * a 50-query search reads only the ≤ 400 probed list directories,
+    * never the corpus. The index side then only broadcast-joins the
+    * probe set: no shuffle, no corpus-wide anything. */
+  def searchIndex(queries: DataFrame, idx: DataFrame, idCol: String,
+      vecCol: String, model: Model, k: Int, nProbe: Int,
+      bounded: Boolean = false): DataFrame = {
+    val probes = probeSet(queries, idCol, vecCol, model, nProbe)
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).sorted // model-bounded: ≤ nLists
+    val pruned = idx
+      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
       .withColumnRenamed(idCol, "neighbor_id")
+    search(probes, pruned, model, k, bounded)
+  }
+
+  private def search(probes: DataFrame, idx: DataFrame, model: Model,
+      k: Int, bounded: Boolean): DataFrame = {
     val scored = idx.join(broadcast(probes), "list_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("nv", reconstruct(col("list_id"), col("codes"), model))
       .withColumn("sim",
         round(dotF(col("qv"), col("nv")) / col("qn") / sqrt(dotF(col("nv"), col("nv"))), 6))
     Similarity.finishTopK(scored, k, bounded)
+  }
+
+  /** Persist the driver-held model as two small parquet tables
+    * (`coarse`: one row per list; `codebooks`: one row per (sub, code)
+    * centroid) — float arrays round-trip parquet exactly, so
+    * [[load]] reconstructs the model bit-identically and a search over
+    * the reloaded model equals the in-memory one. */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.coarse.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_id", "c")
+      .select(col("list_id"), col("c").cast("array<float>").as("c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    (for {
+      (book, sub) <- model.pq.codebooks.toSeq.zipWithIndex
+      (cw, code) <- book.toSeq.zipWithIndex
+    } yield (sub, code, cw.toSeq)).toDF("sub", "code", "c")
+      .select(col("sub"), col("code"), col("c").cast("array<float>").as("c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val books = Array.ofDim[Array[Float]](m, k)
+    rows.foreach { case (sub, code, c) => books(sub)(code) = c }
+    val subDim = books(0)(0).length
+    Model(coarse, ProductQuantizer.Model(m, k, subDim,
+      books.map(_.toArray)))
   }
 }

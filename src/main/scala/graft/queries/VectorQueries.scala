@@ -558,6 +558,58 @@ object VectorQueries {
         FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
         ORDER BY query_id""")),
 
+    // ----------------------------------------------------------------
+    // The PERSISTED IVF+PQ index — v13's steady state. A production
+    // index is written ONCE (model parquet + index partitioned BY
+    // list_id, scratch-keyed on the input's content fingerprint,
+    // marker-last) and searched many times; this query measures exactly
+    // that: load the model, search the persisted index. searchIndex
+    // collects the probed list ids (≤ nQueries·nProbe, model-bounded)
+    // into a literal isin filter, so the partitioned index scan is
+    // PARTITION-PRUNED — at 100 TB with thousands of lists, 50 queries
+    // read only the probed directories (PlanSpec pins the pruning; the
+    // float round trip through parquet is exact, so results are
+    // bit-identical to v13's inline index — RecallSpec pins that too).
+    Q(
+      "v14_ivfpq_persisted",
+      (s, d) => {
+        import graft.operators.IvfPq
+        import java.nio.file.{Files, Paths}
+        val emb = Tables.embeddings(s, d)
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_$suffix"
+        val marker = Paths.get(s"$dir/_complete")
+        if (!Files.exists(marker)) {
+          val model = IvfPq.train(emb, "vec_id", "embedding", dim = dim,
+            nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
+          IvfPq.save(model, s, dir)
+          IvfPq.index(emb, "vec_id", "embedding", model)
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(s"$dir/index")
+          Files.createFile(marker) // last: a torn build rebuilds
+        }
+        val model = IvfPq.load(s, dir)
+        val idx = s.read.parquet(s"$dir/index")
+        val queries = emb.filter(col("vec_id") < 5)
+        val k = 10
+        val approx = IvfPq.searchIndex(queries, idx, "vec_id", "embedding",
+          model, k, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+          "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        approx.join(exact, Seq("query_id", "neighbor_id"), "inner")
+          .groupBy("query_id")
+          .agg((count(lit(1)).cast("double") / k).as("recall"))
+          .select(col("query_id"),
+            when(col("recall") >= 0.15, 1).otherwise(0).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""
+        SELECT query_id, CAST(1 AS INTEGER) AS recall_ok
+        FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
+        ORDER BY query_id""")),
+
     Q(
       "km1_kmeans_verdict",
       (s, d) => {

@@ -103,6 +103,35 @@ class PlanSpec extends SparkSpec {
       s"index side must never shuffle:\n$plan")
   }
 
+  test("persisted IVF-PQ index search is partition-pruned to the probed lists") {
+    // the v14 steady state: the index is written partitionBy(list_id)
+    // and searchIndex turns the probed lists into a literal isin — the
+    // scan must show a PartitionFilters entry on list_id (directory
+    // pruning: at 100 TB only probed lists are ever read), and the
+    // index side must still never shuffle.
+    import graft.operators.IvfPq
+    val e = Tables.embeddings(spark, sf)
+    val model = IvfPq.train(e, "vec_id", "embedding", 64,
+      nLists = 4, coarseIters = 1, m = 8, k = 8, pqIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-plan").toString
+    try {
+      IvfPq.index(e, "vec_id", "embedding", model)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/index")
+      val q = IvfPq.searchIndex(e.filter(col("vec_id") < 3),
+        spark.read.parquet(s"$dir/index"), "vec_id", "embedding",
+        model, 5, nProbe = 2, bounded = true)
+      val plan = planOf(q)
+      val scanLine = plan.split("\n").find(l =>
+        l.contains("PartitionFilters") && l.contains("list_id"))
+      assert(scanLine.exists(_.matches(".*PartitionFilters.*list_id.*IN.*")),
+        s"index scan must partition-prune on the probed lists:\n$plan")
+      assert(!plan.contains("Exchange roundrobin") &&
+        !plan.split("\n").exists(l => l.contains("Exchange hashpartitioning(list_id")),
+        s"index side must never shuffle:\n$plan")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("top-k ordering compiles to TakeOrderedAndProject, not global sort") {
     val q = SparkEntry.queries("a9_topk_counts")(spark, sf)
     assert(planOf(q).contains("TakeOrderedAndProject"))

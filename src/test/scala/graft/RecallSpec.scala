@@ -166,4 +166,34 @@ class RecallSpec extends SparkSpec {
     assert(win.exceptAll(bnd).isEmpty && bnd.exceptAll(win).isEmpty,
       "bounded-heap and window top-k must be identical")
   }
+
+  test("persisted IVF-PQ index round-trips exactly: searchIndex == inline topK") {
+    // floats round-trip parquet bit-exactly, so the save/load/search
+    // path (v14) must return the IDENTICAL result set as the inline
+    // index (v13) — any divergence means the persistence layer, not
+    // the data, changed the answers.
+    import graft.operators.IvfPq
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 5)
+    val model = IvfPq.train(e, "vec_id", "embedding", 64,
+      nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-rt").toString
+    try {
+      IvfPq.save(model, spark, dir)
+      IvfPq.index(e, "vec_id", "embedding", model)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/index")
+      val reloaded = IvfPq.load(spark, dir)
+      assert(reloaded.coarse.map(_.toSeq) === model.coarse.map(_.toSeq))
+      assert(reloaded.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val inline = IvfPq.topK(queries, e, "vec_id", "embedding", model, 10, 8)
+      val persisted = IvfPq.searchIndex(queries,
+        spark.read.parquet(s"$dir/index"), "vec_id", "embedding",
+        reloaded, 10, 8)
+      assert(inline.exceptAll(persisted).isEmpty &&
+        persisted.exceptAll(inline).isEmpty,
+        "persisted-index search must equal the inline index bit-exactly")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }
