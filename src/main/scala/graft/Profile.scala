@@ -34,6 +34,29 @@ object Profile {
 
     val dim = 64
     which match {
+      case "d13" =>
+        val docs13 = Tables.documents(spark, sfDir)
+        import graft.operators.Dedup
+        val sh13 = Dedup.shingles(docs13, "doc_id", "text", dedupe = false)
+          .persist()
+        val sigs13 = Dedup.minhashSignaturesNarrow(docs13, "doc_id", "text", 8)
+        val pairs13 = Dedup.lshCandidatePairs(
+          Dedup.lshBands(sigs13, "doc_id", 8, 2), "doc_id")
+        timed("verified_pairs") {
+          Dedup.jaccardOnPairs(sh13, "doc_id", pairs13)
+            .filter(col("jaccard") >= 0.5).count()
+        }
+        val ver13 = Dedup.jaccardOnPairs(sh13, "doc_id", pairs13)
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b").persist()
+        ver13.count()
+        timed("star_loop_given_pairs") {
+          Dedup.dedupClustersLogN(docs13.select("doc_id"), "doc_id", ver13)
+            .count()
+        }
+        timed("minprop_given_pairs") {
+          Dedup.dedupClusters(docs13.select("doc_id"), "doc_id", ver13)
+            .count()
+        }
       case "d11" =>
         val docs = Tables.documents(spark, sfDir)
         timed("pairs_banded") {

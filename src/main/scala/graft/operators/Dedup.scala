@@ -403,18 +403,24 @@ object Dedup {
       maxIter: Int = 25): DataFrame =
     graft.spark.Loop.pinned(nodes.sparkSession) {
     def gatherEmit(edges: DataFrame, large: Boolean): DataFrame = {
-      // undirected gather: every node sees all its neighbors
-      val adj = edges.select(col("src").as("u"), col("dst").as("v"))
-        .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      val withMin = adj.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val linked = adj.join(withMin, Seq("u"))
+      import org.apache.spark.sql.expressions.Window
+      // undirected gather in ONE narrow pass (explode, not self-union),
+      // and the per-node min as a WINDOW over the adjacency instead of
+      // a groupBy + rejoin: one shuffle per pass instead of two, and a
+      // per-round plan half the size — the loop is planning-bound at
+      // small edge counts (same lesson as the t24/d10 driver loops)
+      val adj = edges.select(explode(array(
+          struct(col("src").as("u"), col("dst").as("v")),
+          struct(col("dst").as("u"), col("src").as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
+      val linked = adj.withColumn("m",
+        least(min(col("v")).over(Window.partitionBy("u")), col("u")))
       val emitted =
         if (large) linked.filter(col("v") > col("u"))
           .select(col("v").as("src"), col("m").as("dst"))
         else linked.filter(col("v") <= col("u"))
           .select(col("v").as("src"), col("m").as("dst"))
-          .union(withMin.select(col("u").as("src"), col("m").as("dst")))
+          .union(linked.select(col("u").as("src"), col("m").as("dst")))
       emitted.filter(col("src") =!= col("dst")).distinct()
     }
     var edges = pairs
