@@ -122,6 +122,66 @@ case class DotProductInt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd ADC (asymmetric distance computation) lookup sum for PQ
+  * search (Jégou et al. 2011 §III.B): given a candidate's `array<int>`
+  * codes and the query's flattened m×k lookup table of per-subspace
+  * dots (`array<double>`, row-major: entry s·k + c is
+  * dot(q_sub_s, codebook(s)(c))), returns Σ_s table[s·k + codes(s)] —
+  * the query·residual inner product in m array lookups instead of a
+  * subDim·m-element reconstruct-and-dot. This is THE production PQ
+  * scoring trick: the hot scan touches m=8 doubles per candidate
+  * instead of 64 float multiply-adds, and never materializes the
+  * reconstructed vector. Left-to-right double accumulation, codegen'd.
+  */
+case class AdcLookupSum(codes: Expression, table: Expression, k: Int)
+    extends BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = table
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, table.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) if k > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<double>) and k > 0, got " +
+          s"${codes.dataType.simpleString}, ${table.dataType.simpleString}, k=$k")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_lookup_sum"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val c = l.asInstanceOf[ArrayData]
+    val t = r.asInstanceOf[ArrayData]
+    var sum = 0.0
+    var i = 0
+    val n = c.numElements()
+    while (i < n) {
+      sum += t.getDouble(i * k + c.getInt(i))
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = $c.numElements();
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $t.getDouble($i * $k + $c.getInt($i));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, table = newRight)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProductFloat]]. */
   def dotF(a: Column, b: Column): Column =
@@ -132,4 +192,9 @@ object VectorExpressions {
   def dotI(a: Column, b: Column): Column =
     SqlBridge.column(DotProductInt(
       SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Column API for [[AdcLookupSum]]. */
+  def adcSum(codes: Column, table: Column, k: Int): Column =
+    SqlBridge.column(AdcLookupSum(
+      SqlBridge.expression(codes), SqlBridge.expression(table), k))
 }

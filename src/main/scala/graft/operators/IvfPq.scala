@@ -60,14 +60,22 @@ object IvfPq {
     * deployment writes once and searches many times. Pure map-side
     * projection: assignment and encode are codegen'd expressions. */
   def index(corpus: DataFrame, idCol: String, vecCol: String,
-      model: Model): DataFrame = {
+      model: Model, withNorm: Boolean = false): DataFrame = {
     val listId = NearestCentroidFunctions.nearestCentroid(col(vecCol), model.coarse)
-    corpus
+    val base = corpus
       .withColumn("list_id", listId)
       .select(col(idCol), col("list_id"),
         ProductQuantizer.encodeCol(
           NearestCentroidFunctions.centroidResidual(
             col(vecCol), col("list_id"), model.coarse), model.pq).as("codes"))
+    // withNorm: the candidate's RECONSTRUCTED norm, computed once at
+    // build time — ADC scoring never materializes the vector at search
+    // time, so the cosine denominator must ride in the index (8 bytes
+    // per row; the asymmetric numerator comes from the lookup table)
+    if (!withNorm) base
+    else base.withColumn("norm",
+      sqrt(dotF(reconstruct(col("list_id"), col("codes"), model),
+        reconstruct(col("list_id"), col("codes"), model))))
   }
 
   /** Approximate vector from the index entry: coarse centroid + PQ
@@ -129,6 +137,49 @@ object IvfPq {
       .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
       .withColumnRenamed(idCol, "neighbor_id")
     search(probes, pruned, model, k, bounded)
+  }
+
+  /** ADC search over a persisted index built `withNorm = true`: the
+    * query side precomputes, per probe row (nQueries·nProbe rows, a
+    * model-sized frame), the raw query·coarse-centroid dot and the
+    * flattened m×k table of per-subspace query·codeword dots; the hot
+    * index scan then scores each candidate as
+    * (coarse_dot + adc_lookup_sum(codes, table)) / ‖q‖ / stored_norm —
+    * m=8 codegen'd lookups per candidate, no reconstruction, which is
+    * how a 100 TB PQ index is actually scanned (Jégou §III.B). Recall
+    * is pinned equal to the reconstruct path in RecallSpec (the two
+    * differ only in float-summation grouping).
+    */
+  def searchIndexAdc(queries: DataFrame, idx: DataFrame, idCol: String,
+      vecCol: String, model: Model, k: Int, nProbe: Int,
+      bounded: Boolean = false): DataFrame = {
+    val probes = probeSet(queries, idCol, vecCol, model, nProbe)
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = idx
+      .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+      .withColumnRenamed(idCol, "neighbor_id")
+    val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
+    val cb = typedlit(
+      model.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val sd = model.pq.subDim
+    // per-probe-row prep is CodegenFallback HOFs over ~nQueries·nProbe
+    // rows — cold path; the per-candidate scan below is pure codegen
+    val prepped = probes
+      .withColumn("cdot", dotF(col("qv"),
+        element_at(coarseLit, col("list_id") + 1).cast("array<float>")))
+      .withColumn("tbl", flatten(
+        transform(sequence(lit(0), lit(model.pq.m - 1)), s =>
+          transform(element_at(cb, s + 1).cast("array<array<float>>"), cw =>
+            dotF(slice(col("qv"), s * sd + 1, lit(sd)), cw)))))
+      .select("query_id", "list_id", "qn", "cdot", "tbl")
+    val scored = pruned.join(broadcast(prepped), "list_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(
+        (col("cdot") + graft.functions.VectorExpressions.adcSum(
+          col("codes"), col("tbl"), model.pq.k))
+          / col("qn") / col("norm"), 6))
+    Similarity.finishTopK(scored, k, bounded)
   }
 
   private def search(probes: DataFrame, idx: DataFrame, model: Model,

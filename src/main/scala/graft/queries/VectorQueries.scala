@@ -15,6 +15,31 @@ import org.apache.spark.sql.types.DecimalType
 object VectorQueries {
   private val dim = 64
 
+  /** The shared v14/v15 production index: trained + written ONCE into
+    * scratch parquet (model tables + index partitioned BY list_id, norm
+    * column included for ADC), keyed on the input dir's CONTENT
+    * fingerprint with a marker written last — read, never rebuilt,
+    * after. The steady-state cost of both queries is search alone. */
+  private def persistedIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): (graft.operators.IvfPq.Model, org.apache.spark.sql.DataFrame) = {
+    import graft.operators.IvfPq
+    import java.nio.file.{Files, Paths}
+    val emb = graft.Tables.embeddings(s, d)
+    val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq2_$suffix"
+    val marker = Paths.get(s"$dir/_complete")
+    if (!Files.exists(marker)) {
+      val model = IvfPq.train(emb, "vec_id", "embedding", dim = dim,
+        nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
+      IvfPq.save(model, s, dir)
+      IvfPq.index(emb, "vec_id", "embedding", model, withNorm = true)
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$dir/index")
+      Files.createFile(marker) // last: a torn build rebuilds
+    }
+    (IvfPq.load(s, dir), s.read.parquet(s"$dir/index"))
+  }
+
   /** The same md5-derived ±1 hyperplane weights as
     * [[graft.operators.Similarity]]'s planeSign, as a DuckDB list
     * literal — the LSH index is deterministic, so the oracle can rebuild
@@ -574,26 +599,47 @@ object VectorQueries {
       "v14_ivfpq_persisted",
       (s, d) => {
         import graft.operators.IvfPq
-        import java.nio.file.{Files, Paths}
         val emb = Tables.embeddings(s, d)
-        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
-        val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_$suffix"
-        val marker = Paths.get(s"$dir/_complete")
-        if (!Files.exists(marker)) {
-          val model = IvfPq.train(emb, "vec_id", "embedding", dim = dim,
-            nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
-          IvfPq.save(model, s, dir)
-          IvfPq.index(emb, "vec_id", "embedding", model)
-            .write.mode("overwrite").partitionBy("list_id")
-            .parquet(s"$dir/index")
-          Files.createFile(marker) // last: a torn build rebuilds
-        }
-        val model = IvfPq.load(s, dir)
-        val idx = s.read.parquet(s"$dir/index")
+        val (model, idx) = persistedIvfPqIndex(s, d)
         val queries = emb.filter(col("vec_id") < 5)
         val k = 10
         val approx = IvfPq.searchIndex(queries, idx, "vec_id", "embedding",
           model, k, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+          "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        approx.join(exact, Seq("query_id", "neighbor_id"), "inner")
+          .groupBy("query_id")
+          .agg((count(lit(1)).cast("double") / k).as("recall"))
+          .select(col("query_id"),
+            when(col("recall") >= 0.15, 1).otherwise(0).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""
+        SELECT query_id, CAST(1 AS INTEGER) AS recall_ok
+        FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
+        ORDER BY query_id""")),
+
+    // ----------------------------------------------------------------
+    // ADC scoring over the same persisted index — how a 100 TB PQ scan
+    // actually runs (Jégou §III.B): per query, precompute the m×k table
+    // of query·codeword dots (model-sized, broadcast); per candidate,
+    // sim = (coarse_dot + Σ table lookups) / norms — m=8 codegen'd
+    // array lookups (functions.AdcLookupSum), zero reconstruction in
+    // the hot loop. The index carries each candidate's reconstructed
+    // norm (computed once at build). Same verdict shape; RecallSpec
+    // pins ADC recall == reconstruct-path recall.
+    Q(
+      "v15_ivfpq_adc",
+      (s, d) => {
+        import graft.operators.IvfPq
+        val emb = Tables.embeddings(s, d)
+        val (model, idx) = persistedIvfPqIndex(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+        val k = 10
+        val approx = IvfPq.searchIndexAdc(queries, idx, "vec_id",
+          "embedding", model, k, nProbe = 8)
           .select(col("query_id"), col("neighbor_id"))
         val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
           "embedding", k)

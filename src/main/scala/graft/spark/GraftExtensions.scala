@@ -166,10 +166,23 @@ object GraftExtensions {
         graft.functions.NearestCentroid(args.head, m, returnDist = dist)
       })
 
+  /** `adc_lookup_sum(array<int>, array<double>, k) -> double` — the
+    * codegen'd PQ ADC scoring sum ([[graft.functions.AdcLookupSum]]);
+    * k (codes per subspace) must be a literal. */
+  val adcLookupSum: Registration =
+    (FunctionIdentifier("adc_lookup_sum"),
+      new ExpressionInfo(
+        classOf[graft.functions.AdcLookupSum].getName, "adc_lookup_sum"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"adc_lookup_sum expects 3 arguments, got ${args.length}")
+        graft.functions.AdcLookupSum(args.head, args(1), intLit(args(2), "k"))
+      })
+
   val all: Seq[Registration] =
     Seq(dotProductFloat, dotProductInt, minhashSig, simhash64,
       topicLangMatches, boundedTopK, bloomAgg, bloomContains, cmsEstimate,
-      nearestCentroid)
+      nearestCentroid, adcLookupSum)
 
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -196,4 +196,35 @@ class RecallSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(dir))
   }
+
+  test("ADC lookup-table scoring matches reconstruct-and-dot recall") {
+    // v15's scoring path computes q·coarse + Σ table[codes] with
+    // stored norms — the same quantity as reconstruct-then-dot up to
+    // float-summation grouping. On deterministic testdata the top-k
+    // sets and therefore the recall must come out identical (pinned;
+    // a divergence means the ADC table or the stored norm is wrong,
+    // not noise).
+    import graft.operators.IvfPq
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 5)
+    val model = IvfPq.train(e, "vec_id", "embedding", 64,
+      nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-adc").toString
+    try {
+      IvfPq.index(e, "vec_id", "embedding", model, withNorm = true)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/index")
+      val idx = spark.read.parquet(s"$dir/index")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recon = ids(IvfPq.searchIndex(queries, idx, "vec_id",
+        "embedding", model, 10, 8))
+      val adc = ids(IvfPq.searchIndexAdc(queries, idx, "vec_id",
+        "embedding", model, 10, 8))
+      assert(adc === recon,
+        s"ADC and reconstruct top-k diverge: only-adc=${adc -- recon}, " +
+          s"only-recon=${recon -- adc}")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
 }
