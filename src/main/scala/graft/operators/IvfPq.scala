@@ -60,14 +60,20 @@ object IvfPq {
     * deployment writes once and searches many times. Pure map-side
     * projection: assignment and encode are codegen'd expressions. */
   def index(corpus: DataFrame, idCol: String, vecCol: String,
-      model: Model, withNorm: Boolean = false): DataFrame = {
+      model: Model, withNorm: Boolean = false,
+      metaCols: Seq[String] = Nil): DataFrame = {
     val listId = NearestCentroidFunctions.nearestCentroid(col(vecCol), model.coarse)
+    // metaCols: filterable attributes carried INTO the index (label,
+    // source, date, …) — a hybrid search (predicate + ANN) then pushes
+    // the predicate to the index scan (PushedFilters) instead of
+    // semi-joining the corpus, so data skipping works in both
+    // dimensions: list_id partitions AND metadata row groups
     val base = corpus
       .withColumn("list_id", listId)
-      .select(col(idCol), col("list_id"),
+      .select(col(idCol) +: col("list_id") +: metaCols.map(col) :+
         ProductQuantizer.encodeCol(
           NearestCentroidFunctions.centroidResidual(
-            col(vecCol), col("list_id"), model.coarse), model.pq).as("codes"))
+            col(vecCol), col("list_id"), model.coarse), model.pq).as("codes"): _*)
     // withNorm: the candidate's RECONSTRUCTED norm, computed once at
     // build time — ADC scoring never materializes the vector at search
     // time, so the cosine denominator must ride in the index (8 bytes

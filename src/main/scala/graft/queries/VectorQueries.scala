@@ -26,13 +26,14 @@ object VectorQueries {
     import java.nio.file.{Files, Paths}
     val emb = graft.Tables.embeddings(s, d)
     val suffix = graft.storage.Scratch.fingerprint(d).take(8)
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq2_$suffix"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq3_$suffix"
     val marker = Paths.get(s"$dir/_complete")
     if (!Files.exists(marker)) {
       val model = IvfPq.train(emb, "vec_id", "embedding", dim = dim,
         nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
       IvfPq.save(model, s, dir)
-      IvfPq.index(emb, "vec_id", "embedding", model, withNorm = true)
+      IvfPq.index(emb, "vec_id", "embedding", model, withNorm = true,
+        metaCols = Seq("label"))
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(s"$dir/index")
       Files.createFile(marker) // last: a torn build rebuilds
@@ -643,6 +644,42 @@ object VectorQueries {
           .select(col("query_id"), col("neighbor_id"))
         val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
           "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        approx.join(exact, Seq("query_id", "neighbor_id"), "inner")
+          .groupBy("query_id")
+          .agg((count(lit(1)).cast("double") / k).as("recall"))
+          .select(col("query_id"),
+            when(col("recall") >= 0.15, 1).otherwise(0).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""
+        SELECT query_id, CAST(1 AS INTEGER) AS recall_ok
+        FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
+        ORDER BY query_id""")),
+
+    // ----------------------------------------------------------------
+    // Hybrid (filtered) ANN: top-k under a metadata predicate — "most
+    // similar docs among labels 0–4". The index carries the
+    // filterable attribute (metaCols at build), so the predicate is a
+    // plain Filter over the index frame that Catalyst pushes to the
+    // parquet scan (PushedFilters) UNDER the list_id partition pruning
+    // — data skipping in both dimensions, no corpus semi-join. The
+    // exact ground truth brute-forces the filtered corpus, so the
+    // verdict shape is unchanged.
+    Q(
+      "v16_filtered_ann",
+      (s, d) => {
+        import graft.operators.IvfPq
+        val emb = Tables.embeddings(s, d)
+        val (model, idx) = persistedIvfPqIndex(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+        val k = 10
+        val approx = IvfPq.searchIndex(queries,
+          idx.filter(col("label") < 5), "vec_id", "embedding",
+          model, k, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity.bruteForceTopK(queries,
+          emb.filter(col("label") < 5), "vec_id", "embedding", k)
           .select(col("query_id"), col("neighbor_id"))
         approx.join(exact, Seq("query_id", "neighbor_id"), "inner")
           .groupBy("query_id")

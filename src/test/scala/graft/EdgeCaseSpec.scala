@@ -134,4 +134,25 @@ class EdgeCaseSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nearDupPairsBanded"))
   }
+
+  test("IVF+PQ persisted-index edges: empty query set, missing model dir") {
+    import graft.operators.IvfPq
+    val vecs = (0L until 32L)
+      .map(i => (i, Array.tabulate(8)(j => (i * 8 + j).toFloat)))
+      .toDF("vec_id", "v")
+    val model = IvfPq.train(vecs, "vec_id", "v", dim = 8,
+      nLists = 2, coarseIters = 1, m = 2, k = 4, pqIters = 1)
+    val idx = IvfPq.index(vecs, "vec_id", "v", model, withNorm = true)
+    // empty query set: both search paths return empty, no failure
+    val none = vecs.filter(col("vec_id") < 0)
+    assert(IvfPq.searchIndex(none, idx, "vec_id", "v", model, 3, 2)
+      .count() === 0L)
+    assert(IvfPq.searchIndexAdc(none, idx, "vec_id", "v", model, 3, 2)
+      .count() === 0L)
+    // loading a model from a dir that was never written fails loudly
+    // (a torn scratch build must rebuild, not half-load)
+    intercept[Exception] {
+      IvfPq.load(spark, "/tmp/graft-no-such-ivfpq-model-dir")
+    }
+  }
 }

@@ -132,6 +132,37 @@ class PlanSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("hybrid ANN skips data in both dimensions: partition prune + pushed predicate") {
+    // v16's shape: the metadata predicate pushes into the index scan
+    // (PushedFilters on the metaCol) UNDER the probed-list partition
+    // pruning — neither a corpus semi-join nor an index shuffle.
+    import graft.operators.IvfPq
+    val e = Tables.embeddings(spark, sf)
+    val model = IvfPq.train(e, "vec_id", "embedding", 64,
+      nLists = 4, coarseIters = 1, m = 8, k = 8, pqIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-hybrid").toString
+    try {
+      IvfPq.index(e, "vec_id", "embedding", model, withNorm = true,
+        metaCols = Seq("label"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/index")
+      val q = IvfPq.searchIndex(e.filter(col("vec_id") < 3),
+        spark.read.parquet(s"$dir/index").filter(col("label") < 5),
+        "vec_id", "embedding", model, 5, nProbe = 2, bounded = true)
+      val plan = planOf(q)
+      val scan = plan.split("\n").find(l =>
+        l.contains("PartitionFilters") && l.contains("list_id"))
+      assert(scan.exists(_.matches(".*PartitionFilters.*list_id.*IN.*")),
+        s"probed-list pruning must survive the predicate:\n$plan")
+      assert(plan.split("\n").exists(l =>
+        l.contains("PushedFilters") && l.contains("LessThan(label,5)")),
+        s"the metadata predicate must push to the index scan:\n$plan")
+      assert(!plan.contains("Exchange roundrobin") &&
+        !plan.split("\n").exists(l => l.contains("Exchange hashpartitioning(list_id")),
+        s"index side must never shuffle:\n$plan")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("top-k ordering compiles to TakeOrderedAndProject, not global sort") {
     val q = SparkEntry.queries("a9_topk_counts")(spark, sf)
     assert(planOf(q).contains("TakeOrderedAndProject"))
