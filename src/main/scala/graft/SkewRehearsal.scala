@@ -136,6 +136,25 @@ object SkewRehearsal {
       (n, "50 queries, 8/16 lists")
     }
 
+    // F2 — the persisted-index production path on the skewed corpus:
+    // build once (model + list_id-partitioned index with norms), then
+    // ADC-search it. The hot vector cluster concentrates in one coarse
+    // list; probed searches scan it but nothing shuffles or blows up.
+    stage("ivfpq_persisted_adc") {
+      val dir = s"$outDir/ivfpq"
+      val model = IvfPq.train(emb, "vec_id", "embedding", dim = 64,
+        nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 2)
+      IvfPq.index(emb, "vec_id", "embedding", model, withNorm = true,
+        metaCols = Seq("label"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$dir/index")
+      val idx = spark.read.parquet(s"$dir/index")
+      val queries = emb.filter(col("vec_id") % 4096 === 1).limit(50)
+      val n = IvfPq.searchIndexAdc(queries, idx, "vec_id", "embedding",
+        model, k = 10, nProbe = 8, bounded = true).count()
+      (n, "build + ADC search, 50 queries")
+    }
+
     // G — curation chain (cp1 shape): quality gate → repetition gate →
     // exact dedup → per-source audit, over the blown-up corpus.
     stage("curation_chain") {
