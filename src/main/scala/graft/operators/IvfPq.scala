@@ -188,6 +188,36 @@ object IvfPq {
     Similarity.finishTopK(scored, k, bounded)
   }
 
+  /** IVFADC+R (Jégou et al. §V): exact re-ranking of the ADC shortlist.
+    * The ADC scan keeps a shortlist of `k·refine` candidates per query
+    * (quantized scores), then the TRUE vectors of just those candidates
+    * are fetched from the corpus and the final top-k is ranked by exact
+    * cosine. The shortlist is model-bounded (nQueries·k·refine rows),
+    * so the fetch is a BROADCAST semi-join against the corpus — one
+    * corpus scan, no shuffle of the big side — and the refinement
+    * repairs exactly the errors quantization introduced: any true
+    * neighbor the ADC pass placed anywhere in the shortlist is restored
+    * to its exact rank (RecallSpec pins recall ≥ the plain ADC path).
+    * At 100 TB this is the production read path: the 32× smaller PQ
+    * index absorbs the scan, and only ~k·refine full vectors per query
+    * are ever touched. */
+  def searchIndexRerank(queries: DataFrame, idx: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, model: Model,
+      k: Int, nProbe: Int, refine: Int = 3,
+      bounded: Boolean = false): DataFrame = {
+    val shortlist = searchIndexAdc(queries, idx, idCol, vecCol, model,
+      k * refine, nProbe, bounded).select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+    val rescored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(shortlist.join(broadcast(q), "query_id")), "neighbor_id")
+      .withColumn("sim", round(
+        dotF(col("qv"), col("cv")) / col("qn")
+          / sqrt(dotF(col("cv"), col("cv"))), 6))
+    Similarity.finishTopK(rescored, k, bounded)
+  }
+
   private def search(probes: DataFrame, idx: DataFrame, model: Model,
       k: Int, bounded: Boolean): DataFrame = {
     val scored = idx.join(broadcast(probes), "list_id")

@@ -41,6 +41,36 @@ object VectorQueries {
     (IvfPq.load(s, dir), s.read.parquet(s"$dir/index"))
   }
 
+  /** v18's incrementally-MAINTAINED index: the corpus minus a held-out
+    * batch is indexed and written first, then the batch is encoded with
+    * the same FROZEN model and appended (`mode("append")` into the
+    * list_id partition dirs — a map-side-only job over the new rows;
+    * PQ encoding is row-local, so no retrain, no touch of existing
+    * files). Build is fingerprint-keyed + marker-last like the full
+    * index; steady state reads only. */
+  private def incrementalIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+      d: String, model: graft.operators.IvfPq.Model): org.apache.spark.sql.DataFrame = {
+    import graft.operators.IvfPq
+    import java.nio.file.{Files, Paths}
+    val emb = graft.Tables.embeddings(s, d)
+    val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_incr_$suffix"
+    val marker = Paths.get(s"$dir/_complete")
+    if (!Files.exists(marker)) {
+      val isBatch = col("vec_id") % 7 === 0
+      IvfPq.index(emb.filter(!isBatch), "vec_id", "embedding", model,
+        withNorm = true, metaCols = Seq("label"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$dir/index")
+      IvfPq.index(emb.filter(isBatch), "vec_id", "embedding", model,
+        withNorm = true, metaCols = Seq("label"))
+        .write.mode("append").partitionBy("list_id")
+        .parquet(s"$dir/index")
+      Files.createFile(marker) // last: a torn build rebuilds
+    }
+    s.read.parquet(s"$dir/index")
+  }
+
   /** The same md5-derived ±1 hyperplane weights as
     * [[graft.operators.Similarity]]'s planeSign, as a DuckDB list
     * literal — the LSH index is deterministic, so the oracle can rebuild
@@ -690,6 +720,76 @@ object VectorQueries {
       },
       Some("""
         SELECT query_id, CAST(1 AS INTEGER) AS recall_ok
+        FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
+        ORDER BY query_id""")),
+
+    // ----------------------------------------------------------------
+    // IVFADC+R (Jégou §V): the ADC scan keeps a k·refine shortlist per
+    // query, then ONLY those candidates' true vectors are fetched from
+    // the corpus (broadcast semi-join — one corpus scan, no shuffle)
+    // and the final top-k is ranked by exact cosine. Re-ranking repairs
+    // quantization's ranking errors, so recall dominates the plain ADC
+    // path (RecallSpec pins ≥); the verdict bound here is accordingly
+    // HIGHER than v13–v16's 0.15.
+    Q(
+      "v17_ivfpq_rerank",
+      (s, d) => {
+        import graft.operators.IvfPq
+        val emb = Tables.embeddings(s, d)
+        val (model, idx) = persistedIvfPqIndex(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+        val k = 10
+        val approx = IvfPq.searchIndexRerank(queries, idx, emb, "vec_id",
+          "embedding", model, k, nProbe = 8, refine = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+          "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        approx.join(exact, Seq("query_id", "neighbor_id"), "inner")
+          .groupBy("query_id")
+          .agg((count(lit(1)).cast("double") / k).as("recall"))
+          .select(col("query_id"),
+            when(col("recall") >= 0.3, 1).otherwise(0).as("recall_ok"))
+          .orderBy("query_id")
+      },
+      Some("""
+        SELECT query_id, CAST(1 AS INTEGER) AS recall_ok
+        FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
+        ORDER BY query_id""")),
+
+    // ----------------------------------------------------------------
+    // Index MAINTENANCE: a new batch arrives after the index is built.
+    // PQ encoding is row-local under a frozen model, so the batch is
+    // encoded independently (map-side-only job over the new rows) and
+    // APPENDED into the list_id partition dirs — no retrain, no rewrite
+    // of existing files. The gate: search over the incrementally-
+    // maintained index is IDENTICAL to search over the v14 full rebuild
+    // (same model ⇒ same codes ⇒ same deterministic ranking). Emits one
+    // row per query with match=1 when the (neighbor_id, rank) sets are
+    // equal.
+    Q(
+      "v18_ivfpq_append",
+      (s, d) => {
+        import graft.operators.IvfPq
+        val emb = Tables.embeddings(s, d)
+        val (model, fullIdx) = persistedIvfPqIndex(s, d)
+        val incrIdx = incrementalIvfPqIndex(s, d, model)
+        val queries = emb.filter(col("vec_id") < 5)
+        val k = 10
+        def run(i: org.apache.spark.sql.DataFrame) =
+          IvfPq.searchIndex(queries, i, "vec_id", "embedding", model,
+            k, nProbe = 8).select("query_id", "neighbor_id", "rank")
+        val a = run(fullIdx)
+        val b = run(incrIdx)
+        a.join(b, Seq("query_id", "neighbor_id", "rank"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n"))
+          .select(col("query_id"),
+            when(col("n") === k, 1).otherwise(0).as("match_ok"))
+          .orderBy("query_id")
+      },
+      Some("""
+        SELECT query_id, CAST(1 AS INTEGER) AS match_ok
         FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
         ORDER BY query_id""")),
 

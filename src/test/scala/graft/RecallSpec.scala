@@ -197,6 +197,42 @@ class RecallSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("exact re-ranking dominates the plain ADC path (IVFADC+R)") {
+    // v17: the rerank shortlist (ADC top-k·refine) is a superset of the
+    // ADC top-k, and exact scoring restores every true neighbor in the
+    // shortlist to its true rank — so per-query recall can only rise.
+    // Pinned ≥ everywhere and strictly above in aggregate (measured:
+    // ADC 0.2–0.6, rerank 0.5–1.0 on this data geometry).
+    import graft.operators.IvfPq
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 5)
+    val model = IvfPq.train(e, "vec_id", "embedding", 64,
+      nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
+    val idx = IvfPq.index(e, "vec_id", "embedding", model, withNorm = true)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg((count(lit(1)).cast("double") / k).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val adc = recall(IvfPq.searchIndexAdc(
+      queries, idx, "vec_id", "embedding", model, k, 8))
+    val rr = recall(IvfPq.searchIndexRerank(
+      queries, idx, e, "vec_id", "embedding", model, k, 8, refine = 3))
+    adc.keySet.foreach { q =>
+      assert(rr(q) >= adc(q),
+        s"rerank lost recall on query $q: ${rr(q)} < ${adc(q)}")
+    }
+    assert(rr.values.sum > adc.values.sum,
+      s"rerank must strictly improve aggregate recall: " +
+        s"${rr.values.sum} vs ${adc.values.sum}")
+    assert(rr.values.min >= 0.5,
+      s"rerank recall floor regressed below the v17 verdict margin: ${rr.values.min}")
+  }
+
   test("ADC lookup-table scoring matches reconstruct-and-dot recall") {
     // v15's scoring path computes q·coarse + Σ table[codes] with
     // stored norms — the same quantity as reconstruct-then-dot up to
