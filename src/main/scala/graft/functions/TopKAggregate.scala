@@ -28,6 +28,7 @@ import org.apache.spark.sql.types._
   */
 case class BoundedTopK(
     scoreExpr: Expression, idExpr: Expression, k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BoundedTopK.Buffer] {
 
@@ -46,7 +47,7 @@ case class BoundedTopK(
     }
 
   override def createAggregationBuffer(): BoundedTopK.Buffer =
-    new BoundedTopK.Buffer(k)
+    new BoundedTopK.Buffer(k, distinctIds)
 
   override def update(buf: BoundedTopK.Buffer, input: InternalRow): BoundedTopK.Buffer = {
     val s = scoreExpr.eval(input)
@@ -79,7 +80,7 @@ case class BoundedTopK(
   override def deserialize(bytes: Array[Byte]): BoundedTopK.Buffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new BoundedTopK.Buffer(k)
+    val buf = new BoundedTopK.Buffer(k, distinctIds)
     var j = 0
     while (j < n) { buf.offer(bb.getDouble, bb.getLong); j += 1 }
     buf
@@ -103,8 +104,15 @@ object BoundedTopK {
   /** k-bounded keeper of the best (score, id) pairs under
     * (score DESC, id ASC). Worst entry sits at the head of a min
     * priority queue, so offer() is O(log k) and memory is O(k)
-    * regardless of input size. */
-  final class Buffer(k: Int) {
+    * regardless of input size.
+    *
+    * `distinctIds = true` collapses repeated offers of the SAME id
+    * (keeping its best score) — the banded-LSH top-k feed emits each
+    * candidate pair once per colliding band, and deduping inside the
+    * k-bounded heap means those duplicates never need a corpus-scale
+    * pair-distinct shuffle first. O(k) membership scan per offer; k is
+    * small by contract. */
+  final class Buffer(k: Int, distinctIds: Boolean = false) {
     // ordering: "better" = higher score, then LOWER id; the queue
     // dequeues the WORST first
     private val worstFirst: Ordering[(Double, Long)] =
@@ -112,6 +120,24 @@ object BoundedTopK {
     private val q = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
 
     def offer(score: Double, id: Long): Unit = {
+      if (distinctIds) {
+        val existing = q.find(_._2 == id)
+        existing match {
+          case Some((es, _)) =>
+            if (score > es) {
+              // rebuild without the stale entry, then insert the better
+              val kept = q.toArray.filter(_._2 != id)
+              q.clear(); kept.foreach(q.enqueue(_))
+              offerNew(score, id)
+            }
+            return
+          case None => ()
+        }
+      }
+      offerNew(score, id)
+    }
+
+    private def offerNew(score: Double, id: Long): Unit = {
       if (q.size < k) q.enqueue((score, id))
       else {
         val (ws, wi) = q.head // current worst
@@ -133,8 +159,10 @@ object BoundedTopK {
 object TopKAggregate {
   /** Column API: `boundedTopK(score, id, k)` → sorted
     * `array<struct<score,id>>`. */
-  def boundedTopK(score: Column, id: Column, k: Int): Column =
+  def boundedTopK(score: Column, id: Column, k: Int,
+      distinctIds: Boolean = false): Column =
     SqlBridge.column(
-      BoundedTopK(SqlBridge.expression(score), SqlBridge.expression(id), k)
+      BoundedTopK(SqlBridge.expression(score), SqlBridge.expression(id), k,
+        distinctIds)
         .toAggregateExpression())
 }

@@ -260,43 +260,81 @@ object Similarity {
           .map(p => planeSign(col("v"), bd * planesPerBand + p, dim) * lit(1 << p))
           .reduce(_ + _).as("bucket"))
     }
-    // persisted: the 16 hyperplane projections per row feed the bucket-
-    // size aggregate AND both candidate sides — without it the dot
-    // products run three times
-    val bk = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bucket"))
-      .persist()
-    // hot-bucket guard: unlike the pair-listing paths, a hub star would
-    // starve every non-hub query of neighbors, so oversized buckets are
-    // SUB-SPLIT instead: members hash (deterministic md5, no rand()) into
-    // ceil(n/maxBucket) sub-buckets and candidates form within a
-    // sub-bucket only — O(n·maxBucket) candidates, and every query in a
-    // near-identical hot bucket still sees ~maxBucket candidates of
-    // ~equal similarity, which is what top-k of a dup cluster means
-    val sizes = bk.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+    // hot-bucket guard (both paths): unlike the pair-listing paths, a
+    // hub star would starve every non-hub query of neighbors, so
+    // oversized buckets are SUB-SPLIT instead: members hash
+    // (deterministic md5, no rand()) into ceil(n/maxBucket) sub-buckets
+    // and candidates form within a sub-bucket only — O(n·maxBucket)
+    // candidates, and every query in a near-identical hot bucket still
+    // sees ~maxBucket candidates of ~equal similarity, which is what
+    // top-k of a dup cluster means. `sizes` is bounded by
+    // nBands·2^planesPerBand rows — model-sized, so it BROADCASTS onto
+    // the banded rows instead of shuffling them.
+    def subCol(nSub: Column): Column =
+      when(col("__n") <= maxBucket, lit(0L))
+        .otherwise(pmod(
+          conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long"), nSub))
     val nSub = greatest(lit(1L),
       ceil(col("__n").cast("double") / maxBucket).cast("long"))
-    val tagged = bk.join(sizes, Seq("band", "bucket"))
-      .withColumn("sub",
-        when(col("__n") <= maxBucket, lit(0L))
-          .otherwise(pmod(
-            conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
-              .cast("long"), nSub)))
-    val cand = tagged.select(col("band"), col("bucket"), col("sub"),
-        col("id").as("query_id"))
-      .join(tagged.select(col("band"), col("bucket"), col("sub"),
-        col("id").as("neighbor_id")), Seq("band", "bucket", "sub"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-      .distinct()
-    val vq = base.select(col("id").as("query_id"), col("v").as("qv"))
-      .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
-    val vn = base.select(col("id").as("neighbor_id"), col("v").as("nv"))
-      .withColumn("nn", sqrt(dotF(col("nv"), col("nv"))))
-    val scored = cand.join(vq, "query_id").join(vn, "neighbor_id")
-      .withColumn("sim",
-        round(dotF(col("qv"), col("nv")) / col("qn") / col("nn"), 6))
-    finishTopK(scored, k, bounded)
+    if (!bounded) {
+      // window form (the oracle-gated sibling): banding is NARROW
+      // (id, band, bucket) and persisted — it feeds the size aggregate
+      // and both candidate sides; candidate pairs dedup before scoring
+      // and the vectors re-attach by id (locally a broadcast, at scale
+      // the standard pair-by-id shuffle).
+      val bk = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.bucket"))
+        .persist()
+      val sizes = bk.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      val tagged = bk.join(broadcast(sizes), Seq("band", "bucket"))
+        .withColumn("sub", subCol(nSub))
+      val cand = tagged.select(col("band"), col("bucket"), col("sub"),
+          col("id").as("query_id"))
+        .join(tagged.select(col("band"), col("bucket"), col("sub"),
+          col("id").as("neighbor_id")), Seq("band", "bucket", "sub"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+      val vq = base.select(col("id").as("query_id"), col("v").as("qv"))
+        .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+      val vn = base.select(col("id").as("neighbor_id"), col("v").as("nv"))
+        .withColumn("nn", sqrt(dotF(col("nv"), col("nv"))))
+      val scored = cand.join(vq, "query_id").join(vn, "neighbor_id")
+        .withColumn("sim",
+          round(dotF(col("qv"), col("nv")) / col("qn") / col("nn"), 6))
+      finishTopK(scored, k, bounded = false)
+    } else {
+      // 100 TB form: the vectors RIDE THROUGH the bucket join, so the
+      // candidate stream is scored map-side and collapses straight into
+      // the k-bounded heap with in-heap id-dedup (cross-band duplicate
+      // pairs score identically) — NOTHING candidate-sized ever
+      // shuffles: the only exchanges are the banded rows (corpus×nBands)
+      // into the self-join and O(k) heap entries per query out of the
+      // partial aggregate.
+      val wide = base
+        .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+        .select(col("id"), col("v"), col("nrm"),
+          explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("v"), col("nrm"), col("bk.band"), col("bk.bucket"))
+      val sizes = wide.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      val tagged = wide.join(broadcast(sizes), Seq("band", "bucket"))
+        .withColumn("sub", subCol(nSub))
+      val a = tagged.select(col("band"), col("bucket"), col("sub"),
+        col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val b = tagged.select(col("band"), col("bucket"), col("sub"),
+        col("id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
+      a.join(b, Seq("band", "bucket", "sub"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim",
+          round(dotF(col("qv"), col("nv")) / col("qn") / col("nn"), 6))
+        .groupBy("query_id")
+        .agg(graft.functions.TopKAggregate.boundedTopK(
+          col("sim"), col("neighbor_id"), k, distinctIds = true).as("__top"))
+        .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("query_id"), col("__e.id").as("neighbor_id"),
+          (col("__pos") + 1).cast("int").as("rank"), col("__e.score").as("sim"))
+    }
   }
 
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Quadratic

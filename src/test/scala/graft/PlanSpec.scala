@@ -132,6 +132,36 @@ class PlanSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(dir))
   }
 
+  test("rerank fetches the shortlist by broadcast: the corpus never shuffles") {
+    // v17's shape: the ADC pass produces a model-bounded shortlist
+    // (nQueries·k·refine rows); the true-vector fetch must be a
+    // BroadcastHashJoin against the corpus scan — any corpus-side
+    // hash Exchange means the rerank re-shuffled 100 TB to fetch a
+    // few hundred vectors.
+    import graft.operators.IvfPq
+    val e = Tables.embeddings(spark, sf)
+    val model = IvfPq.train(e, "vec_id", "embedding", 64,
+      nLists = 4, coarseIters = 1, m = 8, k = 8, pqIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-rerank").toString
+    try {
+      IvfPq.index(e, "vec_id", "embedding", model, withNorm = true)
+        .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/index")
+      val q = IvfPq.searchIndexRerank(e.filter(col("vec_id") < 3),
+        spark.read.parquet(s"$dir/index"), e, "vec_id", "embedding",
+        model, 5, nProbe = 2, refine = 3, bounded = true)
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"shortlist fetch must broadcast:\n$plan")
+      assert(!plan.split("\n").exists(l =>
+        l.contains("Exchange hashpartitioning(neighbor_id") ||
+          l.contains("Exchange hashpartitioning(vec_id")),
+        s"corpus must not shuffle for the rerank fetch:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"no sort-merge anywhere in the rerank path:\n$plan")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("hybrid ANN skips data in both dimensions: partition prune + pushed predicate") {
     // v16's shape: the metadata predicate pushes into the index scan
     // (PushedFilters on the metaCol) UNDER the probed-list partition
