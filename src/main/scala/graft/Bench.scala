@@ -28,6 +28,23 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Host-calibration workload: fixed and data-independent — codegen'd
+    // arithmetic over a 200M-row range, a 4096-key hash shuffle, and a
+    // hash aggregation, i.e. the same machinery the real queries spend
+    // their time in. Timed after one warmup, so its runtime varies only
+    // with the host. Per-query numbers divided by `calibration_sec` are
+    // comparable across rounds even when the bench machine changes
+    // (observed r6→r7: ~1.5–1.7× uniform wall-clock drift on identical
+    // code at the same commit — see README "Bench methodology").
+    def calibration(): Double = {
+      import org.apache.spark.sql.functions._
+      def run(): Unit = spark.range(0, 200000000L, 1, 32)
+        .select(pmod(xxhash64(col("id")), lit(4096)).as("k"), col("id"))
+        .groupBy("k").agg(sum("id").as("s"), count(lit(1)).as("c"))
+        .agg(sum(col("s") + col("c"))).collect()
+      run(); time(run())
+    }
+
     // optional filter for local iteration: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -47,7 +64,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val calib = calibration()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"calibration_sec":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
