@@ -975,6 +975,40 @@ object ExtensionQueries {
         ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
+    // Overlapping context-window chunking (size=32 tokens, stride=24 —
+    // consecutive chunks share 8 tokens): the embedding/context-window
+    // prep step of an LLM pipeline. Pure narrow map (tokenize →
+    // posexplode chunk indices → slice), zero shuffle — 100 TB chunks
+    // at scan speed. Tokenization is the library-wide whitespace
+    // convention, so SUM(n_tokens) reconciles with t1/t12 totals plus
+    // the overlap.
+    Q(
+      "t27_chunk_windows",
+      (s, d) =>
+        graft.operators.Chunker.chunk(
+          Tables.documents(s, d).select("doc_id", "text", "source"),
+          "doc_id", "text", size = 32, stride = 24, carry = Seq("source"))
+          .orderBy("doc_id", "chunk_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 string_split_regex(trim(text), '\s+') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, toks,
+                 unnest(generate_series(0,
+                   CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT)))
+                   AS chunk_id
+          FROM t)
+        SELECT doc_id, source, chunk_id, chunk_id * 24 AS start_tok,
+               CAST(len(list_slice(toks, chunk_id * 24 + 1,
+                 chunk_id * 24 + 32)) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                 chunk_id * 24 + 32), ' ') AS chunk_text
+        FROM c
+        ORDER BY doc_id, chunk_id""")),
+
+    // ----------------------------------------------------------------
     // Exact dedup on a duplicate-injected corpus: hash-groupBy on the
     // content digest, deterministic representative (min id). One shuffle;
     // partial agg means the shuffle carries distinct digests only.
