@@ -25,17 +25,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
-    * micros with integer `div` — a double division would lose precision on
-    * int64 nanosecond epochs (~1.7e18 > 2^53). Matches the ns→µs
-    * truncation an engine with native ns support performs on cast.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations, so the read is schema-adaptive:
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+    *     read as raw nanos (legacy conf) and truncate to micros with
+    *     integer `div` — a double division would lose precision on int64
+    *     nanosecond epochs (~1.7e18 > 2^53).
+    *   - parquet timestamp[us] (isAdjustedToUTC=false → TIMESTAMP_NTZ):
+    *     cast to TIMESTAMP. Session TZ is UTC everywhere (Verify/Bench/
+    *     tests), so the cast is instant-preserving and downstream
+    *     semantics (watermarks, window(), date_trunc) are identical to
+    *     the nanos path.
+    *
+    * Either way callers see a single `ts: TIMESTAMP` column at µs
+    * precision. Both branches are pinned by EventsSchemaSpec against
+    * hand-written fixtures of each encoding.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected int64-nanos, timestamp, or timestamp_ntz)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -19,13 +19,18 @@ object Verify {
     // sets it, so the gate always runs the full inventory.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    var failed = List.empty[String]
+    var emitted = 0
+    selected.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        emitted += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
       }
       spark.catalog.clearCache() // drop per-query persisted frames
     }
@@ -46,5 +51,17 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Un-shrinkable gate: any query failure, or an emitted count below the
+    // declared inventory, is a hard non-zero exit — a silently smaller
+    // output dir can never look green to the driver again.
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
+    if (emitted != selected.size) {
+      System.err.println(s"[verify] emitted $emitted of ${selected.size} selected queries")
+      sys.exit(1)
+    }
+    println(s"[verify] OK: $emitted/${SparkEntry.queries.size} queries emitted")
   }
 }

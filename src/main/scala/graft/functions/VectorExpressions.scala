@@ -149,6 +149,11 @@ case class AdcLookupSum(codes: Expression, table: Expression, k: Int)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "adc_lookup_sum"
 
+  // Codes are produced by ProductQuantizer.encodeCol, so in-range is an
+  // internal invariant — but a stale persisted index read under a
+  // narrower model would silently score against the WRONG table entry
+  // (eval) or AIOOBE with an opaque message (codegen). One predictable
+  // branch per subspace makes that meet loud instead.
   override def nullSafeEval(l: Any, r: Any): Any = {
     val c = l.asInstanceOf[ArrayData]
     val t = r.asInstanceOf[ArrayData]
@@ -156,7 +161,11 @@ case class AdcLookupSum(codes: Expression, table: Expression, k: Int)
     var i = 0
     val n = c.numElements()
     while (i < n) {
-      sum += t.getDouble(i * k + c.getInt(i))
+      val code = c.getInt(i)
+      if (code < 0 || code >= k) throw new IllegalArgumentException(
+        s"adc_lookup_sum: code $code at subspace $i out of range [0, $k) — " +
+          "index encoded under a different PQ model than the query table")
+      sum += t.getDouble(i * k + code)
       i += 1
     }
     sum
@@ -167,11 +176,18 @@ case class AdcLookupSum(codes: Expression, table: Expression, k: Int)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val code = ctx.freshName("code")
       s"""
          |int $n = $c.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $t.getDouble($i * $k + $c.getInt($i));
+         |  int $code = $c.getInt($i);
+         |  if ($code < 0 || $code >= $k) {
+         |    throw new IllegalArgumentException(
+         |      "adc_lookup_sum: code " + $code + " at subspace " + $i +
+         |      " out of range [0, $k) — index encoded under a different PQ model than the query table");
+         |  }
+         |  $sum += $t.getDouble($i * $k + $code);
          |}
          |${ev.value} = $sum;
        """.stripMargin

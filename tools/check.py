@@ -51,7 +51,21 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # Un-shrinkable inventory: the emitted result dirs must be exactly the
+    # declared oracle keys — a query that silently fell out of the gate
+    # (or an oracle without a result) is a hard FAIL, not a skip.
+    import os
+    dirs = {d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))}
+    for missing in sorted(set(oracle) - dirs):
+        print(f"FAIL {missing}: declared in oracle_sql.json but no result dir")
+        n_bad += 1
+    for extra in sorted(dirs - set(oracle)):
+        print(f"FAIL {extra}: result dir with no oracle entry")
+        n_bad += 1
     for name, sql in sorted(oracle.items()):
+        if name not in dirs:
+            continue  # already counted as FAIL above
         try:
             got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
