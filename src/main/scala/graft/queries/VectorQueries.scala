@@ -586,14 +586,17 @@ object VectorQueries {
     // is the same recall-verdict shape as v12: per-query recall@10 vs
     // the exact top-10 stays ≥ 0.15 (measured 0.2–0.4 per query across
     // sf0.001–0.1; RecallSpec pins the full curve and the ≥-v12
-    // residual payoff at full probe width).
+    // residual payoff at full probe width). The model comes from the
+    // shared fingerprint-keyed build (same hyperparameters, and training
+    // is bit-deterministic + parquet float round-trip is exact, so it
+    // EQUALS the inline retrain — RecallSpec pins the round-trip);
+    // only the INDEX path here stays inline, which is what v13 gates.
     Q(
       "v13_ivfpq_topk",
       (s, d) => {
         import graft.operators.IvfPq
         val emb = Tables.embeddings(s, d)
-        val model = IvfPq.train(emb, "vec_id", "embedding", dim = dim,
-          nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
+        val (model, _) = persistedIvfPqIndex(s, d)
         val queries = emb.filter(col("vec_id") < 5)
         val k = 10
         val approx = IvfPq.topK(queries, emb, "vec_id", "embedding",
@@ -693,9 +696,20 @@ object VectorQueries {
     // filterable attribute (metaCols at build), so the predicate is a
     // plain Filter over the index frame that Catalyst pushes to the
     // parquet scan (PushedFilters) UNDER the list_id partition pruning
-    // — data skipping in both dimensions, no corpus semi-join. The
-    // exact ground truth brute-forces the filtered corpus, so the
-    // verdict shape is unchanged.
+    // — data skipping in both dimensions, no corpus semi-join. Since
+    // round 8 the filtered path is also RE-RANKED (IVFADC+R over the
+    // filtered index — the production default read path) and
+    // OVER-PROBES (nProbe 8 → 12) and OVER-REFINES (refine 3 → 20): a
+    // selective predicate empties part of each probed list, so a
+    // filtered search must widen both its probe set and its re-rank
+    // shortlist to keep the candidate pool — the standard hybrid-ANN
+    // compensation, still model-bounded (k·refine = 200 true vectors
+    // fetched per query) and still partition-pruned (12 of 16 lists).
+    // Together these lift the verdict floor from the PQ-geometry 0.15
+    // to 0.5 (measured min 0.6–0.8 across sf0.001–0.1 on this
+    // near-uniform worst-case geometry; RecallSpec pins the curve): a
+    // recall collapse in the filtered path now fails the gate. The
+    // exact ground truth brute-forces the filtered corpus.
     Q(
       "v16_filtered_ann",
       (s, d) => {
@@ -704,9 +718,9 @@ object VectorQueries {
         val (model, idx) = persistedIvfPqIndex(s, d)
         val queries = emb.filter(col("vec_id") < 5)
         val k = 10
-        val approx = IvfPq.searchIndex(queries,
-          idx.filter(col("label") < 5), "vec_id", "embedding",
-          model, k, nProbe = 8)
+        val approx = IvfPq.searchIndexRerank(queries,
+          idx.filter(col("label") < 5), emb, "vec_id", "embedding",
+          model, k, nProbe = 12, refine = 20)
           .select(col("query_id"), col("neighbor_id"))
         val exact = Similarity.bruteForceTopK(queries,
           emb.filter(col("label") < 5), "vec_id", "embedding", k)
@@ -715,7 +729,7 @@ object VectorQueries {
           .groupBy("query_id")
           .agg((count(lit(1)).cast("double") / k).as("recall"))
           .select(col("query_id"),
-            when(col("recall") >= 0.15, 1).otherwise(0).as("recall_ok"))
+            when(col("recall") >= 0.5, 1).otherwise(0).as("recall_ok"))
           .orderBy("query_id")
       },
       Some("""

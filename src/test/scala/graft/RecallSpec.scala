@@ -233,6 +233,73 @@ class RecallSpec extends SparkSpec {
       s"rerank recall floor regressed below the v17 verdict margin: ${rr.values.min}")
   }
 
+  test("filtered+re-ranked search clears the raised v16 floor at every sf") {
+    // v16's gate bound was lifted 0.15 → 0.5 in round 8 when the
+    // filtered path switched to IVFADC+R (re-rank over the filtered
+    // index) with over-probing and over-refining (nProbe 12, refine 20
+    // — a selective filter empties part of each probed list, so the
+    // probe set and shortlist must widen to keep the candidate pool;
+    // measured: nProbe=8/refine=3 leaves a 0.4 floor at sf0.001 and
+    // 0.2 at sf0.1; 12/20 lifts those to 0.8 and 0.6). This pins the
+    // measured per-query floor at all three scale factors so the gate
+    // bound is known-safe, and pins rerank ≥ the plain reconstruct
+    // path per query at the same probe width (the superset-shortlist
+    // argument applies under a filter exactly as without one).
+    import graft.operators.IvfPq
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val e = Tables.embeddings(spark, sfDir)
+      val queries = e.filter(col("vec_id") < 5)
+      val model = IvfPq.train(e, "vec_id", "embedding", 64,
+        nLists = 16, coarseIters = 2, m = 8, k = 64, pqIters = 3)
+      val idx = IvfPq.index(e, "vec_id", "embedding", model,
+        withNorm = true, metaCols = Seq("label")).filter(col("label") < 5)
+      val k = 10
+      val exact = Similarity.bruteForceTopK(queries,
+        e.filter(col("label") < 5), "vec_id", "embedding", k)
+        .select("query_id", "neighbor_id")
+      def recall(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+        df.select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id")
+          .agg((count(lit(1)).cast("double") / k).as("r"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val plain = recall(IvfPq.searchIndex(
+        queries, idx, "vec_id", "embedding", model, k, 12))
+      val rr = recall(IvfPq.searchIndexRerank(
+        queries, idx, e, "vec_id", "embedding", model, k, 12, refine = 20))
+      info(s"$sfDir: plain=${plain.toSeq.sortBy(_._1)} rerank=${rr.toSeq.sortBy(_._1)}")
+      plain.keySet.foreach { q =>
+        assert(rr(q) >= plain(q),
+          s"$sfDir: filtered rerank lost recall on query $q: ${rr(q)} < ${plain(q)}")
+      }
+      assert(rr.values.min >= 0.5,
+        s"$sfDir: filtered rerank floor under the v16 gate bound: ${rr.values.min}")
+    }
+  }
+
+  test("adc_lookup_sum fails loudly on codes outside the model's [0, k)") {
+    // A stale persisted index read under a narrower PQ model must not
+    // silently score against the wrong table entry — the expression
+    // bounds-checks every code in both eval and codegen.
+    import graft.functions.VectorExpressions.adcSum
+    import spark.implicits._
+    val k = 4
+    val ok = Seq((Array(0, 3, 1), Array.fill(3 * k)(0.5)))
+      .toDF("codes", "tbl")
+    assert(ok.select(adcSum(col("codes"), col("tbl"), k)).head().getDouble(0)
+      === 1.5)
+    val bad = Seq((Array(0, 4, 1), Array.fill(3 * k)(0.5)))
+      .toDF("codes", "tbl")
+    val e = intercept[Exception] {
+      bad.select(adcSum(col("codes"), col("tbl"), k)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("out of range")),
+      s"expected loud out-of-range failure, got: $e")
+  }
+
   test("ADC lookup-table scoring matches reconstruct-and-dot recall") {
     // v15's scoring path computes q·coarse + Σ table[codes] with
     // stored norms — the same quantity as reconstruct-then-dot up to
