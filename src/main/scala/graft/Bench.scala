@@ -65,7 +65,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val calib = calibration()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"calibration_sec":$calib,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"calibration_sec":$calib,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full per-query map (driver artifacts keep only a
+    // truncated stdout tail, which made cross-round per-query ratios
+    // unreproducible — round-7 advisory). Overwritten per run; committed
+    // runs live under docs/bench/.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/bench/latest.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist result file: $e")
+    }
     spark.stop()
   }
 }

@@ -744,7 +744,13 @@ object VectorQueries {
     // and the final top-k is ranked by exact cosine. Re-ranking repairs
     // quantization's ranking errors, so recall dominates the plain ADC
     // path (RecallSpec pins ≥); the verdict bound here is accordingly
-    // HIGHER than v13–v16's 0.15.
+    // HIGHER than v13–v15's 0.15. Round 8 widened the shortlist
+    // (refine 3 → 10: k·refine = 100 true vectors fetched per query,
+    // still model-bounded) and raised the gate 0.3 → 0.5 — measured
+    // per-query floors 0.6 at sf0.001 and 0.7 at sf0.1; at sf0.01 the
+    // refine=3 floor is already 0.5 (RecallSpec) and a wider shortlist
+    // is recall-monotone under exact re-ranking. A recall collapse on
+    // the production read path now fails the gate loudly.
     Q(
       "v17_ivfpq_rerank",
       (s, d) => {
@@ -754,7 +760,7 @@ object VectorQueries {
         val queries = emb.filter(col("vec_id") < 5)
         val k = 10
         val approx = IvfPq.searchIndexRerank(queries, idx, emb, "vec_id",
-          "embedding", model, k, nProbe = 8, refine = 3)
+          "embedding", model, k, nProbe = 8, refine = 10)
           .select(col("query_id"), col("neighbor_id"))
         val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
           "embedding", k)
@@ -763,7 +769,7 @@ object VectorQueries {
           .groupBy("query_id")
           .agg((count(lit(1)).cast("double") / k).as("recall"))
           .select(col("query_id"),
-            when(col("recall") >= 0.3, 1).otherwise(0).as("recall_ok"))
+            when(col("recall") >= 0.5, 1).otherwise(0).as("recall_ok"))
           .orderBy("query_id")
       },
       Some("""

@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# Repo-side leak scan, mechanically reproducible (round-7 advisory: an
+# attestation file nothing regenerates is not evidence of a scan).
+# Greps the build sources for anything that is not derivable from public
+# knowledge — proprietary imports, internal hostnames/buckets, secrets —
+# and emits LEAKCHECK_local.json recording the timestamp, the exact
+# patterns, and every hit. Exit 1 on any hit.
+set -u
+cd "$(dirname "$0")/.."
+SCOPE="src build.sbt tools docs README.md SURVEY.md"
+
+declare -A PATTERNS=(
+  [secret-key]='(api[_-]?key|secret|token)[[:space:]]*[:=][[:space:]]*"[A-Za-z0-9_\-]{16,}'
+  [aws-key]='AKIA[0-9A-Z]{16}'
+  [private-host]='[a-z0-9.-]+\.(internal|corp|intranet)\b'
+  [cloud-bucket]='(s3|gs|abfss?|wasbs?)://[a-z0-9._-]+'
+  [slack-link]='slack\.com/archives|#[a-z0-9-]+-(eng|infra|oncall)\b'
+  [nonpublic-import]='import[[:space:]]+(com\.anthropic|ai\.anthropic)'
+)
+
+ts=$(date -u +%Y-%m-%dT%H:%M:%SZ)
+commit=$(git rev-parse --short HEAD 2>/dev/null || echo unknown)
+n_hits=0
+hits_json=""
+for name in $(printf '%s\n' "${!PATTERNS[@]}" | sort); do
+  pat=${PATTERNS[$name]}
+  # shellcheck disable=SC2086
+  matches=$(grep -rInE "$pat" $SCOPE 2>/dev/null | grep -v 'tools/leakcheck.sh' | head -20)
+  count=0
+  lines=""
+  if [ -n "$matches" ]; then
+    while IFS= read -r m; do
+      count=$((count + 1))
+      esc=$(printf '%s' "$m" | sed 's/\\/\\\\/g; s/"/\\"/g')
+      lines="$lines${lines:+,}\"$esc\""
+    done <<< "$matches"
+  fi
+  n_hits=$((n_hits + count))
+  esc_pat=$(printf '%s' "$pat" | sed 's/\\/\\\\/g; s/"/\\"/g')
+  hits_json="$hits_json${hits_json:+,}
+    \"$name\": {\"pattern\": \"$esc_pat\", \"hits\": [$lines]}"
+done
+
+cat > LEAKCHECK_local.json <<EOF
+{
+  "generated_by": "tools/leakcheck.sh",
+  "timestamp": "$ts",
+  "commit": "$commit",
+  "scope": "$SCOPE",
+  "n_hits": $n_hits,
+  "checks": {$hits_json
+  }
+}
+EOF
+echo "leakcheck: $n_hits hits (LEAKCHECK_local.json)"
+exit $((n_hits > 0 ? 1 : 0))
