@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora — the
@@ -561,5 +562,109 @@ object Dedup {
     bitSums.select(col(idCol),
       (0 until bits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
+  }
+
+  /** Maximum token position per document for the packed (id, pos) key
+    * used by [[crossDocDupSpans]] — a document longer than this fails
+    * loudly rather than mis-ordering first-occurrence resolution. */
+  val MaxSpanPos = 1 << 20
+
+  /** Cross-document EXACT substring deduplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * every n-token span whose text occurs at ≥2 (doc, pos) sites across
+    * the whole corpus, keep only the globally FIRST occurrence (min
+    * (doc_id, pos)), and merge every other occurrence's overlapping /
+    * adjacent windows into maximal duplicated islands
+    * `(id, span_start, span_end)` (1-based token positions, end
+    * exclusive). This is distinct from whole-document near-dup (d1–d9)
+    * and from within-doc repeated spans (t23): it removes the
+    * boilerplate / license-header / quoted-chunk text that whole-doc
+    * similarity never catches.
+    *
+    * 100 TB shape — two keyed shuffles, nothing else:
+    *  1. window extraction is a narrow map (split → transform →
+    *     posexplode), each window carried as its md5 (fixed 32 chars,
+    *     never the raw span text);
+    *  2. first-occurrence resolution is a partial-aggregating
+    *     `groupBy(hash)` (min of a packed (doc,pos) long + count) —
+    *     skew-safe: a boilerplate span occurring 10⁸ times map-side
+    *     combines before the shuffle;
+    *  3. marking duplicates joins occurrences back to that one-row-per-
+    *     hash frame — an N:1 equi-join (each window row matches exactly
+    *     one hash row, so no fan-out; AQE splits any hot-hash
+    *     partition);
+    *  4. island merging is one window pass partitioned by doc — the
+    *     running-max-end gaps-and-islands form, per-doc data.
+    *
+    * The packed key `doc_id·2²⁰ + pos` keeps first-occurrence
+    * resolution a plain BIGINT `min` on both engines; docs beyond 2²⁰
+    * tokens (or ids beyond 2⁴³) would corrupt the ordering, so the
+    * operator fails loudly on them (SpanDedupSpec pins the guard).
+    */
+  def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"span window must be at least 2 tokens, got $n")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    // one row per n-token window: (id, span_start 1-based, h = md5(span))
+    val wins = toks.select(col(idCol),
+      posexplode(when(size(col("__toks")) >= n,
+        expr(s"""transform(sequence(1, size(__toks) - ${n - 1}),
+                 i -> md5(concat_ws(' ', slice(__toks, i, $n))))"""))
+        .otherwise(array()))).toDF(idCol, "__p0", "h")
+      .select(col(idCol), (col("__p0") + 1).as("span_start"), col("h"))
+    val guarded = wins.withColumn("span_start",
+      when(col("span_start") < MaxSpanPos && col(idCol) >= 0
+          && col(idCol) < (Long.MaxValue / MaxSpanPos), col("span_start"))
+        .otherwise(raise_error(concat(lit(
+          s"crossDocDupSpans: packed-key bounds exceeded (pos < $MaxSpanPos, 0 <= id < ${Long.MaxValue / MaxSpanPos}) at id="),
+          col(idCol).cast("string")))))
+    val packed = guarded.withColumn("k",
+      col(idCol) * lit(MaxSpanPos.toLong) + col("span_start"))
+    val firsts = packed.groupBy("h")
+      .agg(min("k").as("__first_k"), count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select("h", "__first_k")
+    val dups = packed.join(firsts, "h")
+      .filter(col("k") =!= col("__first_k"))
+      .select(col(idCol), col("span_start"),
+        (col("span_start") + n).as("span_end"))
+    // gaps-and-islands: a window starts a new island iff it begins
+    // after every previous window's end (adjacency merges: contiguous
+    // duplicated text is one island)
+    val w = Window.partitionBy(idCol).orderBy("span_start")
+    val isl = dups
+      .withColumn("__prev_end", max(col("span_end"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__prev_end").isNull ||
+        col("span_start") > col("__prev_end"), 1).otherwise(0))
+      .withColumn("__island", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col(idCol), col("__island"))
+      .agg(min("span_start").as("span_start"), max("span_end").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** The rewrite over [[crossDocDupSpans]]'s islands: drop every token
+    * position covered by a duplicated island and reconstruct each
+    * document from its kept tokens (single-space joined — the corpus
+    * convention every operator here tokenizes by). Islands are exploded
+    * to (id, pos) rows — exactly `dup_tokens` rows, bounded by the
+    * corpus token count — so the removal is a skew-safe left_anti
+    * EQUI-join, never a range join; reconstruction is one per-doc
+    * aggregate (array_sort over (pos, token) structs, then join). */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val islands = crossDocDupSpans(docs, idCol, textCol, n)
+    val dupPos = islands.select(col(idCol),
+      explode(expr("sequence(span_start, span_end - 1)")).as("pos"))
+    val toks = docs.select(col(idCol),
+      posexplode(split(col(textCol), " "))).toDF(idCol, "__p0", "tok")
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("tok"))
+    toks.join(dupPos, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+        .as("text_clean"),
+        count(lit(1)).as("n_tokens_clean"))
   }
 }

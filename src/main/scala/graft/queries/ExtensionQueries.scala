@@ -1360,8 +1360,127 @@ object ExtensionQueries {
           .select("doc_id", "cluster_rep", "n_chars", "cluster_size")
           .orderBy("doc_id")
       },
-      Some(dedupRewriteOracle))
+      Some(dedupRewriteOracle)),
+
+    // ----------------------------------------------------------------
+    // Cross-document EXACT substring dedup (Lee et al. 2022): every
+    // 8-token span occurring at ≥2 (doc, pos) sites corpus-wide is
+    // duplicated text; all but the globally-first occurrence are
+    // merged into maximal islands. This catches the boilerplate /
+    // license-header / quoted-chunk duplication whole-document
+    // similarity (d1–d9) never sees and within-doc spans (t23) only
+    // half-see. Per-doc audit: how many islands, how many tokens they
+    // cover, what fraction of the doc is duplicated text. Two keyed
+    // shuffles at any scale (hash-agg on the span md5 with map-side
+    // combine; N:1 join back); see Dedup.crossDocDupSpans.
+    Q(
+      "d14_crossdoc_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stats = Dedup.crossDocDupSpans(docs, "doc_id", "text", n = 8)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_end") - col("span_start")).as("dup_tokens"))
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(stats, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            col("n_tokens"),
+            round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+              / col("n_tokens"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $crossDocSpanCtes
+        SELECT d.doc_id,
+               COALESCE(g.n_spans, 0) AS n_spans,
+               COALESCE(g.dup_tokens, 0) AS dup_tokens,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               round(CAST(COALESCE(g.dup_tokens, 0) AS DOUBLE)
+                 / len(string_split(d.text, ' ')), 6) AS dup_frac
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, count(*) AS n_spans,
+                          CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+                   FROM islands GROUP BY doc_id) g USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // ----------------------------------------------------------------
+    // The REWRITE over d14's islands — the step that actually shrinks
+    // the corpus: drop every token covered by a duplicated island,
+    // reconstruct each document from its kept tokens. Gated on the
+    // reconstructed text itself (md5) plus the kept-token count, so
+    // the oracle verifies the byte-exact rewrite, not just the
+    // bookkeeping. Islands explode to (doc, pos) rows (= dup_tokens
+    // rows, corpus-bounded), so removal is a skew-safe left_anti
+    // equi-join — never a range join.
+    Q(
+      "d15_crossdoc_rewrite",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clean = Dedup.removeDupSpans(docs, "doc_id", "text", n = 8)
+        docs.select(col("doc_id"))
+          .join(clean, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens_clean"), lit(0L)).as("n_tokens_clean"),
+            md5(coalesce(col("text_clean"), lit(""))).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $crossDocSpanCtes,
+        dpos AS (
+          SELECT s.doc_id, s.span_start + u.j AS pos
+          FROM islands s, UNNEST(range(0, s.span_end - s.span_start)) AS u(j)),
+        tok AS (
+          SELECT tk.doc_id, u.i AS pos, t[u.i] AS tok
+          FROM tk, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        kept AS (
+          SELECT k.doc_id, k.pos, k.tok FROM tok k
+          WHERE NOT EXISTS (SELECT 1 FROM dpos p
+                            WHERE p.doc_id = k.doc_id AND p.pos = k.pos)),
+        res AS (
+          SELECT doc_id, count(*) AS n_tokens_clean,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(r.n_tokens_clean, 0) AS n_tokens_clean,
+               COALESCE(r.clean_md5, md5('')) AS clean_md5
+        FROM documents d LEFT JOIN res r USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
+
+  /** Shared CTE chain for d14/d15: 8-token windows carried as md5,
+    * first-occurrence resolution over the packed (doc·2²⁰ + pos) key,
+    * non-first occurrences merged into islands by the running-max-end
+    * gaps-and-islands form — the SQL mirror of
+    * [[Dedup.crossDocDupSpans]]. */
+  private lazy val crossDocSpanCtes: String = """
+        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        win AS (
+          SELECT doc_id, u.i AS span_start, u.i + 8 AS span_end,
+                 md5(array_to_string(t[u.i:u.i+7], ' ')) AS h
+          FROM tk, UNNEST(range(1, len(t) - 6)) AS u(i)),
+        firsts AS (
+          SELECT h, min(doc_id * 1048576 + span_start) AS first_k
+          FROM win GROUP BY h HAVING count(*) >= 2),
+        dups AS (
+          SELECT w.doc_id, w.span_start, w.span_end
+          FROM win w JOIN firsts f USING (h)
+          WHERE w.doc_id * 1048576 + w.span_start <> f.first_k),
+        i0 AS (
+          SELECT doc_id, span_start, span_end,
+                 max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM dups),
+        i1 AS (SELECT *, CASE WHEN prev_end IS NULL OR span_start > prev_end
+                 THEN 1 ELSE 0 END AS nw FROM i0),
+        i2 AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY span_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM i1),
+        islands AS (
+          SELECT doc_id, isl, min(span_start) AS span_start,
+                 max(span_end) AS span_end
+          FROM i2 GROUP BY doc_id, isl)"""
 
   /** Shared oracle for d8/d13: cluster labels via a recursive CTE —
     * algorithm-independent, so it gates both min-propagation and
