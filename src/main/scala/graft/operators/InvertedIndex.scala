@@ -56,4 +56,59 @@ object InvertedIndex {
       .filter(col("n_matched") === terms.length)
       .select("doc_id")
   }
+
+  /** RANKED retrieval: BM25 top-k (Robertson/Spärck Jones; the Lucene
+    * default scoring family) over the corpus, completing t18's boolean
+    * AND with the scored form a retrieval pipeline actually serves:
+    *
+    *   score(d) = Σ_t ln(1 + (N − df_t + ½)/(df_t + ½))
+    *              · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+    *
+    * Scale shape — no corpus self-join, no index materialization:
+    *   1. tf rows: explode → `isin` filter (pushed to the scan) →
+    *      hash-agg on (doc, term); shuffle bounded by MATCHING pairs;
+    *   2. df: a ≤|terms|-row aggregate of the tf frame, broadcast back;
+    *   3. N and avgdl: ONE 1-row global aggregate, broadcast crossJoin
+    *      (the w4_share_broadcast pattern — no grand-total window);
+    *   4. per-doc sum is an exact DECIMAL accumulation (order-
+    *      independent — [[graft.functions.Deterministic]]);
+    *   5. top-k is TakeOrdered (score DESC, id ASC) — never a global
+    *      rank window; the rank column is attached AFTER the limit, a
+    *      k-row bounded window.
+    *
+    * Per-term components round to 6 dp before the decimal sum, so the
+    * score is engine-exact on deterministic corpora (the oracle
+    * replays it bit-for-bit). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    require(k > 0, s"k must be positive, got $k")
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val comp = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))),
+        6))
+    val scored = comp.groupBy("doc_id")
+      .agg(graft.functions.Deterministic.dsum(col("c")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    scored.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))))
+      .select("rank", "doc_id", "score")
+  }
 }

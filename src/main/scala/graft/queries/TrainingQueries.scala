@@ -749,6 +749,56 @@ object TrainingQueries {
         WHERE term IN ('spark', 'window', 'merge')
         GROUP BY doc_id
         HAVING COUNT(*) = 3
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // RANKED retrieval: BM25 top-10 (Robertson/Spärck Jones) — the
+    // scored form completing t18's boolean AND. No corpus self-join:
+    // tf is an isin-filtered hash-agg (shuffle bounded by matching
+    // pairs), df broadcasts back (≤|terms| rows), N/avgdl ride one
+    // broadcast 1-row aggregate, and the top-k is TakeOrdered — the
+    // rank window runs over k rows only, after the limit. Per-term
+    // components round to 6 dp before an exact DECIMAL sum, so both
+    // engines rank identical scores (ties broken by doc_id).
+    Q(
+      "t28_bm25_topk",
+      (s, d) =>
+        InvertedIndex.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "window", "merge", "vector"), k = 10)
+          .orderBy("rank"),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tk),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+               FROM dl),
+        tf AS (
+          SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS w FROM tk)
+          WHERE w IN ('spark', 'window', 'merge', 'vector')
+          GROUP BY doc_id, w),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY term),
+        comp AS (
+          SELECT tf.doc_id,
+                 round(ln(CAST(1.0 AS DOUBLE)
+                          + (st.n_docs - df.df + CAST(0.5 AS DOUBLE))
+                            / (df.df + CAST(0.5 AS DOUBLE)))
+                   * (tf.tf * CAST(2.2 AS DOUBLE))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * dl.dl / st.avgdl)),
+                   6) AS c
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        sc AS (
+          SELECT doc_id,
+                 CAST(sum(CAST(c AS DECIMAL(28, 6))) AS DOUBLE) AS score
+          FROM comp GROUP BY doc_id),
+        ranked AS (
+          SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+                 doc_id, score
+          FROM sc)
+        SELECT rank, doc_id, score FROM ranked
+        WHERE rank <= 10 ORDER BY rank"""))
   )
 }
