@@ -338,4 +338,43 @@ class PlanSpec extends SparkSpec {
       e, "vec_id", "embedding", k = 5, dim = 64)
     assert(planOf(win).contains("Window"))
   }
+
+  test("cross-doc span dedup: corpus-scale work is one partial hash-agg + one N:1 join") {
+    val docs = Tables.documents(spark, sf)
+    val islands = graft.operators.Dedup.crossDocDupSpans(
+      docs, "doc_id", "text", n = 8)
+    val plan = planOf(islands)
+    // first-occurrence resolution must partial-aggregate (map-side
+    // combine) — a boilerplate span occurring 10^8 times combines
+    // before the shuffle
+    assert(plan.contains("partial_min(k#") || plan.contains("partial_min(k "),
+      s"span hash-agg must be partial:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span matching must stay an equi-join:\n$plan")
+    // every shuffle is keyed on the span hash or the doc id — no
+    // round-robin repartition, no range exchange, nothing carrying raw
+    // span text as a partitioning key (windows ride as fixed-width md5)
+    val exchanges = "\\bExchange (\\w+)\\(([^,)]+)".r
+      .findAllMatchIn(plan.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).mkString("\n"))
+      .map(m => (m.group(1), m.group(2))).toList
+    assert(exchanges.nonEmpty && exchanges.forall { case (kind, key) =>
+      kind == "hashpartitioning" && (key.startsWith("h#") || key.startsWith("doc_id#"))
+    }, s"unexpected exchange shape $exchanges in:\n$plan")
+  }
+
+  test("bm25: top-k is TakeOrdered and the rank window sees only k rows") {
+    val q = SparkEntry.queries("t28_bm25_topk")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must compile to TakeOrdered, not a global sort:\n$plan")
+    // the only Window in the plan ranks the k-row post-limit frame:
+    // it must sit ABOVE the TakeOrdered, never over the scored corpus
+    val winIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      s"rank window must consume the TakeOrdered output (window above, take below):\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1 ||
+      "BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"df and corpus stats must broadcast:\n$plan")
+  }
 }
