@@ -1447,7 +1447,62 @@ object ExtensionQueries {
                COALESCE(r.n_tokens_clean, 0) AS n_tokens_clean,
                COALESCE(r.clean_md5, md5('')) AS clean_md5
         FROM documents d LEFT JOIN res r USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Containment near-dup pairs (d16): the ASYMMETRIC overlap measure
+    // C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)|. Jaccard misses subset dups —
+    // a short doc fully quoted inside a long one scores low Jaccard but
+    // containment 1.0 — and subset dups (quoted reposts, boilerplate-
+    // wrapped copies) are a distinct failure mode a corpus dedup pass
+    // must catch. Evidence join is df-capped: shingles appearing in >64
+    // docs are boilerplate whose (df²) join fan-out would dominate the
+    // shuffle while adding no pair-specific evidence; denominators stay
+    // exact (per-doc distinct shingle counts are uncapped), so capped
+    // containment is a lower bound that only suppresses pure-boilerplate
+    // pairs. The oracle mirrors the cap exactly.
+    Q(
+      "d16_containment",
+      (s, d) => {
+        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text",
+          k = 3, carry = Seq.empty).persist()
+        val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val cold = sh.join(dfc.filter(col("df") <= 64), "shingle")
+          .select("doc_id", "shingle")
+        val pairs = cold.select(col("doc_id").as("id_a"), col("shingle"))
+          .join(cold.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        pairs
+          .join(sz.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+          .join(sz.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+          .withColumn("cont_a", col("common") / col("n_a"))
+          .withColumn("cont_b", col("common") / col("n_b"))
+          .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+          .select("id_a", "id_b", "common", "n_a", "n_b", "cont_a", "cont_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH $shingleCte,
+        dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        cold AS (
+          SELECT s.doc_id, s.shingle
+          FROM sh s JOIN dfc ON s.shingle = dfc.shingle
+          WHERE dfc.df <= 64),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        pr AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM cold a JOIN cold b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b,
+               common / na.n AS cont_a, common / nb.n AS cont_b
+        FROM pr
+        JOIN sz na ON id_a = na.doc_id
+        JOIN sz nb ON id_b = nb.doc_id
+        WHERE GREATEST(common / na.n, common / nb.n) >= 0.5
+        ORDER BY id_a, id_b"""))
   )
 
   /** Shared CTE chain for d14/d15: 8-token windows carried as md5,

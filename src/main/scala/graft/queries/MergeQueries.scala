@@ -269,6 +269,128 @@ object MergeQueries {
                     THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
                s.o_orderpriority AS o_orderpriority
         FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // SCD Type-2 history build (k9): collapse each user's event-type
+    // stream into validity intervals — the classic slowly-changing-
+    // dimension shape (valid_from / valid_to / is_current), derived with
+    // gaps-and-islands (lag-change flag → running island id → per-island
+    // collapse → lead for the closing edge).
+    //
+    // Scale shape: every window and the aggregation are keyed on
+    // user_id, so ONE hash exchange serves the whole chain — the lag
+    // window partitions by user_id, the island groupBy's
+    // (user_id, island) keys are clustered by that same partitioning,
+    // and the closing lead window reuses it again (pinned in PlanSpec:
+    // exactly one Exchange). No driver state, no per-user collect.
+    Q(
+      "k9_scd2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select("user_id", "ts", "event_id", "event_type")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val prev = lag("event_type", 1).over(w)
+        val marked = ev.withColumn("chg",
+          when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+        val islands = marked.withColumn("island",
+          sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val runs = islands.groupBy("user_id", "island", "event_type")
+          .agg(min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+        val wl = Window.partitionBy("user_id").orderBy("valid_from")
+        runs
+          .withColumn("valid_to", lead("valid_from", 1).over(wl))
+          .select(
+            col("user_id"), col("event_type"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("valid_from_str"),
+            date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("valid_to_str"),
+            when(col("valid_to").isNull, 1).otherwise(0).as("is_current"),
+            col("n_events"))
+          .orderBy("user_id", "valid_from_str")
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN LAG(event_type) OVER w IS NULL
+                        OR LAG(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        islands AS (
+          SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island
+          FROM marked),
+        runs AS (
+          SELECT user_id, island, event_type,
+                 MIN(ts) AS valid_from, COUNT(*) AS n_events
+          FROM islands GROUP BY 1, 2, 3)
+        SELECT user_id, event_type,
+               strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from_str,
+               strftime(LEAD(valid_from) OVER wl,
+                        '%Y-%m-%d %H:%M:%S.%f') AS valid_to_str,
+               CASE WHEN LEAD(valid_from) OVER wl IS NULL
+                    THEN 1 ELSE 0 END AS is_current,
+               n_events
+        FROM runs
+        WINDOW wl AS (PARTITION BY user_id ORDER BY valid_from)
+        ORDER BY user_id, valid_from_str""")),
+
+    // ----------------------------------------------------------------
+    // Snapshot diff (k10): classify every customer key across two table
+    // versions (per-customer order rollups over two overlapping date
+    // windows) as added / removed / changed / unchanged — the audit that
+    // validates an incremental MERGE reproduced a full recompute, and
+    // the change-data-capture primitive for version-to-version repair.
+    // One full-outer join on the key; totals go through exact decimal
+    // sums so "changed" is a deterministic bit-exact comparison, and
+    // null-safe equality (<=>) handles one-sided keys.
+    Q(
+      "k10_snapshot_diff",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def snap(f: org.apache.spark.sql.Column) = o.filter(f)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"),
+            graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+        val v1 = snap(col("o_orderdate") < "1996-01-01")
+          .select(col("o_custkey"), col("cnt").as("cnt_old"),
+            col("total").as("total_old"))
+        val v2 = snap(col("o_orderdate") >= "1994-01-01")
+          .select(col("o_custkey"), col("cnt").as("cnt_new"),
+            col("total").as("total_new"))
+        v1.join(v2, Seq("o_custkey"), "full_outer")
+          .withColumn("status",
+            when(col("cnt_old").isNull, "added")
+              .when(col("cnt_new").isNull, "removed")
+              .when(!(col("cnt_old") <=> col("cnt_new")) ||
+                !(col("total_old") <=> col("total_new")), "changed")
+              .otherwise("unchanged"))
+          .select("o_custkey", "status", "cnt_old", "cnt_new",
+            "total_old", "total_new")
+          .orderBy("o_custkey")
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT o_custkey, COUNT(*) AS cnt_old,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_old
+          FROM orders WHERE o_orderdate < DATE '1996-01-01'
+          GROUP BY 1),
+        v2 AS (
+          SELECT o_custkey, COUNT(*) AS cnt_new,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_new
+          FROM orders WHERE o_orderdate >= DATE '1994-01-01'
+          GROUP BY 1)
+        SELECT COALESCE(v1.o_custkey, v2.o_custkey) AS o_custkey,
+               CASE WHEN v1.o_custkey IS NULL THEN 'added'
+                    WHEN v2.o_custkey IS NULL THEN 'removed'
+                    WHEN cnt_old IS DISTINCT FROM cnt_new
+                      OR total_old IS DISTINCT FROM total_new THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               cnt_old, cnt_new, total_old, total_new
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey
+        ORDER BY o_custkey"""))
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph operator correctness on hand-computed fixtures, plus the
+  * determinism contract fixed-point PageRank exists to provide.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side model of the fixed-point recurrence — an independent
+    * (single-threaded, Map-based) evaluation of the same integer
+    * arithmetic the distributed operator promises to implement. */
+  private def modelPageRank(
+      edges: Seq[(String, String)], iters: Int,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n = nodes.size
+    val base = (scale * 15 / 100) / n
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (s, d) => d -> rank(s) / outdeg(s) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      rank = nodes.map(v => v -> (base + 85 * contrib.getOrElse(v, 0L) / 100)).toMap
+    }
+    rank
+  }
+
+  test("fixed-point pagerank matches the hand-evaluated recurrence") {
+    val edges = Seq(
+      "a" -> "b", "b" -> "a",
+      "b" -> "c", "c" -> "b",
+      "a" -> "c", "c" -> "a",
+      "c" -> "d", "d" -> "c")
+    val got = Graph.pageRankFixedPoint(edges.toDF("src", "dst"), iterations = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got === modelPageRank(edges, 4))
+    // hub c (degree 3) outranks leaf d
+    assert(got("c") > got("d"))
+  }
+
+  test("pagerank conserves rank mass (floor dust only ever shrinks it)") {
+    val edges = (1 to 40).map(i => (s"n$i", s"n${i % 40 + 1}")) ++
+      (1 to 40).map(i => (s"n${i % 40 + 1}", s"n$i"))
+    val ranks = Graph.pageRankFixedPoint(edges.toDF("src", "dst"), iterations = 3)
+      .as[(String, Long)].collect()
+    val total = ranks.map(_._2).sum
+    assert(total <= 1000000000000L, s"rank mass created: $total")
+    assert(total > 990000000000L, s"too much floor dust lost: $total")
+  }
+
+  test("pagerank is partitioning-independent (the determinism contract)") {
+    val edges = (for (i <- 1 to 30; j <- 1 to 30 if i != j && (i + j) % 3 == 0)
+      yield (s"v$i", s"v$j"))
+    val df = edges.toDF("src", "dst")
+    val a = Graph.pageRankFixedPoint(df.repartition(1), iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val b = Graph.pageRankFixedPoint(df.repartition(7, col("dst")), iterations = 3)
+      .as[(String, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("triangle enumeration finds each triangle exactly once") {
+    // 1-2-3 and 2-3-4 close; 4-5 dangles
+    val edges = Seq((1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5))
+      .toDF("a", "b")
+    val tris = Graph.triangles(edges).as[(Int, Int, Int)].collect().toSet
+    assert(tris === Set((1, 2, 3), (2, 3, 4)))
+  }
+
+  test("triangle enumeration is empty on a triangle-free (bipartite) graph") {
+    val edges = (for (l <- 1 to 3; r <- 4 to 6) yield (l, r)).toDF("a", "b")
+    assert(Graph.triangles(edges).count() === 0)
+  }
+
+  test("pagerank rejects empty and degenerate configs loudly") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(Seq.empty[(String, String)].toDF("src", "dst"),
+        iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixedPoint(Seq.empty[(String, String)].toDF("src", "dst"),
+        iterations = 2)
+    }
+  }
+}

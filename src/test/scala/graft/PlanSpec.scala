@@ -377,4 +377,33 @@ class PlanSpec extends SparkSpec {
       "BroadcastExchange".r.findAllIn(plan).size >= 2,
       s"df and corpus stats must broadcast:\n$plan")
   }
+
+  test("scd2: the whole lag→island→collapse→lead chain rides ONE hash exchange") {
+    val q = SparkEntry.queries("k9_scd2")(spark, sf)
+    val plan = planOf(q)
+    val final_ = plan.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    // both windows partition by user_id and the island groupBy's
+    // (user_id, island) keys are clustered by that same partitioning —
+    // a second hashpartitioning exchange means the reuse broke
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(final_).size
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange (user_id reused end-to-end), got $hashEx:\n$plan")
+  }
+
+  test("triangle enumeration is equi-joins only — no cartesian product") {
+    val q = SparkEntry.queries("gr3_nation_triangles")(spark, sf)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle closure must stay an equi-join:\n$plan")
+  }
+
+  test("containment pairs: df-capped equi-join, no cartesian product") {
+    val q = SparkEntry.queries("d16_containment")(spark, sf)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"shingle evidence join must stay an equi-join:\n$plan")
+  }
 }
