@@ -799,6 +799,112 @@ object TrainingQueries {
                  doc_id, score
           FROM sc)
         SELECT rank, doc_id, score FROM ranked
-        WHERE rank <= 10 ORDER BY rank"""))
+        WHERE rank <= 10 ORDER BY rank""")),
+
+    // ----------------------------------------------------------------
+    // Blocked fuzzy join (j11): entity resolution by edit distance. The
+    // all-pairs Levenshtein join is O(n²·len²) — a non-starter at any
+    // scale — so candidates are BLOCKED on a shared prefix first (an
+    // equi-join), and the edit-distance predicate runs only inside
+    // blocks. Production entity resolution unions several blocking
+    // passes (prefix, phonetic, length band) the same way; the oracle
+    // mirrors this single pass exactly.
+    Q(
+      "j11_fuzzy_block_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"),
+            substring(col("c_name"), 1, 16).as("blk"))
+        val a = c.select(col("blk"), col("c_custkey").as("id_a"),
+          col("c_name").as("name_a"))
+        val b = c.select(col("blk"), col("c_custkey").as("id_b"),
+          col("c_name").as("name_b"))
+        a.join(b, "blk")
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 1)
+          .select("id_a", "id_b", "dist")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+          FROM customer)
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // Per-group z-score outliers (a16): flag events whose value sits
+    // more than 3 sample standard deviations from its event-type mean —
+    // the numeric-column scrub a training pipeline runs before feature
+    // normalization. Group stats ride exact decimal moments
+    // (order-independent, bit-exact vs the oracle) and broadcast back
+    // onto the event scan: the 100 TB side is one pass, no second
+    // shuffle.
+    Q(
+      "a16_outlier_zscore",
+      (s, d) => {
+        import graft.functions.Deterministic.{davg, dstddev}
+        val ev = Tables.events(s, d)
+          .select("event_id", "event_type", "value")
+        val st = ev.groupBy("event_type")
+          .agg(davg(col("value")).as("mean"), dstddev(col("value")).as("std"))
+        // std's decimal moment crosses 2^53 internal units, where the
+        // int128→double cast can differ from DuckDB's by an ulp (the a3
+        // precedent) — round z and apply the threshold to the ROUNDED
+        // value on both engines so the flagged set is identical
+        val z = round((col("value") - col("mean")) / col("std"), 6)
+        ev.join(broadcast(st), "event_type")
+          .withColumn("z", z)
+          .filter(abs(col("z")) > 3)
+          .select("event_id", "event_type", "value", "z")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH st AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(value) AS mean,
+                 sqrt((CAST(SUM(CAST(value AS DECIMAL(18,6))
+                                * CAST(value AS DECIMAL(19,6))) AS DOUBLE)
+                        - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                          * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                          / CAST(COUNT(value) AS DOUBLE))
+                      / (CAST(COUNT(value) AS DOUBLE) - 1.0)) AS std
+          FROM events GROUP BY 1)
+        SELECT event_id, e.event_type, value,
+               round((value - mean) / std, 6) AS z
+        FROM events e JOIN st ON e.event_type = st.event_type
+        WHERE abs(round((value - mean) / std, 6)) > 3
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // Equi-width histogram (h2): 20-bin distribution audit of a numeric
+    // column between its global min/max — the pre-training sanity plot
+    // (spotting truncation, spikes, unit errors) as a query. The
+    // min/max frame is one row, broadcast under the binning scan; bin
+    // edges are the identical double expression on both engines so bin
+    // assignment is bit-deterministic.
+    Q(
+      "h2_value_hist",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("value")
+        val mm = ev.agg(min("value").as("mn"), max("value").as("mx"))
+        ev.crossJoin(broadcast(mm))
+          .withColumn("bin",
+            least(lit(19L),
+              floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / 20))))
+          .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        SELECT least(19, CAST(floor((value - mn) / ((mx - mn) / 20)) AS BIGINT)) AS bin,
+               COUNT(*) AS n_rows
+        FROM events CROSS JOIN mm
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
