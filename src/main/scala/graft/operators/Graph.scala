@@ -92,6 +92,57 @@ object Graph {
   def outDegrees(edges: DataFrame): DataFrame =
     edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
 
+  /** Minimum-hop BFS distances from `source`, capped at `maxHops`.
+    *
+    * @param edges   directed edge list (string `src`, `dst`)
+    * @param source  start vertex id (hop 0; emitted even if isolated)
+    * @param maxHops traversal depth cap — the deterministic contract and
+    *                the termination bound (reachability radius audits
+    *                rarely need more than a few hops)
+    * @return (id STRING, hop INT): every vertex reachable within
+    *         `maxHops`, with its exact minimum hop count
+    *
+    * Frontier expansion, one round per hop: join the (frontier-sized)
+    * open set into the edge list, distinct the successors, anti-join
+    * away everything already visited. At 100 TB the edge list is the
+    * big side and stays put — each round shuffles only frontier- and
+    * visited-sized frames keyed on vertex id, with lineage truncated
+    * per round (`localCheckpoint`) so the plan depth is O(1), not
+    * O(hops). The loop exits as soon as a frontier drains, so the cap
+    * is an upper bound, not a fixed cost. Runs under [[Loop.pinned]]
+    * (frontier frames are vertex-sized, not edge-sized).
+    *
+    * Determinism: hop counts are exact integers from a fixed recurrence
+    * — bit-identical across partitionings, and reproducible by an
+    * independent engine running the same bounded walk (the gr4 oracle
+    * unions all ≤`maxHops` walks in a recursive CTE and takes the
+    * per-vertex minimum, which is the same function).
+    */
+  def bfsHops(edges: DataFrame, source: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = Seq((source, 0)).toDF("id", "hop")
+    var frontier = visited.select("id")
+    var drained = false
+    Loop.pinned(spark) {
+      for (h <- 1 to maxHops if !drained) {
+        val next = edges
+          .join(frontier.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .withColumn("hop", lit(h))
+          .localCheckpoint()
+        if (next.isEmpty) drained = true
+        else {
+          visited = visited.unionByName(next).localCheckpoint()
+          frontier = next.select("id")
+        }
+      }
+    }
+    visited
+  }
+
   /** Triangle enumeration over an UNDIRECTED graph given as canonical
     * edges `(a < b)`: returns every (a, b, c) with a < b < c and all
     * three edges present.

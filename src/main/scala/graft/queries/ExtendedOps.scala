@@ -654,6 +654,61 @@ object ExtendedOps {
         FROM events
         GROUP BY user_id
         HAVING COUNT(*) >= 75
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ----------------------------------------------------------------
+    // Column profile (pr1): the one-pass data-quality summary every
+    // ingest runs before anything else — per column: null count, exact
+    // distinct count, min/max (computed on the NATIVE type, then
+    // rendered as a 32-char string so numeric order is preserved and
+    // long text stays bounded). One aggregation over one scan (the
+    // multi-distinct Expand multiplies map-side rows by the column
+    // count but keeps the single-pass shape — the audit runs once per
+    // ingest, not per query), then a `stack` unpivot of the 1-row
+    // result into the (column, measures) report.
+    Q(
+      "pr1_column_profile",
+      (s, d) => {
+        val df = Tables.documents(s, d)
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val aggs = cols.flatMap { c => Seq(
+          (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          substring(min(col(c)).cast("string"), 1, 32).as(s"mn_$c"),
+          substring(max(col(c)).cast("string"), 1, 32).as(s"mx_$c")) }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val stacked = cols
+          .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+        one.selectExpr(s"stack(${cols.size}, $stacked) " +
+            "as (col_name, n_nulls, n_distinct, min_val, max_val)")
+          .orderBy("col_name")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'doc_id' AS col_name,
+                 COUNT(*) - COUNT(doc_id) AS n_nulls,
+                 COUNT(DISTINCT doc_id) AS n_distinct,
+                 substr(CAST(MIN(doc_id) AS VARCHAR), 1, 32) AS min_val,
+                 substr(CAST(MAX(doc_id) AS VARCHAR), 1, 32) AS max_val
+          FROM documents
+          UNION ALL
+          SELECT 'text', COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+                 substr(MIN(text), 1, 32), substr(MAX(text), 1, 32)
+          FROM documents
+          UNION ALL
+          SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+                 substr(MIN(lang), 1, 32), substr(MAX(lang), 1, 32)
+          FROM documents
+          UNION ALL
+          SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+                 substr(MIN(source), 1, 32), substr(MAX(source), 1, 32)
+          FROM documents
+          UNION ALL
+          SELECT 'n_chars', COUNT(*) - COUNT(n_chars),
+                 COUNT(DISTINCT n_chars),
+                 substr(CAST(MIN(n_chars) AS VARCHAR), 1, 32),
+                 substr(CAST(MAX(n_chars) AS VARCHAR), 1, 32)
+          FROM documents)
+        ORDER BY col_name"""))
   )
 }

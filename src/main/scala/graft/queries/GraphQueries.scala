@@ -158,6 +158,29 @@ object GraphQueries {
         JOIN nation na ON na.n_nationkey = tri.a
         JOIN nation nb ON nb.n_nationkey = tri.b
         JOIN nation nc ON nc.n_nationkey = tri.c
-        ORDER BY 1, 2, 3"""))
+        ORDER BY 1, 2, 3""")),
+
+    // ----------------------------------------------------------------
+    // Single-source BFS (gr4): minimum hop count from customer c1 to
+    // every vertex within 4 hops of the trading graph — the
+    // reachability-radius audit (how far does influence propagate from
+    // a seed domain?) and the first recursive-traversal query class in
+    // the inventory. The oracle replays the identical bounded walk as a
+    // DuckDB RECURSIVE CTE (union of all ≤4-hop walks, per-vertex
+    // minimum) — exact integer hops, engine-independent.
+    Q(
+      "gr4_bfs_hops",
+      (s, d) => Graph.bfsHops(tradeEdges(s, d), source = "c1", maxHops = 4)
+        .orderBy("id"),
+      Some(s"""
+        WITH RECURSIVE $edgesCte,
+        walk(id, hop) AS (
+          SELECT 'c1' AS id, 0 AS hop
+          UNION
+          SELECT e.dst, w.hop + 1
+          FROM walk w JOIN edges e ON e.src = w.id
+          WHERE w.hop < 4)
+        SELECT id, CAST(MIN(hop) AS INTEGER) AS hop
+        FROM walk GROUP BY id ORDER BY id"""))
   )
 }

@@ -905,6 +905,134 @@ object TrainingQueries {
         SELECT least(19, CAST(floor((value - mn) / ((mx - mn) / 20)) AS BIGINT)) AS bin,
                COUNT(*) AS n_rows
         FROM events CROSS JOIN mm
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ----------------------------------------------------------------
+    // Equi-depth histogram (h3): 10 equal-count buckets over
+    // events.value with per-bucket boundaries — the quantile audit that
+    // drives curriculum binning and balanced batch construction. This
+    // is the exact oracle form (global ntile over a total tie-break
+    // order — a single-partition sort window, the w1 caveat); the 100×
+    // path derives boundaries once via t14's approx percentiles and
+    // broadcast-bins the scan, trading exactness for a narrow pass.
+    Q(
+      "h3_equidepth_hist",
+      (s, d) => {
+        val w = Window.orderBy("value", "event_id")
+        Tables.events(s, d)
+          .select(col("event_id"), col("value"))
+          .withColumn("bucket", ntile(10).over(w))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("value").as("lo"), max("value").as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH b AS (
+          SELECT value,
+                 CAST(ntile(10) OVER (ORDER BY value, event_id) AS INTEGER)
+                   AS bucket
+          FROM events)
+        SELECT bucket, COUNT(*) AS n_rows, MIN(value) AS lo, MAX(value) AS hi
+        FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // ----------------------------------------------------------------
+    // Pareto frontier (a17): the skyline of parts maximizing p_size
+    // while minimizing p_retailprice — the quality-vs-cost selection
+    // curve a curation pipeline draws before picking a tradeoff point.
+    // Naive skyline is an O(n²) dominance anti-join; here it collapses
+    // to one map-side-combine aggregation per size (a model-sized
+    // frame: |distinct sizes|), a strict-prefix running min over that
+    // tiny frame, and a broadcast join back onto the single big-table
+    // pass. A row survives iff it is the cheapest at its size AND
+    // strictly cheaper than every larger size's cheapest.
+    Q(
+      "a17_pareto_frontier",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select("p_partkey", "p_size", "p_retailprice")
+        val perSize = p.groupBy("p_size")
+          .agg(min("p_retailprice").as("size_min"))
+        val w = Window.orderBy(col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pref = perSize.withColumn("larger_min", min("size_min").over(w))
+        p.join(broadcast(pref), "p_size")
+          .filter(col("p_retailprice") === col("size_min") &&
+            (col("larger_min").isNull ||
+              col("p_retailprice") < col("larger_min")))
+          .select("p_partkey", "p_size", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+      Some("""
+        WITH ps AS (
+          SELECT p_size, MIN(p_retailprice) AS size_min
+          FROM part GROUP BY 1),
+        pref AS (
+          SELECT p_size, size_min,
+                 MIN(size_min) OVER (ORDER BY p_size DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS larger_min
+          FROM ps)
+        SELECT p_partkey, p.p_size, p_retailprice
+        FROM part p JOIN pref ON p.p_size = pref.p_size
+        WHERE p_retailprice = size_min
+          AND (larger_min IS NULL OR p_retailprice < larger_min)
+        ORDER BY p_partkey""")),
+
+    // ----------------------------------------------------------------
+    // Sorted-neighborhood dedup candidates (d17): the third classic
+    // entity-resolution blocking family alongside hash blocking (j11)
+    // and LSH (d4) — sort records on a key, compare each record only to
+    // its w=2 successors in sort order: O(n·w) comparisons instead of
+    // O(Σ block²). Distributed form: partition by a sort-key prefix,
+    // sort within, `lead` windows — no global sort; the documented cost
+    // is pairs straddling a prefix boundary (production SNM re-runs
+    // with a second, shifted key, same shape).
+    Q(
+      "d17_snm_pairs",
+      (s, d) => {
+        val w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
+        val nb = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"),
+            substring(col("c_name"), 1, 15).as("blk"))
+          .withColumn("nid1", lead("c_custkey", 1).over(w))
+          .withColumn("nname1", lead("c_name", 1).over(w))
+          .withColumn("nid2", lead("c_custkey", 2).over(w))
+          .withColumn("nname2", lead("c_name", 2).over(w))
+        nb.select(col("c_custkey").as("id"), col("c_name").as("name"),
+            explode(array(
+              struct(col("nid1").as("nid"), col("nname1").as("nname")),
+              struct(col("nid2").as("nid"), col("nname2").as("nname"))))
+              .as("nbr"))
+          .filter(col("nbr.nid").isNotNull)
+          .withColumn("dist", levenshtein(col("name"), col("nbr.nname")))
+          .filter(col("dist") <= 2)
+          .select(least(col("id"), col("nbr.nid")).as("id_a"),
+            greatest(col("id"), col("nbr.nid")).as("id_b"), col("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk
+          FROM customer),
+        nb AS (
+          SELECT c_custkey AS id, c_name AS name,
+                 lead(c_custkey, 1) OVER w AS nid1,
+                 lead(c_name, 1) OVER w AS nname1,
+                 lead(c_custkey, 2) OVER w AS nid2,
+                 lead(c_name, 2) OVER w AS nname2
+          FROM c
+          WINDOW w AS (PARTITION BY blk ORDER BY c_name, c_custkey)),
+        cand AS (
+          SELECT id, name, nid1 AS nid, nname1 AS nname FROM nb
+          WHERE nid1 IS NOT NULL
+          UNION ALL
+          SELECT id, name, nid2, nname2 FROM nb
+          WHERE nid2 IS NOT NULL)
+        SELECT LEAST(id, nid) AS id_a, GREATEST(id, nid) AS id_b,
+               levenshtein(name, nname) AS dist
+        FROM cand
+        WHERE levenshtein(name, nname) <= 2
+        ORDER BY id_a, id_b"""))
   )
 }

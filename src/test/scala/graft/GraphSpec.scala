@@ -76,6 +76,37 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangles(edges).count() === 0)
   }
 
+  test("bfs hops: exact minimum distances on a hand-drawn graph") {
+    // a→b→c→d chain, shortcut a→c, unreachable island x→y
+    val edges = Seq("a" -> "b", "b" -> "c", "a" -> "c", "c" -> "d", "x" -> "y")
+      .toDF("src", "dst")
+    val got = Graph.bfsHops(edges, "a", maxHops = 4)
+      .as[(String, Int)].collect().toMap
+    assert(got === Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+  }
+
+  test("bfs hops: cap truncates, early exit when the frontier drains") {
+    val chain = (1 to 6).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val capped = Graph.bfsHops(chain, "n1", maxHops = 2)
+      .as[(String, Int)].collect().toMap
+    assert(capped === Map("n1" -> 0, "n2" -> 1, "n3" -> 2))
+    // maxHops far beyond the graph's diameter: loop exits on the
+    // drained frontier, result is the full reachable set
+    val full = Graph.bfsHops(chain, "n1", maxHops = 50)
+      .as[(String, Int)].collect().toMap
+    assert(full === (1 to 7).map(i => s"n$i" -> (i - 1)).toMap)
+  }
+
+  test("bfs hops is partitioning-independent") {
+    val edges = (for (i <- 1 to 20; j <- 1 to 20 if (i * 7 + j) % 5 == 0)
+      yield (s"v$i", s"v$j")).toDF("src", "dst")
+    val a = Graph.bfsHops(edges.repartition(1), "v1", maxHops = 3)
+      .as[(String, Int)].collect().toMap
+    val b = Graph.bfsHops(edges.repartition(7, col("dst")), "v1", maxHops = 3)
+      .as[(String, Int)].collect().toMap
+    assert(a === b)
+  }
+
   test("pagerank rejects empty and degenerate configs loudly") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFixedPoint(Seq.empty[(String, String)].toDF("src", "dst"),
