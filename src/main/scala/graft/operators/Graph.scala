@@ -143,6 +143,57 @@ object Graph {
     visited
   }
 
+  /** Synchronous label propagation (community detection), a fixed number
+    * of rounds with a deterministic tie-break.
+    *
+    * Every vertex starts labeled with its own id; each round, a vertex
+    * adopts the most frequent label among its in-neighbors, ties broken
+    * by the smallest label (binary string order on both engines), and
+    * vertices with no in-edges keep their label. The FIXED round count
+    * and total tie-break make the result a pure function of the edge
+    * list — bit-identical across partitionings and reproducible by an
+    * independent engine unrolling the same recurrence (the gr5 oracle).
+    * (Classic LPA breaks ties randomly; determinism is worth more to a
+    * gated pipeline than the marginal community quality.)
+    *
+    * Scale shape, per round: one join of the node-sized label frame into
+    * the edge list (edges stay put, as in PageRank), one hash
+    * aggregation to (vertex, label) counts with map-side partials, and
+    * one `min_by` reduction per vertex on the already-aggregated count
+    * frame — shuffle rows bounded by distinct (vertex, neighbor-label)
+    * pairs, never raw edges. Lineage truncated per round; runs under
+    * [[Loop.pinned]].
+    *
+    * @return (id STRING, label STRING) — the community representative
+    *         each vertex converged to after `rounds` rounds
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct().persist()
+    var labels = nodes.withColumn("label", col("id"))
+    Loop.pinned(spark) {
+      for (_ <- 1 to rounds) {
+        val adopted = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("id")
+          .agg(min_by(col("label"),
+            struct((-col("c")).as("nc"), col("label"))).as("adopted"))
+        labels = labels.withColumnRenamed("label", "prev")
+          .join(adopted, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("adopted"), col("prev")).as("label"))
+          .localCheckpoint()
+      }
+    }
+    nodes.unpersist()
+    labels
+  }
+
   /** Triangle enumeration over an UNDIRECTED graph given as canonical
     * edges `(a < b)`: returns every (a, b, c) with a < b < c and all
     * three edges present.

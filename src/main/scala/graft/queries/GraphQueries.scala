@@ -181,6 +181,46 @@ object GraphQueries {
           FROM walk w JOIN edges e ON e.src = w.id
           WHERE w.hop < 4)
         SELECT id, CAST(MIN(hop) AS INTEGER) AS hop
-        FROM walk GROUP BY id ORDER BY id"""))
+        FROM walk GROUP BY id ORDER BY id""")),
+
+    // ----------------------------------------------------------------
+    // Label propagation (gr5): 3 synchronous rounds of
+    // most-frequent-neighbor-label community detection with a
+    // deterministic smallest-label tie-break — the domain-clustering
+    // audit over the trading graph. The oracle unrolls the identical
+    // recurrence as chained MATERIALIZED CTEs (count per (vertex,
+    // label), argmax via row_number over (count DESC, label)), the same
+    // trick as gr1/t24.
+    Q(
+      "gr5_label_prop",
+      (s, d) => Graph.labelPropagation(tradeEdges(s, d), rounds = 3)
+        .orderBy("id"),
+      Some(labelPropSql(3)))
   )
+
+  /** Unrolled synchronous label-propagation recurrence — in lockstep
+    * with [[Graph.labelPropagation]] (most frequent in-neighbor label,
+    * ties to the smallest label, no-in-edge vertices keep theirs).
+    */
+  private def labelPropSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""u$i AS MATERIALIZED (
+            SELECT id, label FROM (
+              SELECT e.dst AS id, l.label AS label,
+                     row_number() OVER (PARTITION BY e.dst
+                       ORDER BY COUNT(*) DESC, l.label) AS rn
+              FROM edges e JOIN l${i - 1} l ON l.id = e.src
+              GROUP BY e.dst, l.label) t
+            WHERE rn = 1),
+          l$i AS MATERIALIZED (
+            SELECT p.id, COALESCE(u$i.label, p.label) AS label
+            FROM l${i - 1} p LEFT JOIN u$i ON u$i.id = p.id)"""
+    }.mkString(",\n")
+    s"""
+      WITH $edgesCte,
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+      l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
+      $steps
+      SELECT id, label FROM l$rounds ORDER BY id"""
+  }
 }

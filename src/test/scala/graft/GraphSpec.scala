@@ -107,6 +107,51 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  /** Driver-side model of the synchronous LPA recurrence. */
+  private def modelLpa(
+      edges: Seq[(String, String)], rounds: Int): Map[String, String] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val inNbrs = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = nodes.map { v =>
+        inNbrs.get(v) match {
+          case None => v -> lab(v)
+          case Some(ns) =>
+            val counts = ns.map(lab).groupBy(identity)
+              .map { case (l, o) => (l, o.size) }
+            val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+            v -> best
+        }
+      }.toMap
+    }
+    lab
+  }
+
+  test("label propagation matches the hand-evaluated recurrence") {
+    // two cliques bridged by one edge: labels converge within cliques
+    val cliqueA = for (i <- 1 to 4; j <- 1 to 4 if i != j) yield (s"a$i", s"a$j")
+    val cliqueB = for (i <- 1 to 4; j <- 1 to 4 if i != j) yield (s"b$i", s"b$j")
+    val edges = cliqueA ++ cliqueB ++ Seq("a1" -> "b1", "b1" -> "a1")
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 3)
+      .as[(String, String)].collect().toMap
+    assert(got === modelLpa(edges, 3))
+    // the two cliques land on different representatives
+    assert(got("a2") !== got("b2"))
+  }
+
+  test("label propagation is partitioning-independent") {
+    val edges = (for (i <- 1 to 24; j <- 1 to 24 if i != j && (i + 2 * j) % 4 == 0)
+      yield (s"v$i", s"v$j"))
+    val df = edges.toDF("src", "dst")
+    val a = Graph.labelPropagation(df.repartition(1), rounds = 3)
+      .as[(String, String)].collect().toMap
+    val b = Graph.labelPropagation(df.repartition(5, col("src")), rounds = 3)
+      .as[(String, String)].collect().toMap
+    assert(a === modelLpa(edges, 3))
+    assert(a === b)
+  }
+
   test("pagerank rejects empty and degenerate configs loudly") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFixedPoint(Seq.empty[(String, String)].toDF("src", "dst"),
