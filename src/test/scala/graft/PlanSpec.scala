@@ -406,4 +406,33 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"shingle evidence join must stay an equi-join:\n$plan")
   }
+
+  test("pareto frontier: skyline joins back by broadcast, no O(n^2) dominance join") {
+    val q = SparkEntry.queries("a17_pareto_frontier")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"size-frame must broadcast back onto the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"skyline must not shuffle or cross-join the big table:\n$plan")
+  }
+
+  test("column profile is one scan: a single aggregate over one parquet read") {
+    val q = SparkEntry.queries("pr1_column_profile")(spark, sf)
+    // AQE's toString repeats the plan under "== Initial Plan ==" — count
+    // scans in the final section only
+    val plan = planOf(q).split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"profile must read the table exactly once:\n$plan")
+    assert(!plan.contains("Join"), s"profile must not self-join:\n$plan")
+  }
+
+  test("snm candidate pairs: neighbor compare is a prefix-partitioned window, no join") {
+    val q = SparkEntry.queries("d17_snm_pairs")(spark, sf)
+    val plan = planOf(q)
+    assert(!plan.contains("Join"),
+      s"SNM compares only sort-neighbors via lead windows, never a join:\n$plan")
+    assert(plan.contains("Window"), s"expected the lead window:\n$plan")
+  }
 }
