@@ -116,6 +116,95 @@ object Multimodal {
       (w, h, sum / (w.toLong * h))
     }
 
+  /** 64-bit average-hash (aHash) perceptual image fingerprint: decode
+    * the REAL pixels, mean luminance per cell of an 8×8 grid, bit b set
+    * iff cell b's mean exceeds the global mean. All arithmetic is exact
+    * integer (ITU-R 601 luminance ×1000, cross-multiplied comparison
+    * `cell_sum * 64 > total` instead of divided means) — no float
+    * rounding, no library rescaling, so the hash is a pure function of
+    * the pixel grid: bit-identical across JVMs and partitionings, and
+    * EXACTLY invariant under a uniform brightness shift (the shift
+    * cancels in the cross-multiplication).
+    *
+    * Near-dup semantics: perceptually identical images (re-encodes,
+    * brightness shifts) land at hamming distance 0–3; unrelated images
+    * at ~32. Pairing via 4×16-bit band blocking is then exact for
+    * distance ≤ 3 by pigeonhole — the same banding guarantee SimHash
+    * (d5–d7) uses, here over real decoded media.
+    */
+  private[graft] def aHash64(bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "aHash64: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 8 && h >= 8, s"aHash64: image too small ($w x $h)")
+    val bw = w / 8
+    val bh = h / 8
+    val sums = new Array[Long](64)
+    var y = 0
+    while (y < bh * 8) {
+      var x = 0
+      while (x < bw * 8) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+          (rgb & 0xff) * 114).toLong
+        sums((y / bh) * 8 + x / bw) += lum
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += sums(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (sums(i) * 64 > total) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  /** Near-duplicate image corpus for the m4 gate: `nGroups` triples of
+    * REAL 64×64 PNGs. Variant 0 is an md5-seeded 8×8 block pattern
+    * (each block uniform gray 40 or 216); variant 1 shifts every pixel
+    * +8 (aHash distance 0 — exact invariance); variant 2 inverts two
+    * seed-chosen blocks (aHash distance exactly 2: the global mean
+    * moves by at most 2·176/64 ≈ 5.5, far inside the 40/216 margin, so
+    * no other bit can flip). Cross-group patterns are independent md5
+    * draws (expected distance 32; ≤3 has probability ~2^-47 per pair
+    * and is additionally pinned empirically in MultimodalSpec). */
+  def fakeNearDupImages(spark: SparkSession, nGroups: Int,
+      partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, nGroups * 3L, 1, partitions).map { i =>
+      val g = (i / 3).toInt
+      val v = (i % 3).toInt
+      val digest = org.apache.commons.codec.digest.DigestUtils.md5(s"phash|$g")
+      val baseBits = java.nio.ByteBuffer.wrap(digest).getLong
+      val delta = if (v == 1) 8 else 0
+      // 30g ≡ 47 (mod 64) has no solution (gcd 2 ∤ 47): always distinct
+      val flips = if (v == 2) Set(g % 64, (g * 31 + 17) % 64) else Set.empty[Int]
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var b = 0
+      while (b < 64) {
+        val high = ((baseBits >>> b & 1L) == 1L) ^ flips.contains(b)
+        val lum = (if (high) 216 else 40) + delta
+        val rgb = lum << 16 | lum << 8 | lum
+        val bx = (b % 8) * 8
+        val by = (b / 8) * 8
+        var y = by
+        while (y < by + 8) {
+          var x = bx
+          while (x < bx + 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        b += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      MediaRow(i, "image", out.toByteArray, 64, 64, "png")
+    }
+  }
+
   /** A real WAV: deterministic md5-seeded sine tone (seed-derived
     * frequency and amplitude), 16-bit mono little-endian PCM, encoded
     * with the JDK's built-in `javax.sound.sampled` writer. */

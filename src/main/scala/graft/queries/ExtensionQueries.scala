@@ -605,6 +605,58 @@ object ExtensionQueries {
         ORDER BY media_id, frame_idx""")),
 
     // ----------------------------------------------------------------
+    // Perceptual-hash image dedup (m4): the multimodal arm of the dedup
+    // stack. Real PNGs → exact-integer aHash64 map-side (payload bytes
+    // never shuffle — only the 8-byte hash does), then the SimHash
+    // banding scheme (4×16-bit bands, equi-join on band value) pairs
+    // candidates, exact for hamming ≤ 3 by pigeonhole; bit_count(XOR)
+    // scores survivors. The corpus is 60 engineered triples (original /
+    // +8 brightness / two inverted blocks) whose pairwise distances are
+    // 0 and exactly 2 by construction, so DuckDB predicts the full pair
+    // list: a codec drift, hash change, or banding bug flips rows and
+    // the gate hash catches it.
+    Q(
+      "m4_phash_dedup",
+      (s, _) => {
+        import s.implicits._
+        val media = graft.operators.Multimodal.fakeNearDupImages(s, 60)
+        val hashed = media
+          .map(r => (r.media_id, graft.operators.Multimodal.aHash64(r.bytes)))
+          .toDF("media_id", "phash")
+        val banded = hashed.select(col("media_id"), col("phash"),
+            explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+              shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))
+                .as("bv"))): _*)).as("bb"))
+          .select(col("media_id"), col("phash"),
+            col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val lhs = banded.select(col("band"), col("bv"),
+          col("media_id").as("id_a"), col("phash").as("ha"))
+        val rhs = banded.select(col("band"), col("bv"),
+          col("media_id").as("id_b"), col("phash").as("hb"))
+        lhs.join(rhs, Seq("band", "bv"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "ha", "hb").distinct()
+          .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .filter(col("dist") <= 3)
+          .withColumn("same_group",
+            when(expr("id_a div 3") === expr("id_b div 3"), 1).otherwise(0))
+          .select("id_a", "id_b", "dist", "same_group")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH g AS (SELECT unnest(generate_series(0, 59)) AS g)
+        SELECT * FROM (
+          SELECT 3*g AS id_a, 3*g + 1 AS id_b,
+                 CAST(0 AS INTEGER) AS dist, CAST(1 AS INTEGER) AS same_group
+          FROM g
+          UNION ALL
+          SELECT 3*g, 3*g + 2, CAST(2 AS INTEGER), CAST(1 AS INTEGER) FROM g
+          UNION ALL
+          SELECT 3*g + 1, 3*g + 2, CAST(2 AS INTEGER), CAST(1 AS INTEGER)
+          FROM g)
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
     // BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterative
     // merge loop itself, not just the vocab count. Round 1 counts all
     // adjacent symbol pairs across the corpus (one explode + one

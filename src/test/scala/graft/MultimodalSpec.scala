@@ -159,4 +159,32 @@ class MultimodalSpec extends SparkSpec {
     // declared frame count comes from avih
     assert(Multimodal.parseAvi(good).exists(_._1 == 4))
   }
+
+  test("aHash64: exact brightness invariance and engineered block distances") {
+    val rows = Multimodal.fakeNearDupImages(spark, 8).collect()
+      .map(r => r.media_id -> Multimodal.aHash64(r.bytes)).toMap
+    for (g <- 0 until 8) {
+      val (h0, h1, h2) = (rows(3L * g), rows(3L * g + 1), rows(3L * g + 2))
+      assert(h0 === h1, s"group $g: +8 brightness must not move the hash")
+      assert(java.lang.Long.bitCount(h0 ^ h2) === 2,
+        s"group $g: two inverted blocks must flip exactly two bits")
+    }
+  }
+
+  test("aHash64: cross-group hashes are far apart (banding cannot false-pair)") {
+    val hs = Multimodal.fakeNearDupImages(spark, 60).collect()
+      .filter(_.media_id % 3 == 0).map(r => Multimodal.aHash64(r.bytes))
+    val minDist = (for (i <- hs.indices; j <- hs.indices if i < j)
+      yield java.lang.Long.bitCount(hs(i) ^ hs(j))).min
+    assert(minDist > 3,
+      s"fixed corpus must keep unrelated images beyond the pair threshold: $minDist")
+  }
+
+  test("aHash64 survives a PNG re-encode round-trip") {
+    val r = Multimodal.fakeNearDupImages(spark, 1).collect().head
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    assert(Multimodal.aHash64(out.toByteArray) === Multimodal.aHash64(r.bytes))
+  }
 }
