@@ -231,6 +231,92 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** 64-bit audio energy fingerprint — the aural sibling of
+    * [[aHash64]]: decode REAL PCM frames, sum |amplitude| over 64 equal
+    * time windows, bit w set iff window w's energy exceeds the global
+    * mean. Cross-multiplied exact-integer comparison
+    * (`win_sum * 64 > total`), so the fingerprint is EXACTLY invariant
+    * under any uniform gain (the gain factor cancels) and bit-identical
+    * across JVMs. Trailing samples beyond the last full window are
+    * ignored (a fixed truncation, not a rounding). */
+  private[graft] def audioHash64(bytes: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"audioHash64: expected 16-bit mono PCM, got $fmt")
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    require(n >= 64, s"audioHash64: too few samples ($n)")
+    val winLen = n / 64
+    val sums = new Array[Long](64)
+    var w = 0
+    while (w < 64) {
+      var i = w * winLen
+      val end = i + winLen
+      var s = 0L
+      while (i < end) {
+        val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toLong
+        s += math.abs(v)
+        i += 1
+      }
+      sums(w) = s
+      w += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += sums(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (sums(i) * 64 > total) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  /** Near-duplicate audio corpus for the m5 gate: triples of REAL WAVs
+    * built from 64 constant-|amplitude| square-wave windows (amplitude
+    * 1000 or 6000 per md5 bit of the group seed — window energy is then
+    * EXACTLY amp·winLen). Variant 0 is the base; variant 1 doubles
+    * every sample (exact ×2 gain, no clipping — fingerprint distance
+    * 0); variant 2 swaps two seed-chosen windows quiet↔loud
+    * (fingerprint distance exactly 2: a window's class is decided by
+    * `amp·64 > Σamps`, and two swaps move Σamps by ≤10000, far inside
+    * the 64000/384000 band edges for any mixed pattern). */
+  def fakeNearDupAudio(spark: SparkSession, nGroups: Int,
+      partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    val winLen = 40
+    spark.range(0, nGroups * 3L, 1, partitions).map { i =>
+      val g = (i / 3).toInt
+      val v = (i % 3).toInt
+      val digest = org.apache.commons.codec.digest.DigestUtils.md5(s"ahash|$g")
+      val baseBits = java.nio.ByteBuffer.wrap(digest).getLong
+      val gain = if (v == 1) 2 else 1
+      val flips = if (v == 2) Set(g % 64, (g * 31 + 17) % 64) else Set.empty[Int]
+      val pcm = new Array[Byte](64 * winLen * 2)
+      var w = 0
+      while (w < 64) {
+        val loud = ((baseBits >>> w & 1L) == 1L) ^ flips.contains(w)
+        val amp = (if (loud) 6000 else 1000) * gain
+        var k = 0
+        while (k < winLen) {
+          val s = if (k % 2 == 0) amp else -amp // square wave: |s| = amp
+          val idx = (w * winLen + k) * 2
+          pcm(idx) = (s & 0xff).toByte
+          pcm(idx + 1) = ((s >> 8) & 0xff).toByte
+          k += 1
+        }
+        w += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, (64L * winLen))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      MediaRow(i, "audio", out.toByteArray, 0, 0, "wav")
+    }
+  }
+
   /** REAL audio decode via the JDK parser: (sample rate, channels,
     * frames, mean |amplitude| scaled to 0–255) from the actual PCM
     * frames. None when the payload is not parseable 16-bit signed PCM

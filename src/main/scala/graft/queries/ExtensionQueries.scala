@@ -63,6 +63,35 @@ object ExtensionQueries {
 
   lazy val all: Seq[Q] = coreQueries ++ moreQueries
 
+  /** Shared pairing stage for the perceptual-hash dedup queries (m4
+    * image, m5 audio): 4×16-bit band blocking over a (media_id, phash)
+    * frame — an equi-join on band value, exact for hamming ≤ 3 by
+    * pigeonhole — then bit_count(XOR) scoring of the candidates. Only
+    * 8-byte hashes flow through the join; payloads stayed map-side in
+    * the hashing stage. */
+  private def bandedHashPairs(hashed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val banded = hashed.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))
+            .as("bv"))): _*)).as("bb"))
+      .select(col("media_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val lhs = banded.select(col("band"), col("bv"),
+      col("media_id").as("id_a"), col("phash").as("ha"))
+    val rhs = banded.select(col("band"), col("bv"),
+      col("media_id").as("id_b"), col("phash").as("hb"))
+    lhs.join(rhs, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= 3)
+      .withColumn("same_group",
+        when(expr("id_a div 3") === expr("id_b div 3"), 1).otherwise(0))
+      .select("id_a", "id_b", "dist", "same_group")
+      .orderBy("id_a", "id_b")
+  }
+
   private lazy val coreQueries: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // Token counting + quality scoring (length / word-shape / stopword
@@ -623,25 +652,39 @@ object ExtensionQueries {
         val hashed = media
           .map(r => (r.media_id, graft.operators.Multimodal.aHash64(r.bytes)))
           .toDF("media_id", "phash")
-        val banded = hashed.select(col("media_id"), col("phash"),
-            explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-              shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))
-                .as("bv"))): _*)).as("bb"))
-          .select(col("media_id"), col("phash"),
-            col("bb.band").as("band"), col("bb.bv").as("bv"))
-        val lhs = banded.select(col("band"), col("bv"),
-          col("media_id").as("id_a"), col("phash").as("ha"))
-        val rhs = banded.select(col("band"), col("bv"),
-          col("media_id").as("id_b"), col("phash").as("hb"))
-        lhs.join(rhs, Seq("band", "bv"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b", "ha", "hb").distinct()
-          .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
-          .filter(col("dist") <= 3)
-          .withColumn("same_group",
-            when(expr("id_a div 3") === expr("id_b div 3"), 1).otherwise(0))
-          .select("id_a", "id_b", "dist", "same_group")
-          .orderBy("id_a", "id_b")
+        bandedHashPairs(hashed)
+      },
+      Some("""
+        WITH g AS (SELECT unnest(generate_series(0, 59)) AS g)
+        SELECT * FROM (
+          SELECT 3*g AS id_a, 3*g + 1 AS id_b,
+                 CAST(0 AS INTEGER) AS dist, CAST(1 AS INTEGER) AS same_group
+          FROM g
+          UNION ALL
+          SELECT 3*g, 3*g + 2, CAST(2 AS INTEGER), CAST(1 AS INTEGER) FROM g
+          UNION ALL
+          SELECT 3*g + 1, 3*g + 2, CAST(2 AS INTEGER), CAST(1 AS INTEGER)
+          FROM g)
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // Audio fingerprint dedup (m5): m4's pairing stage over REAL
+    // decoded PCM — 64-window energy fingerprint (exactly gain-
+    // invariant by cross-multiplication), engineered triples (base /
+    // exact x2 gain / two swapped windows) at distances 0 and exactly
+    // 2, same 4x16 banding, same predicted pair list. Together m4+m5
+    // make perceptual near-dup detection a cross-modal primitive: only
+    // the hashing map stage knows the modality.
+    Q(
+      "m5_audio_dedup",
+      (s, _) => {
+        import s.implicits._
+        val media = graft.operators.Multimodal.fakeNearDupAudio(s, 60)
+        val hashed = media
+          .map(r => (r.media_id,
+            graft.operators.Multimodal.audioHash64(r.bytes)))
+          .toDF("media_id", "phash")
+        bandedHashPairs(hashed)
       },
       Some("""
         WITH g AS (SELECT unnest(generate_series(0, 59)) AS g)

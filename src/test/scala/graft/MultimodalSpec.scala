@@ -180,6 +180,25 @@ class MultimodalSpec extends SparkSpec {
       s"fixed corpus must keep unrelated images beyond the pair threshold: $minDist")
   }
 
+  test("audioHash64: exact gain invariance and engineered window distances") {
+    val rows = Multimodal.fakeNearDupAudio(spark, 8).collect()
+      .map(r => r.media_id -> Multimodal.audioHash64(r.bytes)).toMap
+    for (g <- 0 until 8) {
+      val (h0, h1, h2) = (rows(3L * g), rows(3L * g + 1), rows(3L * g + 2))
+      assert(h0 === h1, s"group $g: exact x2 gain must not move the fingerprint")
+      assert(java.lang.Long.bitCount(h0 ^ h2) === 2,
+        s"group $g: two swapped windows must flip exactly two bits")
+    }
+  }
+
+  test("audioHash64: cross-group fingerprints stay beyond the pair threshold") {
+    val hs = Multimodal.fakeNearDupAudio(spark, 60).collect()
+      .filter(_.media_id % 3 == 0).map(r => Multimodal.audioHash64(r.bytes))
+    val minDist = (for (i <- hs.indices; j <- hs.indices if i < j)
+      yield java.lang.Long.bitCount(hs(i) ^ hs(j))).min
+    assert(minDist > 3, s"unrelated audio too close: $minDist")
+  }
+
   test("aHash64 survives a PNG re-encode round-trip") {
     val r = Multimodal.fakeNearDupImages(spark, 1).collect().head
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
