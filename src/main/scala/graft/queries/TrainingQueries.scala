@@ -1033,6 +1033,40 @@ object TrainingQueries {
                levenshtein(name, nname) AS dist
         FROM cand
         WHERE levenshtein(name, nname) <= 2
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // Deterministic epoch shuffle (t29): the training-order primitive —
+    // each epoch is a pseudorandom permutation of the corpus given by
+    // sorting on md5(epoch || doc_id), reproducible on any engine and
+    // any partitioning (no RNG state, no seed files). The query emits
+    // the first 100 positions of epoch 7: the sort-prefix compiles to
+    // TakeOrderedAndProject (per-partition heaps + driver merge of
+    // k-row results — no global sort materializes), and only the 100
+    // survivors see the rank window. At 100 TB the full permutation is
+    // never materialized either: a range-partitioned write on the same
+    // key streams epoch order straight to the trainer.
+    Q(
+      "t29_epoch_shuffle",
+      (s, d) => {
+        val keyed = Tables.documents(s, d).select(col("doc_id"),
+          md5(concat(lit("epoch7|"), col("doc_id").cast("string")))
+            .as("shuffle_key"))
+        keyed.orderBy("shuffle_key", "doc_id").limit(100)
+          .withColumn("rank",
+            row_number().over(Window.orderBy("shuffle_key", "doc_id")))
+          .select("rank", "doc_id", "shuffle_key")
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5('epoch7|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+          FROM documents),
+        top AS (
+          SELECT * FROM keyed ORDER BY shuffle_key, doc_id LIMIT 100)
+        SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                 AS INTEGER) AS rank,
+               doc_id, shuffle_key
+        FROM top ORDER BY rank"""))
   )
 }

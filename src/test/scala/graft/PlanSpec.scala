@@ -428,6 +428,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"profile must not self-join:\n$plan")
   }
 
+  test("epoch shuffle prefix is TakeOrdered — the permutation never materializes") {
+    val q = SparkEntry.queries("t29_epoch_shuffle")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sort-prefix must compile to a bounded top-k:\n$plan")
+  }
+
   test("snm candidate pairs: neighbor compare is a prefix-partitioned window, no join") {
     val q = SparkEntry.queries("d17_snm_pairs")(spark, sf)
     val plan = planOf(q)
