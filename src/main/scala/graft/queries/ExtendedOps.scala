@@ -709,6 +709,77 @@ object ExtendedOps {
                  substr(CAST(MIN(n_chars) AS VARCHAR), 1, 32),
                  substr(CAST(MAX(n_chars) AS VARCHAR), 1, 32)
           FROM documents)
-        ORDER BY col_name"""))
+        ORDER BY col_name""")),
+
+    // ----------------------------------------------------------------
+    // Declarative expectations audit (dq1): the contract gate an ingest
+    // runs before promoting a batch — six rule families (not-null,
+    // numeric range, allowed values, key uniqueness, JSON field shape,
+    // referential integrity) each reporting its violation count and a
+    // pass flag. The five row-level rules ride ONE aggregation over one
+    // scan (conditional sums + a distinct count); referential integrity
+    // is a key-only anti-join counted to a single row — at 100 TB
+    // that's one pass for all row rules and one keyed join, never a
+    // rule-per-scan loop.
+    Q(
+      "dq1_expectations",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val kStr = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+        val agg = ev.agg(
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("v_null"),
+          sum(when(col("value") < 0 || col("value") > 100, 1L)
+            .otherwise(0L)).as("v_range"),
+          sum(when(not(col("event_type").isin(
+            "click", "view", "signup", "purchase", "error")), 1L)
+            .otherwise(0L)).as("v_type"),
+          (count(lit(1)) - countDistinct(col("event_id"))).as("v_unique"),
+          sum(when(kStr === "" || kStr.cast("long") > 99, 1L)
+            .otherwise(0L)).as("v_props"))
+        val rowRules = agg.selectExpr(
+          "stack(5, 'event_id_unique', v_unique, " +
+            "'event_type_allowed', v_type, 'props_k_in_range', v_props, " +
+            "'value_in_range', v_range, 'value_not_null', v_null) " +
+            "as (rule, n_violations)")
+        val ref = ev.select(col("user_id"))
+          .join(Tables.customer(s, d).select(col("c_custkey").as("user_id")),
+            Seq("user_id"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("user_id_referential").as("rule"), col("n_violations"))
+        rowRules.unionByName(ref)
+          .withColumn("passed", when(col("n_violations") === 0, 1).otherwise(0))
+          .orderBy("rule")
+      },
+      Some("""
+        WITH k AS (
+          SELECT *, regexp_extract(props, '"k": (\d+)', 1) AS ks
+          FROM events),
+        agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS v_null,
+            CAST(SUM(CASE WHEN value < 0 OR value > 100 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_range,
+            CAST(SUM(CASE WHEN event_type NOT IN
+              ('click','view','signup','purchase','error') THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_type,
+            COUNT(*) - COUNT(DISTINCT event_id) AS v_unique,
+            CAST(SUM(CASE WHEN ks = '' OR TRY_CAST(ks AS BIGINT) > 99
+              THEN 1 ELSE 0 END) AS BIGINT) AS v_props
+          FROM k),
+        ref AS (
+          SELECT COUNT(*) AS n FROM events e
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = e.user_id))
+        SELECT rule, n_violations,
+               CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+        FROM (
+          SELECT 'event_id_unique' AS rule, v_unique AS n_violations FROM agg
+          UNION ALL SELECT 'event_type_allowed', v_type FROM agg
+          UNION ALL SELECT 'props_k_in_range', v_props FROM agg
+          UNION ALL SELECT 'value_in_range', v_range FROM agg
+          UNION ALL SELECT 'value_not_null', v_null FROM agg
+          UNION ALL SELECT 'user_id_referential', n FROM ref) t
+        ORDER BY rule"""))
   )
 }
