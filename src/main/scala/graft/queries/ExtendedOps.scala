@@ -780,6 +780,37 @@ object ExtendedOps {
           UNION ALL SELECT 'value_in_range', v_range FROM agg
           UNION ALL SELECT 'value_not_null', v_null FROM agg
           UNION ALL SELECT 'user_id_referential', n FROM ref) t
-        ORDER BY rule"""))
+        ORDER BY rule""")),
+
+    // ----------------------------------------------------------------
+    // ANSI SQL text surface (sql1): ONE literal SQL string executed
+    // verbatim by BOTH engines — Spark runs it through spark.sql over
+    // temp views; DuckDB runs the identical text as the oracle. This
+    // gates the full text→Catalyst path (parser, analyzer, decimal
+    // semantics, ORDER BY+LIMIT → TakeOrdered) rather than the
+    // DataFrame DSL: a reference user's ad-hoc SQL runs unchanged.
+    // Revenue accumulates through exact DECIMAL (the engine-independent
+    // double-sum discipline) with a total tie-break order.
+    Q(
+      "sql1_ansi_revenue",
+      (s, d) => {
+        Seq("orders", "lineitem").foreach { t =>
+          Tables.table(s, d, t).createOrReplaceTempView(t)
+        }
+        s.sql(Sql1Text)
+      },
+      Some(Sql1Text))
   )
+
+  /** The sql1 query text — a single ANSI string both engines accept
+    * (a def: object-init order must not matter to the `all` Seq). */
+  private def Sql1Text = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus <> 'F' AND l_discount > 0.02
+    GROUP BY o_orderkey, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10"""
 }

@@ -155,4 +155,31 @@ class EdgeCaseSpec extends SparkSpec {
       IvfPq.load(spark, "/tmp/graft-no-such-ivfpq-model-dir")
     }
   }
+
+  test("bfs/lpa reject degenerate round counts loudly") {
+    import graft.operators.Graph
+    val e = Seq("a" -> "b").toDF("src", "dst")
+    intercept[IllegalArgumentException] { Graph.bfsHops(e, "a", 0) }
+    intercept[IllegalArgumentException] { Graph.labelPropagation(e, 0) }
+  }
+
+  test("pareto frontier output is mutually non-dominated and dominates the rest") {
+    val q = SparkEntry.queries("a17_pareto_frontier")(
+      spark, "/root/testdata/sf0.001")
+    val front = q.select("p_size", "p_retailprice")
+      .as[(Int, Double)].collect()
+    assert(front.nonEmpty)
+    // no frontier point dominates another (strict in one dim, weak in both)
+    for (a <- front; b <- front if a != b)
+      assert(!(a._1 >= b._1 && a._2 <= b._2 && (a._1 > b._1 || a._2 < b._2)),
+        s"$a dominates $b inside the frontier")
+    // every non-frontier part is dominated by some frontier point
+    val all = Tables.part(spark, "/root/testdata/sf0.001")
+      .select(col("p_size"), col("p_retailprice"))
+      .as[(Int, Double)].collect()
+    val fs = front.toSet
+    for (p <- all if !fs.contains(p))
+      assert(front.exists(f => f._1 >= p._1 && f._2 <= p._2 &&
+        (f._1 > p._1 || f._2 < p._2)), s"$p escaped the frontier")
+  }
 }
