@@ -56,15 +56,16 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must be a proper fraction, got $dampNum/$dampDen")
     val spark = edges.sparkSession
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    val e = edges.persist() // read 4x below before edgesD caches
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct().persist()
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge list")
     // edge list decorated with out-degree once, up front; re-used
     // (not re-shuffled) every round
-    val edgesD = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val edgesD = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .persist()
     val init = scale / n
     val base = (scale * (dampDen - dampNum) / dampDen) / n
@@ -85,6 +86,7 @@ object Graph {
     }
     nodes.unpersist()
     edgesD.unpersist()
+    e.unpersist()
     ranks
   }
 
@@ -122,12 +124,16 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
+    // the edge list is re-joined every round: materialize it once (at
+    // cluster scale this is the already-persisted/bucketed edge table —
+    // the point is the per-round plan must not re-derive it)
+    val e = edges.persist()
     var visited = Seq((source, 0)).toDF("id", "hop")
     var frontier = visited.select("id")
     var drained = false
     Loop.pinned(spark) {
       for (h <- 1 to maxHops if !drained) {
-        val next = edges
+        val next = e
           .join(frontier.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id")).distinct()
           .join(visited.select("id"), Seq("id"), "left_anti")
@@ -140,6 +146,7 @@ object Graph {
         }
       }
     }
+    e.unpersist()
     visited
   }
 
@@ -170,13 +177,14 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    val e = edges.persist() // re-joined every round; derive once
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct().persist()
     var labels = nodes.withColumn("label", col("id"))
     Loop.pinned(spark) {
       for (_ <- 1 to rounds) {
-        val adopted = edges
+        val adopted = e
           .join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"), col("label"))
           .agg(count(lit(1)).as("c"))
@@ -191,6 +199,7 @@ object Graph {
       }
     }
     nodes.unpersist()
+    e.unpersist()
     labels
   }
 
