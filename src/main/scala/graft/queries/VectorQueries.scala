@@ -813,6 +813,50 @@ object VectorQueries {
         FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
         ORDER BY query_id""")),
 
+    // ----------------------------------------------------------------
+    // Index DELETE maintenance (v19) — v18's dual, completing the
+    // lifecycle (train → index → persist → append → delete): deletions
+    // applied as a tombstone filter on the persisted index (no
+    // rebuild, no touch of the list files — at 100 TB the tombstone
+    // set is a metadata-sized anti-join pushed under the partition-
+    // pruned scan) must search IDENTICALLY to an index rebuilt from
+    // scratch on the surviving corpus under the same frozen model.
+    // PQ codes are row-local, so filtering encoded rows ≡ encoding
+    // filtered rows — the verdict also pins that no tombstoned
+    // neighbor leaks through.
+    Q(
+      "v19_ivfpq_delete",
+      (s, d) => {
+        import graft.operators.IvfPq
+        val emb = Tables.embeddings(s, d)
+        val (model, fullIdx) = persistedIvfPqIndex(s, d)
+        val deletedIdx = fullIdx.filter(!(col("vec_id") % 11 === 4))
+        val rebuiltIdx = IvfPq.index(
+          emb.filter(!(col("vec_id") % 11 === 4)),
+          "vec_id", "embedding", model, withNorm = true,
+          metaCols = Seq("label"))
+        val queries = emb.filter(col("vec_id") < 5)
+        val k = 10
+        def run(i: org.apache.spark.sql.DataFrame) =
+          IvfPq.searchIndex(queries, i, "vec_id", "embedding", model,
+            k, nProbe = 8).select("query_id", "neighbor_id", "rank")
+        run(deletedIdx)
+          .join(run(rebuiltIdx),
+            Seq("query_id", "neighbor_id", "rank"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("neighbor_id") % 11 === 4, 1).otherwise(0))
+              .as("n_tomb"))
+          .select(col("query_id"),
+            when(col("n") === k && col("n_tomb") === 0, 1).otherwise(0)
+              .as("match_ok"))
+          .orderBy("query_id")
+      },
+      Some("""
+        SELECT query_id, CAST(1 AS INTEGER) AS match_ok
+        FROM (SELECT unnest(generate_series(0, 4)) AS query_id)
+        ORDER BY query_id""")),
+
     Q(
       "km1_kmeans_verdict",
       (s, d) => {
