@@ -679,6 +679,80 @@ object Relational {
         ORDER BY set_op, o_custkey""")),
 
     // ----------------------------------------------------------------
+    // O5: MULTISET set operations — INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicities (min / truncated-difference of per-value
+    // counts), the bag semantics o4's distinct forms erase. Spark plans
+    // both as a single aggregation of per-side counts (no distinct
+    // pre-pass, no join): the multiplicity bookkeeping rides map-side
+    // partials like any other agg.
+    Q(
+      "o5_multiset_ops",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        def side(r: Int) = l.filter(col("l_suppkey") % 2 === r)
+          .select("l_partkey")
+        side(0).intersectAll(side(1))
+          .withColumn("set_op", lit("intersect_all"))
+          .unionByName(side(0).exceptAll(side(1))
+            .withColumn("set_op", lit("except_all")))
+          .orderBy("set_op", "l_partkey")
+      },
+      Some("""
+        WITH a AS (SELECT l_partkey FROM lineitem WHERE l_suppkey % 2 = 0),
+        b AS (SELECT l_partkey FROM lineitem WHERE l_suppkey % 2 = 1)
+        SELECT l_partkey, 'intersect_all' AS set_op
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        UNION ALL
+        SELECT l_partkey, 'except_all'
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        ORDER BY set_op, l_partkey""")),
+
+    // ----------------------------------------------------------------
+    // J12: FULL OUTER join semantics as an explicit gate (the plan
+    // shape k2's MERGE rides, surfaced as its own query): deliberately
+    // mismatched key sets on both sides, reconciled into per-category
+    // row counts and key checksums — a row landing in the wrong
+    // category moves two aggregates at once.
+    Q(
+      "j12_full_outer",
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_custkey")).groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+        val c = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"))
+        o.join(c, col("o_custkey") === col("c_custkey"), "full_outer")
+          .withColumn("category",
+            when(col("o_custkey").isNotNull && col("c_custkey").isNotNull,
+              "both")
+              .when(col("o_custkey").isNotNull, "orders_only")
+              .otherwise("customer_only"))
+          .groupBy("category")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(coalesce(col("o_custkey"), col("c_custkey"))).as("key_sum"),
+            sum(coalesce(col("n_orders"), lit(0L))).as("order_sum"))
+          .orderBy("category")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+          WHERE o_orderkey % 3 = 0 GROUP BY o_custkey),
+        c AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+        j AS (
+          SELECT o.o_custkey, o.n_orders, c.c_custkey
+          FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey)
+        SELECT CASE
+                 WHEN o_custkey IS NOT NULL AND c_custkey IS NOT NULL
+                   THEN 'both'
+                 WHEN o_custkey IS NOT NULL THEN 'orders_only'
+                 ELSE 'customer_only' END AS category,
+               COUNT(*) AS n_rows,
+               CAST(SUM(COALESCE(o_custkey, c_custkey)) AS BIGINT) AS key_sum,
+               CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS order_sum
+        FROM j
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ----------------------------------------------------------------
     // P2/§2.8 string suite (regexp_replace/lower/trim/length/contains/
     // split, bronze_to_silver_transformation.py:686-710): pure codegen'd
     // built-ins, no UDFs.
