@@ -15,7 +15,8 @@ object SparkEntry {
   private def packs: Seq[Q] =
     Relational.all ++ ExtensionQueries.all ++ VectorQueries.all ++
       MergeQueries.all ++ FunctionQueries.all ++ StreamingQueries.all ++
-      TrainingQueries.all ++ ExtendedOps.all ++ GraphQueries.all
+      TrainingQueries.all ++ ExtendedOps.all ++ GraphQueries.all ++
+      TimeSeriesQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The SURVEY §7.2 end-to-end slice — "top-5 technologies by

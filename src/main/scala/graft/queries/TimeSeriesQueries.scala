@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series / governance pack — the resample, interpolation, smoothing
+  * and interval-sweep operations a metrics pipeline layers over an event
+  * stream (the batch side of the reference's activity-trend tier,
+  * `notebooks/silver_to_gold_analytics.py:200-240`), plus the
+  * schema-drift union and k-anonymity audit a long-lived lakehouse needs.
+  *
+  * Scale notes (100 TB):
+  *   - every window below is PARTITIONED BY user (or a grouping key) —
+  *     per-key sequential scans parallelize across executors; nothing
+  *     orders the whole stream globally;
+  *   - the gap-fill spine is generated per user from that user's own
+  *     [min,max] day bounds (sequence + explode — a narrow flatMap after
+  *     one hash-agg), never a driver-side calendar crossJoin;
+  *   - the interval sweep is the classic +1/−1 boundary walk: 2 rows per
+  *     interval, one partitioned running sum — O(n log n) per key in the
+  *     sort, no pairwise overlap join;
+  *   - all value arithmetic is exact (DECIMAL sums, integer microseconds,
+  *     power-of-two EWMA weights) until a final cast, so results
+  *     hash-match a single-threaded engine at any parallelism.
+  */
+object TimeSeriesQueries {
+  private val dec = DecimalType(28, 6)
+
+  /** Per-user daily totals (exact DECIMAL), the base series for ts1/ts2. */
+  private def dailySeries(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(col("value").cast(dec)).cast("double").as("day_value"))
+
+  private val dailyCtes = """
+        daily AS (
+          SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS day_value
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+        spine AS (
+          SELECT user_id, CAST(u.day AS DATE) AS day
+          FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(day)),
+        joined AS (
+          SELECT s.user_id, s.day, d.day_value FROM spine s
+          LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)"""
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // Resample to a complete daily grid + last-observation-carried-
+    // forward. The spine is per-user sequence(min_day, max_day) — a
+    // narrow explode after one hash-agg, so a sparse user costs only its
+    // own span. LOCF is last(ignoreNulls) over a cumulative frame:
+    // per-user sequential, engine-independent (it selects a stored
+    // value, no arithmetic).
+    Q(
+      "ts1_gap_fill",
+      (s, d) => {
+        val daily = dailySeries(s, d)
+        val bounds = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+        val spine = bounds.select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(
+            col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            when(col("day_value").isNull, 1).otherwise(0).as("filled"),
+            last(col("day_value"), ignoreNulls = true).over(w).as("value_locf"))
+          .orderBy("user_id", "day")
+      },
+      Some(s"""
+        WITH $dailyCtes
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS filled,
+               last_value(day_value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+        FROM joined ORDER BY user_id, day""")),
+
+    // ----------------------------------------------------------------
+    // Linear interpolation across the same grid: for a missing day,
+    // prev/next observed (value, day) come from cumulative/reverse-
+    // cumulative ignoreNulls frames, then one fixed-shape double
+    // expression — identical operation order on both engines, so the
+    // IEEE result is bit-identical. Spine endpoints are observed days,
+    // so prev/next always exist for a gap.
+    Q(
+      "ts2_linear_interp",
+      (s, d) => {
+        val daily = dailySeries(s, d)
+        val bounds = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+        val spine = bounds.select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        val wp = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsDay = when(col("day_value").isNotNull, col("day"))
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("pv", last(col("day_value"), ignoreNulls = true).over(wp))
+          .withColumn("pd", last(obsDay, ignoreNulls = true).over(wp))
+          .withColumn("nv", first(col("day_value"), ignoreNulls = true).over(wn))
+          .withColumn("nd", first(obsDay, ignoreNulls = true).over(wn))
+          .select(
+            col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            when(col("day_value").isNotNull, col("day_value"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (datediff(col("day"), col("pd")).cast("double") /
+                  datediff(col("nd"), col("pd")).cast("double")))
+              .as("value_interp"))
+          .orderBy("user_id", "day")
+      },
+      Some(s"""
+        WITH $dailyCtes,
+        ctx AS (
+          SELECT user_id, day, day_value,
+            last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            first_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM joined)
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CASE WHEN day_value IS NOT NULL THEN day_value
+                    ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                           / CAST(date_diff('day', pd, nd) AS DOUBLE))
+               END AS value_interp
+        FROM ctx ORDER BY user_id, day""")),
+
+    // ----------------------------------------------------------------
+    // Exact EWMA (α = 1/2, horizon 8): weights are powers of two, so the
+    // numerator is an exact DECIMAL lag-chain sum and the normalizer
+    // 256 − 2^(8−n) is an exact integer — the one division at the end is
+    // the only float op. The usual recursive EWMA is order-dependent
+    // float accumulation no two engines reproduce; this bounded form is
+    // engine-independent AND window-parallel (8 lags, one partitioned
+    // sort — no sequential scan dependency across rows).
+    Q(
+      "ts3_ewma",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val vd = col("value").cast(dec)
+        val num = (0 until 8).map { j =>
+          coalesce(lag(vd, j).over(w), lit(0).cast(dec)) * lit(1L << (7 - j))
+        }.reduce(_ + _)
+        val n = least(row_number().over(w), lit(8)).cast("double")
+        val denom = lit(256.0) - pow(lit(2.0), lit(8.0) - n)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            (num.cast("double") / denom).as("ewma"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH v AS (SELECT event_id, user_id, ts,
+                          CAST(value AS DECIMAL(28,6)) AS val FROM events)
+        SELECT event_id, user_id,
+          CAST(
+            COALESCE(LAG(val,0) OVER w, 0)*128 + COALESCE(LAG(val,1) OVER w, 0)*64 +
+            COALESCE(LAG(val,2) OVER w, 0)*32  + COALESCE(LAG(val,3) OVER w, 0)*16 +
+            COALESCE(LAG(val,4) OVER w, 0)*8   + COALESCE(LAG(val,5) OVER w, 0)*4 +
+            COALESCE(LAG(val,6) OVER w, 0)*2   + COALESCE(LAG(val,7) OVER w, 0)*1
+          AS DOUBLE)
+          / (256.0 - power(2.0, 8.0 - LEAST(CAST(row_number() OVER w AS DOUBLE), 8.0)))
+          AS ewma
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // Peak concurrency per user via the +1/−1 boundary sweep: each event
+    // becomes a deterministic-duration interval (1–48 h from event_id —
+    // the testdata carries no duration column), 2 boundary rows per
+    // interval, one partitioned running sum, max + earliest peak time.
+    // ORDER BY (t, delta) closes intervals before opening ties — exact
+    // half-open [s, e) semantics. No pairwise overlap join anywhere:
+    // O(n log n) per key vs the O(n²) self-join a naive overlap count
+    // would cost at 100 TB.
+    Q(
+      "ts4_max_concurrent",
+      (s, d) => {
+        val iv = Tables.events(s, d).select(
+          col("user_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            (col("event_id") % 48 + 1) * lit(3600000000L)).as("e_us"))
+        val b = iv.select(col("user_id"), explode(array(
+            struct(col("s_us").as("t"), lit(1).as("delta")),
+            struct(col("e_us").as("t"), lit(-1).as("delta")))).as("x"))
+          .select(col("user_id"), col("x.t").as("t"), col("x.delta").as("delta"))
+        val wRun = Window.partitionBy("user_id").orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = b.withColumn("conc", sum("delta").over(wRun))
+        val mx = run.withColumn("max_concurrent",
+          max("conc").over(Window.partitionBy("user_id")))
+        mx.filter(col("conc") === col("max_concurrent"))
+          .groupBy("user_id", "max_concurrent")
+          .agg(min("t").as("peak_at_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT user_id, epoch_us(ts) AS s_us,
+                 epoch_us(ts) + (event_id % 48 + 1) * 3600000000 AS e_us
+          FROM events),
+        b AS (
+          SELECT user_id, s_us AS t, 1 AS delta FROM iv
+          UNION ALL
+          SELECT user_id, e_us AS t, -1 AS delta FROM iv),
+        run AS (
+          SELECT user_id, t, CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+          FROM b),
+        mx AS (SELECT user_id AS mu, MAX(conc) AS max_concurrent FROM run GROUP BY 1)
+        SELECT r.user_id, m.max_concurrent, MIN(r.t) AS peak_at_us
+        FROM run r JOIN mx m ON r.user_id = m.mu AND r.conc = m.max_concurrent
+        GROUP BY 1, 2 ORDER BY r.user_id""")),
+
+    // ----------------------------------------------------------------
+    // Schema-drift union: two generations of the same feed with
+    // different column sets, reconciled by NAME (unionByName
+    // allowMissingColumns / DuckDB UNION ALL BY NAME), absent columns
+    // null-filled. The append-only ingestion answer to a producer adding
+    // or dropping fields mid-stream — positional UNION would silently
+    // misalign columns instead.
+    Q(
+      "o6_union_by_name",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val v1 = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("src", lit("v1"))
+        val v2 = o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .withColumn("src", lit("v2"))
+        v1.unionByName(v2, allowMissingColumns = true).orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice, 'v1' AS src
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL BY NAME
+          SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+                 'v2' AS src
+          FROM orders WHERE o_orderkey % 2 = 1)
+        ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // k-anonymity audit (k = 10) over quasi-identifiers: group sizes,
+    // violation flag, re-identification risk 1/|group|. One hash-agg
+    // over the QI tuple — the release gate a privacy review runs before
+    // a dataset ships; at scale it's a single map-side-combining pass.
+    Q(
+      "gov1_k_anonymity",
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(
+            count(lit(1)).as("group_size"),
+            when(count(lit(1)) < 10, 1).otherwise(0).as("violates_k"),
+            (lit(1.0) / count(lit(1))).as("reident_risk"))
+          .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+               CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS violates_k,
+               CAST(1.0 AS DOUBLE) / COUNT(*) AS reident_risk
+        FROM customer GROUP BY 1, 2
+        ORDER BY c_nationkey, c_mktsegment"""))
+  )
+}
