@@ -228,6 +228,66 @@ object TimeSeriesQueries {
         GROUP BY 1, 2 ORDER BY r.user_id""")),
 
     // ----------------------------------------------------------------
+    // GLOBAL peak concurrency — the sweep ts4 runs per user, across the
+    // whole stream. A naive global running sum needs one total order =
+    // one partition = the whole 100 TB stream through a single task; so
+    // this is the classic two-pass distributed prefix sum instead:
+    //   pass 1: bucket boundaries by day (integer `div` — no float
+    //           rounding at bucket edges), per-bucket delta totals (a
+    //           map-side-combining hash-agg), then a running sum over
+    //           the BUCKET TOTALS — a frame bounded by the number of
+    //           buckets (time range / B), not by data size;
+    //   pass 2: broadcast the per-bucket carry offsets back and run the
+    //           within-bucket running sum, partitioned by bucket.
+    // Result ≡ the single-window form (the oracle runs exactly that);
+    // every stage is integer-exact.
+    Q(
+      "ts5_global_concurrency",
+      (s, d) => {
+        val iv = Tables.events(s, d).select(
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            (col("event_id") % 48 + 1) * lit(3600000000L)).as("e_us"))
+        val b = iv.select(explode(array(
+            struct(col("s_us").as("t"), lit(1).as("delta")),
+            struct(col("e_us").as("t"), lit(-1).as("delta")))).as("x"))
+          .select(col("x.t").as("t"), col("x.delta").as("delta"))
+          .withColumn("bucket", expr("t div 86400000000"))
+        val wB = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = b.groupBy("bucket")
+          .agg(sum("delta").as("bt"))
+          .withColumn("offset", sum("bt").over(wB) - col("bt"))
+          .select("bucket", "offset")
+        val wL = Window.partitionBy("bucket").orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = b.join(broadcast(offsets), "bucket")
+          .withColumn("conc", col("offset") + sum("delta").over(wL))
+        val mx = run.agg(max("conc").as("max_concurrent"))
+        run.join(broadcast(mx), run("conc") === mx("max_concurrent"))
+          .groupBy("max_concurrent")
+          .agg(min("t").as("peak_at_us"))
+          .select("max_concurrent", "peak_at_us")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT epoch_us(ts) AS s_us,
+                 epoch_us(ts) + (event_id % 48 + 1) * 3600000000 AS e_us
+          FROM events),
+        b AS (
+          SELECT s_us AS t, 1 AS delta FROM iv
+          UNION ALL
+          SELECT e_us AS t, -1 AS delta FROM iv),
+        run AS (
+          SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+          FROM b),
+        mx AS (SELECT MAX(conc) AS max_concurrent FROM run)
+        SELECT m.max_concurrent, MIN(r.t) AS peak_at_us
+        FROM run r JOIN mx m ON r.conc = m.max_concurrent
+        GROUP BY 1""")),
+
+    // ----------------------------------------------------------------
     // Schema-drift union: two generations of the same feed with
     // different column sets, reconciled by NAME (unionByName
     // allowMissingColumns / DuckDB UNION ALL BY NAME), absent columns

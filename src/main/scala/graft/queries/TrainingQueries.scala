@@ -1067,6 +1067,51 @@ object TrainingQueries {
         SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
                  AS INTEGER) AS rank,
                doc_id, shuffle_key
-        FROM top ORDER BY rank"""))
+        FROM top ORDER BY rank""")),
+
+    // ----------------------------------------------------------------
+    // Hashed linear-model inference (t30): the fastText-style quality
+    // scorer as a pure query — each token hashes to a 16-bit feature id
+    // whose weight is derived from the hash itself, so "model inference"
+    // is a narrow map + one map-side-combining hash-agg: no weight
+    // table, no shuffle of the corpus, no UDF. All arithmetic is
+    // integer-exact until the single per-doc division (bit-identical on
+    // both engines). At 100 TB this is the shape of every cheap-model
+    // scoring pass: broadcast(weights) ⨯ narrow tokenize ⨯ hash-agg.
+    Q(
+      "t30_linear_quality",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val wInt = (conv(substring(md5(col("w")), 1, 4), 16, 10)
+          .cast("long") % 2001 - 1000)
+        tok.select(col("doc_id"), wInt.as("wi"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("wi").as("w_sum"))
+          .withColumn("score",
+            round(col("w_sum").cast("double") / (lit(1000.0) * col("n_tokens")), 6))
+          .withColumn("label", when(col("score") > 0, "keep").otherwise("drop"))
+          .select("doc_id", "n_tokens", "w_sum", "score", "label")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        hx AS (
+          SELECT doc_id,
+                 (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) AS v
+          FROM tok),
+        per AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(v % 2001 - 1000) AS BIGINT) AS w_sum
+          FROM hx GROUP BY doc_id)
+        SELECT doc_id, n_tokens, w_sum,
+               round(CAST(w_sum AS DOUBLE) / (1000.0 * n_tokens), 6) AS score,
+               CASE WHEN round(CAST(w_sum AS DOUBLE) / (1000.0 * n_tokens), 6) > 0
+                    THEN 'keep' ELSE 'drop' END AS label
+        FROM per ORDER BY doc_id"""))
   )
 }

@@ -66,6 +66,26 @@ class TimeSeriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("ts5: bucketed two-pass prefix sum equals the single-window sweep") {
+    import org.apache.spark.sql.expressions.Window
+    val out = q("ts5_global_concurrency").head()
+    // reference: the naive one-partition global running sum
+    val iv = Tables.events(spark, sf).select(
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) + (col("event_id") % 48 + 1) *
+        lit(3600000000L)).as("e_us"))
+    val b = iv.select(explode(array(
+        struct(col("s_us").as("t"), lit(1).as("delta")),
+        struct(col("e_us").as("t"), lit(-1).as("delta")))).as("x"))
+      .select(col("x.t").as("t"), col("x.delta").as("delta"))
+    val w = Window.orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = b.withColumn("conc", sum("delta").over(w))
+    val mx = run.agg(max("conc")).head().getLong(0)
+    val peak = run.filter(col("conc") === mx).agg(min("t")).head().getLong(0)
+    assert(out.getLong(0) == mx && out.getLong(1) == peak)
+  }
+
   test("o6: drift union null-fills missing columns per source generation") {
     val out = q("o6_union_by_name").cache()
     try {
