@@ -318,6 +318,58 @@ object TimeSeriesQueries {
         ORDER BY o_orderkey""")),
 
     // ----------------------------------------------------------------
+    // Cohort retention: users grouped by first-activity day, tracked by
+    // day offset — the product-analytics staple. Two hash-aggs
+    // (first-touch per user, distinct user-days) and one equi-join on
+    // user_id; the cohort-size frame is cohort-count-sized and
+    // broadcast. Offsets are exact integer day arithmetic; the rate is
+    // one division, rounded on both engines.
+    Q(
+      "ts6_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val firsts = ev.groupBy("user_id")
+          .agg(date_trunc("day", min(col("ts"))).cast("date").as("cohort"))
+        val sizes = firsts.groupBy("cohort")
+          .agg(countDistinct("user_id").as("cohort_size"))
+        val active = ev
+          .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+          .distinct()
+        active.join(firsts, "user_id")
+          .withColumn("day_offset", datediff(col("day"), col("cohort")))
+          .groupBy("cohort", "day_offset")
+          .agg(countDistinct("user_id").as("n_active"))
+          .join(broadcast(sizes), "cohort")
+          .select(
+            date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("day_offset"), col("n_active"), col("cohort_size"),
+            round(col("n_active").cast("double") / col("cohort_size"), 6)
+              .as("retention"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""
+        WITH firsts AS (
+          SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+          FROM events GROUP BY 1),
+        sizes AS (
+          SELECT cohort, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+          FROM firsts GROUP BY 1),
+        active AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+          FROM events),
+        m AS (
+          SELECT f.cohort,
+                 CAST(date_diff('day', f.cohort, a.day) AS INTEGER) AS day_offset,
+                 CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+          FROM active a JOIN firsts f ON a.user_id = f.user_id
+          GROUP BY 1, 2)
+        SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort, day_offset, n_active,
+               cohort_size,
+               round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        FROM m JOIN sizes s ON m.cohort = s.cohort
+        ORDER BY cohort, day_offset""")),
+
+    // ----------------------------------------------------------------
     // k-anonymity audit (k = 10) over quasi-identifiers: group sizes,
     // violation flag, re-identification risk 1/|group|. One hash-agg
     // over the QI tuple — the release gate a privacy review runs before
@@ -336,6 +388,33 @@ object TimeSeriesQueries {
         SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
                CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS violates_k,
                CAST(1.0 AS DOUBLE) / COUNT(*) AS reident_risk
+        FROM customer GROUP BY 1, 2
+        ORDER BY c_nationkey, c_mktsegment""")),
+
+    // ----------------------------------------------------------------
+    // l-diversity audit (l = 3): within each quasi-identifier group,
+    // how many DISTINCT sensitive values (binned account balance)
+    // appear — k-anonymity's complement (a large group whose members
+    // all share one sensitive value still leaks it). One hash-agg with
+    // an exact distinct over the bin.
+    Q(
+      "gov2_l_diversity",
+      (s, d) =>
+        Tables.customer(s, d)
+          .withColumn("bal_bin", floor(col("c_acctbal") / 1000).cast("long"))
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(
+            count(lit(1)).as("group_size"),
+            countDistinct("bal_bin").as("l_distinct"),
+            when(countDistinct("bal_bin") < 3, 1).otherwise(0)
+              .as("violates_l"))
+          .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+               CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                 AS BIGINT) AS l_distinct,
+               CASE WHEN COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3
+                    THEN 1 ELSE 0 END AS violates_l
         FROM customer GROUP BY 1, 2
         ORDER BY c_nationkey, c_mktsegment"""))
   )

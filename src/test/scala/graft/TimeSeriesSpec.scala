@@ -100,6 +100,26 @@ class TimeSeriesSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("ts6: day-0 retention is 1.0 for every cohort; offsets are dense-bounded") {
+    val out = q("ts6_cohort_retention").cache()
+    try {
+      // every user is active on their own first day
+      val day0 = out.filter(col("day_offset") === 0)
+      assert(day0.filter(col("n_active") =!= col("cohort_size")).count() == 0)
+      assert(day0.filter(col("retention") =!= 1.0).count() == 0)
+      assert(out.filter(col("day_offset") < 0).count() == 0)
+      assert(out.filter(col("retention") > 1.0).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("gov2: l_distinct never exceeds group size; flags match the l=3 rule") {
+    val out = q("gov2_l_diversity")
+    assert(out.filter(col("l_distinct") > col("group_size")).count() == 0)
+    assert(out.filter(
+      (col("l_distinct") < 3 && col("violates_l") =!= 1) ||
+        (col("l_distinct") >= 3 && col("violates_l") =!= 0)).count() == 0)
+  }
+
   test("gov1: group sizes sum to the table size; flags match the k=10 rule") {
     val out = q("gov1_k_anonymity").cache()
     try {
