@@ -442,4 +442,45 @@ class PlanSpec extends SparkSpec {
       s"SNM compares only sort-neighbors via lead windows, never a join:\n$plan")
     assert(plan.contains("Window"), s"expected the lead window:\n$plan")
   }
+
+  test("ts5 global sweep: carry offsets broadcast; no global-sort exchange on the stream") {
+    val q = SparkEntry.queries("ts5_global_concurrency")(spark, sf)
+    val plan = planOf(q)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"bucket offsets and the max frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the boundary stream must never shuffle for a join:\n$plan")
+    // the only rangepartitioning(...) allowed is over the tiny
+    // bucket-totals frame (the wB window); the data-sized running sum is
+    // hashpartitioned by bucket
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"within-bucket sweep must hash-partition by bucket:\n$plan")
+  }
+
+  test("ts1 gap fill: spine explode is narrow; the user window sorts within partitions") {
+    val q = SparkEntry.queries("ts1_gap_fill")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("Generate explode"),
+      s"spine must come from a narrow sequence+explode:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no calendar cross-join:\n$plan")
+  }
+
+  test("ts6 cohort matrix: cohort sizes broadcast back, never shuffled") {
+    val q = SparkEntry.queries("ts6_cohort_retention")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort-size frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t30 linear scoring: narrow tokenize + partial aggregate, no join anywhere") {
+    val q = SparkEntry.queries("t30_linear_quality")(spark, sf)
+    val plan = planOf(q).split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"),
+      s"hash-derived weights need no weight-table join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"per-doc sum must combine map-side:\n$plan")
+  }
 }
