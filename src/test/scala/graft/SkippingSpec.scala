@@ -1,0 +1,81 @@
+package graft
+
+import graft.storage.{ParquetCatalog, SkippingIndex}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** File-level min/max skipping: the index must prune a clustered
+  * layout's files on a narrow range predicate, never change results,
+  * and degrade to over-reading (not wrong answers) when stats are
+  * absent for a column.
+  */
+class SkippingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshCatalog(): (ParquetCatalog, String) = {
+    val root = Files.createTempDirectory("graft-skip").toString
+    (new ParquetCatalog(spark, root), root)
+  }
+
+  test("range scan over a clustered table reads only intersecting files") {
+    val (cat, root) = freshCatalog()
+    val orders = Tables.orders(spark, sf)
+    cat.overwrite("orders", orders)
+    cat.compact("orders", rowsPerFile = 150, clusterBy = Seq("o_orderkey"))
+    val dir = s"$root/orders"
+    val stats = SkippingIndex.write(spark, dir, Seq("o_orderkey", "o_totalprice"))
+    assert(stats.size == cat.fileCount("orders").toInt)
+    assert(stats.forall(_.cols.exists(_.column == "o_orderkey")))
+
+    // narrow key range: a clustered layout must prune to a small subset
+    val total = stats.size
+    val cand = SkippingIndex.candidateFiles(dir, "o_orderkey", 100, 200)
+    assert(cand.nonEmpty && cand.size < total,
+      s"expected pruning: ${cand.size} of $total files")
+
+    // pruned scan ≡ full-scan filter, row for row
+    val pruned = SkippingIndex.scan(spark, dir, "o_orderkey", 100, 200)
+    val full = spark.read.parquet(dir)
+      .filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 200)
+    assert(pruned.count() == full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("disjoint range yields an empty frame with the table schema") {
+    val (cat, root) = freshCatalog()
+    cat.overwrite("orders", Tables.orders(spark, sf))
+    cat.compact("orders", rowsPerFile = 200, clusterBy = Seq("o_orderkey"))
+    val dir = s"$root/orders"
+    SkippingIndex.write(spark, dir, Seq("o_orderkey"))
+    val out = SkippingIndex.scan(spark, dir, "o_orderkey", -500, -1)
+    assert(out.count() == 0)
+    assert(out.columns.contains("o_totalprice"))
+  }
+
+  test("columns without stats are conservatively kept; index survives reload") {
+    val (cat, root) = freshCatalog()
+    cat.overwrite("orders", Tables.orders(spark, sf))
+    val dir = s"$root/orders"
+    SkippingIndex.write(spark, dir, Seq("o_orderkey"))
+    val reloaded = SkippingIndex.read(dir)
+    // round-trip: same files, same stats
+    assert(reloaded == SkippingIndex.collect(spark, dir, Seq("o_orderkey")))
+    // predicate on a column the index never collected: nothing pruned
+    val all = SkippingIndex.candidateFiles(dir, "o_totalprice", 0, 1)
+    assert(all.size == reloaded.size)
+  }
+
+  test("unclustered layout prunes little — clustering is what makes stats tight") {
+    val (cat, root) = freshCatalog()
+    // random layout: hash-repartition, no clustering
+    cat.overwrite("orders",
+      Tables.orders(spark, sf).repartition(10, col("o_custkey")))
+    val dir = s"$root/orders"
+    val stats = SkippingIndex.write(spark, dir, Seq("o_orderkey"))
+    val cand = SkippingIndex.candidateFiles(dir, "o_orderkey", 100, 200)
+    // every hash-partitioned file spans nearly the full key range
+    assert(cand.size == stats.size,
+      s"random layout should not prune: ${cand.size} of ${stats.size}")
+  }
+}
