@@ -923,6 +923,42 @@ object Relational {
         FROM orders, m
         WHERE o_orderdate = max_date
         GROUP BY 1, 2
-        ORDER BY order_date, o_orderstatus"""))
+        ORDER BY order_date, o_orderstatus""")),
+
+    // ----------------------------------------------------------------
+    // S9: index-pruned range scan — the data-skipping read path
+    // ([[graft.storage.SkippingIndex]]) end-to-end. The clustered copy
+    // + footer stats are input-fingerprinted persisted state (built
+    // once, read after — the d10 contract: a real lakehouse ALREADY has
+    // its layout and stats); the measured query is "open only the files
+    // whose [min,max] intersects the predicate, re-apply the filter".
+    // The oracle is the plain full-scan filter — pruning must be
+    // invisible to results.
+    Q(
+      "s9_skipping_scan",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_skip_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        if (!Files.exists(marker)) {
+          val cat = new graft.storage.ParquetCatalog(s, root)
+          cat.overwrite("orders", Tables.orders(s, d))
+          cat.compact("orders", rowsPerFile = 2000,
+            clusterBy = Seq("o_orderkey"))
+          graft.storage.SkippingIndex.write(s, s"$root/orders",
+            Seq("o_orderkey"))
+          Files.createFile(marker)
+        }
+        graft.storage.SkippingIndex
+          .scan(s, s"$root/orders", "o_orderkey", 1000, 3000)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
+        ORDER BY o_orderkey"""))
   )
 }
