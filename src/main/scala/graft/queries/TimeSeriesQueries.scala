@@ -149,19 +149,10 @@ object TimeSeriesQueries {
     // sort — no sequential scan dependency across rows).
     Q(
       "ts3_ewma",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val vd = col("value").cast(dec)
-        val num = (0 until 8).map { j =>
-          coalesce(lag(vd, j).over(w), lit(0).cast(dec)) * lit(1L << (7 - j))
-        }.reduce(_ + _)
-        val n = least(row_number().over(w), lit(8)).cast("double")
-        val denom = lit(256.0) - pow(lit(2.0), lit(8.0) - n)
-        Tables.events(s, d)
-          .select(col("event_id"), col("user_id"),
-            (num.cast("double") / denom).as("ewma"))
-          .orderBy("event_id")
-      },
+      (s, d) =>
+        graft.operators.TimeSeriesOps.withBoundedEwma(Tables.events(s, d))
+          .select("event_id", "user_id", "ewma")
+          .orderBy("event_id"),
       Some("""
         WITH v AS (SELECT event_id, user_id, ts,
                           CAST(value AS DECIMAL(28,6)) AS val FROM events)

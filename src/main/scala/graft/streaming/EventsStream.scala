@@ -26,6 +26,7 @@ object EventsStream {
       user_id: Long, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, session_start: Long,
       n_events: Long, total_value: Double)
+  final case class EwmaPoint(event_id: Long, user_id: Long, ewma: Double)
 
   /** Tumbling-window counts with a watermark: late events beyond
     * `watermark` are dropped, state is bounded — the streaming form of
@@ -151,6 +152,38 @@ object EventsStream {
             }
             out.reverseIterator
           }
+      }
+  }
+
+  /** Streaming form of the bounded exact EWMA
+    * ([[graft.operators.TimeSeriesOps.withBoundedEwma]], ts3): per-user
+    * state is the ≤ 8 most recent values as exact integer millionths —
+    * CONSTANT memory per key — and each arriving event emits its
+    * smoothed point incrementally. Arithmetic mirrors the batch form
+    * step for step (long numerator, one `/1e6`, one `/denom`), so
+    * StreamingSpec pins the outputs bit-identical to the batch window.
+    * Within a micro-batch, events sort by (µs, event_id) — the batch
+    * order; across micro-batches arrival order is source order, as for
+    * every streaming operator here. */
+  def ewmaStream(events: Dataset[Event], horizon: Int = 8): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    require(horizon == 8, "weights are hardwired to the alpha=1/2, horizon-8 form")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[Long]]) =>
+          var recent = state.getOption.getOrElse(Nil) // newest first, ≤ 8
+          def micros(e: Event): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val out = rows.toSeq.sortBy(e => (micros(e), e.event_id)).map { e =>
+            recent = (math.round(e.value * 1e6) :: recent).take(horizon)
+            var num = 0L
+            recent.zipWithIndex.foreach { case (v, j) => num += v << (7 - j) }
+            val denom = 256.0 - (1L << (8 - recent.size)).toDouble
+            EwmaPoint(e.event_id, userId, (num.toDouble / 1e6) / denom)
+          }
+          state.update(recent)
+          out.iterator
       }
   }
 }

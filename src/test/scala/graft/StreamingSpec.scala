@@ -184,4 +184,37 @@ class StreamingSpec extends SparkSpec {
       assert(out.head.total_value === 3.0)
     } finally query.stop()
   }
+
+  test("streaming EWMA is bit-identical to the batch window across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventsStream.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("append").start()
+    // 12 events per user (exceeds the horizon) over 2 users, delivered
+    // in 3 micro-batches; values carry 2 decimals like the testdata
+    val evs = (0 until 24).map { i =>
+      Event(i.toLong, ts(i), 1 + i % 2, "click", (i * 137 % 1000) / 100.0 + 0.07)
+    }
+    try {
+      input.addData(evs.take(8): _*)
+      query.processAllAvailable()
+      input.addData(evs.slice(8, 16): _*)
+      query.processAllAvailable()
+      input.addData(evs.drop(16): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("ewma")
+        .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+      val batch = graft.operators.TimeSeriesOps
+        .withBoundedEwma(evs.toDF())
+        .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+      assert(streamed.size == evs.size)
+      evs.foreach { e =>
+        val (sv, bv) = (streamed(e.event_id), batch(e.event_id))
+        assert(java.lang.Double.doubleToLongBits(sv) ==
+          java.lang.Double.doubleToLongBits(bv),
+          s"event ${e.event_id}: stream $sv != batch $bv")
+      }
+    } finally query.stop()
+  }
 }
