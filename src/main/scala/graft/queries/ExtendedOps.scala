@@ -799,8 +799,39 @@ object ExtendedOps {
         }
         s.sql(Sql1Text)
       },
-      Some(Sql1Text))
+      Some(Sql1Text)),
+
+    // ----------------------------------------------------------------
+    // sql2: the ANSI text surface with the OTHER hard constructs — a
+    // CTE, a window over a joined aggregate, and a rank filter — one
+    // literal string again run verbatim by both engines. Together with
+    // sql1 this covers the text→Catalyst path for aggregate, join,
+    // CTE, window, subquery-filter, ORDER/LIMIT shapes.
+    Q(
+      "sql2_ansi_segment_top",
+      (s, d) => {
+        Seq("orders", "customer").foreach { t =>
+          Tables.table(s, d, t).createOrReplaceTempView(t)
+        }
+        s.sql(Sql2Text)
+      },
+      Some(Sql2Text))
   )
+
+  /** The sql2 query text (same both-engines discipline as sql1). */
+  private def Sql2Text = """
+    WITH cust_rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey)
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, rev, n_orders,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY rev DESC, c_custkey) AS INTEGER) AS rnk
+      FROM customer JOIN cust_rev ON c_custkey = o_custkey)
+    WHERE rnk <= 3
+    ORDER BY c_mktsegment, rnk"""
 
   /** The sql1 query text — a single ANSI string both engines accept
     * (a def: object-init order must not matter to the `all` Seq). */

@@ -158,6 +158,92 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       case other => other.toString.toDouble
     }
 
+  // ---- versioned tables: time travel + retention --------------------
+  //
+  // Delta/Iceberg time-travel parity on plain parquet: data lives in
+  // immutable `.versions/<name>/v<N>` dirs and the table path is an
+  // atomically-repointed symlink to the current version. Every
+  // unversioned entry point (read / upsert / compact / skipping stats)
+  // keeps working — it just follows the link. Writes are write-once;
+  // readers of any retained version are never invalidated by a new
+  // overwrite (the swap creates, never mutates). `vacuum` is the
+  // retention boundary, exactly as in Delta: history costs storage
+  // until you say otherwise.
+
+  private def versionsDir(name: String): Path =
+    Paths.get(root, ".versions", name)
+
+  /** Retained version numbers, oldest first. */
+  def versions(name: String): Seq[Long] = {
+    val vd = versionsDir(name)
+    if (!Files.isDirectory(vd)) Seq.empty
+    else {
+      val s = Files.list(vd)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("v\\d+")).map(_.drop(1).toLong).toSeq.sorted
+      } finally s.close()
+    }
+  }
+
+  /** Overwrite that RETAINS history: the new frame becomes version N+1
+    * in an immutable dir and the table path repoints atomically. A
+    * pre-existing unversioned table is migrated as the first retained
+    * version. Returns the new version number. */
+  def overwriteVersioned(name: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Long = {
+    val vd = versionsDir(name)
+    Files.createDirectories(vd)
+    val dest = tableDir(name)
+    var next = versions(name).lastOption.getOrElse(0L) + 1
+    if (Files.exists(dest, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        !Files.isSymbolicLink(dest)) {
+      Files.move(dest, vd.resolve(s"v$next"), StandardCopyOption.ATOMIC_MOVE)
+      next += 1
+    }
+    val target = vd.resolve(s"v$next")
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", codec)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(target.toString)
+    val tmpLink = Paths.get(root, s".lnk-$name-${System.nanoTime()}")
+    Files.createSymbolicLink(tmpLink, target.toAbsolutePath)
+    Files.move(tmpLink, dest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Time-travel read of a retained version. */
+  def readVersion(name: String, version: Long): DataFrame = {
+    val p = versionsDir(name).resolve(s"v$version")
+    require(Files.isDirectory(p),
+      s"version $version of $name not retained (have: ${versions(name).mkString(",")})")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Retention: drop all but the newest `keep` versions (the current
+    * pointer is always among those) and sweep stray `.tmp-`/`.old-`
+    * debris a crashed writer may have left. Returns dirs removed. */
+  def vacuum(name: String, keep: Int = 1): Int = {
+    require(keep >= 1, "must keep at least the current version")
+    var removed = 0
+    val vs = versions(name)
+    vs.dropRight(keep).foreach { v =>
+      deleteRecursively(versionsDir(name).resolve(s"v$v")); removed += 1
+    }
+    val s = Files.list(Paths.get(root))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".tmp-") || n.startsWith(".old-") || n.startsWith(".lnk-")
+        }
+        .toList.foreach { p => deleteRecursively(p); removed += 1 }
+    } finally s.close()
+    removed
+  }
+
   /** Number of data files currently backing the table (compaction
     * telemetry). */
   def fileCount(name: String): Long = {
