@@ -391,6 +391,67 @@ object MergeQueries {
                     ELSE 'unchanged' END AS status,
                cnt_old, cnt_new, total_old, total_new
         FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey
-        ORDER BY o_custkey"""))
+        ORDER BY o_custkey""")),
+
+    // ----------------------------------------------------------------
+    // K11: the SAME diff through the STORAGE time-travel path — two
+    // deterministic order slices written as catalog versions
+    // (ParquetCatalog.overwriteVersioned, fingerprint-keyed persisted
+    // state like d10/s9), then `readVersion(1)` vs the current pointer
+    // diffed key-wise. Gates that versioned dirs + the atomic pointer
+    // swap round-trip bytes exactly; the oracle recomputes both slices
+    // from the source table directly.
+    Q(
+      "k11_time_travel_diff",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_tt_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val o = Tables.orders(s, d)
+          cat.overwriteVersioned("orders_v",
+            o.filter(col("o_orderkey") % 3 =!= 0)
+              .select("o_orderkey", "o_custkey", "o_totalprice"))
+          cat.overwriteVersioned("orders_v",
+            o.filter(col("o_orderkey") % 2 =!= 0)
+              .select("o_orderkey", "o_custkey", "o_totalprice"))
+          Files.createFile(marker)
+        }
+        val old = cat.readVersion("orders_v", 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("price_old"))
+        val cur = cat.read("orders_v")
+          .select(col("o_orderkey"), col("o_totalprice").as("price_new"))
+        old.join(cur, Seq("o_orderkey"), "full_outer")
+          .withColumn("status",
+            when(col("price_old").isNull, "added")
+              .when(col("price_new").isNull, "removed")
+              .otherwise("kept"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Deterministic
+              .dsum(coalesce(col("price_new"), col("price_old"))).as("total"))
+          .orderBy("status")
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT o_orderkey, o_totalprice AS price_old FROM orders
+          WHERE o_orderkey % 3 <> 0),
+        v2 AS (
+          SELECT o_orderkey, o_totalprice AS price_new FROM orders
+          WHERE o_orderkey % 2 <> 0),
+        j AS (
+          SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+                 price_old, price_new,
+                 CASE WHEN price_old IS NULL THEN 'added'
+                      WHEN price_new IS NULL THEN 'removed'
+                      ELSE 'kept' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+        SELECT status, COUNT(*) AS n,
+               CAST(SUM(CAST(COALESCE(price_new, price_old)
+                 AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM j GROUP BY status
+        ORDER BY status"""))
   )
 }
