@@ -115,6 +115,42 @@ object Upsert {
     * `github_data_ingestion.py:386-393`): one aggregation over the same
     * outer join instead of the reference's separate before/after
     * `count()` jobs. */
+  /** Change data feed for a MERGE (Delta CDF parity): per-row change
+    * records — `insert` for source-only keys, `update_preimage` +
+    * `update_postimage` for matched keys whose data columns differ.
+    * Unchanged and target-only rows emit nothing. ONE full-outer
+    * shuffle join, then a narrow 0–2-row explode per key; both sides
+    * must share the schema (CDF is a same-shape protocol).
+    */
+  def changeFeed(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changeFeed requires at least one key column")
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      "changeFeed requires identical schemas on both sides")
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    val t = target.select(target.columns.map(c => col(c).as(s"__t_$c")).toSeq: _*)
+    val s = source.select(source.columns.map(c => col(c).as(s"__s_$c")).toSeq: _*)
+    val cond = keys.map(k => col(s"__t_$k") <=> col(s"__s_$k")).reduce(_ && _)
+    def img(tag: String, side: String) = struct(
+      (lit(tag).as("_change_type") +:
+        dataCols.map(c => col(s"__${side}_$c").as(c))): _*)
+    val diff = dataCols.map(c => !(col(s"__t_$c") <=> col(s"__s_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val matched = col(s"__t_${keys.head}").isNotNull &&
+      col(s"__s_${keys.head}").isNotNull
+    t.join(s, cond, "full_outer")
+      .select(
+        (keys.map(k => coalesce(col(s"__t_$k"), col(s"__s_$k")).as(k)) :+
+          explode(
+            when(col(s"__t_${keys.head}").isNull, array(img("insert", "s")))
+              .when(matched && diff,
+                array(img("update_preimage", "t"), img("update_postimage", "s")))
+              // slice(...,1,0): a typed EMPTY array — unchanged and
+              // target-only keys emit no change rows
+              .otherwise(slice(array(img("insert", "s")), 1, 0))).as("__c")): _*)
+      .select((keys.map(col) :+ col("__c._change_type") ) ++
+        dataCols.map(c => col(s"__c.$c")): _*)
+  }
+
   def mergeStats(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val t = target.select(keys.map(col): _*).withColumn("__t", lit(1)).alias("t")
     val s = source.select(keys.map(col): _*).withColumn("__s", lit(1)).alias("s")

@@ -452,6 +452,49 @@ object MergeQueries {
                CAST(SUM(CAST(COALESCE(price_new, price_old)
                  AS DECIMAL(28,6))) AS DOUBLE) AS total
         FROM j GROUP BY status
-        ORDER BY status"""))
+        ORDER BY status""")),
+
+    // ----------------------------------------------------------------
+    // K12: change data feed from a MERGE (Delta CDF parity) — per-row
+    // `insert` / `update_preimage` / `update_postimage` records from
+    // ONE full-outer join + a narrow 0–2-row explode per key; unchanged
+    // keys emit nothing. The downstream-sync primitive: a consumer
+    // replays the feed instead of re-scanning the table.
+    Q(
+      "k12_change_feed",
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        val target = o
+        val source = o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionByName(
+            o.filter(col("o_orderkey") % 7 === 3)
+              .select((col("o_orderkey") + 1000000).as("o_orderkey"),
+                col("o_totalprice")))
+        graft.operators.Upsert.changeFeed(target, source, Seq("o_orderkey"))
+          .orderBy("o_orderkey", "_change_type")
+      },
+      Some("""
+        WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        s AS (
+          SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+          FROM orders WHERE o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000, o_totalprice
+          FROM orders WHERE o_orderkey % 7 = 3),
+        j AS (
+          SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS k,
+                 t.o_totalprice AS tp, s.o_totalprice AS sp,
+                 t.o_orderkey IS NULL AS ins,
+                 t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                   AND t.o_totalprice IS DISTINCT FROM s.o_totalprice AS upd
+          FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+        SELECT k AS o_orderkey, _change_type, p AS o_totalprice FROM (
+          SELECT k, 'insert' AS _change_type, sp AS p FROM j WHERE ins
+          UNION ALL
+          SELECT k, 'update_preimage', tp FROM j WHERE upd
+          UNION ALL
+          SELECT k, 'update_postimage', sp FROM j WHERE upd)
+        ORDER BY o_orderkey, _change_type"""))
   )
 }

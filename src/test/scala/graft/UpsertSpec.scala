@@ -134,4 +134,29 @@ class UpsertSpec extends SparkSpec {
     assert(out(0).getAs[String]("note") === null)        // target row had no note
     assert(out(3).getAs[String]("note") === "m4")        // inserted row carries it
   }
+
+  test("changeFeed: unchanged and target-only keys emit nothing; updates emit both images") {
+    import spark.implicits._
+    val target = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    val source = Seq((2L, 20.0), (3L, 33.0), (4L, 40.0)).toDF("id", "v")
+    val feed = graft.operators.Upsert.changeFeed(target, source, Seq("id"))
+      .orderBy("id", "_change_type")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(feed === Seq(
+      (3L, "update_postimage", 33.0),
+      (3L, "update_preimage", 30.0),
+      (4L, "insert", 40.0)
+    ).sortBy(r => (r._1, r._2)))
+  }
+
+  test("changeFeed: null-safe compare — null->value is an update, null->null is not") {
+    import spark.implicits._
+    val target = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "v")
+    val source = Seq((1L, Option.empty[Double]), (2L, Some(2.0))).toDF("id", "v")
+    val feed = graft.operators.Upsert.changeFeed(target, source, Seq("id"))
+      .orderBy("id", "_change_type").collect()
+    assert(feed.length == 2)
+    assert(feed.map(_.getLong(0)).toSeq == Seq(2L, 2L))
+  }
 }
