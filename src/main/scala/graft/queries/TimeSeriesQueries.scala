@@ -219,6 +219,44 @@ object TimeSeriesQueries {
         GROUP BY 1, 2 ORDER BY r.user_id""")),
 
     // ----------------------------------------------------------------
+    // Rolling 7-day distinct active users per day. DISTINCT cannot
+    // map-side-combine under a sliding window directly, so this is the
+    // scalable explode form: distinct user-days (one hash-agg), each
+    // contributing to the 7 observation days it covers (narrow
+    // explode), then one count-distinct per day — every stage partial-
+    // aggregates. Window ends inside the observed range only (bounds
+    // broadcast).
+    Q(
+      "ts7_rolling_dau",
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .distinct()
+        val bounds = ud.agg(min("day").as("mn"), max("day").as("mx"))
+        ud.select(col("user_id"), col("day"),
+            explode(sequence(lit(0), lit(6))).as("i"))
+          .withColumn("od", date_add(col("day"), col("i")))
+          .crossJoin(broadcast(bounds))
+          .filter(col("od") >= col("mn") && col("od") <= col("mx"))
+          .groupBy(date_format(col("od"), "yyyy-MM-dd").as("day"))
+          .agg(countDistinct("user_id").as("dau7"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+          FROM events),
+        b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM ud),
+        obs AS (
+          SELECT user_id, CAST(d + CAST(u.i AS INTEGER) AS DATE) AS od
+          FROM ud, UNNEST(range(0, 7)) AS u(i))
+        SELECT strftime(od, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau7
+        FROM obs, b WHERE od >= mn AND od <= mx
+        GROUP BY od ORDER BY day""")),
+
+    // ----------------------------------------------------------------
     // GLOBAL peak concurrency — the sweep ts4 runs per user, across the
     // whole stream. A naive global running sum needs one total order =
     // one partition = the whole 100 TB stream through a single task; so
