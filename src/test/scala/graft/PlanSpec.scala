@@ -475,6 +475,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("k12 change feed: one shuffle join, no second pass over either side") {
+    val q = SparkEntry.queries("k12_change_feed")(spark, sf)
+    val plan = planOf(q).split("== Initial Plan ==")(0)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 1,
+      s"CDF is exactly one full-outer join:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"change rows come from a narrow explode:\n$plan")
+  }
+
+  test("ts7 rolling distinct: every stage partial-aggregates; bounds broadcast") {
+    val q = SparkEntry.queries("ts7_rolling_dau")(spark, sf)
+    val plan = planOf(q)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"user-day distinct and the final count-distinct must both combine map-side:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row bounds frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("t30 linear scoring: narrow tokenize + partial aggregate, no join anywhere") {
     val q = SparkEntry.queries("t30_linear_quality")(spark, sf)
     val plan = planOf(q).split("== Initial Plan ==")(0)
