@@ -1085,12 +1085,17 @@ object TrainingQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         val wInt = (conv(substring(md5(col("w")), 1, 4), 16, 10)
           .cast("long") % 2001 - 1000)
+        // the quotient's operands are exact small integers on both
+        // engines, so the UNROUNDED division is bit-identical — a
+        // round() here would *create* engine divergence at decimal
+        // half-points (319/80000 = .0039875 exactly); the label reads
+        // the integer sign, never the float
         tok.select(col("doc_id"), wInt.as("wi"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum("wi").as("w_sum"))
           .withColumn("score",
-            round(col("w_sum").cast("double") / (lit(1000.0) * col("n_tokens")), 6))
-          .withColumn("label", when(col("score") > 0, "keep").otherwise("drop"))
+            col("w_sum").cast("double") / (lit(1000.0) * col("n_tokens")))
+          .withColumn("label", when(col("w_sum") > 0, "keep").otherwise("drop"))
           .select("doc_id", "n_tokens", "w_sum", "score", "label")
           .orderBy("doc_id")
       },
@@ -1109,9 +1114,8 @@ object TrainingQueries {
                  CAST(SUM(v % 2001 - 1000) AS BIGINT) AS w_sum
           FROM hx GROUP BY doc_id)
         SELECT doc_id, n_tokens, w_sum,
-               round(CAST(w_sum AS DOUBLE) / (1000.0 * n_tokens), 6) AS score,
-               CASE WHEN round(CAST(w_sum AS DOUBLE) / (1000.0 * n_tokens), 6) > 0
-                    THEN 'keep' ELSE 'drop' END AS label
+               CAST(w_sum AS DOUBLE) / (CAST(1000.0 AS DOUBLE) * n_tokens) AS score,
+               CASE WHEN w_sum > 0 THEN 'keep' ELSE 'drop' END AS label
         FROM per ORDER BY doc_id"""))
   )
 }
