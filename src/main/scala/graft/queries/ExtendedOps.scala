@@ -815,8 +815,37 @@ object ExtendedOps {
         }
         s.sql(Sql2Text)
       },
-      Some(Sql2Text))
+      Some(Sql2Text)),
+
+    // ----------------------------------------------------------------
+    // sql3: RECURSIVE CTE parity (Spark 4's WITH RECURSIVE) — a forest
+    // walk over the implicit part tree (parent = ⌊key/10⌋), one literal
+    // string both engines execute verbatim: anchor (keys < 10, depth 0)
+    // + recursive child join carrying the root. Integer division is
+    // spelled FLOOR(x/10) because `div` vs `//` would fork the text.
+    // Every part is reachable, so the gate covers all rows, not a
+    // sampled frontier.
+    Q(
+      "sql3_recursive_walk",
+      (s, d) => {
+        Tables.table(s, d, "part").createOrReplaceTempView("part")
+        s.sql(Sql3Text)
+      },
+      Some(Sql3Text))
   )
+
+  /** The sql3 query text (same both-engines discipline as sql1/sql2). */
+  private def Sql3Text = """
+    WITH RECURSIVE walk AS (
+      SELECT p_partkey AS node, p_partkey AS root, 0 AS depth
+      FROM part WHERE p_partkey < 10
+      UNION ALL
+      SELECT p.p_partkey, w.root, w.depth + 1
+      FROM part p JOIN walk w
+        ON CAST(FLOOR(p.p_partkey / 10) AS BIGINT) = w.node
+      WHERE p.p_partkey >= 10)
+    SELECT node, root, CAST(depth AS INTEGER) AS depth
+    FROM walk ORDER BY node"""
 
   /** The sql2 query text (same both-engines discipline as sql1). */
   private def Sql2Text = """

@@ -1116,6 +1116,62 @@ object TrainingQueries {
         SELECT doc_id, n_tokens, w_sum,
                CAST(w_sum AS DOUBLE) / (CAST(1000.0 AS DOUBLE) * n_tokens) AS score,
                CASE WHEN w_sum > 0 THEN 'keep' ELSE 'drop' END AS label
-        FROM per ORDER BY doc_id"""))
+        FROM per ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Deterministic augmentation (t31): 10% token dropout keyed on
+    // md5(doc|pos) — reproducible on any cluster, no rand(). The
+    // rebuilt text is order-restored via array_sort over (pos, token)
+    // structs (collect_list alone is partition-order-dependent) and
+    // gated by md5 — byte-exact reconstruction, the same discipline as
+    // the d15 rewrite. Narrow explode + one hash-agg; the corpus never
+    // joins anything.
+    Q(
+      "t31_token_dropout",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val keep = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("|"), col("pos").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 10 =!= 0
+        tok.withColumn("kept", keep)
+          .groupBy("doc_id")
+          .agg(
+            count(when(col("kept"), 1)).as("n_kept"),
+            count(when(!col("kept"), 1)).as("n_dropped"),
+            md5(concat_ws(" ", transform(
+              array_sort(collect_list(when(col("kept"),
+                struct(col("pos"), col("w"))))),
+              x => x.getField("w")))).as("md5_raw"))
+          // a doc whose every token dropped: DuckDB's string_agg over
+          // all-NULL is NULL, Spark's concat_ws over empty is "" — align
+          // on NULL for the degenerate case
+          .withColumn("text_md5",
+            when(col("n_kept") > 0, col("md5_raw")))
+          .select("doc_id", "n_kept", "n_dropped", "text_md5")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tok AS (
+          SELECT doc_id, u.i - 1 AS pos, t[u.i] AS w
+          FROM tk, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        flagged AS (
+          SELECT doc_id, pos, w,
+                 ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 10 <> 0
+                  AS kept
+          FROM (SELECT *, md5(CAST(doc_id AS VARCHAR) || '|'
+                  || CAST(pos AS VARCHAR)) AS h FROM tok))
+        SELECT doc_id,
+               COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+               COUNT(CASE WHEN NOT kept THEN 1 END) AS n_dropped,
+               md5(string_agg(CASE WHEN kept THEN w END, ' ' ORDER BY pos))
+                 AS text_md5
+        FROM flagged GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }
