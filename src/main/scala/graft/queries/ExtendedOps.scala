@@ -250,6 +250,62 @@ object ExtendedOps {
         ORDER BY repository_id""")),
 
     // ----------------------------------------------------------------
+    // dr3: chi-square drift statistic per category — the STATISTICAL
+    // complement to dr1's row-level diff: expected counts scale the old
+    // distribution to the new total, and each category's (O−E)²/E
+    // contribution flags where the shift concentrates. Per-category
+    // contributions are emitted (not a single summed scalar: a 5-term
+    // double sum would be partition-order-dependent, the rows are not);
+    // every float expression is fixed-shape, identical on both engines.
+    Q(
+      "dr3_chi2_drift",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val k = col("p_partkey")
+        val old = p.filter(k % 11 =!= 0)
+          .groupBy(concat(lit("cat"), (k % 5).cast("string")).as("category"))
+          .agg(count(lit(1)).as("n_old"))
+        val neu = p.filter(k % 13 =!= 0)
+          .groupBy(when(k % 7 === 0, concat(lit("cat"), ((k % 5 + 1) % 5).cast("string")))
+            .otherwise(concat(lit("cat"), (k % 5).cast("string"))).as("category"))
+          .agg(count(lit(1)).as("n_new"))
+        val joined = old.join(neu, "category")
+        val tot = joined.agg(sum("n_old").as("tot_old"), sum("n_new").as("tot_new"))
+        val e = col("n_old").cast("double") * col("tot_new") / col("tot_old")
+        joined.crossJoin(broadcast(tot))
+          .withColumn("expected", e)
+          .withColumn("chi2_contrib",
+            (col("n_new") - col("expected")) * (col("n_new") - col("expected"))
+              / col("expected"))
+          .withColumn("drifted", col("chi2_contrib") > 3.841) // χ²₁ at α=0.05
+          .select("category", "n_old", "n_new", "expected", "chi2_contrib", "drifted")
+          .orderBy("category")
+      },
+      Some("""
+        WITH old AS (
+          SELECT 'cat' || CAST(p_partkey % 5 AS VARCHAR) AS category,
+                 COUNT(*) AS n_old
+          FROM part WHERE p_partkey % 11 <> 0 GROUP BY 1),
+        neu AS (
+          SELECT CASE WHEN p_partkey % 7 = 0
+                   THEN 'cat' || CAST((p_partkey % 5 + 1) % 5 AS VARCHAR)
+                   ELSE 'cat' || CAST(p_partkey % 5 AS VARCHAR) END AS category,
+                 COUNT(*) AS n_new
+          FROM part WHERE p_partkey % 13 <> 0 GROUP BY 1),
+        j AS (SELECT * FROM old JOIN neu USING (category)),
+        t AS (SELECT SUM(n_old) AS tot_old, SUM(n_new) AS tot_new FROM j)
+        SELECT category, n_old, n_new,
+               CAST(n_old AS DOUBLE) * tot_new / tot_old AS expected,
+               (n_new - CAST(n_old AS DOUBLE) * tot_new / tot_old)
+                 * (n_new - CAST(n_old AS DOUBLE) * tot_new / tot_old)
+                 / (CAST(n_old AS DOUBLE) * tot_new / tot_old) AS chi2_contrib,
+               (n_new - CAST(n_old AS DOUBLE) * tot_new / tot_old)
+                 * (n_new - CAST(n_old AS DOUBLE) * tot_new / tot_old)
+                 / (CAST(n_old AS DOUBLE) * tot_new / tot_old) > 3.841 AS drifted
+        FROM j, t
+        ORDER BY category""")),
+
+    // ----------------------------------------------------------------
     // Lead/lag/ntile per user: inter-event gaps in exact microseconds
     // plus a per-user quartile — the navigation-function family the
     // reference never uses but sessionization/funnel work needs.
@@ -831,8 +887,34 @@ object ExtendedOps {
         Tables.table(s, d, "part").createOrReplaceTempView("part")
         s.sql(Sql3Text)
       },
-      Some(Sql3Text))
+      Some(Sql3Text)),
+
+    // ----------------------------------------------------------------
+    // sql4: correlated LATERAL subquery with ORDER BY + LIMIT — the
+    // top-1-per-entity idiom as a join operator, decorrelated by
+    // Catalyst into a ranked join rather than per-row re-execution.
+    // One literal string, verbatim on both engines; customers without
+    // orders drop out (inner lateral) identically.
+    Q(
+      "sql4_lateral_top_order",
+      (s, d) => {
+        Seq("orders", "customer").foreach { t =>
+          Tables.table(s, d, t).createOrReplaceTempView(t)
+        }
+        s.sql(Sql4Text)
+      },
+      Some(Sql4Text))
   )
+
+  /** The sql4 query text (same both-engines discipline as sql1–sql3). */
+  private def Sql4Text = """
+    SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    WHERE c.c_custkey <= 200
+    ORDER BY c_custkey"""
 
   /** The sql3 query text (same both-engines discipline as sql1/sql2). */
   private def Sql3Text = """
