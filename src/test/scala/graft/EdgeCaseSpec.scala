@@ -182,4 +182,44 @@ class EdgeCaseSpec extends SparkSpec {
       assert(front.exists(f => f._1 >= p._1 && f._2 <= p._2 &&
         (f._1 > p._1 || f._2 < p._2)), s"$p escaped the frontier")
   }
+
+  test("time-series primitives on degenerate event frames") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // EWMA on an empty frame: empty out, schema intact
+    val e = graft.operators.TimeSeriesOps.withBoundedEwma(empty)
+    assert(e.count() == 0 && e.columns.contains("ewma"))
+    // single event: ewma == value exactly
+    val one = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 3.25)),
+      schema)
+    val r = graft.operators.TimeSeriesOps.withBoundedEwma(one).head()
+    assert(r.getAs[Double]("ewma") == 3.25)
+  }
+
+  test("changeFeed of identical frames is empty; of disjoint frames is all inserts") {
+    import spark.implicits._
+    val a = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    assert(graft.operators.Upsert.changeFeed(a, a, Seq("id")).count() == 0)
+    val b = Seq((3L, 3.0)).toDF("id", "v")
+    val feed = graft.operators.Upsert.changeFeed(a, b, Seq("id")).collect()
+    assert(feed.length == 1 && feed(0).getString(1) == "insert")
+  }
+
+  test("skipping index on a single-file table still answers correctly") {
+    val (root) = java.nio.file.Files.createTempDirectory("graft-skip-edge").toString
+    val cat = new graft.storage.ParquetCatalog(spark, root)
+    cat.overwrite("t", Tables.orders(spark, "/root/testdata/sf0.001").coalesce(1))
+    graft.storage.SkippingIndex.write(spark, s"$root/t", Seq("o_orderkey"))
+    val out = graft.storage.SkippingIndex.scan(spark, s"$root/t", "o_orderkey", 5, 10)
+    assert(out.count() ==
+      Tables.orders(spark, "/root/testdata/sf0.001")
+        .filter(col("o_orderkey").between(5, 10)).count())
+  }
 }
