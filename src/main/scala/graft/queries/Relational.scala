@@ -901,6 +901,116 @@ object Relational {
         ORDER BY lang, word""")),
 
     // ----------------------------------------------------------------
+    // A18: exact-moment Pearson correlation per group — corr from SIX
+    // decimal-exact moments (n, Σx, Σy, Σxy, Σx², Σy²) folded through
+    // one fixed-shape double formula. The moments are order-independent
+    // (decimal addition is associative), so the result is partitioning-
+    // independent; round(9) masks the >2^53 int128→double cast ulp (the
+    // a3/a16 precedent) — six orders above the noise, six below any
+    // real signal.
+    Q(
+      "a18_correlation",
+      (s, d) => {
+        import graft.functions.Deterministic.dsum
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        val xd = x.cast(DecimalType(18, 6))
+        val yd = y.cast(DecimalType(19, 6))
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            dsum(x).as("sx"), dsum(y).as("sy"),
+            sum(xd * yd).cast("double").as("sxy"),
+            sum(xd * x.cast(DecimalType(19, 6))).cast("double").as("sxx"),
+            sum(y.cast(DecimalType(18, 6)) * yd).cast("double").as("syy"))
+          .select(
+            col("l_returnflag"),
+            col("n").cast("long").as("n_rows"),
+            round(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                  sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9)
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${dsumSql("l_quantity")} AS sx,
+                 ${dsumSql("l_extendedprice")} AS sy,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                   * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                   * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                   * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+               round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+                 AS corr_qty_price
+        FROM m ORDER BY l_returnflag""")),
+
+    // ----------------------------------------------------------------
+    // A19: median-absolute-deviation outlier audit — the ROBUST
+    // complement to a16's 3σ z-score (one extreme value shifts a mean
+    // and explodes a stddev; it moves a median not at all). Two exact
+    // selection medians (value, then |value−median|) via row_number
+    // windows with total tie-breaks, then a per-type outlier count
+    // against the 3·MAD fence. Emitted per type (5 rows).
+    Q(
+      "a19_mad_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+          val w = Window.partitionBy("event_type")
+            .orderBy(col(valueCol), col("event_id"))
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("cnt",
+              count(lit(1)).over(Window.partitionBy("event_type")))
+            .filter(col("rn") === expr("(cnt + 1) div 2"))
+            .select(col("event_type"), col(valueCol).as(out))
+        }
+        val med = medianOf(ev, "value", "med")
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = medianOf(dev, "dev", "mad")
+        dev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"), col("med"), col("mad"))
+          .agg(count(when(col("dev") > col("mad") * 3, 1)).as("n_outliers"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH med AS (
+          SELECT event_type, value AS med FROM (
+            SELECT event_type, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM events)
+          WHERE rn = (cnt + 1) // 2),
+        dev AS (
+          SELECT e.event_id, e.event_type, abs(e.value - m.med) AS dev, m.med
+          FROM events e JOIN med m USING (event_type)),
+        mad AS (
+          SELECT event_type, dev AS mad FROM (
+            SELECT event_type, dev, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY dev, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM dev)
+          WHERE rn = (cnt + 1) // 2)
+        SELECT d.event_type, d.med, a.mad,
+               COUNT(CASE WHEN d.dev > a.mad * 3 THEN 1 END) AS n_outliers,
+               COUNT(*) AS n_rows
+        FROM dev d JOIN mad a USING (event_type)
+        GROUP BY d.event_type, d.med, a.mad
+        ORDER BY d.event_type""")),
+
+    // ----------------------------------------------------------------
     // S8 (latest-partition scan: agg(max(date)) then equality filter —
     // bronze_to_silver_transformation.py:662-668). The filter prunes
     // partitions when the column is a partition key.
