@@ -228,6 +228,62 @@ object StreamingQueries {
           ON p.user_id = c.user_id
          AND p.ts >= c.ts
          AND p.ts < c.ts + INTERVAL 30 MINUTE
-        ORDER BY click_id, purchase_id"""))
+        ORDER BY click_id, purchase_id""")),
+
+    // ----------------------------------------------------------------
+    // Watermark-lateness audit: how much data WOULD a 2-hour watermark
+    // drop, and how late does the stream really run? An event is late
+    // when its event time sits >2 h behind the max event time of
+    // everything that arrived STRICTLY before it (arrival order =
+    // event_id). The running max uses the same two-pass bucketed
+    // prefix-scan as ts5 (max is associative: per-bucket maxes → prefix
+    // carry over the bucket-count-sized frame → within-bucket exclusive
+    // running max) — no single-partition total order over the stream.
+    // The oracle runs the naive one-window form; results must match
+    // exactly.
+    Q(
+      "st6_lateness_audit",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("t"))
+          .withColumn("bucket", expr("event_id div 1024"))
+        val wCarry = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = ev.groupBy("bucket").agg(max("t").as("bmax"))
+          .withColumn("carry", max("bmax").over(wCarry))
+          .select("bucket", "carry")
+        val wLocal = Window.partitionBy("bucket").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val late = ev.join(broadcast(carries), "bucket")
+          .withColumn("seen_max",
+            greatest(coalesce(max("t").over(wLocal), lit(Long.MinValue)),
+              coalesce(col("carry"), lit(Long.MinValue))))
+          .withColumn("lateness_us",
+            when(col("seen_max") === Long.MinValue, 0L)
+              .otherwise(greatest(col("seen_max") - col("t"), lit(0L))))
+        late.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("lateness_us") > 7200000000L, 1)).as("n_late"),
+            max("lateness_us").as("max_lateness_us"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, event_type, epoch_us(ts) AS t FROM events),
+        run AS (
+          SELECT event_id, event_type, t,
+                 MAX(t) OVER (ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_max
+          FROM ev),
+        late AS (
+          SELECT event_type,
+                 CASE WHEN seen_max IS NULL THEN 0
+                      ELSE GREATEST(seen_max - t, 0) END AS lateness_us
+          FROM run)
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(CASE WHEN lateness_us > 7200000000 THEN 1 END) AS n_late,
+               MAX(lateness_us) AS max_lateness_us
+        FROM late GROUP BY 1 ORDER BY event_type"""))
   )
 }
