@@ -1036,6 +1036,89 @@ object TrainingQueries {
         ORDER BY id_a, id_b""")),
 
     // ----------------------------------------------------------------
+    // Entity-resolution capstone (er1): evidence from TWO independent
+    // blocking families — prefix blocks (j11's) and sorted-neighborhood
+    // windows (d17's) — unioned into one edge set and resolved to
+    // entities by connected components ([[Dedup.dedupClusters]] — the
+    // log-N min-propagation loop). Production ER is exactly this union
+    // of cheap blockers + one components pass; no single blocker's
+    // recall is trusted alone. The oracle replays both pair sets and a
+    // recursive-CTE walk — algorithm-independent, so it gates the
+    // composition, not the loop's internals.
+    Q(
+      "er1_entity_resolution",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        // family 1: prefix-16 blocks, lev <= 1 (j11)
+        val blocked = c.withColumn("blk", substring(col("c_name"), 1, 16))
+        val a = blocked.select(col("blk"), col("c_custkey").as("id_a"),
+          col("c_name").as("name_a"))
+        val b = blocked.select(col("blk"), col("c_custkey").as("id_b"),
+          col("c_name").as("name_b"))
+        val pairsPrefix = a.join(b, "blk")
+          .filter(col("id_a") < col("id_b") &&
+            levenshtein(col("name_a"), col("name_b")) <= 1)
+          .select("id_a", "id_b")
+        // family 2: SNM prefix-15 sort, w = 2 successors, lev <= 2 (d17)
+        val w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
+        val nb = c.withColumn("blk", substring(col("c_name"), 1, 15))
+          .withColumn("nid1", lead("c_custkey", 1).over(w))
+          .withColumn("nname1", lead("c_name", 1).over(w))
+          .withColumn("nid2", lead("c_custkey", 2).over(w))
+          .withColumn("nname2", lead("c_name", 2).over(w))
+        val pairsSnm = nb.select(col("c_custkey").as("id"), col("c_name").as("name"),
+            explode(array(
+              struct(col("nid1").as("nid"), col("nname1").as("nname")),
+              struct(col("nid2").as("nid"), col("nname2").as("nname")))).as("nbr"))
+          .filter(col("nbr.nid").isNotNull &&
+            levenshtein(col("name"), col("nbr.nname")) <= 2)
+          .select(least(col("id"), col("nbr.nid")).as("id_a"),
+            greatest(col("id"), col("nbr.nid")).as("id_b"))
+        val pairs = pairsPrefix.unionByName(pairsSnm).distinct()
+        graft.operators.Dedup
+          .dedupClusters(c.select("c_custkey"), "c_custkey", pairs)
+          .withColumnRenamed("cluster_rep", "entity_rep")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH RECURSIVE cc AS (
+          SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk16,
+                 substr(c_name, 1, 15) AS blk15
+          FROM customer),
+        pa AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+          FROM cc a JOIN cc b ON a.blk16 = b.blk16 AND a.c_custkey < b.c_custkey
+          WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        nb AS (
+          SELECT c_custkey AS id, c_name AS name,
+                 lead(c_custkey, 1) OVER w AS nid1,
+                 lead(c_name, 1) OVER w AS nname1,
+                 lead(c_custkey, 2) OVER w AS nid2,
+                 lead(c_name, 2) OVER w AS nname2
+          FROM cc
+          WINDOW w AS (PARTITION BY blk15 ORDER BY c_name, c_custkey)),
+        pb AS (
+          SELECT LEAST(id, nid) AS id_a, GREATEST(id, nid) AS id_b
+          FROM (
+            SELECT id, name, nid1 AS nid, nname1 AS nname FROM nb
+            WHERE nid1 IS NOT NULL
+            UNION ALL
+            SELECT id, name, nid2, nname2 FROM nb WHERE nid2 IS NOT NULL)
+          WHERE levenshtein(name, nname) <= 2),
+        e0 AS (SELECT id_a, id_b FROM pa UNION SELECT id_a, id_b FROM pb),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM e0
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM e0),
+        walk AS (
+          SELECT c_custkey AS id, c_custkey AS label FROM customer
+          UNION
+          SELECT e.src AS id, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+        SELECT id AS c_custkey, MIN(label) AS entity_rep
+        FROM walk GROUP BY id
+        ORDER BY c_custkey""")),
+
+    // ----------------------------------------------------------------
     // Deterministic epoch shuffle (t29): the training-order primitive —
     // each epoch is a pseudorandom permutation of the corpus given by
     // sorting on md5(epoch || doc_id), reproducible on any engine and
