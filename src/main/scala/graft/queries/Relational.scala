@@ -1011,6 +1011,58 @@ object Relational {
         ORDER BY d.event_type""")),
 
     // ----------------------------------------------------------------
+    // A20: winsorization — clip values at the exact nearest-rank
+    // p5/p95 per group before training (the outlier-clipping
+    // preprocessing step; a16/a19 DETECT outliers, this neutralizes
+    // them). Fences come from row_number selection with a total
+    // tie-break and integer ceil arithmetic — engine-exact; clipped
+    // sums accumulate in DECIMAL.
+    Q(
+      "a20_winsorize",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        val ranked = ev
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        val fences = ranked
+          .filter(col("rn") === expr("(cnt + 19) div 20") ||
+            col("rn") === expr("(19 * cnt + 19) div 20"))
+          .groupBy("event_type")
+          .agg(min("value").as("p05"), max("value").as("p95"))
+        ev.join(broadcast(fences), "event_type")
+          .withColumn("clipped", least(greatest(col("value"), col("p05")), col("p95")))
+          .groupBy(col("event_type"), col("p05"), col("p95"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(when(col("value") < col("p05"), 1)).as("n_clip_low"),
+            count(when(col("value") > col("p95"), 1)).as("n_clip_high"),
+            sum(col("clipped").cast(dec)).cast("double").as("sum_clipped"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM events),
+        fences AS (
+          SELECT event_type, MIN(value) AS p05, MAX(value) AS p95
+          FROM ranked
+          WHERE rn = (cnt + 19) // 20 OR rn = (19 * cnt + 19) // 20
+          GROUP BY 1)
+        SELECT e.event_type, f.p05, f.p95,
+               COUNT(*) AS n_rows,
+               COUNT(CASE WHEN e.value < f.p05 THEN 1 END) AS n_clip_low,
+               COUNT(CASE WHEN e.value > f.p95 THEN 1 END) AS n_clip_high,
+               CAST(SUM(CAST(LEAST(GREATEST(e.value, f.p05), f.p95)
+                 AS DECIMAL(28,6))) AS DOUBLE) AS sum_clipped
+        FROM events e JOIN fences f USING (event_type)
+        GROUP BY e.event_type, f.p05, f.p95
+        ORDER BY e.event_type""")),
+
+    // ----------------------------------------------------------------
     // S8 (latest-partition scan: agg(max(date)) then equality filter —
     // bronze_to_silver_transformation.py:662-668). The filter prunes
     // partitions when the column is a partition key.
