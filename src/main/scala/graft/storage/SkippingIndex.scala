@@ -126,18 +126,44 @@ object SkippingIndex {
     }.map(_.file)
   }
 
+  /** Multi-column conjunctive pruning: a file survives only if EVERY
+    * predicate's [lo,hi] intersects that column's [min,max]. Over a
+    * [[ParquetCatalog.compact]] `zorderBy` layout each file is a
+    * hypercube in bucket space, so every predicated dimension prunes —
+    * the property a single-column lexicographic cluster only has for
+    * its leading column (SkippingSpec measures the difference). */
+  def candidateFilesAll(tableDir: String,
+      preds: Seq[(String, Double, Double)]): Seq[String] = {
+    read(tableDir).filter { fs =>
+      preds.forall { case (column, lo, hi) =>
+        fs.cols.find(_.column == column) match {
+          case None => true
+          case Some(cs) => cs.max.toDouble >= lo && cs.min.toDouble <= hi
+        }
+      }
+    }.map(_.file)
+  }
+
   /** Index-pruned range scan: read only intersecting files, re-apply the
     * predicate (the index is advisory; correctness never depends on it).
     * Returns an empty frame with the table schema when nothing
     * intersects. */
   def scan(spark: SparkSession, tableDir: String, column: String,
-      lo: Double, hi: Double): DataFrame = {
-    val files = candidateFiles(tableDir, column, lo, hi)
+      lo: Double, hi: Double): DataFrame =
+    scanAll(spark, tableDir, Seq((column, lo, hi)))
+
+  /** Conjunctive multi-predicate form of [[scan]]. */
+  def scanAll(spark: SparkSession, tableDir: String,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    require(preds.nonEmpty, "scanAll needs at least one predicate")
+    val files = candidateFilesAll(tableDir, preds)
     val base =
       if (files.isEmpty)
         spark.read.parquet(tableDir).limit(0)
       else spark.read.parquet(files: _*)
-    base.filter(col(column) >= lo && col(column) <= hi)
+    preds.foldLeft(base) { case (df, (column, lo, hi)) =>
+      df.filter(col(column) >= lo && col(column) <= hi)
+    }
   }
 
   // ---- dependency-free JSON (same discipline as graft.Verify) ----

@@ -66,6 +66,40 @@ class SkippingSpec extends SparkSpec {
     assert(all.size == reloaded.size)
   }
 
+  test("z-order layout prunes BOTH predicated columns; linear cluster only the first") {
+    def build(zorder: Boolean): (String, Int) = {
+      val (cat, root) = freshCatalog()
+      cat.overwrite("li", Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_partkey", "l_quantity"))
+      if (zorder)
+        cat.compact("li", rowsPerFile = 400,
+          zorderBy = Seq("l_orderkey", "l_partkey"))
+      else
+        cat.compact("li", rowsPerFile = 400,
+          clusterBy = Seq("l_orderkey"))
+      val stats = SkippingIndex.write(spark, s"$root/li",
+        Seq("l_orderkey", "l_partkey"))
+      (s"$root/li", stats.size)
+    }
+    val (zdir, zn) = build(zorder = true)
+    val (ldir, ln) = build(zorder = false)
+    // predicate ONLY on the second z-order column: the lexicographic
+    // layout cannot prune it at all, the hypercube layout can
+    val preds = Seq(("l_partkey", 1.0, 20.0))
+    val zc = SkippingIndex.candidateFilesAll(zdir, preds).size
+    val lc = SkippingIndex.candidateFilesAll(ldir, preds).size
+    assert(lc == ln, s"linear cluster should not prune the non-leading column ($lc/$ln)")
+    assert(zc < zn, s"z-order must prune the second dimension ($zc/$zn)")
+    // conjunctive scan ≡ full filter on the z-order layout
+    val both = Seq(("l_orderkey", 100.0, 2000.0), ("l_partkey", 1.0, 20.0))
+    val pruned = SkippingIndex.scanAll(spark, zdir, both)
+    val full = spark.read.parquet(zdir)
+      .filter(col("l_orderkey").between(100, 2000) &&
+        col("l_partkey").between(1, 20))
+    assert(pruned.count() == full.count())
+    assert(pruned.exceptAll(full).isEmpty)
+  }
+
   test("unclustered layout prunes little — clustering is what makes stats tight") {
     val (cat, root) = freshCatalog()
     // random layout: hash-repartition, no clustering
