@@ -494,6 +494,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("sql3 recursion executes as a native UnionLoop, not a driver loop") {
+    val q = SparkEntry.queries("sql3_recursive_walk")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("UnionLoop"),
+      s"WITH RECURSIVE must compile to the native loop operator:\n$plan")
+  }
+
+  test("sql4 lateral decorrelates: WindowGroupLimit + pushed correlation, no per-row rerun") {
+    val q = SparkEntry.queries("sql4_lateral_top_order")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-1-per-key must be a group limit (map-side partial), not a full rank:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the lateral subquery must join, not nested-loop:\n$plan")
+    assert(plan.contains("LessThanOrEqual(o_custkey,200)") ||
+      plan.contains("(o_custkey#") && plan.contains("<= 200"),
+      s"the correlated filter must push into the orders side:\n$plan")
+  }
+
   test("t30 linear scoring: narrow tokenize + partial aggregate, no join anywhere") {
     val q = SparkEntry.queries("t30_linear_quality")(spark, sf)
     val plan = planOf(q).split("== Initial Plan ==")(0)
