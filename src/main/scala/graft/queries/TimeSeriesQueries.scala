@@ -317,6 +317,74 @@ object TimeSeriesQueries {
         GROUP BY 1""")),
 
     // ----------------------------------------------------------------
+    // Classical additive decomposition of the global daily series:
+    // y = trend + seasonal + remainder. All accumulation happens in
+    // exact integer CENTS (values carry 2 decimals; ×100 rounds ulp
+    // noise, never a half-point): the 7-day centered trend window is an
+    // integer sum, detrending is 7·y − Σ (multiplied through to avoid
+    // division), weekday effects are integer sums with a count — the
+    // ONLY float ops are three final fixed-shape divisions, identical
+    // on both engines. The day frame is bounded by the time range, not
+    // data; per-series decomposition partitions by series key.
+    Q(
+      "ts8_decompose",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("yc"))
+        val wT = Window.orderBy("day").rowsBetween(-3, 3)
+        val trended = daily
+          .withColumn("n7", count(lit(1)).over(wT))
+          .withColumn("tc7", sum("yc").over(wT))
+          .withColumn("weekday",
+            datediff(col("day"), lit("2024-01-01").cast("date")) % 7)
+        val inner = trended.filter(col("n7") === 7)
+          .withColumn("detc7", col("yc") * 7 - col("tc7"))
+        val seasonal = inner.groupBy("weekday")
+          .agg(sum("detc7").as("sdet"), count(lit(1)).as("ndet"))
+        inner.join(broadcast(seasonal), "weekday")
+          .select(
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("weekday"),
+            (col("yc").cast("double") / 100.0).as("y"),
+            (col("tc7").cast("double") / 700.0).as("trend"),
+            (col("sdet").cast("double") / (col("ndet") * 700.0)).as("seasonal"),
+            (col("yc").cast("double") / 100.0
+              - col("tc7").cast("double") / 700.0
+              - col("sdet").cast("double") / (col("ndet") * 700.0))
+              .as("remainder"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS yc
+          FROM events GROUP BY 1),
+        trended AS (
+          SELECT day, yc,
+                 COUNT(*) OVER w AS n7,
+                 CAST(SUM(yc) OVER w AS BIGINT) AS tc7,
+                 date_diff('day', DATE '2024-01-01', day) % 7 AS weekday
+          FROM daily
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        inner_days AS (
+          SELECT *, yc * 7 - tc7 AS detc7 FROM trended WHERE n7 = 7),
+        seasonal AS (
+          SELECT weekday, CAST(SUM(detc7) AS BIGINT) AS sdet,
+                 COUNT(*) AS ndet
+          FROM inner_days GROUP BY 1)
+        SELECT strftime(i.day, '%Y-%m-%d') AS day,
+               CAST(i.weekday AS INTEGER) AS weekday,
+               CAST(yc AS DOUBLE) / 100.0 AS y,
+               CAST(tc7 AS DOUBLE) / 700.0 AS trend,
+               CAST(sdet AS DOUBLE) / (ndet * 700.0) AS seasonal,
+               CAST(yc AS DOUBLE) / 100.0
+                 - CAST(tc7 AS DOUBLE) / 700.0
+                 - CAST(sdet AS DOUBLE) / (ndet * 700.0) AS remainder
+        FROM inner_days i JOIN seasonal s USING (weekday)
+        ORDER BY day""")),
+
+    // ----------------------------------------------------------------
     // Schema-drift union: two generations of the same feed with
     // different column sets, reconciled by NAME (unionByName
     // allowMissingColumns / DuckDB UNION ALL BY NAME), absent columns
