@@ -1119,6 +1119,42 @@ object TrainingQueries {
         ORDER BY c_custkey""")),
 
     // ----------------------------------------------------------------
+    // Positional phrase search (t33): exact-phrase retrieval through a
+    // POSITIONAL posting list — t17/t18 index terms; phrases need
+    // (doc, position) postings and an adjacency join (pos₂ = pos₁ + 1),
+    // the classic IR next-word join. Both posting sides are term-
+    // filtered BEFORE the join (isin pushdown to the scan), so the join
+    // input is phrase-candidate-sized, never the corpus.
+    Q(
+      "t33_phrase_search",
+      (s, d) => {
+        val Seq(w1, w2) = Seq("table", "hash")
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .filter(col("w").isin(w1, w2))
+        val p1 = tok.filter(col("w") === w1).select(col("doc_id"), col("pos"))
+        val p2 = tok.filter(col("w") === w2)
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        p1.join(p2, Seq("doc_id", "pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tok AS (
+          SELECT doc_id, u.i - 1 AS pos, t[u.i] AS w
+          FROM tk, UNNEST(range(1, len(t) + 1)) AS u(i)
+          WHERE t[u.i] IN ('table', 'hash')),
+        p1 AS (SELECT doc_id, pos FROM tok WHERE w = 'table'),
+        p2 AS (SELECT doc_id, pos - 1 AS pos FROM tok WHERE w = 'hash')
+        SELECT doc_id, COUNT(*) AS n_hits,
+               CAST(MIN(pos) AS INTEGER) AS first_pos
+        FROM p1 JOIN p2 USING (doc_id, pos)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
     // Deterministic epoch shuffle (t29): the training-order primitive —
     // each epoch is a pseudorandom permutation of the corpus given by
     // sorting on md5(epoch || doc_id), reproducible on any engine and
