@@ -495,6 +495,42 @@ object MergeQueries {
           SELECT k, 'update_preimage', tp FROM j WHERE upd
           UNION ALL
           SELECT k, 'update_postimage', sp FROM j WHERE upd)
-        ORDER BY o_orderkey, _change_type"""))
+        ORDER BY o_orderkey, _change_type""")),
+
+    // ----------------------------------------------------------------
+    // K13: row-level DELETE WHERE through the catalog — the remaining
+    // DML verb (insert/append, upsert/MERGE, overwrite, and now
+    // delete). Fingerprint-keyed state: the table is materialized and
+    // deleted from ONCE; the measured query reads the post-delete
+    // survivors and aggregates them. Oracle recomputes the surviving
+    // set from the source with the inverse predicate — the rewrite
+    // must drop exactly the matched rows, nothing else.
+    Q(
+      "k13_delete_where",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_del_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          cat.overwrite("orders_d",
+            Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice"))
+          cat.delete("orders_d",
+            col("o_orderstatus") === "F" && col("o_totalprice") < 50000)
+          Files.createFile(marker)
+        }
+        cat.read("orders_d")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+        GROUP BY 1 ORDER BY o_orderstatus"""))
   )
 }

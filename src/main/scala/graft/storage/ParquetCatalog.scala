@@ -158,6 +158,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       case other => other.toString.toDouble
     }
 
+  /** Row-level DELETE (Delta `DELETE WHERE` parity on plain parquet):
+    * read, anti-filter, atomic rewrite. Returns the number of rows
+    * removed. At 100 TB pair this with partition pruning — a delete
+    * whose predicate pins the partition column rewrites only the
+    * affected partitions via [[overwritePartitions]]. */
+  def delete(name: String, condition: Column): Long = {
+    val t = read(name)
+    val keep = t.filter(!coalesce(condition, lit(false))).persist()
+    val removed = t.count() - keep.count() // materializes before the swap
+    overwrite(name, keep)
+    keep.unpersist()
+    removed
+  }
+
   // ---- versioned tables: time travel + retention --------------------
   //
   // Delta/Iceberg time-travel parity on plain parquet: data lives in
