@@ -250,6 +250,44 @@ object ExtendedOps {
         ORDER BY repository_id""")),
 
     // ----------------------------------------------------------------
+    // h4: approx_top_k (Spark 4's frequency-sketch top-k aggregate) in
+    // the sketch-tier verdict discipline (a14/t14/h1): the sketch AND
+    // the exact ranking computed in one query, compared as a bounded
+    // verdict the oracle predicts exactly. Item CHOICE among tied
+    // boundary counts is sketch-internal, so the verdict checks
+    // count-level properties (estimates exact for reported items;
+    // every reported count ≥ the true 5th-highest), never the tied
+    // item identities. At 100 TB the sketch is one map-side-merging
+    // pass; the exact ranking it replaces is a full shuffle.
+    Q(
+      "h4_approx_topk",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val approx = ev.select(expr("inline(approx_top_k(user_id, 5))"))
+        val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+        val kth = exact.select(col("n"))
+          .orderBy(col("n").desc).limit(5)
+          .agg(min("n").as("kth_n"))
+        approx.join(exact, col("item") === col("user_id"), "left")
+          .crossJoin(broadcast(kth))
+          .agg(
+            count(lit(1)).as("n_reported"),
+            count(when(col("count") === col("n"), 1)).as("n_est_exact"),
+            min(when(col("count") >= col("kth_n"), 1).otherwise(0))
+              .as("covers_topk"))
+      },
+      Some("""
+        WITH exact AS (
+          SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        kth AS (
+          SELECT MIN(n) AS kth_n FROM (
+            SELECT n FROM exact ORDER BY n DESC LIMIT 5))
+        SELECT CAST(5 AS BIGINT) AS n_reported,
+               CAST(5 AS BIGINT) AS n_est_exact,
+               1 AS covers_topk"""))
+      ,
+
+    // ----------------------------------------------------------------
     // dr3: chi-square drift statistic per category — the STATISTICAL
     // complement to dr1's row-level diff: expected counts scale the old
     // distribution to the new total, and each category's (O−E)²/E
