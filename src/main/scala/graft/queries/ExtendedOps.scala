@@ -288,6 +288,45 @@ object ExtendedOps {
       ,
 
     // ----------------------------------------------------------------
+    // h5: MERGEABLE distinct-count sketches (Datasketches HLL) — the
+    // incremental-maintenance pattern a14's scalar approx_count_distinct
+    // can't do: per-day sketches built once (at 100 TB: persisted with
+    // each partition write), then ANY cross-day distinct question is a
+    // sketch union — no rescan of history. Verdict: the unioned
+    // estimate within 5% of the exact cross-day distinct, and per-day
+    // estimates within 5% of per-day exacts — an all-ones frame the
+    // oracle predicts.
+    Q(
+      "h5_hll_union",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+        val daily = ev.groupBy("day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+            countDistinct("user_id").as("exact_day"))
+          .withColumn("day_ok",
+            (abs(expr("hll_sketch_estimate(sk)") - col("exact_day"))
+              <= col("exact_day") * 0.05).cast("int"))
+        val total = ev.agg(countDistinct("user_id").as("exact_total"))
+        daily.agg(
+            expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"),
+            min("day_ok").as("all_days_ok"),
+            count(lit(1)).as("n_days"))
+          .crossJoin(broadcast(total))
+          .select(
+            col("n_days"),
+            col("all_days_ok"),
+            (abs(col("est_total") - col("exact_total"))
+              <= col("exact_total") * 0.05).cast("int").as("union_ok"))
+      },
+      Some("""
+        SELECT CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+                 AS n_days,
+               1 AS all_days_ok,
+               1 AS union_ok
+        FROM events""")),
+
+    // ----------------------------------------------------------------
     // dr3: chi-square drift statistic per category — the STATISTICAL
     // complement to dr1's row-level diff: expected counts scale the old
     // distribution to the new total, and each category's (O−E)²/E
