@@ -327,6 +327,43 @@ object ExtendedOps {
         FROM events""")),
 
     // ----------------------------------------------------------------
+    // h6: MERGEABLE quantile sketches (Datasketches KLL) — h5's
+    // companion for percentiles: per-day sketches of the value
+    // distribution, merged per event type across days, quantiles read
+    // from the merged sketch. Verdict discipline: the sketch's exact
+    // retained-count must equal the true count, and the TRUE rank of
+    // the sketch's p50 answer must sit within ±6% of 0.5 (KLL default-k
+    // normalized rank error is ~1.65% at 99% confidence — the bound is
+    // generous, the oracle predicts all-ones).
+    Q(
+      "h6_kll_union",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"), col("value"))
+        val daily = ev.groupBy("event_type", "day")
+          .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+        val merged = daily.groupBy("event_type")
+          .agg(expr("kll_merge_agg_double(sk)").as("sk"))
+          .select(col("event_type"),
+            expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est50"),
+            expr("kll_sketch_get_n_double(sk)").as("n_sketch"))
+        ev.join(broadcast(merged), "event_type")
+          .groupBy("event_type", "n_sketch")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("value") <= col("est50"), 1)).as("n_le"))
+          .select(
+            col("event_type"), col("n_rows"),
+            (col("n_sketch") === col("n_rows")).cast("int").as("n_match"),
+            (col("n_le").cast("double") / col("n_rows")).between(0.44, 0.56)
+              .cast("int").as("rank_ok"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_rows, 1 AS n_match, 1 AS rank_ok
+        FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // ----------------------------------------------------------------
     // dr3: chi-square drift statistic per category — the STATISTICAL
     // complement to dr1's row-level diff: expected counts scale the old
     // distribution to the new total, and each category's (O−E)²/E
