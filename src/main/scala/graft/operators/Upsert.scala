@@ -127,21 +127,25 @@ object Upsert {
     require(target.columns.sorted.sameElements(source.columns.sorted),
       "changeFeed requires identical schemas on both sides")
     val dataCols = target.columns.filterNot(keys.contains).toSeq
-    val t = target.select(target.columns.map(c => col(c).as(s"__t_$c")).toSeq: _*)
-    val s = source.select(source.columns.map(c => col(c).as(s"__s_$c")).toSeq: _*)
+    // presence markers, not key-null checks: the join is null-safe
+    // (<=>), so a NULL key can legitimately MATCH — a null-based
+    // "matched" test would misclassify that row as an insert
+    val t = target.select(target.columns.map(c => col(c).as(s"__t_$c")).toSeq
+      :+ lit(1).as("__t_present"): _*)
+    val s = source.select(source.columns.map(c => col(c).as(s"__s_$c")).toSeq
+      :+ lit(1).as("__s_present"): _*)
     val cond = keys.map(k => col(s"__t_$k") <=> col(s"__s_$k")).reduce(_ && _)
     def img(tag: String, side: String) = struct(
       (lit(tag).as("_change_type") +:
         dataCols.map(c => col(s"__${side}_$c").as(c))): _*)
     val diff = dataCols.map(c => !(col(s"__t_$c") <=> col(s"__s_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val matched = col(s"__t_${keys.head}").isNotNull &&
-      col(s"__s_${keys.head}").isNotNull
+    val matched = col("__t_present").isNotNull && col("__s_present").isNotNull
     t.join(s, cond, "full_outer")
       .select(
         (keys.map(k => coalesce(col(s"__t_$k"), col(s"__s_$k")).as(k)) :+
           explode(
-            when(col(s"__t_${keys.head}").isNull, array(img("insert", "s")))
+            when(col("__t_present").isNull, array(img("insert", "s")))
               .when(matched && diff,
                 array(img("update_preimage", "t"), img("update_postimage", "s")))
               // slice(...,1,0): a typed EMPTY array — unchanged and

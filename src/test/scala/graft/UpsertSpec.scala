@@ -149,6 +149,17 @@ class UpsertSpec extends SparkSpec {
     ).sortBy(r => (r._1, r._2)))
   }
 
+  test("changeFeed: NULL keys null-safe-match — an update, never a phantom insert") {
+    import spark.implicits._
+    val target = Seq((Option.empty[Long], 1.0), (Some(2L), 2.0)).toDF("id", "v")
+    val source = Seq((Option.empty[Long], 9.0)).toDF("id", "v")
+    val feed = graft.operators.Upsert.changeFeed(target, source, Seq("id"))
+      .orderBy("_change_type").collect()
+    assert(feed.map(_.getString(1)).toSeq ==
+      Seq("update_postimage", "update_preimage"))
+    assert(feed.forall(_.isNullAt(0)))
+  }
+
   test("changeFeed: null-safe compare — null->value is an update, null->null is not") {
     import spark.implicits._
     val target = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
