@@ -114,17 +114,15 @@ object SkippingIndex {
   /** Files whose [min,max] for `column` intersects [lo,hi] (numeric
     * compare for numeric physical types, lexicographic for BINARY).
     * Files with no stats for the column are conservatively KEPT. */
-  def candidateFiles(tableDir: String, column: String, lo: Double, hi: Double): Seq[String] = {
-    read(tableDir).filter { fs =>
-      fs.cols.find(_.column == column) match {
-        case None => true // no stats -> cannot prune
-        case Some(cs) =>
-          val mn = cs.min.toDouble
-          val mx = cs.max.toDouble
-          mx >= lo && mn <= hi
-      }
-    }.map(_.file)
-  }
+  def candidateFiles(tableDir: String, column: String, lo: Double, hi: Double): Seq[String] =
+    candidateFilesAll(tableDir, Seq((column, lo, hi)))
+
+  /** Numeric intersect test; non-numeric stats (BINARY/string columns)
+    * conservatively KEEP the file — the index may only over-read,
+    * never throw or wrongly prune. */
+  private def overlaps(cs: ColStats, lo: Double, hi: Double): Boolean =
+    try cs.max.toDouble >= lo && cs.min.toDouble <= hi
+    catch { case _: NumberFormatException => true }
 
   /** Multi-column conjunctive pruning: a file survives only if EVERY
     * predicate's [lo,hi] intersects that column's [min,max]. Over a
@@ -138,7 +136,7 @@ object SkippingIndex {
       preds.forall { case (column, lo, hi) =>
         fs.cols.find(_.column == column) match {
           case None => true
-          case Some(cs) => cs.max.toDouble >= lo && cs.min.toDouble <= hi
+          case Some(cs) => overlaps(cs, lo, hi)
         }
       }
     }.map(_.file)

@@ -100,6 +100,15 @@ class SkippingSpec extends SparkSpec {
     assert(pruned.exceptAll(full).isEmpty)
   }
 
+  test("numeric predicate over string-typed stats keeps all files, never throws") {
+    val (cat, root) = freshCatalog()
+    cat.overwrite("orders", Tables.orders(spark, sf))
+    val dir = s"$root/orders"
+    val stats = SkippingIndex.write(spark, dir, Seq("o_orderstatus")) // BINARY stats
+    val cand = SkippingIndex.candidateFiles(dir, "o_orderstatus", 0, 1)
+    assert(cand.size == stats.size, "non-numeric stats must conservatively keep")
+  }
+
   test("unclustered layout prunes little — clustering is what makes stats tight") {
     val (cat, root) = freshCatalog()
     // random layout: hash-repartition, no clustering
