@@ -440,7 +440,12 @@ object TimeSeriesQueries {
           .select(
             date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
             col("day_offset"), col("n_active"), col("cohort_size"),
-            round(col("n_active").cast("double") / col("cohort_size"), 6)
+            // UNROUNDED: both operands are exact integers, so the single
+            // division is bit-identical across engines — round(6) here
+            // would CREATE divergence when n/size terminates at exactly
+            // 7 decimal digits (e.g. any odd n over a 128-sized cohort),
+            // the t30 half-point trap
+            (col("n_active").cast("double") / col("cohort_size"))
               .as("retention"))
           .orderBy("cohort", "day_offset")
       },
@@ -462,7 +467,7 @@ object TimeSeriesQueries {
           GROUP BY 1, 2)
         SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort, day_offset, n_active,
                cohort_size,
-               round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+               CAST(n_active AS DOUBLE) / cohort_size AS retention
         FROM m JOIN sizes s ON m.cohort = s.cohort
         ORDER BY cohort, day_offset""")),
 
