@@ -49,7 +49,10 @@ object SkippingIndex {
   }
 
   private def listParquet(dir: String): Seq[String] = {
-    val s = Files.walk(Paths.get(dir))
+    // resolve the real path: Files.walk does NOT traverse a symlink
+    // root, and a versioned table's path IS a symlink (ParquetCatalog
+    // time travel)
+    val s = Files.walk(Paths.get(dir).toRealPath())
     try s.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map(_.toString).toList.sorted

@@ -494,6 +494,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("mergeable sketches (h5/h6) aggregate partially — map-side sketch merge") {
+    for (name <- Seq("h5_hll_union", "h6_kll_union")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
+        .findAllIn(plan).size >= 2,
+        s"$name: sketch build must partial-aggregate before the exchange:\n$plan")
+    }
+  }
+
   test("sql3 recursion executes as a native UnionLoop, not a driver loop") {
     val q = SparkEntry.queries("sql3_recursive_walk")(spark, sf)
     val plan = planOf(q)

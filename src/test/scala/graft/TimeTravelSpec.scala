@@ -61,6 +61,27 @@ class TimeTravelSpec extends SparkSpec {
     }.getMessage.contains("not retained"))
   }
 
+  test("skipping stats ride each version: written through the pointer, kept per version") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t",
+      Seq.tabulate(100)(i => (i.toLong, i * 10L)).toDF("id", "v"))
+    // stats written THROUGH the symlink land in the current version dir
+    graft.storage.SkippingIndex.write(spark, s"$root/t", Seq("id"))
+    val v1Stats = graft.storage.SkippingIndex.read(s"$root/t")
+    assert(v1Stats.nonEmpty)
+    cat.overwriteVersioned("t",
+      Seq.tabulate(50)(i => (i.toLong + 1000, i * 10L)).toDF("id", "v"))
+    // the NEW version has no stats yet (write-once dirs: nothing leaked)
+    assert(intercept[IllegalArgumentException] {
+      graft.storage.SkippingIndex.read(s"$root/t")
+    }.getMessage.contains("no skipping index"))
+    // ...while version 1 keeps its own stats alongside its data
+    val v1Dir = s"$root/.versions/t/v1"
+    assert(graft.storage.SkippingIndex.read(v1Dir) == v1Stats)
+    assert(graft.storage.SkippingIndex
+      .scan(spark, v1Dir, "id", 10, 20).count() == 11)
+  }
+
   test("unversioned entry points keep working through the version pointer") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", Seq.tabulate(50)(i => (i.toLong, i * 2L)).toDF("id", "v"))
