@@ -494,6 +494,86 @@ object TimeSeriesQueries {
         ORDER BY c_nationkey, c_mktsegment""")),
 
     // ----------------------------------------------------------------
+    // Right-to-be-forgotten purge (gov3): the erasure workflow as one
+    // auditable unit — DELETE every record of the subject users through
+    // the catalog ([[graft.storage.ParquetCatalog.delete]],
+    // fingerprint-keyed state), then the compliance audit: per-type
+    // retained counts, a must-be-zero subject count, and exact-decimal
+    // value conservation. The oracle recomputes retention from the
+    // source with the inverse predicate — the purge must remove exactly
+    // the subjects' rows.
+    Q(
+      "gov3_rtbf_purge",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val subjects = Seq(7L, 42L, 99L)
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_rtbf_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          cat.overwrite("events_p", Tables.events(s, d)
+            .select("event_id", "user_id", "event_type", "value"))
+          cat.delete("events_p", col("user_id").isin(subjects: _*))
+          Files.createFile(marker)
+        }
+        cat.read("events_p")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_retained"),
+            count(when(col("user_id").isin(subjects: _*), 1))
+              .as("n_subject_rows"),
+            graft.functions.Deterministic.dsum(col("value")).as("retained_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_retained,
+               CAST(0 AS BIGINT) AS n_subject_rows,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS retained_value
+        FROM events
+        WHERE user_id NOT IN (7, 42, 99)
+        GROUP BY 1 ORDER BY event_type""")),
+
+    // ----------------------------------------------------------------
+    // Event-type transition matrix (ts9): per-user next-event
+    // transitions (the Markov audit behind funnel design) — one lead
+    // window per user, one hash-agg over (from, to), probabilities as
+    // UNROUNDED exact-integer divisions (bit-identical; the t30
+    // discipline).
+    Q(
+      "ts9_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = Tables.events(s, d)
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = tr.groupBy("from_type").agg(sum("n").as("n_from"))
+        tr.join(broadcast(totals), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+            (col("n").cast("double") / col("n_from")).as("p"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH tr AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events),
+        m AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        t AS (
+          SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+          FROM m GROUP BY 1)
+        SELECT m.from_type, to_type, n, n_from,
+               CAST(n AS DOUBLE) / n_from AS p
+        FROM m JOIN t ON m.from_type = t.from_type
+        ORDER BY m.from_type, to_type""")),
+
+    // ----------------------------------------------------------------
     // l-diversity audit (l = 3): within each quasi-identifier group,
     // how many DISTINCT sensitive values (binned account balance)
     // appear — k-anonymity's complement (a large group whose members
