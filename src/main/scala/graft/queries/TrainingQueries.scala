@@ -85,6 +85,76 @@ object TrainingQueries {
         ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // NEAREST-direction as-of (j13): merge_asof(direction='nearest')
+    // parity, completing the as-of family (j6 backward, j10 forward).
+    // Composed from the same union-and-carry operator run both ways —
+    // two key-partitioned shuffles + one event_id equi-join, never a
+    // |Δt| theta join — choosing the smaller absolute distance with a
+    // documented tie → backward. The oracle composes DuckDB's native
+    // backward and forward ASOF joins with the identical choice rule:
+    // all arithmetic in exact integer micros.
+    Q(
+      "j13_asof_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val snaps = ev.groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("hour_start"))
+          .agg(max(col("value")).as("snapshot_max"))
+          .withColumn("snap_ts", col("hour_start"))
+        val left = ev.select("event_id", "user_id", "ts", "value")
+        def side(dir: String, p: String) =
+          AsOfJoin.asOf(left, snaps, "user_id", "ts", "hour_start",
+              direction = dir)
+            .select(col("event_id"),
+              col("snapshot_max").as(s"${p}_max"), col("snap_ts").as(s"${p}_ts"))
+        val b = side("backward", "b")
+        val f = side("forward", "f")
+        val db = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+        val df_ = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+        val useB = col("f_ts").isNull || (col("b_ts").isNotNull && db <= df_)
+        left.join(b, "event_id").join(f, "event_id")
+          .select(
+            col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+            when(useB, col("b_max")).otherwise(col("f_max")).as("nearest_max"),
+            when(useB, db).otherwise(df_).as("delta_us"),
+            when(useB, "b").otherwise("f").as("dir"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH snaps AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour_start,
+                 MAX(value) AS snapshot_max
+          FROM events GROUP BY 1, 2),
+        b AS (
+          SELECT event_id, snaps.hour_start AS b_ts,
+                 snaps.snapshot_max AS b_max
+          FROM events l ASOF LEFT JOIN snaps
+            ON l.user_id = snaps.user_id AND snaps.hour_start <= l.ts),
+        f AS (
+          SELECT event_id, snaps.hour_start AS f_ts,
+                 snaps.snapshot_max AS f_max
+          FROM events l ASOF LEFT JOIN snaps
+            ON l.user_id = snaps.user_id AND l.ts <= snaps.hour_start)
+        SELECT l.event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+                      epoch_us(l.ts) - epoch_us(b_ts)
+                        <= epoch_us(f_ts) - epoch_us(l.ts))
+                    THEN b_max ELSE f_max END AS nearest_max,
+               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+                      epoch_us(l.ts) - epoch_us(b_ts)
+                        <= epoch_us(f_ts) - epoch_us(l.ts))
+                    THEN epoch_us(l.ts) - epoch_us(b_ts)
+                    ELSE epoch_us(f_ts) - epoch_us(l.ts) END AS delta_us,
+               CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+                      epoch_us(l.ts) - epoch_us(b_ts)
+                        <= epoch_us(f_ts) - epoch_us(l.ts))
+                    THEN 'b' ELSE 'f' END AS dir
+        FROM events l JOIN b USING (event_id) JOIN f USING (event_id)
+        ORDER BY l.event_id""")),
+
+    // ----------------------------------------------------------------
     // A7 via period-explode (the single-shuffle replacement of the
     // reference's per-period loop+union, personal_repos_bronze_to_
     // silver.py:578-630), producing the composite-key long format the
@@ -1152,6 +1222,54 @@ object TrainingQueries {
         SELECT doc_id, COUNT(*) AS n_hits,
                CAST(MIN(pos) AS INTEGER) AS first_pos
         FROM p1 JOIN p2 USING (doc_id, pos)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------------------------------------
+    // Per-document n-gram NOVELTY (t34): the curation metric between
+    // exact dedup and near-dup pairs — what fraction of a doc's
+    // 3-token shingles appears for the FIRST time in corpus order
+    // (min doc_id per shingle). Boilerplate-heavy late docs score low
+    // without any pairwise comparison: two map-side-combining
+    // hash-aggs, no joins over pairs, unrounded exact-integer division
+    // (the t30 discipline).
+    Q(
+      "t34_ngram_novelty",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val sh = tok
+          .withColumn("w2", lead("w", 1).over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+          .withColumn("w3", lead("w", 2).over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("w3").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("w"), col("w2"), col("w3")).as("shingle"))
+          .distinct()
+        val firsts = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+        sh.join(firsts, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+          .withColumn("novelty",
+            col("n_novel").cast("double") / col("n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 t[u.i] || ' ' || t[u.i + 1] || ' ' || t[u.i + 2] AS shingle
+          FROM tk, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        firsts AS (
+          SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(CASE WHEN first_doc = doc_id THEN 1 END) AS BIGINT)
+                 AS n_novel,
+               CAST(COUNT(CASE WHEN first_doc = doc_id THEN 1 END) AS DOUBLE)
+                 / COUNT(*) AS novelty
+        FROM sh JOIN firsts USING (shingle)
         GROUP BY doc_id ORDER BY doc_id""")),
 
     // ----------------------------------------------------------------
