@@ -76,13 +76,27 @@ object SkippingIndex {
           s != null && s.hasNonNullValue)
         if (ss.isEmpty) None
         else {
-          val typ = ss.head.`type`().getPrimitiveTypeName.name()
+          // The recorded type gates numeric pruning later: annotate
+          // logical types (DECIMAL stores unscaled ints, DATE/TIME/
+          // TIMESTAMP store epoch offsets) so a raw-physical-value
+          // numeric compare against a user-unit predicate can never
+          // wrongly prune — overlaps() only trusts plain INT32/INT64/
+          // FLOAT/DOUBLE.
+          val prim = ss.head.`type`()
+          val ann = Option(prim.getLogicalTypeAnnotation)
+            .map(a => ":" + a.toString.takeWhile(_ != '(')).getOrElse("")
+          val typ = prim.getPrimitiveTypeName.name() + ann
           // genericGetMin/Max are Comparable within one physical type
           val mins = ss.map(_.genericGetMin.asInstanceOf[Comparable[Any]])
           val maxs = ss.map(_.genericGetMax.asInstanceOf[Comparable[Any]])
           val mn = mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
           val mx = maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
-          val nulls = chunks.exists(c => c.getStatistics.getNumNulls > 0)
+          // conservative: a chunk with absent statistics or an unset
+          // null count is UNKNOWN → treat as possibly-null
+          val nulls = chunks.exists { c =>
+            val st = c.getStatistics
+            st == null || !st.isNumNullsSet || st.getNumNulls > 0
+          }
           Some(ColStats(name, typ, render(mn), render(mx), nulls))
         }
       }
@@ -108,6 +122,48 @@ object SkippingIndex {
     stats
   }
 
+  /** True when a persisted index exists for the dir. */
+  def exists(tableDir: String): Boolean = Files.exists(statsFile(tableDir))
+
+  /** Incremental index maintenance for append-shaped writes (catalog
+    * `append`, streaming `foreachBatch` sinks): keep entries for files
+    * still present, footer-read ONLY files the index has not seen, drop
+    * entries for files that disappeared. Cost is proportional to the
+    * increment, not the table — the property that lets a micro-batch
+    * sink keep the index fresh. Falls back to a full [[write]] when no
+    * index exists yet. The column set is taken from the existing index
+    * (or `cols` when given). */
+  def refresh(spark: SparkSession, tableDir: String,
+      cols: Seq[String] = Nil): Seq[FileStats] = {
+    if (!exists(tableDir)) {
+      require(cols.nonEmpty, s"no index at $tableDir and no columns given")
+      return write(spark, tableDir, cols)
+    }
+    val prior = jsonToStats(Files.readString(statsFile(tableDir)))
+    val useCols =
+      if (cols.nonEmpty) cols
+      else prior.flatMap(_.cols.map(_.column)).distinct.sorted
+    val current = listParquet(tableDir)
+    val currentSet = current.toSet
+    val known = prior.filter(fs => currentSet.contains(fs.file))
+    val knownSet = known.map(_.file).toSet
+    val fresh = current.filterNot(knownSet.contains)
+    val wanted = useCols.toSet
+    val freshStats =
+      if (fresh.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(fresh, math.max(1, math.min(fresh.size, 32)))
+        .map(f => readFooter(f, wanted)).collect().toSeq
+    val stats = (known ++ freshStats).sortBy(_.file)
+    val json = statsToJson(stats)
+    val tmp = Paths.get(tableDir, s"._graft_stats-${System.nanoTime()}.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, statsFile(tableDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stats
+  }
+
   def read(tableDir: String): Seq[FileStats] = {
     require(Files.exists(statsFile(tableDir)),
       s"no skipping index at ${statsFile(tableDir)} — run SkippingIndex.write first")
@@ -120,12 +176,23 @@ object SkippingIndex {
   def candidateFiles(tableDir: String, column: String, lo: Double, hi: Double): Seq[String] =
     candidateFilesAll(tableDir, Seq((column, lo, hi)))
 
-  /** Numeric intersect test; non-numeric stats (BINARY/string columns)
-    * conservatively KEEP the file — the index may only over-read,
-    * never throw or wrongly prune. */
+  /** Physical types whose raw min/max ARE the logical values, so a
+    * double-range intersect is sound. Everything else — BINARY/string
+    * (lexicographic order, "10" < "9"), DECIMAL (unscaled ints),
+    * DATE/TIMESTAMP (epoch offsets), FIXED_LEN_BYTE_ARRAY —
+    * conservatively keeps the file: the index may only over-read,
+    * never wrongly prune. An INT(width,signed) annotation is still the
+    * raw value, so it stays prunable. */
+  private def numericType(typ: String): Boolean = typ match {
+    case "INT32" | "INT64" | "FLOAT" | "DOUBLE" => true
+    case t => (t.startsWith("INT32:INT") || t.startsWith("INT64:INT"))
+  }
+
   private def overlaps(cs: ColStats, lo: Double, hi: Double): Boolean =
-    try cs.max.toDouble >= lo && cs.min.toDouble <= hi
-    catch { case _: NumberFormatException => true }
+    if (!numericType(cs.typ)) true
+    else
+      try cs.max.toDouble >= lo && cs.min.toDouble <= hi
+      catch { case _: NumberFormatException => true }
 
   /** Multi-column conjunctive pruning: a file survives only if EVERY
     * predicate's [lo,hi] intersects that column's [min,max]. Over a
@@ -135,14 +202,27 @@ object SkippingIndex {
     * its leading column (SkippingSpec measures the difference). */
   def candidateFilesAll(tableDir: String,
       preds: Seq[(String, Double, Double)]): Seq[String] = {
-    read(tableDir).filter { fs =>
-      preds.forall { case (column, lo, hi) =>
-        fs.cols.find(_.column == column) match {
-          case None => true
-          case Some(cs) => overlaps(cs, lo, hi)
+    // Reconcile the index against the LIVE file listing: files written
+    // after the index (append/streaming) are unconditional candidates
+    // (conservative keep — a stale index must over-read, never drop
+    // rows), and indexed files that no longer exist (compact/overwrite
+    // replaced them) drop out entirely.
+    val current = listParquet(tableDir)
+    val currentSet = current.toSet
+    val indexed = read(tableDir)
+    val indexedSet = indexed.map(_.file).toSet
+    val pruned = indexed
+      .filter(fs => currentSet.contains(fs.file))
+      .filter { fs =>
+        preds.forall { case (column, lo, hi) =>
+          fs.cols.find(_.column == column) match {
+            case None => true
+            case Some(cs) => overlaps(cs, lo, hi)
+          }
         }
-      }
-    }.map(_.file)
+      }.map(_.file)
+    val unindexed = current.filterNot(indexedSet.contains)
+    (pruned ++ unindexed).sorted
   }
 
   /** Index-pruned range scan: read only intersecting files, re-apply the
@@ -161,7 +241,13 @@ object SkippingIndex {
     val base =
       if (files.isEmpty)
         spark.read.parquet(tableDir).limit(0)
-      else spark.read.parquet(files: _*)
+      else
+        // basePath keeps hive-style partition columns in the schema
+        // when reading leaf files of a partitioned layout — without it
+        // the pruned read's schema diverges from the full-dir read
+        spark.read
+          .option("basePath", Paths.get(tableDir).toRealPath().toString)
+          .parquet(files: _*)
     preds.foldLeft(base) { case (df, (column, lo, hi)) =>
       df.filter(col(column) >= lo && col(column) <= hi)
     }

@@ -109,6 +109,69 @@ class SkippingSpec extends SparkSpec {
     assert(cand.size == stats.size, "non-numeric stats must conservatively keep")
   }
 
+  test("files appended AFTER the index are conservative candidates — no dropped rows") {
+    val (cat, root) = freshCatalog()
+    val orders = Tables.orders(spark, sf)
+    cat.overwrite("orders", orders.filter(col("o_orderkey") <= 700))
+    val dir = s"$root/orders"
+    SkippingIndex.write(spark, dir, Seq("o_orderkey"))
+    // append rows the stale index has never seen
+    cat.append("orders", orders.filter(col("o_orderkey") > 700))
+    val pruned = SkippingIndex.scan(spark, dir, "o_orderkey", 500, 1200)
+    val full = spark.read.parquet(dir)
+      .filter(col("o_orderkey").between(500, 1200))
+    assert(pruned.count() == full.count(),
+      "stale index must over-read appended files, never drop their rows")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("numeric-looking STRING stats never prune (lexicographic [10,9] trap)") {
+    import spark.implicits._
+    val (_, root) = freshCatalog()
+    val dir = s"$root/strs"
+    // one file whose string min/max are "10"/"9" lexicographically —
+    // a numeric read of that interval would wrongly prune lo=9,hi=9
+    Seq("9", "10", "11").toDF("v").coalesce(1).write.parquet(dir)
+    val stats = SkippingIndex.write(spark, dir, Seq("v"))
+    assert(stats.head.cols.head.typ.startsWith("BINARY"))
+    val cand = SkippingIndex.candidateFiles(dir, "v", 9, 9)
+    assert(cand.size == stats.size, "string-typed stats must keep all files")
+    assert(SkippingIndex.scan(spark, dir, "v", 9, 9).count() == 1)
+  }
+
+  test("pruned scan of a partitioned layout keeps partition columns") {
+    val (cat, root) = freshCatalog()
+    cat.overwrite("orders",
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      partitionBy = Seq("o_orderstatus"))
+    val dir = s"$root/orders"
+    SkippingIndex.write(spark, dir, Seq("o_orderkey"))
+    val pruned = SkippingIndex.scan(spark, dir, "o_orderkey", 100, 200)
+    assert(pruned.columns.contains("o_orderstatus"),
+      "basePath read must preserve hive-style partition columns")
+    val full = spark.read.parquet(dir)
+      .filter(col("o_orderkey").between(100, 200))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("refresh is incremental: only new files get footer reads, old entries survive") {
+    val (cat, root) = freshCatalog()
+    val orders = Tables.orders(spark, sf)
+    cat.overwrite("orders", orders.filter(col("o_orderkey") <= 700))
+    val dir = s"$root/orders"
+    val first = SkippingIndex.write(spark, dir, Seq("o_orderkey"))
+    cat.append("orders", orders.filter(col("o_orderkey") > 700))
+    val refreshed = SkippingIndex.refresh(spark, dir)
+    assert(refreshed.size > first.size, "new files must be indexed")
+    // prior entries preserved verbatim (no re-read of known files)
+    val byFile = refreshed.map(fs => fs.file -> fs).toMap
+    first.foreach(fs => assert(byFile(fs.file) == fs))
+    // after refresh the range scan prunes again (all candidates indexed)
+    val cand = SkippingIndex.candidateFiles(dir, "o_orderkey", 100, 200)
+    assert(cand.size < refreshed.size)
+  }
+
   test("unclustered layout prunes little — clustering is what makes stats tight") {
     val (cat, root) = freshCatalog()
     // random layout: hash-repartition, no clustering
