@@ -42,19 +42,23 @@ object Bench {
         .select(pmod(xxhash64(col("id")), lit(4096)).as("k"), col("id"))
         .groupBy("k").agg(sum("id").as("s"), count(lit(1)).as("c"))
         .agg(sum(col("s") + col("c"))).collect()
-      run(); time(run())
+      run(); Seq.fill(3)(time(run())).sorted.apply(1)
     }
 
     // optional filter for local iteration: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     var coldTotal = 0.0
+    // median of 3 timed runs after one cold warmup: sub-second queries
+    // showed 4-10× single-run spread across full-suite runs (JVM/GC/host
+    // noise), which burned two rounds of phantom-regression adjudication;
+    // the median is stable to <30% across back-to-back suites
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t = try {
         coldTotal += time(fn(spark, sfDir).count()) // warmup (cold)
-        time(fn(spark, sfDir).count()) // steady-state
+        Seq.fill(3)(time(fn(spark, sfDir).count())).sorted.apply(1)
       } catch { case _: Throwable => -1.0 }
       // each invocation builds fresh lineage, so persisted frames from
       // prior queries are dead weight — drop them to keep memory flat

@@ -15,6 +15,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // ABSOLUTE inventory pin: the live query pack must equal the
+    // committed inventory file, name for name. The relative gates below
+    // (failed-count, emitted-vs-selected) can't see a pack edit that
+    // silently drops queries — both sides would shrink together. This
+    // one can: deleting OR adding a query without updating the committed
+    // list is a hard exit 1 with the diff printed. tools/check.py pins
+    // the same file against the emitted result dirs.
+    val inventory = {
+      val in = getClass.getResourceAsStream("/graft/inventory.txt")
+      require(in != null, "missing committed inventory resource graft/inventory.txt")
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+    val live = SparkEntry.queries.keySet
+    if (live != inventory) {
+      val missing = (inventory -- live).toSeq.sorted
+      val extra = (live -- inventory).toSeq.sorted
+      System.err.println(
+        s"[verify] INVENTORY MISMATCH: pack has ${live.size}, committed " +
+          s"inventory has ${inventory.size}" +
+          (if (missing.nonEmpty) s"; dropped from pack: ${missing.mkString(",")}" else "") +
+          (if (extra.nonEmpty) s"; not in inventory: ${extra.mkString(",")}" else ""))
+      sys.exit(1)
+    }
     // Local-iteration filter (comma-separated names); the driver never
     // sets it, so the gate always runs the full inventory.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

@@ -531,6 +531,181 @@ object MergeQueries {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
         FROM orders
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
-        GROUP BY 1 ORDER BY o_orderstatus"""))
+        GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // ----------------------------------------------------------------
+    // K14: PARTITION-SCOPED MERGE — the 100 TB write path. The target
+    // is partitioned by o_orderstatus; the delta (updates + inserts)
+    // touches ONLY the 'F' partition, and the catalog's partition-scoped
+    // upsert must rewrite only that partition. The gate proves BOTH
+    // halves: (a) result parity with a semantic full merge (the grouped
+    // oracle recompute), and (b) the untouched partitions' files are
+    // bit-untouched — `untouched_files_changed` counts (path,size,mtime)
+    // fingerprint diffs outside 'F' across the upsert, and the oracle
+    // pins it to 0. Delta-MERGE file-level-rewrite parity
+    // (bronze_to_silver_transformation.py:867-920) without rewriting
+    // the table.
+    Q(
+      "k14_partition_scoped_merge",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_psm_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val o = Tables.orders(s, d)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          cat.overwrite("orders_p", o, Seq("o_orderstatus"))
+          val before = partitionFingerprints(Paths.get(root, "orders_p"))
+          val delta = o
+            .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"),
+              (col("o_totalprice") + 1000).as("o_totalprice"),
+              col("o_orderstatus"))
+            .unionByName(o
+              .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 1)
+              .select((col("o_orderkey") + 2000000).as("o_orderkey"),
+                col("o_totalprice"), col("o_orderstatus")))
+          cat.upsert("orders_p", delta, Seq("o_orderkey"),
+            partitionBy = Seq("o_orderstatus"))
+          val after = partitionFingerprints(Paths.get(root, "orders_p"))
+          val changed = before.collect {
+            case (p, fs) if p != "o_orderstatus=F" =>
+              val now = after.getOrElse(p, Set.empty[(String, Long, Long)])
+              (fs diff now).size + (now diff fs).size
+          }.sum
+          Files.writeString(marker, changed.toString)
+        }
+        val changed = Files.readString(marker).trim.toLong
+        cat.read("orders_p")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+          .withColumn("untouched_files_changed", lit(changed))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        s AS (
+          SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey + 2000000, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 1),
+        m AS (
+          SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL
+                      THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+                 CASE WHEN s.o_orderkey IS NOT NULL
+                      THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
+          FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               CAST(0 AS BIGINT) AS untouched_files_changed
+        FROM m GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // ----------------------------------------------------------------
+    // K15: VERSIONED MERGE + CDF BETWEEN VERSIONS (Delta `table_changes`
+    // parity). The upsert lands as version 2 with version 1 retained;
+    // untouched partitions are hard-link-shared between the version
+    // dirs (zero bytes copied — the filesystem analogue of a snapshot
+    // manifest re-referencing unchanged files), and `unshared_untouched`
+    // counts v2 files outside 'F' that do NOT share an inode with their
+    // v1 twin (oracle pins 0). The measured output is the change feed
+    // computed FROM THE TWO VERSIONS — readVersion(1) vs readVersion(2)
+    // must replay exactly the delta the merge applied, which the oracle
+    // derives from the source table directly.
+    Q(
+      "k15_versioned_merge_cdf",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_vm_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val o = Tables.orders(s, d)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          cat.overwriteVersioned("orders_vm", o, Seq("o_orderstatus"))
+          val delta = o
+            .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"),
+              (col("o_totalprice") * 2).as("o_totalprice"),
+              col("o_orderstatus"))
+            .unionByName(o
+              .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 2)
+              .select((col("o_orderkey") + 3000000).as("o_orderkey"),
+                col("o_totalprice"), col("o_orderstatus")))
+          cat.upsertVersioned("orders_vm", delta, Seq("o_orderkey"),
+            partitionBy = Seq("o_orderstatus"))
+          val v1 = Paths.get(root, ".versions", "orders_vm", "v1")
+          val v2 = Paths.get(root, ".versions", "orders_vm", "v2")
+          val unshared = partitionFingerprints(v2).collect {
+            case (p, fs) if p != "o_orderstatus=F" =>
+              fs.count { case (rel, _, _) =>
+                val twin = v1.resolve(p).resolve(Paths.get(rel).getFileName)
+                !Files.exists(twin) ||
+                  !Files.isSameFile(v2.resolve(rel), twin)
+              }
+          }.sum
+          Files.writeString(marker, unshared.toString)
+        }
+        val unshared = Files.readString(marker).trim.toLong
+        val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+        graft.operators.Upsert.changeFeed(
+            cat.readVersion("orders_vm", 1).select(cols.map(col): _*),
+            cat.readVersion("orders_vm", 2).select(cols.map(col): _*),
+            Seq("o_orderkey"))
+          .withColumn("unshared_untouched", lit(unshared))
+          .orderBy("o_orderkey", "_change_type")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        s AS (
+          SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey + 3000000, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 2),
+        j AS (
+          SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS k,
+                 t.o_totalprice AS tp, s.o_totalprice AS sp,
+                 t.o_orderstatus AS tst, s.o_orderstatus AS sst,
+                 t.o_orderkey IS NULL AS ins,
+                 t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                   AND (t.o_totalprice IS DISTINCT FROM s.o_totalprice
+                     OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus) AS upd
+          FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+        SELECT k AS o_orderkey, _change_type, p AS o_totalprice,
+               st AS o_orderstatus, CAST(0 AS BIGINT) AS unshared_untouched
+        FROM (
+          SELECT k, 'insert' AS _change_type, sp AS p, sst AS st FROM j WHERE ins
+          UNION ALL
+          SELECT k, 'update_preimage', tp, tst FROM j WHERE upd
+          UNION ALL
+          SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
+        ORDER BY o_orderkey, _change_type"""))
   )
+
+  /** (relative path, size, mtime) fingerprints of every data file,
+    * keyed by top-level hive partition dir — the byte-identity probe
+    * behind k14/k15's untouched-partition gates. */
+  private def partitionFingerprints(
+      base: java.nio.file.Path): Map[String, Set[(String, Long, Long)]] = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val real = base.toRealPath()
+    val s = Files.walk(real)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map { p =>
+        val rel = real.relativize(p).toString
+        rel.takeWhile(_ != '/') ->
+          ((rel, Files.size(p), Files.getLastModifiedTime(p).toMillis))
+      }.toList.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    finally s.close()
+  }
 }

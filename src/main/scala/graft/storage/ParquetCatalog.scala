@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 
 /** Partitioned-Parquet table catalog — the storage module of SURVEY.md
   * §7.1: named tables as partitioned directories, the reference's Delta
@@ -73,26 +74,113 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   }
 
   /** MERGE INTO this table (K2/K3): read current state, resolve with
-    * [[Upsert.merge]], atomically rewrite. First write degenerates to
-    * the source frame. `evolveSchema = true` is the storage add-column
-    * path — the atomic rewrite persists the widened schema (Delta
+    * [[Upsert.merge]], rewrite. First write degenerates to the source
+    * frame. `evolveSchema = true` is the storage add-column path — the
+    * atomic rewrite persists the widened schema (Delta
     * `overwriteSchema=true` parity, reference
-    * `bronze_to_silver_transformation.py:939`). */
+    * `bronze_to_silver_transformation.py:939`).
+    *
+    * **Partition-scoped rewrite** (the 100 TB write path): with
+    * `partitionBy` set and no schema evolution, only the partitions the
+    * delta actually touches are merged and rewritten — Delta MERGE's
+    * file-level rewrite (`bronze_to_silver_transformation.py:867-920`)
+    * at partition granularity. Touched = the delta's own partitions ∪
+    * the partitions holding matched target keys (the second set needs a
+    * target scan only when a partition column is NOT part of the merge
+    * key; when it is, a matched key's partition is by definition in the
+    * delta). The target read is statically partition-pruned to the
+    * touched set; untouched partitions' files are never opened OR
+    * rewritten. An update that moves a row's partition value empties
+    * its old slot correctly (the old partition is in the touched set
+    * and is rewritten without the row; a fully-emptied partition dir is
+    * removed). Schema evolution still forces the full rewrite — a
+    * partial rewrite would leave the table with per-partition schema
+    * drift. */
   def upsert(name: String, source: DataFrame, keys: Seq[String],
       smartCases: Map[String, (Column, Column) => Column] = Map.empty,
       insertOnly: Boolean = false,
       partitionBy: Seq[String] = Nil,
       evolveSchema: Boolean = false): Unit = {
     if (!exists(name)) overwrite(name, source, partitionBy)
-    else {
+    else if (partitionBy.isEmpty || evolveSchema) {
       val merged =
         Upsert.merge(read(name), source, keys, smartCases, insertOnly, evolveSchema)
           .persist() // materialize before the swap deletes the input files
       merged.count()
       overwrite(name, merged, partitionBy)
       merged.unpersist()
+    } else {
+      val target = read(name)
+      // ONE unioned expression so Spark coerces both sides' partition
+      // column types (e.g. a source STRING vs an inferred DATE on the
+      // hive-partitioned read-back) before values reach the driver —
+      // mixed-type driver tuples would break the touched/written diff.
+      // When every partition column is part of the merge key, a matched
+      // target key's partition is by definition in the delta, so the
+      // target match scan is skipped entirely.
+      val srcParts = source.select(partitionBy.map(col): _*)
+      val partsDf =
+        if (partitionBy.forall(keys.contains)) srcParts
+        else srcParts.unionByName(
+          target.join(
+              broadcast(source.select(keys.map(col): _*).distinct()),
+              keys, "left_semi")
+            .select(partitionBy.map(col): _*))
+      val touched = collectPartitions(partsDf.distinct())
+      if (touched.nonEmpty) {
+        val slice = target.filter(partitionPredicate(partitionBy, touched))
+        val merged =
+          Upsert.merge(slice, source, keys, smartCases, insertOnly)
+            .persist() // materialize before dynamic overwrite drops inputs
+        merged.count()
+        // partitions with surviving rows get rewritten by the dynamic
+        // overwrite; touched partitions ABSENT from the merged frame
+        // (every row moved out) must have their stale dirs removed —
+        // dynamic overwrite only touches partitions it writes
+        val written = collectPartitions(
+          merged.select(partitionBy.map(col): _*).distinct())
+        overwritePartitions(name, merged, partitionBy)
+        dropPartitionDirs(name, partitionBy, touched.diff(written))
+        merged.unpersist()
+      }
     }
   }
+
+  /** Partition tuples of a small distinct frame, collected to the
+    * driver — partition-count-sized, never data-sized. */
+  private def collectPartitions(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(r.get))
+
+  /** OR-of-ANDs equality predicate over partition columns with literal
+    * values — statically partition-prunable by the parquet scan. */
+  private def partitionPredicate(partitionBy: Seq[String],
+      tuples: Seq[Seq[Any]]): Column =
+    tuples.map { vs =>
+      partitionBy.zip(vs).map { case (c, v) => col(c) <=> lit(v) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** Hive-style relative dir path for one partition tuple, with Spark's
+    * own path escaping (null → `__HIVE_DEFAULT_PARTITION__`). */
+  private def partitionRelPath(partitionBy: Seq[String], vs: Seq[Any]): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    partitionBy.zip(vs).map { case (c, v) =>
+      val value =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"${ExternalCatalogUtils.escapePathName(c)}=$value"
+    }.mkString("/")
+  }
+
+  /** Remove hive-style partition dirs that a rewrite left empty (all
+    * their rows merged/deleted away) — dynamic overwrite only touches
+    * partitions PRESENT in the written frame. */
+  private def dropPartitionDirs(name: String, partitionBy: Seq[String],
+      tuples: Seq[Seq[Any]]): Unit =
+    tuples.foreach { vs =>
+      val dir = tableDir(name).resolve(partitionRelPath(partitionBy, vs))
+      if (Files.exists(dir)) deleteRecursively(dir)
+    }
 
   /** S8 latest-partition slice: max over the partition column, then a
     * partition-pruned equality scan. */
@@ -158,18 +246,43 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       case other => other.toString.toDouble
     }
 
-  /** Row-level DELETE (Delta `DELETE WHERE` parity on plain parquet):
-    * read, anti-filter, atomic rewrite. Returns the number of rows
-    * removed. At 100 TB pair this with partition pruning — a delete
-    * whose predicate pins the partition column rewrites only the
-    * affected partitions via [[overwritePartitions]]. */
-  def delete(name: String, condition: Column): Long = {
+  /** Row-level DELETE (Delta `DELETE WHERE` parity on plain parquet).
+    * Returns the number of rows removed.
+    *
+    * With `partitionBy` set, only the partitions that actually contain
+    * matching rows are rewritten: one scan finds the touched partition
+    * set (partition-count-sized collect), the anti-filtered survivors
+    * of JUST those partitions go through dynamic partition overwrite,
+    * and fully-emptied partition dirs are removed. At 100 TB a delete
+    * whose predicate hits one day's partition rewrites one partition,
+    * not the table. Without `partitionBy` it is the full read +
+    * anti-filter + atomic rewrite. */
+  def delete(name: String, condition: Column,
+      partitionBy: Seq[String] = Nil): Long = {
     val t = read(name)
-    val keep = t.filter(!coalesce(condition, lit(false))).persist()
-    val removed = t.count() - keep.count() // materializes before the swap
-    overwrite(name, keep)
-    keep.unpersist()
-    removed
+    val hit = coalesce(condition, lit(false))
+    if (partitionBy.isEmpty) {
+      val keep = t.filter(!hit).persist()
+      val removed = t.count() - keep.count() // materializes before the swap
+      overwrite(name, keep)
+      keep.unpersist()
+      removed
+    } else {
+      val touched = collectPartitions(
+        t.filter(hit).select(partitionBy.map(col): _*).distinct())
+      if (touched.isEmpty) 0L
+      else {
+        val slice = t.filter(partitionPredicate(partitionBy, touched)).persist()
+        val keep = slice.filter(!hit).persist()
+        val removed = slice.count() - keep.count()
+        val written = collectPartitions(
+          keep.select(partitionBy.map(col): _*).distinct())
+        if (written.nonEmpty) overwritePartitions(name, keep, partitionBy)
+        dropPartitionDirs(name, partitionBy, touched.diff(written))
+        keep.unpersist(); slice.unpersist()
+        removed
+      }
+    }
   }
 
   // ---- versioned tables: time travel + retention --------------------
@@ -233,6 +346,133 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     require(Files.isDirectory(p),
       s"version $version of $name not retained (have: ${versions(name).mkString(",")})")
     spark.read.parquet(p.toString)
+  }
+
+  /** Migrate an unversioned table in place (its dir becomes the first
+    * retained version behind the symlink) and return the CURRENT
+    * version's backing dir. */
+  private def ensureVersioned(name: String): Path = {
+    require(exists(name), s"no table $name")
+    val vd = versionsDir(name)
+    Files.createDirectories(vd)
+    val dest = tableDir(name)
+    if (!Files.isSymbolicLink(dest)) {
+      val next = versions(name).lastOption.getOrElse(0L) + 1
+      val target = vd.resolve(s"v$next")
+      Files.move(dest, target, StandardCopyOption.ATOMIC_MOVE)
+      repoint(name, target)
+    }
+    dest.toRealPath()
+  }
+
+  /** Atomically repoint the table symlink at a version dir. */
+  private def repoint(name: String, target: Path): Unit = {
+    val tmpLink = Paths.get(root, s".lnk-$name-${System.nanoTime()}")
+    Files.createSymbolicLink(tmpLink, target.toAbsolutePath)
+    Files.move(tmpLink, tableDir(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Hard-link every file of `src` into `dst`, skipping paths whose
+    * src-relative path starts with one of `excludeRel`. Versions share
+    * untouched files at zero copy cost — the filesystem analogue of a
+    * Delta/Iceberg manifest referencing unchanged data files from the
+    * previous snapshot; deleting a version only unlinks. */
+  private def linkClone(src: Path, dst: Path, excludeRel: Set[String]): Unit = {
+    Files.createDirectories(dst)
+    val s = Files.walk(src)
+    try s.iterator().asScala.filter(_ != src).foreach { p =>
+      val rel = src.relativize(p).toString
+      val excluded = excludeRel.exists(e => rel == e || rel.startsWith(e + "/"))
+      if (!excluded) {
+        val t = dst.resolve(rel)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.createLink(t, p)
+      }
+    } finally s.close()
+  }
+
+  /** MERGE that RETAINS history (Delta MERGE + time travel in one):
+    * the merge lands as version N+1; version N stays readable. With
+    * `partitionBy` the new version hard-links every UNTOUCHED
+    * partition's files from the current version (zero data copied —
+    * only the delta's touched partitions are written), exactly Delta's
+    * file-level rewrite where a new snapshot's manifest re-references
+    * unchanged files. Readers are never invalidated: the merged frame
+    * is computed FROM the still-live old version and the table symlink
+    * repoints only after the new version is fully written — so no
+    * persist/materialize barrier is needed, unlike the in-place
+    * [[upsert]]. Returns the new version number. */
+  def upsertVersioned(name: String, source: DataFrame, keys: Seq[String],
+      smartCases: Map[String, (Column, Column) => Column] = Map.empty,
+      insertOnly: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Long = {
+    if (!exists(name)) return overwriteVersioned(name, source, partitionBy)
+    if (partitionBy.isEmpty || evolveSchema) {
+      // migrate BEFORE building the lazy merge plan: overwriteVersioned's
+      // own migration would move the dir the plan's captured file listing
+      // still points at
+      ensureVersioned(name)
+      val merged =
+        Upsert.merge(read(name), source, keys, smartCases, insertOnly, evolveSchema)
+      return overwriteVersioned(name, merged, partitionBy)
+    }
+    val current = ensureVersioned(name)
+    val target = read(name)
+    val srcParts = source.select(partitionBy.map(col): _*)
+    val partsDf =
+      if (partitionBy.forall(keys.contains)) srcParts
+      else srcParts.unionByName(
+        target.join(
+            broadcast(source.select(keys.map(col): _*).distinct()),
+            keys, "left_semi")
+          .select(partitionBy.map(col): _*))
+    val touched = collectPartitions(partsDf.distinct())
+    val next = versions(name).last + 1
+    val newDir = versionsDir(name).resolve(s"v$next")
+    linkClone(current, newDir,
+      touched.map(partitionRelPath(partitionBy, _)).toSet)
+    if (touched.nonEmpty) {
+      val slice = target.filter(partitionPredicate(partitionBy, touched))
+      Upsert.merge(slice, source, keys, smartCases, insertOnly)
+        .write.mode(SaveMode.Append).option("compression", codec)
+        .partitionBy(partitionBy: _*).parquet(newDir.toString)
+    }
+    repoint(name, newDir)
+    next
+  }
+
+  /** DELETE WHERE that retains history — versioned sibling of
+    * [[delete]]; untouched partitions hard-link-shared as in
+    * [[upsertVersioned]]. Returns (newVersion, rowsRemoved). */
+  def deleteVersioned(name: String, condition: Column,
+      partitionBy: Seq[String] = Nil): (Long, Long) = {
+    val current = ensureVersioned(name) // before any lazy plan over read(name)
+    val t = read(name)
+    val hit = coalesce(condition, lit(false))
+    if (partitionBy.isEmpty) {
+      val keep = t.filter(!hit)
+      val removed = t.count() - keep.count()
+      (overwriteVersioned(name, keep), removed)
+    } else {
+      val touched = collectPartitions(
+        t.filter(hit).select(partitionBy.map(col): _*).distinct())
+      val next = versions(name).last + 1
+      val newDir = versionsDir(name).resolve(s"v$next")
+      linkClone(current, newDir,
+        touched.map(partitionRelPath(partitionBy, _)).toSet)
+      var removed = 0L
+      if (touched.nonEmpty) {
+        val slice = t.filter(partitionPredicate(partitionBy, touched))
+        val keep = slice.filter(!hit)
+        removed = slice.count() - keep.count()
+        keep.write.mode(SaveMode.Append).option("compression", codec)
+          .partitionBy(partitionBy: _*).parquet(newDir.toString)
+      }
+      repoint(name, newDir)
+      (next, removed)
+    }
   }
 
   /** Retention: drop all but the newest `keep` versions (the current

@@ -69,6 +69,96 @@ class CatalogSpec extends SparkSpec {
       s"equality on the partition column must prune:\n$plan")
   }
 
+  /** (path, size, mtime) fingerprint of every data file under a
+    * table's partition dirs, keyed by partition value. */
+  private def fileFingerprints(cat: ParquetCatalog, root: String,
+      name: String): Map[String, Set[(String, Long, Long)]] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(root, name)
+    val s = Files.walk(base)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map { p =>
+        val rel = base.relativize(p).toString
+        val part = rel.takeWhile(_ != '/')
+        part -> ((rel, Files.size(p), Files.getLastModifiedTime(p).toMillis))
+      }.toList.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    finally s.close()
+  }
+
+  test("partition-scoped upsert rewrites only touched partitions; parity with full merge") {
+    val root = Files.createTempDirectory("graft-psm").toString
+    val cat = new ParquetCatalog(spark, root)
+    val target = Seq(
+      (1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+      (3L, "2024-01-02", 3.0), (4L, "2024-01-03", 4.0))
+      .toDF("id", "partition_date", "m")
+    cat.overwrite("t", target, Seq("partition_date"))
+    val before = fileFingerprints(cat, root, "t")
+    // delta touches only 2024-01-02 (update id=3) and 2024-01-04 (insert)
+    val delta = Seq((3L, "2024-01-02", 30.0), (9L, "2024-01-04", 90.0))
+      .toDF("id", "partition_date", "m")
+    cat.upsert("t", delta, Seq("id"), partitionBy = Seq("partition_date"))
+    val after = fileFingerprints(cat, root, "t")
+    // untouched partitions byte-identical (same files, sizes, mtimes)
+    for (p <- Seq("partition_date=2024-01-01", "partition_date=2024-01-03"))
+      assert(after(p) === before(p), s"$p must not be rewritten")
+    assert(after("partition_date=2024-01-02") !== before("partition_date=2024-01-02"))
+    assert(after.contains("partition_date=2024-01-04"))
+    // parity with the semantic merge
+    val expected = graft.operators.Upsert.merge(target, delta, Seq("id"))
+      .select($"id", $"partition_date", $"m")
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(cat.read("t")
+      .select($"id", $"partition_date".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Double)].collect()
+      === expected)
+  }
+
+  test("partition-moving update empties the old slot and removes its dir") {
+    val root = Files.createTempDirectory("graft-psm2").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwrite("t",
+      Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+        .toDF("id", "partition_date", "m"),
+      Seq("partition_date"))
+    // id=1 was the ONLY row of 2024-01-01 and the update moves it out
+    cat.upsert("t", Seq((1L, "2024-01-05", 10.0)).toDF("id", "partition_date", "m"),
+      Seq("id"), partitionBy = Seq("partition_date"))
+    val back = cat.read("t")
+      .select($"id", $"partition_date".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(back === Seq((1L, "2024-01-05", 10.0), (2L, "2024-01-02", 2.0)))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "t", "partition_date=2024-01-01")),
+      "fully-emptied partition dir must be removed")
+  }
+
+  test("partition-scoped delete rewrites only hit partitions, drops emptied dirs") {
+    val root = Files.createTempDirectory("graft-psd").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwrite("t", Seq(
+      (1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+      (3L, "2024-01-02", 3.0), (4L, "2024-01-03", 4.0))
+      .toDF("id", "partition_date", "m"), Seq("partition_date"))
+    val before = fileFingerprints(cat, root, "t")
+    // hits one row of day 1 and ALL of day 2
+    val removed = cat.delete("t",
+      col("id") === 1L || col("partition_date") === "2024-01-02",
+      partitionBy = Seq("partition_date"))
+    assert(removed === 2L)
+    val after = fileFingerprints(cat, root, "t")
+    assert(after("partition_date=2024-01-03") === before("partition_date=2024-01-03"),
+      "unhit partition must not be rewritten")
+    assert(!after.contains("partition_date=2024-01-02"),
+      "fully-deleted partition dir must be removed")
+    assert(cat.read("t")
+      .select($"id", $"partition_date".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Double)].collect()
+      === Seq((2L, "2024-01-01", 2.0), (4L, "2024-01-03", 4.0)))
+    // no-hit delete is a no-op returning 0
+    assert(cat.delete("t", col("id") === 999L, Seq("partition_date")) === 0L)
+  }
+
   test("compaction collapses small files and preserves content") {
     val cat = freshCatalog
     // 10 appends of 10 rows -> many small files

@@ -82,6 +82,79 @@ class TimeTravelSpec extends SparkSpec {
       .scan(spark, v1Dir, "id", 10, 20).count() == 11)
   }
 
+  test("versioned upsert: new version, old readable, untouched partitions hard-link-shared") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq(
+      (1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0), (4L, "d3", 4.0))
+      .toDF("id", "day", "m"), Seq("day"))
+    // delta touches only d2 (update) and d4 (insert)
+    val delta = Seq((3L, "d2", 30.0), (9L, "d4", 90.0)).toDF("id", "day", "m")
+    val v2 = cat.upsertVersioned("t", delta, Seq("id"), partitionBy = Seq("day"))
+    assert(v2 == 2 && cat.versions("t") == Seq(1L, 2L))
+    // old version intact
+    assert(cat.readVersion("t", 1).count() == 4)
+    assert(cat.readVersion("t", 1).filter(col("id") === 3)
+      .select("m").head().getDouble(0) == 3.0)
+    // new version = semantic merge
+    val back = cat.read("t").select($"id", $"day".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(back === Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 30.0),
+      (4L, "d3", 4.0), (9L, "d4", 90.0)))
+    // untouched partitions share inodes between v1 and v2 (zero copy)
+    import scala.jdk.CollectionConverters._
+    for (p <- Seq("day=d1", "day=d3")) {
+      val v1p = Paths.get(root, ".versions", "t", "v1", p)
+      val v2p = Paths.get(root, ".versions", "t", "v2", p)
+      val v1Files = Files.list(v1p).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toList
+      assert(v1Files.nonEmpty)
+      v1Files.foreach { f =>
+        val twin = v2p.resolve(f.getFileName)
+        assert(Files.exists(twin) && Files.isSameFile(f, twin),
+          s"$p files must be hard-link-shared across versions")
+      }
+    }
+    // touched partition is NOT shared (fresh bytes)
+    val d2v1 = Files.list(Paths.get(root, ".versions", "t", "v1", "day=d2"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+    d2v1.foreach { f =>
+      val twin = Paths.get(root, ".versions", "t", "v2", "day=d2")
+        .resolve(f.getFileName)
+      assert(!Files.exists(twin) || !Files.isSameFile(f, twin))
+    }
+  }
+
+  test("versioned upsert migrates an unversioned table; vacuum only unlinks shares") {
+    val (cat, _) = fresh()
+    cat.overwrite("t", Seq((1L, "d1", 1.0), (2L, "d2", 2.0))
+      .toDF("id", "day", "m"), Seq("day"))
+    val v = cat.upsertVersioned("t", Seq((2L, "d2", 20.0)).toDF("id", "day", "m"),
+      Seq("id"), partitionBy = Seq("day"))
+    assert(v == 2 && cat.versions("t") == Seq(1L, 2L))
+    assert(cat.readVersion("t", 1).filter(col("id") === 2)
+      .select("m").head().getDouble(0) == 2.0)
+    // dropping v1 must not damage v2's shared (hard-linked) d1 files
+    cat.vacuum("t", keep = 1)
+    assert(cat.versions("t") == Seq(2L))
+    assert(cat.read("t").select($"id", $"day".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Double)].collect()
+      === Seq((1L, "d1", 1.0), (2L, "d2", 20.0)))
+  }
+
+  test("versioned delete: removed rows gone from current, present in history") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", Seq(
+      (1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0))
+      .toDF("id", "day", "m"), Seq("day"))
+    val (v2, removed) = cat.deleteVersioned("t", col("id") === 3L, Seq("day"))
+    assert(v2 == 2 && removed == 1)
+    assert(cat.read("t").count() == 2)
+    assert(cat.readVersion("t", 1).count() == 3)
+    // fully-emptied partition absent from the new version
+    assert(cat.read("t").select($"day".cast("string")).distinct()
+      .as[String].collect().sorted === Seq("d1"))
+  }
+
   test("unversioned entry points keep working through the version pointer") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", Seq.tabulate(50)(i => (i.toLong, i * 2L)).toDF("id", "v"))

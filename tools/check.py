@@ -57,6 +57,26 @@ def main(sf_dir, out_dir):
     import os
     dirs = {d for d in os.listdir(out_dir)
             if os.path.isdir(os.path.join(out_dir, d))}
+    # ABSOLUTE pin: both the oracle keys and the result dirs must equal
+    # the committed inventory file — a pack edit that shrinks BOTH sides
+    # in lockstep (which the relative checks below cannot see) fails here.
+    inv_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "src", "main", "resources", "graft",
+                            "inventory.txt")
+    inventory = {ln.strip() for ln in open(inv_path) if ln.strip()}
+    # local-iteration escape for SPARK_GRAFT_VERIFY_ONLY subsets; the
+    # driver never sets it, so the real gate always pins
+    if os.environ.get("GRAFT_CHECK_PARTIAL"):
+        inventory = set(oracle) | dirs
+    for label, got in (("oracle keys", set(oracle)), ("result dirs", dirs)):
+        if got != inventory:
+            missing = sorted(inventory - got)
+            extra = sorted(got - inventory)
+            print(f"FAIL inventory: {label} ({len(got)}) != committed "
+                  f"inventory ({len(inventory)})"
+                  + (f"; missing: {','.join(missing)}" if missing else "")
+                  + (f"; extra: {','.join(extra)}" if extra else ""))
+            n_bad += 1
     for missing in sorted(set(oracle) - dirs):
         print(f"FAIL {missing}: declared in oracle_sql.json but no result dir")
         n_bad += 1
