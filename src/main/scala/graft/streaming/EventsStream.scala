@@ -175,8 +175,15 @@ object EventsStream {
           var recent = state.getOption.getOrElse(Nil) // newest first, ≤ 8
           def micros(e: Event): Long =
             e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          // quantize exactly as the batch form's DECIMAL(28,6) cast
+          // (HALF_UP away from zero) — math.round is half-up toward
+          // +infinity, which diverges for negative values with >6
+          // decimal digits (e.g. -1.0000005)
+          def quantize(v: Double): Long =
+            BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .bigDecimal.unscaledValue().longValueExact()
           val out = rows.toSeq.sortBy(e => (micros(e), e.event_id)).map { e =>
-            recent = (math.round(e.value * 1e6) :: recent).take(horizon)
+            recent = (quantize(e.value) :: recent).take(horizon)
             var num = 0L
             recent.zipWithIndex.foreach { case (v, j) => num += v << (7 - j) }
             val denom = 256.0 - (1L << (8 - recent.size)).toDouble

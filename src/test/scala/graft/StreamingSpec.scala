@@ -192,9 +192,15 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ewma")
       .outputMode("append").start()
     // 12 events per user (exceeds the horizon) over 2 users, delivered
-    // in 3 micro-batches; values carry 2 decimals like the testdata
+    // in 3 micro-batches; values carry 2 decimals like the testdata,
+    // plus NEGATIVE values with >6 decimal digits — the case where
+    // half-up-toward-infinity (math.round) and the batch DECIMAL cast's
+    // HALF_UP-away-from-zero diverge by one millionth
     val evs = (0 until 24).map { i =>
-      Event(i.toLong, ts(i), 1 + i % 2, "click", (i * 137 % 1000) / 100.0 + 0.07)
+      val v =
+        if (i % 5 == 0) -(i + 1) - 0.0000005
+        else (i * 137 % 1000) / 100.0 + 0.07
+      Event(i.toLong, ts(i), 1 + i % 2, "click", v)
     }
     try {
       input.addData(evs.take(8): _*)
