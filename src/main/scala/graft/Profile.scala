@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Graph
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -50,11 +51,11 @@ object Profile {
           .filter(col("jaccard") >= 0.5).select("id_a", "id_b").persist()
         ver13.count()
         timed("star_loop_given_pairs") {
-          Dedup.dedupClustersLogN(docs13.select("doc_id"), "doc_id", ver13)
+          Graph.connectedComponentsLogN(docs13.select("doc_id"), "doc_id", ver13)
             .count()
         }
         timed("minprop_given_pairs") {
-          Dedup.dedupClusters(docs13.select("doc_id"), "doc_id", ver13)
+          Graph.connectedComponents(docs13.select("doc_id"), "doc_id", ver13)
             .count()
         }
       case "d11" =>
@@ -70,10 +71,10 @@ object Profile {
           .select("id_a", "id_b").persist()
         pairs.count()
         timed("clusters_given_pairs") {
-          graft.operators.Dedup.dedupClusters(
+          graft.operators.Graph.connectedComponents(
             docs.select(col("doc_id")), "doc_id", pairs).count()
         }
-        val clusters = graft.operators.Dedup.dedupClusters(
+        val clusters = graft.operators.Graph.connectedComponents(
           docs.select(col("doc_id")), "doc_id", pairs).persist()
         clusters.count()
         timed("canonical_given_clusters") {

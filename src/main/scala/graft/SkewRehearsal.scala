@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,7 +86,7 @@ object SkewRehearsal {
       val sh = Dedup.shingles(docs, "doc_id", "text", dedupe = false)
       val verified = Dedup.jaccardOnPairs(sh, "doc_id", candidates)
         .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
-      val clusters = Dedup.dedupClusters(
+      val clusters = Graph.connectedComponents(
         docs.select("doc_id"), "doc_id", verified)
       val kept = Dedup.keepCanonical(docs, "doc_id", clusters,
         Seq(col("n_chars").desc, col("doc_id"))).count()

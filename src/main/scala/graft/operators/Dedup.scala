@@ -207,7 +207,7 @@ object Dedup {
     * contracted through the persisted reps.
     *
     * Exactness: the emitted labels equal what a full-corpus
-    * [[dedupClusters]] re-run over corpus ∪ batch would produce.
+    * [[Graph.connectedComponents]] re-run over corpus ∪ batch would produce.
     * Candidate generation is band-equality in both runs, so the edge
     * set is identical; contracting corpus endpoints to their reps
     * preserves connectivity and minima (every corpus doc ≥ its rep, a
@@ -288,7 +288,7 @@ object Dedup {
     val nodes = batchDocs.select(col(idCol))
       .unionByName(edges.select(col("id_b").as(idCol)))
       .distinct()
-    val mini = dedupClusters(nodes, idCol, edges)
+    val mini = Graph.connectedComponents(nodes, idCol, edges)
     val batchLabels = mini.join(batchDocs.select(col(idCol)), Seq(idCol), "left_semi")
     // reps lowered by the increment (batch canonical or bridge merge)
     // propagate to every corpus doc they label
@@ -300,169 +300,6 @@ object Dedup {
         coalesce(col("__new_rep"), col("cluster_rep")).as("cluster_rep"))
     batchLabels.unionByName(corpusLabels)
   }
-
-  def dedupClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame =
-    // every reduce side in the loop is dup-edge-endpoint-sized, so the
-    // loop runs under Loop.pinned (narrow shuffles, no AQE re-plan per
-    // round); the corpus-sized singleton rejoin below plans under the
-    // caller's conf because it executes after pinned() restores it
-    graft.spark.Loop.pinned(nodes.sparkSession) {
-    // Lineage.truncate (not persist) on every iterated frame: persist
-    // truncates EXECUTION but the logical plan still embeds the previous
-    // round's plan twice (labels feeds both join sides), so plan size —
-    // and Catalyst optimization time — doubles per round. Checkpointing
-    // truncates the lineage itself: constant plan size per round. On a
-    // real cluster set spark.graft.checkpoint.dir for reliable
-    // checkpoints so a lost executor can't kill a long convergence run.
-    // symmetrize in ONE pass over `pairs` (explode, not self-union): the
-    // candidate pipeline feeding this is typically expensive and
-    // unpersisted — a union would execute it twice before the checkpoint.
-    val edges = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
-      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .transform(graft.spark.Lineage.truncate)
-    // iterate ONLY over edge endpoints: every other node is a
-    // singleton that cannot change, and carrying it through each
-    // round's join + checkpoint would cost O(corpus × rounds) instead
-    // of O(dup-docs × rounds) — at 100 TB most docs are singletons.
-    // Singletons rejoin at the end.
-    // truncateLazy: the Σ-label aggregate right below materializes the
-    // checkpoint — one action per round instead of checkpoint + sum
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_rep", col("id"))
-      .transform(graft.spark.Lineage.truncateLazy)
-    // min-propagation only ever LOWERS labels, so Σ label is strictly
-    // monotone decreasing while anything changes — convergence detection
-    // is one aggregate over the checkpointed label frame, not a
-    // join-and-compare against the previous round
-    var prevSum = labels.agg(coalesce(sum(col("cluster_rep")), lit(0L)))
-      .head().getLong(0)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("cluster_rep")).as("neighbor_min"))
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_rep"),
-            coalesce(col("neighbor_min"), col("cluster_rep")))
-            .as("cluster_rep"))
-      // pointer jump (path compression): follow the rep's own label
-      // once per round — labels are always node ids, so the lookup
-      // hits — squaring the propagation distance: O(log diameter)
-      // rounds instead of O(diameter). Labels still only ever
-      // decrease, so the Σ-label convergence detection is unchanged.
-      val updated = stepped.alias("a")
-        .join(stepped.select(col("id").as("__rid"),
-          col("cluster_rep").as("__rrep")).alias("b"),
-          col("a.cluster_rep") === col("__rid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.cluster_rep"),
-            coalesce(col("__rrep"), col("a.cluster_rep")))
-            .as("cluster_rep"))
-        .transform(graft.spark.Lineage.truncateLazy)
-      val curSum = updated.agg(coalesce(sum(col("cluster_rep")), lit(0L)))
-        .head().getLong(0) // materializes the round's checkpoint
-      labels = updated
-      converged = curSum == prevSum
-      prevSum = curSum
-      i += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"min-label propagation did not converge in $maxIter rounds — the " +
-        "component diameter exceeds the budget; use dedupClustersLogN " +
-        "(alternating large-star/small-star, O(log n) rounds)")
-    nodes.select(col(idCol).as("id"))
-      .join(labels.withColumnRenamed("cluster_rep", "__rep"), Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("__rep"), col("id")).as("cluster_rep"))
-    }
-
-  /** Connected components by alternating large-star/small-star (Kiveris
-    * et al., "Connected Components in MapReduce and Beyond") — the
-    * O(log n)-round alternative to [[dedupClusters]]' min-propagation
-    * for graphs with long chains (min-propagation needs O(diameter)
-    * rounds). Each round is two gather-emit passes, each one shuffle:
-    *
-    *   - large-star: every node u links its LARGER neighbors to
-    *     m(u) = min(Γ(u) ∪ u);
-    *   - small-star: every node u links its smaller-or-equal neighbors
-    *     (and itself) to m(u).
-    *
-    * Converges when the edge multiset stops changing (detected by the
-    * (count, Σsrc, Σdst) signature — one aggregate over checkpointed
-    * edges); at the fixpoint the graph is a union of stars centered on
-    * component minima. Same output contract as [[dedupClusters]]:
-    * (idCol, cluster_rep), singletons included — equality on random
-    * graphs is property-tested.
-    */
-  def dedupClustersLogN(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame =
-    graft.spark.Loop.pinned(nodes.sparkSession) {
-    def gatherEmit(edges: DataFrame, large: Boolean): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      // undirected gather in ONE narrow pass (explode, not self-union),
-      // and the per-node min as a WINDOW over the adjacency instead of
-      // a groupBy + rejoin: one shuffle per pass instead of two, and a
-      // per-round plan half the size — the loop is planning-bound at
-      // small edge counts (same lesson as the t24/d10 driver loops)
-      val adj = edges.select(explode(array(
-          struct(col("src").as("u"), col("dst").as("v")),
-          struct(col("dst").as("u"), col("src").as("v")))).as("__e"))
-        .select(col("__e.u").as("u"), col("__e.v").as("v"))
-      val linked = adj.withColumn("m",
-        least(min(col("v")).over(Window.partitionBy("u")), col("u")))
-      val emitted =
-        if (large) linked.filter(col("v") > col("u"))
-          .select(col("v").as("src"), col("m").as("dst"))
-        else linked.filter(col("v") <= col("u"))
-          .select(col("v").as("src"), col("m").as("dst"))
-          .union(linked.select(col("u").as("src"), col("m").as("dst")))
-      emitted.filter(col("src") =!= col("dst")).distinct()
-    }
-    var edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .transform(graft.spark.Lineage.truncateLazy) // signature() materializes
-    def signature(e: DataFrame): (Long, Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum(col("src")), lit(0L)),
-        coalesce(sum(col("dst")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    var sig = signature(edges)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val prev = edges
-      edges = gatherEmit(gatherEmit(edges, large = true), large = false)
-        .transform(graft.spark.Lineage.truncateLazy) // signature() materializes
-      val next = signature(edges)
-      // the cheap signature filters non-fixpoints; on a match, confirm
-      // exactly (except is symmetric-difference on distinct edge sets) —
-      // runs once, at convergence, not every round
-      converged = next == sig &&
-        edges.exceptAll(prev).isEmpty && prev.exceptAll(edges).isEmpty
-      sig = next
-      i += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"large-star/small-star did not reach a fixpoint in $maxIter " +
-        "rounds — labeling a non-fixpoint edge set would return wrong " +
-        "clusters; raise maxIter")
-    // stars: every node's label is its min neighbor (the center), or
-    // itself for singletons
-    val labels = edges.select(col("src").as("id"), col("dst").as("l"))
-      .union(edges.select(col("dst").as("id"), col("src").as("l")))
-      .groupBy("id").agg(min(col("l")).as("nmin"))
-    nodes.select(col(idCol).as("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        least(col("id"), coalesce(col("nmin"), col("id"))).as("cluster_rep"))
-    }
 
   /** SimHash near-duplicate pairs: all (a < b) whose signatures are
     * within `maxHamming` bits — *without* the O(n²) cross join.

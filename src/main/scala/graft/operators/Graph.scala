@@ -94,6 +94,68 @@ object Graph {
   def outDegrees(edges: DataFrame): DataFrame =
     edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
 
+  /** WEIGHTED fixed-point PageRank: rank mass splits across out-edges
+    * proportionally to an integer edge weight (trade volume, link
+    * count) instead of uniformly — the authority measure a corpus
+    * pipeline actually wants (a domain earning 10⁶ interactions should
+    * pull more rank than one earning 1).
+    *
+    * Same deterministic contract and per-round shape as
+    * [[pageRankFixedPoint]] (ONE node-sized join into the stationary
+    * edge list + ONE map-side-combining hash agg per round, lineage
+    * truncated). The per-edge split `(rank · w) div wsum` runs in
+    * DECIMAL(38,0) — `rank ≤ scale = 1e12` times a 64-bit weight
+    * overflows a Long, and the 38-digit decimal keeps the product
+    * exact, so the result stays bit-identical to an independent
+    * engine's 128-bit integer unrolling (the gr6 oracle uses HUGEINT).
+    * Floor-division dust is lost, never created, exactly as in the
+    * unweighted form.
+    *
+    * @param edges (src STRING, dst STRING, weight LONG > 0)
+    */
+  def pageRankWeighted(
+      edges: DataFrame,
+      iterations: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must be a proper fraction, got $dampNum/$dampDen")
+    val spark = edges.sparkSession
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "pageRankWeighted over an empty edge list")
+    val edgesD = e
+      .join(e.groupBy("src").agg(sum("weight").as("wsum")), "src")
+      .persist()
+    val init = scale / n
+    val base = (scale * (dampDen - dampNum) / dampDen) / n
+    var ranks = nodes.withColumn("rank", lit(init))
+    Loop.pinned(spark) {
+      for (_ <- 1 to iterations) {
+        val contribs = edgesD
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"),
+            expr("CAST(rank AS DECIMAL(38,0)) * weight div wsum").as("contrib"))
+          .groupBy("id")
+          .agg(sum("contrib").as("c"))
+        ranks = nodes.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr(s"($dampNum * coalesce(c, cast(0 as bigint))) div $dampDen"))
+              .as("rank"))
+          .localCheckpoint()
+      }
+    }
+    nodes.unpersist()
+    edgesD.unpersist()
+    e.unpersist()
+    ranks
+  }
+
   /** Minimum-hop BFS distances from `source`, capped at `maxHops`.
     *
     * @param edges   directed edge list (string `src`, `dst`)
@@ -202,6 +264,185 @@ object Graph {
     e.unpersist()
     labels
   }
+
+  /** Connected components over an undirected pair list — THE shared
+    * components operator: the dedup tier (exact/MinHash/SimHash/semantic
+    * cluster queries d8/d13/d10/v2, the entity-resolution capstone er1)
+    * and the graph tier (gr7) all resolve transitive closures through
+    * this one loop. Min-label propagation with per-round pointer
+    * jumping (path compression — O(log diameter) rounds), iterating
+    * ONLY over edge endpoints; singletons rejoin at the end, so the
+    * loop cost is O(dup-edge-endpoints), never corpus-sized. Ids must
+    * be numeric (the Σ-label monotone-convergence detection sums them;
+    * string-id communities are [[labelPropagation]]'s job).
+    *
+    * @param nodes  one row per node, column `idCol`
+    * @param pairs  undirected edges as columns `id_a`, `id_b`
+    * @return (idCol, cluster_rep) — the component minimum for every
+    *         node, singletons labeled by themselves
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame =
+    // every reduce side in the loop is dup-edge-endpoint-sized, so the
+    // loop runs under Loop.pinned (narrow shuffles, no AQE re-plan per
+    // round); the corpus-sized singleton rejoin below plans under the
+    // caller's conf because it executes after pinned() restores it
+    graft.spark.Loop.pinned(nodes.sparkSession) {
+    // Lineage.truncate (not persist) on every iterated frame: persist
+    // truncates EXECUTION but the logical plan still embeds the previous
+    // round's plan twice (labels feeds both join sides), so plan size —
+    // and Catalyst optimization time — doubles per round. Checkpointing
+    // truncates the lineage itself: constant plan size per round. On a
+    // real cluster set spark.graft.checkpoint.dir for reliable
+    // checkpoints so a lost executor can't kill a long convergence run.
+    // symmetrize in ONE pass over `pairs` (explode, not self-union): the
+    // candidate pipeline feeding this is typically expensive and
+    // unpersisted — a union would execute it twice before the checkpoint.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .transform(graft.spark.Lineage.truncate)
+    // iterate ONLY over edge endpoints: every other node is a
+    // singleton that cannot change, and carrying it through each
+    // round's join + checkpoint would cost O(corpus × rounds) instead
+    // of O(dup-docs × rounds) — at 100 TB most docs are singletons.
+    // Singletons rejoin at the end.
+    // truncateLazy: the Σ-label aggregate right below materializes the
+    // checkpoint — one action per round instead of checkpoint + sum
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_rep", col("id"))
+      .transform(graft.spark.Lineage.truncateLazy)
+    // min-propagation only ever LOWERS labels, so Σ label is strictly
+    // monotone decreasing while anything changes — convergence detection
+    // is one aggregate over the checkpointed label frame, not a
+    // join-and-compare against the previous round
+    var prevSum = labels.agg(coalesce(sum(col("cluster_rep")), lit(0L)))
+      .head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_rep")).as("neighbor_min"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_rep"),
+            coalesce(col("neighbor_min"), col("cluster_rep")))
+            .as("cluster_rep"))
+      // pointer jump (path compression): follow the rep's own label
+      // once per round — labels are always node ids, so the lookup
+      // hits — squaring the propagation distance: O(log diameter)
+      // rounds instead of O(diameter). Labels still only ever
+      // decrease, so the Σ-label convergence detection is unchanged.
+      val updated = stepped.alias("a")
+        .join(stepped.select(col("id").as("__rid"),
+          col("cluster_rep").as("__rrep")).alias("b"),
+          col("a.cluster_rep") === col("__rid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.cluster_rep"),
+            coalesce(col("__rrep"), col("a.cluster_rep")))
+            .as("cluster_rep"))
+        .transform(graft.spark.Lineage.truncateLazy)
+      val curSum = updated.agg(coalesce(sum(col("cluster_rep")), lit(0L)))
+        .head().getLong(0) // materializes the round's checkpoint
+      labels = updated
+      converged = curSum == prevSum
+      prevSum = curSum
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"min-label propagation did not converge in $maxIter rounds — the " +
+        "component diameter exceeds the budget; use connectedComponentsLogN " +
+        "(alternating large-star/small-star, O(log n) rounds)")
+    nodes.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("cluster_rep", "__rep"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__rep"), col("id")).as("cluster_rep"))
+    }
+
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * O(log n)-round alternative to [[connectedComponents]]' min-propagation
+    * for graphs with long chains (min-propagation needs O(diameter)
+    * rounds). Each round is two gather-emit passes, each one shuffle:
+    *
+    *   - large-star: every node u links its LARGER neighbors to
+    *     m(u) = min(Γ(u) ∪ u);
+    *   - small-star: every node u links its smaller-or-equal neighbors
+    *     (and itself) to m(u).
+    *
+    * Converges when the edge multiset stops changing (detected by the
+    * (count, Σsrc, Σdst) signature — one aggregate over checkpointed
+    * edges); at the fixpoint the graph is a union of stars centered on
+    * component minima. Same output contract as [[connectedComponents]]:
+    * (idCol, cluster_rep), singletons included — equality on random
+    * graphs is property-tested.
+    */
+  def connectedComponentsLogN(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame =
+    graft.spark.Loop.pinned(nodes.sparkSession) {
+    def gatherEmit(edges: DataFrame, large: Boolean): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      // undirected gather in ONE narrow pass (explode, not self-union),
+      // and the per-node min as a WINDOW over the adjacency instead of
+      // a groupBy + rejoin: one shuffle per pass instead of two, and a
+      // per-round plan half the size — the loop is planning-bound at
+      // small edge counts (same lesson as the t24/d10 driver loops)
+      val adj = edges.select(explode(array(
+          struct(col("src").as("u"), col("dst").as("v")),
+          struct(col("dst").as("u"), col("src").as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
+      val linked = adj.withColumn("m",
+        least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+      val emitted =
+        if (large) linked.filter(col("v") > col("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+        else linked.filter(col("v") <= col("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+          .union(linked.select(col("u").as("src"), col("m").as("dst")))
+      emitted.filter(col("src") =!= col("dst")).distinct()
+    }
+    var edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .transform(graft.spark.Lineage.truncateLazy) // signature() materializes
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(col("src")), lit(0L)),
+        coalesce(sum(col("dst")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prev = edges
+      edges = gatherEmit(gatherEmit(edges, large = true), large = false)
+        .transform(graft.spark.Lineage.truncateLazy) // signature() materializes
+      val next = signature(edges)
+      // the cheap signature filters non-fixpoints; on a match, confirm
+      // exactly (except is symmetric-difference on distinct edge sets) —
+      // runs once, at convergence, not every round
+      converged = next == sig &&
+        edges.exceptAll(prev).isEmpty && prev.exceptAll(edges).isEmpty
+      sig = next
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"large-star/small-star did not reach a fixpoint in $maxIter " +
+        "rounds — labeling a non-fixpoint edge set would return wrong " +
+        "clusters; raise maxIter")
+    // stars: every node's label is its min neighbor (the center), or
+    // itself for singletons
+    val labels = edges.select(col("src").as("id"), col("dst").as("l"))
+      .union(edges.select(col("dst").as("id"), col("src").as("l")))
+      .groupBy("id").agg(min(col("l")).as("nmin"))
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        least(col("id"), coalesce(col("nmin"), col("id"))).as("cluster_rep"))
+    }
 
   /** Triangle enumeration over an UNDIRECTED graph given as canonical
     * edges `(a < b)`: returns every (a, b, c) with a < b < c and all

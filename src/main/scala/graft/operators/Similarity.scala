@@ -380,7 +380,7 @@ object Similarity {
     * exactly the hot-bucket hazard the LSH paths guard against.
     *
     * Returns verified pairs (id_a < id_b, exact cosine ≥ threshold) —
-    * feed to [[Dedup.dedupClusters]] + [[Dedup.keepCanonical]] like any
+    * feed to [[Graph.connectedComponents]] + [[Dedup.keepCanonical]] like any
     * other pair source. */
   def semanticDedupPairsKMeans(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, k: Int, iters: Int = 4,

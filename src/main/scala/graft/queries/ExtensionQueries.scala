@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.Deterministic.davg
 import graft.functions.TextAnalysis._
 import graft.operators.Dedup
+import graft.operators.Graph
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1310,7 +1311,7 @@ object ExtensionQueries {
           "doc_id")
         val verified = Dedup.jaccardOnPairs(sh, "doc_id", pairs)
           .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
-        Dedup.dedupClusters(docs.select("doc_id"), "doc_id", verified)
+        Graph.connectedComponents(docs.select("doc_id"), "doc_id", verified)
           .orderBy("doc_id")
       },
       Some(dedupClustersOracle)),
@@ -1335,7 +1336,7 @@ object ExtensionQueries {
           "doc_id")
         val verified = Dedup.jaccardOnPairs(sh, "doc_id", pairs)
           .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
-        Dedup.dedupClustersLogN(docs.select("doc_id"), "doc_id", verified)
+        Graph.connectedComponentsLogN(docs.select("doc_id"), "doc_id", verified)
           .orderBy("doc_id")
       },
       Some(dedupClustersOracle)),
@@ -1358,7 +1359,7 @@ object ExtensionQueries {
           "doc_id")
         val verified = Dedup.jaccardOnPairs(sh, "doc_id", pairs)
           .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
-        val clusters = Dedup.dedupClusters(docs.select("doc_id"), "doc_id",
+        val clusters = Graph.connectedComponents(docs.select("doc_id"), "doc_id",
           verified)
         Dedup.keepCanonical(docs, "doc_id", clusters,
           Seq(col("n_chars").desc, col("doc_id")))
@@ -1387,7 +1388,7 @@ object ExtensionQueries {
           "doc_id")
         val verified = Dedup.jaccardOnPairs(sh, "doc_id", pairs)
           .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
-        Dedup.dedupClusters(docs.select("doc_id"), "doc_id", verified)
+        Graph.connectedComponents(docs.select("doc_id"), "doc_id", verified)
           .groupBy("cluster_rep")
           .agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size")
@@ -1439,7 +1440,7 @@ object ExtensionQueries {
             "doc_id")
           val cver = Dedup.jaccardOnPairs(csh, "doc_id", cpairs)
             .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
-          val cclusters0 = Dedup.dedupClusters(corpus.select("doc_id"),
+          val cclusters0 = Graph.connectedComponents(corpus.select("doc_id"),
             "doc_id", cver)
           csigs0.write.mode("overwrite").parquet(s"$stateDir/sigs")
           cclusters0.write.mode("overwrite").parquet(s"$stateDir/clusters")

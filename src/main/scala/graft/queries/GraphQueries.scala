@@ -218,8 +218,140 @@ object GraphQueries {
       "gr5_label_prop",
       (s, d) => Graph.labelPropagation(tradeEdgesCached(s, d), rounds = 3)
         .orderBy("id"),
-      Some(labelPropSql(3)))
+      Some(labelPropSql(3))),
+
+    // ----------------------------------------------------------------
+    // WEIGHTED PageRank (gr6): rank mass splits proportionally to trade
+    // VOLUME (Σ quantity per customer–supplier pair) instead of
+    // uniformly — the domain-authority measure where a 10⁶-interaction
+    // edge pulls 10⁶× the rank of a casual one. Per-edge split runs in
+    // DECIMAL(38,0) (rank·weight overflows a Long); the oracle unrolls
+    // the identical recurrence with HUGEINT arithmetic — bit-exact as
+    // gr1.
+    Q(
+      "gr6_weighted_pagerank",
+      (s, d) => Graph.pageRankWeighted(weightedTradeEdges(s, d), iterations = 4)
+        .orderBy("id"),
+      Some(weightedPageRankSql(4))),
+
+    // ----------------------------------------------------------------
+    // Connected components of the STRONG-TIE trade graph (gr7): keep
+    // only (customer, supplier) edges whose total traded quantity ≥ 90
+    // — a sparse graph of durable relationships — and resolve its
+    // transitive closure through the ONE shared components operator
+    // ([[Graph.connectedComponents]], the same loop behind dedup
+    // clusters d8/d13, incremental dedup d10, semantic clusters v2 and
+    // entity resolution er1). Numeric node ids (customer 2k, supplier
+    // 2k+1 — disjoint) because the loop's Σ-label convergence detection
+    // sums them. The oracle is algorithm-independent: a recursive-CTE
+    // reachability walk taking the per-node MIN label (er1's oracle
+    // shape).
+    Q(
+      "gr7_trade_components",
+      (s, d) => {
+        val p = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .agg(sum(col("l_quantity").cast("long")).as("w"))
+          .filter(col("w") >= 90)
+        val pairs = p.select((col("c") * 2).as("id_a"),
+          (col("s") * 2 + 1).as("id_b"))
+        val nodes = pairs.select(col("id_a").as("nid"))
+          .union(pairs.select(col("id_b").as("nid"))).distinct()
+        Graph.connectedComponents(nodes, "nid", pairs)
+          .withColumnRenamed("cluster_rep", "component")
+          .orderBy("nid")
+      },
+      Some("""
+        WITH RECURSIVE p AS (
+          SELECT o_custkey AS c, l_suppkey AS s,
+                 SUM(CAST(l_quantity AS BIGINT)) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2),
+        e0 AS (SELECT c * 2 AS id_a, s * 2 + 1 AS id_b FROM p WHERE w >= 90),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM e0
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM e0),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        walk AS (
+          SELECT id, id AS label FROM nodes
+          UNION
+          SELECT e.src AS id, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+        SELECT id AS nid, MIN(label) AS component
+        FROM walk GROUP BY id ORDER BY nid"""))
   )
+
+  /** Weighted trade graph: one edge per (customer, supplier) pair with
+    * weight = Σ traded quantity, symmetric both directions (so every
+    * node has out-mass and no dangling handling is needed), built on
+    * the SAME fingerprint-keyed scratch discipline as
+    * [[tradeEdgesCached]]. */
+  private def weightedTradeEdges(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    def derive: DataFrame = {
+      val p = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val cs = p.select(
+        concat(lit("c"), col("c").cast("string")).as("src"),
+        concat(lit("s"), col("s").cast("string")).as("dst"), col("w").as("weight"))
+      val sc = p.select(
+        concat(lit("s"), col("s").cast("string")).as("src"),
+        concat(lit("c"), col("c").cast("string")).as("dst"), col("w").as("weight"))
+      cs.unionByName(sc)
+    }
+    val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_wtrade_edges_$suffix"
+    val marker = Paths.get(s"$dir/_complete")
+    try {
+      if (!Files.exists(marker)) {
+        derive.write.mode("overwrite").parquet(s"$dir/edges")
+        Files.createFile(marker)
+      }
+      s.read.parquet(s"$dir/edges")
+    } catch { case _: java.io.IOException => derive }
+  }
+
+  /** Unrolled WEIGHTED fixed-point PageRank — lockstep with
+    * [[Graph.pageRankWeighted]] (scale 1e12, damping 85/100); the
+    * per-edge split is 128-bit exact on both engines (Spark
+    * DECIMAL(38,0), DuckDB HUGEINT). */
+  private def weightedPageRankSql(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""c$i AS MATERIALIZED (
+            SELECT e.dst AS id,
+                   CAST(SUM(CAST(r.rank AS HUGEINT) * e.w // ws.wsum) AS BIGINT) AS contrib
+            FROM wedges e
+            JOIN wsum ws ON ws.src = e.src
+            JOIN r${i - 1} r ON r.id = e.src
+            GROUP BY e.dst),
+          r$i AS MATERIALIZED (
+            SELECT n.id,
+                   (SELECT 150000000000 // n FROM nn)
+                     + (85 * COALESCE(c$i.contrib, 0)) // 100 AS rank
+            FROM nodes n LEFT JOIN c$i ON c$i.id = n.id)"""
+    }.mkString(",\n")
+    s"""
+      WITH wpairs AS (
+        SELECT o_custkey AS c, l_suppkey AS s,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      wedges AS (
+        SELECT 'c' || c AS src, 's' || s AS dst, w FROM wpairs
+        UNION ALL
+        SELECT 's' || s AS src, 'c' || c AS dst, w FROM wpairs),
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM wedges),
+      nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+      wsum AS MATERIALIZED (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM wedges GROUP BY 1),
+      r0 AS MATERIALIZED (
+        SELECT id, (SELECT 1000000000000 // n FROM nn) AS rank FROM nodes),
+      $rounds
+      SELECT id, rank FROM r$iterations ORDER BY id"""
+  }
 
   /** Unrolled synchronous label-propagation recurrence — in lockstep
     * with [[Graph.labelPropagation]] (most frequent in-neighbor label,

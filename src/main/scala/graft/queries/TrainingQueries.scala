@@ -1109,7 +1109,7 @@ object TrainingQueries {
     // Entity-resolution capstone (er1): evidence from TWO independent
     // blocking families — prefix blocks (j11's) and sorted-neighborhood
     // windows (d17's) — unioned into one edge set and resolved to
-    // entities by connected components ([[Dedup.dedupClusters]] — the
+    // entities by connected components ([[Graph.connectedComponents]] — the
     // log-N min-propagation loop). Production ER is exactly this union
     // of cheap blockers + one components pass; no single blocker's
     // recall is trusted alone. The oracle replays both pair sets and a
@@ -1145,8 +1145,8 @@ object TrainingQueries {
           .select(least(col("id"), col("nbr.nid")).as("id_a"),
             greatest(col("id"), col("nbr.nid")).as("id_b"))
         val pairs = pairsPrefix.unionByName(pairsSnm).distinct()
-        graft.operators.Dedup
-          .dedupClusters(c.select("c_custkey"), "c_custkey", pairs)
+        graft.operators.Graph
+          .connectedComponents(c.select("c_custkey"), "c_custkey", pairs)
           .withColumnRenamed("cluster_rep", "entity_rep")
           .orderBy("c_custkey")
       },

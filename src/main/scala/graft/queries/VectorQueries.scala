@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Dedup, Similarity}
+import graft.operators.Graph
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -297,14 +298,14 @@ object VectorQueries {
       "d11_semantic_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // persisted: the edge union inside dedupClusters reads the
+        // persisted: the edge union inside connectedComponents reads the
         // pair frame twice before its checkpoint
         val pairs = Similarity.nearDupPairsBanded(
           Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4, dim = dim)
           .select("id_a", "id_b")
           .persist()
-        val clusters = Dedup.dedupClusters(
+        val clusters = Graph.connectedComponents(
           docs.select(col("doc_id")), "doc_id", pairs)
         Dedup.keepCanonical(docs, "doc_id", clusters,
           Seq(col("n_chars").desc, col("doc_id")))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity}
+import graft.operators.Graph
 import org.apache.spark.sql.functions._
 
 class DedupSimilaritySpec extends SparkSpec {
@@ -94,7 +95,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 1-2-3 (transitive through 2), pair 5-6, singleton 4
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-    val out = Dedup.dedupClusters(nodes, "doc_id", pairs)
+    val out = Graph.connectedComponents(nodes, "doc_id", pairs)
       .as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
@@ -105,10 +106,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     spark.conf.set(graft.spark.Lineage.DirConf, dir)
     try {
-      val out = Dedup.dedupClusters(nodes, "doc_id", pairs)
+      val out = Graph.connectedComponents(nodes, "doc_id", pairs)
         .as[(Long, Long)].collect().toMap
       assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
-      val outStar = Dedup.dedupClustersLogN(nodes, "doc_id", pairs)
+      val outStar = Graph.connectedComponentsLogN(nodes, "doc_id", pairs)
         .as[(Long, Long)].collect().toMap
       assert(outStar === out)
       // the iterated frames really were checkpointed reliably (to disk)
@@ -131,9 +132,9 @@ class DedupSimilaritySpec extends SparkSpec {
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
       val nodes = (0L to 40L).toDF("doc_id")
       val pairs = pairsRaw.toDF("id_a", "id_b")
-      val viaProp = Dedup.dedupClusters(nodes, "doc_id", pairs)
+      val viaProp = Graph.connectedComponents(nodes, "doc_id", pairs)
         .as[(Long, Long)].collect().toMap
-      val viaStar = Dedup.dedupClustersLogN(nodes, "doc_id", pairs)
+      val viaStar = Graph.connectedComponentsLogN(nodes, "doc_id", pairs)
         .as[(Long, Long)].collect().toMap
       assert(viaStar === viaProp, s"seed $seedI, pairs $pairsRaw")
     }
@@ -145,7 +146,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val n = 30L
     val nodes = (0L to n).toDF("doc_id")
     val chain = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.dedupClustersLogN(nodes, "doc_id", chain)
+    val out = Graph.connectedComponentsLogN(nodes, "doc_id", chain)
       .as[(Long, Long)].collect()
     assert(out.forall(_._2 === 0L), s"all chain nodes join cluster 0: ${out.mkString}")
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, KMeans, Prefix, Similarity, Upsert}
+import graft.operators.{Dedup, Graph, KMeans, Prefix, Similarity, Upsert}
 import org.apache.spark.sql.functions._
 
 /** Degenerate-input behavior across the operator library: empty frames,
@@ -23,7 +23,7 @@ class EdgeCaseSpec extends SparkSpec {
     val pairs = Dedup.lshCandidatePairs(
       Dedup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
     assert(pairs.count() == 0)
-    val clusters = Dedup.dedupClusters(
+    val clusters = Graph.connectedComponents(
       emptyDocs.select("doc_id"), "doc_id", pairs)
     assert(clusters.count() == 0)
     assert(Dedup.keepCanonical(emptyDocs, "doc_id", clusters,
@@ -35,7 +35,7 @@ class EdgeCaseSpec extends SparkSpec {
     val pairs = Dedup.lshCandidatePairs(
       Dedup.lshBands(sigs, "doc_id", 8, 2), "doc_id")
     assert(pairs.count() == 0)
-    val clusters = Dedup.dedupClusters(oneDoc.select("doc_id"), "doc_id", pairs)
+    val clusters = Graph.connectedComponents(oneDoc.select("doc_id"), "doc_id", pairs)
     val row = clusters.head()
     assert(clusters.count() == 1 && row.getLong(0) == 1L && row.getLong(1) == 1L)
     assert(Dedup.keepCanonical(oneDoc, "doc_id", clusters,

@@ -152,6 +152,58 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("weighted pagerank with uniform weights equals the unweighted form") {
+    val edges = Seq(
+      "a" -> "b", "b" -> "a",
+      "b" -> "c", "c" -> "b",
+      "a" -> "c", "c" -> "a",
+      "c" -> "d", "d" -> "c")
+    val uw = Graph.pageRankFixedPoint(edges.toDF("src", "dst"), iterations = 4)
+      .as[(String, Long)].collect().toMap
+    val w = Graph.pageRankWeighted(
+      edges.map { case (a, b) => (a, b, 7L) }.toDF("src", "dst", "weight"),
+      iterations = 4).as[(String, Long)].collect().toMap
+    assert(w === uw, "uniform weights must reduce to the uniform split")
+  }
+
+  test("weighted pagerank: heavier edges pull proportionally more rank") {
+    // star: hub h links x with weight 9, y with weight 1 (and back-links
+    // keep the graph strongly connected)
+    val edges = Seq(
+      ("h", "x", 9L), ("h", "y", 1L),
+      ("x", "h", 1L), ("y", "h", 1L))
+    val got = Graph.pageRankWeighted(edges.toDF("src", "dst", "weight"),
+      iterations = 6).as[(String, Long)].collect().toMap
+    assert(got("x") > got("y") * 4,
+      s"a 9:1 weight split must dominate the damping base: $got")
+    // mass conserved up to floor dust
+    val total = got.values.sum
+    assert(total <= 1000000000000L && total > 990000000000L)
+  }
+
+  test("weighted pagerank is partitioning-independent") {
+    val edges = (1 to 30).flatMap(i => Seq(
+      (s"n$i", s"n${i % 30 + 1}", (i % 5 + 1).toLong),
+      (s"n${i % 30 + 1}", s"n$i", (i % 3 + 1).toLong)))
+    val df = edges.toDF("src", "dst", "weight")
+    val a = Graph.pageRankWeighted(df.repartition(1), iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val b = Graph.pageRankWeighted(df.repartition(13), iterations = 3)
+      .as[(String, Long)].collect().toMap
+    assert(a === b, "fixed-point ranks must not depend on partitioning")
+  }
+
+  test("connected components through the shared operator: chain + singleton") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("nid")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(nodes, "nid", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+    val star = Graph.connectedComponentsLogN(nodes, "nid", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === got, "both component algorithms must agree")
+  }
+
   test("pagerank rejects empty and degenerate configs loudly") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFixedPoint(Seq.empty[(String, String)].toDF("src", "dst"),

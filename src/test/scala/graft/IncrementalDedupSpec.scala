@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Upsert}
+import graft.operators.Graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -21,7 +22,7 @@ class IncrementalDedupSpec extends SparkSpec {
       Dedup.lshBands(sigs, "doc_id", numHashes = 8, rowsPerBand = 2), "doc_id")
     val verified = Dedup.jaccardOnPairs(sh, "doc_id", pairs)
       .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
-    Dedup.dedupClusters(docs.select("doc_id"), "doc_id", verified)
+    Graph.connectedComponents(docs.select("doc_id"), "doc_id", verified)
   }
 
   /** Stage-1 state: (signature index, label table) for a corpus. */

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity}
+import graft.operators.Graph
 import org.apache.spark.sql.functions._
 
 /** Skewed-fixture stress tests: a dup-heavy corpus (one hot cluster of
@@ -56,7 +57,7 @@ class SkewSpec extends SparkSpec {
     val sigs = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text")
     val bands = Dedup.lshBands(sigs, "doc_id", 8, rowsPerBand = 2)
     val pairs = Dedup.lshCandidatePairs(bands, "doc_id", maxBucket = CAP)
-    val clusters = Dedup.dedupClusters(docs.select("doc_id"), "doc_id", pairs)
+    val clusters = Graph.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
       .as[(Long, Long)].collect().toMap
     assert((0 until HOT).forall(i => clusters(i.toLong) == 0L),
       "hub star keeps the whole hot cluster connected to rep 0")
