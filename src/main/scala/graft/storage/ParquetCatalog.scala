@@ -40,8 +40,57 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def read(name: String): DataFrame =
     spark.read.parquet(tableDir(name).toString)
 
-  /** Atomic full overwrite: write to a temp dir, swap directories. */
+  // ---- skipping-index lifecycle -------------------------------------
+  //
+  // Once a table is indexed (`index`), every catalog mutation keeps the
+  // stats fresh automatically: appends/upserts/deletes run an
+  // INCREMENTAL refresh (footer reads only for files the index has not
+  // seen), and a full overwrite re-collects over the new files. The
+  // index stays advisory — scans reconcile against the live file
+  // listing and re-apply predicates — so a missed refresh can only cost
+  // speed, never rows.
+
+  /** Build (or rebuild) the file-level min/max skipping index for
+    * `cols` — one distributed parquet-FOOTER pass, no data pages. */
+  def index(name: String, cols: Seq[String]): Unit = {
+    require(exists(name), s"no table $name")
+    SkippingIndex.write(spark, tableDir(name).toString, cols)
+    ()
+  }
+
+  /** Columns the table's index covers (empty when unindexed). */
+  private def indexCols(name: String): Seq[String] = {
+    val dir = tableDir(name).toString
+    if (exists(name) && SkippingIndex.exists(dir))
+      SkippingIndex.read(dir).flatMap(_.cols.map(_.column)).distinct.sorted
+    else Nil
+  }
+
+  /** Incrementally reconcile the index with the table's current files
+    * (no-op for unindexed tables). */
+  private def refreshIndex(name: String): Unit = {
+    val dir = tableDir(name).toString
+    if (SkippingIndex.exists(dir)) { SkippingIndex.refresh(spark, dir); () }
+  }
+
+  /** Index-accelerated range read: conjunctive `(column, lo, hi)`
+    * predicates open only the files whose [min,max] intersects (plus
+    * any not-yet-indexed files, conservatively) — the Delta/Iceberg
+    * stats-pruned scan. Unindexed tables fall back to a plain scan with
+    * the same predicates applied, so callers never branch. */
+  def readRange(name: String, preds: Seq[(String, Double, Double)]): DataFrame = {
+    val dir = tableDir(name).toString
+    if (SkippingIndex.exists(dir)) SkippingIndex.scanAll(spark, dir, preds)
+    else preds.foldLeft(read(name)) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** Atomic full overwrite: write to a temp dir, swap directories. An
+    * existing skipping index is re-collected over the new files (its
+    * column set survives the swap). */
   def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val priorIndex = indexCols(name) // the swap discards the old stats file
     val tmp = Paths.get(root, s".tmp-$name-${System.nanoTime()}")
     val w = df.write.mode(SaveMode.Overwrite).option("compression", codec)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -51,6 +100,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (Files.exists(dest)) Files.move(dest, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(old)) deleteRecursively(old)
+    if (priorIndex.nonEmpty) index(name, priorIndex)
   }
 
   /** Dynamic partition overwrite: replace only the partitions present in
@@ -58,19 +108,25 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def overwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
     if (!exists(name)) overwrite(name, df, partitionBy)
-    else df.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .option("compression", codec)
-      .partitionBy(partitionBy: _*)
-      .parquet(tableDir(name).toString)
+    else {
+      df.write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", codec)
+        .partitionBy(partitionBy: _*)
+        .parquet(tableDir(name).toString)
+      refreshIndex(name)
+    }
   }
 
-  /** Append (the insert-only path when keys are known unique). */
+  /** Append (the insert-only path when keys are known unique). An
+    * existing index is refreshed incrementally — footer reads ONLY for
+    * the appended files. */
   def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Append).option("compression", codec)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tableDir(name).toString)
+    refreshIndex(name)
   }
 
   /** MERGE INTO this table (K2/K3): read current state, resolve with
@@ -141,6 +197,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           merged.select(partitionBy.map(col): _*).distinct())
         overwritePartitions(name, merged, partitionBy)
         dropPartitionDirs(name, partitionBy, touched.diff(written))
+        refreshIndex(name) // reconcile entries for dropped dirs
         merged.unpersist()
       }
     }
@@ -279,6 +336,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           keep.select(partitionBy.map(col): _*).distinct())
         if (written.nonEmpty) overwritePartitions(name, keep, partitionBy)
         dropPartitionDirs(name, partitionBy, touched.diff(written))
+        refreshIndex(name)
         keep.unpersist(); slice.unpersist()
         removed
       }
@@ -440,6 +498,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         .partitionBy(partitionBy: _*).parquet(newDir.toString)
     }
     repoint(name, newDir)
+    // the hard-linked stats file from the old version lists the OLD
+    // version's absolute paths; re-collect for the new version's files
+    refreshIndex(name)
     next
   }
 
@@ -471,6 +532,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           .partitionBy(partitionBy: _*).parquet(newDir.toString)
       }
       repoint(name, newDir)
+      refreshIndex(name)
       (next, removed)
     }
   }

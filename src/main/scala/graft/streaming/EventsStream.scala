@@ -66,6 +66,26 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming APPEND sink that keeps a data-skipping index fresh:
+    * every micro-batch appends to the catalog table, and the catalog's
+    * append path incrementally refreshes the table's skipping index —
+    * footer reads ONLY for the batch's new files, so index maintenance
+    * cost tracks the increment, never the table. The closing of the
+    * storage↔streaming loop: a long-running ingestion stream leaves
+    * behind a table whose range scans ([[graft.storage.ParquetCatalog
+    * .readRange]]) prune files without a separate indexing job. The
+    * index must exist before the stream starts (`catalog.index`); a
+    * table without one degrades to a plain append sink. */
+  def appendSinkIndexed(stream: DataFrame, catalog: ParquetCatalog,
+      table: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        catalog.append(table, batch.toDF())
+      }
+      .start()
+
   /** Stream-static enrichment (§2.9): each micro-batch left-joins the
     * (small, broadcast) static dimension — the streaming form of J3/J5
     * dimension enrichment. No join state is kept: the static side is

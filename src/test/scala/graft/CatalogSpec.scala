@@ -159,6 +159,52 @@ class CatalogSpec extends SparkSpec {
     assert(cat.delete("t", col("id") === 999L, Seq("partition_date")) === 0L)
   }
 
+  test("index survives the catalog lifecycle: compact re-collects, append refreshes, range read prunes") {
+    import graft.storage.SkippingIndex
+    val root = Files.createTempDirectory("graft-idx").toString
+    val cat = new ParquetCatalog(spark, root)
+    val dir = s"$root/t"
+    cat.overwrite("t", (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    cat.index("t", Seq("id"))
+    // compact into a clustered layout: the index must be RE-collected
+    // over the new files automatically (overwrite path)
+    cat.compact("t", rowsPerFile = 100, clusterBy = Seq("id"))
+    val stats = SkippingIndex.read(dir)
+    assert(stats.size == cat.fileCount("t").toInt,
+      "compact must leave a fresh index covering exactly the new files")
+    // range read through the catalog opens only intersecting files
+    assert(SkippingIndex.candidateFiles(dir, "id", 150, 250).size < stats.size)
+    val got = cat.readRange("t", Seq(("id", 150.0, 250.0)))
+    assert(got.count() == 101)
+    // append: incremental refresh — prior entries survive verbatim
+    cat.append("t", Seq((5000L, "x")).toDF("id", "v"))
+    val after = SkippingIndex.read(dir)
+    assert(after.size == stats.size + 1)
+    assert(stats.toSet.subsetOf(after.toSet))
+    // unindexed fallback: same answers via plain scan + filter
+    val cat2root = Files.createTempDirectory("graft-idx2").toString
+    val cat2 = new ParquetCatalog(spark, cat2root)
+    cat2.overwrite("u", (0 until 100).map(i => (i.toLong, "y")).toDF("id", "v"))
+    assert(cat2.readRange("u", Seq(("id", 10.0, 20.0))).count() == 11)
+  }
+
+  test("partition-scoped upsert keeps the index reconciled") {
+    import graft.storage.SkippingIndex
+    val root = Files.createTempDirectory("graft-idx3").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwrite("t",
+      Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("id", "day", "m"),
+      Seq("day"))
+    cat.index("t", Seq("id"))
+    cat.upsert("t", Seq((2L, "d2", 20.0), (3L, "d3", 3.0)).toDF("id", "day", "m"),
+      Seq("id"), partitionBy = Seq("day"))
+    val stats = SkippingIndex.read(s"$root/t")
+    assert(stats.size == cat.fileCount("t").toInt,
+      "index must cover exactly the post-merge files")
+    // every indexed path exists (no stale entries for rewritten d2)
+    stats.foreach(fs => assert(Files.exists(java.nio.file.Paths.get(fs.file))))
+  }
+
   test("compaction collapses small files and preserves content") {
     val cat = freshCatalog
     // 10 appends of 10 rows -> many small files

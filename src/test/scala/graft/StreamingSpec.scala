@@ -76,6 +76,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("indexed append sink keeps the skipping index fresh across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.storage.SkippingIndex
+    val root = java.nio.file.Files.createTempDirectory("stream-idx").toString
+    val cat = new graft.storage.ParquetCatalog(spark, root)
+    // seed + index BEFORE the stream starts
+    cat.overwrite("ev", Seq((0L, 0.0)).toDF("event_id", "value"))
+    cat.index("ev", Seq("event_id"))
+    val input = MemoryStream[Event]
+    val query = EventsStream.appendSinkIndexed(
+      input.toDF().select($"event_id", $"value"),
+      cat, "ev",
+      java.nio.file.Files.createTempDirectory("stream-idx-ckpt").toString)
+    try {
+      (1 to 3).foreach { b =>
+        input.addData((1 to 4).map(i =>
+          Event(b * 100L + i, ts(b * 10 + i), 1, "click", i.toDouble)): _*)
+        query.processAllAvailable()
+        // after EVERY micro-batch the index covers exactly the live files
+        val stats = SkippingIndex.read(s"$root/ev")
+        assert(stats.size == cat.fileCount("ev").toInt,
+          s"batch $b: index ${stats.size} entries vs ${cat.fileCount("ev")} files")
+      }
+      // and the index actually prunes: batch-1 ids only
+      val cand = SkippingIndex.candidateFiles(s"$root/ev", "event_id", 101, 104)
+      assert(cand.size < cat.fileCount("ev"),
+        "per-batch files must prune on the event_id range")
+      assert(cat.readRange("ev", Seq(("event_id", 101.0, 104.0))).count() == 4)
+    } finally query.stop()
+  }
+
   test("merge sink recovers from its checkpoint across a restart") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new graft.storage.ParquetCatalog(spark,
