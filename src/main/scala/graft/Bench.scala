@@ -48,6 +48,12 @@ object Bench {
     // optional filter for local iteration: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // calibration BEFORE and AFTER the suite: the pair brackets host
+    // drift across the ~10 min run (observed runs where the end-of-suite
+    // calibration was 15% slower than a back-to-back rerun's while raw
+    // query times moved the other way — one sample can't adjudicate
+    // that; two can)
+    val calibPre = calibration()
     var coldTotal = 0.0
     // median of 3 timed runs after one cold warmup: sub-second queries
     // showed 4-10× single-run spread across full-suite runs (JVM/GC/host
@@ -69,7 +75,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val calib = calibration()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"calibration_sec":$calib,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"calibration_sec":$calib,"calibration_pre_sec":$calibPre,"sf":"$sfDir"}"""
     println(line)
     // Persist the full per-query map (driver artifacts keep only a
     // truncated stdout tail, which made cross-round per-query ratios
