@@ -1121,6 +1121,50 @@ object Relational {
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
         WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // S10: the SELF-MAINTAINING index lifecycle end-to-end through the
+    // catalog — overwrite → z-order compact → index → APPEND (which
+    // must refresh the index incrementally, footer-reading only the
+    // appended files) → `readRange` with a conjunctive two-column
+    // predicate that the z-order hypercube layout prunes on BOTH
+    // dimensions. The oracle recomputes from the source table: the
+    // pruned lifecycle read must be indistinguishable from a full scan
+    // — including the appended rows a stale index would have dropped.
+    Q(
+      "s10_range_read",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_rr_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val li = Tables.lineitem(s, d)
+            .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+          cat.overwrite("li_idx", li.filter(col("l_orderkey") % 5 =!= 0))
+          cat.compact("li_idx", rowsPerFile = 4000,
+            zorderBy = Seq("l_orderkey", "l_partkey"))
+          cat.index("li_idx", Seq("l_orderkey", "l_partkey"))
+          // appended AFTER indexing: the catalog's incremental refresh
+          // must fold these files in, or the range read drops rows
+          cat.append("li_idx", li.filter(col("l_orderkey") % 5 === 0))
+          Files.createFile(marker)
+        }
+        cat.readRange("li_idx",
+            Seq(("l_orderkey", 1000.0, 4000.0), ("l_partkey", 0.0, 500.0)))
+          .agg(count(lit(1)).as("n_rows"),
+            graft.functions.Deterministic.dsum(col("l_extendedprice")).as("total"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 1000 AND 4000
+          AND l_partkey BETWEEN 0 AND 500"""))
   )
 }

@@ -210,7 +210,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   /** OR-of-ANDs equality predicate over partition columns with literal
     * values — statically partition-prunable by the parquet scan. */
-  private def partitionPredicate(partitionBy: Seq[String],
+  private[graft] def partitionPredicate(partitionBy: Seq[String],
       tuples: Seq[Seq[Any]]): Column =
     tuples.map { vs =>
       partitionBy.zip(vs).map { case (c, v) => col(c) <=> lit(v) }

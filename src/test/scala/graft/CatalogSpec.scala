@@ -205,6 +205,39 @@ class CatalogSpec extends SparkSpec {
     stats.foreach(fs => assert(Files.exists(java.nio.file.Paths.get(fs.file))))
   }
 
+  test("touched-partition predicate statically prunes the target scan (plan pin)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft-pp").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwrite("t",
+      (0 until 12).map(i => (i.toLong, s"d${i % 4}", i * 1.0))
+        .toDF("id", "day", "m"),
+      Seq("day"))
+    // the OR-of-ANDs literal predicate the partition-scoped upsert builds
+    val pred = cat.partitionPredicate(Seq("day"), Seq(Seq("d2")))
+    val slice = cat.read("t").filter(pred)
+    slice.collect()
+    val scans = slice.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val planStr = scans.head.toString
+    assert(planStr.contains("PartitionFilters:") && planStr.contains("d2"),
+      s"predicate must reach PartitionFilters:\n$planStr")
+    // the metric proof: only d2's files were opened, not all 4 partitions
+    val numFiles = scans.map(_.metrics("numFiles").value).sum
+    val d2Files = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(java.nio.file.Paths.get(root, "t", "day=d2"))
+      try s.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      finally s.close()
+    }
+    val allFiles = cat.fileCount("t")
+    assert(numFiles == d2Files && numFiles < allFiles,
+      s"scan opened $numFiles files; d2 has $d2Files of $allFiles total")
+  }
+
   test("compaction collapses small files and preserves content") {
     val cat = freshCatalog
     // 10 appends of 10 rows -> many small files
