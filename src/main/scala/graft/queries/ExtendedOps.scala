@@ -1017,8 +1017,150 @@ object ExtendedOps {
         }
         s.sql(Sql4Text)
       },
-      Some(Sql4Text))
-  )
+      Some(Sql4Text)),
+
+    // ----------------------------------------------------------------
+    // INTERVAL-OVERLAP join (j14): interval × interval, the missing
+    // sibling of j7's point-in-interval — "which supplier activity
+    // windows overlap which promo windows". A naive theta join
+    // evaluates |A|×|B| overlap predicates. Scale shape: explode each
+    // interval into the ≤2–3 MONTH BUCKETS it spans, equi-join on the
+    // bucket (plain shuffled/broadcast hash join), apply the exact
+    // overlap predicate after — and count each qualifying pair EXACTLY
+    // once without a distinct by keeping only the bucket that contains
+    // greatest(a_start, b_start) (which every overlapping pair's two
+    // intervals both span). The oracle is algorithm-independent: the
+    // plain overlap join.
+    Q(
+      "j14_interval_overlap",
+      (s, d) => {
+        val sup = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 53 === 0) // sampled activity windows
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("timestamp").as("a_start"))
+          .withColumn("a_end", col("a_start") + expr("INTERVAL 30 DAYS"))
+        val promo = Tables.orders(s, d)
+          .select(date_trunc("month", col("o_orderdate")).as("b_start"))
+          .distinct()
+          .withColumn("b_end", col("b_start") + expr("INTERVAL 45 DAYS"))
+        def withBuckets(df: org.apache.spark.sql.DataFrame,
+            start: String, end: String) =
+          df.withColumn("bucket", explode(sequence(
+            date_trunc("month", col(start)),
+            date_trunc("month", col(end) - expr("INTERVAL 1 DAY")),
+            expr("INTERVAL 1 MONTH"))))
+        withBuckets(sup, "a_start", "a_end")
+          .join(broadcast(withBuckets(promo, "b_start", "b_end")), "bucket")
+          .filter(col("a_start") < col("b_end") &&
+            col("b_start") < col("a_end") &&
+            col("bucket") ===
+              date_trunc("month", greatest(col("a_start"), col("b_start"))))
+          .groupBy(date_format(col("b_start"), "yyyy-MM-dd").as("promo_day"))
+          .agg(count(lit(1)).as("n_windows"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy("promo_day")
+      },
+      Some("""
+        WITH sup AS (
+          SELECT o_orderkey,
+                 CAST(o_orderdate AS TIMESTAMP) AS a_start,
+                 CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS a_end
+          FROM orders WHERE o_orderkey % 53 = 0),
+        promo AS (
+          SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+            AS b_start
+          FROM orders),
+        p2 AS (SELECT b_start, b_start + INTERVAL 45 DAY AS b_end FROM promo)
+        SELECT strftime(b_start, '%Y-%m-%d') AS promo_day,
+               COUNT(*) AS n_windows,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM sup JOIN p2 ON a_start < b_end AND b_start < a_end
+        GROUP BY b_start ORDER BY promo_day""")),
+
+    // ----------------------------------------------------------------
+    // Wilson lower confidence bound per source (a21): rank document
+    // sources by quality-proportion with the small-sample correction —
+    // the domain-curation decision rule (a source with 3/3 good docs
+    // must NOT outrank one with 480/500). The bound uses only
+    // + − × ÷ √, ALL of which IEEE-754 requires correctly rounded
+    // (unlike log/pow), so the identical expression shape evaluates
+    // bit-identically on both engines — the ts2 fixed-shape-IEEE
+    // discipline applied to an inferential statistic.
+    Q(
+      "a21_wilson_quality",
+      (s, d) => {
+        val z2 = "(1.96 * 1.96)"
+        val f = "(p + " + z2 + " / (2.0 * n) - 1.96 * sqrt((p * (1.0 - p) + " +
+          z2 + " / (4.0 * n)) / n)) / (1.0 + " + z2 + " / n)"
+        Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("n_chars") >= 300, 1)).as("n_good"))
+          .withColumn("n", col("n_docs").cast("double"))
+          .withColumn("p", col("n_good").cast("double") / col("n"))
+          .withColumn("wilson_lower", expr(f))
+          .select("source", "n_docs", "n_good", "wilson_lower")
+          .orderBy("source")
+      },
+      Some("""
+        WITH g AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 COUNT(CASE WHEN n_chars >= 300 THEN 1 END) AS n_good
+          FROM documents GROUP BY source),
+        x AS (
+          SELECT source, n_docs, n_good,
+                 CAST(n_docs AS DOUBLE) AS n,
+                 CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p
+          FROM g)
+        SELECT source, n_docs, n_good,
+               (p + (1.96 * 1.96) / (2.0 * n) - 1.96 * sqrt((p * (1.0 - p) +
+                 (1.96 * 1.96) / (4.0 * n)) / n)) / (1.0 + (1.96 * 1.96) / n)
+                 AS wilson_lower
+        FROM x ORDER BY source""")),
+
+    // ----------------------------------------------------------------
+    // OOV-rate tokenizer audit per source (t35): fraction of token
+    // OCCURRENCES outside a min-frequency-5 vocabulary — the
+    // vocabulary-coverage check run before committing a tokenizer.
+    // Scale shape: occurrences collapse to (source, token) partial
+    // counts FIRST (one map-side-combining hash agg), the global vocab
+    // derives from those partials (second agg over distinct tokens),
+    // and the membership join runs on distinct (source, token) pairs —
+    // never raw occurrences. A frequency threshold instead of top-k
+    // sidesteps tie-order nondeterminism entirely.
+    Q(
+      "t35_oov_rate",
+      (s, d) => {
+        val st = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("source", "token")
+          .agg(count(lit(1)).as("n"))
+        val vocab = st.groupBy("token").agg(sum(col("n")).as("cnt"))
+        st.join(vocab, "token")
+          .groupBy("source")
+          .agg(sum(col("n")).as("n_tokens"),
+            sum(when(col("cnt") < 5, col("n")).otherwise(lit(0L))).as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .select("source", "n_tokens", "n_oov", "oov_rate")
+          .orderBy("source")
+      },
+      Some("""
+        WITH st AS (
+          SELECT source, token, COUNT(*) AS n
+          FROM (SELECT source, UNNEST(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY source, token),
+        vocab AS (SELECT token, SUM(n) AS cnt FROM st GROUP BY token)
+        SELECT st.source,
+               CAST(SUM(st.n) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN vocab.cnt < 5 THEN st.n ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               CAST(SUM(CASE WHEN vocab.cnt < 5 THEN st.n ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(st.n) AS DOUBLE) AS oov_rate
+        FROM st JOIN vocab ON st.token = vocab.token
+        GROUP BY st.source ORDER BY st.source""")))
 
   /** The sql4 query text (same both-engines discipline as sql1–sql3). */
   private def Sql4Text = """
