@@ -238,6 +238,28 @@ class CatalogSpec extends SparkSpec {
       s"scan opened $numFiles files; d2 has $d2Files of $allFiles total")
   }
 
+  test("partition-scoped upsert and delete handle NULL partition values") {
+    val root = Files.createTempDirectory("graft-psnull").toString
+    val cat = new ParquetCatalog(spark, root)
+    val target = Seq((1L, Some("d1"), 1.0), (2L, None, 2.0), (3L, None, 3.0))
+      .toDF("id", "day", "m")
+    cat.overwrite("t", target, Seq("day"))
+    // update a row in the NULL partition (null-safe <=> matching)
+    cat.upsert("t", Seq((2L, Option.empty[String], 20.0)).toDF("id", "day", "m"),
+      Seq("id"), partitionBy = Seq("day"))
+    val back = cat.read("t")
+      .select($"id", $"day".cast("string"), $"m")
+      .orderBy("id").as[(Long, Option[String], Double)].collect()
+    assert(back === Seq((1L, Some("d1"), 1.0), (2L, None, 20.0), (3L, None, 3.0)))
+    // delete everything in the NULL partition: its dir must vanish
+    val removed = cat.delete("t", col("day").isNull, Seq("day"))
+    assert(removed === 2L)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "t",
+      "day=__HIVE_DEFAULT_PARTITION__")),
+      "emptied default partition dir must be removed")
+    assert(cat.read("t").count() === 1)
+  }
+
   test("compaction collapses small files and preserves content") {
     val cat = freshCatalog
     // 10 appends of 10 rows -> many small files
