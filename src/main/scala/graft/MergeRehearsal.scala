@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *   2. partition-scoped MERGE: rewrites exactly the delta's 1 touched
   *      partition — byte-count ratio vs (1) is the headline number;
   *   3. versioned MERGE: same single-partition write, with the other
-  *      364 partitions hard-link-shared into the new version (bytes
-  *      written ≈ (2), history retained).
+  *      364 partitions RE-REFERENCED by the new version's manifest —
+  *      zero bytes copied, zero links (bytes written ≈ (2), history
+  *      retained, concurrent writers would be detected by the CAS).
   *
   * Asserts (throws on violation):
   *   - all three paths produce IDENTICAL table contents;
@@ -169,24 +170,26 @@ object MergeRehearsal {
       f"$rewritten%d bytes rewritten = ${ratio * 100}%.3f%% of the table " +
       f"(${fullSec / scopedSec}%.1f x faster here; at 100 TB the ratio IS the win)")
 
-    // 3. versioned: hard-link sharing
+    // 3. versioned: manifest re-referencing (zero-copy sharing)
     val tV0 = System.nanoTime()
     cat.upsertVersioned("facts_versioned", delta, Seq("id"),
       partitionBy = Seq("day"))
     val verSec = (System.nanoTime() - tV0) / 1e9
-    val v1 = Paths.get(root, ".versions", "facts_versioned", "v1")
-    val v2 = Paths.get(root, ".versions", "facts_versioned", "v2")
-    val unshared = fingerprints(v2).collect {
-      case (p, fs) if p != "day=100" =>
-        fs.count { case (rel, _, _) =>
-          val twin = v1.resolve(rel)
-          !Files.exists(twin) || !Files.isSameFile(v2.resolve(rel), twin)
-        }
-    }.sum
+    val v1Files = cat.manifestFiles("facts_versioned", 1).toSet
+    val v2Files = cat.manifestFiles("facts_versioned", 2)
+    def partOf(f: String) = graft.storage.TableManifest.partitionComponent(f)
+    // every untouched partition's v2 entry must be v1's file VERBATIM
+    val unshared = v2Files.count(f => partOf(f) != "day=100" && !v1Files.contains(f))
     require(unshared == 0,
-      s"$unshared untouched files not hard-link-shared between versions")
+      s"$unshared untouched manifest entries not re-referenced from v1")
+    // and v1's untouched files are physically still there (write-once)
+    val missing = v1Files.count { f =>
+      partOf(f) != "day=100" &&
+        !Files.exists(Paths.get(root, ".versions", "facts_versioned").resolve(f))
+    }
+    require(missing == 0, s"$missing v1 files vanished under the new commit")
     println(f"[rehearsal] versioned: ${verSec}%.1f s, 364 partitions " +
-      "hard-link-shared (0 bytes copied), v1 retained")
+      "re-referenced by manifest (0 bytes copied, 0 links), v1 retained")
 
     // all three paths identical
     def table(n: String) = cat.read(n).select("id", "day", "qty", "price")

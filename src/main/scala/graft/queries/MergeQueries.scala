@@ -406,7 +406,9 @@ object MergeQueries {
       (s, d) => {
         import java.nio.file.{Files, Paths}
         val suffix = graft.storage.Scratch.fingerprint(d).take(8)
-        val root = s"${sys.props("java.io.tmpdir")}/graft_tt_$suffix"
+        // `ttm`: the manifest-versioned layout (round 10) — a fresh
+        // scratch root so stale symlink-era state can never be read
+        val root = s"${sys.props("java.io.tmpdir")}/graft_ttm_$suffix"
         val marker = Paths.get(s"$root/_complete")
         val cat = new graft.storage.ParquetCatalog(s, root)
         if (!Files.exists(marker)) {
@@ -609,26 +611,38 @@ object MergeQueries {
     // ----------------------------------------------------------------
     // K15: VERSIONED MERGE + CDF BETWEEN VERSIONS (Delta `table_changes`
     // parity). The upsert lands as version 2 with version 1 retained;
-    // untouched partitions are hard-link-shared between the version
-    // dirs (zero bytes copied — the filesystem analogue of a snapshot
-    // manifest re-referencing unchanged files), and `unshared_untouched`
-    // counts v2 files outside 'F' that do NOT share an inode with their
-    // v1 twin (oracle pins 0). The measured output is the change feed
-    // computed FROM THE TWO VERSIONS — readVersion(1) vs readVersion(2)
-    // must replay exactly the delta the merge applied, which the oracle
-    // derives from the source table directly.
+    // untouched partitions are RE-REFERENCED by version 2's manifest
+    // (zero bytes copied, zero links — the snapshot-manifest sharing
+    // Delta/Iceberg use, portable to object storage), and
+    // `unshared_untouched` counts v2 manifest entries outside 'F' that
+    // are NOT verbatim v1 entries, plus v1 entries outside 'F' whose
+    // physical bytes changed across the commit (oracle pins 0). The
+    // measured output is the change feed computed FROM THE TWO VERSIONS
+    // — readVersion(1) vs readVersion(2) must replay exactly the delta
+    // the merge applied, which the oracle derives from the source table
+    // directly.
     Q(
       "k15_versioned_merge_cdf",
       (s, d) => {
         import java.nio.file.{Files, Paths}
         val suffix = graft.storage.Scratch.fingerprint(d).take(8)
-        val root = s"${sys.props("java.io.tmpdir")}/graft_vm_$suffix"
+        // `vmm`: manifest-versioned layout (round 10) — fresh scratch root
+        val root = s"${sys.props("java.io.tmpdir")}/graft_vmm_$suffix"
         val marker = Paths.get(s"$root/_complete")
         val cat = new graft.storage.ParquetCatalog(s, root)
         if (!Files.exists(marker)) {
           val o = Tables.orders(s, d)
             .select("o_orderkey", "o_totalprice", "o_orderstatus")
           cat.overwriteVersioned("orders_vm", o, Seq("o_orderstatus"))
+          val vd = Paths.get(root, ".versions", "orders_vm")
+          def fp(rel: String): (Long, Long) = {
+            val p = vd.resolve(rel)
+            (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+          }
+          def partOf(f: String) =
+            graft.storage.TableManifest.partitionComponent(f)
+          val v1Files = cat.manifestFiles("orders_vm", 1)
+          val before = v1Files.map(f => f -> fp(f)).toMap
           val delta = o
             .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
             .select(col("o_orderkey"),
@@ -640,16 +654,12 @@ object MergeQueries {
                 col("o_totalprice"), col("o_orderstatus")))
           cat.upsertVersioned("orders_vm", delta, Seq("o_orderkey"),
             partitionBy = Seq("o_orderstatus"))
-          val v1 = Paths.get(root, ".versions", "orders_vm", "v1")
-          val v2 = Paths.get(root, ".versions", "orders_vm", "v2")
-          val unshared = partitionFingerprints(v2).collect {
-            case (p, fs) if p != "o_orderstatus=F" =>
-              fs.count { case (rel, _, _) =>
-                val twin = v1.resolve(p).resolve(Paths.get(rel).getFileName)
-                !Files.exists(twin) ||
-                  !Files.isSameFile(v2.resolve(rel), twin)
-              }
-          }.sum
+          val v1Set = v1Files.toSet
+          val unshared =
+            cat.manifestFiles("orders_vm", 2).count(f =>
+              partOf(f) != "o_orderstatus=F" && !v1Set.contains(f)) +
+            v1Files.count(f =>
+              partOf(f) != "o_orderstatus=F" && fp(f) != before(f))
           Files.writeString(marker, unshared.toString)
         }
         val unshared = Files.readString(marker).trim.toLong

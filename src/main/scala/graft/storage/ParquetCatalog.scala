@@ -3,7 +3,7 @@ package graft.storage
 import graft.operators.Upsert
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
@@ -13,32 +13,59 @@ import scala.jdk.CollectionConverters._
   * `bronze_to_silver_transformation.py:935-941`, S6/S7 catalog scans,
   * S8 latest-partition reads) without a Delta jar.
   *
-  * Write paths:
-  *   - `overwrite`           — full-table K1 semantics, atomic via
-  *                             write-temp-then-swap (a reader never sees
-  *                             a half-written table);
-  *   - `overwritePartitions` — dynamic partition overwrite (only the
-  *                             partitions present in the frame are
-  *                             replaced — the per-run partition rewrite);
-  *   - `upsert`              — read + [[Upsert.merge]] + atomic rewrite:
-  *                             MERGE without Delta.
+  * Two tiers:
   *
-  * At 100 TB: partition columns (e.g. `partition_date`) make every
-  * downstream equality filter a partition-pruned scan; the swap is a
-  * metadata move, not a data copy. Tables are written zstd-compressed
-  * by default — ~2× the ratio of Spark's snappy default at comparable
-  * scan speed, which at 100 TB is the difference in storage and scan
-  * I/O; override `codec` for hot tables where decode CPU dominates.
+  * **Unversioned tables** (a plain hive-partitioned dir): single-writer
+  * in-place DML — atomic full overwrite (write-temp-then-swap), dynamic
+  * partition overwrite, partition-scoped MERGE and DELETE. The swap is a
+  * metadata move, never a data copy.
+  *
+  * **Versioned tables** (manifest snapshots): every committed version is
+  * an immutable MANIFEST — a file list over a shared `data/` tree — and
+  * committing is atomically creating `vN.manifest` with a
+  * create-exclusive primitive. This single mechanism provides
+  *   - time travel (any retained manifest resolves to a consistent
+  *     file set; data files are write-once),
+  *   - zero-copy version sharing (a partition-scoped merge's new
+  *     manifest RE-REFERENCES the untouched partitions' files — no
+  *     links, no copies: pure metadata, which is also the only form
+  *     object storage supports),
+  *   - optimistic concurrency (two writers that both read version N
+  *     race to create `v(N+1).manifest`; exactly one wins, the loser
+  *     gets [[ConcurrentWriteException]] instead of silently clobbering
+  *     — Delta's commit protocol, which the reference's MERGE surface
+  *     sits on).
+  * Locally the create-exclusive primitive is a hard link of a
+  * fully-written temp file (atomic, content-complete, fails on
+  * collision); on object storage the same call maps to a conditional
+  * PUT (S3 If-None-Match, GCS if-generation-match:0, ABFS
+  * create-exclusive). No symlinks, no inode sharing — the layout is
+  * substrate-portable by construction.
+  *
+  * At 100 TB: partition columns make every downstream equality filter a
+  * partition-pruned scan; a merge that touches one of 365 partitions
+  * commits a manifest re-listing the other 364 partitions' files
+  * untouched — O(delta) data written, O(files) metadata lines. Tables
+  * are written zstd-compressed by default — ~2× the ratio of Spark's
+  * snappy default at comparable scan speed; override `codec` for hot
+  * tables where decode CPU dominates.
   */
+/** One touched partition: its typed values (for a partition-pruned
+  * predicate) and its on-disk hive relative path (for dir/manifest
+  * bookkeeping). */
+private[storage] final case class PartSlot(values: Seq[Any], relPath: String)
+
 final class ParquetCatalog(spark: SparkSession, root: String,
     codec: String = "zstd") {
 
   private def tableDir(name: String): Path = Paths.get(root, name)
 
-  def exists(name: String): Boolean = Files.exists(tableDir(name))
+  def exists(name: String): Boolean =
+    Files.exists(tableDir(name)) || isVersioned(name)
 
   def read(name: String): DataFrame =
-    spark.read.parquet(tableDir(name).toString)
+    if (isVersioned(name)) readVersion(name, currentVersion(name))
+    else spark.read.parquet(tableDir(name).toString)
 
   // ---- skipping-index lifecycle -------------------------------------
   //
@@ -46,32 +73,59 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   // stats fresh automatically: appends/upserts/deletes run an
   // INCREMENTAL refresh (footer reads only for files the index has not
   // seen), and a full overwrite re-collects over the new files. The
-  // index stays advisory — scans reconcile against the live file
-  // listing and re-apply predicates — so a missed refresh can only cost
-  // speed, never rows.
+  // index stays advisory — scans reconcile against the live file set
+  // and re-apply predicates — so a missed refresh can only cost speed,
+  // never rows. For versioned tables the stats live NEXT TO the
+  // manifests (one stats file per table, reconciled against the current
+  // manifest's file list), so they survive version commits and cover
+  // carried-over files without re-reading their footers.
 
   /** Build (or rebuild) the file-level min/max skipping index for
     * `cols` — one distributed parquet-FOOTER pass, no data pages. */
   def index(name: String, cols: Seq[String]): Unit = {
     require(exists(name), s"no table $name")
-    SkippingIndex.write(spark, tableDir(name).toString, cols)
+    if (isVersioned(name))
+      SkippingIndex.writeAt(spark, statsPath(name), manifestFilesAbs(name), cols)
+    else
+      SkippingIndex.write(spark, tableDir(name).toString, cols)
     ()
+  }
+
+  /** Stats-file location for a VERSIONED table (unversioned tables keep
+    * theirs inside the table dir). */
+  def statsPath(name: String): Path =
+    versionsDir(name).resolve("_graft_stats.json")
+
+  private def manifestFilesAbs(name: String): Seq[String] = {
+    val m = currentManifest(name)
+    m.files.map(f => versionsDir(name).resolve(f).toString)
   }
 
   /** Columns the table's index covers (empty when unindexed). */
   private def indexCols(name: String): Seq[String] = {
-    val dir = tableDir(name).toString
-    if (exists(name) && SkippingIndex.exists(dir))
-      SkippingIndex.read(dir).flatMap(_.cols.map(_.column)).distinct.sorted
-    else Nil
+    val stats =
+      if (isVersioned(name)) {
+        if (SkippingIndex.existsAt(statsPath(name)))
+          SkippingIndex.readAt(statsPath(name)) else Nil
+      } else {
+        val dir = tableDir(name).toString
+        if (Files.exists(tableDir(name)) && SkippingIndex.exists(dir))
+          SkippingIndex.read(dir) else Nil
+      }
+    stats.flatMap(_.cols.map(_.column)).distinct.sorted
   }
 
   /** Incrementally reconcile the index with the table's current files
     * (no-op for unindexed tables). */
-  private def refreshIndex(name: String): Unit = {
-    val dir = tableDir(name).toString
-    if (SkippingIndex.exists(dir)) { SkippingIndex.refresh(spark, dir); () }
-  }
+  private def refreshIndex(name: String): Unit =
+    if (isVersioned(name)) {
+      if (SkippingIndex.existsAt(statsPath(name))) {
+        SkippingIndex.refreshAt(spark, statsPath(name), manifestFilesAbs(name)); ()
+      }
+    } else {
+      val dir = tableDir(name).toString
+      if (SkippingIndex.exists(dir)) { SkippingIndex.refresh(spark, dir); () }
+    }
 
   /** Index-accelerated range read: conjunctive `(column, lo, hi)`
     * predicates open only the files whose [min,max] intersects (plus
@@ -79,24 +133,42 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * stats-pruned scan. Unindexed tables fall back to a plain scan with
     * the same predicates applied, so callers never branch. */
   def readRange(name: String, preds: Seq[(String, Double, Double)]): DataFrame = {
-    val dir = tableDir(name).toString
-    if (SkippingIndex.exists(dir)) SkippingIndex.scanAll(spark, dir, preds)
-    else preds.foldLeft(read(name)) { case (df, (c, lo, hi)) =>
-      df.filter(col(c) >= lo && col(c) <= hi)
+    if (isVersioned(name)) {
+      val m = currentManifest(name)
+      val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
+      val sp = statsPath(name)
+      val cand =
+        if (SkippingIndex.existsAt(sp)) SkippingIndex.candidateFilesAt(sp, abs, preds)
+        else abs
+      val base =
+        if (cand.isEmpty) readVersion(name, m.version).limit(0)
+        else if (m.partitionBy.isEmpty) spark.read.parquet(cand: _*)
+        else spark.read.option("basePath", dataDir(name).toString).parquet(cand: _*)
+      preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+        df.filter(col(c) >= lo && col(c) <= hi)
+      }
+    } else {
+      val dir = tableDir(name).toString
+      if (SkippingIndex.exists(dir)) SkippingIndex.scanAll(spark, dir, preds)
+      else preds.foldLeft(read(name)) { case (df, (c, lo, hi)) =>
+        df.filter(col(c) >= lo && col(c) <= hi)
+      }
     }
   }
 
   /** Atomic full overwrite: write to a temp dir, swap directories. An
     * existing skipping index is re-collected over the new files (its
-    * column set survives the swap). */
+    * column set survives the swap). On a VERSIONED table this retains
+    * history (routes to [[overwriteVersioned]]). */
   def overwrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    if (isVersioned(name)) { overwriteVersioned(name, df, partitionBy); return }
     val priorIndex = indexCols(name) // the swap discards the old stats file
-    val tmp = Paths.get(root, s".tmp-$name-${System.nanoTime()}")
+    val tmp = Paths.get(root, s".tmp-$name-${nonce()}")
     val w = df.write.mode(SaveMode.Overwrite).option("compression", codec)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
     val dest = tableDir(name)
-    val old = Paths.get(root, s".old-$name-${System.nanoTime()}")
+    val old = Paths.get(root, s".old-$name-${nonce()}")
     if (Files.exists(dest)) Files.move(dest, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(old)) deleteRecursively(old)
@@ -107,7 +179,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * `df`, leave the rest of the table untouched. */
   def overwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
-    if (!exists(name)) overwrite(name, df, partitionBy)
+    if (isVersioned(name)) { overwritePartitionsVersioned(name, df, partitionBy); () }
+    else if (!exists(name)) overwrite(name, df, partitionBy)
     else {
       df.write
         .mode(SaveMode.Overwrite)
@@ -121,12 +194,52 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   /** Append (the insert-only path when keys are known unique). An
     * existing index is refreshed incrementally — footer reads ONLY for
-    * the appended files. */
-  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    * the appended files.
+    *
+    * The incoming frame's schema must match the table's (names + types;
+    * order and nullability are free): a drifted frame would append
+    * silently and only break at read time. `evolveSchema = true` routes
+    * drift through an explicit union-by-name rewrite instead — columns
+    * may be added or dropped (o6's union-by-name discipline: missing
+    * columns fill with null on either side); a TYPE change still fails
+    * loudly. */
+  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Unit = {
+    if (isVersioned(name)) { appendVersioned(name, df, partitionBy, evolveSchema); return }
+    if (!exists(name)) { overwrite(name, df, partitionBy); return }
+    val current = read(name)
+    if (!schemaMatches(current, df)) {
+      if (!evolveSchema) failSchemaDrift(name, current, df)
+      val evolved = current.unionByName(df, allowMissingColumns = true)
+        .persist()
+      evolved.count() // materialize before the swap deletes the inputs
+      overwrite(name, evolved, partitionBy)
+      evolved.unpersist()
+      return
+    }
     val w = df.write.mode(SaveMode.Append).option("compression", codec)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tableDir(name).toString)
     refreshIndex(name)
+  }
+
+  private def schemaMatches(current: DataFrame, incoming: DataFrame): Boolean = {
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    shape(current) == shape(incoming)
+  }
+
+  private def failSchemaDrift(name: String, current: DataFrame, incoming: DataFrame): Nothing = {
+    val cur = current.schema.fields.map(f => f.name -> f.dataType).toMap
+    val in = incoming.schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = (cur.keySet -- in.keySet).toSeq.sorted
+    val extra = (in.keySet -- cur.keySet).toSeq.sorted
+    val retyped = cur.keySet.intersect(in.keySet).filter(k => cur(k) != in(k))
+      .toSeq.sorted.map(k => s"$k: ${cur(k).simpleString}->${in(k).simpleString}")
+    throw new IllegalArgumentException(
+      s"append to $name rejected: schema drift (missing: ${missing.mkString(",")}; " +
+        s"extra: ${extra.mkString(",")}; retyped: ${retyped.mkString(",")}). " +
+        "Pass evolveSchema = true to add/drop columns via union-by-name.")
   }
 
   /** MERGE INTO this table (K2/K3): read current state, resolve with
@@ -144,21 +257,32 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * the partitions holding matched target keys (the second set needs a
     * target scan only when a partition column is NOT part of the merge
     * key; when it is, a matched key's partition is by definition in the
-    * delta). The target read is statically partition-pruned to the
-    * touched set; untouched partitions' files are never opened OR
-    * rewritten. An update that moves a row's partition value empties
-    * its old slot correctly (the old partition is in the touched set
-    * and is rewritten without the row; a fully-emptied partition dir is
-    * removed). Schema evolution still forces the full rewrite — a
-    * partial rewrite would leave the table with per-partition schema
-    * drift. */
+    * delta — and when the table carries a skipping index over a merge
+    * key, that scan is further pruned to the files whose key range
+    * intersects the delta's, see [[matchScanFrame]]). The target read
+    * is statically partition-pruned to the touched set; untouched
+    * partitions' files are never opened OR rewritten. An update that
+    * moves a row's partition value empties its old slot correctly.
+    * Schema evolution still forces the full rewrite — a partial rewrite
+    * would leave the table with per-partition schema drift.
+    *
+    * On a VERSIONED table this routes to [[upsertVersioned]] (history
+    * retained, concurrent writers detected). */
   def upsert(name: String, source: DataFrame, keys: Seq[String],
       smartCases: Map[String, (Column, Column) => Column] = Map.empty,
       insertOnly: Boolean = false,
       partitionBy: Seq[String] = Nil,
       evolveSchema: Boolean = false): Unit = {
+    if (isVersioned(name)) {
+      upsertVersioned(name, source, keys, smartCases, insertOnly, partitionBy,
+        evolveSchema)
+      return
+    }
     if (!exists(name)) overwrite(name, source, partitionBy)
-    else if (partitionBy.isEmpty || evolveSchema) {
+    else if (partitionBy.isEmpty || evolveSchema || !hasPartitionDirs(name)) {
+      // the third arm: a table without hive dirs (e.g. emptied by a
+      // full delete, or being converted to a partitioned layout) takes
+      // the full merge + layout-(re)write path
       val merged =
         Upsert.merge(read(name), source, keys, smartCases, insertOnly, evolveSchema)
           .persist() // materialize before the swap deletes the input files
@@ -167,24 +291,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       merged.unpersist()
     } else {
       val target = read(name)
-      // ONE unioned expression so Spark coerces both sides' partition
-      // column types (e.g. a source STRING vs an inferred DATE on the
-      // hive-partitioned read-back) before values reach the driver —
-      // mixed-type driver tuples would break the touched/written diff.
-      // When every partition column is part of the merge key, a matched
-      // target key's partition is by definition in the delta, so the
-      // target match scan is skipped entirely.
-      val srcParts = source.select(partitionBy.map(col): _*)
-      val partsDf =
-        if (partitionBy.forall(keys.contains)) srcParts
-        else srcParts.unionByName(
-          target.join(
-              broadcast(source.select(keys.map(col): _*).distinct()),
-              keys, "left_semi")
-            .select(partitionBy.map(col): _*))
-      val touched = collectPartitions(partsDf.distinct())
+      val touched = touchedPartitions(name, target, source, keys, partitionBy)
       if (touched.nonEmpty) {
-        val slice = target.filter(partitionPredicate(partitionBy, touched))
+        val slice = target.filter(partitionPredicate(partitionBy, touched.map(_.values)))
         val merged =
           Upsert.merge(slice, source, keys, smartCases, insertOnly)
             .persist() // materialize before dynamic overwrite drops inputs
@@ -193,20 +302,117 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         // overwrite; touched partitions ABSENT from the merged frame
         // (every row moved out) must have their stale dirs removed —
         // dynamic overwrite only touches partitions it writes
-        val written = collectPartitions(
-          merged.select(partitionBy.map(col): _*).distinct())
+        val written = partitionsOf(merged, partitionBy)
         overwritePartitions(name, merged, partitionBy)
-        dropPartitionDirs(name, partitionBy, touched.diff(written))
+        dropPartitionDirs(name,
+          touched.map(_.relPath).diff(written.map(_.relPath)))
+        if (!hasPartitionDirs(name))
+          // every partition emptied: leave a readable schema-preserving
+          // shell instead of a dir Spark cannot infer a schema from
+          overwrite(name, merged.limit(0))
         refreshIndex(name) // reconcile entries for dropped dirs
         merged.unpersist()
       }
     }
   }
 
-  /** Partition tuples of a small distinct frame, collected to the
-    * driver — partition-count-sized, never data-sized. */
-  private def collectPartitions(df: DataFrame): Seq[Seq[Any]] =
-    df.collect().toSeq.map(r => (0 until r.length).map(r.get))
+  /** The distinct partitions a merge delta touches: the delta's own
+    * partitions ∪ the partitions of matched target keys. The match
+    * probe is skipped entirely when every partition column is a merge
+    * key, and joins NULL-SAFELY (a NULL merge key matches a NULL-keyed
+    * source row, exactly as [[Upsert.merge]] resolves it). Partition
+    * path strings come from Spark's own value-to-string cast — the
+    * formatting the writer uses for dir names — never from JVM
+    * `toString` (java.sql.Timestamp renders a trailing `.0` Spark
+    * doesn't). */
+  private def touchedPartitions(name: String, target: DataFrame,
+      source: DataFrame, keys: Seq[String], pb: Seq[String]): Seq[PartSlot] = {
+    val srcParts = source.select(pb.map(col): _*)
+    val partsDf =
+      if (pb.forall(keys.contains)) srcParts
+      else {
+        val matchable = matchScanFrame(name, source, keys, target)
+        val srcKeys = source.select(keys.map(col): _*).distinct()
+        val cond = keys.map(k => matchable(k) <=> srcKeys(k)).reduce(_ && _)
+        srcParts.unionByName(
+          matchable.join(broadcast(srcKeys), cond, "left_semi")
+            .select(pb.map(col): _*))
+      }
+    collectSlots(partsDf.distinct(), pb)
+  }
+
+  /** The target frame the matched-key probe scans. When the table
+    * carries a skipping index over one of the merge keys, the probe is
+    * pruned to the files whose [min,max] for that key intersects the
+    * delta's own key range — ONE small aggregate over the delta, then a
+    * file-level pruned read. At 100 TB this is the difference between
+    * opening every file of the table to find matches and opening only
+    * the delta's neighborhood of a key-clustered layout. Files without
+    * stats are conservatively kept, so pruning can never lose a match. */
+  private[graft] def matchScanFrame(name: String, source: DataFrame,
+      keys: Seq[String], target: DataFrame): DataFrame = {
+    val indexed = indexCols(name).toSet
+    val key = keys.find(indexed.contains).getOrElse(return target)
+    val keyType = source.schema.fields.find(_.name == key).map(_.dataType)
+    val numeric = keyType.exists(t =>
+      Seq("int", "bigint", "smallint", "tinyint", "float", "double")
+        .contains(t.simpleString))
+    if (!numeric) return target
+    val row = source.agg(
+      min(col(key)).cast("double"), max(col(key)).cast("double")).head()
+    if (row.isNullAt(0) || row.isNullAt(1)) return target
+    // NULL target keys can only match NULL source keys, which the range
+    // prune would drop — but files whose stats say hasNulls are KEPT by
+    // candidate selection only when the predicate allows; to stay
+    // conservative the pruned probe UNIONs files flagged has-nulls.
+    readRangeWithNulls(name, key, row.getDouble(0), row.getDouble(1))
+  }
+
+  /** Index-pruned read keeping files that may contain NULLs of `key`
+    * (the merge match probe must see null-keyed rows). Falls back to
+    * the full table when unindexed. */
+  private def readRangeWithNulls(name: String, key: String,
+      lo: Double, hi: Double): DataFrame = {
+    val (sp, abs, partitioned) =
+      if (isVersioned(name)) {
+        val m = currentManifest(name)
+        (statsPath(name),
+          m.files.map(f => versionsDir(name).resolve(f).toString),
+          m.partitionBy.nonEmpty && m.files.nonEmpty)
+      } else {
+        val dir = tableDir(name)
+        (dir.resolve("_graft_stats.json"), SkippingIndex.listFiles(dir.toString),
+          hasPartitionDirs(name))
+      }
+    if (!SkippingIndex.existsAt(sp)) return read(name)
+    val cand = SkippingIndex.candidateFilesAt(sp, abs, Seq((key, lo, hi)),
+      keepNullsOf = Some(key))
+    if (cand.isEmpty) read(name).limit(0)
+    else if (partitioned) {
+      val base = if (isVersioned(name)) dataDir(name) else tableDir(name).toRealPath()
+      spark.read.option("basePath", base.toString).parquet(cand: _*)
+    } else spark.read.parquet(cand: _*)
+  }
+
+  /** Collect one small distinct frame of partition tuples as
+    * (typed values, hive rel path) — partition-count-sized, never
+    * data-sized. Path strings use Spark's cast-to-string (the writer's
+    * own dir-name formatting) plus hive escaping. */
+  private def collectSlots(distinctParts: DataFrame, pb: Seq[String]): Seq[PartSlot] = {
+    val n = pb.size
+    val withStrs = distinctParts.select(
+      pb.map(col) ++ pb.map(c => col(c).cast("string").as(s"__str_$c")): _*)
+    withStrs.collect().toSeq.map { r =>
+      val values = (0 until n).map(r.get)
+      val strs = (0 until n).map(i =>
+        if (r.isNullAt(n + i)) null else r.getString(n + i))
+      PartSlot(values, hiveRelPath(pb, strs))
+    }
+  }
+
+  /** Distinct partition slots actually present in a frame. */
+  private def partitionsOf(df: DataFrame, pb: Seq[String]): Seq[PartSlot] =
+    collectSlots(df.select(pb.map(col): _*).distinct(), pb)
 
   /** OR-of-ANDs equality predicate over partition columns with literal
     * values — statically partition-prunable by the parquet scan. */
@@ -217,27 +423,48 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         .reduce(_ && _)
     }.reduce(_ || _)
 
-  /** Hive-style relative dir path for one partition tuple, with Spark's
-    * own path escaping (null → `__HIVE_DEFAULT_PARTITION__`). */
-  private def partitionRelPath(partitionBy: Seq[String], vs: Seq[Any]): String = {
+  /** Hive-style relative dir path from ALREADY-STRINGIFIED partition
+    * values (Spark's cast-to-string), with Spark's own path escaping
+    * (null → `__HIVE_DEFAULT_PARTITION__`). */
+  private def hiveRelPath(partitionBy: Seq[String], strs: Seq[String]): String = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    partitionBy.zip(vs).map { case (c, v) =>
+    partitionBy.zip(strs).map { case (c, v) =>
       val value =
         if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-        else ExternalCatalogUtils.escapePathName(v.toString)
+        else ExternalCatalogUtils.escapePathName(v)
       s"${ExternalCatalogUtils.escapePathName(c)}=$value"
     }.mkString("/")
+  }
+
+  /** True when the table dir has hive `k=v` partition subdirs. */
+  private def hasPartitionDirs(name: String): Boolean = {
+    val dir = tableDir(name)
+    if (!Files.isDirectory(dir)) return false
+    val s = Files.list(dir)
+    try s.iterator().asScala.exists(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains('='))
+    finally s.close()
   }
 
   /** Remove hive-style partition dirs that a rewrite left empty (all
     * their rows merged/deleted away) — dynamic overwrite only touches
     * partitions PRESENT in the written frame. */
-  private def dropPartitionDirs(name: String, partitionBy: Seq[String],
-      tuples: Seq[Seq[Any]]): Unit =
-    tuples.foreach { vs =>
-      val dir = tableDir(name).resolve(partitionRelPath(partitionBy, vs))
+  private def dropPartitionDirs(name: String, relPaths: Seq[String]): Unit =
+    relPaths.foreach { rel =>
+      val dir = tableDir(name).resolve(rel)
       if (Files.exists(dir)) deleteRecursively(dir)
+      // a multi-level partition may leave empty parent dirs behind
+      var parent = dir.getParent
+      while (parent != null && parent != tableDir(name) &&
+          Files.isDirectory(parent) && dirIsEmpty(parent)) {
+        Files.delete(parent); parent = parent.getParent
+      }
     }
+
+  private def dirIsEmpty(p: Path): Boolean = {
+    val s = Files.list(p)
+    try !s.iterator().hasNext finally s.close()
+  }
 
   /** S8 latest-partition slice: max over the partition column, then a
     * partition-pruned equality scan. */
@@ -250,7 +477,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   /** Compaction: rewrite the table into ~`rowsPerFile`-row files. Every
     * incremental upsert/append leaves small files behind; at scale the
     * scan cost becomes file-open dominated (the classic small-file
-    * problem). One repartition + atomic swap. Layout options:
+    * problem). One repartition + atomic swap (a new retained version on
+    * versioned tables). Layout options:
     *
     *   - `clusterBy`: lexicographic range-cluster — tight min/max (and
     *     thus file/row-group skipping) for the FIRST column only;
@@ -289,11 +517,19 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         df.repartitionByRange(files, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df.repartition(files)
-    // persist+count before the swap: the lazy plan must not read files
-    // the overwrite is about to replace
-    repart.persist().count()
-    overwrite(name, repart, partitionBy)
-    repart.unpersist()
+    if (isVersioned(name)) {
+      // write-once versions: the new commit's staging write reads the
+      // still-live current version — no persist barrier needed
+      overwriteVersioned(name, repart, partitionBy)
+      val prior = indexCols(name)
+      if (prior.nonEmpty) index(name, prior)
+    } else {
+      // persist+count before the swap: the lazy plan must not read files
+      // the overwrite is about to replace
+      repart.persist().count()
+      overwrite(name, repart, partitionBy)
+      repart.unpersist()
+    }
   }
 
   private def rowDouble(r: org.apache.spark.sql.Row, i: Int): Double =
@@ -312,30 +548,35 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * of JUST those partitions go through dynamic partition overwrite,
     * and fully-emptied partition dirs are removed. At 100 TB a delete
     * whose predicate hits one day's partition rewrites one partition,
-    * not the table. Without `partitionBy` it is the full read +
-    * anti-filter + atomic rewrite. */
+    * not the table. A delete that empties EVERY partition leaves a
+    * readable schema-preserving shell. Without `partitionBy` it is the
+    * full read + anti-filter + atomic rewrite. */
   def delete(name: String, condition: Column,
       partitionBy: Seq[String] = Nil): Long = {
+    if (isVersioned(name)) return deleteVersioned(name, condition, partitionBy)._2
     val t = read(name)
     val hit = coalesce(condition, lit(false))
-    if (partitionBy.isEmpty) {
+    if (partitionBy.isEmpty || !hasPartitionDirs(name)) {
       val keep = t.filter(!hit).persist()
       val removed = t.count() - keep.count() // materializes before the swap
       overwrite(name, keep)
       keep.unpersist()
       removed
     } else {
-      val touched = collectPartitions(
-        t.filter(hit).select(partitionBy.map(col): _*).distinct())
+      val touched = partitionsOf(t.filter(hit), partitionBy)
       if (touched.isEmpty) 0L
       else {
-        val slice = t.filter(partitionPredicate(partitionBy, touched)).persist()
+        val slice = t.filter(partitionPredicate(partitionBy, touched.map(_.values))).persist()
         val keep = slice.filter(!hit).persist()
         val removed = slice.count() - keep.count()
-        val written = collectPartitions(
-          keep.select(partitionBy.map(col): _*).distinct())
+        val written = partitionsOf(keep, partitionBy)
         if (written.nonEmpty) overwritePartitions(name, keep, partitionBy)
-        dropPartitionDirs(name, partitionBy, touched.diff(written))
+        dropPartitionDirs(name,
+          touched.map(_.relPath).diff(written.map(_.relPath)))
+        if (!hasPartitionDirs(name))
+          // every partition emptied: keep the table readable (schema
+          // shell), matching the unpartitioned branch's behavior
+          overwrite(name, keep.limit(0))
         refreshIndex(name)
         keep.unpersist(); slice.unpersist()
         removed
@@ -343,231 +584,466 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
   }
 
-  // ---- versioned tables: time travel + retention --------------------
-  //
-  // Delta/Iceberg time-travel parity on plain parquet: data lives in
-  // immutable `.versions/<name>/v<N>` dirs and the table path is an
-  // atomically-repointed symlink to the current version. Every
-  // unversioned entry point (read / upsert / compact / skipping stats)
-  // keeps working — it just follows the link. Writes are write-once;
-  // readers of any retained version are never invalidated by a new
-  // overwrite (the swap creates, never mutates). `vacuum` is the
-  // retention boundary, exactly as in Delta: history costs storage
-  // until you say otherwise.
+  // ---- versioned tables: manifest snapshots -------------------------
 
   private def versionsDir(name: String): Path =
     Paths.get(root, ".versions", name)
 
-  /** Retained version numbers, oldest first. */
+  private def dataDir(name: String): Path =
+    versionsDir(name).resolve("data")
+
+  private def manifestPath(name: String, version: Long): Path =
+    versionsDir(name).resolve(s"v$version.manifest")
+
+  private def nonce(): String =
+    java.lang.Long.toHexString(System.nanoTime())
+
+  def isVersioned(name: String): Boolean = versions(name).nonEmpty
+
+  /** Retained version numbers, oldest first (a version exists iff its
+    * manifest does — there is no separate current pointer). */
   def versions(name: String): Seq[Long] = {
     val vd = versionsDir(name)
     if (!Files.isDirectory(vd)) Seq.empty
     else {
       val s = Files.list(vd)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.matches("v\\d+")).map(_.drop(1).toLong).toSeq.sorted
-      } finally s.close()
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+\\.manifest"))
+        .map(_.stripSuffix(".manifest").drop(1).toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  def currentVersion(name: String): Long = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"$name is not a versioned table")
+    vs.last
+  }
+
+  /** The committed manifest of one retained version. */
+  def manifest(name: String, version: Long): TableManifest = {
+    val p = manifestPath(name, version)
+    require(Files.exists(p),
+      s"version $version of $name not retained (have: ${versions(name).mkString(",")})")
+    TableManifest.parse(p)
+  }
+
+  private def currentManifest(name: String): TableManifest =
+    manifest(name, currentVersion(name))
+
+  /** Data files (manifest-relative) of one retained version — the
+    * metadata a test or audit pins zero-copy sharing with. */
+  def manifestFiles(name: String, version: Long): Seq[String] =
+    manifest(name, version).files
+
+  /** Time-travel read of a retained version: the manifest's file list
+    * resolved against the shared data tree. Write-once data files mean
+    * a retained reader is never invalidated by later commits. An empty
+    * version (zero files) reads as an empty frame with the schema the
+    * manifest recorded. */
+  def readVersion(name: String, version: Long): DataFrame = {
+    val m = manifest(name, version)
+    if (m.files.isEmpty) {
+      val ddl = m.meta.getOrElse("schema",
+        throw new IllegalStateException(
+          s"version $version of $name has no files and no recorded schema"))
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+    val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
+    if (m.partitionBy.isEmpty)
+      spark.read.parquet(abs: _*)
+    else
+      spark.read.option("basePath", dataDir(name).toString).parquet(abs: _*)
+  }
+
+  /** CAS commit: atomically create `vN.manifest` from a fully-written
+    * temp file. Exactly one writer can commit a given N; the loser gets
+    * [[ConcurrentWriteException]]. Locally the create-exclusive
+    * primitive is `Files.createLink` (atomic, content-complete); on
+    * object storage the same step is a conditional PUT. */
+  private def commitManifest(name: String, m: TableManifest): Unit = {
+    val vd = versionsDir(name)
+    Files.createDirectories(vd)
+    val tmp = vd.resolve(s".manifest-tmp-${nonce()}")
+    Files.writeString(tmp, m.render)
+    try Files.createLink(manifestPath(name, m.version), tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentWriteException(
+          s"version ${m.version} of $name was committed by another writer " +
+            "since this operation read the table; re-read and retry")
+    }
+    Files.deleteIfExists(tmp)
+  }
+
+  /** Commit, cleaning this writer's just-staged files on a lost race —
+    * nothing of a failed commit ever becomes visible. */
+  private def commitOrClean(name: String, m: TableManifest,
+      staged: Seq[String]): Unit =
+    try commitManifest(name, m)
+    catch {
+      case e: ConcurrentWriteException =>
+        staged.foreach(r => Files.deleteIfExists(versionsDir(name).resolve(r)))
+        throw e
+    }
+
+  /** Write `df` through a staging dir, then move each produced parquet
+    * file into the shared `data/` tree under a version-and-nonce-unique
+    * name. Returns the manifest-relative paths — EMPTY for an empty
+    * frame (Spark writes no data files for one); callers then record
+    * the schema in manifest meta instead, see [[emptyMeta]]. */
+  private def stage(name: String, df: DataFrame, partitionBy: Seq[String],
+      version: Long): Seq[String] = {
+    val vd = versionsDir(name)
+    Files.createDirectories(dataDir(name))
+    val nn = nonce()
+    val stageDir = vd.resolve(s".stage-$nn")
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", codec)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stageDir.toString)
+    val s = Files.walk(stageDir)
+    val staged =
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toList
+      finally s.close()
+    val rels = staged.map { p =>
+      val rel = stageDir.relativize(p)
+      val fname = s"v$version-$nn-${rel.getFileName}"
+      val destRel = Option(rel.getParent) match {
+        case Some(parent) => Paths.get("data").resolve(parent).resolve(fname)
+        case None => Paths.get("data").resolve(fname)
+      }
+      val dest = vd.resolve(destRel)
+      Files.createDirectories(dest.getParent)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      destRel.toString
+    }
+    deleteRecursively(stageDir)
+    rels
+  }
+
+  /** Manifest meta for a zero-file commit: the schema rides as DDL so
+    * the empty version stays readable (and nothing is carried). */
+  private def emptyMeta(df: DataFrame): Map[String, String] =
+    Map("schema" -> df.schema.toDDL)
+
+  /** Migrate a plain (unversioned) table dir in place: its files become
+    * the shared data tree and version 1's manifest lists them all. The
+    * partition layout is inferred from the hive dir structure. */
+  private def migrateIfPlain(name: String): Unit = {
+    val dest = tableDir(name)
+    if (isVersioned(name)) return
+    val vd = versionsDir(name)
+    val dd = dataDir(name)
+    if (!Files.exists(dest)) {
+      // recovery: a crashed migration moved the dir but never committed
+      if (!Files.exists(dd)) return
+    } else {
+      require(!Files.isSymbolicLink(dest),
+        s"$name uses the legacy symlink version layout; rebuild the table")
+      Files.createDirectories(vd)
+      require(!Files.exists(dd), s"cannot migrate $name: $dd already exists")
+      Files.move(dest, dd, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // the in-dir stats file becomes the versioned table's stats file
+    val innerStats = dd.resolve("_graft_stats.json")
+    if (Files.exists(innerStats))
+      Files.move(innerStats, statsPath(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    val s = Files.walk(dd)
+    val rels =
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => vd.relativize(p).toString).toList.sorted
+      finally s.close()
+    val pb = inferPartitionBy(rels)
+    commitManifest(name, TableManifest(1, pb, Map("migrated" -> "true"), rels))
+  }
+
+  /** Partition columns implied by hive `k=v` segments of data paths. */
+  private def inferPartitionBy(rels: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    rels.headOption.toSeq.flatMap { f =>
+      f.split('/').drop(1).dropRight(1).filter(_.contains('='))
+        .map(seg => ExternalCatalogUtils.unescapePathName(seg.takeWhile(_ != '=')))
     }
   }
 
   /** Overwrite that RETAINS history: the new frame becomes version N+1
-    * in an immutable dir and the table path repoints atomically. A
-    * pre-existing unversioned table is migrated as the first retained
-    * version. Returns the new version number. */
+    * as a manifest commit. A pre-existing unversioned table is migrated
+    * as the first retained version. Returns the new version number;
+    * throws [[ConcurrentWriteException]] on a commit race. */
   def overwriteVersioned(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Long = {
-    val vd = versionsDir(name)
-    Files.createDirectories(vd)
-    val dest = tableDir(name)
-    var next = versions(name).lastOption.getOrElse(0L) + 1
-    if (Files.exists(dest, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-        !Files.isSymbolicLink(dest)) {
-      Files.move(dest, vd.resolve(s"v$next"), StandardCopyOption.ATOMIC_MOVE)
-      next += 1
-    }
-    val target = vd.resolve(s"v$next")
-    val w = df.write.mode(SaveMode.Overwrite).option("compression", codec)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(target.toString)
-    val tmpLink = Paths.get(root, s".lnk-$name-${System.nanoTime()}")
-    Files.createSymbolicLink(tmpLink, target.toAbsolutePath)
-    Files.move(tmpLink, dest, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    migrateIfPlain(name)
+    val next = versions(name).lastOption.getOrElse(0L) + 1
+    val rels = stage(name, df, partitionBy, next)
+    val meta = if (rels.isEmpty) emptyMeta(df) else Map.empty[String, String]
+    commitOrClean(name, TableManifest(next, partitionBy, meta, rels), rels)
+    refreshIndex(name)
     next
   }
 
-  /** Time-travel read of a retained version. */
-  def readVersion(name: String, version: Long): DataFrame = {
-    val p = versionsDir(name).resolve(s"v$version")
-    require(Files.isDirectory(p),
-      s"version $version of $name not retained (have: ${versions(name).mkString(",")})")
-    spark.read.parquet(p.toString)
-  }
-
-  /** Migrate an unversioned table in place (its dir becomes the first
-    * retained version behind the symlink) and return the CURRENT
-    * version's backing dir. */
-  private def ensureVersioned(name: String): Path = {
-    require(exists(name), s"no table $name")
-    val vd = versionsDir(name)
-    Files.createDirectories(vd)
-    val dest = tableDir(name)
-    if (!Files.isSymbolicLink(dest)) {
-      val next = versions(name).lastOption.getOrElse(0L) + 1
-      val target = vd.resolve(s"v$next")
-      Files.move(dest, target, StandardCopyOption.ATOMIC_MOVE)
-      repoint(name, target)
-    }
-    dest.toRealPath()
-  }
-
-  /** Atomically repoint the table symlink at a version dir. */
-  private def repoint(name: String, target: Path): Unit = {
-    val tmpLink = Paths.get(root, s".lnk-$name-${System.nanoTime()}")
-    Files.createSymbolicLink(tmpLink, target.toAbsolutePath)
-    Files.move(tmpLink, tableDir(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Hard-link every file of `src` into `dst`, skipping paths whose
-    * src-relative path starts with one of `excludeRel`. Versions share
-    * untouched files at zero copy cost — the filesystem analogue of a
-    * Delta/Iceberg manifest referencing unchanged data files from the
-    * previous snapshot; deleting a version only unlinks. */
-  private def linkClone(src: Path, dst: Path, excludeRel: Set[String]): Unit = {
-    Files.createDirectories(dst)
-    val s = Files.walk(src)
-    try s.iterator().asScala.filter(_ != src).foreach { p =>
-      val rel = src.relativize(p).toString
-      val excluded = excludeRel.exists(e => rel == e || rel.startsWith(e + "/"))
-      if (!excluded) {
-        val t = dst.resolve(rel)
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else Files.createLink(t, p)
+  /** Append that RETAINS history: new files join the current manifest's
+    * in version N+1. With `batchToken` set, a token that some retained
+    * manifest already carries makes the call a NO-OP returning the
+    * existing version — the replay-idempotent sink contract Structured
+    * Streaming's foreachBatch re-delivery assumes (a crashed writer
+    * either committed its manifest or left invisible orphans; there is
+    * no half-applied state). */
+  def appendVersioned(name: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil, evolveSchema: Boolean = false,
+      batchToken: Option[String] = None): Long = {
+    migrateIfPlain(name)
+    if (!isVersioned(name)) return overwriteVersioned(name,
+      df, partitionBy)
+    batchToken.foreach { tok =>
+      versions(name).reverseIterator.foreach { v =>
+        if (manifest(name, v).meta.get("batch").contains(tok))
+          return currentVersion(name)
       }
-    } finally s.close()
+    }
+    val m = currentManifest(name)
+    val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
+    val current = readVersion(name, m.version)
+    val next = m.version + 1
+    val tokMeta = batchToken.map("batch" -> _).toMap
+    if (!schemaMatches(current, df)) {
+      if (!evolveSchema) failSchemaDrift(name, current, df)
+      val evolved = current.unionByName(df, allowMissingColumns = true)
+      val rels = stage(name, evolved, pb, next)
+      val meta = tokMeta ++ (if (rels.isEmpty) emptyMeta(evolved) else Map.empty)
+      commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
+      refreshIndex(name)
+      return next
+    }
+    val rels = stage(name, df, pb, next)
+    val carried = m.files
+    val meta = tokMeta ++
+      (if (carried.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
+    commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+    refreshIndex(name)
+    next
   }
 
-  /** MERGE that RETAINS history (Delta MERGE + time travel in one):
-    * the merge lands as version N+1; version N stays readable. With
-    * `partitionBy` the new version hard-links every UNTOUCHED
-    * partition's files from the current version (zero data copied —
-    * only the delta's touched partitions are written), exactly Delta's
-    * file-level rewrite where a new snapshot's manifest re-references
-    * unchanged files. Readers are never invalidated: the merged frame
-    * is computed FROM the still-live old version and the table symlink
-    * repoints only after the new version is fully written — so no
+  /** Replay-idempotent micro-batch append: the streaming sink's entry
+    * point. A `batchToken` that some retained manifest already carries
+    * makes the call a no-op — Structured Streaming may re-deliver a
+    * micro-batch after restart, and the sink must commit it at most
+    * once. The commit itself is the atomic manifest CAS, so there is no
+    * half-applied crash window: either the batch's manifest exists or
+    * its files are invisible orphans for [[vacuum]]. */
+  def appendBatch(name: String, df: DataFrame, batchToken: String,
+      partitionBy: Seq[String] = Nil): Long =
+    appendVersioned(name, df, partitionBy, evolveSchema = false,
+      batchToken = Some(batchToken))
+
+  /** Dynamic-partition-overwrite as a version commit: partitions present
+    * in `df` are replaced, the rest re-referenced from the current
+    * manifest. */
+  def overwritePartitionsVersioned(name: String, df: DataFrame,
+      partitionBy: Seq[String]): Long = {
+    require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    migrateIfPlain(name)
+    if (!isVersioned(name)) return overwriteVersioned(name, df, partitionBy)
+    val m = currentManifest(name)
+    val next = m.version + 1
+    val rels = stage(name, df, partitionBy, next)
+    val replaced = rels.map(TableManifest.partitionComponent).toSet
+    val carried =
+      m.files.filterNot(f => replaced.contains(TableManifest.partitionComponent(f)))
+    val meta = if (carried.isEmpty && rels.isEmpty) emptyMeta(df)
+      else Map.empty[String, String]
+    commitOrClean(name, TableManifest(next, partitionBy, meta, carried ++ rels), rels)
+    refreshIndex(name)
+    next
+  }
+
+  /** MERGE that RETAINS history (Delta MERGE + time travel in one): the
+    * merge lands as version N+1; version N stays readable. With a
+    * partitioned layout the new manifest RE-REFERENCES every untouched
+    * partition's files from version N — zero bytes copied, zero links:
+    * exactly a snapshot manifest re-referencing unchanged data files.
+    * Readers are never invalidated (the merged frame is computed FROM
+    * the still-live old version and data files are write-once), so no
     * persist/materialize barrier is needed, unlike the in-place
-    * [[upsert]]. Returns the new version number. */
+    * [[upsert]]. `partitionBy` defaults to the manifest's recorded
+    * layout. Returns the new version number; throws
+    * [[ConcurrentWriteException]] on a commit race (the merge was
+    * computed from a snapshot that is no longer current — retrying
+    * re-reads and re-merges, Delta's optimistic loop).
+    *
+    * `fromVersion` pins the snapshot the merge is computed AGAINST — the
+    * long-transaction form: a job reads version N at start, computes for
+    * however long, and commits N+1; if anything else committed N+1
+    * meanwhile, the CAS fails loudly instead of silently overwriting the
+    * interleaved writer's work. Default: the current version at call
+    * time (the same protocol, minimal window). */
   def upsertVersioned(name: String, source: DataFrame, keys: Seq[String],
       smartCases: Map[String, (Column, Column) => Column] = Map.empty,
       insertOnly: Boolean = false,
       partitionBy: Seq[String] = Nil,
-      evolveSchema: Boolean = false): Long = {
-    if (!exists(name)) return overwriteVersioned(name, source, partitionBy)
-    if (partitionBy.isEmpty || evolveSchema) {
-      // migrate BEFORE building the lazy merge plan: overwriteVersioned's
-      // own migration would move the dir the plan's captured file listing
-      // still points at
-      ensureVersioned(name)
+      evolveSchema: Boolean = false,
+      fromVersion: Option[Long] = None): Long = {
+    migrateIfPlain(name)
+    if (!isVersioned(name)) return overwriteVersioned(name, source, partitionBy)
+    val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
+    val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
+    val target = readVersion(name, m.version)
+    val next = m.version + 1
+    if (pb.isEmpty || evolveSchema || m.files.isEmpty) {
       val merged =
-        Upsert.merge(read(name), source, keys, smartCases, insertOnly, evolveSchema)
-      return overwriteVersioned(name, merged, partitionBy)
+        Upsert.merge(target, source, keys, smartCases, insertOnly, evolveSchema)
+      val rels = stage(name, merged, pb, next)
+      val meta = if (rels.isEmpty) emptyMeta(merged) else Map.empty[String, String]
+      commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
+    } else {
+      val touched = touchedPartitions(name, target, source, keys, pb)
+      val touchedRel = touched.map(_.relPath).toSet
+      val carried = m.files.filterNot(f =>
+        touchedRel.contains(TableManifest.partitionComponent(f)))
+      val rels =
+        if (touched.isEmpty) Nil
+        else {
+          val slice = target.filter(partitionPredicate(pb, touched.map(_.values)))
+          val merged = Upsert.merge(slice, source, keys, smartCases, insertOnly)
+          stage(name, merged, pb, next)
+        }
+      val meta = if (carried.isEmpty && rels.isEmpty) emptyMeta(target)
+        else Map.empty[String, String]
+      commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
     }
-    val current = ensureVersioned(name)
-    val target = read(name)
-    val srcParts = source.select(partitionBy.map(col): _*)
-    val partsDf =
-      if (partitionBy.forall(keys.contains)) srcParts
-      else srcParts.unionByName(
-        target.join(
-            broadcast(source.select(keys.map(col): _*).distinct()),
-            keys, "left_semi")
-          .select(partitionBy.map(col): _*))
-    val touched = collectPartitions(partsDf.distinct())
-    val next = versions(name).last + 1
-    val newDir = versionsDir(name).resolve(s"v$next")
-    linkClone(current, newDir,
-      touched.map(partitionRelPath(partitionBy, _)).toSet)
-    if (touched.nonEmpty) {
-      val slice = target.filter(partitionPredicate(partitionBy, touched))
-      Upsert.merge(slice, source, keys, smartCases, insertOnly)
-        .write.mode(SaveMode.Append).option("compression", codec)
-        .partitionBy(partitionBy: _*).parquet(newDir.toString)
-    }
-    repoint(name, newDir)
-    // the hard-linked stats file from the old version lists the OLD
-    // version's absolute paths; re-collect for the new version's files
     refreshIndex(name)
     next
   }
 
   /** DELETE WHERE that retains history — versioned sibling of
-    * [[delete]]; untouched partitions hard-link-shared as in
+    * [[delete]]; untouched partitions re-referenced as in
+    * [[upsertVersioned]]. `partitionBy` defaults to the recorded
+    * layout; `fromVersion` pins the read snapshot as in
     * [[upsertVersioned]]. Returns (newVersion, rowsRemoved). */
   def deleteVersioned(name: String, condition: Column,
-      partitionBy: Seq[String] = Nil): (Long, Long) = {
-    val current = ensureVersioned(name) // before any lazy plan over read(name)
-    val t = read(name)
+      partitionBy: Seq[String] = Nil,
+      fromVersion: Option[Long] = None): (Long, Long) = {
+    migrateIfPlain(name)
+    require(isVersioned(name), s"no table $name")
+    val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
+    val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
+    val t = readVersion(name, m.version)
     val hit = coalesce(condition, lit(false))
-    if (partitionBy.isEmpty) {
+    val next = m.version + 1
+    if (pb.isEmpty || m.files.isEmpty) {
       val keep = t.filter(!hit)
       val removed = t.count() - keep.count()
-      (overwriteVersioned(name, keep), removed)
+      val rels = stage(name, keep, pb, next)
+      val meta = if (rels.isEmpty) emptyMeta(keep) else Map.empty[String, String]
+      commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
+      refreshIndex(name)
+      (next, removed)
     } else {
-      val touched = collectPartitions(
-        t.filter(hit).select(partitionBy.map(col): _*).distinct())
-      val next = versions(name).last + 1
-      val newDir = versionsDir(name).resolve(s"v$next")
-      linkClone(current, newDir,
-        touched.map(partitionRelPath(partitionBy, _)).toSet)
+      val touched = partitionsOf(t.filter(hit), pb)
+      val touchedRel = touched.map(_.relPath).toSet
+      val carried = m.files.filterNot(f =>
+        touchedRel.contains(TableManifest.partitionComponent(f)))
       var removed = 0L
-      if (touched.nonEmpty) {
-        val slice = t.filter(partitionPredicate(partitionBy, touched))
-        val keep = slice.filter(!hit)
-        removed = slice.count() - keep.count()
-        keep.write.mode(SaveMode.Append).option("compression", codec)
-          .partitionBy(partitionBy: _*).parquet(newDir.toString)
-      }
-      repoint(name, newDir)
+      val rels =
+        if (touched.isEmpty) Nil
+        else {
+          val slice = t.filter(partitionPredicate(pb, touched.map(_.values))).persist()
+          val keep = slice.filter(!hit)
+          removed = slice.count() - keep.count()
+          val out = stage(name, keep, pb, next)
+          slice.unpersist()
+          out
+        }
+      val meta = if (carried.isEmpty && rels.isEmpty) emptyMeta(t)
+        else Map.empty[String, String]
+      commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
       refreshIndex(name)
       (next, removed)
     }
   }
 
-  /** Retention: drop all but the newest `keep` versions (the current
-    * pointer is always among those) and sweep stray `.tmp-`/`.old-`
-    * debris a crashed writer may have left. Returns dirs removed. */
-  def vacuum(name: String, keep: Int = 1): Int = {
+  /** Retention: drop all but the newest `keep` versions' manifests,
+    * then delete data files REFERENCE-COUNTED — a file is removable
+    * only when no retained manifest lists it (version sharing means a
+    * file may back many versions). `minAgeMs` guards the orphan sweep
+    * against an in-flight commit whose files are staged but whose
+    * manifest is not yet visible: younger unreferenced files are left
+    * alone (Delta's retention-window discipline; 0 is fine under a
+    * single writer). Also sweeps stray `.tmp-`/`.old-`/`.stage-`
+    * debris a crashed writer may have left. Returns manifests + debris
+    * entries removed. */
+  def vacuum(name: String, keep: Int = 1, minAgeMs: Long = 0L): Int = {
     require(keep >= 1, "must keep at least the current version")
     var removed = 0
     val vs = versions(name)
-    vs.dropRight(keep).foreach { v =>
-      deleteRecursively(versionsDir(name).resolve(s"v$v")); removed += 1
-    }
-    val s = Files.list(Paths.get(root))
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
+    if (vs.nonEmpty) {
+      val retained = vs.takeRight(keep)
+      val referenced = retained.flatMap(v => manifest(name, v).files).toSet
+      vs.dropRight(keep).foreach { v =>
+        Files.delete(manifestPath(name, v)); removed += 1
+      }
+      val vd = versionsDir(name)
+      val dd = dataDir(name)
+      if (Files.isDirectory(dd)) {
+        val now = System.currentTimeMillis()
+        val s = Files.walk(dd)
+        val dead =
+          try s.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+            .filter(p => !referenced.contains(vd.relativize(p).toString))
+            .filter(p => now - Files.getLastModifiedTime(p).toMillis >= minAgeMs)
+            .toList
+          finally s.close()
+        dead.foreach(Files.delete)
+        pruneEmptyDirs(dd)
+      }
+      // crashed-writer debris inside the versions dir
+      val s2 = Files.list(vd)
+      try s2.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith(".tmp-") || n.startsWith(".old-") || n.startsWith(".lnk-")
+          n.startsWith(".stage-") || n.startsWith(".manifest-tmp-")
         }
         .toList.foreach { p => deleteRecursively(p); removed += 1 }
-    } finally s.close()
+      finally s2.close()
+    }
+    val s = Files.list(Paths.get(root))
+    try s.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".tmp-") || n.startsWith(".old-") || n.startsWith(".lnk-")
+      }
+      .toList.foreach { p => deleteRecursively(p); removed += 1 }
+    finally s.close()
     removed
+  }
+
+  /** Remove empty subdirectories bottom-up (kept dirs: any with files). */
+  private def pruneEmptyDirs(base: Path): Unit = {
+    val s = Files.walk(base)
+    val dirs = try s.iterator().asScala.filter(Files.isDirectory(_)).toList
+      finally s.close()
+    // reverse-lexicographic puts children before their parents
+    dirs.sortBy(_.toString)(Ordering.String.reverse).foreach { d =>
+      if (d != base && dirIsEmpty(d)) Files.delete(d)
+    }
   }
 
   /** Number of data files currently backing the table (compaction
     * telemetry). */
-  def fileCount(name: String): Long = {
-    val s = Files.walk(tableDir(name))
-    try s.filter(p =>
-      p.toString.endsWith(".parquet") && Files.isRegularFile(p)).count()
-    finally s.close()
-  }
+  def fileCount(name: String): Long =
+    if (isVersioned(name)) currentManifest(name).files.size.toLong
+    else {
+      val s = Files.walk(tableDir(name))
+      try s.filter(p =>
+        p.toString.endsWith(".parquet") && Files.isRegularFile(p)).count()
+      finally s.close()
+    }
 
   private def deleteRecursively(p: Path): Unit = {
     val s = Files.walk(p)

@@ -48,6 +48,10 @@ object SkippingIndex {
       .collect().toSeq.sortBy(_.file)
   }
 
+  /** Parquet files under a table dir (the dir-based call sites' file
+    * lister; manifest-versioned tables pass explicit lists instead). */
+  def listFiles(dir: String): Seq[String] = listParquet(dir)
+
   private def listParquet(dir: String): Seq[String] = {
     // resolve the real path: Files.walk does NOT traverse a symlink
     // root, and a versioned table's path IS a symlink (ParquetCatalog
@@ -113,17 +117,41 @@ object SkippingIndex {
     * `name` (or any parquet dir via `forDir`). */
   def write(spark: SparkSession, tableDir: String, cols: Seq[String]): Seq[FileStats] = {
     val stats = collect(spark, tableDir, cols)
+    persist(statsFile(tableDir), stats)
+    stats
+  }
+
+  /** [[write]] over an EXPLICIT file list with an explicit stats-file
+    * location — the manifest-versioned form ([[ParquetCatalog]] keeps
+    * one stats file per table next to its manifests, covering exactly
+    * the current manifest's files). */
+  def writeAt(spark: SparkSession, statsPath: java.nio.file.Path,
+      files: Seq[String], cols: Seq[String]): Seq[FileStats] = {
+    val wanted = cols.toSet
+    val stats =
+      if (files.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size, 32)))
+        .map(f => readFooter(f, wanted)).collect().toSeq.sortBy(_.file)
+    persist(statsPath, stats)
+    stats
+  }
+
+  private def persist(statsPath: java.nio.file.Path, stats: Seq[FileStats]): Unit = {
     val json = statsToJson(stats)
-    val tmp = Paths.get(tableDir, s"._graft_stats-${System.nanoTime()}.tmp")
+    val tmp = statsPath.resolveSibling(
+      s"._graft_stats-${System.nanoTime()}.tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, statsFile(tableDir),
+    Files.move(tmp, statsPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    stats
   }
 
   /** True when a persisted index exists for the dir. */
   def exists(tableDir: String): Boolean = Files.exists(statsFile(tableDir))
+
+  /** True when a persisted index exists at an explicit location. */
+  def existsAt(statsPath: java.nio.file.Path): Boolean = Files.exists(statsPath)
 
   /** Incremental index maintenance for append-shaped writes (catalog
     * `append`, streaming `foreachBatch` sinks): keep entries for files
@@ -139,15 +167,24 @@ object SkippingIndex {
       require(cols.nonEmpty, s"no index at $tableDir and no columns given")
       return write(spark, tableDir, cols)
     }
-    val prior = jsonToStats(Files.readString(statsFile(tableDir)))
+    refreshAt(spark, statsFile(tableDir), listParquet(tableDir), cols)
+  }
+
+  /** [[refresh]] over an explicit file list + stats location: entries
+    * for files still in the list survive verbatim, files the index has
+    * not seen are footer-read, entries for files no longer listed drop
+    * out. Cost tracks the increment, never the table. */
+  def refreshAt(spark: SparkSession, statsPath: java.nio.file.Path,
+      files: Seq[String], cols: Seq[String] = Nil): Seq[FileStats] = {
+    require(Files.exists(statsPath), s"no index at $statsPath")
+    val prior = jsonToStats(Files.readString(statsPath))
     val useCols =
       if (cols.nonEmpty) cols
       else prior.flatMap(_.cols.map(_.column)).distinct.sorted
-    val current = listParquet(tableDir)
-    val currentSet = current.toSet
+    val currentSet = files.toSet
     val known = prior.filter(fs => currentSet.contains(fs.file))
     val knownSet = known.map(_.file).toSet
-    val fresh = current.filterNot(knownSet.contains)
+    val fresh = files.filterNot(knownSet.contains)
     val wanted = useCols.toSet
     val freshStats =
       if (fresh.isEmpty) Seq.empty
@@ -155,12 +192,7 @@ object SkippingIndex {
         .parallelize(fresh, math.max(1, math.min(fresh.size, 32)))
         .map(f => readFooter(f, wanted)).collect().toSeq
     val stats = (known ++ freshStats).sortBy(_.file)
-    val json = statsToJson(stats)
-    val tmp = Paths.get(tableDir, s"._graft_stats-${System.nanoTime()}.tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, statsFile(tableDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    persist(statsPath, stats)
     stats
   }
 
@@ -168,6 +200,13 @@ object SkippingIndex {
     require(Files.exists(statsFile(tableDir)),
       s"no skipping index at ${statsFile(tableDir)} — run SkippingIndex.write first")
     jsonToStats(Files.readString(statsFile(tableDir)))
+  }
+
+  /** [[read]] at an explicit stats location. */
+  def readAt(statsPath: java.nio.file.Path): Seq[FileStats] = {
+    require(Files.exists(statsPath),
+      s"no skipping index at $statsPath — run SkippingIndex.writeAt first")
+    jsonToStats(Files.readString(statsPath))
   }
 
   /** Files whose [min,max] for `column` intersects [lo,hi] (numeric
@@ -201,27 +240,37 @@ object SkippingIndex {
     * the property a single-column lexicographic cluster only has for
     * its leading column (SkippingSpec measures the difference). */
   def candidateFilesAll(tableDir: String,
-      preds: Seq[(String, Double, Double)]): Seq[String] = {
-    // Reconcile the index against the LIVE file listing: files written
-    // after the index (append/streaming) are unconditional candidates
-    // (conservative keep — a stale index must over-read, never drop
-    // rows), and indexed files that no longer exist (compact/overwrite
-    // replaced them) drop out entirely.
-    val current = listParquet(tableDir)
-    val currentSet = current.toSet
-    val indexed = read(tableDir)
+      preds: Seq[(String, Double, Double)]): Seq[String] =
+    candidateFilesAt(statsFile(tableDir), listParquet(tableDir), preds)
+
+  /** [[candidateFilesAll]] over an explicit (live) file list + stats
+    * location. Reconciles the index against the list: files the index
+    * has not seen are unconditional candidates (conservative keep — a
+    * stale index must over-read, never drop rows), and indexed files no
+    * longer listed drop out entirely. With `keepNullsOf` set, files
+    * whose stats flag possible NULLs of that column (or carry no stats
+    * for it) are kept regardless of range — the merge match probe's
+    * requirement, since NULL keys fall outside every [lo,hi]. */
+  def candidateFilesAt(statsPath: java.nio.file.Path, files: Seq[String],
+      preds: Seq[(String, Double, Double)],
+      keepNullsOf: Option[String] = None): Seq[String] = {
+    val currentSet = files.toSet
+    val indexed = readAt(statsPath)
     val indexedSet = indexed.map(_.file).toSet
     val pruned = indexed
       .filter(fs => currentSet.contains(fs.file))
       .filter { fs =>
-        preds.forall { case (column, lo, hi) =>
+        val nullKeep = keepNullsOf.exists { c =>
+          fs.cols.find(_.column == c).forall(_.hasNulls)
+        }
+        nullKeep || preds.forall { case (column, lo, hi) =>
           fs.cols.find(_.column == column) match {
             case None => true
             case Some(cs) => overlaps(cs, lo, hi)
           }
         }
       }.map(_.file)
-    val unindexed = current.filterNot(indexedSet.contains)
+    val unindexed = files.filterNot(indexedSet.contains)
     (pruned ++ unindexed).sorted
   }
 

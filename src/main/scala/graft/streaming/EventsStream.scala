@@ -66,23 +66,30 @@ object EventsStream {
       }
       .start()
 
-  /** Streaming APPEND sink that keeps a data-skipping index fresh:
-    * every micro-batch appends to the catalog table, and the catalog's
+  /** Streaming APPEND sink that keeps a data-skipping index fresh AND
+    * commits each micro-batch exactly once: every batch lands as a
+    * batchId-tagged manifest commit ([[graft.storage.ParquetCatalog
+    * .appendBatch]]), so when Structured Streaming RE-DELIVERS a batch
+    * after a restart (its at-least-once foreachBatch contract) the sink
+    * recognizes the already-committed batchId and does nothing — table
+    * contents and index are byte-identical under replay. The catalog's
     * append path incrementally refreshes the table's skipping index —
     * footer reads ONLY for the batch's new files, so index maintenance
     * cost tracks the increment, never the table. The closing of the
     * storage↔streaming loop: a long-running ingestion stream leaves
-    * behind a table whose range scans ([[graft.storage.ParquetCatalog
-    * .readRange]]) prune files without a separate indexing job. The
-    * index must exist before the stream starts (`catalog.index`); a
-    * table without one degrades to a plain append sink. */
+    * behind a versioned table whose range scans
+    * ([[graft.storage.ParquetCatalog.readRange]]) prune files without a
+    * separate indexing job. The index must exist before the stream
+    * starts (`catalog.index`); a table without one degrades to a plain
+    * exactly-once append sink. */
   def appendSinkIndexed(stream: DataFrame, catalog: ParquetCatalog,
       table: String, checkpointDir: String): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        catalog.append(table, batch.toDF())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        catalog.appendBatch(table, batch.toDF(), s"$checkpointDir#$batchId")
+        ()
       }
       .start()
 

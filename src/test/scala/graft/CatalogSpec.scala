@@ -260,6 +260,134 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").count() === 1)
   }
 
+  test("NULL merge keys match null-safely in the touched-partition probe") {
+    val root = Files.createTempDirectory("graft-nullkey").toString
+    val cat = new ParquetCatalog(spark, root)
+    // key is NOT a partition column; one target row has a NULL key
+    cat.overwrite("t",
+      Seq((Some(1L), "d1", 1.0), (Option.empty[Long], "d2", 2.0))
+        .toDF("k", "day", "m"),
+      Seq("day"))
+    // the NULL-keyed source row MATCHES the NULL-keyed target row (<=>)
+    // and moves it to d3 — the probe must put d2 in the touched set, or
+    // the old row survives as a duplicate
+    cat.upsert("t", Seq((Option.empty[Long], "d3", 20.0)).toDF("k", "day", "m"),
+      Seq("k"), partitionBy = Seq("day"))
+    val back = cat.read("t")
+      .select($"k", $"day".cast("string"), $"m")
+      .orderBy($"k".asc_nulls_last).as[(Option[Long], String, Double)].collect()
+    assert(back === Seq((Some(1L), "d1", 1.0), (None, "d3", 20.0)),
+      s"NULL-keyed row must be UPDATED (moved), not duplicated: ${back.mkString}")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "t", "day=d2")),
+      "the NULL-keyed row's old partition must be emptied and dropped")
+  }
+
+  test("timestamp partition values render as Spark writes the dirs") {
+    import java.sql.Timestamp
+    val root = Files.createTempDirectory("graft-tsp").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwrite("t",
+      Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 2.0))
+        .toDF("id", "ts_p", "m"),
+      Seq("ts_p"))
+    // the update MOVES id=1 out of its partition: the emptied dir must
+    // be found and removed, which requires the computed dir name to
+    // match Spark's (java.sql.Timestamp.toString's trailing ".0" does
+    // not — the ADVICE r9 defect)
+    cat.upsert("t",
+      Seq((1L, Timestamp.valueOf("2024-01-03 00:00:00"), 10.0))
+        .toDF("id", "ts_p", "m"),
+      Seq("id"), partitionBy = Seq("ts_p"))
+    import scala.jdk.CollectionConverters._
+    val dirs = {
+      val s = Files.list(java.nio.file.Paths.get(root, "t"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("ts_p=")).toList.sorted
+      finally s.close()
+    }
+    assert(dirs.size == 2 && !dirs.exists(_.contains("2024-01-01")),
+      s"emptied timestamp partition dir must be removed; have: $dirs")
+    assert(cat.read("t").count() == 2)
+  }
+
+  test("a delete that empties every partition leaves a readable schema shell") {
+    val root = Files.createTempDirectory("graft-delall").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwrite("t", Seq((1L, "d1", 1.0), (2L, "d2", 2.0))
+      .toDF("id", "day", "m"), Seq("day"))
+    assert(cat.delete("t", lit(true), Seq("day")) === 2L)
+    val empty = cat.read("t")
+    assert(empty.count() === 0)
+    assert(empty.columns.toSet === Set("id", "day", "m"))
+    // and the table revives cleanly on the next partition-scoped upsert
+    cat.upsert("t", Seq((9L, "d9", 9.0)).toDF("id", "day", "m"),
+      Seq("id"), partitionBy = Seq("day"))
+    assert(cat.read("t").select($"id").as[Long].collect() === Seq(9L))
+  }
+
+  test("append rejects schema drift loudly; evolveSchema unions by name") {
+    val cat = freshCatalog
+    cat.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      cat.append("t", Seq((2L, 5.0)).toDF("id", "w"))
+    }
+    assert(e.getMessage.contains("schema drift") &&
+      e.getMessage.contains("w") && e.getMessage.contains("v"))
+    // explicit evolution: union-by-name, nulls fill both directions
+    cat.append("t", Seq((2L, 5.0)).toDF("id", "w"), evolveSchema = true)
+    val back = cat.read("t").orderBy("id")
+      .select("id", "v", "w").as[(Long, Option[String], Option[Double])].collect()
+    assert(back === Seq((1L, Some("a"), None), (2L, None, Some(5.0))))
+    // same contract on a versioned table
+    cat.overwriteVersioned("u", Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      cat.append("u", Seq((2L, 5.0)).toDF("id", "w"))
+    }
+    cat.appendVersioned("u", Seq((2L, 5.0)).toDF("id", "w"), evolveSchema = true)
+    assert(cat.read("u").columns.toSet === Set("id", "v", "w"))
+    assert(cat.read("u").count() === 2)
+  }
+
+  test("merge match probe is index-pruned to the delta's key range") {
+    import graft.storage.SkippingIndex
+    val root = Files.createTempDirectory("graft-ipm").toString
+    val cat = new ParquetCatalog(spark, root)
+    val full = (0 until 1000).map(i => (i.toLong, s"d${i / 250}", i * 1.0))
+      .toDF("id", "day", "m")
+    cat.overwrite("t", full, Seq("day"))
+    // key-clustered files + a skipping index over the merge key
+    cat.compact("t", rowsPerFile = 100, partitionBy = Seq("day"),
+      clusterBy = Seq("id"))
+    cat.index("t", Seq("id"))
+    val allFiles = cat.fileCount("t")
+    // delta confined to ids [10, 20] — files outside that key range must
+    // never be OPENED by the matched-key probe
+    val delta = Seq((10L, "d0", 99.0), (20L, "d0", 98.0), (2000L, "d1", 1.0))
+      .toDF("id", "day", "m")
+    val probe = cat.matchScanFrame("t", delta, Seq("id"), cat.read("t"))
+    val opened = probe.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(opened.size < allFiles,
+      s"probe opened ${opened.size} of $allFiles files — no pruning happened")
+    // cross-check against the stats: every skipped file's [min,max]
+    // really is outside the delta's range
+    val stats = SkippingIndex.read(s"$root/t")
+    stats.foreach { fs =>
+      val name = fs.file.substring(fs.file.lastIndexOf('/') + 1)
+      val cs = fs.cols.find(_.column == "id").get
+      val outside = cs.max.toDouble < 10.0 || cs.min.toDouble > 2000.0
+      if (outside && !cs.hasNulls)
+        assert(!opened.contains(name), s"out-of-range file $name was opened")
+    }
+    // and the merge result is unchanged by pruning
+    cat.upsert("t", delta, Seq("id"), partitionBy = Seq("day"))
+    val expected = graft.operators.Upsert.merge(full, delta, Seq("id"))
+      .orderBy("id").select($"id", $"day", $"m")
+      .as[(Long, String, Double)].collect()
+    assert(cat.read("t").select($"id", $"day".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Double)].collect() === expected)
+  }
+
   test("compaction collapses small files and preserves content") {
     val cat = freshCatalog
     // 10 appends of 10 rows -> many small files

@@ -95,16 +95,60 @@ class StreamingSpec extends SparkSpec {
           Event(b * 100L + i, ts(b * 10 + i), 1, "click", i.toDouble)): _*)
         query.processAllAvailable()
         // after EVERY micro-batch the index covers exactly the live files
-        val stats = SkippingIndex.read(s"$root/ev")
+        // (the first batch migrates the table to the versioned layout —
+        // each batch is a manifest commit, so replays are exactly-once)
+        val stats = SkippingIndex.readAt(cat.statsPath("ev"))
         assert(stats.size == cat.fileCount("ev").toInt,
           s"batch $b: index ${stats.size} entries vs ${cat.fileCount("ev")} files")
       }
       // and the index actually prunes: batch-1 ids only
-      val cand = SkippingIndex.candidateFiles(s"$root/ev", "event_id", 101, 104)
+      val live = cat.manifestFiles("ev", cat.currentVersion("ev"))
+        .map(f => java.nio.file.Paths.get(root, ".versions", "ev").resolve(f).toString)
+      val cand = SkippingIndex.candidateFilesAt(cat.statsPath("ev"), live,
+        Seq(("event_id", 101.0, 104.0)))
       assert(cand.size < cat.fileCount("ev"),
         "per-batch files must prune on the event_id range")
       assert(cat.readRange("ev", Seq(("event_id", 101.0, 104.0))).count() == 4)
     } finally query.stop()
+  }
+
+  test("append sink replay: a re-delivered micro-batch commits nothing twice") {
+    import graft.storage.SkippingIndex
+    val root = java.nio.file.Files.createTempDirectory("replay-idx").toString
+    val cat = new graft.storage.ParquetCatalog(spark, root)
+    cat.overwrite("ev", Seq((0L, 0.0)).toDF("event_id", "value"))
+    cat.index("ev", Seq("event_id"))
+    val batch = Seq((1L, 1.0), (2L, 2.0)).toDF("event_id", "value")
+    // first delivery commits
+    val v1 = cat.appendBatch("ev", batch, "ckpt#0")
+    val filesAfter = cat.manifestFiles("ev", cat.currentVersion("ev"))
+    val statsAfter = SkippingIndex.readAt(cat.statsPath("ev"))
+    assert(cat.read("ev").count() == 3)
+    // REPLAY of the same batchId (Structured Streaming's at-least-once
+    // foreachBatch contract after a restart): table AND index unchanged
+    val v2 = cat.appendBatch("ev", batch, "ckpt#0")
+    assert(v2 == v1, "replay must not commit a new version")
+    assert(cat.read("ev").count() == 3, "replay must not duplicate rows")
+    assert(cat.manifestFiles("ev", cat.currentVersion("ev")) == filesAfter)
+    assert(SkippingIndex.readAt(cat.statsPath("ev")) == statsAfter)
+    // a NEW batchId still commits
+    cat.appendBatch("ev", Seq((3L, 3.0)).toDF("event_id", "value"), "ckpt#1")
+    assert(cat.read("ev").count() == 4)
+  }
+
+  test("merge sink replay: re-upserting an identical batch is a content no-op") {
+    val cat = new graft.storage.ParquetCatalog(spark,
+      java.nio.file.Files.createTempDirectory("replay-merge").toString)
+    val batch = Seq((1L, "click", 1.0), (2L, "view", 2.0))
+      .toDF("event_id", "event_type", "value")
+    cat.upsert("events_state", batch, Seq("event_id"))
+    val before = cat.read("events_state").orderBy("event_id")
+      .as[(Long, String, Double)].collect()
+    // the foreachBatch MERGE sink's replay path: same batch, same keys —
+    // MERGE semantics make the re-application invisible
+    cat.upsert("events_state", batch, Seq("event_id"))
+    assert(cat.read("events_state").orderBy("event_id")
+      .as[(Long, String, Double)].collect() === before)
   }
 
   test("merge sink recovers from its checkpoint across a restart") {

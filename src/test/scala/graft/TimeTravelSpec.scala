@@ -1,12 +1,14 @@
 package graft
 
-import graft.storage.ParquetCatalog
+import graft.storage.{ConcurrentWriteException, ParquetCatalog}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
-/** Versioned tables: time travel, migration of unversioned tables,
-  * retention vacuum, and the invariant that a new overwrite never
-  * invalidates a retained reader. */
+/** Versioned tables on the MANIFEST commit protocol: time travel,
+  * migration of unversioned tables, optimistic-concurrency conflict
+  * detection, zero-copy version sharing (manifest re-references, no
+  * links), reference-counted vacuum, and the invariant that a new
+  * commit never invalidates a retained reader. */
 class TimeTravelSpec extends SparkSpec {
   import spark.implicits._
 
@@ -37,13 +39,42 @@ class TimeTravelSpec extends SparkSpec {
     assert(cat.read("t").head().getString(1) == "new")
   }
 
-  test("a retained reader survives a subsequent overwrite (write-once dirs)") {
+  test("a retained reader survives a subsequent overwrite (write-once files)") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", Seq.tabulate(100)(i => (i.toLong, "a")).toDF("id", "gen"))
     val v1 = cat.readVersion("t", 1)
     cat.overwriteVersioned("t", Seq.tabulate(100)(i => (i.toLong, "b")).toDF("id", "gen"))
     // the lazy v1 frame still reads version-1 files — nothing was deleted
     assert(v1.filter(col("gen") === "a").count() == 100)
+  }
+
+  test("concurrent writers: the second commit of the same version fails loudly") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 1.0)).toDF("id", "m"))
+    // writer A and writer B both read version 1 as their snapshot
+    val catA = new ParquetCatalog(spark, root)
+    val catB = new ParquetCatalog(spark, root)
+    val snapA = catA.currentVersion("t")
+    val snapB = catB.currentVersion("t")
+    assert(snapA == 1L && snapB == 1L)
+    // B commits first (its merge computed FROM v1)
+    val vb = catB.upsertVersioned("t", Seq((1L, 10.0)).toDF("id", "m"), Seq("id"),
+      fromVersion = Some(snapB))
+    assert(vb == 2L)
+    // A's interleaved commit — also computed from v1 — must NOT silently
+    // clobber B's: the CAS detects the race
+    val e = intercept[ConcurrentWriteException] {
+      catA.upsertVersioned("t", Seq((1L, 99.0)).toDF("id", "m"), Seq("id"),
+        fromVersion = Some(snapA))
+    }
+    assert(e.getMessage.contains("another writer"))
+    // B's committed state is intact; nothing of A's attempt is visible
+    assert(cat.read("t").head().getDouble(1) == 10.0)
+    assert(cat.versions("t") == Seq(1L, 2L))
+    // A's standard recovery: re-read and retry — now lands as v3
+    val va = catA.upsertVersioned("t", Seq((1L, 99.0)).toDF("id", "m"), Seq("id"),
+      fromVersion = Some(catA.currentVersion("t")))
+    assert(va == 3L && cat.read("t").head().getDouble(1) == 99.0)
   }
 
   test("vacuum keeps the newest versions and sweeps writer debris") {
@@ -53,7 +84,7 @@ class TimeTravelSpec extends SparkSpec {
     }
     Files.createDirectory(Paths.get(root, ".tmp-crashed-123")) // fake debris
     val removed = cat.vacuum("t", keep = 2)
-    assert(removed == 3) // v1, v2, and the debris dir
+    assert(removed == 3) // v1, v2 manifests, and the debris dir
     assert(cat.versions("t") == Seq(3L, 4L))
     assert(cat.read("t").head().getString(1) == "gen4")
     assert(intercept[IllegalArgumentException] {
@@ -61,32 +92,37 @@ class TimeTravelSpec extends SparkSpec {
     }.getMessage.contains("not retained"))
   }
 
-  test("skipping stats ride each version: written through the pointer, kept per version") {
-    val (cat, root) = fresh()
+  test("skipping index rides the versioned table: commits refresh, range reads prune") {
+    import graft.storage.SkippingIndex
+    val (cat, _) = fresh()
     cat.overwriteVersioned("t",
       Seq.tabulate(100)(i => (i.toLong, i * 10L)).toDF("id", "v"))
-    // stats written THROUGH the symlink land in the current version dir
-    graft.storage.SkippingIndex.write(spark, s"$root/t", Seq("id"))
-    val v1Stats = graft.storage.SkippingIndex.read(s"$root/t")
-    assert(v1Stats.nonEmpty)
+    cat.compact("t", rowsPerFile = 20, clusterBy = Seq("id"))
+    cat.index("t", Seq("id"))
+    val stats = SkippingIndex.readAt(cat.statsPath("t"))
+    assert(stats.size == cat.fileCount("t").toInt)
+    // pruned range read: fewer candidate files than the table holds
+    assert(cat.readRange("t", Seq(("id", 10.0, 20.0))).count() == 11)
+    // a new commit refreshes the index to cover exactly the new manifest
     cat.overwriteVersioned("t",
       Seq.tabulate(50)(i => (i.toLong + 1000, i * 10L)).toDF("id", "v"))
-    // the NEW version has no stats yet (write-once dirs: nothing leaked)
-    assert(intercept[IllegalArgumentException] {
-      graft.storage.SkippingIndex.read(s"$root/t")
-    }.getMessage.contains("no skipping index"))
-    // ...while version 1 keeps its own stats alongside its data
-    val v1Dir = s"$root/.versions/t/v1"
-    assert(graft.storage.SkippingIndex.read(v1Dir) == v1Stats)
-    assert(graft.storage.SkippingIndex
-      .scan(spark, v1Dir, "id", 10, 20).count() == 11)
+    val after = SkippingIndex.readAt(cat.statsPath("t"))
+    assert(after.size == cat.fileCount("t").toInt)
+    assert(cat.readRange("t", Seq(("id", 1000.0, 1004.0))).count() == 5)
   }
 
-  test("versioned upsert: new version, old readable, untouched partitions hard-link-shared") {
+  test("versioned upsert: new version, old readable, untouched partitions re-referenced") {
     val (cat, root) = fresh()
     cat.overwriteVersioned("t", Seq(
       (1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0), (4L, "d3", 4.0))
       .toDF("id", "day", "m"), Seq("day"))
+    // fingerprint v1's physical files before the merge
+    def fileFp(rel: String): (Long, Long) = {
+      val p = Paths.get(root, ".versions", "t").resolve(rel)
+      (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    }
+    val v1Files = cat.manifestFiles("t", 1)
+    val before = v1Files.map(f => f -> fileFp(f)).toMap
     // delta touches only d2 (update) and d4 (insert)
     val delta = Seq((3L, "d2", 30.0), (9L, "d4", 90.0)).toDF("id", "day", "m")
     val v2 = cat.upsertVersioned("t", delta, Seq("id"), partitionBy = Seq("day"))
@@ -100,31 +136,54 @@ class TimeTravelSpec extends SparkSpec {
       .orderBy("id").as[(Long, String, Double)].collect()
     assert(back === Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 30.0),
       (4L, "d3", 4.0), (9L, "d4", 90.0)))
-    // untouched partitions share inodes between v1 and v2 (zero copy)
-    import scala.jdk.CollectionConverters._
-    for (p <- Seq("day=d1", "day=d3")) {
-      val v1p = Paths.get(root, ".versions", "t", "v1", p)
-      val v2p = Paths.get(root, ".versions", "t", "v2", p)
-      val v1Files = Files.list(v1p).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).toList
-      assert(v1Files.nonEmpty)
-      v1Files.foreach { f =>
-        val twin = v2p.resolve(f.getFileName)
-        assert(Files.exists(twin) && Files.isSameFile(f, twin),
-          s"$p files must be hard-link-shared across versions")
-      }
+    // ZERO-COPY SHARING: v2's manifest re-references v1's files for the
+    // untouched partitions — same entries, same untouched bytes
+    val v2Files = cat.manifestFiles("t", 2)
+    def part(f: String) = graft.storage.TableManifest.partitionComponent(f)
+    val untouchedV1 = v1Files.filter(f => part(f) == "day=d1" || part(f) == "day=d3")
+    assert(untouchedV1.nonEmpty)
+    untouchedV1.foreach { f =>
+      assert(v2Files.contains(f), s"v2 must re-reference untouched $f")
+      assert(fileFp(f) == before(f), s"untouched $f must be byte-identical")
     }
-    // touched partition is NOT shared (fresh bytes)
-    val d2v1 = Files.list(Paths.get(root, ".versions", "t", "v1", "day=d2"))
-      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
-    d2v1.foreach { f =>
-      val twin = Paths.get(root, ".versions", "t", "v2", "day=d2")
-        .resolve(f.getFileName)
-      assert(!Files.exists(twin) || !Files.isSameFile(f, twin))
+    // touched partition gets FRESH files in v2 (v1's d2 entries absent)
+    v1Files.filter(f => part(f) == "day=d2").foreach { f =>
+      assert(!v2Files.contains(f), s"touched $f must be rewritten, not carried")
     }
   }
 
-  test("versioned upsert migrates an unversioned table; vacuum only unlinks shares") {
+  test("reference-counted vacuum after a partition-scoped versioned merge") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq(
+      (1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d3", 3.0))
+      .toDF("id", "day", "m"), Seq("day"))
+    cat.upsertVersioned("t", Seq((2L, "d2", 20.0)).toDF("id", "day", "m"),
+      Seq("id"), partitionBy = Seq("day"))
+    cat.upsertVersioned("t", Seq((3L, "d3", 30.0)).toDF("id", "day", "m"),
+      Seq("id"), partitionBy = Seq("day"))
+    assert(cat.versions("t") == Seq(1L, 2L, 3L))
+    val keepFiles = (cat.manifestFiles("t", 2) ++ cat.manifestFiles("t", 3)).toSet
+    val dropOnly = cat.manifestFiles("t", 1).toSet -- keepFiles
+    assert(dropOnly.nonEmpty, "v1 must own some unshared files")
+    cat.vacuum("t", keep = 2)
+    // files referenced by ANY retained version survive...
+    keepFiles.foreach { f =>
+      assert(Files.exists(Paths.get(root, ".versions", "t").resolve(f)),
+        s"still-referenced $f must survive vacuum")
+    }
+    // ...files only v1 referenced are gone
+    dropOnly.foreach { f =>
+      assert(!Files.exists(Paths.get(root, ".versions", "t").resolve(f)),
+        s"unreferenced $f must be deleted")
+    }
+    // both retained versions still read correctly
+    assert(cat.readVersion("t", 2).filter(col("id") === 3)
+      .select("m").head().getDouble(0) == 3.0)
+    assert(cat.read("t").select($"m").as[Double].collect().sorted
+      === Seq(1.0, 20.0, 30.0))
+  }
+
+  test("versioned upsert migrates an unversioned table; vacuum keeps shared files") {
     val (cat, _) = fresh()
     cat.overwrite("t", Seq((1L, "d1", 1.0), (2L, "d2", 2.0))
       .toDF("id", "day", "m"), Seq("day"))
@@ -133,7 +192,7 @@ class TimeTravelSpec extends SparkSpec {
     assert(v == 2 && cat.versions("t") == Seq(1L, 2L))
     assert(cat.readVersion("t", 1).filter(col("id") === 2)
       .select("m").head().getDouble(0) == 2.0)
-    // dropping v1 must not damage v2's shared (hard-linked) d1 files
+    // dropping v1 must not damage v2's shared (re-referenced) d1 files
     cat.vacuum("t", keep = 1)
     assert(cat.versions("t") == Seq(2L))
     assert(cat.read("t").select($"id", $"day".cast("string"), $"m")
@@ -155,13 +214,50 @@ class TimeTravelSpec extends SparkSpec {
       .as[String].collect().sorted === Seq("d1"))
   }
 
-  test("unversioned entry points keep working through the version pointer") {
+  test("versioned ops default to the manifest's recorded partition layout") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", Seq(
+      (1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d2", 3.0))
+      .toDF("id", "day", "m"), Seq("day"))
+    // partitionBy NOT passed: the recorded layout drives a scoped delete
+    val (v2, removed) = cat.deleteVersioned("t", col("id") === 1L)
+    assert(v2 == 2 && removed == 1)
+    def part(f: String) = graft.storage.TableManifest.partitionComponent(f)
+    // d2's files re-referenced (layout preserved, partition untouched)
+    val shared = cat.manifestFiles("t", 1).filter(f => part(f) == "day=d2")
+    assert(shared.nonEmpty &&
+      shared.forall(cat.manifestFiles("t", 2).contains))
+    // same for upsert without partitionBy
+    val v3 = cat.upsertVersioned("t", Seq((2L, "d2", 22.0)).toDF("id", "day", "m"),
+      Seq("id"))
+    assert(v3 == 3)
+    assert(cat.read("t").select($"m").as[Double].collect().sorted === Seq(3.0, 22.0))
+    assert(cat.manifestFiles("t", 3).forall(f => part(f).startsWith("day=")))
+  }
+
+  test("a delete that empties a versioned table leaves a readable schema shell") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, "d1", 1.0)).toDF("id", "day", "m"), Seq("day"))
+    val (v2, removed) = cat.deleteVersioned("t", lit(true), Seq("day"))
+    assert(v2 == 2 && removed == 1)
+    val empty = cat.read("t")
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("id", "day", "m"))
+    // and the table comes back to life on the next upsert
+    val v3 = cat.upsertVersioned("t", Seq((9L, "d9", 9.0)).toDF("id", "day", "m"),
+      Seq("id"), partitionBy = Seq("day"))
+    assert(v3 == 3 && cat.read("t").count() == 1)
+  }
+
+  test("unversioned entry points keep working on a versioned table (routed)") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", Seq.tabulate(50)(i => (i.toLong, i * 2L)).toDF("id", "v"))
-    // upsert reads through the symlink and swaps the pointer target
+    // upsert routes to the versioned path and retains history
     cat.upsert("t", Seq((0L, 999L), (100L, 1L)).toDF("id", "v"), Seq("id"))
     val out = cat.read("t")
     assert(out.count() == 51)
     assert(out.filter(col("id") === 0).head().getLong(1) == 999L)
+    assert(cat.versions("t") == Seq(1L, 2L))
+    assert(cat.readVersion("t", 1).filter(col("id") === 0).head().getLong(1) == 0L)
   }
 }
