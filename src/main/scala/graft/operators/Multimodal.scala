@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * parses WAV/AIFF/AU, so sample rate / frame count / mean amplitude
   * come from actual PCM frames. VIDEO IS REAL ON BOTH AXES: container
   * parsing walks ISO-BMFF boxes (`moov`/`mvhd`/`tkhd` give duration
-  * and display size) AND per-frame pixel decode is real for MJPEG-in-
-  * AVI ([[decodeVideoFrames]] walks the RIFF `movi` chunks and decodes
-  * every frame with the JDK's JPEG codec — MJPEG frames ARE complete
-  * JPEGs). Only non-MJPEG coded streams (H.264 etc. inside MP4) keep a
-  * byte-level stand-in, because the JDK ships no inter-frame codec.
+  * and display size) AND per-frame pixel decode is real for MJPEG in
+  * BOTH containers: [[decodeVideoFrames]] walks the RIFF `movi` chunks
+  * of an AVI, and [[decodeMp4Frames]] resolves coded samples through
+  * MP4's own `stsd`/`stsc`/`stsz`/`stco` sample tables — in each case
+  * every frame is a complete JPEG the JDK codec decodes. Only
+  * inter-frame coded streams (H.264 etc.) keep a byte-level stand-in,
+  * because the JDK ships no inter-frame codec.
   * The schema contract, the `mapPartitions` batch shape (one JVM-side
   * batch per partition, the Scala analogue of `mapInPandas`),
   * partitioning, and the embedding hand-off into [[Similarity]] are
@@ -424,6 +426,216 @@ object Multimodal {
 
   final case class VideoFrameRow(media_id: Long, frame_idx: Int,
       frame_w: Int, frame_h: Int, mean_lum: Double)
+
+  /** A real MJPEG-in-MP4: ISO-BMFF with a COMPLETE video sample-table
+    * chain (`moov/trak/mdia/minf/stbl` holding `stsd` with a `jpeg`
+    * visual sample entry, `stts`, `stsc`, `stsz` per-sample sizes and
+    * `stco` chunk offsets), locating genuine baseline JPEGs inside
+    * `mdat`. Photo-JPEG ('jpeg') is the one MP4 video codec a JDK-only
+    * pipeline can both write and decode — every coded sample is a
+    * complete JPEG — so the MP4 frame-decode path carries no stub.
+    * Box layout per ISO/IEC 14496-12 §8.5–8.7. */
+  private[graft] def mp4MjpegBytes(seed: Long, nFrames: Int, w: Int,
+      h: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map(f => jpegGray(frameLum(seed, f), w, h))
+    val n = frames.size
+    val stsdSize = 16 + 86 // header+verflags+count + one visual sample entry
+    val sttsSize = 24
+    val stscSize = 28
+    val stszSize = 20 + 4 * n
+    val stcoSize = 20
+    val stblSize = 8 + stsdSize + sttsSize + stscSize + stszSize + stcoSize
+    val minfSize = 8 + 20 + 36 + stblSize // vmhd + dinf/dref + stbl
+    val mdiaSize = 8 + 32 + 33 + minfSize // mdhd + hdlr + minf
+    val trakSize = 8 + 92 + mdiaSize // tkhd + mdia
+    val moovSize = 8 + 108 + trakSize // mvhd + trak
+    val mdatPayload = frames.map(_.length).sum
+    val mdatOffset = 24 + moovSize + 8 // first sample's absolute offset
+    val bb = java.nio.ByteBuffer.allocate(24 + moovSize + 8 + mdatPayload)
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size); bb.put(typ.getBytes("US-ASCII"))
+    }
+    val durationMs = n * 40 // 25 fps at the movie's ms timescale
+    box(24, "ftyp")
+    bb.put("isom".getBytes("US-ASCII")); bb.putInt(0x200)
+    bb.put("isommp42".getBytes("US-ASCII"))
+    box(moovSize, "moov")
+    box(108, "mvhd")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // verflags, ctime, mtime
+    bb.putInt(1000); bb.putInt(durationMs) // timescale ms, duration
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+    bb.putLong(0)
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    (0 until 6).foreach(_ => bb.putInt(0))
+    bb.putInt(2) // next track id
+    box(trakSize, "trak")
+    box(92, "tkhd")
+    bb.putInt(0x7); bb.putInt(0); bb.putInt(0) // verflags, ctime, mtime
+    bb.putInt(1); bb.putInt(0) // track id, reserved
+    bb.putInt(durationMs)
+    bb.putLong(0)
+    bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+    bb.putInt(w << 16); bb.putInt(h << 16)
+    box(mdiaSize, "mdia")
+    box(32, "mdhd")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // verflags, ctime, mtime
+    bb.putInt(25); bb.putInt(n) // timescale 25 ticks/s, 1 tick per frame
+    bb.putShort(0x55c4.toShort); bb.putShort(0) // language 'und', predefined
+    box(33, "hdlr")
+    bb.putInt(0); bb.putInt(0) // verflags, predefined
+    bb.put("vide".getBytes("US-ASCII"))
+    (0 until 3).foreach(_ => bb.putInt(0)) // reserved
+    bb.put(0.toByte) // empty handler name
+    box(minfSize, "minf")
+    box(20, "vmhd")
+    bb.putInt(0x1) // verflags: flag 1 per spec
+    bb.putLong(0) // graphicsmode + opcolor
+    box(36, "dinf")
+    box(28, "dref")
+    bb.putInt(0); bb.putInt(1) // verflags, entry count
+    box(12, "url "); bb.putInt(0x1) // self-contained
+    box(stblSize, "stbl")
+    box(stsdSize, "stsd")
+    bb.putInt(0); bb.putInt(1) // verflags, entry count
+    box(86, "jpeg") // photo-JPEG visual sample entry
+    (0 until 6).foreach(_ => bb.put(0.toByte)) // reserved
+    bb.putShort(1) // data reference index
+    (0 until 4).foreach(_ => bb.putInt(0)) // predefined/reserved
+    bb.putShort(w.toShort); bb.putShort(h.toShort)
+    bb.putInt(0x00480000); bb.putInt(0x00480000) // 72 dpi
+    bb.putInt(0) // reserved
+    bb.putShort(1) // frame count per sample
+    (0 until 32).foreach(_ => bb.put(0.toByte)) // compressor name
+    bb.putShort(24); bb.putShort(-1) // depth, predefined
+    box(24, "stts")
+    bb.putInt(0); bb.putInt(1) // verflags, entry count
+    bb.putInt(n); bb.putInt(1) // n samples, 1 tick each
+    box(28, "stsc")
+    bb.putInt(0); bb.putInt(1)
+    bb.putInt(1); bb.putInt(n); bb.putInt(1) // chunk 1 holds all n samples
+    box(stszSize, "stsz")
+    bb.putInt(0); bb.putInt(0); bb.putInt(n) // verflags, variable sizes, count
+    frames.foreach(f => bb.putInt(f.length))
+    box(20, "stco")
+    bb.putInt(0); bb.putInt(1); bb.putInt(mdatOffset)
+    box(8 + mdatPayload, "mdat")
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  /** REAL ISO-BMFF sample-table resolution: walk
+    * `moov/trak/mdia/minf/stbl`, read the `stsd` entry's codec fourcc,
+    * then locate every sample by the spec's own machinery — `stco`
+    * chunk offsets, `stsc` samples-per-chunk runs, `stsz` sizes —
+    * general (multi-chunk, run-length stsc), not fixture-shaped.
+    * Returns (fourcc, coded sample payloads). None for anything
+    * malformed: every read is bounds-checked, so corrupt payloads
+    * degrade safely on executors. */
+  private[graft] def parseMp4Frames(bytes: Array[Byte])
+      : Option[(String, Seq[Array[Byte]])] = {
+    def beInt(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def typ(o: Int): String = new String(bytes, o + 4, 4, "US-ASCII")
+    def findBox(from: Int, until: Int, name: String): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= until) {
+        val size = beInt(o)
+        if (size < 8 || o + size > until) return None
+        if (typ(o) == name) return Some((o + 8, (o + size).toInt))
+        o += size.toInt
+      }
+      None
+    }
+    if (bytes.length < 8) return None
+    for {
+      (moov, moovEnd) <- findBox(0, bytes.length, "moov")
+      (trak, trakEnd) <- findBox(moov, moovEnd, "trak")
+      (mdia, mdiaEnd) <- findBox(trak, trakEnd, "mdia")
+      (minf, minfEnd) <- findBox(mdia, mdiaEnd, "minf")
+      (stbl, stblEnd) <- findBox(minf, minfEnd, "stbl")
+      (stsd, stsdEnd) <- findBox(stbl, stblEnd, "stsd")
+      if stsd + 16 <= stsdEnd && beInt(stsd + 4) >= 1 // at least one entry
+      fourcc = typ(stsd + 8)
+      (stsz, stszEnd) <- findBox(stbl, stblEnd, "stsz")
+      if stsz + 12 <= stszEnd
+      uniform = beInt(stsz + 4)
+      nSamples = beInt(stsz + 8).toInt
+      if nSamples >= 0 && nSamples < (1 << 20)
+      if uniform > 0 || stsz + 12 + 4L * nSamples <= stszEnd
+      (stsc, stscEnd) <- findBox(stbl, stblEnd, "stsc")
+      nRuns = beInt(stsc + 4).toInt
+      if nRuns >= 1 && stsc + 8 + 12L * nRuns <= stscEnd
+      (stco, stcoEnd) <- findBox(stbl, stblEnd, "stco")
+      nChunks = beInt(stco + 4).toInt
+      if nChunks >= 1 && stco + 8 + 4L * nChunks <= stcoEnd
+    } yield {
+      val sizes = (0 until nSamples).map(i =>
+        if (uniform > 0) uniform.toInt else beInt(stsz + 12 + 4 * i).toInt)
+      val runs = (0 until nRuns).map(r => // (firstChunk, samplesPerChunk)
+        (beInt(stsc + 8 + 12 * r).toInt, beInt(stsc + 12 + 12 * r).toInt))
+      val out = Seq.newBuilder[Array[Byte]]
+      var sample = 0
+      var chunk = 1
+      while (chunk <= nChunks && sample < nSamples) {
+        val spc = runs.reverse.find(_._1 <= chunk).map(_._2).getOrElse(0)
+        var off = beInt(stco + 8 + 4 * (chunk - 1))
+        var k = 0
+        while (k < spc && sample < nSamples) {
+          val sz = sizes(sample)
+          if (sz < 0 || off < 0 || off + sz > bytes.length) return None
+          out += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+          off += sz
+          sample += 1
+          k += 1
+        }
+        chunk += 1
+      }
+      if (sample != nSamples) return None
+      (fourcc, out.result())
+    }
+  }
+
+  /** REAL per-frame MP4 video decode — the ISO-BMFF sibling of
+    * [[decodeVideoFrames]]: resolve coded samples via the sample
+    * tables, decode each photo-JPEG/MJPEG sample with the JDK codec,
+    * one row per frame with true decoded dimensions and mean luminance.
+    * Non-JPEG codecs (H.264 etc.) yield no rows here — they keep the
+    * honest byte-stats fallback in [[decode]], since the JDK ships no
+    * inter-frame codec. Payloads never leave the map stage. */
+  def decodeMp4Frames(media: Dataset[MediaRow]): Dataset[VideoFrameRow] = {
+    import media.sparkSession.implicits._
+    val jpegCodecs = Set("jpeg", "mjpa", "mjpb", "MJPG")
+    media.filter(_.format == "mp4").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        parseMp4Frames(m.bytes).toSeq.flatMap {
+          case (fourcc, samples) if jpegCodecs.contains(fourcc) =>
+            samples.zipWithIndex.flatMap { case (jpeg, idx) =>
+              decodeImage(jpeg).map { case (fw, fh, mean) =>
+                VideoFrameRow(m.media_id, idx, fw, fh, mean)
+              }
+            }
+          case _ => Nil
+        }
+      }
+    }
+  }
+
+  /** Deterministic MJPEG-in-MP4 corpus for the ISO-BMFF frame-decode
+    * path: every video carries 2–7 real JPEG samples of md5-keyed solid
+    * grays located by real sample tables, so per-frame decoded
+    * luminance is independently predictable by the verdict query and
+    * the DuckDB oracle. */
+  def fakeMp4Videos(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n.toLong, 1, partitions).map { i =>
+      val w = 40 + (i % 5).toInt * 8
+      val h = 24 + (i % 4).toInt * 8
+      MediaRow(i, "video", mp4MjpegBytes(i, 2 + (i % 6).toInt, w, h), w, h, "mp4")
+    }
+  }
 
   /** Per-frame luminance the generator encodes and the verdict query
     * re-derives: md5-keyed, kept away from the 0/255 rails so JPEG DC

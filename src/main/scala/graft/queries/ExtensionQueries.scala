@@ -701,6 +701,49 @@ object ExtensionQueries {
         ORDER BY id_a, id_b""")),
 
     // ----------------------------------------------------------------
+    // REAL MP4 (ISO-BMFF) video frame decode verdict — the sibling of
+    // m3's AVI path, through the spec's own sample-table machinery:
+    // the corpus is MJPEG-in-MP4 (photo-JPEG samples located by real
+    // stsd/stts/stsc/stsz/stco tables inside moov), decodeMp4Frames
+    // resolves every coded sample from the tables and decodes real
+    // pixels with the JDK codec. The query re-derives each frame's
+    // encoded luminance from the same md5 the generator used and
+    // asserts the decoded mean matches within JPEG DC-quantization
+    // tolerance (±2); the oracle enumerates every expected frame and
+    // predicts all-ok — a sample-table walk bug (wrong offset, size,
+    // or chunk run) surfaces as missing/shifted frames and breaks
+    // rows/hash. Non-JPEG codecs (H.264) remain honestly undecodable
+    // in a JDK-only sandbox and keep the byte-stats fallback.
+    Q(
+      "m6_mp4_frame_verdict",
+      (s, _) => {
+        val frames = graft.operators.Multimodal.decodeMp4Frames(
+          graft.operators.Multimodal.fakeMp4Videos(s, 60)).toDF()
+        val i = col("media_id")
+        val encLum = (lit(16) +
+          conv(substring(md5(concat(lit("frame|"), i, lit("|"),
+            col("frame_idx"))), 1, 2), 16, 10).cast("int") % 224)
+        frames.select(i.as("media_id"), col("frame_idx"),
+            when(col("frame_w") === lit(40) + i % 5 * 8 &&
+              col("frame_h") === lit(24) + i % 4 * 8, 1).otherwise(0)
+              .as("size_ok"),
+            when(abs(col("mean_lum") - encLum) <= 2.0, 1).otherwise(0)
+              .as("lum_ok"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""
+        WITH ids AS (SELECT unnest(generate_series(0, 59)) AS media_id),
+        fr AS (
+          SELECT media_id,
+                 CAST(unnest(generate_series(0, 1 + media_id % 6)) AS INTEGER)
+                   AS frame_idx
+          FROM ids)
+        SELECT media_id, frame_idx,
+               CAST(1 AS INTEGER) AS size_ok, CAST(1 AS INTEGER) AS lum_ok
+        FROM fr
+        ORDER BY media_id, frame_idx""")),
+
+    // ----------------------------------------------------------------
     // BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterative
     // merge loop itself, not just the vocab count. Round 1 counts all
     // adjacent symbol pairs across the corpus (one explode + one

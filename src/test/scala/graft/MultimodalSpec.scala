@@ -149,6 +149,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MP4 frame decode is real: sample tables resolve, pixels match the generator") {
+    val vids = Multimodal.fakeMp4Videos(spark, 12)
+    val frames = Multimodal.decodeMp4Frames(vids).collect()
+    val expectedCount = (0 until 12).map(i => 2 + i % 6).sum
+    assert(frames.length === expectedCount)
+    for (f <- frames) {
+      val i = f.media_id
+      assert(f.frame_w === 40 + (i % 5).toInt * 8)
+      assert(f.frame_h === 24 + (i % 4).toInt * 8)
+      val enc = Multimodal.frameLum(i, f.frame_idx)
+      assert(math.abs(f.mean_lum - enc) <= 2.0,
+        s"media $i frame ${f.frame_idx}: decoded ${f.mean_lum} vs encoded $enc")
+    }
+    // the container is ALSO a valid plain MP4 for the metadata path
+    val meta = Multimodal.parseMp4(Multimodal.mp4MjpegBytes(3L, 5, 40, 24))
+    assert(meta.contains((0.2, 40, 24))) // 5 frames at 25 fps
+  }
+
+  test("MP4 sample-table parse rejects malformed containers instead of throwing") {
+    assert(Multimodal.parseMp4Frames(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseMp4Frames("ftypisomnotvalid".getBytes).isEmpty)
+    val good = Multimodal.mp4MjpegBytes(7L, 4, 48, 32)
+    assert(Multimodal.parseMp4Frames(good).exists(_._2.size == 4))
+    // truncation anywhere must degrade to None, never throw
+    for (cut <- Seq(10, good.length / 4, good.length / 2, good.length - 5)) {
+      val t = java.util.Arrays.copyOfRange(good, 0, cut)
+      val r = Multimodal.parseMp4Frames(t)
+      assert(r.isEmpty || r.exists(_._2.forall(_.nonEmpty)))
+    }
+    // corrupt stco offset (points past EOF) must be caught by bounds
+    val evil = good.clone()
+    // find stco box and break its offset
+    val idx = {
+      var i = 0; var found = -1
+      while (found < 0 && i + 4 <= evil.length) {
+        if (evil(i) == 's' && evil(i + 1) == 't' && evil(i + 2) == 'c' &&
+          evil(i + 3) == 'o') found = i
+        i += 1
+      }
+      found
+    }
+    assert(idx > 0)
+    evil(idx + 12) = 0x7f.toByte // absurd chunk offset high byte
+    assert(Multimodal.parseMp4Frames(evil).isEmpty)
+  }
+
   test("AVI parse rejects malformed containers instead of throwing") {
     assert(Multimodal.parseAvi(Array.emptyByteArray).isEmpty)
     assert(Multimodal.parseAvi("RIFFxxxxWAVE".getBytes).isEmpty)
