@@ -698,7 +698,95 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  )
+  ) ++ Seq(k16, k17)
+
+  /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
+    * merge, v3 = restore(1). The measured output is the CURRENT table
+    * after the restore — it must equal v1's content exactly (the oracle
+    * recomputes the base slice from the source table) — plus a
+    * zero-copy pin: the restored manifest re-references v1's files
+    * verbatim (`restored_reref` counts v3 entries not in v1; oracle
+    * pins 0 — a restore moves METADATA, never bytes, which is what
+    * makes it instant at 100 TB). */
+  private lazy val k16 = Q(
+    "k16_restore",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rst_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .filter(col("o_orderkey") % 3 =!= 0)
+        cat.overwriteVersioned("orders_r", o, Seq("o_orderstatus"))
+        val delta = o
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 3).as("o_totalprice"),
+            col("o_orderstatus"))
+        cat.upsertVersioned("orders_r", delta, Seq("o_orderkey"),
+          partitionBy = Seq("o_orderstatus"))
+        cat.restore("orders_r", 1)
+        val v1 = cat.manifestFiles("orders_r", 1).toSet
+        val reref = cat.manifestFiles("orders_r", 3).count(!v1.contains(_))
+        Files.writeString(marker, reref.toString)
+      }
+      val reref = Files.readString(marker).trim.toLong
+      cat.read("orders_r")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+        .withColumn("restored_reref", lit(reref))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(0 AS BIGINT) AS restored_reref
+      FROM orders
+      WHERE o_orderkey % 3 <> 0
+      GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Commit-history audit (k17, Delta `DESCRIBE HISTORY` parity): a
+    * deterministic op sequence — versioned overwrite, partition-scoped
+    * merge, partition-scoped delete, restore — read back from manifest
+    * metadata alone. The oracle enumerates the expected
+    * (version, operation) ledger; a commit path that forgets (or
+    * mislabels) its audit record breaks rows/hash. */
+  private lazy val k17 = Q(
+    "k17_history",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_his_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_h", o, Seq("o_orderstatus"))
+        cat.upsertVersioned("orders_h",
+          o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 4 === 0)
+            .select(col("o_orderkey"), (col("o_totalprice") + 1).as("o_totalprice"),
+              col("o_orderstatus")),
+          Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+        cat.deleteVersioned("orders_h",
+          col("o_orderstatus") === "O" && col("o_orderkey") % 9 === 1,
+          Seq("o_orderstatus"))
+        cat.restore("orders_h", 2)
+        Files.createFile(marker)
+      }
+      cat.history("orders_h").select("version", "operation")
+        .orderBy("version")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'overwrite'),
+        (CAST(2 AS BIGINT), 'merge'),
+        (CAST(3 AS BIGINT), 'delete'),
+        (CAST(4 AS BIGINT), 'restore')) AS t(version, operation)
+      ORDER BY version"""))
 
   /** (relative path, size, mtime) fingerprints of every data file,
     * keyed by top-level hive partition dir — the byte-identity probe

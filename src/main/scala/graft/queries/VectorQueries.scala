@@ -21,7 +21,7 @@ object VectorQueries {
     * column included for ADC), keyed on the input dir's CONTENT
     * fingerprint with a marker written last — read, never rebuilt,
     * after. The steady-state cost of both queries is search alone. */
-  private def persistedIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+  private[graft] def persistedIvfPqIndex(s: org.apache.spark.sql.SparkSession,
       d: String): (graft.operators.IvfPq.Model, org.apache.spark.sql.DataFrame) = {
     import graft.operators.IvfPq
     import java.nio.file.{Files, Paths}
@@ -546,8 +546,11 @@ object VectorQueries {
     // The whole trajectory is bit-deterministic, so the bound is a
     // regression pin, not a statistical hope. Absolute recall is
     // geometry-limited on these near-uniform synthetic vectors (same
-    // honest caveat as v11's JL projection — RecallSpec documents the
-    // measured curve: 0.2–0.6 across sf0.001–0.1).
+    // honest caveat as v11's JL projection). The 0.2 floor IS the
+    // measured per-geometry minimum (graft.RecallProbe, round 10):
+    // per-query recalls across sf0.001/0.01/0.1 are v12
+    // {0.3,0.3,0.2}-min per sf and v13/v14/v15 {0.2,0.2,0.2} — the
+    // gate sits exactly on the observed floor, zero slack below it.
     Q(
       "v12_pq_verdict",
       (s, d) => {

@@ -760,7 +760,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         .map(p => vd.relativize(p).toString).toList.sorted
       finally s.close()
     val pb = inferPartitionBy(rels)
-    commitManifest(name, TableManifest(1, pb, Map("migrated" -> "true"), rels))
+    commitManifest(name,
+      TableManifest(1, pb, Map("op" -> "migrate"), rels))
   }
 
   /** Partition columns implied by hive `k=v` segments of data paths. */
@@ -781,7 +782,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     migrateIfPlain(name)
     val next = versions(name).lastOption.getOrElse(0L) + 1
     val rels = stage(name, df, partitionBy, next)
-    val meta = if (rels.isEmpty) emptyMeta(df) else Map.empty[String, String]
+    val meta = Map("op" -> "overwrite") ++
+      (if (rels.isEmpty) emptyMeta(df) else Map.empty)
     commitOrClean(name, TableManifest(next, partitionBy, meta, rels), rels)
     refreshIndex(name)
     next
@@ -815,14 +817,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       if (!evolveSchema) failSchemaDrift(name, current, df)
       val evolved = current.unionByName(df, allowMissingColumns = true)
       val rels = stage(name, evolved, pb, next)
-      val meta = tokMeta ++ (if (rels.isEmpty) emptyMeta(evolved) else Map.empty)
+      val meta = Map("op" -> "append") ++ tokMeta ++
+        (if (rels.isEmpty) emptyMeta(evolved) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
       refreshIndex(name)
       return next
     }
     val rels = stage(name, df, pb, next)
     val carried = m.files
-    val meta = tokMeta ++
+    val meta = Map("op" -> "append") ++ tokMeta ++
       (if (carried.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
     commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
     refreshIndex(name)
@@ -855,8 +858,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val replaced = rels.map(TableManifest.partitionComponent).toSet
     val carried =
       m.files.filterNot(f => replaced.contains(TableManifest.partitionComponent(f)))
-    val meta = if (carried.isEmpty && rels.isEmpty) emptyMeta(df)
-      else Map.empty[String, String]
+    val meta = Map("op" -> "overwritePartitions") ++
+      (if (carried.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
     commitOrClean(name, TableManifest(next, partitionBy, meta, carried ++ rels), rels)
     refreshIndex(name)
     next
@@ -898,7 +901,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val merged =
         Upsert.merge(target, source, keys, smartCases, insertOnly, evolveSchema)
       val rels = stage(name, merged, pb, next)
-      val meta = if (rels.isEmpty) emptyMeta(merged) else Map.empty[String, String]
+      val meta = Map("op" -> "merge") ++
+        (if (rels.isEmpty) emptyMeta(merged) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
     } else {
       val touched = touchedPartitions(name, target, source, keys, pb)
@@ -912,8 +916,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           val merged = Upsert.merge(slice, source, keys, smartCases, insertOnly)
           stage(name, merged, pb, next)
         }
-      val meta = if (carried.isEmpty && rels.isEmpty) emptyMeta(target)
-        else Map.empty[String, String]
+      val meta = Map("op" -> "merge") ++
+        (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
     }
     refreshIndex(name)
@@ -939,7 +943,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val keep = t.filter(!hit)
       val removed = t.count() - keep.count()
       val rels = stage(name, keep, pb, next)
-      val meta = if (rels.isEmpty) emptyMeta(keep) else Map.empty[String, String]
+      val meta = Map("op" -> "delete") ++
+        (if (rels.isEmpty) emptyMeta(keep) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
       refreshIndex(name)
       (next, removed)
@@ -959,12 +964,74 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           slice.unpersist()
           out
         }
-      val meta = if (carried.isEmpty && rels.isEmpty) emptyMeta(t)
-        else Map.empty[String, String]
+      val meta = Map("op" -> "delete") ++
+        (if (carried.isEmpty && rels.isEmpty) emptyMeta(t) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
       refreshIndex(name)
       (next, removed)
     }
+  }
+
+  /** Delta `DESCRIBE HISTORY` parity: one row per retained version —
+    * (version, operation, n_files, partition_by, batch). Operations are
+    * the commit verbs the manifests recorded (`overwrite`, `merge`,
+    * `delete`, `append`, `overwritePartitions`, `restore`, `migrate`).
+    * Driver-built from manifest metadata only — no data files are
+    * opened. */
+  def history(name: String): DataFrame = {
+    import spark.implicits._
+    versions(name).map { v =>
+      val m = manifest(name, v)
+      (v, m.meta.getOrElse("op", "unknown"), m.files.size.toLong,
+        m.partitionBy.mkString(","), m.meta.getOrElse("batch", ""))
+    }.toDF("version", "operation", "n_files", "partition_by", "batch")
+  }
+
+  /** Delta `RESTORE` parity: make the table's CURRENT state equal a
+    * retained version — committed as a NEW version whose manifest
+    * simply re-references the restored version's files verbatim. Zero
+    * bytes copied, zero files opened; history is preserved (the
+    * restore itself is an auditable commit, and the versions between
+    * remain retained until [[vacuum]]). */
+  def restore(name: String, version: Long): Long = {
+    val src = manifest(name, version)
+    val next = currentVersion(name) + 1
+    commitManifest(name, TableManifest(next, src.partitionBy,
+      (src.meta - "batch") +
+        ("op" -> "restore") + ("restoredFrom" -> version.toString),
+      src.files))
+    refreshIndex(name)
+    next
+  }
+
+  /** The optimistic-concurrency retry loop around [[upsertVersioned]]:
+    * on a lost commit race, re-read the now-current snapshot and
+    * re-merge — the source delta is re-applied against the interleaved
+    * writer's committed state, so neither update is lost (Delta's
+    * transaction retry). Fails after `maxAttempts` consecutive losses
+    * (a hot table with this much write contention needs coordination,
+    * not more retries). */
+  def upsertVersionedWithRetry(name: String, source: DataFrame,
+      keys: Seq[String],
+      smartCases: Map[String, (Column, Column) => Column] = Map.empty,
+      insertOnly: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      evolveSchema: Boolean = false,
+      fromVersion: Option[Long] = None,
+      maxAttempts: Int = 3): Long = {
+    var attempt = 1
+    var pin = fromVersion
+    while (true) {
+      try return upsertVersioned(name, source, keys, smartCases, insertOnly,
+        partitionBy, evolveSchema, pin)
+      catch {
+        case e: ConcurrentWriteException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          pin = None // re-read the now-current snapshot and re-merge
+      }
+    }
+    -1L // unreachable
   }
 
   /** Retention: drop all but the newest `keep` versions' manifests,

@@ -249,6 +249,56 @@ class TimeTravelSpec extends SparkSpec {
     assert(v3 == 3 && cat.read("t").count() == 1)
   }
 
+  test("restore re-references a retained version's files verbatim (zero copy)") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", Seq(
+      (1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("id", "day", "m"), Seq("day"))
+    cat.upsertVersioned("t", Seq((2L, "d2", 20.0), (3L, "d3", 3.0))
+      .toDF("id", "day", "m"), Seq("id"), partitionBy = Seq("day"))
+    val v3 = cat.restore("t", 1)
+    assert(v3 == 3)
+    // current content == v1 content
+    assert(cat.read("t").select($"id", $"day".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Double)].collect()
+      === Seq((1L, "d1", 1.0), (2L, "d2", 2.0)))
+    // the restored manifest IS v1's file list — no bytes moved
+    assert(cat.manifestFiles("t", 3) == cat.manifestFiles("t", 1))
+    // intermediate version still retained for audit
+    assert(cat.readVersion("t", 2).count() == 3)
+  }
+
+  test("history records every commit's operation from manifest metadata") {
+    val (cat, _) = fresh()
+    cat.overwrite("t", Seq((1L, "d1", 1.0)).toDF("id", "day", "m"), Seq("day"))
+    cat.upsertVersioned("t", Seq((2L, "d2", 2.0)).toDF("id", "day", "m"),
+      Seq("id"), partitionBy = Seq("day"))
+    cat.deleteVersioned("t", col("id") === 1L, Seq("day"))
+    cat.appendVersioned("t", Seq((9L, "d9", 9.0)).toDF("id", "day", "m"))
+    cat.restore("t", 2)
+    val h = cat.history("t").select("version", "operation")
+      .as[(Long, String)].collect().toSeq
+    assert(h === Seq((1L, "migrate"), (2L, "merge"), (3L, "delete"),
+      (4L, "append"), (5L, "restore")))
+    assert(cat.history("t").columns.toSet ===
+      Set("version", "operation", "n_files", "partition_by", "batch"))
+  }
+
+  test("upsertVersionedWithRetry recovers from a lost commit race") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "m"))
+    val catA = new ParquetCatalog(spark, root)
+    val snapA = catA.currentVersion("t") // A pins v1...
+    // ...then B commits v2 underneath
+    cat.upsertVersioned("t", Seq((1L, 10.0)).toDF("id", "m"), Seq("id"))
+    // A's first attempt loses the CAS; the retry re-reads v2 and
+    // re-merges — NEITHER update is lost
+    val v = catA.upsertVersionedWithRetry("t",
+      Seq((2L, 20.0)).toDF("id", "m"), Seq("id"), fromVersion = Some(snapA))
+    assert(v == 3L)
+    assert(cat.read("t").orderBy("id").as[(Long, Double)].collect()
+      === Seq((1L, 10.0), (2L, 20.0)))
+  }
+
   test("unversioned entry points keep working on a versioned table (routed)") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", Seq.tabulate(50)(i => (i.toLong, i * 2L)).toDF("id", "v"))
