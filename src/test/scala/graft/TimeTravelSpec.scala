@@ -299,6 +299,40 @@ class TimeTravelSpec extends SparkSpec {
       === Seq((1L, 10.0), (2L, 20.0)))
   }
 
+  test("commit protocol under real thread contention: no update lost, versions linear") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((-1L, -1.0)).toDF("id", "m"))
+    // 4 genuinely concurrent writers x 3 upserts each, disjoint keys.
+    // Every lost CAS re-reads and re-merges (the retry loop); at the end
+    // ALL 12 updates must be present and the version chain must be
+    // gapless — the lost-update hazard the manifest CAS exists to close.
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 4).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          val mine = new ParquetCatalog(spark, root)
+          (0 until 3).foreach { k =>
+            mine.upsertVersionedWithRetry("t",
+              Seq((t * 10L + k, t * 10.0 + k)).toDF("id", "m"), Seq("id"),
+              maxAttempts = 50)
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers hung")
+    assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+    val back = cat.read("t").orderBy("id").as[(Long, Double)].collect()
+    val expected = Seq((-1L, -1.0)) ++
+      (for (t <- 0 until 4; k <- 0 until 3) yield (t * 10L + k, t * 10.0 + k))
+    assert(back === expected.sortBy(_._1), "an update was lost under contention")
+    // version chain is gapless and every commit is exactly one writer's
+    assert(cat.versions("t") === (1L to cat.currentVersion("t")))
+    assert(cat.currentVersion("t") === 13L) // 1 seed + 12 committed upserts
+  }
+
   test("unversioned entry points keep working on a versioned table (routed)") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", Seq.tabulate(50)(i => (i.toLong, i * 2L)).toDF("id", "v"))
