@@ -388,6 +388,43 @@ class CatalogSpec extends SparkSpec {
       .orderBy("id").as[(Long, String, Double)].collect() === expected)
   }
 
+  test("in-place scoped ops handle multi-level and path-hostile partition values") {
+    val root = Files.createTempDirectory("graft-ml").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwrite("t", Seq(
+      (1L, "d1", Some("a/b:c d%"), 1.0), (2L, "d1", Some("plain"), 2.0),
+      (3L, "d2", None, 3.0))
+      .toDF("id", "day", "category", "m"), Seq("day", "category"))
+    // update moves id=1 OUT of its hostile-value slot: the emptied
+    // two-level dir (and its then-empty parent, if any) must be removed
+    cat.upsert("t", Seq((1L, "d9", Some("moved"), 10.0))
+      .toDF("id", "day", "category", "m"),
+      Seq("id"), partitionBy = Seq("day", "category"))
+    val back = cat.read("t")
+      .select($"id", $"day".cast("string"), $"category".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Option[String], Double)].collect()
+    assert(back === Seq((1L, "d9", Some("moved"), 10.0),
+      (2L, "d1", Some("plain"), 2.0), (3L, "d2", None, 3.0)))
+    // the escaped dir is gone; d1 itself survives (still holds 'plain')
+    import scala.jdk.CollectionConverters._
+    def dirsUnder(rel: String): Set[String] = {
+      val p = java.nio.file.Paths.get(root, "t", rel)
+      if (!Files.isDirectory(p)) Set.empty
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.filter(Files.isDirectory(_))
+          .map(_.getFileName.toString).toSet
+        finally s.close()
+      }
+    }
+    assert(dirsUnder("day=d1") == Set("category=plain"),
+      s"hostile-value dir must be dropped: ${dirsUnder("day=d1")}")
+    // a delete that empties d2 entirely removes BOTH levels
+    assert(cat.delete("t", col("day") === "d2", Seq("day", "category")) === 1L)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "t", "day=d2")),
+      "emptied two-level partition tree must be removed to the day level")
+  }
+
   test("compaction collapses small files and preserves content") {
     val cat = freshCatalog
     // 10 appends of 10 rows -> many small files

@@ -249,6 +249,121 @@ class TimeTravelSpec extends SparkSpec {
     assert(v3 == 3 && cat.read("t").count() == 1)
   }
 
+  test("multi-level + escaped partition values through the versioned scoped merge") {
+    val (cat, _) = fresh()
+    // two partition levels; values with path-hostile characters and NULL
+    val target = Seq(
+      (1L, "d1", Some("a/b:c d%"), 1.0),
+      (2L, "d1", Some("plain"), 2.0),
+      (3L, "d2", None, 3.0),
+      (4L, "d2", Some("x=y"), 4.0))
+      .toDF("id", "day", "category", "m")
+    cat.overwriteVersioned("t", target, Seq("day", "category"))
+    assert(cat.read("t").count() == 4)
+    // delta touches ONLY (d1, "a/b:c d%") [update] and (d2, NULL) [update]
+    val delta = Seq(
+      (1L, "d1", Some("a/b:c d%"), 10.0),
+      (3L, "d2", Option.empty[String], 30.0))
+      .toDF("id", "day", "category", "m")
+    val v2 = cat.upsertVersioned("t", delta, Seq("id"),
+      partitionBy = Seq("day", "category"))
+    assert(v2 == 2)
+    // content parity with the semantic merge
+    val back = cat.read("t")
+      .select($"id", $"day".cast("string"), $"category".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Option[String], Double)].collect()
+    assert(back === Seq(
+      (1L, "d1", Some("a/b:c d%"), 10.0), (2L, "d1", Some("plain"), 2.0),
+      (3L, "d2", None, 30.0), (4L, "d2", Some("x=y"), 4.0)))
+    // untouched multi-level slots re-referenced from v1 verbatim — if the
+    // escaped dir-name rendering diverged from Spark's writer, the
+    // touched-set diff would misfire and this sharing (or the content
+    // above) would break
+    def part(f: String) = graft.storage.TableManifest.partitionComponent(f)
+    val v1Files = cat.manifestFiles("t", 1)
+    val v2Files = cat.manifestFiles("t", 2).toSet
+    val untouched = v1Files.filter { f =>
+      val p = part(f)
+      p.contains("category=plain") || p.contains("category=x%3Dy")
+    }
+    assert(untouched.size == 2, s"expected 2 untouched files, got $untouched")
+    untouched.foreach(f => assert(v2Files.contains(f), s"$f must be re-referenced"))
+    // touched slots rewritten (v1 entries absent from v2)
+    v1Files.filterNot(untouched.contains).foreach(f =>
+      assert(!v2Files.contains(f), s"touched $f must not be carried"))
+    // old version still reads the pre-merge values
+    assert(cat.readVersion("t", 1).filter($"id" === 1L)
+      .select("m").head().getDouble(0) == 1.0)
+  }
+
+  test("partition layout can evolve across versions (each manifest records its own)") {
+    val (cat, _) = fresh()
+    val df = Seq((1L, "d1", "EU", 1.0), (2L, "d2", "US", 2.0))
+      .toDF("id", "day", "region", "m")
+    cat.overwriteVersioned("t", df, Seq("day"))
+    // re-layout by region in version 2 — a full overwrite may change
+    // partitioning; each manifest carries its own layout
+    cat.overwriteVersioned("t", df, Seq("region"))
+    assert(cat.manifest("t", 1).partitionBy == Seq("day"))
+    assert(cat.manifest("t", 2).partitionBy == Seq("region"))
+    // both versions read correctly despite different dir shapes
+    Seq(1L, 2L).foreach { v =>
+      assert(cat.readVersion("t", v).select($"m").as[Double]
+        .collect().sorted === Seq(1.0, 2.0))
+    }
+    // layout-defaulted scoped ops use the CURRENT version's layout
+    val v3 = cat.upsertVersioned("t", Seq((2L, "d2", "US", 20.0))
+      .toDF("id", "day", "region", "m"), Seq("id"))
+    assert(v3 == 3)
+    def part(f: String) = graft.storage.TableManifest.partitionComponent(f)
+    assert(cat.manifestFiles("t", 3).forall(f => part(f).startsWith("region=")))
+    // EU partition re-referenced from v2 (untouched under the v2 layout)
+    val v2eu = cat.manifestFiles("t", 2).filter(f => part(f) == "region=EU")
+    assert(v2eu.nonEmpty && v2eu.forall(cat.manifestFiles("t", 3).contains))
+  }
+
+  test("dynamic partition overwrite on a versioned table re-references the rest") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", Seq(
+      (1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d3", 3.0))
+      .toDF("id", "day", "m"), Seq("day"))
+    // replace ONLY d2 via the routed overwritePartitions entry point
+    cat.overwritePartitions("t", Seq((99L, "d2", 99.0)).toDF("id", "day", "m"),
+      Seq("day"))
+    assert(cat.versions("t") == Seq(1L, 2L))
+    assert(cat.read("t").select($"id").as[Long].collect().sorted
+      === Seq(1L, 3L, 99L))
+    def part(f: String) = graft.storage.TableManifest.partitionComponent(f)
+    val v1 = cat.manifestFiles("t", 1)
+    val v2 = cat.manifestFiles("t", 2).toSet
+    // d1/d3 carried verbatim, d2 replaced
+    v1.filter(f => part(f) != "day=d2").foreach(f => assert(v2.contains(f)))
+    v1.filter(f => part(f) == "day=d2").foreach(f => assert(!v2.contains(f)))
+    assert(cat.history("t").select("operation").as[String].collect()
+      === Seq("overwrite", "overwritePartitions"))
+    // old version keeps the original d2 rows
+    assert(cat.readVersion("t", 1).count() == 3)
+  }
+
+  test("a crashed migration (data moved, manifest never committed) recovers") {
+    val (cat, root) = fresh()
+    cat.overwrite("t", Seq((1L, "d1", 1.0), (2L, "d2", 2.0))
+      .toDF("id", "day", "m"), Seq("day"))
+    // simulate the crash window: the table dir was moved into the
+    // versioned data tree but the v1 manifest was never written
+    val vd = Paths.get(root, ".versions", "t")
+    Files.createDirectories(vd)
+    Files.move(Paths.get(root, "t"), vd.resolve("data"))
+    assert(cat.versions("t").isEmpty)
+    // the next versioned entry point must finish the migration, not wedge
+    val v = cat.upsertVersioned("t", Seq((2L, "d2", 20.0)).toDF("id", "day", "m"),
+      Seq("id"), partitionBy = Seq("day"))
+    assert(v == 2 && cat.versions("t") == Seq(1L, 2L))
+    assert(cat.read("t").select($"m").as[Double].collect().sorted
+      === Seq(1.0, 20.0))
+    assert(cat.readVersion("t", 1).count() == 2)
+  }
+
   test("restore re-references a retained version's files verbatim (zero copy)") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", Seq(
