@@ -698,7 +698,7 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  ) ++ Seq(k16, k17)
+  ) ++ Seq(k16, k17, k18)
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table
@@ -787,6 +787,49 @@ object MergeQueries {
         (CAST(3 AS BIGINT), 'delete'),
         (CAST(4 AS BIGINT), 'restore')) AS t(version, operation)
       ORDER BY version"""))
+
+  /** Exactly-once micro-batch append through the ORACLE gate (k18):
+    * three batchId-tagged commits, then a REPLAY of the middle batch —
+    * the at-least-once re-delivery Structured Streaming's foreachBatch
+    * contract allows after a restart. The replay must contribute
+    * NOTHING: the measured output is the table contents (the oracle
+    * recomputes the three batches' union exactly once) plus a
+    * `replay_committed` pin = versions-after − versions-before across
+    * the replay (oracle pins 0). This puts the idempotent-sink
+    * invariant behind the driver's hash gate, not just an sbt test. */
+  private lazy val k18 = Q(
+    "k18_replay_append",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rpl_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        def batch(n: Int) = ev.filter(col("event_id") % 3 === n)
+        cat.overwriteVersioned("ev_b", batch(0))
+        cat.appendBatch("ev_b", batch(1), "ckpt#1")
+        cat.appendBatch("ev_b", batch(2), "ckpt#2")
+        val before = cat.versions("ev_b").size
+        cat.appendBatch("ev_b", batch(1), "ckpt#1") // the replay
+        val after = cat.versions("ev_b").size
+        Files.writeString(marker, (after - before).toString)
+      }
+      val replayCommitted = Files.readString(marker).trim.toLong
+      cat.read("ev_b")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("value")).as("total"))
+        .withColumn("replay_committed", lit(replayCommitted))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(0 AS BIGINT) AS replay_committed
+      FROM events
+      GROUP BY 1 ORDER BY event_type"""))
 
   /** (relative path, size, mtime) fingerprints of every data file,
     * keyed by top-level hive partition dir — the byte-identity probe

@@ -53,9 +53,9 @@ object SkippingIndex {
   def listFiles(dir: String): Seq[String] = listParquet(dir)
 
   private def listParquet(dir: String): Seq[String] = {
-    // resolve the real path: Files.walk does NOT traverse a symlink
-    // root, and a versioned table's path IS a symlink (ParquetCatalog
-    // time travel)
+    // resolve the real path defensively: Files.walk does NOT traverse a
+    // symlink root (manifest-versioned tables pass explicit file lists
+    // instead of a dir, so this path only sees plain table dirs)
     val s = Files.walk(Paths.get(dir).toRealPath())
     try s.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
