@@ -812,8 +812,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       partitionBy: Seq[String] = Nil, evolveSchema: Boolean = false,
       batchToken: Option[String] = None): Long = {
     migrateIfPlain(name)
-    if (!isVersioned(name)) return overwriteVersioned(name,
-      df, partitionBy)
+    if (!isVersioned(name)) {
+      // table-creating first append: the batch token must still ride the
+      // commit, or a replay of batch 0 after a restart would double-write
+      val rels = stage(name, df, partitionBy, 1)
+      val meta = Map("op" -> "append") ++ batchToken.map("batch" -> _).toMap ++
+        (if (rels.isEmpty) emptyMeta(df) else Map.empty)
+      commitOrClean(name, TableManifest(1, partitionBy, meta, rels), rels)
+      refreshIndex(name)
+      return 1L
+    }
     batchToken.foreach { tok =>
       versions(name).reverseIterator.foreach { v =>
         if (manifest(name, v).meta.get("batch").contains(tok))

@@ -136,6 +136,18 @@ class StreamingSpec extends SparkSpec {
     assert(cat.read("ev").count() == 4)
   }
 
+  test("append sink replay of the TABLE-CREATING first batch is also exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("replay-first").toString
+    val cat = new graft.storage.ParquetCatalog(spark, root)
+    val batch = Seq((1L, 1.0), (2L, 2.0)).toDF("event_id", "value")
+    // batch 0 CREATES the table — its token must ride the first commit
+    val v1 = cat.appendBatch("ev", batch, "ckpt#0")
+    assert(v1 == 1L && cat.read("ev").count() == 2)
+    val v2 = cat.appendBatch("ev", batch, "ckpt#0") // restart replay
+    assert(v2 == 1L, "replayed creating batch must not commit again")
+    assert(cat.read("ev").count() == 2, "creating-batch replay must not duplicate")
+  }
+
   test("merge sink replay: re-upserting an identical batch is a content no-op") {
     val cat = new graft.storage.ParquetCatalog(spark,
       java.nio.file.Files.createTempDirectory("replay-merge").toString)
