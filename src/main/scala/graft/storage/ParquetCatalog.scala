@@ -194,6 +194,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (isVersioned(name)) { overwritePartitionsVersioned(name, df, partitionBy); () }
     else if (!exists(name)) overwrite(name, df, partitionBy)
     else {
+      if (hasPartitionDirs(name)) requireLayout(name, partitionBy, diskLayout(name))
       df.write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -219,21 +220,57 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       evolveSchema: Boolean = false): Unit = {
     if (isVersioned(name)) { appendVersioned(name, df, partitionBy, evolveSchema); return }
     if (!exists(name)) { overwrite(name, df, partitionBy); return }
+    // default to (and guard against) the on-disk layout: appending
+    // differently-shaped files would corrupt the directory tree
+    val layout = diskLayout(name)
+    val pb = if (partitionBy.nonEmpty) partitionBy else layout
+    requireLayout(name, pb, layout)
     val current = read(name)
     if (!schemaMatches(current, df)) {
       if (!evolveSchema) failSchemaDrift(name, current, df)
       val evolved = current.unionByName(df, allowMissingColumns = true)
         .persist()
       evolved.count() // materialize before the swap deletes the inputs
-      overwrite(name, evolved, partitionBy)
+      overwrite(name, evolved, pb)
       evolved.unpersist()
       return
     }
     val w = df.write.mode(SaveMode.Append).option("compression", codec)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    (if (pb.nonEmpty) w.partitionBy(pb: _*) else w)
       .parquet(tableDir(name).toString)
     refreshIndex(name)
   }
+
+  /** The hive partition columns the table dir is ACTUALLY laid out by,
+    * inferred from one leaf file's `k=v` dir chain (empty when
+    * unpartitioned). The layout-guard source of truth for in-place
+    * ops — versioned tables carry theirs in the manifest instead. */
+  private def diskLayout(name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val base = tableDir(name)
+    if (!Files.isDirectory(base)) return Nil
+    val s = Files.walk(base)
+    val first =
+      try s.iterator().asScala
+        .find(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      finally s.close()
+    first.toSeq.flatMap { p =>
+      val segs = base.relativize(p).toString.split('/').dropRight(1)
+      segs.filter(_.contains('='))
+        .map(g => ExternalCatalogUtils.unescapePathName(g.takeWhile(_ != '=')))
+    }
+  }
+
+  /** Writing `partitionBy`-shaped files into a table laid out
+    * differently produces a MIXED directory tree Spark cannot read
+    * coherently (and a scoped rewrite would silently miss rows). Fail
+    * loudly instead; a layout CHANGE is an explicit full `overwrite`. */
+  private def requireLayout(name: String, partitionBy: Seq[String],
+      layout: Seq[String]): Unit =
+    require(partitionBy == layout,
+      s"$name is partitioned by (${layout.mkString(",")}) on disk but the " +
+        s"operation was given (${partitionBy.mkString(",")}); a layout " +
+        "change requires a full overwrite")
 
   private def schemaMatches(current: DataFrame, incoming: DataFrame): Boolean = {
     def shape(df: DataFrame) =
@@ -302,6 +339,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       overwrite(name, merged, partitionBy)
       merged.unpersist()
     } else {
+      requireLayout(name, partitionBy, diskLayout(name))
       val target = read(name)
       val touched = touchedPartitions(name, target, source, keys, partitionBy)
       if (touched.nonEmpty) {
@@ -575,6 +613,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       keep.unpersist()
       removed
     } else {
+      requireLayout(name, partitionBy, diskLayout(name))
       val touched = partitionsOf(t.filter(hit), partitionBy)
       if (touched.isEmpty) 0L
       else {
@@ -830,6 +869,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
     val m = currentManifest(name)
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
+      require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
+        m.files.isEmpty || partitionBy == m.partitionBy,
+        s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
+          s"but the operation was given (${partitionBy.mkString(",")}); a " +
+          "layout change requires a full overwriteVersioned")
     val current = readVersion(name, m.version)
     val next = m.version + 1
     val tokMeta = batchToken.map("batch" -> _).toMap
@@ -873,6 +917,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     migrateIfPlain(name)
     if (!isVersioned(name)) return overwriteVersioned(name, df, partitionBy)
     val m = currentManifest(name)
+      require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
+        m.files.isEmpty || partitionBy == m.partitionBy,
+        s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
+          s"but the operation was given (${partitionBy.mkString(",")}); a " +
+          "layout change requires a full overwriteVersioned")
     val next = m.version + 1
     val rels = stage(name, df, partitionBy, next)
     val replaced = rels.map(TableManifest.partitionComponent).toSet
@@ -915,6 +964,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (!isVersioned(name)) return overwriteVersioned(name, source, partitionBy)
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
+    if (!evolveSchema)
+      require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
+        m.files.isEmpty || partitionBy == m.partitionBy,
+        s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
+          s"but the operation was given (${partitionBy.mkString(",")}); a " +
+          "layout change requires a full overwriteVersioned")
     val target = readVersion(name, m.version)
     val next = m.version + 1
     if (pb.isEmpty || evolveSchema || m.files.isEmpty) {
@@ -956,6 +1011,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     require(isVersioned(name), s"no table $name")
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
+      require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
+        m.files.isEmpty || partitionBy == m.partitionBy,
+        s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
+          s"but the operation was given (${partitionBy.mkString(",")}); a " +
+          "layout change requires a full overwriteVersioned")
     val t = readVersion(name, m.version)
     val hit = coalesce(condition, lit(false))
     val next = m.version + 1

@@ -425,6 +425,43 @@ class CatalogSpec extends SparkSpec {
       "emptied two-level partition tree must be removed to the day level")
   }
 
+  test("layout guard: ops shaped differently from the on-disk layout fail loudly") {
+    val root = Files.createTempDirectory("graft-lg").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwrite("t", Seq((1L, "d1", "EU", 1.0), (2L, "d2", "US", 2.0))
+      .toDF("id", "day", "region", "m"), Seq("day"))
+    // scoped upsert with the WRONG partition column
+    val e1 = intercept[IllegalArgumentException] {
+      cat.upsert("t", Seq((1L, "d1", "EU", 10.0)).toDF("id", "day", "region", "m"),
+        Seq("id"), partitionBy = Seq("region"))
+    }
+    assert(e1.getMessage.contains("partitioned by (day)"))
+    // append defaulting: no partitionBy given -> follows the disk layout
+    cat.append("t", Seq((3L, "d3", "EU", 3.0)).toDF("id", "day", "region", "m"))
+    assert(Files.isDirectory(java.nio.file.Paths.get(root, "t", "day=d3")),
+      "pb-less append must follow the table's hive layout")
+    // mismatch on delete and dynamic overwrite too
+    intercept[IllegalArgumentException] {
+      cat.delete("t", col("id") === 1L, Seq("region"))
+    }
+    intercept[IllegalArgumentException] {
+      cat.overwritePartitions("t",
+        Seq((9L, "d9", "EU", 9.0)).toDF("id", "day", "region", "m"), Seq("region"))
+    }
+    // versioned: explicit conflicting layout on a scoped op fails; a
+    // full overwriteVersioned (the explicit layout-change verb) succeeds
+    cat.overwriteVersioned("u", Seq((1L, "d1", "EU", 1.0))
+      .toDF("id", "day", "region", "m"), Seq("day"))
+    val e2 = intercept[IllegalArgumentException] {
+      cat.upsertVersioned("u", Seq((1L, "d1", "EU", 10.0))
+        .toDF("id", "day", "region", "m"), Seq("id"), partitionBy = Seq("region"))
+    }
+    assert(e2.getMessage.contains("layout change requires"))
+    cat.overwriteVersioned("u", Seq((1L, "d1", "EU", 1.0))
+      .toDF("id", "day", "region", "m"), Seq("region"))
+    assert(cat.manifest("u", 2).partitionBy == Seq("region"))
+  }
+
   test("compaction collapses small files and preserves content") {
     val cat = freshCatalog
     // 10 appends of 10 rows -> many small files
