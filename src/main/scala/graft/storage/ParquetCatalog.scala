@@ -1052,6 +1052,26 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** Delta `table_changes(from, to)` parity as a first-class call: the
+    * per-row change feed (insert / update_preimage / update_postimage)
+    * between two retained versions, computed from their manifests'
+    * write-once file sets — the downstream-sync primitive a consumer
+    * replays instead of re-scanning the table (k15 gates the
+    * semantics). */
+  def changesBetween(name: String, from: Long, to: Long,
+      keys: Seq[String]): DataFrame = {
+    val a = readVersion(name, from)
+    val b = readVersion(name, to)
+    Upsert.changeFeed(a.select(a.columns.sorted.map(col): _*),
+      b.select(b.columns.sorted.map(col): _*), keys)
+  }
+
+  /** The table's partition layout: the manifest's recorded columns for
+    * a versioned table, the on-disk hive chain otherwise. */
+  def layout(name: String): Seq[String] =
+    if (isVersioned(name)) currentManifest(name).partitionBy
+    else diskLayout(name)
+
   /** Delta `DESCRIBE HISTORY` parity: one row per retained version —
     * (version, operation, n_files, partition_by, batch). Operations are
     * the commit verbs the manifests recorded (`overwrite`, `merge`,

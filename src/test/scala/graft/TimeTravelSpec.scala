@@ -364,6 +364,21 @@ class TimeTravelSpec extends SparkSpec {
     assert(cat.readVersion("t", 1).count() == 2)
   }
 
+  test("changesBetween replays exactly the delta a versioned merge applied") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", Seq(
+      (1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("id", "day", "m"), Seq("day"))
+    cat.upsertVersioned("t", Seq((2L, "d2", 20.0), (3L, "d3", 3.0))
+      .toDF("id", "day", "m"), Seq("id"), partitionBy = Seq("day"))
+    val feed = cat.changesBetween("t", 1, 2, Seq("id"))
+      .select($"id", $"_change_type", $"m")
+      .orderBy("id", "_change_type").as[(Long, String, Double)].collect()
+    assert(feed === Seq(
+      (2L, "update_postimage", 20.0), (2L, "update_preimage", 2.0),
+      (3L, "insert", 3.0)))
+    assert(cat.layout("t") === Seq("day"))
+  }
+
   test("restore re-references a retained version's files verbatim (zero copy)") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", Seq(
