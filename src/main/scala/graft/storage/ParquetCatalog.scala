@@ -869,11 +869,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
     val m = currentManifest(name)
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
-      require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
-        m.files.isEmpty || partitionBy == m.partitionBy,
-        s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
-          s"but the operation was given (${partitionBy.mkString(",")}); a " +
-          "layout change requires a full overwriteVersioned")
+    require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
+      m.files.isEmpty || partitionBy == m.partitionBy,
+      s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
+        s"but the operation was given (${partitionBy.mkString(",")}); a " +
+        "layout change requires a full overwriteVersioned")
     val current = readVersion(name, m.version)
     val next = m.version + 1
     val tokMeta = batchToken.map("batch" -> _).toMap
