@@ -226,8 +226,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val pb = if (partitionBy.nonEmpty) partitionBy else layout
     requireLayout(name, pb, layout)
     val current = read(name)
-    if (!schemaMatches(current, df)) {
-      if (!evolveSchema) failSchemaDrift(name, current, df)
+    if (!schemaMatches(current, df, pb)) {
+      if (!evolveSchema) failSchemaDrift(name, current, df, pb)
       val evolved = current.unionByName(df, allowMissingColumns = true)
         .persist()
       evolved.count() // materialize before the swap deletes the inputs
@@ -272,18 +272,31 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         s"operation was given (${partitionBy.mkString(",")}); a layout " +
         "change requires a full overwrite")
 
-  private def schemaMatches(current: DataFrame, incoming: DataFrame): Boolean = {
+  /** Names + types must match (order and nullability are free) — except
+    * PARTITION columns, which compare by name only: hive partition
+    * values live in dir names, so a string-typed date column reads back
+    * as DATE (Spark's partition-type inference), and an exact-type check
+    * would reject a frame identical to the one that built the table.
+    * The dir-name rendering is type-agnostic (Spark's cast-to-string),
+    * so a partition-column type difference cannot corrupt the layout. */
+  private def schemaMatches(current: DataFrame, incoming: DataFrame,
+      partitionCols: Seq[String] = Nil): Boolean = {
+    val pc = partitionCols.toSet
     def shape(df: DataFrame) =
-      df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      df.schema.fields.map(f =>
+        (f.name, if (pc(f.name)) null else f.dataType)).sortBy(_._1).toSeq
     shape(current) == shape(incoming)
   }
 
-  private def failSchemaDrift(name: String, current: DataFrame, incoming: DataFrame): Nothing = {
+  private def failSchemaDrift(name: String, current: DataFrame,
+      incoming: DataFrame, partitionCols: Seq[String] = Nil): Nothing = {
+    val pc = partitionCols.toSet
     val cur = current.schema.fields.map(f => f.name -> f.dataType).toMap
     val in = incoming.schema.fields.map(f => f.name -> f.dataType).toMap
     val missing = (cur.keySet -- in.keySet).toSeq.sorted
     val extra = (in.keySet -- cur.keySet).toSeq.sorted
-    val retyped = cur.keySet.intersect(in.keySet).filter(k => cur(k) != in(k))
+    val retyped = cur.keySet.intersect(in.keySet)
+      .filter(k => !pc(k) && cur(k) != in(k))
       .toSeq.sorted.map(k => s"$k: ${cur(k).simpleString}->${in(k).simpleString}")
     throw new IllegalArgumentException(
       s"append to $name rejected: schema drift (missing: ${missing.mkString(",")}; " +
