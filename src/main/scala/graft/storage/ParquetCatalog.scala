@@ -3,6 +3,7 @@ package graft.storage
 import graft.operators.Upsert
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
@@ -273,19 +274,40 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         "change requires a full overwrite")
 
   /** Names + types must match (order and nullability are free) — except
-    * PARTITION columns, which compare by name only: hive partition
-    * values live in dir names, so a string-typed date column reads back
-    * as DATE (Spark's partition-type inference), and an exact-type check
-    * would reject a frame identical to the one that built the table.
-    * The dir-name rendering is type-agnostic (Spark's cast-to-string),
-    * so a partition-column type difference cannot corrupt the layout. */
+    * PARTITION columns, whose types may differ when (and only when) the
+    * difference is a hive round-trip artifact: partition values live in
+    * dir names, so a string-typed date column reads back as DATE
+    * (Spark's partition-type inference), and an exact-type check would
+    * reject a frame identical to the one that built the table. The
+    * exemption is NARROW ([[partitionRenderCompatible]]): pairs whose
+    * dir renderings diverge (timestamp vs date, double vs int) still
+    * fail loudly, because writing them would silently split logical
+    * partitions into differently-named dirs. */
   private def schemaMatches(current: DataFrame, incoming: DataFrame,
       partitionCols: Seq[String] = Nil): Boolean = {
     val pc = partitionCols.toSet
-    def shape(df: DataFrame) =
-      df.schema.fields.map(f =>
-        (f.name, if (pc(f.name)) null else f.dataType)).sortBy(_._1).toSeq
-    shape(current) == shape(incoming)
+    val cur = current.schema.fields.map(f => f.name -> f.dataType).toMap
+    val in = incoming.schema.fields.map(f => f.name -> f.dataType).toMap
+    cur.keySet == in.keySet && cur.keySet.forall { k =>
+      cur(k) == in(k) || (pc(k) && partitionRenderCompatible(cur(k), in(k)))
+    }
+  }
+
+  /** True when two partition-column types produce identical hive dir
+    * strings for the same logical values — the only condition under
+    * which a type difference is a harmless read-back artifact. String
+    * pairs round-trip by construction (the dir name IS the string, and
+    * inference derives the other type FROM those strings); integral
+    * widths render identically ("5" is "5" at any width). Everything
+    * else — timestamp vs date ("2024-01-01 00:00:00" vs "2024-01-01"),
+    * double vs int ("1.0" vs "1") — renders different dir names for
+    * the same logical partition and must keep failing loudly. */
+  private def partitionRenderCompatible(a: DataType, b: DataType): Boolean = {
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    a == StringType || b == StringType || (integral(a) && integral(b))
   }
 
   private def failSchemaDrift(name: String, current: DataFrame,
@@ -296,11 +318,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val missing = (cur.keySet -- in.keySet).toSeq.sorted
     val extra = (in.keySet -- cur.keySet).toSeq.sorted
     val retyped = cur.keySet.intersect(in.keySet)
-      .filter(k => !pc(k) && cur(k) != in(k))
+      .filter(k => cur(k) != in(k) &&
+        !(pc(k) && partitionRenderCompatible(cur(k), in(k))))
       .toSeq.sorted.map(k => s"$k: ${cur(k).simpleString}->${in(k).simpleString}")
+    val sections = Seq("missing" -> missing, "extra" -> extra,
+      "retyped" -> retyped)
+      .collect { case (l, vs) if vs.nonEmpty => s"$l: ${vs.mkString(",")}" }
     throw new IllegalArgumentException(
-      s"append to $name rejected: schema drift (missing: ${missing.mkString(",")}; " +
-        s"extra: ${extra.mkString(",")}; retyped: ${retyped.mkString(",")}). " +
+      s"append to $name rejected: schema drift (${sections.mkString("; ")}). " +
         "Pass evolveSchema = true to add/drop columns via union-by-name.")
   }
 
@@ -890,8 +915,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val current = readVersion(name, m.version)
     val next = m.version + 1
     val tokMeta = batchToken.map("batch" -> _).toMap
-    if (!schemaMatches(current, df)) {
-      if (!evolveSchema) failSchemaDrift(name, current, df)
+    if (!schemaMatches(current, df, pb)) {
+      if (!evolveSchema) failSchemaDrift(name, current, df, pb)
       val evolved = current.unionByName(df, allowMissingColumns = true)
       val rels = stage(name, evolved, pb, next)
       val meta = Map("op" -> "append") ++ tokMeta ++

@@ -349,6 +349,75 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("u").count() === 2)
   }
 
+  test("identical re-append to a string-date-partitioned table succeeds on BOTH tiers") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-ptol").toString
+    val cat = new ParquetCatalog(spark, root)
+    val frame = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+      .toDF("id", "partition_date", "m")
+    // in-place: the string date column reads back as DATE (hive
+    // partition-type inference); the identical frame must still append
+    cat.overwrite("t", frame, Seq("partition_date"))
+    cat.append("t", frame)
+    assert(cat.read("t").count() === 4)
+    // and it reused the same dirs — no split logical partitions
+    val dirs = {
+      val s = Files.list(java.nio.file.Paths.get(root, "t"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("partition_date=")).toList.sorted
+      finally s.close()
+    }
+    assert(dirs === List("partition_date=2024-01-01", "partition_date=2024-01-02"))
+    // versioned tier: same contract (this is the appendVersioned path)
+    cat.overwriteVersioned("u", frame, Seq("partition_date"))
+    cat.appendVersioned("u", frame)
+    assert(cat.read("u").count() === 4)
+  }
+
+  test("appendBatch batch 2 lands on a string-date-partitioned versioned table") {
+    val cat = freshCatalog
+    val b0 = Seq((1L, "2024-01-01", 1.0)).toDF("id", "partition_date", "m")
+    val b1 = Seq((2L, "2024-01-01", 2.0)).toDF("id", "partition_date", "m")
+    cat.overwriteVersioned("ev", b0, Seq("partition_date"))
+    // batch 2 previously threw a false schema drift (date<-string read-back)
+    cat.appendBatch("ev", b1, "ckpt#1")
+    assert(cat.read("ev").count() === 2)
+    cat.appendBatch("ev", b1, "ckpt#1") // replay stays a no-op
+    assert(cat.read("ev").count() === 2)
+  }
+
+  test("non-round-trip partition retypes and non-partition retypes still fail loudly") {
+    val cat = freshCatalog
+    cat.overwrite("t",
+      Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("id", "day"),
+      Seq("day"))
+    // timestamp renders a different dir name than date — must stay loud
+    val e = intercept[IllegalArgumentException] {
+      cat.append("t",
+        Seq((2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+          .toDF("id", "day"))
+    }
+    assert(e.getMessage.contains("day: date->timestamp"), e.getMessage)
+    // a non-partition retype reports ONLY itself: the compatible
+    // partition column stays out of the list, empty sections are dropped
+    val e2 = intercept[IllegalArgumentException] {
+      cat.append("t", Seq(("x", "2024-01-03")).toDF("id", "day"))
+    }
+    assert(e2.getMessage.contains("id: bigint->string"), e2.getMessage)
+    assert(!e2.getMessage.contains("day:") && !e2.getMessage.contains("missing"),
+      e2.getMessage)
+    // same discipline on the versioned tier
+    cat.overwriteVersioned("u",
+      Seq((1L, java.sql.Date.valueOf("2024-01-01"))).toDF("id", "day"),
+      Seq("day"))
+    val e3 = intercept[IllegalArgumentException] {
+      cat.appendVersioned("u",
+        Seq((2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+          .toDF("id", "day"))
+    }
+    assert(e3.getMessage.contains("day: date->timestamp"), e3.getMessage)
+  }
+
   test("merge match probe is index-pruned to the delta's key range") {
     import graft.storage.SkippingIndex
     val root = Files.createTempDirectory("graft-ipm").toString
