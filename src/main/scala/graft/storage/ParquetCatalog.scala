@@ -273,6 +273,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         s"operation was given (${partitionBy.mkString(",")}); a layout " +
         "change requires a full overwrite")
 
+  /** [[requireLayout]]'s versioned sibling: a scoped op's `partitionBy`
+    * must agree with the manifest's recorded layout (vacuously true when
+    * either side is unstated or the table is empty); a layout change is
+    * the explicit full `overwriteVersioned`. */
+  private def requireManifestLayout(name: String, partitionBy: Seq[String],
+      m: TableManifest): Unit =
+    require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
+      m.files.isEmpty || partitionBy == m.partitionBy,
+      s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
+        s"but the operation was given (${partitionBy.mkString(",")}); a " +
+        "layout change requires a full overwriteVersioned")
+
   /** Names + types must match (order and nullability are free) — except
     * PARTITION columns, whose types may differ when (and only when) the
     * difference is a hive round-trip artifact: partition values live in
@@ -288,6 +300,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val pc = partitionCols.toSet
     val cur = current.schema.fields.map(f => f.name -> f.dataType).toMap
     val in = incoming.schema.fields.map(f => f.name -> f.dataType).toMap
+    // the map collapses duplicate column names — a frame with duplicated
+    // columns must fail HERE (clean drift error) rather than deep inside
+    // Spark's writer, so the field counts must survive the collapse
+    current.schema.fields.length == cur.size &&
+    incoming.schema.fields.length == in.size &&
     cur.keySet == in.keySet && cur.keySet.forall { k =>
       cur(k) == in(k) || (pc(k) && partitionRenderCompatible(cur(k), in(k)))
     }
@@ -301,7 +318,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * widths render identically ("5" is "5" at any width). Everything
     * else — timestamp vs date ("2024-01-01 00:00:00" vs "2024-01-01"),
     * double vs int ("1.0" vs "1") — renders different dir names for
-    * the same logical partition and must keep failing loudly. */
+    * the same logical partition and must keep failing loudly.
+    *
+    * Residual, inherent to hive layout: this is a TYPE check, so a
+    * string frame carrying a non-canonical RENDERING of an inferred
+    * value ("2024-1-1" against a table whose dirs say "2024-01-01",
+    * "01" against int-inferred "1") still writes a second dir for the
+    * same logical partition — no type-level check can see value-level
+    * spellings. The inference-round-trip case the exemption targets
+    * (re-appending the frame that built the table) is safe by
+    * construction: those strings ARE the dir names. */
   private def partitionRenderCompatible(a: DataType, b: DataType): Boolean = {
     def integral(t: DataType) = t match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -315,6 +341,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val pc = partitionCols.toSet
     val cur = current.schema.fields.map(f => f.name -> f.dataType).toMap
     val in = incoming.schema.fields.map(f => f.name -> f.dataType).toMap
+    def dups(df: DataFrame): Seq[String] =
+      df.schema.fields.groupBy(_.name).collect {
+        case (n, fs) if fs.length > 1 => n
+      }.toSeq.sorted
     val missing = (cur.keySet -- in.keySet).toSeq.sorted
     val extra = (in.keySet -- cur.keySet).toSeq.sorted
     val retyped = cur.keySet.intersect(in.keySet)
@@ -322,7 +352,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         !(pc(k) && partitionRenderCompatible(cur(k), in(k))))
       .toSeq.sorted.map(k => s"$k: ${cur(k).simpleString}->${in(k).simpleString}")
     val sections = Seq("missing" -> missing, "extra" -> extra,
-      "retyped" -> retyped)
+      "retyped" -> retyped, "duplicated in incoming" -> dups(incoming),
+      "duplicated in table" -> dups(current))
       .collect { case (l, vs) if vs.nonEmpty => s"$l: ${vs.mkString(",")}" }
     throw new IllegalArgumentException(
       s"append to $name rejected: schema drift (${sections.mkString("; ")}). " +
@@ -907,11 +938,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
     val m = currentManifest(name)
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
-    require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
-      m.files.isEmpty || partitionBy == m.partitionBy,
-      s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
-        s"but the operation was given (${partitionBy.mkString(",")}); a " +
-        "layout change requires a full overwriteVersioned")
+    requireManifestLayout(name, partitionBy, m)
     val current = readVersion(name, m.version)
     val next = m.version + 1
     val tokMeta = batchToken.map("batch" -> _).toMap
@@ -955,11 +982,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     migrateIfPlain(name)
     if (!isVersioned(name)) return overwriteVersioned(name, df, partitionBy)
     val m = currentManifest(name)
-      require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
-        m.files.isEmpty || partitionBy == m.partitionBy,
-        s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
-          s"but the operation was given (${partitionBy.mkString(",")}); a " +
-          "layout change requires a full overwriteVersioned")
+    requireManifestLayout(name, partitionBy, m)
     val next = m.version + 1
     val rels = stage(name, df, partitionBy, next)
     val replaced = rels.map(TableManifest.partitionComponent).toSet
@@ -1002,12 +1025,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (!isVersioned(name)) return overwriteVersioned(name, source, partitionBy)
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
-    if (!evolveSchema)
-      require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
-        m.files.isEmpty || partitionBy == m.partitionBy,
-        s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
-          s"but the operation was given (${partitionBy.mkString(",")}); a " +
-          "layout change requires a full overwriteVersioned")
+    if (!evolveSchema) requireManifestLayout(name, partitionBy, m)
     val target = readVersion(name, m.version)
     val next = m.version + 1
     if (pb.isEmpty || evolveSchema || m.files.isEmpty) {
@@ -1049,11 +1067,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     require(isVersioned(name), s"no table $name")
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
-      require(partitionBy.isEmpty || m.partitionBy.isEmpty ||
-        m.files.isEmpty || partitionBy == m.partitionBy,
-        s"$name's manifest records layout (${m.partitionBy.mkString(",")}) " +
-          s"but the operation was given (${partitionBy.mkString(",")}); a " +
-          "layout change requires a full overwriteVersioned")
+    requireManifestLayout(name, partitionBy, m)
     val t = readVersion(name, m.version)
     val hit = coalesce(condition, lit(false))
     val next = m.version + 1

@@ -349,6 +349,21 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("u").count() === 2)
   }
 
+  test("append rejects a frame with duplicated column names as drift, not a writer crash") {
+    val cat = freshCatalog
+    cat.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    // duplicate names collapse in a name->type map: the dedup'd shape
+    // matches the table, so only a field-count guard catches it here
+    val dup = Seq((2L, "b")).toDF("id", "v").select($"id", $"v", $"v")
+    val e = intercept[IllegalArgumentException] { cat.append("t", dup) }
+    assert(e.getMessage.contains("schema drift") &&
+      e.getMessage.contains("duplicated in incoming: v"), e.getMessage)
+    // same guard on the versioned tier
+    cat.overwriteVersioned("u", Seq((1L, "a")).toDF("id", "v"))
+    val e2 = intercept[IllegalArgumentException] { cat.appendVersioned("u", dup) }
+    assert(e2.getMessage.contains("duplicated in incoming: v"), e2.getMessage)
+  }
+
   test("identical re-append to a string-date-partitioned table succeeds on BOTH tiers") {
     import scala.jdk.CollectionConverters._
     val root = Files.createTempDirectory("graft-ptol").toString
