@@ -850,6 +850,62 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private def emptyMeta(df: DataFrame): Map[String, String] =
     Map("schema" -> df.schema.toDDL)
 
+  // ---- exactly-once batch-token registry ----------------------------
+  //
+  // Delta's `txn` action semantics: a streaming sink identifies as
+  // (sinkId, batchId) — the batch token is "<sinkId>#<batchId>" — and
+  // EVERY commit carries the table's high-water map forward as
+  // `meta.txn.<sinkId>=<batchId>`. Replay idempotence therefore
+  // survives `vacuum(keep=1)` (the CURRENT manifest alone answers the
+  // probe) and the probe is one map lookup, not an O(versions) reverse
+  // manifest sweep. Structured Streaming batchIds are monotonic per
+  // checkpoint and batch N is re-delivered only when batches < N are
+  // durably complete, so `incoming <= high-water → no-op` is exactly
+  // the at-most-once contract.
+
+  private val TxnPrefix = "txn."
+
+  /** Registry entries every commit carries forward verbatim. */
+  private def carriedTxn(m: TableManifest): Map[String, String] =
+    m.meta.filter { case (k, _) => k.startsWith(TxnPrefix) }
+
+  /** Sink ids are URL-encoded into the meta key — they are paths
+    * (checkpoint dirs) and the manifest line format reserves '='. */
+  private def txnKey(sinkId: String): String =
+    TxnPrefix + java.net.URLEncoder.encode(sinkId, "UTF-8")
+
+  /** Split "sinkId#batchId" at the LAST '#' (sink ids are paths and may
+    * themselves contain '#'). */
+  private def parseBatchToken(tok: String): (String, Long) = {
+    val i = tok.lastIndexOf('#')
+    require(i > 0 && i < tok.length - 1 && tok.drop(i + 1).forall(_.isDigit),
+      s"batch token must be '<sinkId>#<batchId>' with a numeric batchId: $tok")
+    (tok.take(i), tok.drop(i + 1).toLong)
+  }
+
+  /** True when `tok`'s batch is already committed: one lookup in the
+    * current manifest's registry. Legacy tables (manifests that predate
+    * the registry carry only per-commit `batch` tokens) fall back to
+    * the reverse sweep ONCE per sink — the first registry-writing
+    * commit makes every later probe O(1). */
+  private def batchAlreadyCommitted(m: TableManifest, name: String,
+      tok: String): Boolean = {
+    val (sink, id) = parseBatchToken(tok)
+    m.meta.get(txnKey(sink)) match {
+      case Some(hw) => id <= hw.toLong
+      case None => versions(name).reverseIterator
+        .exists(v => manifest(name, v).meta.get("batch").contains(tok))
+    }
+  }
+
+  /** The meta a token-carrying commit records: the display token plus
+    * the sink's advanced high-water entry. */
+  private def tokenMeta(batchToken: Option[String]): Map[String, String] =
+    batchToken.map { tok =>
+      val (sink, id) = parseBatchToken(tok)
+      Map("batch" -> tok, txnKey(sink) -> id.toString)
+    }.getOrElse(Map.empty)
+
   /** Migrate a plain (unversioned) table dir in place: its files become
     * the shared data tree and version 1's manifest lists them all. The
     * partition layout is inferred from the hive dir structure. */
@@ -900,9 +956,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def overwriteVersioned(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Long = {
     migrateIfPlain(name)
-    val next = versions(name).lastOption.getOrElse(0L) + 1
+    val prior = versions(name).lastOption
+    val next = prior.getOrElse(0L) + 1
     val rels = stage(name, df, partitionBy, next)
     val meta = Map("op" -> "overwrite") ++
+      prior.map(v => carriedTxn(manifest(name, v))).getOrElse(Map.empty) ++
       (if (rels.isEmpty) emptyMeta(df) else Map.empty)
     commitOrClean(name, TableManifest(next, partitionBy, meta, rels), rels)
     refreshIndex(name)
@@ -910,12 +968,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   }
 
   /** Append that RETAINS history: new files join the current manifest's
-    * in version N+1. With `batchToken` set, a token that some retained
-    * manifest already carries makes the call a NO-OP returning the
-    * existing version — the replay-idempotent sink contract Structured
-    * Streaming's foreachBatch re-delivery assumes (a crashed writer
-    * either committed its manifest or left invisible orphans; there is
-    * no half-applied state). */
+    * in version N+1. With `batchToken` set ("<sinkId>#<batchId>"), a
+    * batch at or below the sink's committed high-water makes the call a
+    * NO-OP returning the current version — the replay-idempotent sink
+    * contract Structured Streaming's foreachBatch re-delivery assumes
+    * (a crashed writer either committed its manifest or left invisible
+    * orphans; there is no half-applied state). The high-water registry
+    * rides EVERY commit's meta, so the probe is one current-manifest
+    * lookup and idempotence survives [[vacuum]]. */
   def appendVersioned(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, evolveSchema: Boolean = false,
       batchToken: Option[String] = None): Long = {
@@ -924,24 +984,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // table-creating first append: the batch token must still ride the
       // commit, or a replay of batch 0 after a restart would double-write
       val rels = stage(name, df, partitionBy, 1)
-      val meta = Map("op" -> "append") ++ batchToken.map("batch" -> _).toMap ++
+      val meta = Map("op" -> "append") ++ tokenMeta(batchToken) ++
         (if (rels.isEmpty) emptyMeta(df) else Map.empty)
       commitOrClean(name, TableManifest(1, partitionBy, meta, rels), rels)
       refreshIndex(name)
       return 1L
     }
-    batchToken.foreach { tok =>
-      versions(name).reverseIterator.foreach { v =>
-        if (manifest(name, v).meta.get("batch").contains(tok))
-          return currentVersion(name)
-      }
-    }
     val m = currentManifest(name)
+    batchToken.foreach { tok =>
+      if (batchAlreadyCommitted(m, name, tok)) return m.version
+    }
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
     requireManifestLayout(name, partitionBy, m)
     val current = readVersion(name, m.version)
     val next = m.version + 1
-    val tokMeta = batchToken.map("batch" -> _).toMap
+    val tokMeta = carriedTxn(m) ++ tokenMeta(batchToken)
     if (!schemaMatches(current, df, pb)) {
       if (!evolveSchema) failSchemaDrift(name, current, df, pb)
       val evolved = current.unionByName(df, allowMissingColumns = true)
@@ -962,12 +1019,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   }
 
   /** Replay-idempotent micro-batch append: the streaming sink's entry
-    * point. A `batchToken` that some retained manifest already carries
-    * makes the call a no-op — Structured Streaming may re-deliver a
-    * micro-batch after restart, and the sink must commit it at most
-    * once. The commit itself is the atomic manifest CAS, so there is no
-    * half-applied crash window: either the batch's manifest exists or
-    * its files are invisible orphans for [[vacuum]]. */
+    * point. `batchToken` is "<sinkId>#<batchId>" (e.g. checkpoint dir +
+    * Structured Streaming's monotonic batchId); a batch at or below the
+    * sink's high-water in the CURRENT manifest's txn registry is a
+    * no-op — Structured Streaming may re-deliver a micro-batch after
+    * restart, and the sink must commit it at most once, even across an
+    * intervening [[vacuum]]. The commit itself is the atomic manifest
+    * CAS, so there is no half-applied crash window: either the batch's
+    * manifest exists or its files are invisible orphans for
+    * [[vacuum]]. */
   def appendBatch(name: String, df: DataFrame, batchToken: String,
       partitionBy: Seq[String] = Nil): Long =
     appendVersioned(name, df, partitionBy, evolveSchema = false,
@@ -988,7 +1048,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val replaced = rels.map(TableManifest.partitionComponent).toSet
     val carried =
       m.files.filterNot(f => replaced.contains(TableManifest.partitionComponent(f)))
-    val meta = Map("op" -> "overwritePartitions") ++
+    val meta = Map("op" -> "overwritePartitions") ++ carriedTxn(m) ++
       (if (carried.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
     commitOrClean(name, TableManifest(next, partitionBy, meta, carried ++ rels), rels)
     refreshIndex(name)
@@ -1032,7 +1092,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val merged =
         Upsert.merge(target, source, keys, smartCases, insertOnly, evolveSchema)
       val rels = stage(name, merged, pb, next)
-      val meta = Map("op" -> "merge") ++
+      val meta = Map("op" -> "merge") ++ carriedTxn(m) ++
         (if (rels.isEmpty) emptyMeta(merged) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
     } else {
@@ -1047,7 +1107,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           val merged = Upsert.merge(slice, source, keys, smartCases, insertOnly)
           stage(name, merged, pb, next)
         }
-      val meta = Map("op" -> "merge") ++
+      val meta = Map("op" -> "merge") ++ carriedTxn(m) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
     }
@@ -1075,7 +1135,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val keep = t.filter(!hit)
       val removed = t.count() - keep.count()
       val rels = stage(name, keep, pb, next)
-      val meta = Map("op" -> "delete") ++
+      val meta = Map("op" -> "delete") ++ carriedTxn(m) ++
         (if (rels.isEmpty) emptyMeta(keep) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
       refreshIndex(name)
@@ -1096,7 +1156,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           slice.unpersist()
           out
         }
-      val meta = Map("op" -> "delete") ++
+      val meta = Map("op" -> "delete") ++ carriedTxn(m) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(t) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
       refreshIndex(name)
@@ -1147,11 +1207,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * remain retained until [[vacuum]]). */
   def restore(name: String, version: Long): Long = {
     val src = manifest(name, version)
-    val next = currentVersion(name) + 1
-    commitManifest(name, TableManifest(next, src.partitionBy,
-      (src.meta - "batch") +
-        ("op" -> "restore") + ("restoredFrom" -> version.toString),
-      src.files))
+    val cur = currentManifest(name)
+    val next = cur.version + 1
+    // restore rewinds TABLE STATE, never sink progress: the txn
+    // high-water map is monotonic per sink, so it carries from the
+    // CURRENT manifest — a restored-then-replayed micro-batch must
+    // still be a no-op
+    val meta = src.meta.filterNot { case (k, _) =>
+      k == "batch" || k.startsWith(TxnPrefix)
+    } ++ carriedTxn(cur) +
+      ("op" -> "restore") + ("restoredFrom" -> version.toString)
+    commitManifest(name, TableManifest(next, src.partitionBy, meta, src.files))
     refreshIndex(name)
     next
   }

@@ -29,7 +29,11 @@ final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   *   - `placeholder` — the version is EMPTY and its single file exists
   *     only to preserve the schema (never carried into later versions);
   *   - `batch` — the streaming micro-batch token that committed this
-  *     version (replay idempotence: a token commits at most once);
+  *     version (audit display; `history()`'s batch column);
+  *   - `txn.<sinkId>` — the exactly-once registry: the sink's highest
+  *     committed batchId, carried forward verbatim on EVERY commit so
+  *     a replay probe is one lookup in the current manifest and
+  *     idempotence survives vacuum (Delta's `txn` action);
   *   - `migrated` — this version absorbed a pre-existing unversioned dir.
   */
 final case class TableManifest(version: Long, partitionBy: Seq[String],

@@ -148,6 +148,70 @@ class StreamingSpec extends SparkSpec {
     assert(cat.read("ev").count() == 2, "creating-batch replay must not duplicate")
   }
 
+  test("replay idempotence survives vacuum(keep=1): the txn registry rides the current manifest") {
+    val root = java.nio.file.Files.createTempDirectory("replay-vac").toString
+    val cat = new graft.storage.ParquetCatalog(spark, root)
+    cat.appendBatch("ev", Seq((1L, 1.0)).toDF("event_id", "value"), "ckpt#0")
+    cat.appendBatch("ev", Seq((2L, 2.0)).toDF("event_id", "value"), "ckpt#1")
+    // retention drops every manifest but the newest — the old probe
+    // (sweep retained manifests for the token) would forget batch 1 here
+    cat.vacuum("ev", keep = 1, minAgeMs = 0L)
+    assert(cat.versions("ev") == Seq(2L))
+    val before = cat.currentVersion("ev")
+    val v = cat.appendBatch("ev", Seq((2L, 2.0)).toDF("event_id", "value"), "ckpt#1")
+    assert(v == before, "post-vacuum replay must not commit")
+    assert(cat.read("ev").count() == 2, "post-vacuum replay must not duplicate")
+    // an intervening non-append commit must also carry the registry
+    cat.deleteVersioned("ev", col("event_id") === 99L)
+    val v2 = cat.appendBatch("ev", Seq((2L, 2.0)).toDF("event_id", "value"), "ckpt#1")
+    assert(v2 == cat.currentVersion("ev") && cat.read("ev").count() == 2,
+      "registry must survive a delete commit")
+  }
+
+  test("replay probe is one current-manifest lookup, not an O(versions) sweep") {
+    val root = java.nio.file.Files.createTempDirectory("replay-o1")
+    val cat = new graft.storage.ParquetCatalog(spark, root.toString)
+    val b = Seq((1L, 1.0)).toDF("event_id", "value")
+    cat.appendBatch("ev", b, "ckpt#0")
+    cat.appendBatch("ev", Seq((2L, 2.0)).toDF("event_id", "value"), "ckpt#1")
+    cat.appendBatch("ev", Seq((3L, 3.0)).toDF("event_id", "value"), "ckpt#2")
+    // corrupt every NON-current manifest: a probe that parses them throws
+    val vd = root.resolve(".versions").resolve("ev")
+    cat.versions("ev").dropRight(1).foreach { v =>
+      java.nio.file.Files.writeString(vd.resolve(s"v$v.manifest"), "garbage")
+    }
+    val cur = cat.currentVersion("ev")
+    // replay of an OLD batch: high-water (2) >= 1 answers from the
+    // current manifest alone — touching v1/v2 would blow up
+    assert(cat.appendBatch("ev", b, "ckpt#1") == cur)
+    assert(cat.read("ev").count() == 3)
+  }
+
+  test("legacy tables without a txn registry fall back to the manifest sweep once") {
+    val root = java.nio.file.Files.createTempDirectory("replay-legacy")
+    val cat = new graft.storage.ParquetCatalog(spark, root.toString)
+    cat.appendBatch("ev", Seq((1L, 1.0)).toDF("event_id", "value"), "ckpt#0")
+    cat.appendBatch("ev", Seq((2L, 2.0)).toDF("event_id", "value"), "ckpt#1")
+    // strip the registry from every manifest — the on-disk state a
+    // pre-registry writer left behind (meta.batch tokens only)
+    val vd = root.resolve(".versions").resolve("ev")
+    cat.versions("ev").foreach { v =>
+      val p = vd.resolve(s"v$v.manifest")
+      val stripped = java.nio.file.Files.readString(p).split('\n')
+        .filterNot(_.startsWith("meta.txn.")).mkString("\n")
+      java.nio.file.Files.writeString(p, stripped)
+    }
+    val cur = cat.currentVersion("ev")
+    // replay resolves through the legacy batch-token sweep
+    assert(cat.appendBatch("ev", Seq((2L, 2.0)).toDF("event_id", "value"),
+      "ckpt#1") == cur)
+    assert(cat.read("ev").count() == 2)
+    // and a new batch's commit re-establishes the registry
+    cat.appendBatch("ev", Seq((3L, 3.0)).toDF("event_id", "value"), "ckpt#2")
+    val m = cat.manifest("ev", cat.currentVersion("ev"))
+    assert(m.meta.exists(_._1.startsWith("txn.")), m.meta.toString)
+  }
+
   test("merge sink replay: re-upserting an identical batch is a content no-op") {
     val cat = new graft.storage.ParquetCatalog(spark,
       java.nio.file.Files.createTempDirectory("replay-merge").toString)
