@@ -585,12 +585,68 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     try !s.iterator().hasNext finally s.close()
   }
 
-  /** S8 latest-partition slice: max over the partition column, then a
-    * partition-pruned equality scan. */
+  /** S8 latest-partition slice. When the table is partitioned by
+    * `partitionCol`, RESOLUTION IS METADATA-ONLY: the greatest partition
+    * value comes from the manifest's partition components (versioned) or
+    * the hive dir listing (in-place) — zero data files opened, zero
+    * Spark jobs — and the returned frame is a statically partition-
+    * pruned equality scan of just that slice. At 100 TB the old shape
+    * (max() over the full column, then the filter) read the whole table
+    * to find yesterday. Unpartitioned tables (or a non-partition
+    * column) keep the scan-based fallback — there is no metadata to
+    * answer from. */
   def latestPartition(name: String, partitionCol: String): DataFrame = {
     val t = read(name)
-    val mx = t.select(max(col(partitionCol))).head().get(0)
-    t.filter(col(partitionCol) === lit(mx))
+    latestPartitionValue(name, partitionCol) match {
+      case Some(s) =>
+        // the dir string casts back to the column's read type exactly —
+        // partition values ARE these strings (Spark's own rendering)
+        t.filter(col(partitionCol) === lit(s).cast(t.schema(partitionCol).dataType))
+      case None =>
+        val mx = t.select(max(col(partitionCol))).head().get(0)
+        t.filter(col(partitionCol) === lit(mx))
+    }
+  }
+
+  /** The greatest live value of partition column `partitionCol` as its
+    * hive dir string, resolved from METADATA ONLY (manifest entries or
+    * the dir tree — no data files, no Spark job). None when the table
+    * is not partitioned by the column, or only the null partition
+    * exists. Ordering mirrors the column's logical order: numeric
+    * renderings compare numerically (ints/doubles don't zero-pad), and
+    * date/timestamp renderings are ISO strings, where lexicographic IS
+    * chronological. */
+  def latestPartitionValue(name: String, partitionCol: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def valueOf(component: String): Option[String] =
+      component.split('/').iterator.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) None
+        else if (ExternalCatalogUtils.unescapePathName(seg.take(i)) != partitionCol) None
+        else Some(seg.drop(i + 1))
+      }.nextOption()
+    val raw: Seq[String] =
+      if (isVersioned(name)) {
+        val m = currentManifest(name)
+        if (!m.partitionBy.contains(partitionCol)) return None
+        m.files.flatMap(f => valueOf(TableManifest.partitionComponent(f)))
+      } else {
+        if (!diskLayout(name).contains(partitionCol)) return None
+        val s = Files.walk(tableDir(name))
+        try s.iterator().asScala.filter(Files.isDirectory(_))
+          .flatMap(p => valueOf(tableDir(name).relativize(p).toString))
+          .toSeq
+        finally s.close()
+      }
+    val vals = raw.distinct
+      .filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+      .map(ExternalCatalogUtils.unescapePathName)
+    if (vals.isEmpty) None
+    else if (vals.forall(v => scala.util.Try(v.toLong).isSuccess))
+      Some(vals.maxBy(_.toLong))
+    else if (vals.forall(v => scala.util.Try(v.toDouble).isSuccess))
+      Some(vals.maxBy(_.toDouble))
+    else Some(vals.max)
   }
 
   /** Compaction: rewrite the table into ~`rowsPerFile`-row files. Every

@@ -433,6 +433,65 @@ class CatalogSpec extends SparkSpec {
     assert(e3.getMessage.contains("day: date->timestamp"), e3.getMessage)
   }
 
+  test("latestPartitionValue resolves from metadata alone on both tiers") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-lpv")
+    val cat = new ParquetCatalog(spark, root.toString)
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0),
+      (3L, "2024-01-03", 3.0)).toDF("id", "day", "m")
+    cat.overwrite("t", df, Seq("day"))
+    cat.overwriteVersioned("u", df, Seq("day"))
+    // corrupt EVERY data file: any resolution path that opens one blows up
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .foreach(p => Files.writeString(p, "garbage"))
+    finally s.close()
+    assert(cat.latestPartitionValue("t", "day") === Some("2024-01-03"))
+    assert(cat.latestPartitionValue("u", "day") === Some("2024-01-03"))
+    // a non-partition column has no metadata to answer from
+    assert(cat.latestPartitionValue("t", "m") === None)
+    assert(cat.latestPartitionValue("u", "m") === None)
+  }
+
+  test("latestPartition orders numeric partitions numerically and prunes the scan") {
+    val lpRoot = Files.createTempDirectory("graft-lpn")
+    val cat = new ParquetCatalog(spark, lpRoot.toString)
+    // bucket 10 > bucket 9 numerically; "10" < "9" lexicographically
+    val df = (1 to 30).map(i => (i.toLong, i % 3 match {
+      case 0 => 2 case 1 => 9 case 2 => 10
+    }, i * 1.0)).toDF("id", "bucket", "m")
+    cat.overwrite("t", df, Seq("bucket"))
+    assert(cat.latestPartitionValue("t", "bucket") === Some("10"))
+    val slice = cat.latestPartition("t", "bucket")
+    val got = slice.select("id").as[Long].collect().sorted
+    assert(got === (1 to 30).filter(_ % 3 == 2).map(_.toLong).toArray)
+    // the equality filter statically prunes: the scan opens only the
+    // latest partition's files
+    slice.collect()
+    val scan = slice.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val latestFiles = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(lpRoot.resolve("t").resolve("bucket=10"))
+      try st.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      finally st.close()
+    }
+    assert(scan.metrics("numFiles").value === latestFiles,
+      s"scan opened ${scan.metrics("numFiles").value} files, latest partition has $latestFiles")
+    // null partition values are ignored by resolution
+    val withNull = Seq((99L, null.asInstanceOf[String], 9.9), (100L, "d2", 1.0))
+      .toDF("id", "day", "m")
+    cat.overwrite("n", withNull, Seq("day"))
+    assert(cat.latestPartitionValue("n", "day") === Some("d2"))
+    // versioned tier: same numeric ordering through manifest entries
+    cat.overwriteVersioned("v", df, Seq("bucket"))
+    assert(cat.latestPartitionValue("v", "bucket") === Some("10"))
+    assert(cat.latestPartition("v", "bucket").count() === 10)
+  }
+
   test("merge match probe is index-pruned to the delta's key range") {
     import graft.storage.SkippingIndex
     val root = Files.createTempDirectory("graft-ipm").toString
