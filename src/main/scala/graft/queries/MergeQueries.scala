@@ -698,7 +698,7 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  ) ++ Seq(k16, k17, k18)
+  ) ++ Seq(k16, k17, k18, k19)
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table
@@ -830,6 +830,55 @@ object MergeQueries {
              CAST(0 AS BIGINT) AS replay_committed
       FROM events
       GROUP BY 1 ORDER BY event_type"""))
+
+  /** Metadata-only schema evolution through the ORACLE gate (k19): a
+    * versioned table built WITHOUT a column receives an add-column
+    * append under `evolveSchema = true`. The commit must re-reference
+    * 100 % of the prior files (zero bytes rewritten — `carried_all`
+    * pins it) and the union read must yield NULL for the added column
+    * on every pre-evolution row (`n_with_priority` counts non-nulls,
+    * which the oracle recomputes from the parity split). Delta's
+    * metadata-only ADD COLUMN on the manifest catalog
+    * (bronze_to_silver_transformation.py:915-941's drift tolerance,
+    * done as a metadata commit instead of a rewrite). */
+  private lazy val k19 = Q(
+    "k19_versioned_evolution",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_evo_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+        val base = o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_e", base, Seq("o_orderstatus"))
+        val withPriority = o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+        val v2 = cat.appendVersioned("orders_e", withPriority, evolveSchema = true)
+        val v1Files = cat.manifestFiles("orders_e", 1).toSet
+        val carriedAll =
+          if (v1Files.forall(cat.manifestFiles("orders_e", v2).contains)) 1 else 0
+        Files.writeString(marker, carriedAll.toString)
+      }
+      val carriedAll = Files.readString(marker).trim.toLong
+      cat.read("orders_e")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+        .withColumn("carried_all", lit(carriedAll))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             COUNT(CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END)
+               AS n_with_priority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(1 AS BIGINT) AS carried_all
+      FROM orders
+      GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** (relative path, size, mtime) fingerprints of every data file,
     * keyed by top-level hive partition dir — the byte-identity probe

@@ -3,7 +3,7 @@ package graft.storage
 import graft.operators.Upsert
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
@@ -153,10 +153,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val cand =
         if (SkippingIndex.existsAt(sp)) SkippingIndex.candidateFilesAt(sp, abs, preds)
         else abs
+      val reader = recordedSchema(m).fold(spark.read)(spark.read.schema)
       val base =
         if (cand.isEmpty) readVersion(name, m.version).limit(0)
-        else if (m.partitionBy.isEmpty) spark.read.parquet(cand: _*)
-        else spark.read.option("basePath", dataDir(name).toString).parquet(cand: _*)
+        else if (m.partitionBy.isEmpty) reader.parquet(cand: _*)
+        else reader.option("basePath", dataDir(name).toString).parquet(cand: _*)
       preds.foldLeft(base) { case (df, (c, lo, hi)) =>
         df.filter(col(c) >= lo && col(c) <= hi)
       }
@@ -212,11 +213,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     *
     * The incoming frame's schema must match the table's (names + types;
     * order and nullability are free): a drifted frame would append
-    * silently and only break at read time. `evolveSchema = true` routes
-    * drift through an explicit union-by-name rewrite instead — columns
-    * may be added or dropped (o6's union-by-name discipline: missing
-    * columns fill with null on either side); a TYPE change still fails
-    * loudly. */
+    * silently and only break at read time. `evolveSchema = true` admits
+    * added/dropped columns instead (o6's union-by-name discipline:
+    * missing columns fill with null on either side) — on the in-place
+    * tier via an explicit union-by-name rewrite, on the versioned tier
+    * as a METADATA-ONLY commit that re-references every prior file and
+    * records the union schema (see [[appendVersioned]]); a TYPE change
+    * still fails loudly. */
   def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
       evolveSchema: Boolean = false): Unit = {
     if (isVersioned(name)) { appendVersioned(name, df, partitionBy, evolveSchema); return }
@@ -492,25 +495,27 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * the full table when unindexed. */
   private def readRangeWithNulls(name: String, key: String,
       lo: Double, hi: Double): DataFrame = {
-    val (sp, abs, partitioned) =
+    val (sp, abs, partitioned, schema) =
       if (isVersioned(name)) {
         val m = currentManifest(name)
         (statsPath(name),
           m.files.map(f => versionsDir(name).resolve(f).toString),
-          m.partitionBy.nonEmpty && m.files.nonEmpty)
+          m.partitionBy.nonEmpty && m.files.nonEmpty,
+          recordedSchema(m))
       } else {
         val dir = tableDir(name)
         (dir.resolve("_graft_stats.json"), SkippingIndex.listFiles(dir.toString),
-          hasPartitionDirs(name))
+          hasPartitionDirs(name), None)
       }
     if (!SkippingIndex.existsAt(sp)) return read(name)
     val cand = SkippingIndex.candidateFilesAt(sp, abs, Seq((key, lo, hi)),
       keepNullsOf = Some(key))
+    val reader = schema.fold(spark.read)(spark.read.schema)
     if (cand.isEmpty) read(name).limit(0)
     else if (partitioned) {
       val base = if (isVersioned(name)) dataDir(name) else tableDir(name).toRealPath()
-      spark.read.option("basePath", base.toString).parquet(cand: _*)
-    } else spark.read.parquet(cand: _*)
+      reader.option("basePath", base.toString).parquet(cand: _*)
+    } else reader.parquet(cand: _*)
   }
 
   /** Collect one small distinct frame of partition tuples as
@@ -816,7 +821,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * resolved against the shared data tree. Write-once data files mean
     * a retained reader is never invalidated by later commits. An empty
     * version (zero files) reads as an empty frame with the schema the
-    * manifest recorded. */
+    * manifest recorded. A version whose manifest RECORDS a schema (a
+    * metadata-only evolution happened at or before it) reads its
+    * possibly-heterogeneous files under that schema — parquet resolves
+    * columns by name, files missing a column yield nulls. */
   def readVersion(name: String, version: Long): DataFrame = {
     val m = manifest(name, version)
     if (m.files.isEmpty) {
@@ -824,14 +832,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         throw new IllegalStateException(
           s"version $version of $name has no files and no recorded schema"))
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        StructType.fromDDL(ddl))
     }
     val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
+    val reader = recordedSchema(m).fold(spark.read)(spark.read.schema)
     if (m.partitionBy.isEmpty)
-      spark.read.parquet(abs: _*)
+      reader.parquet(abs: _*)
     else
-      spark.read.option("basePath", dataDir(name).toString).parquet(abs: _*)
+      reader.option("basePath", dataDir(name).toString).parquet(abs: _*)
   }
+
+  /** The schema a manifest recorded for its (possibly heterogeneous)
+    * file set, when one was recorded. */
+  private def recordedSchema(m: TableManifest): Option[StructType] =
+    if (m.files.isEmpty) None
+    else m.meta.get("schema").map(StructType.fromDDL)
 
   /** CAS commit: atomically create `vN.manifest` from a fully-written
     * temp file. Exactly one writer can commit a given N; the loser gets
@@ -1057,6 +1072,24 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val tokMeta = carriedTxn(m) ++ tokenMeta(batchToken)
     if (!schemaMatches(current, df, pb)) {
       if (!evolveSchema) failSchemaDrift(name, current, df, pb)
+      if (addDropOnly(current, df, pb)) {
+        // METADATA-ONLY evolution: add/drop-column drift never touches
+        // existing bytes — the commit RE-REFERENCES 100% of the prior
+        // files and records the union schema in manifest meta; readers
+        // resolve columns by name, so carried files yield nulls for the
+        // added columns (and staged files for the dropped ones). At
+        // 100 TB this is the difference between an add-column being a
+        // metadata write and a full-table rewrite.
+        val evolved = unionEvolvedSchema(current.schema, df.schema)
+        val rels = stage(name, df, pb, next)
+        val meta = Map("op" -> "append") ++ tokMeta +
+          ("schema" -> evolved.toDDL)
+        commitOrClean(name, TableManifest(next, pb, meta, m.files ++ rels), rels)
+        refreshIndex(name)
+        return next
+      }
+      // a common column changed TYPE: only a full union-by-name restage
+      // can reconcile the physical encodings (Spark widens or fails)
       val evolved = current.unionByName(df, allowMissingColumns = true)
       val rels = stage(name, evolved, pb, next)
       val meta = Map("op" -> "append") ++ tokMeta ++
@@ -1067,12 +1100,47 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
     val rels = stage(name, df, pb, next)
     val carried = m.files
-    val meta = Map("op" -> "append") ++ tokMeta ++
+    val meta = Map("op" -> "append") ++ tokMeta ++ propagatedSchema(m) ++
       (if (carried.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
     commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
     refreshIndex(name)
     next
   }
+
+  /** True when schema drift between `current` and `incoming` is purely
+    * columns added/removed — every COMMON column keeps its type (modulo
+    * the partition render exemption) and neither side duplicates a
+    * name. Only then can evolution be metadata-only; a retype needs a
+    * physical restage. */
+  private def addDropOnly(current: DataFrame, incoming: DataFrame,
+      partitionCols: Seq[String]): Boolean = {
+    val pc = partitionCols.toSet
+    val cur = current.schema.fields.map(f => f.name -> f.dataType).toMap
+    val in = incoming.schema.fields.map(f => f.name -> f.dataType).toMap
+    current.schema.fields.length == cur.size &&
+    incoming.schema.fields.length == in.size &&
+    cur.keySet.intersect(in.keySet).forall { k =>
+      cur(k) == in(k) || (pc(k) && partitionRenderCompatible(cur(k), in(k)))
+    }
+  }
+
+  /** Union schema a metadata-only evolution records: the table's fields
+    * (their types win, incl. partition read-back types) plus incoming-
+    * only fields, everything nullable — absent columns read as null on
+    * whichever side lacks them, parquet's name-based resolution. */
+  private def unionEvolvedSchema(current: StructType,
+      incoming: StructType): StructType = {
+    val have = current.fieldNames.toSet
+    StructType((current.fields ++
+      incoming.fields.filterNot(f => have(f.name))).map(_.copy(nullable = true)))
+  }
+
+  /** A commit that CARRIES files forward must also carry the recorded
+    * union schema: carried files may predate an evolution and lack its
+    * columns, so dropping the schema would hand readers a nondeterministic
+    * single-footer schema. */
+  private def propagatedSchema(m: TableManifest): Map[String, String] =
+    m.meta.get("schema").map("schema" -> _).toMap
 
   /** Replay-idempotent micro-batch append: the streaming sink's entry
     * point. `batchToken` is "<sinkId>#<batchId>" (e.g. checkpoint dir +
@@ -1105,6 +1173,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val carried =
       m.files.filterNot(f => replaced.contains(TableManifest.partitionComponent(f)))
     val meta = Map("op" -> "overwritePartitions") ++ carriedTxn(m) ++
+      propagatedSchema(m) ++
       (if (carried.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
     commitOrClean(name, TableManifest(next, partitionBy, meta, carried ++ rels), rels)
     refreshIndex(name)
@@ -1163,7 +1232,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           val merged = Upsert.merge(slice, source, keys, smartCases, insertOnly)
           stage(name, merged, pb, next)
         }
-      val meta = Map("op" -> "merge") ++ carriedTxn(m) ++
+      val meta = Map("op" -> "merge") ++ carriedTxn(m) ++ propagatedSchema(m) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
     }
@@ -1212,7 +1281,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           slice.unpersist()
           out
         }
-      val meta = Map("op" -> "delete") ++ carriedTxn(m) ++
+      val meta = Map("op" -> "delete") ++ carriedTxn(m) ++ propagatedSchema(m) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(t) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
       refreshIndex(name)

@@ -345,6 +345,56 @@ class TimeTravelSpec extends SparkSpec {
     assert(cat.readVersion("t", 1).count() == 3)
   }
 
+  test("schema evolution is metadata-only: add-column append re-references 100% of prior files") {
+    val (cat, _) = fresh()
+    val base = Seq((1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d1", 3.0))
+      .toDF("id", "day", "m")
+    cat.overwriteVersioned("t", base, Seq("day"))
+    val v1Files = cat.manifestFiles("t", 1).toSet
+    // add a column: zero bytes of the prior files move
+    val withNew = Seq((4L, "d3", 4.0, "x")).toDF("id", "day", "m", "tag")
+    val v2 = cat.appendVersioned("t", withNew, evolveSchema = true)
+    val v2Files = cat.manifestFiles("t", v2)
+    assert(v1Files.forall(v2Files.contains),
+      "an add-column commit must re-reference every prior file")
+    assert(v1Files.subsetOf(v2Files.toSet) && v2Files.size > v1Files.size)
+    // carried files read null for the added column; new rows carry it
+    val cur = cat.read("t").orderBy("id")
+      .select("id", "day", "m", "tag")
+      .as[(Long, String, Double, Option[String])].collect()
+    assert(cur === Seq((1L, "d1", 1.0, None), (2L, "d2", 2.0, None),
+      (3L, "d1", 3.0, None), (4L, "d3", 4.0, Some("x"))))
+    // time travel: version 1 keeps its original (pre-evolution) schema
+    assert(cat.readVersion("t", 1).columns.toSet === Set("id", "day", "m"))
+    // a DROPPED column also evolves metadata-only: staged files simply
+    // lack it and read back null
+    val dropped = Seq((5L, "d1", "y")).toDF("id", "day", "tag")
+    val v3 = cat.appendVersioned("t", dropped, evolveSchema = true)
+    assert(v2Files.forall(cat.manifestFiles("t", v3).contains))
+    val r5 = cat.read("t").filter(col("id") === 5L)
+      .select("m", "tag").as[(Option[Double], Option[String])].head()
+    assert(r5 === ((None, Some("y"))))
+    // subsequent CARRYING commits keep the union schema readable:
+    // a partition-scoped merge touching one partition...
+    cat.upsertVersioned("t", Seq((2L, "d2", 20.0, "z")).toDF("id", "day", "m", "tag"),
+      Seq("id"), partitionBy = Seq("day"))
+    val afterMerge = cat.read("t").orderBy("id")
+      .select("id", "m", "tag").as[(Long, Option[Double], Option[String])].collect()
+    assert(afterMerge === Seq((1L, Some(1.0), None), (2L, Some(20.0), Some("z")),
+      (3L, Some(3.0), None), (4L, Some(4.0), Some("x")), (5L, None, Some("y"))))
+    // ...and a partition-scoped delete
+    cat.deleteVersioned("t", col("id") === 3L, Seq("day"))
+    assert(cat.read("t").count() === 4)
+    assert(cat.read("t").columns.toSet === Set("id", "day", "m", "tag"))
+    // a TYPE change still takes the physical restage path (no carried files)
+    val retyped = Seq((6, "d1", 6.0, "w")).toDF("id", "day", "m", "tag")
+      .withColumn("id", col("id").cast("int"))
+    val vRe = cat.appendVersioned("t", retyped, evolveSchema = true)
+    assert(cat.manifestFiles("t", vRe).intersect(v2Files).isEmpty,
+      "a retype must restage, not re-reference")
+    assert(cat.read("t").count() === 5)
+  }
+
   test("a crashed migration (data moved, manifest never committed) recovers") {
     val (cat, root) = fresh()
     cat.overwrite("t", Seq((1L, "d1", 1.0), (2L, "d2", 2.0))
