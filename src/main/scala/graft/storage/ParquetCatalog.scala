@@ -1380,14 +1380,24 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   /** Retention: drop all but the newest `keep` versions' manifests,
     * then delete data files REFERENCE-COUNTED — a file is removable
     * only when no retained manifest lists it (version sharing means a
-    * file may back many versions). `minAgeMs` guards the orphan sweep
-    * against an in-flight commit whose files are staged but whose
-    * manifest is not yet visible: younger unreferenced files are left
-    * alone (Delta's retention-window discipline; 0 is fine under a
-    * single writer). Also sweeps stray `.tmp-`/`.old-`/`.stage-`
-    * debris a crashed writer may have left. Returns manifests + debris
-    * entries removed. */
-  def vacuum(name: String, keep: Int = 1, minAgeMs: Long = 0L): Int = {
+    * file may back many versions). Two guards protect CONCURRENT
+    * writers (Delta's retention-window discipline):
+    *
+    *   - `minAgeMs` (default 20 min): an in-flight commit moves fully-
+    *     written files into `data/` BEFORE its manifest becomes
+    *     visible; in that window they are indistinguishable from a
+    *     crashed writer's orphans. Younger unreferenced files are left
+    *     alone. Pass 0 only when no other writer can be mid-commit.
+    *   - manifests are RE-LISTED after the dead-file scan: a commit
+    *     that landed while the scan walked the data tree re-references
+    *     files the scan deemed dead; anything such a late manifest
+    *     lists is dropped from the kill set before deletion.
+    *
+    * Also sweeps stray `.tmp-`/`.old-`/`.stage-` debris a crashed
+    * writer may have left. Returns manifests + debris entries
+    * removed. */
+  def vacuum(name: String, keep: Int = 1,
+      minAgeMs: Long = ParquetCatalog.DefaultVacuumMinAgeMs): Int = {
     require(keep >= 1, "must keep at least the current version")
     var removed = 0
     val vs = versions(name)
@@ -1402,13 +1412,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       if (Files.isDirectory(dd)) {
         val now = System.currentTimeMillis()
         val s = Files.walk(dd)
-        val dead =
+        val candidates =
           try s.iterator().asScala
             .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
             .filter(p => !referenced.contains(vd.relativize(p).toString))
             .filter(p => now - Files.getLastModifiedTime(p).toMillis >= minAgeMs)
             .toList
           finally s.close()
+        // close the scan window: a manifest committed since the first
+        // listing may reference candidate files — re-read the live
+        // manifest set and spare anything it lists
+        val lateReferenced = versions(name)
+          .flatMap(v => manifest(name, v).files).toSet
+        val dead = candidates.filterNot(p =>
+          lateReferenced.contains(vd.relativize(p).toString))
         dead.foreach(Files.delete)
         pruneEmptyDirs(dd)
       }
@@ -1460,4 +1477,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
     finally s.close()
   }
+}
+
+object ParquetCatalog {
+  /** [[ParquetCatalog.vacuum]]'s default orphan-sweep age floor: long
+    * enough for any live writer's stage→commit window, short enough
+    * that crashed-writer debris doesn't linger across a daily
+    * retention job. */
+  val DefaultVacuumMinAgeMs: Long = 20L * 60 * 1000
 }

@@ -83,7 +83,7 @@ class TimeTravelSpec extends SparkSpec {
       cat.overwriteVersioned("t", Seq((v.toLong, s"gen$v")).toDF("id", "gen"))
     }
     Files.createDirectory(Paths.get(root, ".tmp-crashed-123")) // fake debris
-    val removed = cat.vacuum("t", keep = 2)
+    val removed = cat.vacuum("t", keep = 2, minAgeMs = 0L)
     assert(removed == 3) // v1, v2 manifests, and the debris dir
     assert(cat.versions("t") == Seq(3L, 4L))
     assert(cat.read("t").head().getString(1) == "gen4")
@@ -165,7 +165,7 @@ class TimeTravelSpec extends SparkSpec {
     val keepFiles = (cat.manifestFiles("t", 2) ++ cat.manifestFiles("t", 3)).toSet
     val dropOnly = cat.manifestFiles("t", 1).toSet -- keepFiles
     assert(dropOnly.nonEmpty, "v1 must own some unshared files")
-    cat.vacuum("t", keep = 2)
+    cat.vacuum("t", keep = 2, minAgeMs = 0L)
     // files referenced by ANY retained version survive...
     keepFiles.foreach { f =>
       assert(Files.exists(Paths.get(root, ".versions", "t").resolve(f)),
@@ -193,7 +193,7 @@ class TimeTravelSpec extends SparkSpec {
     assert(cat.readVersion("t", 1).filter(col("id") === 2)
       .select("m").head().getDouble(0) == 2.0)
     // dropping v1 must not damage v2's shared (re-referenced) d1 files
-    cat.vacuum("t", keep = 1)
+    cat.vacuum("t", keep = 1, minAgeMs = 0L)
     assert(cat.versions("t") == Seq(2L))
     assert(cat.read("t").select($"id", $"day".cast("string"), $"m")
       .orderBy("id").as[(Long, String, Double)].collect()
@@ -343,6 +343,115 @@ class TimeTravelSpec extends SparkSpec {
       === Seq("overwrite", "overwritePartitions"))
     // old version keeps the original d2 rows
     assert(cat.readVersion("t", 1).count() == 3)
+  }
+
+  test("vacuum's min-age guard spares an in-flight commit's staged files") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, "a")).toDF("id", "gen"))
+    cat.overwriteVersioned("t", Seq((2L, "b")).toDF("id", "gen"))
+    // an in-flight writer has moved a fully-written file into data/ but
+    // not yet committed its manifest — indistinguishable from an orphan
+    val dd = Paths.get(root, ".versions", "t", "data")
+    val inflight = dd.resolve("v3-deadbeef-part-inflight.parquet")
+    Files.writeString(inflight, "staged-not-yet-committed")
+    // default min-age: the young file SURVIVES the orphan sweep
+    cat.vacuum("t", keep = 1)
+    assert(Files.exists(inflight), "a young unreferenced file must survive")
+    // a genuinely dead file (older than the window) is swept
+    Files.setLastModifiedTime(inflight,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 24L * 3600 * 1000))
+    cat.vacuum("t", keep = 1)
+    assert(!Files.exists(inflight), "an old orphan must be swept")
+  }
+
+  test("vacuum concurrent with a committing writer never corrupts the committed version") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((0L, 0.0)).toDF("id", "m"))
+    val writer = new Thread(() => {
+      val wcat = new ParquetCatalog(spark, root)
+      (1 to 6).foreach { i =>
+        wcat.appendVersioned("t", Seq((i.toLong, i * 1.0)).toDF("id", "m"))
+      }
+    })
+    val vac = new Thread(() => {
+      val vcat = new ParquetCatalog(spark, root)
+      (1 to 12).foreach { _ =>
+        vcat.vacuum("t", keep = 1) // default min-age guards staged files
+        Thread.sleep(5)
+      }
+    })
+    writer.start(); vac.start(); writer.join(60000); vac.join(60000)
+    // every committed row is present exactly once: vacuum never deleted
+    // a file a commit was about to (or did) reference
+    assert(cat.read("t").select($"id").as[Long].collect().sorted
+      === (0L to 6L).toArray)
+    cat.vacuum("t", keep = 1, minAgeMs = 0L)
+    assert(cat.read("t").count() === 7)
+  }
+
+  test("manifest CAS protects non-merge verbs: appendBatch vs upsert race loses loudly") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 1.0)).toDF("id", "m"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var conflicts = 0
+    def retrying(body: => Unit): Unit = {
+      var done = false
+      while (!done)
+        try { body; done = true }
+        catch { case _: ConcurrentWriteException =>
+          conflicts += 1 }
+    }
+    val a = new Thread(() => {
+      val c = new ParquetCatalog(spark, root)
+      barrier.await()
+      retrying(c.appendBatch("t", Seq((2L, 2.0)).toDF("id", "m"), "race#0"))
+    })
+    val b = new Thread(() => {
+      val c = new ParquetCatalog(spark, root)
+      barrier.await()
+      retrying { c.upsertVersioned("t", Seq((3L, 3.0)).toDF("id", "m"), Seq("id")); () }
+    })
+    a.start(); b.start(); a.join(60000); b.join(60000)
+    // both effects landed exactly once, version chain gapless
+    assert(cat.read("t").select($"id").as[Long].collect().sorted === Array(1L, 2L, 3L))
+    val vs = cat.versions("t")
+    assert(vs === (vs.head to vs.last), s"gapless chain expected: $vs")
+    // and the replayed batch token still answers from the final state
+    val cur = cat.currentVersion("t")
+    assert(cat.appendBatch("t", Seq((2L, 2.0)).toDF("id", "m"), "race#0") === cur)
+  }
+
+  test("restore racing a writer is CAS-safe: one wins, the other retries") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, "v1")).toDF("id", "gen"))
+    cat.overwriteVersioned("t", Seq((1L, "v2")).toDF("id", "gen"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val a = new Thread(() => {
+      val c = new ParquetCatalog(spark, root)
+      barrier.await()
+      var done = false
+      while (!done)
+        try { c.restore("t", 1); done = true }
+        catch { case _: ConcurrentWriteException => }
+    })
+    val b = new Thread(() => {
+      val c = new ParquetCatalog(spark, root)
+      barrier.await()
+      var done = false
+      while (!done)
+        try { c.appendVersioned("t", Seq((9L, "vx")).toDF("id", "gen")); done = true }
+        catch { case _: ConcurrentWriteException => }
+    })
+    a.start(); b.start(); a.join(60000); b.join(60000)
+    val vs = cat.versions("t")
+    assert(vs === (vs.head to vs.last), s"gapless chain expected: $vs")
+    // both commits exist in history exactly once, in SOME order
+    val ops = cat.history("t").select("operation").as[String].collect().toSeq
+    assert(ops.count(_ == "restore") === 1 && ops.count(_ == "append") === 1, ops)
+    // the table reads coherently whichever commit won the race
+    val ids = cat.read("t").select($"id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L)) || ids.sameElements(Array(1L, 9L)), ids.toSeq)
   }
 
   test("schema evolution is metadata-only: add-column append re-references 100% of prior files") {
