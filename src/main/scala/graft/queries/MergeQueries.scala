@@ -698,7 +698,7 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  ) ++ Seq(k16, k17, k18, k19)
+  ) ++ Seq(k16, k17, k18, k19, k20)
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table
@@ -879,6 +879,89 @@ object MergeQueries {
              CAST(1 AS BIGINT) AS carried_all
       FROM orders
       GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** The reference's literal MERGE statement against the VERSIONED
+    * catalog (k20): k7's exact text + semantics, but the target is a
+    * catalog table and the write-back is a manifest commit —
+    * [[graft.storage.ParquetCatalog.mergeInto]]. Pins, beyond k7's
+    * value parity: the commit landed as version 2 with op verb `merge`
+    * (`merge_verb_ok`) and the PRE-merge version stayed readable with
+    * its full row count (`v1_intact`) — history + time travel around
+    * the reference's own statement
+    * (`bronze_to_silver_transformation.py:867-920`). */
+  private lazy val k20 = Q(
+    "k20_versioned_sql_merge",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_vsm_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      val o = Tables.orders(s, d)
+      if (!Files.exists(marker)) {
+        val target = o.filter(col("o_orderkey") % 4 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 3 === 0, "Other")
+              .otherwise(col("o_orderpriority")).as("category"),
+            col("o_totalprice").as("metric"))
+        cat.overwriteVersioned("orders_m", target)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), lit("2-HIGH").as("category"),
+            (col("o_totalprice") + 5.0).as("metric"))
+          .createOrReplaceTempView("graft_k20_source")
+        cat.mergeInto("""
+          MERGE INTO orders_m AS target
+          USING graft_k20_source AS source
+          ON target.o_orderkey = source.o_orderkey
+          WHEN MATCHED THEN
+            UPDATE SET
+              metric = source.metric,
+              -- keep a good classification, refresh the metric
+              category = CASE
+                  WHEN target.category = 'Other' OR target.category IS NULL
+                  THEN source.category
+                  ELSE target.category
+              END
+          WHEN NOT MATCHED THEN
+            INSERT *""")
+        Files.createFile(marker)
+      }
+      // durable-state pins, recomputed from metadata on every run
+      val mergeVerbOk =
+        if (cat.history("orders_m").filter(col("version") === 2 &&
+          col("operation") === "merge").count() == 1) 1L else 0L
+      val v1Intact =
+        if (cat.readVersion("orders_m", 1).count() ==
+          o.filter(col("o_orderkey") % 4 =!= 0).count()) 1L else 0L
+      cat.read("orders_m")
+        .withColumn("merge_verb_ok", lit(mergeVerbOk))
+        .withColumn("v1_intact", lit(v1Intact))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'Other'
+                    ELSE o_orderpriority END AS category,
+               o_totalprice AS metric
+        FROM orders WHERE o_orderkey % 4 != 0),
+      s AS (
+        SELECT o_orderkey, '2-HIGH' AS category,
+               o_totalprice + 5.0 AS metric
+        FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             CASE
+               WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                 THEN CASE WHEN t.category IS NULL OR t.category = 'Other'
+                           THEN s.category ELSE t.category END
+               WHEN t.o_orderkey IS NULL THEN s.category
+               ELSE t.category END AS category,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                  THEN s.metric ELSE t.metric END AS metric,
+             CAST(1 AS BIGINT) AS merge_verb_ok,
+             CAST(1 AS BIGINT) AS v1_intact
+      FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+      ORDER BY o_orderkey"""))
 
   /** (relative path, size, mtime) fingerprints of every data file,
     * keyed by top-level hive partition dir — the byte-identity probe

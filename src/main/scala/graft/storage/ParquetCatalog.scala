@@ -1240,6 +1240,56 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     next
   }
 
+  /** Execute a literal `MERGE INTO` statement AGAINST THE CATALOG — the
+    * reference's exact notebook MERGE text
+    * (`bronze_to_silver_transformation.py:867-920`) landing with
+    * transactional storage semantics, not just merge semantics. The
+    * statement's target name resolves to a catalog table (either tier),
+    * its source to a session temp view (the reference's staging
+    * discipline, K4), [[graft.operators.SqlMerge]] supplies the Delta
+    * MERGE semantics, and the result is written back as ONE commit:
+    *
+    *   - versioned tier: a new retained version with op verb `merge` —
+    *     `history()` audits it, time travel keeps the pre-merge
+    *     version, and the manifest CAS detects concurrent writers
+    *     ([[ConcurrentWriteException]], retry by re-running);
+    *   - in-place tier: the atomic write-temp-then-swap overwrite,
+    *     preserving the on-disk partition layout.
+    *
+    * Returns the committed version (0 for the in-place tier, which has
+    * no version chain). Row-level MERGE rewrites the full table here —
+    * the partition-scoped write path is the keyed [[upsert]]; a MERGE
+    * statement's arbitrary per-clause conditions have no static
+    * touched-partition set to scope by. */
+  def mergeInto(mergeSql: String): Long = {
+    val p = graft.operators.SqlMerge.parse(mergeSql)
+    require(exists(p.targetTable), s"no table ${p.targetTable}")
+    val source = spark.table(p.sourceTable)
+    if (isVersioned(p.targetTable)) {
+      val name = p.targetTable
+      val m = currentManifest(name)
+      val target = readVersion(name, m.version)
+      val merged = graft.operators.SqlMerge.execute(target, source, p)
+      val next = m.version + 1
+      // write-once versions: staging reads the still-live current files
+      val rels = stage(name, merged, m.partitionBy, next)
+      val meta = Map("op" -> "merge") ++ carriedTxn(m) ++
+        (if (rels.isEmpty) emptyMeta(merged) else Map.empty)
+      commitOrClean(name, TableManifest(next, m.partitionBy, meta, rels), rels)
+      refreshIndex(name)
+      next
+    } else {
+      val name = p.targetTable
+      val pb = diskLayout(name)
+      val merged = graft.operators.SqlMerge.execute(read(name), source, p)
+        .persist() // materialize before the swap deletes the input files
+      merged.count()
+      overwrite(name, merged, pb)
+      merged.unpersist()
+      0L
+    }
+  }
+
   /** DELETE WHERE that retains history — versioned sibling of
     * [[delete]]; untouched partitions re-referenced as in
     * [[upsertVersioned]]. `partitionBy` defaults to the recorded

@@ -433,6 +433,39 @@ class CatalogSpec extends SparkSpec {
     assert(e3.getMessage.contains("day: date->timestamp"), e3.getMessage)
   }
 
+  test("mergeInto executes literal MERGE text against catalog tables on both tiers") {
+    val cat = freshCatalog
+    val target = Seq((1L, "Other", 1.0), (2L, "KEEP", 2.0))
+      .toDF("id", "category", "metric")
+    val text = (t: String) => s"""
+      MERGE INTO $t AS target
+      USING src_mi AS source
+      ON target.id = source.id
+      WHEN MATCHED THEN UPDATE SET
+        metric = source.metric,
+        category = CASE WHEN target.category = 'Other'
+                        THEN source.category ELSE target.category END
+      WHEN NOT MATCHED THEN INSERT *"""
+    Seq((2L, "NEW", 20.0), (3L, "NEW", 30.0)).toDF("id", "category", "metric")
+      .createOrReplaceTempView("src_mi")
+    // in-place tier: atomic overwrite write-back
+    cat.overwrite("t", target)
+    assert(cat.mergeInto(text("t")) === 0L)
+    val expected = Seq((1L, "Other", 1.0), (2L, "KEEP", 20.0), (3L, "NEW", 30.0))
+    assert(cat.read("t").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq === expected)
+    // versioned tier: the merge is an audited commit; v1 stays readable
+    cat.overwriteVersioned("u", target)
+    assert(cat.mergeInto(text("u")) === 2L)
+    assert(cat.read("u").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq === expected)
+    assert(cat.history("u").filter(col("version") === 2)
+      .select("operation").head().getString(0) === "merge")
+    assert(cat.readVersion("u", 1).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "Other", 1.0), (2L, "KEEP", 2.0)))
+  }
+
   test("latestPartitionValue resolves from metadata alone on both tiers") {
     import scala.jdk.CollectionConverters._
     val root = Files.createTempDirectory("graft-lpv")
