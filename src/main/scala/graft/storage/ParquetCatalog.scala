@@ -51,17 +51,15 @@ import scala.jdk.CollectionConverters._
   * snappy default at comparable scan speed; override `codec` for hot
   * tables where decode CPU dominates.
   *
-  * Honest metadata trade-off, stated for the record: every commit
-  * writes the FULL file list (each manifest is self-contained — the
-  * equivalent of Delta writing a checkpoint at every commit), so commit
-  * metadata cost is O(table files), not O(delta). At 10⁵ files of ~1 GB
-  * that is a ~10 MB manifest per commit — one sequential metadata write
-  * next to the data I/O it replaces, and reads stay one-file simple
-  * (no log replay). A deployment with very high commit rates over very
-  * many files would amortize exactly as Delta does — incremental
-  * add/remove entries between periodic self-contained snapshots — which
-  * layers on top of this format without changing readers' semantics:
-  * the self-contained manifest IS the snapshot case.
+  * Metadata amortization: APPEND commits (the high-rate verb — the
+  * streaming sink) write DELTA manifests (`base=N` + added entries,
+  * O(delta) bytes) with a self-contained snapshot every
+  * [[ParquetCatalog.SnapshotInterval]] commits bounding the resolution
+  * chain — Delta's add-actions-between-checkpoints trade. Rewriting
+  * verbs (overwrite, merge, delete) stay self-contained: their file
+  * lists change wholesale, so a delta buys nothing. Readers always see
+  * snapshot semantics ([[manifest]] resolves the chain); `vacuum`
+  * materializes a retained delta in place before dropping its base.
   */
 /** One touched partition: its typed values (for a partition-pruned
   * predicate) and its on-disk hive relative path (for dir/manifest
@@ -801,12 +799,68 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     vs.last
   }
 
-  /** The committed manifest of one retained version. */
+  /** The committed manifest of one retained version, RESOLVED: a delta
+    * manifest's base chain is chased (bounded by the snapshot interval)
+    * and the returned `files` list is the full materialized set — every
+    * caller sees snapshot semantics regardless of the on-disk form.
+    *
+    * Concurrent-vacuum window: vacuum MATERIALIZES a retained delta in
+    * place before deleting its base, but a reader that parsed the delta
+    * form just before the swap can miss the base. The re-read sees the
+    * materialized (self-contained) manifest — content-equivalent by
+    * construction — so resolution retries instead of failing. */
   def manifest(name: String, version: Long): TableManifest = {
+    var attempts = 0
+    while (true) {
+      val raw = rawManifest(name, version)
+      raw.base match {
+        case None => return raw
+        case Some(b) =>
+          try {
+            val resolved = manifest(name, b) // chain <= snapshot interval
+            val gone = raw.removes.toSet
+            return raw.copy(files = resolved.files.filterNot(gone) ++ raw.files,
+              base = None, removes = Nil)
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("not retained") && attempts < 5 =>
+              attempts += 1 // vacuum materialized us mid-read; re-read
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The manifest exactly as committed (deltas unresolved) — vacuum's
+    * and the chain-depth probe's view. */
+  private def rawManifest(name: String, version: Long): TableManifest = {
     val p = manifestPath(name, version)
     require(Files.exists(p),
       s"version $version of $name not retained (have: ${versions(name).mkString(",")})")
     TableManifest.parse(p)
+  }
+
+  /** Number of delta hops from `version` back to its snapshot. Retries
+    * from the top if a concurrent vacuum materializes a link mid-walk
+    * (same window as [[manifest]]'s). */
+  private def chainDepth(name: String, version: Long): Int = {
+    var attempts = 0
+    while (attempts < 6) {
+      try {
+        var depth = 0
+        var v = version
+        var base = rawManifest(name, v).base
+        while (base.isDefined) {
+          depth += 1; v = base.get; base = rawManifest(name, v).base
+        }
+        return depth
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("not retained") => attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"manifest chain of $name v$version kept vanishing mid-walk")
   }
 
   private def currentManifest(name: String): TableManifest =
@@ -964,8 +1018,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val (sink, id) = parseBatchToken(tok)
     m.meta.get(txnKey(sink)) match {
       case Some(hw) => id <= hw.toLong
-      case None => versions(name).reverseIterator
-        .exists(v => manifest(name, v).meta.get("batch").contains(tok))
+      case None => versions(name).reverseIterator.exists { v =>
+        // meta rides every manifest form; a version vacuumed away
+        // mid-sweep simply no longer answers for its token
+        scala.util.Try(rawManifest(name, v).meta.get("batch").contains(tok))
+          .getOrElse(false)
+      }
     }
   }
 
@@ -1084,7 +1142,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         val rels = stage(name, df, pb, next)
         val meta = Map("op" -> "append") ++ tokMeta +
           ("schema" -> evolved.toDDL)
-        commitOrClean(name, TableManifest(next, pb, meta, m.files ++ rels), rels)
+        commitAppend(name, m, pb, meta, rels)
         refreshIndex(name)
         return next
       }
@@ -1099,12 +1157,29 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       return next
     }
     val rels = stage(name, df, pb, next)
-    val carried = m.files
     val meta = Map("op" -> "append") ++ tokMeta ++ propagatedSchema(m) ++
-      (if (carried.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
-    commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+      (if (m.files.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
+    commitAppend(name, m, pb, meta, rels)
     refreshIndex(name)
     next
+  }
+
+  /** Commit an append on top of RESOLVED manifest `m`: as a DELTA
+    * manifest (`base=` + added entries — O(delta) metadata bytes, the
+    * amortization Delta's log gets from add-actions between
+    * checkpoints) while the base chain is short, and as a periodic
+    * SELF-CONTAINED snapshot every [[ParquetCatalog.SnapshotInterval]]
+    * commits, which bounds every reader's resolution chain. Meta and
+    * partitionBy ride every delta in full — only the FILE LIST
+    * amortizes. */
+  private def commitAppend(name: String, m: TableManifest, pb: Seq[String],
+      meta: Map[String, String], adds: Seq[String]): Unit = {
+    val next = m.version + 1
+    val mf =
+      if (chainDepth(name, m.version) < ParquetCatalog.SnapshotInterval - 1)
+        TableManifest(next, pb, meta, adds, base = Some(m.version))
+      else TableManifest(next, pb, meta, m.files ++ adds)
+    commitOrClean(name, mf, adds)
   }
 
   /** True when schema drift between `current` and `incoming` is purely
@@ -1454,6 +1529,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (vs.nonEmpty) {
       val retained = vs.takeRight(keep)
       val referenced = retained.flatMap(v => manifest(name, v).files).toSet
+      // a retained DELTA manifest whose base is about to be dropped is
+      // first MATERIALIZED in place (atomic same-content replace of the
+      // delta by its resolved snapshot) so retention never breaks a
+      // resolution chain; ascending order materializes a retained base
+      // before its retained dependents
+      val retainedSet = retained.toSet
+      retained.foreach { v =>
+        rawManifest(name, v).base.foreach { b =>
+          if (!retainedSet.contains(b)) {
+            val full = manifest(name, v) // resolved while the base still exists
+            val tmp = versionsDir(name).resolve(s".manifest-tmp-${nonce()}")
+            Files.writeString(tmp, full.render)
+            Files.move(tmp, manifestPath(name, v),
+              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
       vs.dropRight(keep).foreach { v =>
         Files.delete(manifestPath(name, v)); removed += 1
       }
@@ -1535,4 +1627,10 @@ object ParquetCatalog {
     * that crashed-writer debris doesn't linger across a daily
     * retention job. */
   val DefaultVacuumMinAgeMs: Long = 20L * 60 * 1000
+
+  /** Every Nth append commits a self-contained manifest instead of a
+    * delta: bounds any reader's resolution chain to N-1 hops while
+    * keeping per-append metadata O(delta) — Delta's checkpoint-interval
+    * trade, applied to the manifest format. */
+  val SnapshotInterval: Int = 10
 }

@@ -37,7 +37,18 @@ final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   *   - `migrated` — this version absorbed a pre-existing unversioned dir.
   */
 final case class TableManifest(version: Long, partitionBy: Seq[String],
-    meta: Map[String, String], files: Seq[String]) {
+    meta: Map[String, String], files: Seq[String],
+    base: Option[Long] = None, removes: Seq[String] = Nil) {
+
+  /** True for a DELTA manifest: `files` are the entries ADDED (and
+    * `removes` the entries dropped) relative to the resolved file set
+    * of version `base` — commit metadata is O(delta), not O(table).
+    * Readers resolve through [[ParquetCatalog.manifest]], which chases
+    * the (snapshot-bounded) base chain and returns the materialized
+    * form; `meta` and `partitionBy` are NEVER inherited — each delta
+    * records its own in full (they are O(1)-small, and carrying them
+    * forward is what lets the txn registry survive retention). */
+  def isDelta: Boolean = base.isDefined
 
   /** The hive `k=v[/k=v...]` partition component of one manifest entry
     * (empty for unpartitioned layouts). */
@@ -49,10 +60,12 @@ final case class TableManifest(version: Long, partitionBy: Seq[String],
     sb.append("graft-manifest 1\n")
     sb.append(s"version=$version\n")
     sb.append(s"partitionBy=${partitionBy.mkString(",")}\n")
+    base.foreach(b => sb.append(s"base=$b\n"))
     meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
       require(!k.contains('\n') && !v.contains('\n'), "meta must be line-safe")
       sb.append(s"meta.$k=$v\n")
     }
+    removes.foreach { f => sb.append(s"r $f\n") }
     files.foreach { f => sb.append(s"f $f\n") }
     sb.toString
   }
@@ -72,19 +85,24 @@ object TableManifest {
       s"not a graft manifest: $p")
     var version = -1L
     var partitionBy = Seq.empty[String]
+    var base: Option[Long] = None
     val meta = Map.newBuilder[String, String]
     val files = Seq.newBuilder[String]
+    val removes = Seq.newBuilder[String]
     lines.drop(1).foreach {
       case l if l.startsWith("version=") => version = l.drop(8).toLong
       case l if l.startsWith("partitionBy=") =>
         partitionBy = l.drop(12).split(',').toSeq.filter(_.nonEmpty)
+      case l if l.startsWith("base=") => base = Some(l.drop(5).toLong)
       case l if l.startsWith("meta.") =>
         val body = l.drop(5); val i = body.indexOf('=')
         meta += body.take(i) -> body.drop(i + 1)
       case l if l.startsWith("f ") => files += l.drop(2)
+      case l if l.startsWith("r ") => removes += l.drop(2)
       case l => throw new IllegalArgumentException(s"bad manifest line in $p: $l")
     }
     require(version > 0, s"manifest $p has no version line")
-    TableManifest(version, partitionBy, meta.result(), files.result())
+    TableManifest(version, partitionBy, meta.result(), files.result(),
+      base, removes.result())
   }
 }

@@ -433,6 +433,53 @@ class CatalogSpec extends SparkSpec {
     assert(e3.getMessage.contains("day: date->timestamp"), e3.getMessage)
   }
 
+  test("appends write O(delta) manifest bytes, snapshot every Nth commit, vacuum materializes") {
+    val root = Files.createTempDirectory("graft-dm")
+    val cat = new ParquetCatalog(spark, root.toString)
+    val vd = root.resolve(".versions").resolve("t")
+    def manifestText(v: Long) = Files.readString(vd.resolve(s"v$v.manifest"))
+    // v1: a snapshot with 30 file entries
+    cat.overwriteVersioned("t",
+      (1 to 300).map(i => (i.toLong, i * 1.0)).toDF("id", "m").repartition(30))
+    assert(cat.manifestFiles("t", 1).size === 30)
+    // v2..v10: nine single-file appends, each an O(1)-entry DELTA
+    (1 to 9).foreach { i =>
+      cat.appendVersioned("t",
+        Seq((1000L + i, i * 1.0)).toDF("id", "m").coalesce(1))
+    }
+    (2L to 10L).foreach { v =>
+      val txt = manifestText(v)
+      assert(txt.contains(s"base=${v - 1}"), s"v$v must be a delta")
+      assert(txt.linesIterator.count(_.startsWith("f ")) === 1,
+        s"v$v must list only its own added file")
+      assert(Files.size(vd.resolve(s"v$v.manifest")) <
+        Files.size(vd.resolve("v1.manifest")),
+        s"delta v$v must be smaller than the snapshot")
+    }
+    // resolution gives full snapshot semantics at every version
+    assert(cat.manifestFiles("t", 10).size === 39)
+    assert(cat.read("t").count() === 309)
+    assert(cat.readVersion("t", 5).count() === 304)
+    // the 10th append hits the snapshot interval: self-contained again
+    cat.appendVersioned("t", Seq((2000L, 0.0)).toDF("id", "m").coalesce(1))
+    val snap = manifestText(11)
+    assert(!snap.contains("base="), "every Nth commit must be a snapshot")
+    assert(snap.linesIterator.count(_.startsWith("f ")) === 40)
+    // vacuum keep=2: v10 is a delta whose base is dropped — it gets
+    // materialized in place; both retained versions stay readable
+    cat.vacuum("t", keep = 2, minAgeMs = 0L)
+    assert(cat.versions("t") === Seq(10L, 11L))
+    assert(!manifestText(10).contains("base="),
+      "a retained delta must be materialized when its base is vacuumed")
+    assert(cat.readVersion("t", 10).count() === 309)
+    assert(cat.read("t").count() === 310)
+    // and the txn registry still rides resolution: a replayed batch
+    // appended through the delta chain stays a no-op
+    cat.appendBatch("t", Seq((3000L, 3.0)).toDF("id", "m"), "dm#0")
+    val cur = cat.currentVersion("t")
+    assert(cat.appendBatch("t", Seq((3000L, 3.0)).toDF("id", "m"), "dm#0") === cur)
+  }
+
   test("mergeInto executes literal MERGE text against catalog tables on both tiers") {
     val cat = freshCatalog
     val target = Seq((1L, "Other", 1.0), (2L, "KEEP", 2.0))

@@ -168,23 +168,29 @@ class StreamingSpec extends SparkSpec {
       "registry must survive a delete commit")
   }
 
-  test("replay probe is one current-manifest lookup, not an O(versions) sweep") {
+  test("replay probe reads the bounded manifest chain, not an O(versions) sweep") {
     val root = java.nio.file.Files.createTempDirectory("replay-o1")
     val cat = new graft.storage.ParquetCatalog(spark, root.toString)
-    val b = Seq((1L, 1.0)).toDF("event_id", "value")
-    cat.appendBatch("ev", b, "ckpt#0")
-    cat.appendBatch("ev", Seq((2L, 2.0)).toDF("event_id", "value"), "ckpt#1")
-    cat.appendBatch("ev", Seq((3L, 3.0)).toDF("event_id", "value"), "ckpt#2")
-    // corrupt every NON-current manifest: a probe that parses them throws
+    // 12 batches: v11 is a snapshot-interval self-contained manifest, so
+    // the current version's resolution chain is {v11, v12} only
+    (0 to 11).foreach { i =>
+      cat.appendBatch("ev", Seq((i.toLong, i * 1.0)).toDF("event_id", "value"),
+        s"ckpt#$i")
+    }
+    // corrupt every manifest OUTSIDE the chain: anything that sweeps
+    // history (the old O(versions) probe) now throws
     val vd = root.resolve(".versions").resolve("ev")
-    cat.versions("ev").dropRight(1).foreach { v =>
+    (1L to 10L).foreach { v =>
       java.nio.file.Files.writeString(vd.resolve(s"v$v.manifest"), "garbage")
     }
     val cur = cat.currentVersion("ev")
-    // replay of an OLD batch: high-water (2) >= 1 answers from the
-    // current manifest alone — touching v1/v2 would blow up
-    assert(cat.appendBatch("ev", b, "ckpt#1") == cur)
-    assert(cat.read("ev").count() == 3)
+    // replay of an OLD batch: the high-water (11) answers from the
+    // current manifest's registry alone
+    assert(cat.appendBatch("ev",
+      Seq((5L, 5.0)).toDF("event_id", "value"), "ckpt#5") == cur)
+    // and a NEW batch commits, resolving only the bounded chain
+    cat.appendBatch("ev", Seq((12L, 12.0)).toDF("event_id", "value"), "ckpt#12")
+    assert(cat.read("ev").count() == 13)
   }
 
   test("legacy tables without a txn registry fall back to the manifest sweep once") {
