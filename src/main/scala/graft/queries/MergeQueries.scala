@@ -698,7 +698,7 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  ) ++ Seq(k16, k17, k18, k19, k20)
+  ) ++ Seq(k16, k17, k18, k19, k20, k21)
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table
@@ -962,6 +962,58 @@ object MergeQueries {
              CAST(1 AS BIGINT) AS v1_intact
       FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
       ORDER BY o_orderkey"""))
+
+  /** Partition-scoped EVOLVING merge (k21): a MERGE delta that both
+    * updates one partition's rows and brings a NEW column. The commit
+    * must stay partition-scoped — untouched partitions' files
+    * re-referenced verbatim (`untouched_carried` pins it) — because the
+    * manifest's recorded union schema resolves the per-partition drift
+    * a partial rewrite creates; carried rows read NULL for the evolved
+    * column, restaged matched rows carry the source value. The full
+    * rewrite Delta does for this (`overwriteSchema=true`,
+    * `bronze_to_silver_transformation.py:915-941`) becomes an
+    * O(touched) write. */
+  private lazy val k21 = Q(
+    "k21_evolving_merge",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_evm_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_ev", o, Seq("o_orderstatus"))
+        val delta = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderstatus"), col("o_orderpriority"))
+        val v2 = cat.upsertVersioned("orders_ev", delta, Seq("o_orderkey"),
+          partitionBy = Seq("o_orderstatus"), evolveSchema = true)
+        val v2Files = cat.manifestFiles("orders_ev", v2).toSet
+        val untouched = cat.manifestFiles("orders_ev", 1).filter(f =>
+          graft.storage.TableManifest.partitionComponent(f) != "o_orderstatus=F")
+        val carried =
+          if (untouched.nonEmpty && untouched.forall(v2Files.contains)) 1 else 0
+        Files.writeString(marker, carried.toString)
+      }
+      val carried = Files.readString(marker).trim.toLong
+      cat.read("orders_ev")
+        .withColumn("untouched_carried", lit(carried))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH s AS (
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+      SELECT o.o_orderkey AS o_orderkey,
+             COALESCE(s.o_totalprice, o.o_totalprice) AS o_totalprice,
+             o.o_orderstatus,
+             s.o_orderpriority AS o_orderpriority,
+             CAST(1 AS BIGINT) AS untouched_carried
+      FROM orders o LEFT JOIN s ON o.o_orderkey = s.o_orderkey
+      ORDER BY o.o_orderkey"""))
 
   /** (relative path, size, mtime) fingerprints of every data file,
     * keyed by top-level hive partition dir — the byte-identity probe

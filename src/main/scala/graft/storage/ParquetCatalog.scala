@@ -382,8 +382,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * is statically partition-pruned to the touched set; untouched
     * partitions' files are never opened OR rewritten. An update that
     * moves a row's partition value empties its old slot correctly.
-    * Schema evolution still forces the full rewrite — a partial rewrite
-    * would leave the table with per-partition schema drift.
+    * Schema evolution forces the full rewrite ON THIS IN-PLACE TIER
+    * ONLY — plain hive dirs have nowhere to record a union schema, so a
+    * partial rewrite would leave unreadable per-partition drift; the
+    * versioned tier keeps add/drop-only evolving merges partition-
+    * scoped via the manifest's recorded schema ([[upsertVersioned]]).
     *
     * On a VERSIONED table this routes to [[upsertVersioned]] (history
     * retained, concurrent writers detected). */
@@ -1285,10 +1288,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (!isVersioned(name)) return overwriteVersioned(name, source, partitionBy)
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
-    if (!evolveSchema) requireManifestLayout(name, partitionBy, m)
     val target = readVersion(name, m.version)
+    // an evolving merge whose drift is add/drop-only STAYS partition-
+    // scoped: the recorded union schema (see [[appendVersioned]]) lets
+    // carried files coexist with restaged touched partitions — the
+    // per-partition schema drift that once forced the full rewrite is
+    // exactly what the recorded schema resolves. Retypes, or a source
+    // missing a partition column, still need the full restage.
+    val scopedEvolve = evolveSchema && pb.nonEmpty && m.files.nonEmpty &&
+      pb.forall(source.columns.contains) && addDropOnly(target, source, pb)
+    if (!evolveSchema || scopedEvolve) requireManifestLayout(name, partitionBy, m)
     val next = m.version + 1
-    if (pb.isEmpty || evolveSchema || m.files.isEmpty) {
+    if (pb.isEmpty || (evolveSchema && !scopedEvolve) || m.files.isEmpty) {
       val merged =
         Upsert.merge(target, source, keys, smartCases, insertOnly, evolveSchema)
       val rels = stage(name, merged, pb, next)
@@ -1304,10 +1315,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         if (touched.isEmpty) Nil
         else {
           val slice = target.filter(partitionPredicate(pb, touched.map(_.values)))
-          val merged = Upsert.merge(slice, source, keys, smartCases, insertOnly)
+          val merged = Upsert.merge(slice, source, keys, smartCases, insertOnly,
+            evolveSchema = scopedEvolve)
           stage(name, merged, pb, next)
         }
-      val meta = Map("op" -> "merge") ++ carriedTxn(m) ++ propagatedSchema(m) ++
+      val schemaMeta =
+        if (scopedEvolve)
+          Map("schema" -> unionEvolvedSchema(target.schema, source.schema).toDDL)
+        else propagatedSchema(m)
+      val meta = Map("op" -> "merge") ++ carriedTxn(m) ++ schemaMeta ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
     }

@@ -504,6 +504,35 @@ class TimeTravelSpec extends SparkSpec {
     assert(cat.read("t").count() === 5)
   }
 
+  test("an add-column MERGE stays partition-scoped: untouched partitions re-referenced") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", Seq(
+      (1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d3", 3.0))
+      .toDF("id", "day", "m"), Seq("day"))
+    val v1Files = cat.manifestFiles("t", 1)
+    def part(f: String) = graft.storage.TableManifest.partitionComponent(f)
+    // the delta touches only d2 AND brings a new column
+    val delta = Seq((2L, "d2", 20.0, "x")).toDF("id", "day", "m", "tag")
+    val v2 = cat.upsertVersioned("t", delta, Seq("id"),
+      partitionBy = Seq("day"), evolveSchema = true)
+    val v2Files = cat.manifestFiles("t", v2)
+    // untouched partitions: same manifest entries, zero bytes moved
+    v1Files.filter(f => part(f) != "day=d2").foreach { f =>
+      assert(v2Files.contains(f), s"untouched $f must be re-referenced")
+    }
+    assert(v1Files.filter(f => part(f) == "day=d2")
+      .forall(!v2Files.contains(_)), "touched partition must be restaged")
+    // carried files read null for the evolved-in column
+    val back = cat.read("t").orderBy("id")
+      .select("id", "m", "tag").as[(Long, Double, Option[String])].collect()
+    assert(back === Seq((1L, 1.0, None), (2L, 20.0, Some("x")), (3L, 3.0, None)))
+    // a retyping merge still takes the full restage (no carried files)
+    val retyped = Seq((3L, "d3", 30, "y")).toDF("id", "day", "m", "tag")
+    val v3 = cat.upsertVersioned("t", retyped, Seq("id"),
+      partitionBy = Seq("day"), evolveSchema = true)
+    assert(cat.manifestFiles("t", v3).intersect(v2Files).isEmpty)
+  }
+
   test("a crashed migration (data moved, manifest never committed) recovers") {
     val (cat, root) = fresh()
     cat.overwrite("t", Seq((1L, "d1", 1.0), (2L, "d2", 2.0))
