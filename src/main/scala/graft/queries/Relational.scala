@@ -1166,5 +1166,52 @@ object Relational {
         FROM lineitem
         WHERE l_orderkey BETWEEN 1000 AND 4000
           AND l_partkey BETWEEN 0 AND 500"""))
+  ,
+
+    // ----------------------------------------------------------------
+    // S11: bloom-pruned POINT lookup — parquet NATIVE bloom filters
+    // (written via parquet.bloom.filter.enabled#col) answer equality
+    // probes a min/max index cannot: the table is deliberately laid out
+    // ROUND-ROBIN, so every file's [min,max] spans the whole key space
+    // and only the bloom says "not in this file". The probe key is the
+    // max l_orderkey (deterministic, oracle-expressible); the pin
+    // asserts the bloom actually pruned (candidates < half the files).
+    // The oracle is the plain full-scan filter — pruning must be
+    // invisible to results.
+    Q(
+      "s11_bloom_point",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_blm_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root,
+          bloomFor = Seq("l_orderkey"), bloomNdv = 100000L)
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        if (!Files.exists(marker)) {
+          cat.overwrite("li_b", li.repartition(24))
+          Files.createFile(marker)
+        }
+        val key = li.agg(max(col("l_orderkey"))).head().getLong(0)
+        val pruned =
+          if (cat.pointCandidates("li_b", "l_orderkey", key).size * 2 <
+            cat.fileCount("li_b")) 1L else 0L
+        cat.readPoint("li_b", "l_orderkey", key)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_rows"),
+            graft.functions.Deterministic.dsum(col("l_extendedprice")).as("total"),
+            min(col("l_linenumber")).as("min_line"),
+            max(col("l_linenumber")).as("max_line"))
+          .withColumn("bloom_pruned", lit(pruned))
+      },
+      Some("""
+        SELECT l_orderkey, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               MIN(l_linenumber) AS min_line, MAX(l_linenumber) AS max_line,
+               CAST(1 AS BIGINT) AS bloom_pruned
+        FROM lineitem
+        WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)
+        GROUP BY l_orderkey"""))
   )
 }

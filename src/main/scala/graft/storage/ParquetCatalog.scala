@@ -67,9 +67,21 @@ import scala.jdk.CollectionConverters._
 private[storage] final case class PartSlot(values: Seq[Any], relPath: String)
 
 final class ParquetCatalog(spark: SparkSession, root: String,
-    codec: String = "zstd") {
+    codec: String = "zstd", bloomFor: Seq[String] = Nil,
+    bloomNdv: Long = 100000L) {
 
   private def tableDir(name: String): Path = Paths.get(root, name)
+
+  /** Writer options every catalog write carries: compression, plus
+    * parquet NATIVE bloom filters for `bloomFor` columns (sized by the
+    * expected per-file distinct count `bloomNdv`) — the point-lookup
+    * skipping structure [[readPoint]] prunes with. */
+  private def writeOpts[T](w: org.apache.spark.sql.DataFrameWriter[T]):
+      org.apache.spark.sql.DataFrameWriter[T] =
+    bloomFor.foldLeft(w.option("compression", codec)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+    }
 
   def exists(name: String): Boolean =
     Files.exists(tableDir(name)) || isVersioned(name)
@@ -176,7 +188,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (isVersioned(name)) { overwriteVersioned(name, df, partitionBy); return }
     val priorIndex = indexCols(name) // the swap discards the old stats file
     val tmp = Paths.get(root, s".tmp-$name-${nonce()}")
-    val w = df.write.mode(SaveMode.Overwrite).option("compression", codec)
+    val w = writeOpts(df.write.mode(SaveMode.Overwrite))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
     val dest = tableDir(name)
@@ -195,10 +207,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     else if (!exists(name)) overwrite(name, df, partitionBy)
     else {
       if (hasPartitionDirs(name)) requireLayout(name, partitionBy, diskLayout(name))
-      df.write
-        .mode(SaveMode.Overwrite)
+      writeOpts(df.write.mode(SaveMode.Overwrite))
         .option("partitionOverwriteMode", "dynamic")
-        .option("compression", codec)
         .partitionBy(partitionBy: _*)
         .parquet(tableDir(name).toString)
       refreshIndex(name)
@@ -237,7 +247,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       evolved.unpersist()
       return
     }
-    val w = df.write.mode(SaveMode.Append).option("compression", codec)
+    val w = writeOpts(df.write.mode(SaveMode.Append))
     (if (pb.nonEmpty) w.partitionBy(pb: _*) else w)
       .parquet(tableDir(name).toString)
     refreshIndex(name)
@@ -655,6 +665,46 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     else Some(vals.max)
   }
 
+  /** Bloom-accelerated POINT lookup: `column = value` opening only the
+    * files whose parquet bloom filter might contain the value (plus any
+    * without one, conservatively). The complement of [[readRange]]:
+    * min/max prunes ranges over clustered layouts, blooms prune
+    * equality probes over ANY layout — a random-placement table's file
+    * ranges all span the key space, where only a bloom says "not in
+    * this file". Requires the table to have been written by a catalog
+    * with `bloomFor` covering the column; otherwise every file is kept
+    * and this degenerates to a filtered scan. The predicate is always
+    * re-applied (false positives; advisory pruning). */
+  def readPoint(name: String, column: String, value: Any): DataFrame = {
+    val (files, partitioned, schema, base) =
+      if (isVersioned(name)) {
+        val m = currentManifest(name)
+        (m.files.map(f => versionsDir(name).resolve(f).toString),
+          m.partitionBy.nonEmpty, recordedSchema(m), dataDir(name))
+      } else
+        (SkippingIndex.listFiles(tableDir(name).toString),
+          hasPartitionDirs(name), None, tableDir(name))
+    val cand = SkippingIndex.bloomCandidates(spark, files, column, value)
+    val pred = col(column) === lit(value)
+    if (cand.isEmpty) return read(name).filter(pred).limit(0)
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    val df =
+      if (partitioned)
+        reader.option("basePath", base.toRealPath().toString).parquet(cand: _*)
+      else reader.parquet(cand: _*)
+    df.filter(pred)
+  }
+
+  /** Diagnostic: how many files [[readPoint]] would open (tests pin
+    * bloom pruning with it). */
+  def pointCandidates(name: String, column: String, value: Any): Seq[String] = {
+    val files =
+      if (isVersioned(name))
+        currentManifest(name).files.map(f => versionsDir(name).resolve(f).toString)
+      else SkippingIndex.listFiles(tableDir(name).toString)
+    SkippingIndex.bloomCandidates(spark, files, column, value)
+  }
+
   /** Compaction: rewrite the table into ~`rowsPerFile`-row files. Every
     * incremental upsert/append leaves small files behind; at scale the
     * scan cost becomes file-open dominated (the classic small-file
@@ -835,12 +885,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   }
 
   /** The manifest exactly as committed (deltas unresolved) — vacuum's
-    * and the chain-depth probe's view. */
+    * and the chain-depth probe's view. A file that vanishes between the
+    * existence check and the read (concurrent vacuum: materialize then
+    * delete-base) surfaces as the same "not retained" failure the
+    * chain-walk retries recognize — never a raw NoSuchFileException. */
   private def rawManifest(name: String, version: Long): TableManifest = {
     val p = manifestPath(name, version)
     require(Files.exists(p),
       s"version $version of $name not retained (have: ${versions(name).mkString(",")})")
-    TableManifest.parse(p)
+    try TableManifest.parse(p)
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new IllegalArgumentException(
+          s"version $version of $name not retained " +
+            s"(have: ${versions(name).mkString(",")})")
+    }
   }
 
   /** Number of delta hops from `version` back to its snapshot. Retries
@@ -948,7 +1007,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     Files.createDirectories(dataDir(name))
     val nn = nonce()
     val stageDir = vd.resolve(s".stage-$nn")
-    val w = df.write.mode(SaveMode.Overwrite).option("compression", codec)
+    val w = writeOpts(df.write.mode(SaveMode.Overwrite))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stageDir.toString)
     val s = Files.walk(stageDir)

@@ -274,6 +274,66 @@ object SkippingIndex {
     (pruned ++ unindexed).sorted
   }
 
+  // ---- point-lookup pruning via parquet's NATIVE bloom filters ------
+  //
+  // min/max stats cannot prune an equality probe on a high-cardinality
+  // column under a random (non-clustered) layout: every file's range
+  // spans the key space. Parquet's own bloom filters (written when the
+  // writer sets `parquet.bloom.filter.enabled#<col>`,
+  // [[ParquetCatalog]]'s `bloomFor`) answer "might this file contain
+  // value v" from a footer-adjacent structure — no data pages. At
+  // 100 TB a point lookup on a bloom-indexed key opens ~1 file + false
+  // positives instead of the table. Advisory like the min/max index: a
+  // kept file is re-filtered, a missing/unreadable filter keeps the
+  // file, so pruning can only over-read.
+
+  /** Files whose bloom filter (any row group) might contain `value` in
+    * `column` — distributed footer+bloom reads, candidate list back.
+    * Files without a bloom filter for the column are KEPT. */
+  def bloomCandidates(spark: SparkSession, files: Seq[String], column: String,
+      value: Any): Seq[String] = {
+    if (files.isEmpty) return files
+    spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
+      .filter(f => bloomMightContain(f, column, value))
+      .collect().toSeq.sorted
+  }
+
+  /** One file's verdict: false ONLY when every row group has a bloom
+    * filter for the column and none might contain the value. Runs
+    * inside a task. */
+  def bloomMightContain(file: String, column: String, value: Any): Boolean = {
+    val in = HadoopInputFile.fromPath(new HPath(file), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      reader.getFooter.getBlocks.asScala.exists { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case None => true // column absent from this file: keep
+          case Some(cmd) =>
+            val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cmd)
+            if (bf == null) true // no filter written: keep
+            else {
+              // the hash must be computed over the column's PHYSICAL
+              // type — hashing a Long against an INT32 column would
+              // wrongly prune — so coerce (or keep when impossible)
+              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+              val hash: Option[Long] =
+                (cmd.getPrimitiveType.getPrimitiveTypeName, value) match {
+                  case (INT64, n: Number) => Some(bf.hash(n.longValue()))
+                  case (INT32, n: Number)
+                      if n.longValue().isValidInt => Some(bf.hash(n.intValue()))
+                  case (DOUBLE, n: Number) => Some(bf.hash(n.doubleValue()))
+                  case (FLOAT, n: Number) => Some(bf.hash(n.floatValue()))
+                  case (BINARY, s: String) =>
+                    Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+                  case _ => None
+                }
+              hash.forall(bf.findHash)
+            }
+        }
+      }
+    } finally reader.close()
+  }
+
   /** Index-pruned range scan: read only intersecting files, re-apply the
     * predicate (the index is advisory; correctness never depends on it).
     * Returns an empty frame with the table schema when nothing

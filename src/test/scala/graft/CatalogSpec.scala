@@ -433,6 +433,47 @@ class CatalogSpec extends SparkSpec {
     assert(e3.getMessage.contains("day: date->timestamp"), e3.getMessage)
   }
 
+  test("readPoint prunes with parquet native bloom filters on both tiers") {
+    val root = Files.createTempDirectory("graft-bloom")
+    val cat = new ParquetCatalog(spark, root.toString,
+      bloomFor = Seq("id"), bloomNdv = 10000L)
+    // RANDOM (round-robin) layout: every file's [min,max] spans the key
+    // space, so min/max stats cannot prune a point probe — only a bloom
+    // can say "not in this file"
+    val df = (0 until 20000).map(i => (i.toLong, i % 97)).toDF("id", "g")
+      .repartition(20)
+    cat.overwrite("t", df)
+    assert(cat.fileCount("t") >= 10)
+    val cand = cat.pointCandidates("t", "id", 12345L)
+    assert(cand.nonEmpty && cand.size < cat.fileCount("t") / 2,
+      s"bloom must prune most files; kept ${cand.size} of ${cat.fileCount("t")}")
+    assert(cat.readPoint("t", "id", 12345L).select("id", "g")
+      .as[(Long, Int)].collect() === Array((12345L, 12345 % 97)))
+    // a missing key reads empty through the same path
+    assert(cat.readPoint("t", "id", 999999L).count() === 0)
+    // versioned tier: candidates resolve through the current manifest
+    cat.overwriteVersioned("u", df)
+    assert(cat.readPoint("u", "id", 777L).select("id").as[Long].collect()
+      === Array(777L))
+    assert(cat.pointCandidates("u", "id", 777L).size <
+      cat.manifest("u", cat.currentVersion("u")).files.size)
+    // string keys hash through BINARY
+    val cats = new ParquetCatalog(spark,
+      Files.createTempDirectory("graft-bls").toString,
+      bloomFor = Seq("k"), bloomNdv = 10000L)
+    cats.overwrite("s", (0 until 5000).map(i => (s"key-$i", i))
+      .toDF("k", "v").repartition(10))
+    assert(cats.pointCandidates("s", "k", "key-321").size < 10)
+    assert(cats.readPoint("s", "k", "key-321").select("v").as[Int].collect()
+      === Array(321))
+    // a table written WITHOUT blooms keeps every file (advisory pruning)
+    val plain = new ParquetCatalog(spark,
+      Files.createTempDirectory("graft-nb").toString)
+    plain.overwrite("t", df)
+    assert(plain.pointCandidates("t", "id", 12345L).size === plain.fileCount("t"))
+    assert(plain.readPoint("t", "id", 12345L).count() === 1)
+  }
+
   test("appends write O(delta) manifest bytes, snapshot every Nth commit, vacuum materializes") {
     val root = Files.createTempDirectory("graft-dm")
     val cat = new ParquetCatalog(spark, root.toString)
