@@ -763,6 +763,55 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** Partition-scoped [[compact]] — the 100 TB maintenance shape: a
+    * streaming sink leaves yesterday's partition as hundreds of
+    * micro-batch files; compacting it must not touch the other 364
+    * days. `partition` filters by equality on a PREFIX of the partition
+    * layout (e.g. `Seq("day" -> "2024-01-01")` on a day/region
+    * layout compacts every region of that day). Versioned tables
+    * commit the compacted slice + re-reference every other partition's
+    * files (op verb `compact`, zero bytes moved outside the slice);
+    * in-place tables rewrite just those partitions via dynamic
+    * partition overwrite. Row data is bit-preserved — only file
+    * boundaries change. */
+  def compactPartition(name: String, rowsPerFile: Long,
+      partition: Seq[(String, Any)]): Unit = {
+    require(partition.nonEmpty, "compactPartition needs a partition spec")
+    val lay = layout(name)
+    require(partition.map(_._1) == lay.take(partition.size),
+      s"partition spec (${partition.map(_._1).mkString(",")}) must be a " +
+        s"prefix of $name's layout (${lay.mkString(",")})")
+    val pred = partition.map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _)
+    if (isVersioned(name)) {
+      val m = currentManifest(name)
+      val slice = readVersion(name, m.version).filter(pred)
+      val n = slice.count()
+      if (n == 0) return
+      val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+      val touched = partitionsOf(slice, m.partitionBy)
+      val touchedRel = touched.map(_.relPath).toSet
+      val carried = m.files.filterNot(f =>
+        touchedRel.contains(TableManifest.partitionComponent(f)))
+      val next = m.version + 1
+      // write-once versions: staging reads the still-live current files
+      val rels = stage(name, slice.repartition(files), m.partitionBy, next)
+      val meta = Map("op" -> "compact") ++ carriedTxn(m) ++ propagatedSchema(m)
+      commitOrClean(name, TableManifest(next, m.partitionBy, meta,
+        carried ++ rels), rels)
+    } else {
+      val slice = read(name).filter(pred)
+      val n = slice.count()
+      if (n == 0) return
+      val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+      val compacted = slice.repartition(files).persist()
+      compacted.count() // materialize before dynamic overwrite drops inputs
+      overwritePartitions(name, compacted, lay)
+      compacted.unpersist()
+      ()
+    }
+    refreshIndex(name)
+  }
+
   private def rowDouble(r: org.apache.spark.sql.Row, i: Int): Double =
     r.get(i) match {
       case null => 0.0
@@ -1512,7 +1561,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   /** Delta `DESCRIBE HISTORY` parity: one row per retained version —
     * (version, operation, n_files, partition_by, batch). Operations are
     * the commit verbs the manifests recorded (`overwrite`, `merge`,
-    * `delete`, `append`, `overwritePartitions`, `restore`, `migrate`).
+    * `delete`, `append`, `overwritePartitions`, `compact`, `restore`,
+    * `migrate`).
     * Driver-built from manifest metadata only — no data files are
     * opened. */
   def history(name: String): DataFrame = {

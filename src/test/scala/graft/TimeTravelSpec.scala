@@ -533,6 +533,74 @@ class TimeTravelSpec extends SparkSpec {
     assert(cat.manifestFiles("t", v3).intersect(v2Files).isEmpty)
   }
 
+  test("compactPartition collapses one partition's files, re-references the rest") {
+    import scala.jdk.CollectionConverters._
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t",
+      Seq((0L, "d1", 0.0), (100L, "d2", 1.0), (200L, "d3", 2.0))
+        .toDF("id", "day", "m"), Seq("day"))
+    // leave d1 fragmented: five single-row appends
+    (1 to 5).foreach { i =>
+      cat.appendVersioned("t",
+        Seq((i.toLong, "d1", i * 1.0)).toDF("id", "day", "m").coalesce(1))
+    }
+    val before = cat.manifest("t", cat.currentVersion("t"))
+    def part(f: String) = graft.storage.TableManifest.partitionComponent(f)
+    assert(before.files.count(part(_) == "day=d1") >= 6)
+    def fp(rel: String) = {
+      val p = Paths.get(root, ".versions", "t").resolve(rel)
+      (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    }
+    val untouched = before.files.filter(f => part(f) != "day=d1")
+    val fps = untouched.map(f => f -> fp(f)).toMap
+    val content = cat.read("t").select($"id", $"day".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Double)].collect()
+    cat.compactPartition("t", rowsPerFile = 1000, Seq("day" -> "d1"))
+    val after = cat.manifest("t", cat.currentVersion("t"))
+    assert(after.meta("op") === "compact")
+    assert(after.files.count(part(_) == "day=d1") === 1,
+      s"d1 must collapse to one file: ${after.files.filter(part(_) == "day=d1")}")
+    untouched.foreach { f =>
+      assert(after.files.contains(f) && fp(f) == fps(f),
+        s"untouched $f must be re-referenced byte-identical")
+    }
+    assert(cat.read("t").select($"id", $"day".cast("string"), $"m")
+      .orderBy("id").as[(Long, String, Double)].collect() === content)
+    // the pre-compaction version still reads (write-once files)
+    assert(cat.readVersion("t", before.version).count() === content.length)
+    // in-place tier: dynamic overwrite of just the spec'd partition
+    val (cat2, root2) = fresh()
+    cat2.overwrite("t", Seq((1L, "d1", 1.0), (2L, "d2", 2.0))
+      .toDF("id", "day", "m"), Seq("day"))
+    (3 to 7).foreach { i =>
+      cat2.append("t", Seq((i.toLong, "d1", i * 1.0)).toDF("id", "day", "m")
+        .coalesce(1))
+    }
+    val d2Before = {
+      val s = Files.list(Paths.get(root2, "t", "day=d2"))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+        .toList.sorted
+      finally s.close()
+    }
+    cat2.compactPartition("t", rowsPerFile = 1000, Seq("day" -> "d1"))
+    val d1Files = {
+      val s = Files.list(Paths.get(root2, "t", "day=d1"))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(d1Files === 1)
+    val d2After = {
+      val s = Files.list(Paths.get(root2, "t", "day=d2"))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+        .toList.sorted
+      finally s.close()
+    }
+    assert(d2After === d2Before, "other partitions must be untouched")
+    assert(cat2.read("t").count() === 7)
+  }
+
   test("a crashed migration (data moved, manifest never committed) recovers") {
     val (cat, root) = fresh()
     cat.overwrite("t", Seq((1L, "d1", 1.0), (2L, "d2", 2.0))
