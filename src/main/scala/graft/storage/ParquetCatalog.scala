@@ -1343,6 +1343,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     appendVersioned(name, df, partitionBy, evolveSchema = false,
       batchToken = Some(batchToken))
 
+  /** Replay-idempotent micro-batch MERGE: [[appendBatch]]'s sibling for
+    * update-shaped streams (the reference's foreachBatch MERGE sink,
+    * `github_data_ingestion.py:349-383`). A `batchToken`
+    * ("<sinkId>#<batchId>") at or below the sink's committed high-water
+    * commits NOTHING — not even a content-identical new version — so a
+    * re-delivered batch leaves the version chain untouched, the
+    * strictly stronger form of the content-no-op guarantee. Routed
+    * through [[upsertVersioned]] (partition-scoped rewrite, history,
+    * CAS concurrency). */
+  def upsertBatch(name: String, source: DataFrame, keys: Seq[String],
+      batchToken: String,
+      smartCases: Map[String, (Column, Column) => Column] = Map.empty,
+      insertOnly: Boolean = false,
+      partitionBy: Seq[String] = Nil): Long =
+    upsertVersioned(name, source, keys, smartCases, insertOnly, partitionBy,
+      evolveSchema = false, fromVersion = None, batchToken = Some(batchToken))
+
   /** Dynamic-partition-overwrite as a version commit: partitions present
     * in `df` are replaced, the rest re-referenced from the current
     * manifest. */
@@ -1391,9 +1408,24 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       insertOnly: Boolean = false,
       partitionBy: Seq[String] = Nil,
       evolveSchema: Boolean = false,
-      fromVersion: Option[Long] = None): Long = {
+      fromVersion: Option[Long] = None,
+      batchToken: Option[String] = None): Long = {
     migrateIfPlain(name)
-    if (!isVersioned(name)) return overwriteVersioned(name, source, partitionBy)
+    if (!isVersioned(name)) {
+      if (batchToken.isEmpty) return overwriteVersioned(name, source, partitionBy)
+      // table-creating first MERGE batch: the token must ride the first
+      // commit or a replay of batch 0 after a restart double-writes
+      val rels = stage(name, source, partitionBy, 1)
+      val meta = Map("op" -> "merge") ++ tokenMeta(batchToken) ++
+        (if (rels.isEmpty) emptyMeta(source) else Map.empty)
+      commitOrClean(name, TableManifest(1, partitionBy, meta, rels), rels)
+      refreshIndex(name)
+      return 1L
+    }
+    batchToken.foreach { tok =>
+      val cur = currentManifest(name)
+      if (batchAlreadyCommitted(cur, name, tok)) return cur.version
+    }
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
     val target = readVersion(name, m.version)
@@ -1412,6 +1444,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         Upsert.merge(target, source, keys, smartCases, insertOnly, evolveSchema)
       val rels = stage(name, merged, pb, next)
       val meta = Map("op" -> "merge") ++ carriedTxn(m) ++
+        tokenMeta(batchToken) ++
         (if (rels.isEmpty) emptyMeta(merged) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
     } else {
@@ -1432,6 +1465,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           Map("schema" -> unionEvolvedSchema(target.schema, source.schema).toDDL)
         else propagatedSchema(m)
       val meta = Map("op" -> "merge") ++ carriedTxn(m) ++ schemaMeta ++
+        tokenMeta(batchToken) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
     }

@@ -218,6 +218,34 @@ class StreamingSpec extends SparkSpec {
     assert(m.meta.exists(_._1.startsWith("txn.")), m.meta.toString)
   }
 
+  test("upsertBatch replay commits NOTHING: version chain untouched under merge re-delivery") {
+    val cat = new graft.storage.ParquetCatalog(spark,
+      java.nio.file.Files.createTempDirectory("replay-ub").toString)
+    val b0 = Seq((1L, "click", 1.0), (2L, "view", 2.0))
+      .toDF("event_id", "event_type", "value")
+    // table-creating first MERGE batch: token rides the first commit
+    val v1 = cat.upsertBatch("st", b0, Seq("event_id"), "mck#0")
+    assert(v1 == 1L && cat.read("st").count() == 2)
+    assert(cat.upsertBatch("st", b0, Seq("event_id"), "mck#0") == 1L,
+      "replayed creating merge batch must not commit")
+    assert(cat.versions("st") == Seq(1L))
+    // a new batch commits; its replay leaves the chain untouched
+    val b1 = Seq((2L, "view", 20.0), (3L, "click", 3.0))
+      .toDF("event_id", "event_type", "value")
+    val v2 = cat.upsertBatch("st", b1, Seq("event_id"), "mck#1")
+    assert(v2 == 2L)
+    val chain = cat.versions("st")
+    assert(cat.upsertBatch("st", b1, Seq("event_id"), "mck#1") == v2)
+    assert(cat.versions("st") == chain, "replay must not extend the chain")
+    assert(cat.read("st").orderBy("event_id")
+      .as[(Long, String, Double)].collect()
+      === Seq((1L, "click", 1.0), (2L, "view", 20.0), (3L, "click", 3.0)))
+    // an out-of-order older token is also a no-op (high-water semantics)
+    assert(cat.upsertBatch("st", b0, Seq("event_id"), "mck#0") == v2)
+    assert(cat.read("st").filter(col("value") === 2.0).count() == 0,
+      "a stale batch must not resurrect old values")
+  }
+
   test("merge sink replay: re-upserting an identical batch is a content no-op") {
     val cat = new graft.storage.ParquetCatalog(spark,
       java.nio.file.Files.createTempDirectory("replay-merge").toString)
