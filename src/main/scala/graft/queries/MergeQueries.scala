@@ -698,7 +698,7 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  ) ++ Seq(k16, k17, k18, k19, k20, k21)
+  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22)
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table
@@ -1014,6 +1014,65 @@ object MergeQueries {
              CAST(1 AS BIGINT) AS untouched_carried
       FROM orders o LEFT JOIN s ON o.o_orderkey = s.o_orderkey
       ORDER BY o.o_orderkey"""))
+
+  /** Exactly-once micro-batch MERGE through the ORACLE gate (k22 —
+    * k18's sibling for update-shaped streams): three batchId-tagged
+    * MERGE commits, then a REPLAY of the MIDDLE batch. The replay must
+    * commit nothing (`replay_committed` pins 0) AND must not regress
+    * rows the later batch updated — a naively re-applied stale merge
+    * would overwrite batch 2's values with batch 1's, which the content
+    * hash catches. The reference's foreachBatch MERGE sink
+    * (`github_data_ingestion.py:349-383`) with Delta `txn`-grade
+    * idempotence. */
+  private lazy val k22 = Q(
+    "k22_replay_merge",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rpm_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        cat.upsertBatch("ev_m", ev, Seq("event_id"), "mrg#0")
+        cat.upsertBatch("ev_m",
+          ev.filter(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("event_type"),
+              (col("value") + 100.0).as("value")),
+          Seq("event_id"), "mrg#1")
+        cat.upsertBatch("ev_m",
+          ev.filter(col("event_id") % 5 === 0)
+            .select(col("event_id"), col("event_type"),
+              (col("value") + 1000.0).as("value")),
+          Seq("event_id"), "mrg#2")
+        val before = cat.versions("ev_m").size
+        // STALE replay of the middle batch after a later one committed:
+        // must neither commit nor regress batch 2's updates
+        cat.upsertBatch("ev_m",
+          ev.filter(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("event_type"),
+              (col("value") + 100.0).as("value")),
+          Seq("event_id"), "mrg#1")
+        val after = cat.versions("ev_m").size
+        Files.writeString(marker, (after - before).toString)
+      }
+      val replayCommitted = Files.readString(marker).trim.toLong
+      cat.read("ev_m")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("value")).as("total"))
+        .withColumn("replay_committed", lit(replayCommitted))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(
+               CASE WHEN event_id % 5 = 0 THEN value + 1000.0
+                    WHEN event_id % 2 = 0 THEN value + 100.0
+                    ELSE value END AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(0 AS BIGINT) AS replay_committed
+      FROM events
+      GROUP BY 1 ORDER BY event_type"""))
 
   /** (relative path, size, mtime) fingerprints of every data file,
     * keyed by top-level hive partition dir — the byte-identity probe
