@@ -118,11 +118,16 @@ object Upsert {
   /** Change data feed for a MERGE (Delta CDF parity): per-row change
     * records — `insert` for source-only keys, `update_preimage` +
     * `update_postimage` for matched keys whose data columns differ.
-    * Unchanged and target-only rows emit nothing. ONE full-outer
-    * shuffle join, then a narrow 0–2-row explode per key; both sides
-    * must share the schema (CDF is a same-shape protocol).
+    * Unchanged rows emit nothing; target-only rows emit nothing by
+    * default (the NET-diff contract k15 gates) or a `delete` image with
+    * `emitDeletes = true` (the per-commit `table_changes` contract —
+    * a row that left the table between two versions IS a change a
+    * downstream replica must replay). ONE full-outer shuffle join,
+    * then a narrow 0–2-row explode per key; both sides must share the
+    * schema (CDF is a same-shape protocol).
     */
-  def changeFeed(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+  def changeFeed(target: DataFrame, source: DataFrame, keys: Seq[String],
+      emitDeletes: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "changeFeed requires at least one key column")
     require(target.columns.sorted.sameElements(source.columns.sorted),
       "changeFeed requires identical schemas on both sides")
@@ -141,18 +146,63 @@ object Upsert {
     val diff = dataCols.map(c => !(col(s"__t_$c") <=> col(s"__s_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     val matched = col("__t_present").isNotNull && col("__s_present").isNotNull
+    val upserts = when(col("__t_present").isNull, array(img("insert", "s")))
+      .when(matched && diff,
+        array(img("update_preimage", "t"), img("update_postimage", "s")))
+    val chain =
+      if (emitDeletes)
+        upserts.when(col("__s_present").isNull, array(img("delete", "t")))
+      else upserts
     t.join(s, cond, "full_outer")
       .select(
         (keys.map(k => coalesce(col(s"__t_$k"), col(s"__s_$k")).as(k)) :+
           explode(
-            when(col("__t_present").isNull, array(img("insert", "s")))
-              .when(matched && diff,
-                array(img("update_preimage", "t"), img("update_postimage", "s")))
-              // slice(...,1,0): a typed EMPTY array — unchanged and
-              // target-only keys emit no change rows
-              .otherwise(slice(array(img("insert", "s")), 1, 0))).as("__c")): _*)
+            // slice(...,1,0): a typed EMPTY array — unchanged (and,
+            // without emitDeletes, target-only) keys emit no change rows
+            chain.otherwise(slice(array(img("insert", "s")), 1, 0))).as("__c")): _*)
       .select((keys.map(col) :+ col("__c._change_type") ) ++
         dataCols.map(c => col(s"__c.$c")): _*)
+  }
+
+  /** Apply a change feed to a replica: the inverse of [[changeFeed]].
+    * `insert` / `update_postimage` rows become the key's new row,
+    * `delete` rows remove it, `update_preimage` rows are audit-only.
+    * A feed spanning several commits (it carries `_commit_version`) is
+    * first reduced to each key's TERMINAL image — change application
+    * is idempotent and order-insensitive per key, which is what lets a
+    * downstream replica replay an arbitrary feed window in one shot.
+    *
+    * Execution shape: one keyed window (terminal-image reduction), one
+    * null-safe left-anti join on the keys, one union — all partitioned
+    * by the same keys, so the feed (O(delta)) never forces a second
+    * shuffle of the target beyond the anti-join. */
+  def applyFeed(target: DataFrame, feed: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyFeed requires at least one key column")
+    require(feed.columns.contains("_change_type"),
+      "feed must carry _change_type (a changeFeed/tableChanges frame)")
+    val terminal =
+      if (feed.columns.contains("_commit_version")) {
+        import org.apache.spark.sql.expressions.Window
+        val prec = when(col("_change_type") === "update_preimage", 0).otherwise(1)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("_commit_version").desc, prec.desc)
+        feed.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "_commit_version")
+          .filter(col("_change_type") =!= "update_preimage")
+      } else feed.filter(col("_change_type") =!= "update_preimage")
+    val expect = target.columns.filterNot(keys.contains).toSet
+    val got = terminal.columns.filterNot(keys.contains)
+      .filterNot(_ == "_change_type").toSet
+    require(expect == got,
+      s"feed data columns must match the target's (missing: " +
+        s"${(expect -- got).mkString(",")}; extra: ${(got -- expect).mkString(",")})")
+    val upserts = terminal.filter(col("_change_type") =!= "delete")
+      .drop("_change_type")
+    val changed = terminal.select(keys.map(col): _*).distinct().alias("c")
+    val t = target.alias("t")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"c.$k")).reduce(_ && _)
+    t.join(changed, cond, "left_anti").unionByName(upserts)
   }
 
   def mergeStats(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {

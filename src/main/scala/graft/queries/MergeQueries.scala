@@ -698,7 +698,155 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22)
+  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24)
+
+  /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
+    * pure append (+4M keys, partition O) → v3 partition-scoped merge
+    * (F updates ×2 + F inserts +3M) → v4 partition-scoped delete
+    * (P rows, key % 13 == 3) on `orders_cdf`, layout o_orderstatus. */
+  private def cdfState(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.storage.ParquetCatalog = {
+    import java.nio.file.{Files, Paths}
+    val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_cdf_$suffix"
+    val marker = Paths.get(s"$root/_complete")
+    val cat = new graft.storage.ParquetCatalog(s, root)
+    if (!Files.exists(marker)) {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      cat.overwriteVersioned("orders_cdf", o, Seq("o_orderstatus"))
+      cat.appendVersioned("orders_cdf",
+        o.filter(col("o_orderstatus") === "O" && col("o_orderkey") % 11 === 1)
+          .select((col("o_orderkey") + 4000000).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")),
+        Seq("o_orderstatus"))
+      val v3src = o
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderstatus"))
+        .unionByName(o
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 2)
+          .select((col("o_orderkey") + 3000000).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      cat.upsertVersioned("orders_cdf", v3src, Seq("o_orderkey"),
+        partitionBy = Seq("o_orderstatus"))
+      cat.deleteVersioned("orders_cdf",
+        col("o_orderstatus") === "P" && col("o_orderkey") % 13 === 3)
+      Files.writeString(marker, "ok")
+    }
+    cat
+  }
+
+  /** Per-commit change feed (k23, Delta `table_changes` parity WITH
+    * delete images and `_commit_version` attribution). The window is
+    * (1, 4] — an append, a partition-scoped merge, a partition-scoped
+    * delete — and the oracle enumerates every expected change row from
+    * the source table directly. `stray_files_read` pins the O(delta)
+    * claim: the feed's plan may open ONLY files the consecutive
+    * manifests disagree on (carried files cannot contain changes);
+    * the oracle pins 0. */
+  private lazy val k23 = Q(
+    "k23_table_changes",
+    (s, d) => {
+      val cat = cdfState(s, d)
+      val legit = (2L to 4L).flatMap { v =>
+        val a = cat.manifestFiles("orders_cdf", v - 1).toSet
+        val b = cat.manifestFiles("orders_cdf", v).toSet
+        ((a -- b) ++ (b -- a)).toSeq
+      }.toSet
+      val feed = cat.tableChanges("orders_cdf", 1, 4, Seq("o_orderkey"))
+      val stray = feed.inputFiles
+        .count(f => !legit.exists(l => f.endsWith(l)))
+      feed.withColumn("stray_files_read", lit(stray.toLong))
+        .orderBy("_commit_version", "o_orderkey", "_change_type")
+    },
+    Some("""
+      WITH appended AS (
+        SELECT o_orderkey + 4000000 AS o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 11 = 1),
+      upd AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0),
+      ins3 AS (
+        SELECT o_orderkey + 3000000 AS o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 2),
+      del AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderstatus = 'P' AND o_orderkey % 13 = 3)
+      SELECT o_orderkey, _change_type, o_totalprice, o_orderstatus,
+             _commit_version, CAST(0 AS BIGINT) AS stray_files_read
+      FROM (
+        SELECT o_orderkey, 'insert' AS _change_type, o_totalprice,
+               o_orderstatus, CAST(2 AS BIGINT) AS _commit_version
+        FROM appended
+        UNION ALL
+        SELECT o_orderkey, 'update_preimage', o_totalprice, o_orderstatus, 3
+        FROM upd
+        UNION ALL
+        SELECT o_orderkey, 'update_postimage', o_totalprice * 2,
+               o_orderstatus, 3
+        FROM upd
+        UNION ALL
+        SELECT o_orderkey, 'insert', o_totalprice, o_orderstatus, 3 FROM ins3
+        UNION ALL
+        SELECT o_orderkey, 'delete', o_totalprice, o_orderstatus, 4 FROM del)
+      ORDER BY _commit_version, o_orderkey, _change_type"""))
+
+  /** Exactly-once incremental replica sync (k24): `orders_replica` is
+    * maintained from `orders_cdf`'s per-commit change feeds — each src
+    * commit applied as ONE token-carrying `sync` commit, resumed from
+    * the replica's txn high-water. The query itself re-runs the sync
+    * every time: a caught-up replica applies 0 commits
+    * (`replay_applied` pins it), the high-water reads 4, and the
+    * replica's content must equal the src state the oracle recomputes
+    * from the base table — append, merge, and delete all replayed
+    * through the feed, never by re-scanning the source. */
+  private lazy val k24 = Q(
+    "k24_incremental_sync",
+    (s, d) => {
+      val cat = cdfState(s, d)
+      cat.syncIncremental("orders_cdf", "orders_replica", Seq("o_orderkey"))
+      val replay =
+        cat.syncIncremental("orders_cdf", "orders_replica", Seq("o_orderkey"))
+      val hw = cat.sinkHighWater("orders_replica",
+        "cdf:orders_cdf->orders_replica").getOrElse(-1L)
+      cat.read("orders_replica")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+        .withColumn("high_water", lit(hw))
+        .withColumn("replay_applied", lit(replay.toLong))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      appended AS (
+        SELECT o_orderkey + 4000000 AS o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 11 = 1),
+      upd AS (
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0),
+      ins3 AS (
+        SELECT o_orderkey + 3000000 AS o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 2),
+      state2 AS (
+        SELECT * FROM base UNION ALL SELECT * FROM appended),
+      state3 AS (
+        SELECT s.o_orderkey,
+               COALESCE(u.o_totalprice, s.o_totalprice) AS o_totalprice,
+               s.o_orderstatus
+        FROM state2 s LEFT JOIN upd u ON s.o_orderkey = u.o_orderkey
+        UNION ALL
+        SELECT * FROM ins3),
+      state4 AS (
+        SELECT * FROM state3
+        WHERE NOT (o_orderstatus = 'P' AND o_orderkey % 13 = 3))
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(4 AS BIGINT) AS high_water,
+             CAST(0 AS BIGINT) AS replay_applied
+      FROM state4 GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table

@@ -1572,18 +1572,200 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
   }
 
+  // ---- change data feed ---------------------------------------------
+  //
+  // Write-once data files make the manifests THE change index: a file
+  // listed by both versions contributes identical rows to both sides
+  // of a keyed diff, so every feed below reads ONLY the files the two
+  // manifests disagree on — O(delta) reads, never O(table). At 100 TB
+  // that is the difference between "what changed yesterday" costing a
+  // partition read and costing a double full-table scan. Feeds assume
+  // the table's keys are unique per version (the MERGE contract every
+  // writing verb here maintains).
+
+  /** Read a SUBSET of a version's files — under `canon` when the feed
+    * crosses a metadata-only schema evolution (parquet resolves columns
+    * by name; files predating an added column yield nulls), else under
+    * the version's own recorded schema. An empty subset reads as an
+    * empty frame with the right shape. */
+  private def readFileSubset(name: String, m: TableManifest,
+      rels: Seq[String], canon: Option[StructType]): DataFrame = {
+    val schema = canon.orElse(recordedSchema(m))
+    if (rels.isEmpty) {
+      val s = schema.getOrElse(readVersion(name, m.version).schema)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+    }
+    val abs = rels.map(f => versionsDir(name).resolve(f).toString)
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    if (m.partitionBy.isEmpty) reader.parquet(abs: _*)
+    else reader.option("basePath", dataDir(name).toString).parquet(abs: _*)
+  }
+
   /** Delta `table_changes(from, to)` parity as a first-class call: the
-    * per-row change feed (insert / update_preimage / update_postimage)
-    * between two retained versions, computed from their manifests'
-    * write-once file sets — the downstream-sync primitive a consumer
-    * replays instead of re-scanning the table (k15 gates the
-    * semantics). */
+    * NET per-row change feed (insert / update_preimage /
+    * update_postimage; rows deleted across the range emit nothing —
+    * the k15-gated contract) between two retained versions. Computed
+    * from ONLY the files the two manifests disagree on: carried files
+    * appear identically on both sides of the diff, so excluding them
+    * from both sides is an exact equivalence under unique keys. */
   def changesBetween(name: String, from: Long, to: Long,
       keys: Seq[String]): DataFrame = {
-    val a = readVersion(name, from)
-    val b = readVersion(name, to)
+    val ma = manifest(name, from)
+    val mb = manifest(name, to)
+    val shared = ma.files.toSet.intersect(mb.files.toSet)
+    val canon = recordedSchema(mb).orElse(recordedSchema(ma))
+    val a = readFileSubset(name, ma, ma.files.filterNot(shared), canon)
+    val b = readFileSubset(name, mb, mb.files.filterNot(shared), canon)
     Upsert.changeFeed(a.select(a.columns.sorted.map(col): _*),
       b.select(b.columns.sorted.map(col): _*), keys)
+  }
+
+  /** One commit's change feed: the keyed diff of the files version `v`
+    * removed vs added, tagged `_commit_version`, WITH `delete` rows. A
+    * pure-append commit needs no diff at all — its added files ARE the
+    * inserts, read join-free. A compaction or restore commit diffs only
+    * the partitions it rewrote (and a compaction's diff is empty: same
+    * rows, new files). */
+  private def commitChanges(name: String, v: Long, keys: Seq[String]): DataFrame = {
+    val cur = manifest(name, v)
+    val prev =
+      if (v <= 1) TableManifest(0, cur.partitionBy, Map.empty, Nil)
+      else manifest(name, v - 1)
+    val shared = prev.files.toSet.intersect(cur.files.toSet)
+    val removed = prev.files.filterNot(shared)
+    val added = cur.files.filterNot(shared)
+    val canon = recordedSchema(cur).orElse(recordedSchema(prev))
+    if (removed.isEmpty) {
+      val b = readFileSubset(name, cur, added, canon)
+      val dataCols = b.columns.sorted.filterNot(keys.contains).toSeq
+      b.select((keys.map(col) :+ lit("insert").as("_change_type")) ++
+        dataCols.map(col): _*)
+        .withColumn("_commit_version", lit(v))
+    } else {
+      val a = readFileSubset(name, prev, removed, canon)
+      val b = readFileSubset(name, cur, added, canon)
+      Upsert.changeFeed(a.select(a.columns.sorted.map(col): _*),
+        b.select(b.columns.sorted.map(col): _*), keys, emitDeletes = true)
+        .withColumn("_commit_version", lit(v))
+    }
+  }
+
+  /** The PER-COMMIT change feed over a version window: one row per
+    * change with `_commit_version` attribution, including `delete`
+    * images — everything a downstream replica must replay, in replay
+    * order. `from` is exclusive, `to` inclusive (Delta's
+    * `table_changes(from+1, to)` window); `from = 0` reads changes
+    * since creation. Every commit in the window must still be
+    * retained (feeds do not survive [[vacuum]] past the window —
+    * re-bootstrap the replica instead). */
+  def tableChanges(name: String, from: Long, to: Long,
+      keys: Seq[String]): DataFrame = {
+    require(from >= 0 && from <= to, s"need 0 <= from <= to; got $from, $to")
+    // allowMissingColumns: commits predating a schema evolution lack
+    // the added columns — their change rows read as null there, the
+    // same resolution the recorded union schema gives carried files
+    val feeds = ((from + 1) to to).map(v => commitChanges(name, v, keys))
+    feeds.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
+      val base = readVersion(name, to).limit(0)
+      val dataCols = base.columns.sorted.filterNot(keys.contains).toSeq
+      base.select((keys.map(col) :+ lit("").as("_change_type")) ++
+        dataCols.map(col): _*)
+        .withColumn("_commit_version", lit(0L))
+    }
+  }
+
+  /** Apply a change feed ([[tableChanges]] rows) to this table as ONE
+    * commit — the downstream half of the replication protocol:
+    * insert/postimage rows upsert, delete rows remove, preimages are
+    * audit-only, and a multi-commit feed reduces to each key's
+    * terminal image first ([[Upsert.applyFeed]]). Partition-scoped
+    * like [[upsertVersioned]]: only partitions the feed's images name
+    * are restaged (preimages and deletes name the OLD partition, so a
+    * partition-moving update touches both); every other partition's
+    * files are re-referenced verbatim. Exactly-once via `batchToken`
+    * — a replayed feed window commits nothing. */
+  def applyChanges(name: String, feed: DataFrame, keys: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      batchToken: Option[String] = None): Long = {
+    migrateIfPlain(name)
+    if (!isVersioned(name)) {
+      val empty = feed.drop("_change_type", "_commit_version").limit(0)
+      val state = Upsert.applyFeed(empty, feed, keys)
+      val rels = stage(name, state, partitionBy, 1)
+      val meta = Map("op" -> "sync") ++ tokenMeta(batchToken) ++
+        (if (rels.isEmpty) emptyMeta(state) else Map.empty)
+      commitOrClean(name, TableManifest(1, partitionBy, meta, rels), rels)
+      refreshIndex(name)
+      return 1L
+    }
+    val m = currentManifest(name)
+    batchToken.foreach { tok =>
+      if (batchAlreadyCommitted(m, name, tok)) return m.version
+    }
+    val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
+    requireManifestLayout(name, partitionBy, m)
+    val target = readVersion(name, m.version)
+    val next = m.version + 1
+    if (pb.isEmpty || m.files.isEmpty) {
+      val state = Upsert.applyFeed(target, feed, keys)
+      val rels = stage(name, state, pb, next)
+      val meta = Map("op" -> "sync") ++ carriedTxn(m) ++
+        tokenMeta(batchToken) ++ propagatedSchema(m) ++
+        (if (rels.isEmpty) emptyMeta(state) else Map.empty)
+      commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
+    } else {
+      require(pb.forall(feed.columns.contains),
+        s"feed must carry the partition columns ${pb.mkString(",")}")
+      val touched = partitionsOf(feed, pb)
+      val touchedRel = touched.map(_.relPath).toSet
+      val carried = m.files.filterNot(f =>
+        touchedRel.contains(TableManifest.partitionComponent(f)))
+      val rels =
+        if (touched.isEmpty) Nil
+        else {
+          val slice = target.filter(partitionPredicate(pb, touched.map(_.values)))
+          val state = Upsert.applyFeed(slice, feed, keys)
+          stage(name, state, pb, next)
+        }
+      val meta = Map("op" -> "sync") ++ carriedTxn(m) ++
+        tokenMeta(batchToken) ++ propagatedSchema(m) ++
+        (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
+      commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+    }
+    refreshIndex(name)
+    next
+  }
+
+  /** A sink's committed high-water batchId in this table's exactly-once
+    * registry (None: the sink never committed here). One lookup in the
+    * current manifest — the public face of the `txn.` registry. */
+  def sinkHighWater(name: String, sinkId: String): Option[Long] =
+    if (!isVersioned(name)) None
+    else currentManifest(name).meta.get(txnKey(sinkId)).map(_.toLong)
+
+  /** Maintain `dst` as an incrementally-synced replica of versioned
+    * table `src`: replay each src commit's [[tableChanges]] feed
+    * through one exactly-once [[applyChanges]] commit on dst, resuming
+    * from the high-water the dst txn registry recorded. O(delta) read
+    * and written per src commit; a re-run after every commit is
+    * applied is a pure no-op. Returns the number of src commits
+    * applied this call. */
+  def syncIncremental(src: String, dst: String, keys: Seq[String],
+      partitionBy: Seq[String] = Nil): Int = {
+    require(isVersioned(src), s"$src must be a versioned table")
+    val cur = currentVersion(src)
+    val sinkId = s"cdf:$src->$dst"
+    val high = sinkHighWater(dst, sinkId).getOrElse(0L)
+    val pb =
+      if (partitionBy.nonEmpty) partitionBy else manifest(src, cur).partitionBy
+    var n = 0
+    ((high + 1) to cur).foreach { v =>
+      applyChanges(dst, commitChanges(src, v, keys), keys, pb,
+        Some(s"$sinkId#$v"))
+      n += 1
+    }
+    n
   }
 
   /** The table's partition layout: the manifest's recorded columns for
@@ -1596,7 +1778,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * (version, operation, n_files, partition_by, batch). Operations are
     * the commit verbs the manifests recorded (`overwrite`, `merge`,
     * `delete`, `append`, `overwritePartitions`, `compact`, `restore`,
-    * `migrate`).
+    * `migrate`, `sync`).
     * Driver-built from manifest metadata only — no data files are
     * opened. */
   def history(name: String): DataFrame = {
