@@ -698,7 +698,7 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24)
+  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -847,6 +847,64 @@ object MergeQueries {
              CAST(4 AS BIGINT) AS high_water,
              CAST(0 AS BIGINT) AS replay_applied
       FROM state4 GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** `TIMESTAMP AS OF` time travel (k25): a three-version chain —
+    * v1 full overwrite, v2 append (+5M keys, key % 9 == 4), v3 delete
+    * (key % 17 == 2) — read back BY WALL-CLOCK. Commit stamps are
+    * strictly monotonic per table (`stampTs`), so the pins are exact
+    * integers: resolving v2's own stamp lands on 2, one millisecond
+    * earlier lands on 1, v3's stamp lands on 3 — and `readAsOf(ts(v2))`
+    * must equal `readVersion(2)` row for row (`asof_mismatch = 0`,
+    * checked by symmetric anti-joins). Resolution is metadata-only
+    * (O(versions) manifest parses); the measured content is the
+    * as-of-v2 state the oracle recomputes from the base table. */
+  private lazy val k25 = Q(
+    "k25_time_as_of",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_tas_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_tt", o, Seq("o_orderstatus"))
+        cat.appendVersioned("orders_tt",
+          o.filter(col("o_orderkey") % 9 === 4)
+            .select((col("o_orderkey") + 5000000).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        cat.deleteVersioned("orders_tt", col("o_orderkey") % 17 === 2)
+        Files.writeString(marker, "ok")
+      }
+      val t2 = cat.commitTimestamp("orders_tt", 2).get
+      val t3 = cat.commitTimestamp("orders_tt", 3).get
+      val asOf = cat.readAsOf("orders_tt", t2)
+      val v2 = cat.readVersion("orders_tt", 2)
+      val mismatch = asOf.exceptAll(v2).count() + v2.exceptAll(asOf).count()
+      asOf.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+        .withColumn("v_at_t2", lit(cat.versionAsOf("orders_tt", t2)))
+        .withColumn("v_before_t2", lit(cat.versionAsOf("orders_tt", t2 - 1)))
+        .withColumn("v_at_t3", lit(cat.versionAsOf("orders_tt", t3)))
+        .withColumn("asof_mismatch", lit(mismatch))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state2 AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey + 5000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 9 = 4)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(2 AS BIGINT) AS v_at_t2,
+             CAST(1 AS BIGINT) AS v_before_t2,
+             CAST(3 AS BIGINT) AS v_at_t3,
+             CAST(0 AS BIGINT) AS asof_mismatch
+      FROM state2 GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table

@@ -1007,18 +1007,70 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       reader.option("basePath", dataDir(name).toString).parquet(abs: _*)
   }
 
+  /** The commit wall-clock (epoch millis) a retained version's manifest
+    * recorded — None only for manifests written before timestamps
+    * existed. Strictly increasing with version (see [[stampTs]]). */
+  def commitTimestamp(name: String, version: Long): Option[Long] =
+    manifest(name, version).meta.get("ts").map(_.toLong)
+
+  /** Delta `TIMESTAMP AS OF` resolution: the HIGHEST retained version
+    * committed at or before `tsMillis`. Commit stamps are strictly
+    * monotonic per table, so the answer is unambiguous; manifests
+    * predating timestamps count as arbitrarily old (they are eligible
+    * under any bound). Metadata-only — O(retained versions) manifest
+    * parses, zero data files opened. Loud when `tsMillis` predates the
+    * oldest retained commit: resolving to a version that did not exist
+    * yet would silently hand back the wrong table. */
+  def versionAsOf(name: String, tsMillis: Long): Long = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"$name is not a versioned table")
+    val eligible = vs.filter(v => commitTimestamp(name, v).forall(_ <= tsMillis))
+    require(eligible.nonEmpty,
+      s"no retained version of $name was committed at or before $tsMillis " +
+        s"(oldest retained: v${vs.min}" +
+        commitTimestamp(name, vs.min).fold("")(t => s" at $t") + ")")
+    eligible.max
+  }
+
+  /** Time-travel read by wall-clock ([[versionAsOf]] + [[readVersion]]):
+    * the table exactly as it stood at `tsMillis`. */
+  def readAsOf(name: String, tsMillis: Long): DataFrame =
+    readVersion(name, versionAsOf(name, tsMillis))
+
   /** The schema a manifest recorded for its (possibly heterogeneous)
     * file set, when one was recorded. */
   private def recordedSchema(m: TableManifest): Option[StructType] =
     if (m.files.isEmpty) None
     else m.meta.get("schema").map(StructType.fromDDL)
 
+  /** Stamp the commit wall-clock into `meta.ts`, STRICTLY MONOTONIC per
+    * table: the stamp is `max(now, prior ts + 1)` — Delta's commit-
+    * timestamp adjustment — so `TIMESTAMP AS OF` resolution
+    * ([[versionAsOf]]) can never see ties or clock regressions. One
+    * raw parse of the immediately-prior manifest per commit (the prior
+    * of any new commit IS the current version, so it is retained; the
+    * catch covers only crash-window debris). Pre-timestamp manifests
+    * simply lack the key — readers treat them as arbitrarily old. */
+  private def stampTs(name: String, m: TableManifest): TableManifest =
+    if (m.meta.contains("ts")) m
+    else {
+      val floor =
+        if (m.version <= 1L) 0L
+        else
+          (try TableManifest.parse(manifestPath(name, m.version - 1))
+              .meta.get("ts").map(_.toLong + 1L)
+           catch { case _: Exception => None }).getOrElse(0L)
+      m.copy(meta = m.meta +
+        ("ts" -> math.max(System.currentTimeMillis(), floor).toString))
+    }
+
   /** CAS commit: atomically create `vN.manifest` from a fully-written
     * temp file. Exactly one writer can commit a given N; the loser gets
     * [[ConcurrentWriteException]]. Locally the create-exclusive
     * primitive is `Files.createLink` (atomic, content-complete); on
     * object storage the same step is a conditional PUT. */
-  private def commitManifest(name: String, m: TableManifest): Unit = {
+  private def commitManifest(name: String, m0: TableManifest): Unit = {
+    val m = stampTs(name, m0)
     val vd = versionsDir(name)
     Files.createDirectories(vd)
     val tmp = vd.resolve(s".manifest-tmp-${nonce()}")
@@ -1775,7 +1827,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     else diskLayout(name)
 
   /** Delta `DESCRIBE HISTORY` parity: one row per retained version —
-    * (version, operation, n_files, partition_by, batch). Operations are
+    * (version, operation, n_files, partition_by, batch, commit_ts).
+    * Operations are
     * the commit verbs the manifests recorded (`overwrite`, `merge`,
     * `delete`, `append`, `overwritePartitions`, `compact`, `restore`,
     * `migrate`, `sync`).
@@ -1786,8 +1839,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     versions(name).map { v =>
       val m = manifest(name, v)
       (v, m.meta.getOrElse("op", "unknown"), m.files.size.toLong,
-        m.partitionBy.mkString(","), m.meta.getOrElse("batch", ""))
-    }.toDF("version", "operation", "n_files", "partition_by", "batch")
+        m.partitionBy.mkString(","), m.meta.getOrElse("batch", ""),
+        m.meta.get("ts").map(_.toLong))
+    }.toDF("version", "operation", "n_files", "partition_by", "batch",
+      "commit_ts")
   }
 
   /** Delta `RESTORE` parity: make the table's CURRENT state equal a
@@ -1804,8 +1859,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // high-water map is monotonic per sink, so it carries from the
     // CURRENT manifest — a restored-then-replayed micro-batch must
     // still be a no-op
+    // ("ts" is dropped too: a restore is a NEW commit stamped at NOW,
+    // not a replay of the restored version's wall-clock)
     val meta = src.meta.filterNot { case (k, _) =>
-      k == "batch" || k.startsWith(TxnPrefix)
+      k == "batch" || k == "ts" || k.startsWith(TxnPrefix)
     } ++ carriedTxn(cur) +
       ("op" -> "restore") + ("restoredFrom" -> version.toString)
     commitManifest(name, TableManifest(next, src.partitionBy, meta, src.files))

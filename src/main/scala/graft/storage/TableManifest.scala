@@ -34,7 +34,9 @@ final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   *     committed batchId, carried forward verbatim on EVERY commit so
   *     a replay probe is one lookup in the current manifest and
   *     idempotence survives vacuum (Delta's `txn` action);
-  *   - `migrated` — this version absorbed a pre-existing unversioned dir.
+  *   - `migrated` — this version absorbed a pre-existing unversioned dir;
+  *   - `ts` — commit wall-clock (epoch millis), stamped at the CAS
+  *     funnel strictly monotonic per table (`TIMESTAMP AS OF` anchor).
   */
 final case class TableManifest(version: Long, partitionBy: Seq[String],
     meta: Map[String, String], files: Seq[String],

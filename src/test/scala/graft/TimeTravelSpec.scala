@@ -666,7 +666,8 @@ class TimeTravelSpec extends SparkSpec {
     assert(h === Seq((1L, "migrate"), (2L, "merge"), (3L, "delete"),
       (4L, "append"), (5L, "restore")))
     assert(cat.history("t").columns.toSet ===
-      Set("version", "operation", "n_files", "partition_by", "batch"))
+      Set("version", "operation", "n_files", "partition_by", "batch",
+        "commit_ts"))
   }
 
   test("upsertVersionedWithRetry recovers from a lost commit race") {
@@ -729,5 +730,63 @@ class TimeTravelSpec extends SparkSpec {
     assert(out.filter(col("id") === 0).head().getLong(1) == 999L)
     assert(cat.versions("t") == Seq(1L, 2L))
     assert(cat.readVersion("t", 1).filter(col("id") === 0).head().getLong(1) == 0L)
+  }
+
+  test("commit timestamps are stamped strictly monotonic across every verb") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, "a", 1.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.appendVersioned("t", Seq((2L, "b", 2.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.upsertVersioned("t", Seq((1L, "a", 9.0)).toDF("id", "p", "m"),
+      Seq("id"), partitionBy = Seq("p"))
+    cat.deleteVersioned("t", col("id") === 2L)
+    cat.restore("t", 2)
+    val ts = cat.versions("t").map(v => cat.commitTimestamp("t", v))
+    assert(ts.forall(_.isDefined), s"every commit must be stamped: $ts")
+    val vals = ts.map(_.get)
+    assert(vals == vals.sorted && vals.distinct == vals,
+      s"commit timestamps must be strictly increasing: $vals")
+    // restore is a NEW commit stamped at now, not a replay of v2's clock
+    assert(cat.commitTimestamp("t", 5).get > cat.commitTimestamp("t", 2).get)
+    assert(cat.history("t").select("commit_ts").as[Long].collect().toSeq == vals)
+  }
+
+  test("versionAsOf / readAsOf resolve the highest version at or before the stamp") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))
+    cat.appendVersioned("t", Seq((2L, 20.0)).toDF("id", "m"))
+    cat.deleteVersioned("t", col("id") === 1L)
+    val t1 = cat.commitTimestamp("t", 1).get
+    val t2 = cat.commitTimestamp("t", 2).get
+    val t3 = cat.commitTimestamp("t", 3).get
+    assert(cat.versionAsOf("t", t1) === 1L)
+    assert(cat.versionAsOf("t", t2) === 2L)
+    // between two commits: the earlier one is the table "as of" then
+    assert(cat.versionAsOf("t", t2 - 1) === 1L)
+    assert(cat.versionAsOf("t", t3 + 60000) === 3L)
+    assert(cat.readAsOf("t", t2).as[(Long, Double)].collect().toSet ===
+      Set((1L, 10.0), (2L, 20.0)))
+    assert(cat.readAsOf("t", t3).as[(Long, Double)].collect().toSet ===
+      Set((2L, 20.0)))
+    // before the table existed: loud, never a silent wrong answer
+    val e = intercept[IllegalArgumentException](cat.versionAsOf("t", t1 - 1))
+    assert(e.getMessage.contains("at or before"))
+  }
+
+  test("pre-timestamp manifests stay readable and count as arbitrarily old") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, "x")).toDF("id", "v"))
+    // simulate a manifest written before timestamps existed
+    val p = Paths.get(root, ".versions", "t", "v1.manifest")
+    val stripped = Files.readString(p).linesIterator
+      .filterNot(_.startsWith("meta.ts=")).mkString("\n") + "\n"
+    Files.writeString(p, stripped)
+    assert(cat.commitTimestamp("t", 1).isEmpty)
+    cat.appendVersioned("t", Seq((2L, "y")).toDF("id", "v"))
+    val t2 = cat.commitTimestamp("t", 2).get
+    assert(cat.versionAsOf("t", t2 - 1) === 1L,
+      "an unstamped version is eligible under any bound")
+    assert(cat.versionAsOf("t", t2) === 2L)
+    assert(cat.history("t").filter(col("version") === 1)
+      .select("commit_ts").head().isNullAt(0))
   }
 }
