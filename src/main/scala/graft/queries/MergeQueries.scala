@@ -698,7 +698,7 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25)
+  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -905,6 +905,77 @@ object MergeQueries {
              CAST(3 AS BIGINT) AS v_at_t3,
              CAST(0 AS BIGINT) AS asof_mismatch
       FROM state2 GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** CHECK constraints (k26, Delta `ADD CONSTRAINT` parity). Build-once:
+    * v1 overwrite, v2 `setConstraint o_totalprice > 0` (validated
+    * against every existing row first), v3 valid append (+6M keys,
+    * key % 21 == 5). EVERY RUN then re-attempts two violations live —
+    * an append carrying a negated-price row (the in-pass raise_error
+    * guard kills the write job; nothing commits) and an
+    * `addConstraint` the existing data violates (refused before any
+    * commit) — so the pins (`bad_append_rejected`, `bad_constraint_
+    * rejected`, `n_versions` stuck at 3, `n_constraints` = 1) prove
+    * enforcement is active, not a memory of the build. */
+  private lazy val k26 = Q(
+    "k26_check_constraints",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_cst_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      if (!Files.exists(marker)) {
+        cat.overwriteVersioned("orders_chk", o, Seq("o_orderstatus"))
+        cat.addConstraint("orders_chk", "totalprice_pos", "o_totalprice > 0")
+        cat.appendVersioned("orders_chk",
+          o.filter(col("o_orderkey") % 21 === 5)
+            .select((col("o_orderkey") + 6000000).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        Files.writeString(marker, "ok")
+      }
+      val badAppend =
+        try {
+          cat.appendVersioned("orders_chk",
+            o.filter(col("o_orderkey") % 21 === 6).limit(100)
+              .select((col("o_orderkey") + 7000000).as("o_orderkey"),
+                (-col("o_totalprice")).as("o_totalprice"),
+                col("o_orderstatus")),
+            Seq("o_orderstatus"))
+          0L
+        } catch { case e: Exception =>
+          if (Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(t => Option(t.getMessage).exists(_.contains("totalprice_pos"))))
+            1L else -1L
+        }
+      val badConstraint =
+        try { cat.addConstraint("orders_chk", "key_neg", "o_orderkey < 0"); 0L }
+        catch { case _: IllegalStateException => 1L }
+      cat.read("orders_chk")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+        .withColumn("n_constraints", lit(cat.constraints("orders_chk").size.toLong))
+        .withColumn("n_versions", lit(cat.currentVersion("orders_chk")))
+        .withColumn("bad_append_rejected", lit(badAppend))
+        .withColumn("bad_constraint_rejected", lit(badConstraint))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state3 AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey + 6000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 21 = 5)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(1 AS BIGINT) AS n_constraints,
+             CAST(3 AS BIGINT) AS n_versions,
+             CAST(1 AS BIGINT) AS bad_append_rejected,
+             CAST(1 AS BIGINT) AS bad_constraint_rejected
+      FROM state3 GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table

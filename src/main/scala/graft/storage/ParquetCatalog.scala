@@ -795,7 +795,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val next = m.version + 1
       // write-once versions: staging reads the still-live current files
       val rels = stage(name, slice.repartition(files), m.partitionBy, next)
-      val meta = Map("op" -> "compact") ++ carriedTxn(m) ++ propagatedSchema(m)
+      val meta = Map("op" -> "compact") ++ carriedMeta(m) ++ propagatedSchema(m)
       commitOrClean(name, TableManifest(next, m.partitionBy, meta,
         carried ++ rels), rels)
     } else {
@@ -1108,9 +1108,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     Files.createDirectories(dataDir(name))
     val nn = nonce()
     val stageDir = vd.resolve(s".stage-$nn")
-    val w = writeOpts(df.write.mode(SaveMode.Overwrite))
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    val w = writeOpts(constraintGuard(name, version, df, partitionBy)
+      .write.mode(SaveMode.Overwrite))
+    // a failed write (e.g. a CHECK-constraint violation raised mid-job)
+    // must not leave partial staging for vacuum to babysit
+    try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stageDir.toString)
+    catch {
+      case e: Throwable =>
+        if (Files.exists(stageDir)) deleteRecursively(stageDir)
+        throw e
+    }
     val s = Files.walk(stageDir)
     val staged =
       try s.iterator().asScala
@@ -1157,6 +1165,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private def carriedTxn(m: TableManifest): Map[String, String] =
     m.meta.filter { case (k, _) => k.startsWith(TxnPrefix) }
 
+  /** Everything a commit carries forward verbatim: the exactly-once
+    * txn registry AND the table's CHECK constraints — both must
+    * survive every verb (incl. a full overwrite: Delta keeps
+    * constraints across `overwrite` mode too). [[restore]] is the one
+    * exception — it restores the SOURCE version's constraints (they
+    * ride `src.meta`) while still carrying txn from current. */
+  private def carriedMeta(m: TableManifest): Map[String, String] =
+    m.meta.filter { case (k, _) =>
+      k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix)
+    }
+
   /** Sink ids are URL-encoded into the meta key — they are paths
     * (checkpoint dirs) and the manifest line format reserves '='. */
   private def txnKey(sinkId: String): String =
@@ -1197,6 +1216,119 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val (sink, id) = parseBatchToken(tok)
       Map("batch" -> tok, txnKey(sink) -> id.toString)
     }.getOrElse(Map.empty)
+
+  // ---- CHECK constraints --------------------------------------------
+  //
+  // Delta `ALTER TABLE ADD CONSTRAINT` semantics on the manifest tier:
+  // `meta.constraint.<name>=<sql expr>` rides EVERY commit (carriedMeta),
+  // adding one validates ALL existing rows first (one scan — the same
+  // price Delta pays), and every subsequent write verb enforces it
+  // INSIDE the staging write's own pass: the guard is a codegen'd
+  // filter whose violation branch is `raise_error`, so enforcement
+  // costs zero extra scans of the incoming frame — at 100 TB a
+  // validate-then-write double scan of a merge restage would double
+  // the write path. SQL CHECK semantics: NULL passes, only FALSE
+  // violates.
+
+  private val ConstraintPrefix = "constraint."
+
+  private def constraintKey(cname: String): String =
+    ConstraintPrefix + java.net.URLEncoder.encode(cname, "UTF-8")
+
+  /** The table's CHECK constraints, name → SQL expression. */
+  def constraints(name: String): Map[String, String] =
+    if (!isVersioned(name)) Map.empty
+    else currentManifest(name).meta.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        java.net.URLDecoder.decode(k.drop(ConstraintPrefix.length), "UTF-8") -> v
+    }
+
+  /** One constraint's violation predicate: TRUE only where the CHECK
+    * expression is definitively FALSE (SQL semantics — NULL passes). */
+  private def violates(sqlExpr: String): Column =
+    !coalesce(expr(sqlExpr), lit(true))
+
+  /** Embed the table's CHECK constraints into a frame about to be
+    * staged: each violating row raises mid-write, so a violating verb
+    * fails LOUDLY and commits nothing (the staging dir is cleaned, the
+    * manifest CAS never runs). The guard is a COLUMN WRAP, not a
+    * filter: one output column is replaced with
+    * `when(violates, raise_error).otherwise(itself)`. A filter guard —
+    * even a nondeterministic one — is unsafe here: deterministic
+    * filters are pushed below joins/anti-joins and raise on rows the
+    * plan would have discarded, and Spark 4 constant-folds decidable
+    * nondeterministic comparisons (`rand() >= -1` simply vanishes).
+    * Projections are never relocated across joins and the writer
+    * consumes every output column, so the wrap can only evaluate on
+    * rows that actually land — and it stays inside whole-stage
+    * codegen. Constraints are read from the PRIOR manifest
+    * (`version - 1`) with one raw parse — meta rides every manifest
+    * form in full, so no chain resolution is needed. */
+  private def constraintGuard(name: String, version: Long,
+      df: DataFrame, partitionBy: Seq[String]): DataFrame =
+    if (version <= 1L) df
+    else {
+      val cs = (try TableManifest.parse(manifestPath(name, version - 1)).meta
+        catch { case _: Exception => Map.empty[String, String] })
+        .collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
+          java.net.URLDecoder.decode(k.drop(ConstraintPrefix.length), "UTF-8") -> v
+        }
+      if (cs.isEmpty) df
+      else {
+        // wrap a non-partition column when one exists (the hive layout
+        // renders partition values from the column; identity-or-raise
+        // keeps values identical, but why make the writer think)
+        val guardCol = df.columns.find(!partitionBy.contains(_))
+          .getOrElse(df.columns.head)
+        val dt = df.schema(guardCol).dataType
+        val msgCols = struct(df.columns.map(col).toSeq: _*)
+        val wrapped = cs.foldLeft(col(guardCol)) { case (acc, (cn, e)) =>
+          when(violates(e), raise_error(concat(
+            lit(s"CHECK constraint '$cn' violated ($e) by row: "),
+            to_json(msgCols))).cast(dt))
+            .otherwise(acc)
+        }
+        df.withColumn(guardCol, wrapped)
+      }
+    }
+
+  /** Add a CHECK constraint (Delta `ADD CONSTRAINT` parity): validates
+    * every EXISTING row first (one scan; a violating table refuses the
+    * constraint loudly), then commits it as a metadata-only version —
+    * 100 % of files re-referenced, op verb `setConstraint`. Every later
+    * write verb enforces it in-pass; [[dropConstraint]] removes it. */
+  def addConstraint(name: String, cname: String, sqlExpr: String): Long = {
+    require(cname.nonEmpty && !sqlExpr.contains('\n'),
+      "constraint needs a name and a line-safe SQL expression")
+    migrateIfPlain(name)
+    val m = currentManifest(name)
+    val key = constraintKey(cname)
+    require(!m.meta.contains(key), s"constraint '$cname' already exists on $name")
+    val bad = readVersion(name, m.version).filter(violates(sqlExpr))
+      .limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot add constraint '$cname' ($sqlExpr) to $name: existing " +
+          s"rows violate it, e.g. ${bad.head}")
+    val next = m.version + 1
+    val meta = Map("op" -> "setConstraint", key -> sqlExpr) ++
+      carriedMeta(m) ++ propagatedSchema(m)
+    commitManifest(name, TableManifest(next, m.partitionBy, meta, m.files))
+    next
+  }
+
+  /** Remove a CHECK constraint — a metadata-only commit (verb
+    * `dropConstraint`); later writes stop enforcing it. */
+  def dropConstraint(name: String, cname: String): Long = {
+    val m = currentManifest(name)
+    val key = constraintKey(cname)
+    require(m.meta.contains(key), s"no constraint '$cname' on $name")
+    val next = m.version + 1
+    val meta = Map("op" -> "dropConstraint") ++
+      (carriedMeta(m) - key) ++ propagatedSchema(m)
+    commitManifest(name, TableManifest(next, m.partitionBy, meta, m.files))
+    next
+  }
 
   /** Migrate a plain (unversioned) table dir in place: its files become
     * the shared data tree and version 1's manifest lists them all. The
@@ -1252,7 +1384,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val next = prior.getOrElse(0L) + 1
     val rels = stage(name, df, partitionBy, next)
     val meta = Map("op" -> "overwrite") ++
-      prior.map(v => carriedTxn(manifest(name, v))).getOrElse(Map.empty) ++
+      prior.map(v => carriedMeta(manifest(name, v))).getOrElse(Map.empty) ++
       (if (rels.isEmpty) emptyMeta(df) else Map.empty)
     commitOrClean(name, TableManifest(next, partitionBy, meta, rels), rels)
     refreshIndex(name)
@@ -1290,7 +1422,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     requireManifestLayout(name, partitionBy, m)
     val current = readVersion(name, m.version)
     val next = m.version + 1
-    val tokMeta = carriedTxn(m) ++ tokenMeta(batchToken)
+    val tokMeta = carriedMeta(m) ++ tokenMeta(batchToken)
     if (!schemaMatches(current, df, pb)) {
       if (!evolveSchema) failSchemaDrift(name, current, df, pb)
       if (addDropOnly(current, df, pb)) {
@@ -1427,7 +1559,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val replaced = rels.map(TableManifest.partitionComponent).toSet
     val carried =
       m.files.filterNot(f => replaced.contains(TableManifest.partitionComponent(f)))
-    val meta = Map("op" -> "overwritePartitions") ++ carriedTxn(m) ++
+    val meta = Map("op" -> "overwritePartitions") ++ carriedMeta(m) ++
       propagatedSchema(m) ++
       (if (carried.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
     commitOrClean(name, TableManifest(next, partitionBy, meta, carried ++ rels), rels)
@@ -1495,7 +1627,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val merged =
         Upsert.merge(target, source, keys, smartCases, insertOnly, evolveSchema)
       val rels = stage(name, merged, pb, next)
-      val meta = Map("op" -> "merge") ++ carriedTxn(m) ++
+      val meta = Map("op" -> "merge") ++ carriedMeta(m) ++
         tokenMeta(batchToken) ++
         (if (rels.isEmpty) emptyMeta(merged) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
@@ -1516,7 +1648,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         if (scopedEvolve)
           Map("schema" -> unionEvolvedSchema(target.schema, source.schema).toDDL)
         else propagatedSchema(m)
-      val meta = Map("op" -> "merge") ++ carriedTxn(m) ++ schemaMeta ++
+      val meta = Map("op" -> "merge") ++ carriedMeta(m) ++ schemaMeta ++
         tokenMeta(batchToken) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
@@ -1558,7 +1690,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val next = m.version + 1
       // write-once versions: staging reads the still-live current files
       val rels = stage(name, merged, m.partitionBy, next)
-      val meta = Map("op" -> "merge") ++ carriedTxn(m) ++
+      val meta = Map("op" -> "merge") ++ carriedMeta(m) ++
         (if (rels.isEmpty) emptyMeta(merged) else Map.empty)
       commitOrClean(name, TableManifest(next, m.partitionBy, meta, rels), rels)
       refreshIndex(name)
@@ -1595,7 +1727,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val keep = t.filter(!hit)
       val removed = t.count() - keep.count()
       val rels = stage(name, keep, pb, next)
-      val meta = Map("op" -> "delete") ++ carriedTxn(m) ++
+      val meta = Map("op" -> "delete") ++ carriedMeta(m) ++
         (if (rels.isEmpty) emptyMeta(keep) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
       refreshIndex(name)
@@ -1616,7 +1748,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           slice.unpersist()
           out
         }
-      val meta = Map("op" -> "delete") ++ carriedTxn(m) ++ propagatedSchema(m) ++
+      val meta = Map("op" -> "delete") ++ carriedMeta(m) ++ propagatedSchema(m) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(t) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
       refreshIndex(name)
@@ -1762,7 +1894,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (pb.isEmpty || m.files.isEmpty) {
       val state = Upsert.applyFeed(target, feed, keys)
       val rels = stage(name, state, pb, next)
-      val meta = Map("op" -> "sync") ++ carriedTxn(m) ++
+      val meta = Map("op" -> "sync") ++ carriedMeta(m) ++
         tokenMeta(batchToken) ++ propagatedSchema(m) ++
         (if (rels.isEmpty) emptyMeta(state) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
@@ -1780,7 +1912,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           val state = Upsert.applyFeed(slice, feed, keys)
           stage(name, state, pb, next)
         }
-      val meta = Map("op" -> "sync") ++ carriedTxn(m) ++
+      val meta = Map("op" -> "sync") ++ carriedMeta(m) ++
         tokenMeta(batchToken) ++ propagatedSchema(m) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
@@ -1831,7 +1963,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * Operations are
     * the commit verbs the manifests recorded (`overwrite`, `merge`,
     * `delete`, `append`, `overwritePartitions`, `compact`, `restore`,
-    * `migrate`, `sync`).
+    * `migrate`, `sync`, `setConstraint`, `dropConstraint`).
     * Driver-built from manifest metadata only — no data files are
     * opened. */
   def history(name: String): DataFrame = {

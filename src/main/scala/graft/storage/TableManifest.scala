@@ -36,7 +36,9 @@ final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   *     idempotence survives vacuum (Delta's `txn` action);
   *   - `migrated` — this version absorbed a pre-existing unversioned dir;
   *   - `ts` — commit wall-clock (epoch millis), stamped at the CAS
-  *     funnel strictly monotonic per table (`TIMESTAMP AS OF` anchor).
+  *     funnel strictly monotonic per table (`TIMESTAMP AS OF` anchor);
+  *   - `constraint.<name>` — a CHECK constraint's SQL expression,
+  *     carried on every commit and enforced inside each staging write.
   */
 final case class TableManifest(version: Long, partitionBy: Seq[String],
     meta: Map[String, String], files: Seq[String],
