@@ -698,7 +698,7 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26)
+  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -976,6 +976,75 @@ object MergeQueries {
              CAST(1 AS BIGINT) AS bad_append_rejected,
              CAST(1 AS BIGINT) AS bad_constraint_rejected
       FROM state3 GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Zero-copy clone (k27, Delta `SHALLOW CLONE` parity but
+    * vacuum-independent). Build-once: src = v1 overwrite + v2 append
+    * (+8M keys, key % 23 == 7); clone taken at v2; the CLONE then
+    * diverges (+9M keys, key % 31 == 3) and the SOURCE vacuums to
+    * keep=1 — the clone's hard links must keep every shared byte
+    * alive. Pins: `files_copied = 0` (every clone file shares its
+    * source counterpart's inode — zero bytes moved at clone time),
+    * `src_rows` recomputed live proving the clone's divergence never
+    * leaked back, and the measured content is the diverged clone the
+    * oracle recomputes from the base table. */
+  private lazy val k27 = Q(
+    "k27_clone",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_cln_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_base", o, Seq("o_orderstatus"))
+        cat.appendVersioned("orders_base",
+          o.filter(col("o_orderkey") % 23 === 7)
+            .select((col("o_orderkey") + 8000000).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        cat.cloneTable("orders_base", "orders_clone", Some(2L))
+        cat.appendVersioned("orders_clone",
+          o.filter(col("o_orderkey") % 31 === 3)
+            .select((col("o_orderkey") + 9000000).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        cat.vacuum("orders_base", keep = 1, minAgeMs = 0L)
+        Files.writeString(marker, "ok")
+      }
+      def ino(p: java.nio.file.Path): Long =
+        Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
+      val copied = cat.manifestFiles("orders_clone", 1).count { rel =>
+        val a = Paths.get(root, ".versions", "orders_base", rel)
+        val b = Paths.get(root, ".versions", "orders_clone", rel)
+        !Files.exists(a) || ino(a) != ino(b)
+      }
+      val srcRows = cat.read("orders_base").count()
+      cat.read("orders_clone")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+        .withColumn("src_rows", lit(srcRows))
+        .withColumn("files_copied", lit(copied.toLong))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH clone_state AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey + 8000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 23 = 7
+        UNION ALL
+        SELECT o_orderkey + 9000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 31 = 3)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST((SELECT COUNT(*) +
+                     SUM(CASE WHEN o_orderkey % 23 = 7 THEN 1 ELSE 0 END)
+                   FROM orders) AS BIGINT) AS src_rows,
+             CAST(0 AS BIGINT) AS files_copied
+      FROM clone_state GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table

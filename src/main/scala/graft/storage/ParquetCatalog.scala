@@ -1330,6 +1330,44 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     next
   }
 
+  /** Zero-copy clone (Delta `SHALLOW CLONE` parity, but
+    * vacuum-independent): `dst` is born at version 1 with `src`'s
+    * file list at `version` (default: current), each data file
+    * HARD-LINKED into dst's OWN data tree — zero bytes copied, O(files)
+    * metadata ops (the object-store analogue is a server-side copy).
+    * Unlike a shallow clone that points into the source's tree, the
+    * link makes the clone fully independent: either table can vacuum,
+    * compact, or be deleted without ever invalidating the other —
+    * write-once data files mean a shared inode can never be mutated
+    * through either path. CHECK constraints and the recorded schema
+    * ride the copied meta; the txn registry and commit stamp do NOT
+    * (a clone is a new sink target, and its birth is a new commit).
+    * Filesystems without hard links fall back to a real copy. */
+  def cloneTable(src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    require(isVersioned(src), s"$src must be a versioned table")
+    require(!isVersioned(dst) && !exists(dst),
+      s"clone target $dst already exists")
+    val v = version.getOrElse(currentVersion(src))
+    val m = manifest(src, v)
+    m.files.foreach { rel =>
+      val from = versionsDir(src).resolve(rel)
+      val to = versionsDir(dst).resolve(rel)
+      Files.createDirectories(to.getParent)
+      try Files.createLink(to, from)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val meta = m.meta.filterNot { case (k, _) =>
+      k == "batch" || k == "ts" || k.startsWith(TxnPrefix)
+    } + ("op" -> "clone") + ("clonedFrom" -> s"$src@$v")
+    commitManifest(dst, TableManifest(1, m.partitionBy, meta, m.files))
+    refreshIndex(dst)
+    1L
+  }
+
   /** Migrate a plain (unversioned) table dir in place: its files become
     * the shared data tree and version 1's manifest lists them all. The
     * partition layout is inferred from the hive dir structure. */
@@ -1950,6 +1988,43 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       n += 1
     }
     n
+  }
+
+  /** Timestamp-bounded change feed — `tableChanges` anchored by
+    * wall-clock instead of version: every change committed STRICTLY
+    * AFTER the table state as of `tsMillis` ([[versionAsOf]]
+    * resolution), i.e. the replay a consumer needs who last saw the
+    * table at that moment. Same O(delta) file reads, same
+    * `_commit_version` attribution. */
+  def changesSince(name: String, tsMillis: Long,
+      keys: Seq[String]): DataFrame =
+    tableChanges(name, versionAsOf(name, tsMillis), currentVersion(name), keys)
+
+  /** Delta `DESCRIBE DETAIL` parity: one metadata-only row — tier,
+    * current version, retained version count, file count, total data
+    * bytes, partition layout, constraint count, last commit stamp.
+    * Driver-built from manifests and file attributes; zero data files
+    * opened, zero Spark jobs. */
+  def describeDetail(name: String): DataFrame = {
+    import spark.implicits._
+    val row =
+      if (isVersioned(name)) {
+        val m = currentManifest(name)
+        val bytes = m.files.map(f =>
+          try Files.size(versionsDir(name).resolve(f)) catch { case _: Exception => 0L }).sum
+        (name, "versioned", Some(m.version), versions(name).size.toLong,
+          m.files.size.toLong, bytes, m.partitionBy.mkString(","),
+          constraints(name).size.toLong, m.meta.get("ts").map(_.toLong))
+      } else {
+        val files = SkippingIndex.listFiles(tableDir(name).toString)
+        val bytes = files.map(f =>
+          try Files.size(Paths.get(f)) catch { case _: Exception => 0L }).sum
+        (name, "in-place", Option.empty[Long], 0L, files.size.toLong, bytes,
+          diskLayout(name).mkString(","), 0L, Option.empty[Long])
+      }
+    Seq(row).toDF("name", "tier", "version", "retained_versions",
+      "num_files", "size_bytes", "partition_by", "n_constraints",
+      "last_commit_ts")
   }
 
   /** The table's partition layout: the manifest's recorded columns for

@@ -742,4 +742,25 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("t").orderBy("id").as[(Long, String)].collect().toSeq
       === expected, "compaction must not change content")
   }
+
+  test("describeDetail reports both tiers from metadata alone") {
+    val cat = freshCatalog
+    cat.overwriteVersioned("v",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.addConstraint("v", "m_pos", "m > 0")
+    val d = cat.describeDetail("v").head()
+    assert(d.getAs[String]("tier") === "versioned")
+    assert(d.getAs[Long]("version") === 2L)
+    assert(d.getAs[Long]("retained_versions") === 2L)
+    assert(d.getAs[Long]("num_files") === 2L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("partition_by") === "p")
+    assert(d.getAs[Long]("n_constraints") === 1L)
+    assert(!d.isNullAt(d.fieldIndex("last_commit_ts")))
+    cat.overwrite("u", Seq((1L, 1.0)).toDF("id", "m"))
+    val u = cat.describeDetail("u").head()
+    assert(u.getAs[String]("tier") === "in-place")
+    assert(u.isNullAt(u.fieldIndex("version")))
+    assert(u.getAs[Long]("num_files") >= 1L && u.getAs[Long]("size_bytes") > 0L)
+  }
 }

@@ -157,6 +157,18 @@ class ChangeFeedSpec extends SparkSpec {
       === cat.currentVersion("r"))
   }
 
+  test("changesSince anchors the feed by wall-clock: only commits after that state") {
+    val cat = freshCatalog
+    seeded(cat)
+    val t2 = cat.commitTimestamp("t", 2).get
+    val since = cat.changesSince("t", t2, Seq("id"))
+    // the consumer saw the table as of t2 (= v2): replay v3 + v4 only
+    assert(since.select("_commit_version").distinct()
+      .as[Long].collect().toSet === Set(3L, 4L))
+    assert(since.collect().toSet ===
+      cat.tableChanges("t", 2, 4, Seq("id")).collect().toSet)
+  }
+
   test("a partition-moving update syncs both partitions (preimage names the old one)") {
     val cat = freshCatalog
     cat.overwriteVersioned("t",
