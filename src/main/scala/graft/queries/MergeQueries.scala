@@ -698,7 +698,8 @@ object MergeQueries {
           UNION ALL
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
-  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27)
+  ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
+    k29)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1045,6 +1046,146 @@ object MergeQueries {
                    FROM orders) AS BIGINT) AS src_rows,
              CAST(0 AS BIGINT) AS files_copied
       FROM clone_state GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** The table AS a streaming source (k28): version-number offsets over
+    * the manifest chain ([[graft.streaming.TableSource]]). Build-once:
+    * v1 overwrite + two appends (+10M keys %27==11, +11M keys %29==13).
+    * Every run drives a REAL Structured Streaming query — readStream →
+    * parquet file sink, Trigger.AvailableNow, fresh checkpoint — then
+    * restarts it from the SAME checkpoint: the caught-up restart must
+    * deliver zero new rows (`replay_rows = 0`, the exactly-once pin).
+    * The measured content is the streamed sink read back and
+    * aggregated; the oracle recomputes the three versions' union from
+    * the base table. */
+  private lazy val k28 = Q(
+    "k28_table_stream",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.streaming.Trigger
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_tst_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_stream", o, Seq("o_orderstatus"))
+        cat.appendVersioned("orders_stream",
+          o.filter(col("o_orderkey") % 27 === 11)
+            .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        cat.appendVersioned("orders_stream",
+          o.filter(col("o_orderkey") % 29 === 13)
+            .select((col("o_orderkey") + 11000000).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        Files.writeString(marker, "ok")
+      }
+      val work = Files.createTempDirectory("graft_tst_run")
+      val ckpt = s"$work/ckpt"
+      val out = s"$work/out"
+      def drain(): Unit = {
+        val q = cat.readStream("orders_stream").writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val first = s.read.parquet(out).count()
+      drain() // caught-up restart from the same checkpoint
+      val second = s.read.parquet(out).count()
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+        .withColumn("replay_rows", lit(second - first))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH streamed AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 27 = 11
+        UNION ALL
+        SELECT o_orderkey + 11000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 29 = 13)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(0 AS BIGINT) AS replay_rows
+      FROM streamed GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** STREAMING change feed (k29, Delta `readChangeFeed` streaming
+    * parity): the k23 source table's full change history — overwrite,
+    * append, partition-scoped merge, partition-scoped delete —
+    * consumed as a REAL Structured Streaming query (version-number
+    * offsets, Trigger.AvailableNow, fresh checkpoint per run), then
+    * restarted from the same checkpoint: the caught-up restart must
+    * deliver zero change rows (`replay_rows = 0`). Measured content:
+    * counts + price mass per (commit, change type) — including v1's
+    * inserts, which the batch k23 window (1, 4] excludes. */
+  private lazy val k29 = Q(
+    "k29_stream_cdf",
+    (s, d) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.streaming.Trigger
+      val cat = cdfState(s, d)
+      val work = Files.createTempDirectory("graft_scf_run")
+      val ckpt = s"$work/ckpt"
+      val out = s"$work/out"
+      def drain(): Unit = {
+        val q = cat.readChangeStream("orders_cdf", Seq("o_orderkey"))
+          .writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val first = s.read.parquet(out).count()
+      drain() // caught-up restart
+      val second = s.read.parquet(out).count()
+      s.read.parquet(out)
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
+        .withColumn("replay_rows", lit(second - first))
+        .orderBy("_commit_version", "_change_type")
+    },
+    Some("""
+      WITH appended AS (
+        SELECT o_orderkey + 4000000 AS o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 11 = 1),
+      upd AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0),
+      ins3 AS (
+        SELECT o_orderkey + 3000000 AS o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 2),
+      del AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'P' AND o_orderkey % 13 = 3),
+      feed AS (
+        SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+               o_totalprice FROM orders
+        UNION ALL
+        SELECT 2, 'insert', o_totalprice FROM appended
+        UNION ALL
+        SELECT 3, 'update_preimage', o_totalprice FROM upd
+        UNION ALL
+        SELECT 3, 'update_postimage', o_totalprice * 2 FROM upd
+        UNION ALL
+        SELECT 3, 'insert', o_totalprice FROM ins3
+        UNION ALL
+        SELECT 4, 'delete', o_totalprice FROM del)
+      SELECT _commit_version, _change_type, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(0 AS BIGINT) AS replay_rows
+      FROM feed GROUP BY 1, 2 ORDER BY _commit_version, _change_type"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table

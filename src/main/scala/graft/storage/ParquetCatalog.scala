@@ -1990,6 +1990,68 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     n
   }
 
+  /** One streaming micro-batch of an APPEND-ONLY versioned table: the
+    * rows of the files added in the version window (`from`, `to`] —
+    * the manifest-native alternative to a directory-watching file
+    * stream. The difference matters for soundness: a directory watcher
+    * would also deliver crash debris (staged-but-never-committed
+    * orphans waiting for vacuum) and would re-deliver every row a
+    * merge/compaction rewrites into new files; reading the MANIFEST
+    * diff delivers exactly the committed appends, once. Any commit in
+    * the window that REMOVED a file is refused loudly — rewritten rows
+    * cannot be streamed as appends (that consumer wants
+    * [[tableChanges]]). `schema` (usually pinned at stream start)
+    * resolves heterogeneous files by name across metadata-only
+    * evolutions. */
+  private[graft] def streamBatch(name: String, from: Long, to: Long,
+      schema: StructType): DataFrame = {
+    require(from <= to, s"need from <= to; got $from, $to")
+    ((math.max(from, 1L) + 1L) to to).foreach { v =>
+      val removed = manifest(name, v - 1).files.toSet -- manifest(name, v).files.toSet
+      if (removed.nonEmpty)
+        throw new IllegalStateException(
+          s"$name version $v removed ${removed.size} file(s) " +
+            s"(op=${manifest(name, v).meta.getOrElse("op", "?")}): an " +
+            "append-only stream cannot replay rewrites — consume " +
+            "tableChanges/syncIncremental instead, or start past it")
+    }
+    val base = if (from <= 0) Set.empty[String] else manifest(name, from).files.toSet
+    val added = manifest(name, to).files.filterNot(base)
+    readFileSubset(name, manifest(name, to), added, Some(schema))
+  }
+
+  /** The table as a Structured Streaming SOURCE with version-number
+    * offsets (see [[graft.streaming.TableSourceProvider]]): each
+    * committed append arrives as one micro-batch, exactly once across
+    * restarts (offsets checkpoint as versions). `startingVersion` is
+    * an exclusive floor — `0` (default) replays the whole table as the
+    * first batch, [[currentVersion]] streams only future appends. */
+  def readStream(name: String, startingVersion: Long = 0L): DataFrame =
+    spark.readStream
+      .format("graft.streaming.TableSourceProvider")
+      .option("root", root)
+      .option("table", name)
+      .option("startingVersion", startingVersion.toString)
+      .load()
+
+  /** The table's CHANGE FEED as a Structured Streaming source
+    * (Delta's `readChangeFeed` streaming option): each committed
+    * version — ANY verb, not just appends — arrives as one micro-batch
+    * of [[tableChanges]] rows (`_change_type` insert / update images /
+    * delete, `_commit_version` attribution), exactly once across
+    * restarts. Same O(delta) manifest-diff reads; `keys` are the MERGE
+    * keys the per-commit diff is computed over. */
+  def readChangeStream(name: String, keys: Seq[String],
+      startingVersion: Long = 0L): DataFrame =
+    spark.readStream
+      .format("graft.streaming.TableSourceProvider")
+      .option("root", root)
+      .option("table", name)
+      .option("mode", "changes")
+      .option("keys", keys.mkString(","))
+      .option("startingVersion", startingVersion.toString)
+      .load()
+
   /** Timestamp-bounded change feed — `tableChanges` anchored by
     * wall-clock instead of version: every change committed STRICTLY
     * AFTER the table state as of `tsMillis` ([[versionAsOf]]

@@ -1,0 +1,177 @@
+package graft
+
+import graft.storage.ParquetCatalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import java.nio.file.{Files, Paths}
+
+/** Versioned tables as Structured Streaming SOURCES with version-number
+  * offsets. The soundness pins are the point: batches come from
+  * MANIFEST diffs, so uncommitted crash debris in the data tree is
+  * never delivered, rewrite commits are refused loudly instead of
+  * silently duplicating rows, and a restarted query resumes at its
+  * checkpointed version exactly once. */
+class TableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): (ParquetCatalog, String) = {
+    val root = Files.createTempDirectory("graft-tsrc").toString
+    (new ParquetCatalog(spark, root), root)
+  }
+
+  /** Drain everything currently available into a memory sink, reusing
+    * `checkpoint` across calls (the restart contract). */
+  private def drain(cat: ParquetCatalog, table: String, checkpoint: String,
+      queryName: String, startingVersion: Long = 0L): Unit = {
+    val q = cat.readStream(table, startingVersion).writeStream
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain into a fresh buffer via foreachBatch (the sink kind that
+    * SUPPORTS checkpoint recovery — the memory sink does not), reusing
+    * `checkpoint` across calls: the restart contract. */
+  private def drainBuffered(cat: ParquetCatalog, table: String,
+      checkpoint: String): Set[(Long, Double)] = {
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Double)]()
+    val q = cat.readStream(table).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0), r.getDouble(1))))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSet
+  }
+
+  test("appends stream as micro-batches; a restart resumes at the version high-water") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "m"))
+    cat.appendVersioned("t", Seq((3L, 30.0)).toDF("id", "m"))
+    val ckpt = s"$root/ckpt"
+    assert(drainBuffered(cat, "t", ckpt) ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // new commits land while the query is down...
+    cat.appendVersioned("t", Seq((4L, 40.0)).toDF("id", "m"))
+    cat.appendVersioned("t", Seq((5L, 50.0)).toDF("id", "m"))
+    // ...and a restart from the same checkpoint delivers ONLY them
+    assert(drainBuffered(cat, "t", ckpt) === Set((4L, 40.0), (5L, 50.0)),
+      "restart must resume at the checkpointed version, exactly once")
+    // caught up: another restart delivers nothing
+    assert(drainBuffered(cat, "t", ckpt) === Set.empty)
+  }
+
+  test("startingVersion = current streams only future appends") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))
+    val pin = cat.currentVersion("t")
+    cat.appendVersioned("t", Seq((2L, 20.0)).toDF("id", "m"))
+    drain(cat, "t", s"$root/ckpt", "tsv", startingVersion = pin)
+    assert(spark.table("tsv").as[(Long, Double)].collect().toSet ===
+      Set((2L, 20.0)))
+  }
+
+  test("a rewrite commit in the window is refused loudly, never replayed as appends") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, "a", 10.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.upsertVersioned("t", Seq((1L, "a", 11.0)).toDF("id", "p", "m"),
+      Seq("id"), partitionBy = Seq("p"))
+    val e = intercept[StreamingQueryException] {
+      drain(cat, "t", s"$root/ckpt", "trw")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("append-only"), msgs)
+  }
+
+  test("uncommitted debris in the data tree is never delivered (manifest-sound)") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))
+    // plant an orphan: a real parquet file no manifest references — the
+    // crash window between staging and the manifest CAS
+    val data = Paths.get(root, ".versions", "t", "data")
+    val real = cat.manifestFiles("t", 1).head
+    Files.copy(Paths.get(root, ".versions", "t", real),
+      data.resolve("v9-deadbeef-orphan.parquet"))
+    cat.appendVersioned("t", Seq((2L, 20.0)).toDF("id", "m"))
+    drain(cat, "t", s"$root/ckpt", "torph")
+    assert(spark.table("torph").as[(Long, Double)].collect().toSet ===
+      Set((1L, 10.0), (2L, 20.0)),
+      "a directory watcher would have delivered the orphan's rows")
+  }
+
+  test("change stream delivers every verb's change rows with commit attribution") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.upsertVersioned("t", Seq((1L, "a", 11.0), (3L, "a", 30.0)).toDF("id", "p", "m"),
+      Seq("id"), partitionBy = Seq("p"))
+    cat.deleteVersioned("t", col("id") === 2L)
+    val q = cat.readChangeStream("t", Seq("id")).writeStream
+      .format("memory").queryName("cdc")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("cdc")
+      .select("_commit_version", "_change_type", "id", "m")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, "insert", 1L, 10.0), (1L, "insert", 2L, 20.0),
+      (2L, "update_preimage", 1L, 10.0), (2L, "update_postimage", 1L, 11.0),
+      (2L, "insert", 3L, 30.0),
+      (3L, "delete", 2L, 20.0)))
+    // equals the batch feed over the same window
+    assert(got === cat.tableChanges("t", 0, 3, Seq("id"))
+      .select("_commit_version", "_change_type", "id", "m")
+      .as[(Long, String, Long, Double)].collect().toSet)
+  }
+
+  test("change stream restart resumes at the version high-water exactly once") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))
+    val ckpt = s"$root/ckpt"
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, String, Long, Double)]()
+    def drainCdc(): Unit = {
+      val q = cat.readChangeStream("t", Seq("id")).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.select("_commit_version", "_change_type", "id", "m").collect()
+            .foreach(r => got.add((r.getLong(0), r.getString(1),
+              r.getLong(2), r.getDouble(3))))
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    drainCdc()
+    assert(got.size === 1) // v1's insert
+    cat.upsertVersioned("t", Seq((1L, 12.0)).toDF("id", "m"), Seq("id"))
+    drainCdc()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === Set(
+      (1L, "insert", 1L, 10.0),
+      (2L, "update_preimage", 1L, 10.0), (2L, "update_postimage", 1L, 12.0)),
+      "restart must deliver only the new commit's changes")
+    val before = got.size
+    drainCdc()
+    assert(got.size === before, "caught-up change stream delivers nothing")
+  }
+
+  test("partitioned tables stream with partition values resolved from dir names") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.appendVersioned("t", Seq((3L, "c", 30.0)).toDF("id", "p", "m"), Seq("p"))
+    drain(cat, "t", s"$root/ckpt", "tpart")
+    assert(spark.table("tpart").select("id", "p", "m")
+      .as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+}
