@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29)
+    k29, k30)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1186,6 +1186,98 @@ object MergeQueries {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
              CAST(0 AS BIGINT) AS replay_rows
       FROM feed GROUP BY 1, 2 ORDER BY _commit_version, _change_type"""))
+
+  /** Incrementally-maintained materialized aggregate (k30). Build-once:
+    * src `orders_mv` = v1 overwrite → MV BOOTSTRAPPED at v1 → v2 append
+    * (+4M keys, status O, key % 11 == 1) → v3 merge (F: % 5 == 0 price
+    * doubled, % 7 == 2 inserted +3M) → v4 delete (P, % 13 == 3) → MV
+    * refreshed INCREMENTALLY over the (1, 4] feed — signed deltas, one
+    * group shuffle, no source re-scan, decimal-exact state. Every run
+    * re-refreshes (caught-up: commits nothing — `mv_version` pins 2 =
+    * bootstrap + one incremental commit) and recomputes the aggregate
+    * from the live source (`mv_mismatch = 0` pins bit-equality). The
+    * measured content is the view itself; the oracle replays the state
+    * chain from the base table. */
+  private lazy val k30 = Q(
+    "k30_incremental_mv",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_imv_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_mv", o, Seq("o_orderstatus"))
+        cat.refreshMaterialized("orders_mv", "mv_by_status",
+          Seq("o_orderkey"), Seq("o_orderstatus"), Seq("o_totalprice"))
+        cat.appendVersioned("orders_mv",
+          o.filter(col("o_orderstatus") === "O" && col("o_orderkey") % 11 === 1)
+            .select((col("o_orderkey") + 4000000).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        val v3src = o
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderstatus"))
+          .unionByName(o
+            .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 2)
+            .select((col("o_orderkey") + 3000000).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")))
+        cat.upsertVersioned("orders_mv", v3src, Seq("o_orderkey"),
+          partitionBy = Seq("o_orderstatus"))
+        cat.deleteVersioned("orders_mv",
+          col("o_orderstatus") === "P" && col("o_orderkey") % 13 === 3)
+        cat.refreshMaterialized("orders_mv", "mv_by_status",
+          Seq("o_orderkey"), Seq("o_orderstatus"), Seq("o_totalprice"))
+        Files.writeString(marker, "ok")
+      }
+      // live proof, every run: caught-up refresh commits nothing...
+      val mvv = cat.refreshMaterialized("orders_mv", "mv_by_status",
+        Seq("o_orderkey"), Seq("o_orderstatus"), Seq("o_totalprice"))
+      // ...and the incremental state equals a fresh source aggregate
+      val recomputed = cat.read("orders_mv").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).as("sum_o_totalprice"))
+      val mv = cat.read("mv_by_status")
+      val mismatch = mv.exceptAll(recomputed).count() +
+        recomputed.exceptAll(mv).count()
+      mv.select(col("o_orderstatus"), col("n_rows"),
+          col("sum_o_totalprice").cast("double").as("total"))
+        .withColumn("mv_version", lit(mvv))
+        .withColumn("mv_mismatch", lit(mismatch))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      appended AS (
+        SELECT o_orderkey + 4000000 AS o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 11 = 1),
+      upd AS (
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0),
+      ins3 AS (
+        SELECT o_orderkey + 3000000 AS o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 2),
+      state2 AS (
+        SELECT * FROM base UNION ALL SELECT * FROM appended),
+      state3 AS (
+        SELECT s.o_orderkey,
+               COALESCE(u.o_totalprice, s.o_totalprice) AS o_totalprice,
+               s.o_orderstatus
+        FROM state2 s LEFT JOIN upd u ON s.o_orderkey = u.o_orderkey
+        UNION ALL
+        SELECT * FROM ins3),
+      state4 AS (
+        SELECT * FROM state3
+        WHERE NOT (o_orderstatus = 'P' AND o_orderkey % 13 = 3))
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(2 AS BIGINT) AS mv_version,
+             CAST(0 AS BIGINT) AS mv_mismatch
+      FROM state4 GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table

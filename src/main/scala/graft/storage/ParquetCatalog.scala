@@ -1416,13 +1416,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * as the first retained version. Returns the new version number;
     * throws [[ConcurrentWriteException]] on a commit race. */
   def overwriteVersioned(name: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      batchToken: Option[String] = None): Long = {
     migrateIfPlain(name)
     val prior = versions(name).lastOption
+    batchToken.foreach { tok =>
+      prior.foreach { v =>
+        val m = manifest(name, v)
+        if (batchAlreadyCommitted(m, name, tok)) return m.version
+      }
+    }
     val next = prior.getOrElse(0L) + 1
     val rels = stage(name, df, partitionBy, next)
     val meta = Map("op" -> "overwrite") ++
       prior.map(v => carriedMeta(manifest(name, v))).getOrElse(Map.empty) ++
+      tokenMeta(batchToken) ++
       (if (rels.isEmpty) emptyMeta(df) else Map.empty)
     commitOrClean(name, TableManifest(next, partitionBy, meta, rels), rels)
     refreshIndex(name)
@@ -2051,6 +2059,137 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .option("keys", keys.mkString(","))
       .option("startingVersion", startingVersion.toString)
       .load()
+
+  // ---- metadata-only ALTER TABLE -------------------------------------
+
+  /** `ALTER TABLE ADD COLUMN` as a pure metadata commit: the new
+    * version re-references 100 % of the files and records the widened
+    * schema — existing rows read the column as null (parquet resolves
+    * by name), zero bytes rewritten. The mirror image of the
+    * metadata-only evolution an `evolveSchema` append performs, but
+    * with no data to carry at all. */
+  def addColumn(name: String, colName: String, typ: DataType): Long = {
+    migrateIfPlain(name)
+    val m = currentManifest(name)
+    val cur = recordedSchema(m).getOrElse(readVersion(name, m.version).schema)
+    require(!cur.fieldNames.contains(colName),
+      s"$name already has a column '$colName'")
+    val widened = StructType(cur.fields.map(_.copy(nullable = true)) :+
+      org.apache.spark.sql.types.StructField(colName, typ, nullable = true))
+    val meta = Map("op" -> "alterSchema", "schema" -> widened.toDDL) ++
+      carriedMeta(m)
+    commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
+    m.version + 1
+  }
+
+  /** `ALTER TABLE DROP COLUMN` as a pure metadata commit: the recorded
+    * schema loses the column; the bytes stay in the files but every
+    * reader projects through the recorded schema, so they are simply
+    * never decoded (and the next physical rewrite sheds them). Delta
+    * needs column mapping for this — the explicit-schema read path
+    * gives it away for free. Partition and constraint-referenced
+    * columns refuse to drop. */
+  def dropColumn(name: String, colName: String): Long = {
+    migrateIfPlain(name)
+    val m = currentManifest(name)
+    require(!m.partitionBy.contains(colName),
+      s"cannot drop partition column '$colName' of $name")
+    constraints(name).foreach { case (cn, e) =>
+      require(!e.contains(colName),
+        s"cannot drop '$colName': constraint '$cn' ($e) references it")
+    }
+    val cur = recordedSchema(m).getOrElse(readVersion(name, m.version).schema)
+    require(cur.fieldNames.contains(colName), s"$name has no column '$colName'")
+    require(cur.fields.length > 1, s"cannot drop $name's last column")
+    val narrowed = StructType(cur.fields.filterNot(_.name == colName)
+      .map(_.copy(nullable = true)))
+    val meta = Map("op" -> "alterSchema", "schema" -> narrowed.toDDL) ++
+      carriedMeta(m)
+    commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
+    m.version + 1
+  }
+
+  /** The partitions whose file counts exceed `maxFiles` — the
+    * small-file maintenance worklist, answered from the CURRENT
+    * manifest alone (zero data files opened). Feed each entry to
+    * [[compactPartition]]; at 100 TB the planner must never cost a
+    * table scan. Sorted worst-first; unpartitioned tables report the
+    * whole table as the empty spec when fragmented. */
+  def compactionPlan(name: String,
+      maxFiles: Int): Seq[(Seq[(String, String)], Int)] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    require(maxFiles > 0, "maxFiles must be positive")
+    val m = currentManifest(name)
+    if (m.partitionBy.isEmpty)
+      return if (m.files.size > maxFiles) Seq((Nil, m.files.size)) else Nil
+    m.files.groupBy(TableManifest.partitionComponent)
+      .collect { case (comp, fs) if fs.size > maxFiles =>
+        val spec = comp.split('/').toSeq.map { kv =>
+          val i = kv.indexOf('=')
+          ExternalCatalogUtils.unescapePathName(kv.take(i)) ->
+            ExternalCatalogUtils.unescapePathName(kv.drop(i + 1))
+        }
+        (spec, fs.size)
+      }.toSeq.sortBy(-_._2)
+  }
+
+  // ---- incrementally-maintained materialized aggregates -------------
+  //
+  // A rollup over a 100 TB fact table must not be recomputed from
+  // scratch because one partition's merge landed. Counts and sums are
+  // ABELIAN: every change-feed row contributes a signed delta
+  // (+1 insert/postimage, -1 delete/preimage), so the refresh is
+  // aggregate-the-feed + merge-into-state — O(delta) read, one shuffle
+  // on the group keys, never a source re-scan. Sums are maintained in
+  // DECIMAL(28,6)→(38,6), so incremental state is BIT-EQUAL to a full
+  // recompute (float accumulation would drift); the txn registry is
+  // the refresh watermark, making refresh idempotent and crash-safe.
+
+  /** Create or incrementally refresh materialized aggregate `dst` =
+    * `SELECT groupBy..., count(*), sum(sumCols...) FROM src GROUP BY
+    * groupBy` — maintained from `src`'s change feed, never by
+    * re-scanning `src` (except the bootstrap refresh, which aggregates
+    * the current version once). `keys` are src's MERGE keys (what the
+    * per-commit diff is computed over). State schema: groupBy columns,
+    * `n_rows`, and `sum_<col>` as exact decimals. Groups whose count
+    * reaches zero leave the view. Returns dst's committed version; a
+    * caught-up refresh commits nothing and a replayed one is a no-op
+    * (token `mv:<src>-><dst>#<srcVersion>`, probed via the registry —
+    * which doubles as the refresh watermark). */
+  def refreshMaterialized(src: String, dst: String, keys: Seq[String],
+      groupBy: Seq[String], sumCols: Seq[String]): Long = {
+    require(isVersioned(src), s"$src must be a versioned table")
+    require(groupBy.nonEmpty, "materialized view needs group columns")
+    val sinkId = s"mv:$src->$dst"
+    val cur = currentVersion(src)
+    val high = sinkHighWater(dst, sinkId).getOrElse(0L)
+    if (high >= cur) return currentVersion(dst)
+    val dec = (c: String) => col(c).cast("decimal(28,6)")
+    val next =
+      if (high == 0L) {
+        // bootstrap: one aggregate of the current version (a fresh view
+        // on a vacuumed table has no replayable history to fold)
+        val boot = readVersion(src, cur).groupBy(groupBy.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"),
+            sumCols.map(c => sum(dec(c)).as(s"sum_$c")): _*)
+        overwriteVersioned(dst, boot, batchToken = Some(s"$sinkId#$cur"))
+      } else {
+        val feed = tableChanges(src, high, cur, keys)
+        val w = when(col("_change_type").isin("insert", "update_postimage"),
+          lit(1L)).otherwise(lit(-1L))
+        val delta = feed.groupBy(groupBy.map(col): _*)
+          .agg(sum(w).as("n_rows"),
+            sumCols.map(c =>
+              sum(when(w === 1L, dec(c)).otherwise(-dec(c))).as(s"sum_$c")): _*)
+        val merged = read(dst).unionByName(delta)
+          .groupBy(groupBy.map(col): _*)
+          .agg(sum(col("n_rows")).as("n_rows"),
+            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+          .filter(col("n_rows") =!= 0L)
+        overwriteVersioned(dst, merged, batchToken = Some(s"$sinkId#$cur"))
+      }
+    next
+  }
 
   /** Timestamp-bounded change feed — `tableChanges` anchored by
     * wall-clock instead of version: every change committed STRICTLY
