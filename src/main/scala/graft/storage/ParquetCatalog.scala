@@ -1037,6 +1037,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def readAsOf(name: String, tsMillis: Long): DataFrame =
     readVersion(name, versionAsOf(name, tsMillis))
 
+  /** `RESTORE TABLE ... TIMESTAMP AS OF` — rewind the CURRENT state to
+    * what the table was at `tsMillis`, as a new auditable commit
+    * ([[versionAsOf]] + [[restore]]). */
+  def restoreAsOf(name: String, tsMillis: Long): Long =
+    restore(name, versionAsOf(name, tsMillis))
+
   /** The schema a manifest recorded for its (possibly heterogeneous)
     * file set, when one was recorded. */
   private def recordedSchema(m: TableManifest): Option[StructType] =
@@ -1350,7 +1356,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       s"clone target $dst already exists")
     val v = version.getOrElse(currentVersion(src))
     val m = manifest(src, v)
-    m.files.foreach { rel =>
+    // a failed clone (e.g. the source vacuumed a file mid-link) must
+    // not leave a half-linked tree behind — dst has no manifest yet,
+    // so nothing would ever vacuum it
+    try m.files.foreach { rel =>
       val from = versionsDir(src).resolve(rel)
       val to = versionsDir(dst).resolve(rel)
       Files.createDirectories(to.getParent)
@@ -1359,6 +1368,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
           Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
       }
+    } catch {
+      case e: Throwable =>
+        if (Files.exists(versionsDir(dst))) deleteRecursively(versionsDir(dst))
+        throw e
     }
     val meta = m.meta.filterNot { case (k, _) =>
       k == "batch" || k == "ts" || k.startsWith(TxnPrefix)

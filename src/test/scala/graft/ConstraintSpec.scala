@@ -118,6 +118,35 @@ class ConstraintSpec extends SparkSpec {
       Set((1L, 10.0), (2L, 5.0)))
   }
 
+  test("addConstraint racing a writer is CAS-safe: both land exactly once, any order") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def retrying(body: => Unit): Unit = {
+      var done = false
+      while (!done)
+        try { body; done = true }
+        catch { case _: graft.storage.ConcurrentWriteException => }
+    }
+    val a = new Thread(() => {
+      val c = new ParquetCatalog(spark, root)
+      barrier.await()
+      retrying { c.addConstraint("t", "m_pos", "m > 0"); () }
+    })
+    val b = new Thread(() => {
+      val c = new ParquetCatalog(spark, root)
+      barrier.await()
+      retrying { c.appendVersioned("t", Seq((2L, 20.0)).toDF("id", "m")); () }
+    })
+    a.start(); b.start(); a.join(60000); b.join(60000)
+    assert(cat.constraints("t") === Map("m_pos" -> "m > 0"))
+    assert(cat.read("t").count() === 2)
+    val vs = cat.versions("t")
+    assert(vs === (vs.head to vs.last), s"gapless chain expected: $vs")
+    // the constraint enforces regardless of which writer won the race
+    intercept[Exception](cat.appendVersioned("t", Seq((9L, -1.0)).toDF("id", "m")))
+  }
+
   test("multiple constraints all enforce; the raised error names the violated one") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", Seq((1L, "x", 10.0)).toDF("id", "tag", "m"))

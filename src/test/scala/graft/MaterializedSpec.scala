@@ -61,6 +61,39 @@ class MaterializedSpec extends SparkSpec {
     assert(cat.read("mv").select("p").as[String].collect().toSeq === Seq("a"))
   }
 
+  test("racing refreshes commit the window exactly once (CAS + watermark)") {
+    val cat = fresh()
+    cat.overwriteVersioned("s", Seq((1L, "a", 1.0)).toDF("id", "p", "m"))
+    cat.refreshMaterialized("s", "mv", Seq("id"), Seq("p"), Seq("m"))
+    cat.appendVersioned("s", Seq((2L, "b", 2.0)).toDF("id", "p", "m"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        barrier.await()
+        // loser of the CAS throws; a retry then sees the watermark and
+        // no-ops — either way the window folds in exactly once
+        try cat.refreshMaterialized("s", "mv", Seq("id"), Seq("p"), Seq("m"))
+        catch { case _: graft.storage.ConcurrentWriteException =>
+          cat.refreshMaterialized("s", "mv", Seq("id"), Seq("p"), Seq("m"))
+        }
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(rows(cat.read("mv")) === rows(recompute(cat, "s")),
+      "a double-applied window would double partition b's count")
+  }
+
+  test("restoreAsOf rewinds to the wall-clock state as a new commit") {
+    val cat = fresh()
+    cat.overwriteVersioned("s", Seq((1L, "a", 1.0)).toDF("id", "p", "m"))
+    cat.appendVersioned("s", Seq((2L, "b", 2.0)).toDF("id", "p", "m"))
+    val t1 = cat.commitTimestamp("s", 1).get
+    cat.restoreAsOf("s", t1)
+    assert(cat.read("s").count() === 1)
+    assert(cat.history("s").filter(col("operation") === "restore").count() === 1)
+  }
+
   test("refresh never re-reads carried source files (O(delta) pinned)") {
     val cat = fresh()
     cat.overwriteVersioned("s",
