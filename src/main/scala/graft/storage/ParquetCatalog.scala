@@ -628,10 +628,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * hive dir string, resolved from METADATA ONLY (manifest entries or
     * the dir tree — no data files, no Spark job). None when the table
     * is not partitioned by the column, or only the null partition
-    * exists. Ordering mirrors the column's logical order: numeric
-    * renderings compare numerically (ints/doubles don't zero-pad), and
+    * exists. Ordering mirrors the column's LOGICAL order as a reader
+    * sees it: when the manifest records a schema, that type decides —
+    * a genuinely STRING column compares lexicographically ("7" > "10",
+    * exactly what max(col) returns), numeric types numerically, and
     * date/timestamp renderings are ISO strings, where lexicographic IS
-    * chronological. */
+    * chronological. Without a recorded type the read-back type is
+    * Spark's partition inference, which the all-numeric heuristic
+    * mirrors (dirs "7","10" infer as int and read back as 10). */
   def latestPartitionValue(name: String, partitionCol: String): Option[String] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     def valueOf(component: String): Option[String] =
@@ -641,10 +645,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         else if (ExternalCatalogUtils.unescapePathName(seg.take(i)) != partitionCol) None
         else Some(seg.drop(i + 1))
       }.nextOption()
+    var recordedType: Option[DataType] = None
     val raw: Seq[String] =
       if (isVersioned(name)) {
         val m = currentManifest(name)
         if (!m.partitionBy.contains(partitionCol)) return None
+        recordedType = recordedSchema(m)
+          .flatMap(_.fields.find(_.name == partitionCol)).map(_.dataType)
         m.files.flatMap(f => valueOf(TableManifest.partitionComponent(f)))
       } else {
         if (!diskLayout(name).contains(partitionCol)) return None
@@ -657,12 +664,29 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val vals = raw.distinct
       .filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
       .map(ExternalCatalogUtils.unescapePathName)
-    if (vals.isEmpty) None
-    else if (vals.forall(v => scala.util.Try(v.toLong).isSuccess))
-      Some(vals.maxBy(_.toLong))
-    else if (vals.forall(v => scala.util.Try(v.toDouble).isSuccess))
-      Some(vals.maxBy(_.toDouble))
-    else Some(vals.max)
+    if (vals.isEmpty) None else Some(greatestRendering(vals, recordedType))
+  }
+
+  /** The max of hive dir renderings under the column's logical order.
+    * A known STRING type is lexicographic even when every rendering
+    * looks numeric; known numeric types compare numerically; all other
+    * known types (date/timestamp) render ISO, where lexicographic is
+    * chronological. Unknown type = Spark's partition inference: all-
+    * integral → long order, all-numeric → double order, else string. */
+  private def greatestRendering(vals: Seq[String],
+      dt: Option[DataType]): String = dt match {
+    case Some(StringType) => vals.max
+    case Some(_: org.apache.spark.sql.types.NumericType) =>
+      if (vals.forall(v => scala.util.Try(BigDecimal(v)).isSuccess))
+        vals.maxBy(BigDecimal(_))
+      else vals.max
+    case Some(_) => vals.max
+    case None =>
+      if (vals.forall(v => scala.util.Try(v.toLong).isSuccess))
+        vals.maxBy(_.toLong)
+      else if (vals.forall(v => scala.util.Try(v.toDouble).isSuccess))
+        vals.maxBy(_.toDouble)
+      else vals.max
   }
 
   /** Bloom-accelerated POINT lookup: `column = value` opening only the
@@ -1269,13 +1293,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * rows that actually land — and it stays inside whole-stage
     * codegen. Constraints are read from the PRIOR manifest
     * (`version - 1`) with one raw parse — meta rides every manifest
-    * form in full, so no chain resolution is needed. */
-  private def constraintGuard(name: String, version: Long,
+    * form in full, so no chain resolution is needed. The guard FAILS
+    * CLOSED: only the one legitimate crash window — the prior manifest
+    * file vanished (a concurrent vacuum took a pinned older snapshot) —
+    * falls back to the CURRENT manifest, whose meta carries the same
+    * constraints; a corrupt or unreadable manifest rethrows rather
+    * than silently skipping enforcement for the write. */
+  private[graft] def constraintGuard(name: String, version: Long,
       df: DataFrame, partitionBy: Seq[String]): DataFrame =
     if (version <= 1L) df
     else {
-      val cs = (try TableManifest.parse(manifestPath(name, version - 1)).meta
-        catch { case _: Exception => Map.empty[String, String] })
+      val priorMeta =
+        try TableManifest.parse(manifestPath(name, version - 1)).meta
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            currentManifest(name).meta
+        }
+      val cs = priorMeta
         .collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
           java.net.URLDecoder.decode(k.drop(ConstraintPrefix.length), "UTF-8") -> v
         }
@@ -1484,7 +1518,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val tokMeta = carriedMeta(m) ++ tokenMeta(batchToken)
     if (!schemaMatches(current, df, pb)) {
       if (!evolveSchema) failSchemaDrift(name, current, df, pb)
-      if (addDropOnly(current, df, pb)) {
+      // the metadata-only branch stages df AS GIVEN, so it must carry
+      // every partition column (partitionBy on a missing column is an
+      // AnalysisException deep in the writer); a frame that dropped one
+      // falls through to the union-by-name restage, whose null
+      // partition handles it — same gate upsertVersioned's scopedEvolve
+      // applies
+      if (addDropOnly(current, df, pb) && pb.forall(df.columns.contains)) {
         // METADATA-ONLY evolution: add/drop-column drift never touches
         // existing bytes — the commit RE-REFERENCES 100% of the prior
         // files and records the union schema in manifest meta; readers
@@ -1845,6 +1885,22 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     else reader.option("basePath", dataDir(name).toString).parquet(abs: _*)
   }
 
+  /** The schema a feed reads BOTH sides of a manifest diff under. The
+    * newer side's recorded schema wins outright when present (readers
+    * project through it — a dropped column stays dropped). When only
+    * the OLDER side records one (a metadata-only evolution followed by
+    * a full-restage verb, which records none because its files are
+    * homogeneous), the older union schema alone would silently drop
+    * columns the newer files added — so the canon is the newer files'
+    * ACTUAL schema (one footer read) unioned with the older recorded
+    * one, newer types winning: newer-only columns survive, older-side
+    * files resolve them as null by name. */
+  private def feedCanon(name: String, older: TableManifest,
+      newer: TableManifest): Option[StructType] =
+    recordedSchema(newer).orElse(recordedSchema(older).map { old =>
+      unionEvolvedSchema(readVersion(name, newer.version).schema, old)
+    })
+
   /** Delta `table_changes(from, to)` parity as a first-class call: the
     * NET per-row change feed (insert / update_preimage /
     * update_postimage; rows deleted across the range emit nothing —
@@ -1857,7 +1913,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val ma = manifest(name, from)
     val mb = manifest(name, to)
     val shared = ma.files.toSet.intersect(mb.files.toSet)
-    val canon = recordedSchema(mb).orElse(recordedSchema(ma))
+    val canon = feedCanon(name, ma, mb)
     val a = readFileSubset(name, ma, ma.files.filterNot(shared), canon)
     val b = readFileSubset(name, mb, mb.files.filterNot(shared), canon)
     Upsert.changeFeed(a.select(a.columns.sorted.map(col): _*),
@@ -1878,7 +1934,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val shared = prev.files.toSet.intersect(cur.files.toSet)
     val removed = prev.files.filterNot(shared)
     val added = cur.files.filterNot(shared)
-    val canon = recordedSchema(cur).orElse(recordedSchema(prev))
+    val canon = feedCanon(name, prev, cur)
     if (removed.isEmpty) {
       val b = readFileSubset(name, cur, added, canon)
       val dataCols = b.columns.sorted.filterNot(keys.contains).toSeq
@@ -2107,8 +2163,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val m = currentManifest(name)
     require(!m.partitionBy.contains(colName),
       s"cannot drop partition column '$colName' of $name")
+    // Spark resolves columns case-insensitively, so the reference check
+    // must too: parse the CHECK expression and compare its attribute
+    // references by lowercased name (an unparseable expression falls
+    // back to a case-insensitive substring check — over-blocking is the
+    // safe direction; an unguarded drop leaves a constraint that fails
+    // every subsequent write at analysis time)
     constraints(name).foreach { case (cn, e) =>
-      require(!e.contains(colName),
+      val refs = scala.util.Try(
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(e)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts
+          }.flatten).getOrElse(Nil)
+      val mentions =
+        if (refs.nonEmpty) refs.exists(_.equalsIgnoreCase(colName))
+        else e.toLowerCase.contains(colName.toLowerCase)
+      require(!mentions,
         s"cannot drop '$colName': constraint '$cn' ($e) references it")
     }
     val cur = recordedSchema(m).getOrElse(readVersion(name, m.version).schema)

@@ -60,6 +60,26 @@ class AlterSchemaSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.addColumn("t", "id", DoubleType))
   }
 
+  test("drop's constraint guard resolves references case-insensitively, not by substring") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 1.0, 2.0)).toDF("id", "p", "m", "marker"), Seq("p"))
+    // Spark resolves columns case-insensitively: a constraint written
+    // 'M > 0' references column m and must block dropping it
+    cat.addConstraint("t", "m_pos_uc", "M > 0")
+    intercept[IllegalArgumentException](cat.dropColumn("t", "m"))
+    cat.dropConstraint("t", "m_pos_uc")
+    // ...and a substring is NOT a reference: 'marker > 0' must not
+    // block dropping column m
+    cat.addConstraint("t", "marker_pos", "marker > 0")
+    cat.dropColumn("t", "m")
+    assert(!cat.read("t").columns.contains("m"))
+    assert(cat.read("t").columns.contains("marker"))
+    // the surviving constraint still enforces
+    intercept[Exception](cat.appendVersioned("t",
+      Seq((2L, "a", -1.0)).toDF("id", "p", "marker")))
+  }
+
   test("alterSchema commits carry constraints and the txn registry forward") {
     val cat = fresh()
     cat.overwriteVersioned("t", Seq((1L, 1.0)).toDF("id", "m"))

@@ -613,6 +613,45 @@ class CatalogSpec extends SparkSpec {
     assert(cat.latestPartition("v", "bucket").count() === 10)
   }
 
+  test("latestPartitionValue honors a recorded STRING partition type (lexicographic, like max(col))") {
+    val cat = freshCatalog
+    // with partition-type inference off, numeric-looking dir strings
+    // stay STRING on read-back — the column's logical max is
+    // lexicographic ("7" > "10"), and resolution must match it
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      cat.overwriteVersioned("s",
+        Seq((1L, "7", 1.0), (2L, "10", 2.0)).toDF("id", "bucket", "m"),
+        Seq("bucket"))
+      // a metadata-only ALTER records the union schema — bucket: string
+      cat.addColumn("s", "tag", org.apache.spark.sql.types.StringType)
+      val t = cat.read("s")
+      assert(t.schema("bucket").dataType === org.apache.spark.sql.types.StringType)
+      val colMax = t.select(max(col("bucket"))).head().getString(0)
+      assert(colMax === "7", "string column's logical max is lexicographic")
+      assert(cat.latestPartitionValue("s", "bucket") === Some("7"),
+        "metadata resolution must mirror the recorded string type's order")
+      assert(cat.latestPartition("s", "bucket").select("id")
+        .as[Long].collect().toSeq === Seq(1L))
+    } finally
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+  }
+
+  test("evolveSchema append missing a partition column falls back to the full restage") {
+    val cat = freshCatalog
+    cat.overwriteVersioned("fb", Seq((1L, "a", 1.0)).toDF("id", "p", "m"), Seq("p"))
+    // add/drop-only drift, but the frame DROPS the partition column —
+    // the metadata-only branch would partitionBy a missing column; it
+    // must fall through to the union-by-name restage (null partition)
+    cat.appendVersioned("fb", Seq((2L, "x")).toDF("id", "tag"), Seq("p"),
+      evolveSchema = true)
+    val out = cat.read("fb")
+    assert(out.count() === 2)
+    assert(out.filter(col("id") === 2L).select("p").head().isNullAt(0))
+    assert(out.filter(col("id") === 2L).select("tag").as[String].head() === "x")
+    assert(out.filter(col("id") === 1L).select("m").as[Double].head() === 1.0)
+  }
+
   test("merge match probe is index-pruned to the delta's key range") {
     import graft.storage.SkippingIndex
     val root = Files.createTempDirectory("graft-ipm").toString

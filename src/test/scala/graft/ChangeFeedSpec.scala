@@ -183,4 +183,30 @@ class ChangeFeedSpec extends SparkSpec {
     assert(cat.read("r").filter(col("p") === "a" && col("id") === 1L).isEmpty,
       "old-partition copy must be gone")
   }
+
+  test("feed canon across evolution-then-full-restage keeps the newer files' added columns") {
+    val cat = freshCatalog
+    cat.overwriteVersioned("t", Seq((1L, "a", 10.0)).toDF("id", "p", "m"),
+      Seq("p"))                                                        // v1
+    cat.appendVersioned("t",
+      Seq((2L, "a", 20.0, "x")).toDF("id", "p", "m", "tag"),
+      Seq("p"), evolveSchema = true)                                   // v2: records union schema
+    // a full overwrite records NO schema (its files are homogeneous)
+    // and carries a column the recorded v2 union never saw — the feed
+    // must read v3's files under THEIR schema, not v2's stale union
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0, "x", 5.0)).toDF("id", "p", "m", "tag", "extra"),
+      Seq("p"))                                                        // v3
+    val feed = cat.tableChanges("t", 2, 3, Seq("id"))
+    assert(feed.columns.contains("extra"),
+      s"newer files' added column dropped from the feed: ${feed.columns.toSeq}")
+    val post = feed.filter(col("_change_type") === "update_postimage")
+      .select("id", "extra").as[(Long, Double)].collect().toSeq
+    assert(post === Seq((1L, 5.0)),
+      "postimage must carry the newer files' column values")
+    // row 2 was deleted across the window; its delete image has no
+    // 'extra' to report (null under by-name resolution)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("extra").head().isNullAt(0))
+  }
 }

@@ -159,4 +159,34 @@ class ConstraintSpec extends SparkSpec {
     cat.appendVersioned("t", Seq((3L, "y", 5.0)).toDF("id", "tag", "m"))
     assert(cat.read("t").count() === 2)
   }
+
+  test("the guard fails CLOSED: a corrupt prior manifest rethrows, never skips enforcement") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))
+    cat.addConstraint("t", "m_pos", "m > 0")
+    val v = cat.currentVersion("t")
+    Files.writeString(Paths.get(root, ".versions", "t", s"v$v.manifest"),
+      "this is not a manifest")
+    // building the guard for the NEXT commit parses the corrupt prior —
+    // it must throw (fail closed), not silently return an unguarded frame
+    intercept[Exception](
+      cat.constraintGuard("t", v + 1, Seq((2L, -5.0)).toDF("id", "m"), Nil))
+  }
+
+  test("a vanished prior manifest falls back to the current one's constraints — still enforced") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m")) // v1
+    cat.addConstraint("t", "m_pos", "m > 0")                     // v2
+    // v3 self-contained (an overwrite, not an append's delta manifest):
+    // the current manifest must stay resolvable once v2 is gone
+    cat.overwriteVersioned("t", Seq((2L, 20.0)).toDF("id", "m")) // v3
+    // simulate a concurrent vacuum taking a pinned older snapshot
+    // between the writer's manifest read and its staging write
+    Files.delete(Paths.get(root, ".versions", "t", "v2.manifest"))
+    val guarded = cat.constraintGuard("t", 3L,
+      Seq((9L, -1.0)).toDF("id", "m"), Nil)
+    val e = intercept[Exception](guarded.collect())
+    assert(rootCause(e).getMessage.contains("m_pos"),
+      "constraints ride every manifest; the current one must answer")
+  }
 }
