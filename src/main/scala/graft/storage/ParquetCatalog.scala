@@ -2060,8 +2060,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       if (partitionBy.nonEmpty) partitionBy else manifest(src, cur).partitionBy
     var n = 0
     ((high + 1) to cur).foreach { v =>
-      applyChanges(dst, commitChanges(src, v, keys), keys, pb,
-        Some(s"$sinkId#$v"))
+      val feed =
+        try commitChanges(src, v, keys)
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("not retained") =>
+            throw new IllegalStateException(
+              s"replica '$dst' last synced $src at version $high, but the " +
+                s"catch-up window needs version $v and it is no longer " +
+                s"retained (${e.getMessage}): vacuum removed versions this " +
+                "replica still needs. Re-bootstrap the replica (drop and " +
+                "re-sync, or cloneTable), or vacuum with a keep window " +
+                "covering the laggiest replica", e)
+        }
+      applyChanges(dst, feed, keys, pb, Some(s"$sinkId#$v"))
       n += 1
     }
     n
@@ -2102,14 +2114,22 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * committed append arrives as one micro-batch, exactly once across
     * restarts (offsets checkpoint as versions). `startingVersion` is
     * an exclusive floor — `0` (default) replays the whole table as the
-    * first batch, [[currentVersion]] streams only future appends. */
-  def readStream(name: String, startingVersion: Long = 0L): DataFrame =
-    spark.readStream
+    * first batch, [[currentVersion]] streams only future appends.
+    * `maxVersionsPerTrigger` caps each micro-batch at N commits
+    * (admission control): a lagging consumer catches up in bounded
+    * batches instead of one backlog-sized batch — combine with
+    * `Trigger.AvailableNow` for a bounded, self-terminating drain. */
+  def readStream(name: String, startingVersion: Long = 0L,
+      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format("graft.streaming.TableSourceProvider")
       .option("root", root)
       .option("table", name)
       .option("startingVersion", startingVersion.toString)
+    maxVersionsPerTrigger
+      .fold(r)(n => r.option("maxVersionsPerTrigger", n.toString))
       .load()
+  }
 
   /** The table's CHANGE FEED as a Structured Streaming source
     * (Delta's `readChangeFeed` streaming option): each committed
@@ -2119,15 +2139,19 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * restarts. Same O(delta) manifest-diff reads; `keys` are the MERGE
     * keys the per-commit diff is computed over. */
   def readChangeStream(name: String, keys: Seq[String],
-      startingVersion: Long = 0L): DataFrame =
-    spark.readStream
+      startingVersion: Long = 0L,
+      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format("graft.streaming.TableSourceProvider")
       .option("root", root)
       .option("table", name)
       .option("mode", "changes")
       .option("keys", keys.mkString(","))
       .option("startingVersion", startingVersion.toString)
+    maxVersionsPerTrigger
+      .fold(r)(n => r.option("maxVersionsPerTrigger", n.toString))
       .load()
+  }
 
   // ---- metadata-only ALTER TABLE -------------------------------------
 

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.storage.ParquetCatalog
 import org.apache.spark.sql.{DataFrame, GraftStreamFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -35,9 +36,37 @@ import org.apache.spark.sql.types.StructType
   * .option("table", t).load()`. `startingVersion` is an exclusive
   * floor: 0 replays the whole table (appends) or its full change
   * history (changes) as batch one; the current version streams only
-  * the future. Retention contract: vacuum must keep every version a
-  * lagging consumer still needs (Delta's rule) — a vacuumed-away
-  * window fails loudly. */
+  * the future.
+  *
+  * **Admission control** (`maxVersionsPerTrigger`, Delta's
+  * `maxFilesPerTrigger` semantics at version granularity): each
+  * micro-batch's window is capped at N commits, so a consumer
+  * restarting after a long gap drains in N-commit batches instead of
+  * planning ONE catch-up batch the size of the backlog — at 100 TB the
+  * difference between bounded incremental progress and a table-sized
+  * shuffle. `Trigger.AvailableNow` is honored natively (the source
+  * implements [[SupportsTriggerAvailableNow]], so Spark runs a real
+  * multi-batch drain to the prepare-time bound and stops — no
+  * single-batch downgrade, no WARN): rate limit + AvailableNow is the
+  * bounded-backfill idiom.
+  *
+  * Retention contract: vacuum must keep every version a lagging
+  * consumer still needs (Delta's rule) — a vacuumed-away window fails
+  * LOUDLY at the next batch, naming the missing versions and the
+  * remedy, never delivering a silently-wrong batch.
+  *
+  * Design note: this is a V1 `Source` implementing the DSv2 admission
+  * interfaces — exactly how Spark's own `FileStreamSource` and Delta's
+  * `DeltaSource` ship (both are V1 sources with
+  * `SupportsAdmissionControl`/`SupportsTriggerAvailableNow`;
+  * `MicroBatchExecution` dispatches on the INTERFACES, not the API
+  * generation). A full DSv2 `MicroBatchStream` was considered and
+  * rejected: its executor-side `PartitionReader` contract would force
+  * re-implementing the parquet scan by hand (losing vectorization and
+  * whole-stage codegen) and cannot express the `changes` mode at all —
+  * a CDC batch is a keyed JOIN of two file subsets, not a list of
+  * scannable partitions. `getBatch` returning a Catalyst-planned
+  * DataFrame is the point, not a legacy artifact. */
 class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
@@ -81,44 +110,98 @@ class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val (cat, table) = resolve(sqlContext, parameters)
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
     val changes = parameters.get("mode").contains("changes")
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.toLong
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
     new TableSource(sqlContext, cat, table,
       schema.getOrElse(schemaFor(cat, table, parameters)), starting,
-      if (changes) Some(keysOf(parameters)) else None)
+      if (changes) Some(keysOf(parameters)) else None, maxVersions)
   }
 }
 
 /** One live stream over one table: offsets are committed versions.
-  * `getOffset` is one manifest-dir listing (metadata-only); `getBatch`
-  * reads exactly the files the window's manifests disagree on. The
-  * schema is pinned at stream start — files predating a metadata-only
-  * evolution resolve by name (absent columns read null), the catalog's
-  * normal heterogeneous-file contract. `changeKeys` switches the batch
-  * shape from appended rows to per-commit change rows. */
+  * Offset resolution is one manifest-dir listing (metadata-only);
+  * `getBatch` reads exactly the files the window's manifests disagree
+  * on. The schema is pinned at stream start — files predating a
+  * metadata-only evolution resolve by name (absent columns read null),
+  * the catalog's normal heterogeneous-file contract. `changeKeys`
+  * switches the batch shape from appended rows to per-commit change
+  * rows; `maxVersionsPerTrigger` caps each batch's commit window. */
 class TableSource(sqlContext: SQLContext, cat: ParquetCatalog,
     table: String, override val schema: StructType,
-    startingVersion: Long, changeKeys: Option[Seq[String]] = None)
-  extends Source {
+    startingVersion: Long, changeKeys: Option[Seq[String]] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
+  extends Source with SupportsTriggerAvailableNow {
 
-  private def version(o: Offset): Long = o match {
+  private def version(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => LongOffset(s).offset
     case other => other.json.trim.toLong
   }
 
+  /** AvailableNow drain target: pinned when the trigger starts, so the
+    * query processes exactly the data available THEN and stops —
+    * commits racing the drain wait for the next run. */
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(cat.currentVersion(table))
+
+  /** The cap is applied INSIDE [[latestOffset]] (versions are this
+    * source's own unit; Spark's ReadLimit vocabulary only knows rows
+    * and files, and the limit is enforced by the source either way). */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The next micro-batch's end offset: the current committed version,
+    * clamped by the AvailableNow bound and the per-trigger version
+    * cap. Returning the start offset unchanged signals "caught up". */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(start).map(version).getOrElse(startingVersion)
+    val live = cat.currentVersion(table)
+    val bounded = availableNowBound.fold(live)(math.min(live, _))
+    val capped = maxVersionsPerTrigger.fold(bounded)(n =>
+      math.min(bounded, from + n))
+    if (capped <= from) start else LongOffset(capped)
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(cat.currentVersion(table))
+
+  override def initialOffset(): OffsetV2 = LongOffset(startingVersion)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  /** Legacy V1 polling path — kept for API completeness; the engine
+    * prefers the [[latestOffset]] admission-control path. Note this
+    * path cannot rate-limit (no start offset is supplied). */
   override def getOffset: Option[Offset] = {
     val v = cat.currentVersion(table)
     if (v <= startingVersion) None else Some(LongOffset(v))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(version).getOrElse(startingVersion)
+    val from = start.map(o => version(o)).getOrElse(startingVersion)
     val to = version(end)
-    val batch = changeKeys match {
-      case Some(keys) =>
-        val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
-        cat.tableChanges(table, from, to, keys).select(cols: _*)
-      case None => cat.streamBatch(table, from, to, schema)
-    }
+    val batch =
+      try changeKeys match {
+        case Some(keys) =>
+          val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+          cat.tableChanges(table, from, to, keys).select(cols: _*)
+        case None => cat.streamBatch(table, from, to, schema)
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("not retained") =>
+          throw new IllegalStateException(
+            s"stream over '$table' needs the version window ($from, $to] " +
+              s"but part of it is no longer retained (${e.getMessage}): " +
+              "vacuum removed versions this checkpoint still needs. " +
+              "Re-bootstrap the consumer with a fresh checkpoint (full " +
+              "replay), or vacuum with a keep window covering the " +
+              "laggiest consumer", e)
+      }
     GraftStreamFrame(sqlContext.sparkSession, batch.queryExecution.toRdd, schema)
   }
 

@@ -184,6 +184,20 @@ class ChangeFeedSpec extends SparkSpec {
       "old-partition copy must be gone")
   }
 
+  test("vacuum past an un-synced replica's watermark fails the sync loudly, naming the remedy") {
+    val cat = freshCatalog
+    cat.overwriteVersioned("t", Seq((1L, "a", 10.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.syncIncremental("t", "r", Seq("id")) // replica watermark = v1
+    cat.appendVersioned("t", Seq((2L, "a", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.appendVersioned("t", Seq((3L, "a", 30.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.vacuum("t", keep = 1, minAgeMs = 0L) // drops the replica's catch-up window
+    val e = intercept[IllegalStateException](cat.syncIncremental("t", "r", Seq("id")))
+    assert(e.getMessage.contains("vacuum removed versions"), e.getMessage)
+    assert(e.getMessage.contains("Re-bootstrap"), e.getMessage)
+    // the replica was not half-updated by the failed sync
+    assert(cat.read("r").select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("feed canon across evolution-then-full-restage keeps the newer files' added columns") {
     val cat = freshCatalog
     cat.overwriteVersioned("t", Seq((1L, "a", 10.0)).toDF("id", "p", "m"),

@@ -164,6 +164,105 @@ class TableStreamSpec extends SparkSpec {
     assert(got.size === before, "caught-up change stream delivers nothing")
   }
 
+  test("the source honors Trigger.AvailableNow natively (no single-batch downgrade)") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))
+    val src = new graft.streaming.TableSourceProvider().createSource(
+      spark.sqlContext, s"$root/meta", None, "graft-table",
+      Map("root" -> root, "table" -> "t"))
+    assert(src.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow],
+      "without SupportsTriggerAvailableNow Spark WARN-downgrades " +
+        "AvailableNow to a single unbounded batch")
+    assert(src.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl])
+  }
+
+  test("maxVersionsPerTrigger + AvailableNow drains the backlog in bounded multi-batches") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))  // v1
+    (2 to 4).foreach(i => cat.appendVersioned("t",
+      Seq((i.toLong, i * 10.0)).toDF("id", "m")))                 // v2..v4
+    val ckpt = s"$root/ckpt"
+    val batches = scala.collection.concurrent.TrieMap[Long, Set[(Long, Double)]]()
+    def drainLimited(): Unit = {
+      val q = cat.readStream("t", maxVersionsPerTrigger = Some(1L)).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batches(id) = b.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    drainLimited()
+    // 4 pending versions at cap 1 = 4 planned batches (a V1-downgraded
+    // AvailableNow would have planned exactly ONE unbounded batch)
+    assert(batches.size === 4,
+      s"expected a 4-batch drain, got batches ${batches.keySet}")
+    assert(batches.values.forall(_.size === 1), "each batch = one commit")
+    assert(batches.values.flatten.toSet ===
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    // commits land while the query is down; a restart drains ONLY them
+    cat.appendVersioned("t", Seq((5L, 50.0)).toDF("id", "m"))
+    cat.appendVersioned("t", Seq((6L, 60.0)).toDF("id", "m"))
+    batches.clear()
+    drainLimited()
+    assert(batches.size === 2)
+    assert(batches.values.flatten.toSet === Set((5L, 50.0), (6L, 60.0)))
+    // caught up: nothing
+    batches.clear()
+    drainLimited()
+    assert(batches.isEmpty)
+  }
+
+  test("a crash mid-drain restarts at the failed batch: no loss, no duplicates") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))  // v1
+    (2 to 4).foreach(i => cat.appendVersioned("t",
+      Seq((i.toLong, i * 10.0)).toDF("id", "m")))                 // v2..v4
+    val ckpt = s"$root/ckpt"
+    val delivered = scala.collection.concurrent.TrieMap[Long, Set[Long]]()
+    @volatile var crash = true
+    def drainCrashy(): Unit = {
+      val q = cat.readStream("t", maxVersionsPerTrigger = Some(1L)).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val ids = b.collect().map(_.getLong(0)).toSet
+          if (id == 1L && crash) { crash = false; sys.error("simulated sink crash") }
+          delivered(id) = ids
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    intercept[StreamingQueryException](drainCrashy())
+    assert(delivered.keySet === Set(0L), "only batch 0 committed before the crash")
+    drainCrashy() // restart from the same checkpoint
+    // batch 1 (whose offset never committed) is re-delivered with the
+    // SAME window, then the drain continues — union exact, no re-run
+    // of batch 0, each version delivered under exactly one batch id
+    assert(delivered.keySet === Set(0L, 1L, 2L, 3L))
+    assert(delivered.values.flatten.toSet === Set(1L, 2L, 3L, 4L))
+    assert(delivered.values.map(_.size).sum === 4, s"no duplicates: $delivered")
+  }
+
+  test("vacuum past a stream checkpoint fails the restart loudly, naming vacuum and the remedy") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))
+    val ckpt = s"$root/ckpt"
+    assert(drainBuffered(cat, "t", ckpt) === Set((1L, 10.0))) // checkpoint at v1
+    cat.appendVersioned("t", Seq((2L, 20.0)).toDF("id", "m"))
+    cat.appendVersioned("t", Seq((3L, 30.0)).toDF("id", "m"))
+    cat.vacuum("t", keep = 1, minAgeMs = 0L) // drops v1, v2 — the stream's window
+    val e = intercept[StreamingQueryException](drainBuffered(cat, "t", ckpt))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("vacuum removed versions"), msgs)
+    assert(msgs.contains("Re-bootstrap"), msgs)
+    assert(msgs.contains("not retained"), msgs)
+  }
+
   test("partitioned tables stream with partition values resolved from dir names") {
     val (cat, root) = fresh()
     cat.overwriteVersioned("t",
