@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29, k30)
+    k29, k30, k31)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1278,6 +1278,86 @@ object MergeQueries {
              CAST(2 AS BIGINT) AS mv_version,
              CAST(0 AS BIGINT) AS mv_mismatch
       FROM state4 GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** SQL TEXT surface for the Delta-parity verbs (k31): the reference's
+    * workflows are literal SQL strings (`bronze_to_silver_
+    * transformation.py:870-920` runs MERGE text through `spark.sql`),
+    * so time travel / history / restore must be reachable from
+    * statement text too ([[graft.storage.CatalogSql]]). Build-once:
+    * v1 full overwrite → v2 append (+8M keys, key % 19 == 7) → v3
+    * delete (key % 23 == 11) → v4 = literal `RESTORE TABLE ... TO
+    * VERSION AS OF 2` text. The measured output is the literal
+    * `SELECT ... FROM orders_sqt VERSION AS OF 2` aggregate (Spark's
+    * OWN parser produces the AS OF node; the catalog substitutes its
+    * manifest read), plus live pins every run: the text path is
+    * row-identical to the `readVersion` API path, `TIMESTAMP AS OF`
+    * text resolves like `readAsOf`, the restored current state equals
+    * v2 exactly, and `DESCRIBE HISTORY` text reports the four verbs in
+    * commit order. */
+  private lazy val k31 = Q(
+    "k31_sql_time_travel",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_sqt_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_sqt", o, Seq("o_orderstatus"))
+        cat.appendVersioned("orders_sqt",
+          o.filter(col("o_orderkey") % 19 === 7)
+            .select((col("o_orderkey") + 8000000).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        cat.deleteVersioned("orders_sqt", col("o_orderkey") % 23 === 11)
+        cat.sql("RESTORE TABLE orders_sqt TO VERSION AS OF 2")
+        Files.writeString(marker, "ok")
+      }
+      // live pins, every run (all read-only):
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+      val viaText = cat.sql(
+        "SELECT o_orderkey, o_totalprice, o_orderstatus " +
+          "FROM orders_sqt VERSION AS OF 2")
+      val viaApi = cat.readVersion("orders_sqt", 2).select(cols.map(col): _*)
+      val textVsApi = viaText.exceptAll(viaApi).count() +
+        viaApi.exceptAll(viaText).count()
+      val t2 = cat.commitTimestamp("orders_sqt", 2).get
+      val viaTs = cat.sql(
+        "SELECT o_orderkey, o_totalprice, o_orderstatus " +
+          s"FROM orders_sqt TIMESTAMP AS OF timestamp_millis($t2)")
+      val tsMismatch = viaTs.exceptAll(viaApi).count() +
+        viaApi.exceptAll(viaTs).count()
+      val current = cat.read("orders_sqt").select(cols.map(col): _*)
+      val restoredMismatch = current.exceptAll(viaApi).count() +
+        viaApi.exceptAll(current).count()
+      val ops = cat.sql("DESCRIBE HISTORY orders_sqt")
+        .select("operation").collect().map(_.getString(0)).mkString(",")
+      cat.sql("""
+          SELECT o_orderstatus, COUNT(*) AS n_rows,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+          FROM orders_sqt VERSION AS OF 2
+          GROUP BY o_orderstatus""")
+        .withColumn("ops", lit(ops))
+        .withColumn("text_vs_api_mismatch", lit(textVsApi))
+        .withColumn("ts_as_of_mismatch", lit(tsMismatch))
+        .withColumn("restored_mismatch", lit(restoredMismatch))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state2 AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey + 8000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 19 = 7)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             'overwrite,append,delete,restore' AS ops,
+             CAST(0 AS BIGINT) AS text_vs_api_mismatch,
+             CAST(0 AS BIGINT) AS ts_as_of_mismatch,
+             CAST(0 AS BIGINT) AS restored_mismatch
+      FROM state2 GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table

@@ -23,4 +23,14 @@ object SqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Run an assembled logical plan as a DataFrame — the hook a SQL text
+    * surface needs after substituting its own relations into a parsed
+    * plan (`Dataset.ofRows` is `private[sql]`; same bridge idiom as
+    * above). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

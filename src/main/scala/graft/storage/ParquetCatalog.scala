@@ -2309,6 +2309,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       keys: Seq[String]): DataFrame =
     tableChanges(name, versionAsOf(name, tsMillis), currentVersion(name), keys)
 
+  /** Execute a catalog SQL statement — the TEXT surface for the
+    * Delta-parity verbs (see [[CatalogSql]]): time-travel `SELECT ...
+    * VERSION/TIMESTAMP AS OF`, `DESCRIBE HISTORY t`, `RESTORE TABLE t
+    * TO VERSION AS OF n`, and `MERGE INTO`. Plain relation names
+    * resolve to catalog tables' current versions; unknown names fall
+    * through to session temp views. */
+  def sql(statement: String): DataFrame = CatalogSql.run(spark, this, statement)
+
   /** Delta `DESCRIBE DETAIL` parity: one metadata-only row — tier,
     * current version, retained version count, file count, total data
     * bytes, partition layout, constraint count, last commit stamp.

@@ -1,0 +1,115 @@
+package graft
+
+import graft.storage.ParquetCatalog
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The catalog's SQL TEXT surface (`cat.sql`): Spark's own parser
+  * produces the `VERSION/TIMESTAMP AS OF` nodes, the catalog
+  * substitutes its manifest-tier reads, and the Delta extension verbs
+  * (`DESCRIBE HISTORY`, `RESTORE TABLE`) dispatch on statement shape.
+  * Every path is pinned against the equivalent Scala API call. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** v1 overwrite (3 rows) → v2 append (+1) → v3 delete (id 2). */
+  private def seeded(): ParquetCatalog = {
+    val cat = new ParquetCatalog(spark,
+      Files.createTempDirectory("graft-sqls").toString)
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("id", "p", "m"),
+      Seq("p"))
+    cat.appendVersioned("t", Seq((4L, "b", 40.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.deleteVersioned("t", col("id") === 2L)
+    cat
+  }
+
+  test("SELECT ... VERSION AS OF matches the readVersion API, any SELECT shape") {
+    val cat = seeded()
+    assert(cat.sql("SELECT id, m FROM t VERSION AS OF 1 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // aggregates + qualified references around the travel clause
+    assert(cat.sql(
+      "SELECT t.p, count(*) AS n FROM t VERSION AS OF 2 GROUP BY t.p ORDER BY t.p")
+      .as[(String, Long)].collect().toSeq === Seq(("a", 2L), ("b", 2L)))
+    // two versions of the same table joined in one statement
+    val gone = cat.sql("""
+      SELECT v1.id FROM t VERSION AS OF 2 AS v1
+      LEFT ANTI JOIN t AS cur ON v1.id = cur.id ORDER BY v1.id""")
+    assert(gone.as[Long].collect().toSeq === Seq(2L))
+    // plain name = current version
+    assert(cat.sql("SELECT count(*) AS n FROM t").as[Long].head() === 3L)
+  }
+
+  test("TIMESTAMP AS OF resolves wall-clock exactly like readAsOf") {
+    val cat = seeded()
+    val t2 = cat.commitTimestamp("t", 2).get
+    val viaSql = cat.sql(
+      s"SELECT id, m FROM t TIMESTAMP AS OF " +
+        s"timestamp_millis(${t2}) ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    val viaApi = cat.readAsOf("t", t2).select("id", "m").orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    // a string literal parses in session time; pin with a far-future one
+    assert(cat.sql(
+      "SELECT count(*) AS n FROM t TIMESTAMP AS OF '2999-01-01 00:00:00'")
+      .as[Long].head() === 3L)
+  }
+
+  test("DESCRIBE HISTORY equals the history() API") {
+    val cat = seeded()
+    assert(cat.sql("DESCRIBE HISTORY t").collect().toSeq ===
+      cat.history("t").collect().toSeq)
+    assert(cat.sql("describe history t").select("operation")
+      .as[String].collect().toSeq === Seq("overwrite", "append", "delete"))
+  }
+
+  test("RESTORE TABLE rewinds as a new commit, by version and by timestamp") {
+    val cat = seeded()
+    val out = cat.sql("RESTORE TABLE t TO VERSION AS OF 2").collect().head
+    assert((out.getString(0), out.getLong(1), out.getLong(2)) === ("t", 2L, 4L))
+    assert(cat.read("t").select("id").as[Long].collect().sorted ===
+      Array(1L, 2L, 3L, 4L))
+    // TIMESTAMP form (TO optional, Delta grammar): rewind to v1's stamp
+    val t1 = cat.commitTimestamp("t", 1).get
+    val out2 = cat.sql(
+      s"RESTORE TABLE t VERSION AS OF 1").collect().head
+    assert((out2.getLong(1), out2.getLong(2)) === (1L, 5L))
+    assert(cat.read("t").count() === 3L)
+    val out3 = cat.sql(
+      s"RESTORE TABLE t TO TIMESTAMP AS OF timestamp_millis($t1)").collect().head
+    assert(out3.getLong(1) === 1L)
+  }
+
+  test("MERGE INTO routes to the transactional mergeInto") {
+    val cat = seeded()
+    Seq((3L, "b", 33.0), (9L, "b", 90.0)).toDF("id", "p", "m")
+      .createOrReplaceTempView("updates")
+    val v = cat.sql("""
+      MERGE INTO t USING updates ON t.id = updates.id
+      WHEN MATCHED THEN UPDATE SET m = updates.m
+      WHEN NOT MATCHED THEN INSERT *""").as[Long].head()
+    assert(v === cat.currentVersion("t"))
+    assert(cat.read("t").select("id", "m").as[(Long, Double)].collect().toSet ===
+      Set((1L, 10.0), (3L, 33.0), (4L, 40.0), (9L, 90.0)))
+  }
+
+  test("unknown names fall through to session temp views; misuse is loud") {
+    val cat = seeded()
+    Seq((1L, "x")).toDF("id", "tag").createOrReplaceTempView("staged")
+    assert(cat.sql(
+      "SELECT s.tag FROM t JOIN staged s ON t.id = s.id")
+      .as[String].collect().toSeq === Seq("x"))
+    // AS OF over a non-catalog name
+    val e = intercept[Exception](
+      cat.sql("SELECT * FROM staged VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("versioned"), e.getMessage)
+    // AS OF a version that never existed / was vacuumed
+    val e2 = intercept[IllegalArgumentException](
+      cat.sql("SELECT * FROM t VERSION AS OF 99").collect())
+    assert(e2.getMessage.contains("not retained"), e2.getMessage)
+  }
+}
