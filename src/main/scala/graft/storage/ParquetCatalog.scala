@@ -1033,27 +1033,39 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   /** The commit wall-clock (epoch millis) a retained version's manifest
     * recorded — None only for manifests written before timestamps
-    * existed. Strictly increasing with version (see [[stampTs]]). */
+    * existed. Strictly increasing with version (see [[stampTs]]). Meta
+    * rides every manifest FORM in full, so this is ONE raw file parse —
+    * no delta-chain resolution. */
   def commitTimestamp(name: String, version: Long): Option[Long] =
-    manifest(name, version).meta.get("ts").map(_.toLong)
+    rawManifest(name, version).meta.get("ts").map(_.toLong)
 
   /** Delta `TIMESTAMP AS OF` resolution: the HIGHEST retained version
     * committed at or before `tsMillis`. Commit stamps are strictly
-    * monotonic per table, so the answer is unambiguous; manifests
-    * predating timestamps count as arbitrarily old (they are eligible
-    * under any bound). Metadata-only — O(retained versions) manifest
-    * parses, zero data files opened. Loud when `tsMillis` predates the
-    * oldest retained commit: resolving to a version that did not exist
-    * yet would silently hand back the wrong table. */
+    * monotonic per table, so eligibility ("stamped at or before the
+    * bound"; pre-timestamp manifests count as arbitrarily old) is a
+    * prefix property of the version sequence and the answer comes from
+    * a BINARY SEARCH — O(log versions) single-manifest parses, zero
+    * data files, zero chain resolution. At a 100k-commit table that is
+    * ~17 file reads where a history sweep would be 100k. Loud when
+    * `tsMillis` predates the oldest retained commit: resolving to a
+    * version that did not exist yet would silently hand back the wrong
+    * table. */
   def versionAsOf(name: String, tsMillis: Long): Long = {
-    val vs = versions(name)
+    val vs = versions(name).toIndexedSeq
     require(vs.nonEmpty, s"$name is not a versioned table")
-    val eligible = vs.filter(v => commitTimestamp(name, v).forall(_ <= tsMillis))
-    require(eligible.nonEmpty,
+    def eligible(v: Long): Boolean = commitTimestamp(name, v).forall(_ <= tsMillis)
+    require(eligible(vs.head),
       s"no retained version of $name was committed at or before $tsMillis " +
-        s"(oldest retained: v${vs.min}" +
-        commitTimestamp(name, vs.min).fold("")(t => s" at $t") + ")")
-    eligible.max
+        s"(oldest retained: v${vs.head}" +
+        commitTimestamp(name, vs.head).fold("")(t => s" at $t") + ")")
+    // invariant: vs(lo) eligible, vs(hi) not (or hi == vs.length)
+    var lo = 0
+    var hi = vs.length
+    while (hi - lo > 1) {
+      val mid = (lo + hi) / 2
+      if (eligible(vs(mid))) lo = mid else hi = mid
+    }
+    vs(lo)
   }
 
   /** Time-travel read by wall-clock ([[versionAsOf]] + [[readVersion]]):
@@ -2357,12 +2369,29 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * `delete`, `append`, `overwritePartitions`, `compact`, `restore`,
     * `migrate`, `sync`, `setConstraint`, `dropConstraint`).
     * Driver-built from manifest metadata only — no data files are
-    * opened. */
+    * opened, and the whole listing costs ONE raw parse per version:
+    * meta and partitionBy ride every manifest form in full, and the
+    * resolved file COUNT of a delta manifest folds incrementally from
+    * its base's count (count(base) − removes + adds) as the walk
+    * ascends, so no per-version chain resolution happens (the old
+    * shape was O(versions × chain length) parses). */
   def history(name: String): DataFrame = {
     import spark.implicits._
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
     versions(name).map { v =>
-      val m = manifest(name, v)
-      (v, m.meta.getOrElse("op", "unknown"), m.files.size.toLong,
+      val m = rawManifest(name, v)
+      val n = m.base match {
+        case Some(b) =>
+          // the base of a retained delta is retained (vacuum
+          // materializes before dropping bases), so it was counted by
+          // an earlier iteration; the resolve fallback covers only the
+          // concurrent-vacuum window
+          counts.getOrElse(b, manifest(name, b).files.size.toLong) -
+            m.removes.size + m.files.size
+        case None => m.files.size.toLong
+      }
+      counts(v) = n
+      (v, m.meta.getOrElse("op", "unknown"), n,
         m.partitionBy.mkString(","), m.meta.getOrElse("batch", ""),
         m.meta.get("ts").map(_.toLong))
     }.toDF("version", "operation", "n_files", "partition_by", "batch",
@@ -2394,13 +2423,34 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     next
   }
 
-  /** The optimistic-concurrency retry loop around [[upsertVersioned]]:
-    * on a lost commit race, re-read the now-current snapshot and
-    * re-merge — the source delta is re-applied against the interleaved
-    * writer's committed state, so neither update is lost (Delta's
-    * transaction retry). Fails after `maxAttempts` consecutive losses
-    * (a hot table with this much write contention needs coordination,
-    * not more retries). */
+  /** The shared optimistic-concurrency retry loop every versioned
+    * commit verb composes with: `body` re-evaluates from scratch on
+    * each attempt — it RE-READS the now-current snapshot and re-derives
+    * its delta against the interleaved writer's committed state, so
+    * neither update is lost (Delta's transaction retry). Fails after
+    * `maxAttempts` consecutive [[ConcurrentWriteException]] losses (a
+    * table with that much write contention needs coordination, not
+    * more retries); every other failure propagates immediately —
+    * retrying a constraint violation or schema drift would just repeat
+    * it. */
+  def withRetry[A](maxAttempts: Int = 3)(body: => A): A = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentWriteException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[upsertVersioned]] under [[withRetry]]. The first attempt honors
+    * `fromVersion` (the long-transaction pin); retries drop it — the
+    * pin's purpose is DETECTING the interleaved commit, and the retry
+    * is the re-read-and-re-merge response. */
   def upsertVersionedWithRetry(name: String, source: DataFrame,
       keys: Seq[String],
       smartCases: Map[String, (Column, Column) => Column] = Map.empty,
@@ -2409,20 +2459,39 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       evolveSchema: Boolean = false,
       fromVersion: Option[Long] = None,
       maxAttempts: Int = 3): Long = {
-    var attempt = 1
     var pin = fromVersion
-    while (true) {
-      try return upsertVersioned(name, source, keys, smartCases, insertOnly,
-        partitionBy, evolveSchema, pin)
-      catch {
-        case e: ConcurrentWriteException =>
-          if (attempt >= maxAttempts) throw e
-          attempt += 1
-          pin = None // re-read the now-current snapshot and re-merge
-      }
+    withRetry(maxAttempts) {
+      val p = pin
+      pin = None // any retry re-reads the now-current snapshot
+      upsertVersioned(name, source, keys, smartCases, insertOnly,
+        partitionBy, evolveSchema, p)
     }
-    -1L // unreachable
   }
+
+  /** [[appendVersioned]] under [[withRetry]] — the concurrent-writers
+    * convenience for the highest-rate verb (appends conflict only on
+    * the version NUMBER, never on content, so a retried append is
+    * always safe; the batch token still dedupes replays). */
+  def appendVersionedWithRetry(name: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil, evolveSchema: Boolean = false,
+      batchToken: Option[String] = None, maxAttempts: Int = 3): Long =
+    withRetry(maxAttempts)(
+      appendVersioned(name, df, partitionBy, evolveSchema, batchToken))
+
+  /** [[deleteVersioned]] under [[withRetry]]: each attempt re-reads the
+    * current snapshot and re-applies the predicate. */
+  def deleteVersionedWithRetry(name: String, condition: Column,
+      partitionBy: Seq[String] = Nil, maxAttempts: Int = 3): (Long, Long) =
+    withRetry(maxAttempts)(deleteVersioned(name, condition, partitionBy))
+
+  /** [[applyChanges]] under [[withRetry]]: a lost race re-applies the
+    * feed against the interleaved commit's state; the batch token
+    * keeps a replayed window a no-op either way. */
+  def applyChangesWithRetry(name: String, feed: DataFrame,
+      keys: Seq[String], partitionBy: Seq[String] = Nil,
+      batchToken: Option[String] = None, maxAttempts: Int = 3): Long =
+    withRetry(maxAttempts)(
+      applyChanges(name, feed, keys, partitionBy, batchToken))
 
   /** Retention: drop all but the newest `keep` versions' manifests,
     * then delete data files REFERENCE-COUNTED — a file is removable

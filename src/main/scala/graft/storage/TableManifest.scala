@@ -83,7 +83,13 @@ object TableManifest {
     segs.drop(1).dropRight(1).filter(_.contains('=')).mkString("/")
   }
 
+  /** Running count of [[parse]] calls — metadata-cost telemetry the
+    * tests pin scaling claims with (e.g. `versionAsOf` is O(log
+    * versions) single-file parses, not a full history sweep). */
+  private[graft] val parses = new java.util.concurrent.atomic.AtomicLong
+
   def parse(p: Path): TableManifest = {
+    parses.incrementAndGet()
     val lines = Files.readString(p).split('\n').toSeq.filter(_.nonEmpty)
     require(lines.headOption.exists(_.startsWith("graft-manifest ")),
       s"not a graft manifest: $p")

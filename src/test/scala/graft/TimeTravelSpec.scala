@@ -789,4 +789,69 @@ class TimeTravelSpec extends SparkSpec {
     assert(cat.history("t").filter(col("version") === 1)
       .select("commit_ts").head().isNullAt(0))
   }
+
+  test("versionAsOf is a binary search: O(log versions) manifest parses, not a sweep") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", Seq((0L, 0.0)).toDF("id", "m"))
+    (1 to 30).foreach(i =>
+      cat.appendVersioned("t", Seq((i.toLong, i * 1.0)).toDF("id", "m")))
+    val t20 = cat.commitTimestamp("t", 20).get
+    graft.storage.TableManifest.parses.set(0L)
+    assert(cat.versionAsOf("t", t20) === 20L)
+    val parsed = graft.storage.TableManifest.parses.get
+    // 31 versions: 1 oldest-eligibility probe + ceil(log2(31)) = 5
+    // bisection probes, one single-file parse each — the pin leaves
+    // headroom but stays far under the 31+ a linear sweep (worse with
+    // chain resolution) would cost
+    assert(parsed <= 10, s"versionAsOf parsed $parsed manifests for 31 versions")
+    // history() = one raw parse per version (delta counts fold from the
+    // base's running count; no per-version chain resolution)
+    graft.storage.TableManifest.parses.set(0L)
+    val h = cat.history("t").collect()
+    val hParsed = graft.storage.TableManifest.parses.get
+    assert(h.length === 31)
+    assert(hParsed <= 33, s"history parsed $hParsed manifests for 31 versions")
+    // the folded n_files column equals the resolved manifests' counts
+    assert(h.map(r => r.getLong(0) -> r.getLong(2)).toMap ===
+      (1L to 31L).map(v => v -> cat.manifestFiles("t", v).size.toLong).toMap)
+  }
+
+  test("appendVersionedWithRetry: racing writers both land, gapless chain") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((0L, 0.0)).toDF("id", "m"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+    def writer(id: Long): Thread = new Thread(() => {
+      try {
+        val c = new ParquetCatalog(spark, root)
+        barrier.await()
+        c.appendVersionedWithRetry("t", Seq((id, id * 1.0)).toDF("id", "m"),
+          maxAttempts = 5)
+        ()
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    val (a, b) = (writer(1L), writer(2L))
+    a.start(); b.start(); a.join(60000); b.join(60000)
+    assert(errs.isEmpty, s"retry must absorb the lost race: $errs")
+    assert(cat.read("t").select("id").as[Long].collect().sorted ===
+      Array(0L, 1L, 2L))
+    val vs = cat.versions("t")
+    assert(vs === (vs.head to vs.last), s"gapless chain expected: $vs")
+  }
+
+  test("withRetry retries only commit races, bounded; other failures propagate") {
+    val (cat, _) = fresh()
+    var calls = 0
+    val e = intercept[ConcurrentWriteException](cat.withRetry(3) {
+      calls += 1
+      throw new ConcurrentWriteException("always loses")
+    })
+    assert(calls === 3 && e.getMessage.contains("always loses"))
+    var once = 0
+    intercept[IllegalArgumentException](cat.withRetry(3) {
+      once += 1
+      throw new IllegalArgumentException("not a race")
+    })
+    assert(once === 1, "non-race failures must not be retried")
+  }
 }
