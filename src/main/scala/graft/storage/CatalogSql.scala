@@ -31,8 +31,15 @@ import org.apache.spark.sql.graftbridge.SqlBridge
   *   - `RESTORE TABLE t [TO] VERSION AS OF n` (or `TIMESTAMP AS OF ts`)
   *     → [[ParquetCatalog.restore]]/[[ParquetCatalog.restoreAsOf]]; the
   *     result row reports the restored-from and newly-committed
-  *     versions. (These two are Delta EXTENSION grammar, not Spark
-  *     grammar, so they are dispatched on statement shape first.)
+  *     versions.
+  *   - `VACUUM t [RETAIN n HOURS | KEEP k]` →
+  *     [[ParquetCatalog.vacuumRetain]]/[[ParquetCatalog.vacuum]]
+  *     (bare form keeps only the current version, like the API
+  *     default).
+  *   - `OPTIMIZE t [ROWS n] [ZORDER BY (c, ...)]` →
+  *     [[ParquetCatalog.compact]] preserving the recorded layout.
+  *     (These are Delta EXTENSION grammar, not Spark grammar, so they
+  *     are dispatched on statement shape before parsing.)
   *   - `MERGE INTO ...` routes to [[ParquetCatalog.mergeInto]]
   *     unchanged (K4/k20's transactional write-back).
   *
@@ -47,11 +54,34 @@ object CatalogSql {
   private val restoreRe =
     ("(?is)^\\s*RESTORE\\s+TABLE\\s+([\\w.]+)\\s+(?:TO\\s+)?" +
       "(VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+(.+?)\\s*;?\\s*$").r
+  private val vacuumRe =
+    ("(?is)^\\s*VACUUM\\s+([\\w.]+)" +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*$").r
+  private val optimizeRe =
+    ("(?is)^\\s*OPTIMIZE\\s+([\\w.]+)(?:\\s+ROWS\\s+(\\d+))?" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$").r
+
+  /** `OPTIMIZE t` without `ROWS`: target rows per compacted file. */
+  private val DefaultOptimizeRows = 1L << 20
 
   def run(spark: SparkSession, cat: ParquetCatalog,
       statement: String): DataFrame = statement match {
     case historyRe(t) =>
       cat.history(t)
+    case vacuumRe(t, retainH, keep) =>
+      val removed =
+        if (retainH != null) cat.vacuumRetain(t, retainH.toLong * 3600 * 1000)
+        else cat.vacuum(t, if (keep != null) keep.toInt else 1)
+      import spark.implicits._
+      Seq((t, removed.toLong)).toDF("table_name", "entries_removed")
+    case optimizeRe(t, rows, zcols) =>
+      val zorder = Option(zcols).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      cat.compact(t,
+        Option(rows).map(_.toLong).getOrElse(DefaultOptimizeRows),
+        partitionBy = cat.layout(t), zorderBy = zorder)
+      import spark.implicits._
+      Seq((t, cat.fileCount(t))).toDF("table_name", "num_files")
     case restoreRe(t, kind, arg) =>
       val from =
         if (kind.equalsIgnoreCase("VERSION")) arg.trim.toLong

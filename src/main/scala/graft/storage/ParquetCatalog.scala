@@ -2048,6 +2048,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     next
   }
 
+  /** Files ADDED by one commit, from its raw manifest alone: exact for
+    * delta manifests (the high-rate append form), an OVERSTATEMENT for
+    * self-contained ones (full list — overwrites, and every Nth
+    * snapshot append), which is the conservative direction for the one
+    * consumer (streaming admission control: batches can only get
+    * smaller). One file parse, no chain resolution. */
+  private[graft] def filesAddedIn(name: String, version: Long): Long =
+    rawManifest(name, version).files.size.toLong
+
   /** A sink's committed high-water batchId in this table's exactly-once
     * registry (None: the sink never committed here). One lookup in the
     * current manifest — the public face of the `txn.` registry. */
@@ -2127,19 +2136,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * restarts (offsets checkpoint as versions). `startingVersion` is
     * an exclusive floor — `0` (default) replays the whole table as the
     * first batch, [[currentVersion]] streams only future appends.
-    * `maxVersionsPerTrigger` caps each micro-batch at N commits
-    * (admission control): a lagging consumer catches up in bounded
-    * batches instead of one backlog-sized batch — combine with
-    * `Trigger.AvailableNow` for a bounded, self-terminating drain. */
+    * `maxVersionsPerTrigger` caps each micro-batch at N commits and
+    * `maxFilesPerTrigger` at N files-added (admission control): a
+    * lagging consumer catches up in bounded batches instead of one
+    * backlog-sized batch — combine with `Trigger.AvailableNow` for a
+    * bounded, self-terminating drain. */
   def readStream(name: String, startingVersion: Long = 0L,
-      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+      maxVersionsPerTrigger: Option[Long] = None,
+      maxFilesPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format("graft.streaming.TableSourceProvider")
       .option("root", root)
       .option("table", name)
       .option("startingVersion", startingVersion.toString)
-    maxVersionsPerTrigger
+    val r2 = maxVersionsPerTrigger
       .fold(r)(n => r.option("maxVersionsPerTrigger", n.toString))
+    maxFilesPerTrigger
+      .fold(r2)(n => r2.option("maxFilesPerTrigger", n.toString))
       .load()
   }
 
@@ -2581,6 +2594,27 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .toList.foreach { p => deleteRecursively(p); removed += 1 }
     finally s.close()
     removed
+  }
+
+  /** Age-based retention (Delta `VACUUM ... RETAIN n HOURS` semantics
+    * on the version chain): drop versions whose commit stamp is older
+    * than `retainMs`, always keeping the current one. The cutoff maps
+    * to a keep-count via [[versionAsOf]]'s binary search (O(log
+    * versions) manifest parses), then [[vacuum]] does the
+    * reference-counted file sweep. Returns entries removed. */
+  def vacuumRetain(name: String, retainMs: Long,
+      minAgeMs: Long = ParquetCatalog.DefaultVacuumMinAgeMs): Int = {
+    require(retainMs >= 0, "retainMs must be non-negative")
+    val vs = versions(name)
+    require(vs.nonEmpty, s"$name is not a versioned table")
+    val cutoff = System.currentTimeMillis() - retainMs
+    // newest version stamped at or before the cutoff = last DROPPABLE
+    // one (unstamped legacy manifests count as arbitrarily old); every
+    // version after it is retained
+    val keep =
+      if (commitTimestamp(name, vs.head).exists(_ > cutoff)) vs.size
+      else vs.size - (vs.indexOf(versionAsOf(name, cutoff)) + 1)
+    vacuum(name, math.max(1, keep), minAgeMs)
   }
 
   /** Remove empty subdirectories bottom-up (kept dirs: any with files). */

@@ -3,9 +3,10 @@ package graft.streaming
 import graft.storage.ParquetCatalog
 import org.apache.spark.sql.{DataFrame, GraftStreamFrame, SQLContext}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Versioned catalog tables as Structured Streaming SOURCES, with
@@ -67,7 +68,8 @@ import org.apache.spark.sql.types.StructType
   * a CDC batch is a keyed JOIN of two file subsets, not a list of
   * scannable partitions. `getBatch` returning a Catalyst-planned
   * DataFrame is the point, not a legacy artifact. */
-class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class TableSourceProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
@@ -110,15 +112,78 @@ class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val (cat, table) = resolve(sqlContext, parameters)
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
     val changes = parameters.get("mode").contains("changes")
-    val maxVersions = parameters.get("maxVersionsPerTrigger").map { s =>
+    def positive(opt: String): Option[Long] = parameters.get(opt).map { s =>
       val n = s.toLong
-      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      require(n > 0, s"$opt must be positive, got $n")
       n
     }
     new TableSource(sqlContext, cat, table,
       schema.getOrElse(schemaFor(cat, table, parameters)), starting,
-      if (changes) Some(keysOf(parameters)) else None, maxVersions)
+      if (changes) Some(keysOf(parameters)) else None,
+      positive("maxVersionsPerTrigger"), positive("maxFilesPerTrigger"))
   }
+
+  /** The WRITE half (`df.writeStream.format("graft.streaming
+    * .TableSourceProvider")...`): every micro-batch lands as ONE
+    * replay-idempotent catalog commit — the txn-registry exactly-once
+    * contract ([[graft.storage.ParquetCatalog.appendBatch]]), the same
+    * protocol the `foreachBatch` sinks use, behind a format string.
+    * Options: `root`/`table` (required); `keys` switches from
+    * append-per-batch to MERGE-per-batch
+    * ([[graft.storage.ParquetCatalog.upsertBatch]], update-shaped
+    * streams); `partitionBy` (comma list — `.partitionBy(...)` on the
+    * writer works too); `sinkId` overrides the exactly-once identity
+    * (default: the query's `checkpointLocation`, which IS the replay
+    * domain). A commit race against an interleaved writer retries
+    * boundedly — safe, because the batch token makes a replayed commit
+    * a no-op regardless of which attempt landed. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val (cat, table) = resolve(sqlContext, parameters)
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+      s"graft-table sink supports Append/Update output modes, got $outputMode")
+    val keys = parameters.get("keys").map(_.split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
+    require(keys.isDefined || outputMode == OutputMode.Append(),
+      "Update mode needs the 'keys' option (MERGE-per-batch)")
+    val pb =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionBy").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val sinkId = parameters.get("sinkId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table sink needs a stable exactly-once identity: set " +
+          "option 'checkpointLocation' (the usual one) or 'sinkId'"))
+    new TableSink(cat, table, pb, keys, sinkId)
+  }
+}
+
+/** One live sink over one table: each `addBatch` is one idempotent
+  * versioned commit keyed `<sinkId>#<batchId>` — re-delivered batches
+  * (restart replay) commit nothing, and the registry survives vacuum.
+  * The engine's micro-batch frame is re-planned as a batch frame
+  * ([[GraftStreamFrame.batch]]) so the catalog's ordinary write path —
+  * schema guard, constraint guard, manifest CAS — applies unchanged. */
+class TableSink(cat: ParquetCatalog, table: String, partitionBy: Seq[String],
+    keys: Option[Seq[String]], sinkId: String) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val df = GraftStreamFrame.batch(data.sparkSession,
+      data.queryExecution.toRdd, data.schema)
+    val token = s"$sinkId#$batchId"
+    cat.withRetry() {
+      keys match {
+        case Some(ks) => cat.upsertBatch(table, df, ks, token,
+          partitionBy = partitionBy)
+        case None => cat.appendBatch(table, df, token, partitionBy)
+      }
+    }
+    ()
+  }
+
+  override def toString: String = s"GraftTableSink($table)"
 }
 
 /** One live stream over one table: offsets are committed versions.
@@ -132,7 +197,8 @@ class TableSourceProvider extends StreamSourceProvider with DataSourceRegister {
 class TableSource(sqlContext: SQLContext, cat: ParquetCatalog,
     table: String, override val schema: StructType,
     startingVersion: Long, changeKeys: Option[Seq[String]] = None,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None)
   extends Source with SupportsTriggerAvailableNow {
 
   private def version(o: OffsetV2): Long = o match {
@@ -155,15 +221,30 @@ class TableSource(sqlContext: SQLContext, cat: ParquetCatalog,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** The next micro-batch's end offset: the current committed version,
-    * clamped by the AvailableNow bound and the per-trigger version
-    * cap. Returning the start offset unchanged signals "caught up". */
+    * clamped by the AvailableNow bound, the per-trigger version cap,
+    * and the per-trigger FILE cap (files-added counted from raw
+    * manifests — one metadata parse per admitted version, Delta's
+    * `maxFilesPerTrigger` discipline; a single oversized commit still
+    * admits alone, so progress is always possible). Returning the
+    * start offset unchanged signals "caught up". */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = Option(start).map(version).getOrElse(startingVersion)
     val live = cat.currentVersion(table)
     val bounded = availableNowBound.fold(live)(math.min(live, _))
     val capped = maxVersionsPerTrigger.fold(bounded)(n =>
       math.min(bounded, from + n))
-    if (capped <= from) start else LongOffset(capped)
+    val end = maxFilesPerTrigger.fold(capped) { maxF =>
+      var v = from
+      var files = 0L
+      var open = true
+      while (open && v < capped) {
+        val add = cat.filesAddedIn(table, v + 1)
+        if (v > from && files + add > maxF) open = false
+        else { v += 1; files += add }
+      }
+      v
+    }
+    if (end <= from) start else LongOffset(end)
   }
 
   override def reportLatestOffset(): OffsetV2 =

@@ -16,4 +16,14 @@ object GraftStreamFrame {
       schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The sink-side mirror: re-plan a micro-batch's rows as a BATCH
+    * frame a `Sink.addBatch` implementation can hand to ordinary batch
+    * writers (the engine's incremental plan cannot be re-planned
+    * directly). Rows are copied — `toRdd` iterators reuse row
+    * instances. */
+  def batch(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd.map(_.copy()), schema, isStreaming = false)
 }

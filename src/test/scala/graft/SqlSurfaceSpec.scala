@@ -97,6 +97,37 @@ class SqlSurfaceSpec extends SparkSpec {
       Set((1L, 10.0), (3L, 33.0), (4L, 40.0), (9L, 90.0)))
   }
 
+  test("VACUUM text: bare keeps current, KEEP k and RETAIN n HOURS map to the API") {
+    val cat = seeded() // 3 versions
+    assert(cat.sql("VACUUM t RETAIN 1000 HOURS").select("entries_removed")
+      .as[Long].head() === 0L, "everything is younger than the horizon")
+    assert(cat.versions("t") === Seq(1L, 2L, 3L))
+    assert(cat.sql("VACUUM t KEEP 2").select("entries_removed").as[Long].head() >= 1L)
+    assert(cat.versions("t") === Seq(2L, 3L))
+    cat.sql("VACUUM t")
+    assert(cat.versions("t") === Seq(3L))
+    assert(cat.read("t").count() === 3)
+  }
+
+  test("OPTIMIZE text compacts preserving layout; ZORDER BY routes the cluster") {
+    val cat = new ParquetCatalog(spark,
+      Files.createTempDirectory("graft-sqlo").toString)
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 1.0)).toDF("id", "p", "m"), Seq("p"))
+    (2 to 6).foreach(i => cat.appendVersioned("t",
+      Seq((i.toLong, "a", i * 1.0)).toDF("id", "p", "m"), Seq("p")))
+    assert(cat.fileCount("t") === 6)
+    val out = cat.sql("OPTIMIZE t").collect().head
+    assert(out.getString(0) === "t" && out.getLong(1) === 1L)
+    assert(cat.read("t").count() === 6, "row data is bit-preserved")
+    assert(cat.layout("t") === Seq("p"))
+    // zorder form parses and lands as a new compact commit
+    cat.sql("OPTIMIZE t ROWS 3 ZORDER BY (id, m)")
+    assert(cat.read("t").count() === 6)
+    assert(cat.history("t").orderBy(col("version").desc)
+      .select("operation").as[String].head() === "overwrite")
+  }
+
   test("unknown names fall through to session temp views; misuse is loud") {
     val cat = seeded()
     Seq((1L, "x")).toDF("id", "tag").createOrReplaceTempView("staged")
