@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29, k30, k31)
+    k29, k30, k31, k32)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1357,6 +1357,79 @@ object MergeQueries {
              CAST(0 AS BIGINT) AS text_vs_api_mismatch,
              CAST(0 AS BIGINT) AS ts_as_of_mismatch,
              CAST(0 AS BIGINT) AS restored_mismatch
+      FROM state2 GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Stream-to-table PIPE (k32): versioned tables as BOTH ends of one
+    * Structured Streaming query — `readStream` (manifest-diff source,
+    * rate-limited to one version per batch) into the `graft-table`
+    * SINK format, whose every micro-batch is one replay-idempotent
+    * versioned commit (`<checkpoint>#<batchId>` in the txn registry).
+    * Build-once: src = v1 overwrite + v2 append (+9M keys, key % 29 ==
+    * 13), then one AvailableNow drain — two batches, two dst commits.
+    * Live every run: the pipe RE-RUNS against the same checkpoint and
+    * must commit nothing (`rerun_noop`), and dst equals src exactly
+    * (`pipe_mismatch`, symmetric anti-join). The oracle recomputes the
+    * src state from the base table. */
+  private lazy val k32 = Q(
+    "k32_stream_pipe",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_stp_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      def pipe(): Unit = {
+        val q = cat.readStream("orders_sp", maxVersionsPerTrigger = Some(1L))
+          .writeStream
+          .format("graft.streaming.TableSourceProvider")
+          .option("root", root)
+          .option("table", "orders_sp_dst")
+          .option("partitionBy", "o_orderstatus")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_sp", o, Seq("o_orderstatus"))
+        cat.appendVersioned("orders_sp",
+          o.filter(col("o_orderkey") % 29 === 13)
+            .select((col("o_orderkey") + 9000000).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        pipe()
+        Files.writeString(marker, "ok")
+      }
+      val vBefore = cat.currentVersion("orders_sp_dst")
+      pipe() // caught up: the txn registry must make this a no-op
+      val rerunNoop =
+        if (cat.currentVersion("orders_sp_dst") == vBefore) 1L else 0L
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+      val src = cat.read("orders_sp").select(cols.map(col): _*)
+      val dst = cat.read("orders_sp_dst").select(cols.map(col): _*)
+      val mismatch = src.exceptAll(dst).count() + dst.exceptAll(src).count()
+      dst.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            .as("total"))
+        .withColumn("pipe_mismatch", lit(mismatch))
+        .withColumn("dst_commits", lit(vBefore))
+        .withColumn("rerun_noop", lit(rerunNoop))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state2 AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey + 9000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 29 = 13)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(0 AS BIGINT) AS pipe_mismatch,
+             CAST(2 AS BIGINT) AS dst_commits,
+             CAST(1 AS BIGINT) AS rerun_noop
       FROM state2 GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
