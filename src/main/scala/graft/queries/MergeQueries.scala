@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29, k30, k31, k32)
+    k29, k30, k31, k32, k33)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1430,6 +1430,65 @@ object MergeQueries {
              CAST(0 AS BIGINT) AS pipe_mismatch,
              CAST(2 AS BIGINT) AS dst_commits,
              CAST(1 AS BIGINT) AS rerun_noop
+      FROM state2 GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Registered Spark CATALOG (k33): the engine as a DSv2
+    * `TableCatalog` ([[graft.spark.GraftCatalog]]) — every statement
+    * here is PLAIN `spark.sql` against `<catalog>.<table>`, no engine
+    * API in the query path. Build-once: v1 = overwrite via the API,
+    * v2 = `INSERT INTO` through SQL (+11M keys, key % 31 == 17) —
+    * landing as a real `append` commit (history verbs pinned). Live
+    * every run: the measured aggregate runs through the registered
+    * catalog's DSv2 ParquetTable scan, and `VERSION AS OF 1` through
+    * SQL must equal the API's `readVersion(1)` count. */
+  private lazy val k33 = Q(
+    "k33_sql_catalog",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ctl_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      val c = "graft_k33"
+      s.conf.set(s"spark.sql.catalog.$c",
+        classOf[graft.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$c.root", root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_ctl", o, Seq("o_orderstatus"))
+        o.createOrReplaceTempView("orders_k33_src")
+        s.sql(s"""
+          INSERT INTO $c.orders_ctl
+          SELECT o_orderkey + 11000000, o_totalprice, o_orderstatus
+          FROM orders_k33_src WHERE o_orderkey % 31 = 17""")
+        Files.writeString(marker, "ok")
+      }
+      val v1Sql = s.sql(s"SELECT count(*) FROM $c.orders_ctl VERSION AS OF 1")
+        .head().getLong(0)
+      val v1Match =
+        if (v1Sql == cat.readVersion("orders_ctl", 1).count()) 1L else 0L
+      val ops = cat.history("orders_ctl")
+        .select("operation").collect().map(_.getString(0)).mkString(",")
+      s.sql(s"""
+          SELECT o_orderstatus, COUNT(*) AS n_rows,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+          FROM $c.orders_ctl
+          GROUP BY o_orderstatus""")
+        .withColumn("ops", lit(ops))
+        .withColumn("v1_sql_matches_api", lit(v1Match))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state2 AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey + 11000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 31 = 17)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             'overwrite,append' AS ops,
+             CAST(1 AS BIGINT) AS v1_sql_matches_api
       FROM state2 GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped

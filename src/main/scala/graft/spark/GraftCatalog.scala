@@ -1,0 +1,260 @@
+package graft.spark
+
+import graft.storage.ParquetCatalog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util.Collections
+import scala.jdk.CollectionConverters._
+
+/** The engine as a REAL Spark catalog (DSv2 `TableCatalog`): register
+  * once —
+  *
+  * {{{
+  * spark.sql.catalog.graft       = graft.spark.GraftCatalog
+  * spark.sql.catalog.graft.root  = /data/tables
+  * }}}
+  *
+  * — and every catalog table is reachable from PLAIN `spark.sql` with
+  * no engine API in sight:
+  *
+  *   - `SELECT ... FROM graft.t` — Spark's own `ParquetTable` DSv2
+  *     implementation over the manifest's exact file list (vectorized
+  *     reads, partition pruning, filter pushdown, column pruning all
+  *     inherited — the scan is byte-identical to the engine's
+  *     `read`);
+  *   - `SELECT ... FROM graft.t VERSION AS OF 3` / `TIMESTAMP AS OF
+  *     ts` — Spark routes the AS OF clause to the
+  *     `loadTable(ident, version|timestamp)` overloads; timestamps
+  *     resolve through the engine's monotonic-stamp binary search;
+  *   - `INSERT INTO graft.t ...` / `INSERT OVERWRITE graft.t ...` —
+  *     the V1 write bridge (`V1Write`, the same fallback Spark's JDBC
+  *     catalog uses) lands the rows as ONE versioned commit
+  *     (`appendVersioned` / `overwriteVersioned`): history, txn
+  *     carry-forward, CHECK constraints, and the manifest CAS all
+  *     apply, because the write IS the engine verb;
+  *   - `CREATE TABLE graft.t (...) PARTITIONED BY (p)` — an empty
+  *     versioned table with the schema recorded in its manifest;
+  *   - `ALTER TABLE graft.t ADD|DROP COLUMN` — the metadata-only
+  *     evolution commits; `DROP TABLE graft.t`; `SHOW TABLES IN
+  *     graft`.
+  *
+  * Time-traveled tables are READ-ONLY (no write capability — Spark
+  * refuses an INSERT into an AS OF relation at analysis). The catalog
+  * object itself is stateless metadata (root path + name); every
+  * operation re-reads the manifests, so concurrent engine-API writers
+  * and SQL writers see each other through the same CAS. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark = SparkSession.active
+  private def cat = new ParquetCatalog(spark, root)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs option 'root' " +
+          s"(spark.sql.catalog.$name.root = <table root dir>)"))
+  }
+
+  override def name(): String = catalogName
+
+  private def requireNs(namespace: Array[String]): Unit =
+    if (namespace.nonEmpty)
+      throw new NoSuchNamespaceException(namespace)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireNs(namespace)
+    import java.nio.file.{Files, Paths}
+    val r = Paths.get(root)
+    val plain =
+      if (!Files.isDirectory(r)) Seq.empty[String]
+      else {
+        val s = Files.list(r)
+        try s.iterator().asScala.filter(Files.isDirectory(_))
+          .map(_.getFileName.toString)
+          .filterNot(_.startsWith(".")).toList
+        finally s.close()
+      }
+    val versioned = {
+      val vd = r.resolve(".versions")
+      if (!Files.isDirectory(vd)) Seq.empty[String]
+      else {
+        val s = Files.list(vd)
+        try s.iterator().asScala.filter(Files.isDirectory(_))
+          .map(_.getFileName.toString).toList
+        finally s.close()
+      }
+    }
+    (plain ++ versioned).distinct.sorted
+      .map(Identifier.of(Array.empty[String], _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && cat.exists(ident.name)
+
+  override def loadTable(ident: Identifier): Table = tableFor(ident, None)
+
+  /** `VERSION AS OF n` — Spark hands the version string verbatim. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableFor(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    requireNs(ident.namespace)
+    if (!cat.exists(ident.name)) throw new NoSuchTableException(ident)
+    tableFor(ident, Some(cat.versionAsOf(ident.name, timestamp / 1000L)))
+  }
+
+  private def tableFor(ident: Identifier, version: Option[Long]): Table = {
+    requireNs(ident.namespace)
+    if (!cat.exists(ident.name)) throw new NoSuchTableException(ident)
+    new GraftTable(cat, root, s"$catalogName.${ident.name}", ident.name,
+      version)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    requireNs(ident.namespace)
+    require(!cat.exists(ident.name),
+      s"table ${ident.name} already exists in catalog $catalogName")
+    val pb = partitions.toSeq.map {
+      case t if t.name == "identity" =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"only identity partitioning is supported, got $other")
+    }
+    val empty = spark.createDataFrame(
+      Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    cat.overwriteVersioned(ident.name, empty, pb)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    requireNs(ident.namespace)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "nested ADD COLUMN is not supported")
+        cat.addColumn(ident.name, add.fieldNames.head, add.dataType)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "nested DROP COLUMN is not supported")
+        cat.dropColumn(ident.name, del.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    requireNs(ident.namespace)
+    import java.nio.file.{Files, Paths}
+    if (!cat.exists(ident.name)) return false
+    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+    rm(Paths.get(root, ident.name))
+    rm(Paths.get(root, ".versions", ident.name))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported; clone + drop instead")
+}
+
+/** One resolved (possibly time-traveled) catalog table. Reads delegate
+  * to Spark's own `ParquetTable` over the exact file list the engine's
+  * `readVersion` would scan (same recorded schema, same `basePath`
+  * partition resolution); writes go through the V1 bridge so an
+  * `INSERT` is a real engine commit. */
+private[spark] class GraftTable(cat: ParquetCatalog, root: String,
+    qualifiedName: String, tableName: String, version: Option[Long])
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  private lazy val delegate: ParquetTable = {
+    val (paths, opts, declared) =
+      if (cat.isVersioned(tableName)) {
+        val v = version.getOrElse(cat.currentVersion(tableName))
+        val frame = cat.readVersion(tableName, v)
+        val files = cat.manifestFiles(tableName, v).map(f =>
+          java.nio.file.Paths.get(root, ".versions", tableName)
+            .resolve(f).toString)
+        val layout = cat.layout(tableName)
+        val o =
+          if (layout.nonEmpty && files.nonEmpty)
+            Map("basePath" -> java.nio.file.Paths
+              .get(root, ".versions", tableName, "data").toString)
+          else Map.empty[String, String]
+        (files, o, Some(frame.schema))
+      } else {
+        require(version.isEmpty,
+          s"$tableName is not versioned; AS OF is unavailable")
+        (Seq(java.nio.file.Paths.get(root, tableName).toString),
+          Map.empty[String, String], None)
+      }
+    ParquetTable(qualifiedName, spark,
+      new CaseInsensitiveStringMap(opts.asJava), paths, declared,
+      classOf[ParquetFileFormat])
+  }
+
+  override def name(): String = version.fold(qualifiedName)(v =>
+    s"$qualifiedName@v$v")
+
+  override def schema(): StructType = delegate.schema
+
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    if (version.isEmpty) { // time-traveled relations are read-only
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+    }
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                legacyOverwrite: Boolean): Unit = {
+              val pb = cat.layout(tableName)
+              if (overwrite || legacyOverwrite)
+                cat.overwriteVersioned(tableName, data, pb)
+              else cat.withRetry()(
+                cat.appendVersioned(tableName, data, pb))
+              ()
+            }
+          }
+      }
+    }
+}

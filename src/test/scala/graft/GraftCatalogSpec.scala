@@ -1,0 +1,96 @@
+package graft
+
+import graft.storage.ParquetCatalog
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The engine as a registered Spark catalog ([[graft.spark.GraftCatalog]]):
+  * every statement here is PLAIN `spark.sql` against `<catalog>.<table>`
+  * — no engine API in the query path. Reads ride Spark's own DSv2
+  * `ParquetTable` over the manifest's file list; writes land as real
+  * versioned commits through the V1 bridge. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Register a fresh catalog name over a fresh root (catalog
+    * instances are cached per name, so each test gets its own). */
+  private def freshCatalog(tag: String): (ParquetCatalog, String, String) = {
+    val root = Files.createTempDirectory("graft-cat").toString
+    val cname = s"gc$tag${System.nanoTime() % 100000}"
+    spark.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.spark.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.root", root)
+    (new ParquetCatalog(spark, root), root, cname)
+  }
+
+  test("SELECT and AS OF through plain spark.sql, scans pruned and pushed") {
+    val (cat, _, c) = freshCatalog("r")
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.appendVersioned("t", Seq((3L, "a", 30.0)).toDF("id", "p", "m"), Seq("p"))
+    assert(spark.sql(s"SELECT id, m FROM $c.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(spark.sql(s"SELECT count(*) FROM $c.t VERSION AS OF 1")
+      .as[Long].head() === 2L)
+    val t1 = cat.commitTimestamp("t", 1).get
+    assert(spark.sql(
+      s"SELECT count(*) FROM $c.t TIMESTAMP AS OF timestamp_millis($t1)")
+      .as[Long].head() === 2L)
+    // the DSv2 scan prunes partitions and pushes filters, same as the
+    // engine's own read path
+    val q = spark.sql(s"SELECT id FROM $c.t WHERE p = 'a' AND m > 15.0")
+    assert(q.as[Long].collect().toSeq === Seq(3L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(m), GreaterThan(m,15.0)]"),
+      plan.linesIterator.filter(_.contains("Pushed")).mkString("|"))
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE are real versioned commits") {
+    val (cat, _, c) = freshCatalog("w")
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.addConstraint("t", "m_pos", "m > 0")
+    // the reported table schema puts the partition column LAST
+    // (id, m, p) — hive/DSv2 convention — so VALUES follow that order
+    spark.sql(s"INSERT INTO $c.t VALUES (2, 20.0, 'b')")
+    assert(cat.read("t").count() === 2)
+    assert(cat.history("t").orderBy(col("version").desc)
+      .select("operation").as[String].head() === "append")
+    // a violating INSERT is stopped by the table's CHECK constraint
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $c.t VALUES (3, -1.0, 'b')"))
+    assert(cat.read("t").count() === 2, "violating INSERT commits nothing")
+    // INSERT OVERWRITE = overwriteVersioned: history retained
+    val before = cat.currentVersion("t")
+    spark.sql(s"INSERT OVERWRITE $c.t VALUES (9, 90.0, 'z')")
+    assert(cat.read("t").select("id").as[Long].collect().toSeq === Seq(9L))
+    assert(cat.currentVersion("t") === before + 1)
+    assert(cat.readVersion("t", before).count() === 2,
+      "the pre-overwrite version stays readable")
+    // a time-traveled relation is read-only
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $c.t VERSION AS OF 1 VALUES (5, 5.0, 'x')"))
+    assert(e.getMessage != null)
+  }
+
+  test("CREATE / ALTER / SHOW / DROP TABLE through SQL") {
+    val (cat, _, c) = freshCatalog("d")
+    spark.sql(s"CREATE TABLE $c.u (id BIGINT, day STRING) PARTITIONED BY (day)")
+    assert(cat.isVersioned("u") && cat.layout("u") === Seq("day"))
+    assert(spark.sql(s"SELECT * FROM $c.u").count() === 0)
+    spark.sql(s"INSERT INTO $c.u VALUES (1, 'd1'), (2, 'd2')")
+    assert(spark.sql(s"SELECT id FROM $c.u WHERE day = 'd2'")
+      .as[Long].collect().toSeq === Seq(2L))
+    spark.sql(s"ALTER TABLE $c.u ADD COLUMN tag STRING")
+    assert(spark.sql(s"SELECT tag FROM $c.u WHERE id = 1").head().isNullAt(0))
+    spark.sql(s"ALTER TABLE $c.u DROP COLUMN tag")
+    assert(!spark.sql(s"SELECT * FROM $c.u").columns.contains("tag"))
+    cat.overwriteVersioned("t", Seq((1L, 1.0)).toDF("id", "m"))
+    assert(spark.sql(s"SHOW TABLES IN $c").select("tableName")
+      .as[String].collect().toSet === Set("t", "u"))
+    spark.sql(s"DROP TABLE $c.u")
+    assert(!cat.exists("u"))
+    assert(spark.sql(s"SHOW TABLES IN $c").count() === 1)
+  }
+}
