@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import java.util.Collections
@@ -188,7 +189,8 @@ class GraftCatalog extends TableCatalog {
   * `INSERT` is a real engine commit. */
 private[spark] class GraftTable(cat: ParquetCatalog, root: String,
     qualifiedName: String, tableName: String, version: Option[Long])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark = SparkSession.active
 
@@ -237,6 +239,52 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+
+  /** `DELETE FROM <cat>.t WHERE ...` / `TRUNCATE TABLE <cat>.t` as ONE
+    * versioned `delete` commit — history retained, partition-scoped
+    * rewrite, CAS-retried. Spark pushes the WHERE down as source
+    * Filters; anything this table cannot translate makes
+    * [[canDeleteWhere]] return false and Spark raises its standard
+    * "cannot delete" analysis error instead of deleting the wrong
+    * rows. */
+  private def filterColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    def top(attr: String): Option[String] =
+      if (attr.contains('.')) None else Some(attr) // nested: untranslatable
+    f match {
+      case EqualTo(a, v) => top(a).map(col(_) === lit(v))
+      case EqualNullSafe(a, v) => top(a).map(col(_) <=> lit(v))
+      case GreaterThan(a, v) => top(a).map(col(_) > lit(v))
+      case GreaterThanOrEqual(a, v) => top(a).map(col(_) >= lit(v))
+      case LessThan(a, v) => top(a).map(col(_) < lit(v))
+      case LessThanOrEqual(a, v) => top(a).map(col(_) <= lit(v))
+      case In(a, vs) => top(a).map(col(_).isin(vs.toSeq: _*))
+      case IsNull(a) => top(a).map(col(_).isNull)
+      case IsNotNull(a) => top(a).map(col(_).isNotNull)
+      case StringStartsWith(a, v) => top(a).map(col(_).startsWith(v))
+      case StringEndsWith(a, v) => top(a).map(col(_).endsWith(v))
+      case StringContains(a, v) => top(a).map(col(_).contains(v))
+      case And(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+      case Not(c) => filterColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && filters.forall(filterColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty, s"$qualifiedName@v$version is read-only")
+    val cond = filters.flatMap(filterColumn).foldLeft(lit(true))(_ && _)
+    cat.withRetry()(
+      cat.deleteVersioned(tableName, cond, cat.layout(tableName)))
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -37,7 +37,9 @@ import org.apache.spark.sql.graftbridge.SqlBridge
   *     (bare form keeps only the current version, like the API
   *     default).
   *   - `OPTIMIZE t [ROWS n] [ZORDER BY (c, ...)]` →
-  *     [[ParquetCatalog.compact]] preserving the recorded layout.
+  *     [[ParquetCatalog.compact]] preserving the recorded layout;
+  *     `OPTIMIZE t [ROWS n] WHERE p = v [AND ...]` →
+  *     [[ParquetCatalog.compactPartition]] (partition-prefix scoped).
   *     (These are Delta EXTENSION grammar, not Spark grammar, so they
   *     are dispatched on statement shape before parsing.)
   *   - `MERGE INTO ...` routes to [[ParquetCatalog.mergeInto]]
@@ -60,6 +62,10 @@ object CatalogSql {
   private val optimizeRe =
     ("(?is)^\\s*OPTIMIZE\\s+([\\w.]+)(?:\\s+ROWS\\s+(\\d+))?" +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$").r
+  private val optimizeWhereRe =
+    ("(?is)^\\s*OPTIMIZE\\s+([\\w.]+)(?:\\s+ROWS\\s+(\\d+))?" +
+      "\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
+  private val whereEqRe = "^\\s*(\\w+)\\s*=\\s*(?:'([^']*)'|(\\S+))\\s*$".r
 
   /** `OPTIMIZE t` without `ROWS`: target rows per compacted file. */
   private val DefaultOptimizeRows = 1L << 20
@@ -74,6 +80,22 @@ object CatalogSql {
         else cat.vacuum(t, if (keep != null) keep.toInt else 1)
       import spark.implicits._
       Seq((t, removed.toLong)).toDF("table_name", "entries_removed")
+    case optimizeWhereRe(t, rows, conds) =>
+      // Delta's partition-scoped OPTIMIZE: equality conjunctions on a
+      // layout PREFIX route to compactPartition — the other partitions'
+      // files are re-referenced verbatim, zero bytes moved outside the
+      // slice (compactPartition enforces the prefix rule loudly)
+      val spec = conds.split("(?i)\\s+AND\\s+").toSeq.map { c =>
+        val m = whereEqRe.findFirstMatchIn(c).getOrElse(
+          throw new IllegalArgumentException(
+            "OPTIMIZE WHERE supports only `col = value [AND ...]` " +
+              s"partition-prefix specs, got: $c"))
+        m.group(1) -> (Option(m.group(2)).getOrElse(m.group(3)): Any)
+      }
+      cat.compactPartition(t,
+        Option(rows).map(_.toLong).getOrElse(DefaultOptimizeRows), spec)
+      import spark.implicits._
+      Seq((t, cat.fileCount(t))).toDF("table_name", "num_files")
     case optimizeRe(t, rows, zcols) =>
       val zorder = Option(zcols).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)

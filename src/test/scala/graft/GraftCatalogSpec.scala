@@ -74,6 +74,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("DELETE FROM and TRUNCATE TABLE are versioned delete commits") {
+    val (cat, _, c) = freshCatalog("x")
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    spark.sql(s"DELETE FROM $c.t WHERE m > 15.0 AND p = 'a'")
+    assert(cat.read("t").select("id").as[Long].collect().sorted ===
+      Array(1L, 3L))
+    assert(cat.history("t").orderBy(col("version").desc)
+      .select("operation").as[String].head() === "delete")
+    assert(cat.readVersion("t", 1).count() === 3,
+      "the pre-delete version stays readable")
+    spark.sql(s"TRUNCATE TABLE $c.t")
+    assert(cat.read("t").count() === 0)
+    assert(cat.readVersion("t", 2).count() === 2, "truncate retains history")
+  }
+
   test("CREATE / ALTER / SHOW / DROP TABLE through SQL") {
     val (cat, _, c) = freshCatalog("d")
     spark.sql(s"CREATE TABLE $c.u (id BIGINT, day STRING) PARTITIONED BY (day)")

@@ -128,6 +128,26 @@ class SqlSurfaceSpec extends SparkSpec {
       .select("operation").as[String].head() === "overwrite")
   }
 
+  test("OPTIMIZE WHERE compacts only the named partition slice") {
+    val cat = new ParquetCatalog(spark,
+      Files.createTempDirectory("graft-sqlow").toString)
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "m"), Seq("p"))
+    (3 to 6).foreach(i => cat.appendVersioned("t",
+      Seq((i.toLong, "a", i * 1.0)).toDF("id", "p", "m"), Seq("p")))
+    val bBefore = cat.manifestFiles("t", cat.currentVersion("t"))
+      .filter(_.contains("p=b"))
+    cat.sql("OPTIMIZE t WHERE p = 'a'")
+    val after = cat.manifestFiles("t", cat.currentVersion("t"))
+    assert(after.count(_.contains("p=a")) === 1, "slice collapsed to one file")
+    assert(after.filter(_.contains("p=b")) === bBefore,
+      "the other partition's files are re-referenced verbatim")
+    assert(cat.read("t").count() === 6)
+    // a non-prefix spec is refused loudly
+    intercept[IllegalArgumentException](cat.sql("OPTIMIZE t WHERE m = 1.0"))
+    intercept[IllegalArgumentException](cat.sql("OPTIMIZE t WHERE p > 'a'"))
+  }
+
   test("unknown names fall through to session temp views; misuse is loud") {
     val cat = seeded()
     Seq((1L, "x")).toDF("id", "tag").createOrReplaceTempView("staged")
