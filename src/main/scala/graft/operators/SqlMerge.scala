@@ -352,11 +352,12 @@ object SqlMerge {
 
   /** Split `a = x, b = CASE ... END, c = f(x, y)` on depth-0 commas —
     * commas inside function calls sit inside parens, which the depth
-    * counter covers; CASE..END contains no bare commas. */
-  private def splitAssignments(s: String): Seq[String] =
+    * counter covers; CASE..END contains no bare commas. (Shared with
+    * [[graft.storage.CatalogSql]]'s UPDATE statement parsing.) */
+  private[graft] def splitAssignments(s: String): Seq[String] =
     splitTopLevel(s, ",").map(_.trim).filter(_.nonEmpty)
 
-  private def topLevelIndexOf(s: String, ch: Char): Int = {
+  private[graft] def topLevelIndexOf(s: String, ch: Char): Int = {
     var depth = 0
     var inQ = false
     var i = 0

@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29, k30, k31, k32, k33)
+    k29, k30, k31, k32, k33, k34)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1489,6 +1489,60 @@ object MergeQueries {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
              'overwrite,append' AS ops,
              CAST(1 AS BIGINT) AS v1_sql_matches_api
+      FROM state2 GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Row-level UPDATE (k34, Delta `UPDATE ... SET ... WHERE` parity):
+    * v1 = full overwrite partitioned by status, v2 = the literal
+    * `UPDATE` statement text (`cat.sql`) doubling F-partition prices
+    * for key % 5 == 0 — landing as ONE partition-scoped `update`
+    * commit. The live pin every run: the untouched partitions' files
+    * in v2 are EXACTLY v1's (zero new files outside the F slice —
+    * `untouched_unshared = 0`), and the history text reports the two
+    * verbs. The oracle recomputes the updated state from the base
+    * table. */
+  private lazy val k34 = Q(
+    "k34_sql_update",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_uw_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_uw", o, Seq("o_orderstatus"))
+        cat.sql("""
+          UPDATE orders_uw SET o_totalprice = o_totalprice * 2
+          WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0""")
+        Files.writeString(marker, "ok")
+      }
+      def partOf(f: String) = graft.storage.TableManifest.partitionComponent(f)
+      val v1 = cat.manifestFiles("orders_uw", 1).toSet
+      val unshared = cat.manifestFiles("orders_uw", 2)
+        .count(f => partOf(f) != "o_orderstatus=F" && !v1.contains(f))
+      val ops = cat.history("orders_uw")
+        .select("operation").collect().map(_.getString(0)).mkString(",")
+      cat.read("orders_uw")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            .as("total"))
+        .withColumn("ops", lit(ops))
+        .withColumn("untouched_unshared", lit(unshared.toLong))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F' AND o_orderkey % 5 = 0
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             'overwrite,update' AS ops,
+             CAST(0 AS BIGINT) AS untouched_unshared
       FROM state2 GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped

@@ -42,6 +42,9 @@ import org.apache.spark.sql.graftbridge.SqlBridge
   *     [[ParquetCatalog.compactPartition]] (partition-prefix scoped).
   *     (These are Delta EXTENSION grammar, not Spark grammar, so they
   *     are dispatched on statement shape before parsing.)
+  *   - `UPDATE t SET c = expr [, ...] [WHERE cond]` →
+  *     [[ParquetCatalog.updateWhere]] (partition-scoped versioned
+  *     `update` commit; Delta's row-level UPDATE).
   *   - `MERGE INTO ...` routes to [[ParquetCatalog.mergeInto]]
   *     unchanged (K4/k20's transactional write-back).
   *
@@ -66,6 +69,9 @@ object CatalogSql {
     ("(?is)^\\s*OPTIMIZE\\s+([\\w.]+)(?:\\s+ROWS\\s+(\\d+))?" +
       "\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
   private val whereEqRe = "^\\s*(\\w+)\\s*=\\s*(?:'([^']*)'|(\\S+))\\s*$".r
+  private val updateRe =
+    ("(?is)^\\s*UPDATE\\s+([\\w.]+)\\s+SET\\s+(.+?)" +
+      "(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
 
   /** `OPTIMIZE t` without `ROWS`: target rows per compacted file. */
   private val DefaultOptimizeRows = 1L << 20
@@ -113,6 +119,23 @@ object CatalogSql {
       import spark.implicits._
       Seq((t, from, committed))
         .toDF("table_name", "restored_from_version", "new_version")
+    case updateRe(t, sets, cond) =>
+      // Delta `UPDATE t SET ... [WHERE ...]`: one partition-scoped
+      // versioned commit ([[ParquetCatalog.updateWhere]]); assignments
+      // and the condition are Catalyst expressions (CASE..END, function
+      // calls — the MERGE parser's comma/equality splitters apply)
+      val assignments = graft.operators.SqlMerge.splitAssignments(sets)
+        .map { a =>
+          val eq = graft.operators.SqlMerge.topLevelIndexOf(a, '=')
+          require(eq > 0, s"malformed assignment: $a")
+          a.take(eq).trim -> org.apache.spark.sql.functions.expr(a.drop(eq + 1).trim)
+        }.toMap
+      val where = Option(cond)
+        .map(org.apache.spark.sql.functions.expr)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      val (v, n) = cat.updateWhere(t, where, assignments)
+      import spark.implicits._
+      Seq((t, v, n)).toDF("table_name", "new_version", "rows_updated")
     case m if m.trim.take(10).equalsIgnoreCase("MERGE INTO") =>
       import spark.implicits._
       Seq(cat.mergeInto(m)).toDF("version")

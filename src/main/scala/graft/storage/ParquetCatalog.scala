@@ -1867,6 +1867,71 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** Row-level UPDATE (Delta `UPDATE t SET ... WHERE ...` parity) that
+    * retains history: rows matching `condition` get `assignments`
+    * applied (every other column — and every other row — passes
+    * through untouched); lands as ONE versioned `update` commit.
+    * Partition-scoped like [[deleteVersioned]]: only partitions
+    * containing matching rows are rewritten, everything else is
+    * re-referenced verbatim — at 100 TB an update hitting one day
+    * rewrites one day. An assignment to a PARTITION column moves rows
+    * between slices correctly (the staged files land under their new
+    * hive components; the destination partition's carried files
+    * coexist with them, exactly like an append into it). CHECK
+    * constraints enforce in-pass via the staging guard. Returns
+    * (newVersion, rowsUpdated). */
+  def updateWhere(name: String, condition: Column,
+      assignments: Map[String, Column],
+      partitionBy: Seq[String] = Nil,
+      fromVersion: Option[Long] = None): (Long, Long) = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    migrateIfPlain(name)
+    require(isVersioned(name), s"no table $name")
+    val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
+    val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
+    requireManifestLayout(name, partitionBy, m)
+    val t = readVersion(name, m.version)
+    assignments.keys.foreach(c => require(t.columns.contains(c),
+      s"$name has no column '$c' to assign"))
+    val hit = coalesce(condition, lit(false))
+    def applied(df: DataFrame): DataFrame =
+      df.select(df.columns.toSeq.map { c =>
+        assignments.get(c).fold(col(c))(v => when(hit, v).otherwise(col(c)))
+          .as(c)
+      }: _*)
+    val next = m.version + 1
+    if (pb.isEmpty || m.files.isEmpty) {
+      val updated = t.filter(hit).count()
+      if (updated == 0) return (m.version, 0L) // nothing matched: no commit
+      val rels = stage(name, applied(t), pb, next)
+      val meta = Map("op" -> "update") ++ carriedMeta(m) ++ propagatedSchema(m) ++
+        (if (rels.isEmpty) emptyMeta(t) else Map.empty)
+      commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
+      refreshIndex(name)
+      (next, updated)
+    } else {
+      val touched = partitionsOf(t.filter(hit), pb)
+      val touchedRel = touched.map(_.relPath).toSet
+      val carried = m.files.filterNot(f =>
+        touchedRel.contains(TableManifest.partitionComponent(f)))
+      var updated = 0L
+      val rels =
+        if (touched.isEmpty) Nil
+        else {
+          val slice = t.filter(partitionPredicate(pb, touched.map(_.values))).persist()
+          updated = slice.filter(hit).count()
+          val out = stage(name, applied(slice), pb, next)
+          slice.unpersist()
+          out
+        }
+      if (touched.isEmpty) return (m.version, 0L) // nothing matched: no commit
+      val meta = Map("op" -> "update") ++ carriedMeta(m) ++ propagatedSchema(m)
+      commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+      refreshIndex(name)
+      (next, updated)
+    }
+  }
+
   // ---- change data feed ---------------------------------------------
   //
   // Write-once data files make the manifests THE change index: a file

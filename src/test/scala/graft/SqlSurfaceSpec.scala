@@ -148,6 +148,27 @@ class SqlSurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.sql("OPTIMIZE t WHERE p > 'a'"))
   }
 
+  test("UPDATE text: row-level update as one versioned commit") {
+    val cat = seeded() // ids 1,3,4 live; v3 current
+    val out = cat.sql(
+      "UPDATE t SET m = m * 10 WHERE p = 'a'").collect().head
+    assert(out.getString(0) === "t")
+    assert(out.getLong(2) === 1L, "one row in partition a matches")
+    assert(cat.read("t").select("id", "m").as[(Long, Double)].collect().toSet ===
+      Set((1L, 100.0), (3L, 30.0), (4L, 40.0)))
+    assert(cat.readVersion("t", 3).filter(col("id") === 1L)
+      .select("m").as[Double].head() === 10.0, "pre-update version readable")
+    // CASE expressions and multi-assignment parse through Catalyst
+    cat.sql("UPDATE t SET m = CASE WHEN m > 50 THEN 0.0 ELSE m END, " +
+      "p = upper(p) WHERE id = 1")
+    assert(cat.read("t").filter(col("id") === 1L)
+      .select("p", "m").as[(String, Double)].head() === (("A", 0.0)))
+    // WHERE-less form updates every row
+    cat.sql("UPDATE t SET m = 1.0")
+    assert(cat.read("t").select("m").as[Double].collect().toSeq ===
+      Seq(1.0, 1.0, 1.0))
+  }
+
   test("unknown names fall through to session temp views; misuse is loud") {
     val cat = seeded()
     Seq((1L, "x")).toDF("id", "tag").createOrReplaceTempView("staged")

@@ -816,6 +816,37 @@ class TimeTravelSpec extends SparkSpec {
       (1L to 31L).map(v => v -> cat.manifestFiles("t", v).size.toLong).toMap)
   }
 
+  test("updateWhere: partition-scoped row-level UPDATE with history") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    val bFiles = cat.manifestFiles("t", 1).filter(_.contains("p=b"))
+    val (v, n) = cat.updateWhere("t", col("m") > 15.0 && col("p") === "a",
+      Map("m" -> (col("m") * 10)))
+    assert((v, n) === (2L, 1L))
+    assert(cat.read("t").select("id", "m").as[(Long, Double)].collect().toSet ===
+      Set((1L, 10.0), (2L, 200.0), (3L, 30.0)))
+    // untouched partition b's files are re-referenced verbatim
+    assert(cat.manifestFiles("t", 2).filter(_.contains("p=b")) === bFiles)
+    assert(cat.readVersion("t", 1).filter(col("id") === 2L)
+      .select("m").as[Double].head() === 20.0, "history retained")
+    assert(cat.history("t").filter(col("version") === 2)
+      .select("operation").as[String].head() === "update")
+    // no match: no commit
+    assert(cat.updateWhere("t", col("id") === 99L,
+      Map("m" -> lit(0.0))) === (2L, 0L))
+    assert(cat.currentVersion("t") === 2L)
+    // a partition-moving assignment relocates the row correctly
+    cat.updateWhere("t", col("id") === 3L, Map("p" -> lit("c")))
+    assert(cat.read("t").filter(col("id") === 3L)
+      .select("p").as[String].head() === "c")
+    assert(cat.read("t").count() === 3)
+    // unknown assignment column is loud
+    intercept[IllegalArgumentException](
+      cat.updateWhere("t", lit(true), Map("nope" -> lit(1))))
+  }
+
   test("appendVersionedWithRetry: racing writers both land, gapless chain") {
     val (cat, root) = fresh()
     cat.overwriteVersioned("t", Seq((0L, 0.0)).toDF("id", "m"))
