@@ -44,7 +44,8 @@ import org.apache.spark.sql.graftbridge.SqlBridge
   *     are dispatched on statement shape before parsing.)
   *   - `UPDATE t SET c = expr [, ...] [WHERE cond]` →
   *     [[ParquetCatalog.updateWhere]] (partition-scoped versioned
-  *     `update` commit; Delta's row-level UPDATE).
+  *     `update` commit; Delta's row-level UPDATE); `DELETE FROM t
+  *     [WHERE cond]` → [[ParquetCatalog.deleteVersioned]].
   *   - `MERGE INTO ...` routes to [[ParquetCatalog.mergeInto]]
   *     unchanged (K4/k20's transactional write-back).
   *
@@ -72,6 +73,8 @@ object CatalogSql {
   private val updateRe =
     ("(?is)^\\s*UPDATE\\s+([\\w.]+)\\s+SET\\s+(.+?)" +
       "(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
+  private val deleteRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.]+)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
 
   /** `OPTIMIZE t` without `ROWS`: target rows per compacted file. */
   private val DefaultOptimizeRows = 1L << 20
@@ -136,6 +139,15 @@ object CatalogSql {
       val (v, n) = cat.updateWhere(t, where, assignments)
       import spark.implicits._
       Seq((t, v, n)).toDF("table_name", "new_version", "rows_updated")
+    case deleteRe(t, cond) =>
+      // `DELETE FROM t [WHERE cond]` → one partition-scoped versioned
+      // delete commit (WHERE-less = all rows, history retained)
+      val where = Option(cond)
+        .map(org.apache.spark.sql.functions.expr)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      val (v, n) = cat.deleteVersioned(t, where)
+      import spark.implicits._
+      Seq((t, v, n)).toDF("table_name", "new_version", "rows_deleted")
     case m if m.trim.take(10).equalsIgnoreCase("MERGE INTO") =>
       import spark.implicits._
       Seq(cat.mergeInto(m)).toDF("version")

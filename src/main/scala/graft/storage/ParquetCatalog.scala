@@ -1319,7 +1319,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         try TableManifest.parse(manifestPath(name, version - 1)).meta
         catch {
           case _: java.nio.file.NoSuchFileException =>
-            currentManifest(name).meta
+            // a concurrent vacuum took the pinned prior. Constraints
+            // ride every manifest, so the current one answers
+            // equivalently; if the same race window makes THAT read
+            // throw transiently too, enforcement may safely be skipped:
+            // the prior vanishing means a newer version exists, so this
+            // writer's version-number CAS is already doomed and its
+            // unguarded staging can never become visible. (Corruption
+            // still rethrows above — that path stays fail-closed.)
+            scala.util.Try(currentManifest(name).meta)
+              .getOrElse(Map.empty[String, String])
         }
       val cs = priorMeta
         .collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
@@ -2640,22 +2649,39 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         dead.foreach(Files.delete)
         pruneEmptyDirs(dd)
       }
-      // crashed-writer debris inside the versions dir
+      // crashed-writer debris inside the versions dir — AGE-GUARDED
+      // like the data-tree orphan sweep: a LIVE writer's in-flight
+      // `.stage-` dir (or a commit's `.manifest-tmp-`) is
+      // indistinguishable from a crashed one's, and sweeping it
+      // mid-write kills the writer (the once-flaky vacuum race test
+      // was exactly this). Entries that vanish mid-check are skipped.
+      val now2 = System.currentTimeMillis()
+      def olderThanWindow(p: Path): Boolean =
+        scala.util.Try(
+          now2 - Files.getLastModifiedTime(p).toMillis >= minAgeMs)
+          .getOrElse(false)
       val s2 = Files.list(vd)
       try s2.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
           n.startsWith(".stage-") || n.startsWith(".manifest-tmp-")
         }
+        .filter(olderThanWindow)
         .toList.foreach { p => deleteRecursively(p); removed += 1 }
       finally s2.close()
     }
+    // in-place tier debris at the root (overwrite swap temps) — same
+    // live-writer hazard, same age guard
+    val now3 = System.currentTimeMillis()
     val s = Files.list(Paths.get(root))
     try s.iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith(".tmp-") || n.startsWith(".old-") || n.startsWith(".lnk-")
       }
+      .filter(p => scala.util.Try(
+        now3 - Files.getLastModifiedTime(p).toMillis >= minAgeMs)
+        .getOrElse(false))
       .toList.foreach { p => deleteRecursively(p); removed += 1 }
     finally s.close()
     removed

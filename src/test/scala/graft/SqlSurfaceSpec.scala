@@ -169,6 +169,17 @@ class SqlSurfaceSpec extends SparkSpec {
       Seq(1.0, 1.0, 1.0))
   }
 
+  test("DELETE FROM text: row-level delete as one versioned commit") {
+    val cat = seeded() // ids 1,3,4 live; v3 current
+    val out = cat.sql("DELETE FROM t WHERE m >= 40.0").collect().head
+    assert((out.getString(0), out.getLong(1), out.getLong(2)) === ("t", 4L, 1L))
+    assert(cat.read("t").select("id").as[Long].collect().sorted ===
+      Array(1L, 3L))
+    assert(cat.readVersion("t", 3).count() === 3, "pre-delete version readable")
+    assert(cat.history("t").orderBy(col("version").desc)
+      .select("operation").as[String].head() === "delete")
+  }
+
   test("unknown names fall through to session temp views; misuse is loud") {
     val cat = seeded()
     Seq((1L, "x")).toDF("id", "tag").createOrReplaceTempView("staged")

@@ -368,11 +368,18 @@ class TimeTravelSpec extends SparkSpec {
   test("vacuum concurrent with a committing writer never corrupts the committed version") {
     val (cat, root) = fresh()
     cat.overwriteVersioned("t", Seq((0L, 0.0)).toDF("id", "m"))
+    // writer failures must surface HERE, not as a mystery row-count
+    // mismatch below (the age-guard regression this test caught hid as
+    // one: vacuum's debris sweep deleted the live writer's .stage- dir
+    // mid-write, killing the thread silently)
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
     val writer = new Thread(() => {
-      val wcat = new ParquetCatalog(spark, root)
-      (1 to 6).foreach { i =>
-        wcat.appendVersioned("t", Seq((i.toLong, i * 1.0)).toDF("id", "m"))
-      }
+      try {
+        val wcat = new ParquetCatalog(spark, root)
+        (1 to 6).foreach { i =>
+          wcat.appendVersioned("t", Seq((i.toLong, i * 1.0)).toDF("id", "m"))
+        }
+      } catch { case t: Throwable => errs.add(t); () }
     })
     val vac = new Thread(() => {
       val vcat = new ParquetCatalog(spark, root)
@@ -382,6 +389,7 @@ class TimeTravelSpec extends SparkSpec {
       }
     })
     writer.start(); vac.start(); writer.join(60000); vac.join(60000)
+    assert(errs.isEmpty, s"vacuum must never fail a live writer: $errs")
     // every committed row is present exactly once: vacuum never deleted
     // a file a commit was about to (or did) reference
     assert(cat.read("t").select($"id").as[Long].collect().sorted
