@@ -324,8 +324,9 @@ object SqlMerge {
   }
 
   /** Split on a regex separator, but only at paren depth 0 and outside
-    * string literals. */
-  private def splitTopLevel(s: String, sepRe: String): Seq[String] = {
+    * string literals. (Shared with [[graft.storage.CatalogSql]]'s
+    * UPDATE SET/WHERE boundary detection.) */
+  private[graft] def splitTopLevel(s: String, sepRe: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0

@@ -202,7 +202,11 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
         val files = cat.manifestFiles(tableName, v).map(f =>
           java.nio.file.Paths.get(root, ".versions", tableName)
             .resolve(f).toString)
-        val layout = cat.layout(tableName)
+        // the TRAVELED version's recorded layout, not the current one:
+        // after a layout-changing overwrite, reading an old partitioned
+        // version under the new (empty) layout would drop the basePath
+        // and silently null every partition-column value
+        val layout = cat.manifest(tableName, v).partitionBy
         val o =
           if (layout.nonEmpty && files.nonEmpty)
             Map("basePath" -> java.nio.file.Paths

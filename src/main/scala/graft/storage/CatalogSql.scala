@@ -70,9 +70,8 @@ object CatalogSql {
     ("(?is)^\\s*OPTIMIZE\\s+([\\w.]+)(?:\\s+ROWS\\s+(\\d+))?" +
       "\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
   private val whereEqRe = "^\\s*(\\w+)\\s*=\\s*(?:'([^']*)'|(\\S+))\\s*$".r
-  private val updateRe =
-    ("(?is)^\\s*UPDATE\\s+([\\w.]+)\\s+SET\\s+(.+?)" +
-      "(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
+  private val updateHeadRe =
+    "(?is)^\\s*UPDATE\\s+([\\w.]+)\\s+SET\\s+(.+?)\\s*;?\\s*$".r
   private val deleteRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.]+)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
 
@@ -84,6 +83,10 @@ object CatalogSql {
     case historyRe(t) =>
       cat.history(t)
     case vacuumRe(t, retainH, keep) =>
+      // a silently-ignored retention bound on a destructive verb is
+      // worse than a parse error
+      require(retainH == null || keep == null,
+        "VACUUM accepts RETAIN n HOURS or KEEP k, not both")
       val removed =
         if (retainH != null) cat.vacuumRetain(t, retainH.toLong * 3600 * 1000)
         else cat.vacuum(t, if (keep != null) keep.toInt else 1)
@@ -122,19 +125,32 @@ object CatalogSql {
       import spark.implicits._
       Seq((t, from, committed))
         .toDF("table_name", "restored_from_version", "new_version")
-    case updateRe(t, sets, cond) =>
+    case updateHeadRe(t, rest) =>
       // Delta `UPDATE t SET ... [WHERE ...]`: one partition-scoped
-      // versioned commit ([[ParquetCatalog.updateWhere]]); assignments
-      // and the condition are Catalyst expressions (CASE..END, function
-      // calls — the MERGE parser's comma/equality splitters apply)
-      val assignments = graft.operators.SqlMerge.splitAssignments(sets)
+      // versioned commit ([[ParquetCatalog.updateWhere]]). The
+      // SET/WHERE boundary comes from the MERGE parser's quote- and
+      // paren-aware splitter — a ' WHERE ' inside a string literal or
+      // a subquery's parens is NOT a boundary — and assignments /
+      // condition are Catalyst expressions (CASE..END, function calls)
+      val parts = graft.operators.SqlMerge.splitTopLevel(rest, "(?i)\\sWHERE\\s")
+      require(parts.size <= 2,
+        s"UPDATE has multiple top-level WHERE clauses: $rest")
+      val raw = graft.operators.SqlMerge.splitAssignments(parts.head)
         .map { a =>
           val eq = graft.operators.SqlMerge.topLevelIndexOf(a, '=')
           require(eq > 0, s"malformed assignment: $a")
-          a.take(eq).trim -> org.apache.spark.sql.functions.expr(a.drop(eq + 1).trim)
-        }.toMap
-      val where = Option(cond)
-        .map(org.apache.spark.sql.functions.expr)
+          a.take(eq).trim -> a.drop(eq + 1).trim
+        }
+      // ANSI/Delta reject duplicate SET targets; toMap would last-win
+      val dups = raw.groupBy(_._1.toLowerCase)
+        .collect { case (k, vs) if vs.size > 1 => k }
+      require(dups.isEmpty,
+        s"UPDATE assigns the same column twice: ${dups.mkString(",")}")
+      val assignments = raw.map { case (k, v) =>
+        k -> org.apache.spark.sql.functions.expr(v)
+      }.toMap
+      val where = parts.lift(1)
+        .map(c => org.apache.spark.sql.functions.expr(c.trim))
         .getOrElse(org.apache.spark.sql.functions.lit(true))
       val (v, n) = cat.updateWhere(t, where, assignments)
       import spark.implicits._
@@ -160,9 +176,18 @@ object CatalogSql {
   private def select(spark: SparkSession, cat: ParquetCatalog,
       sql: String): DataFrame = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    // CTE precedence: substitution happens BEFORE analysis, so a WITH
+    // alias that collides with a catalog table name must stay a CTE
+    // reference (the analyzer's CTESubstitution binds it) — collect
+    // every declared alias and leave those names alone
+    val cteNames = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
     def catalogName(r: UnresolvedRelation): Option[String] =
       r.multipartIdentifier match {
-        case Seq(one) if cat.exists(one) => Some(one)
+        case Seq(one) if !cteNames(one.toLowerCase) && cat.exists(one) =>
+          Some(one)
         case _ => None
       }
     val substituted = plan.transformUpWithSubqueries {

@@ -1900,12 +1900,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
     requireManifestLayout(name, partitionBy, m)
     val t = readVersion(name, m.version)
-    assignments.keys.foreach(c => require(t.columns.contains(c),
-      s"$name has no column '$c' to assign"))
+    // Spark resolves columns case-insensitively; assignment targets
+    // must too (and two targets differing only in case are the same
+    // duplicate-assignment error either spelling would be)
+    val resolved = assignments.map { case (k, v) =>
+      t.columns.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$name has no column '$k' to assign")) -> v
+    }
+    require(resolved.size == assignments.size,
+      "UPDATE assigns the same column twice (names differ only in case)")
     val hit = coalesce(condition, lit(false))
     def applied(df: DataFrame): DataFrame =
       df.select(df.columns.toSeq.map { c =>
-        assignments.get(c).fold(col(c))(v => when(hit, v).otherwise(col(c)))
+        resolved.get(c).fold(col(c))(v => when(hit, v).otherwise(col(c)))
           .as(c)
       }: _*)
     val next = m.version + 1
@@ -2688,8 +2696,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   }
 
   /** Age-based retention (Delta `VACUUM ... RETAIN n HOURS` semantics
-    * on the version chain): drop versions whose commit stamp is older
-    * than `retainMs`, always keeping the current one. The cutoff maps
+    * on the version chain): a version is droppable only once it was
+    * SUPERSEDED before the retention horizon — i.e. its SUCCESSOR's
+    * commit stamp is at or before the cutoff — so the version that was
+    * current AT the horizon stays retained and `TIMESTAMP AS OF` keeps
+    * resolving everywhere inside the promised window. The cutoff maps
     * to a keep-count via [[versionAsOf]]'s binary search (O(log
     * versions) manifest parses), then [[vacuum]] does the
     * reference-counted file sweep. Returns entries removed. */
@@ -2699,12 +2710,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val vs = versions(name)
     require(vs.nonEmpty, s"$name is not a versioned table")
     val cutoff = System.currentTimeMillis() - retainMs
-    // newest version stamped at or before the cutoff = last DROPPABLE
-    // one (unstamped legacy manifests count as arbitrarily old); every
-    // version after it is retained
+    // versionAsOf(cutoff) = the version current AT the horizon: it and
+    // everything after it are retained; everything before it had its
+    // successor commit at or before the cutoff and may drop (unstamped
+    // legacy manifests count as arbitrarily old)
     val keep =
       if (commitTimestamp(name, vs.head).exists(_ > cutoff)) vs.size
-      else vs.size - (vs.indexOf(versionAsOf(name, cutoff)) + 1)
+      else vs.size - vs.indexOf(versionAsOf(name, cutoff))
     vacuum(name, math.max(1, keep), minAgeMs)
   }
 

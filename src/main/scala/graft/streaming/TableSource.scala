@@ -237,15 +237,30 @@ class TableSource(sqlContext: SQLContext, cat: ParquetCatalog,
       var v = from
       var files = 0L
       var open = true
-      while (open && v < capped) {
+      // the per-version metadata probe can hit a vacuumed-away window
+      // just like getBatch — same loud remedy, not the raw error
+      try while (open && v < capped) {
         val add = cat.filesAddedIn(table, v + 1)
         if (v > from && files + add > maxF) open = false
         else { v += 1; files += add }
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("not retained") =>
+          retentionError(from, capped, e)
       }
       v
     }
     if (end <= from) start else LongOffset(end)
   }
+
+  private def retentionError(from: Long, to: Long, e: Throwable): Nothing =
+    throw new IllegalStateException(
+      s"stream over '$table' needs the version window ($from, $to] " +
+        s"but part of it is no longer retained (${e.getMessage}): " +
+        "vacuum removed versions this checkpoint still needs. " +
+        "Re-bootstrap the consumer with a fresh checkpoint (full " +
+        "replay), or vacuum with a keep window covering the " +
+        "laggiest consumer", e)
 
   override def reportLatestOffset(): OffsetV2 =
     LongOffset(cat.currentVersion(table))
@@ -275,13 +290,7 @@ class TableSource(sqlContext: SQLContext, cat: ParquetCatalog,
       } catch {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("not retained") =>
-          throw new IllegalStateException(
-            s"stream over '$table' needs the version window ($from, $to] " +
-              s"but part of it is no longer retained (${e.getMessage}): " +
-              "vacuum removed versions this checkpoint still needs. " +
-              "Re-bootstrap the consumer with a fresh checkpoint (full " +
-              "replay), or vacuum with a keep window covering the " +
-              "laggiest consumer", e)
+          retentionError(from, to, e)
       }
     GraftStreamFrame(sqlContext.sparkSession, batch.queryExecution.toRdd, schema)
   }

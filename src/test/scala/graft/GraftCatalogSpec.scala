@@ -74,6 +74,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("AS OF reads an old partitioned version correctly after a layout change") {
+    val (cat, _, c) = freshCatalog("l")
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    // a full overwrite may change the layout; the traveled relation
+    // must resolve partition values from ITS OWN version's layout, not
+    // the current (empty) one — the silent-null regression pin
+    cat.overwriteVersioned("t", Seq((9L, 90.0)).toDF("id", "m"))
+    assert(spark.sql(s"SELECT id, p FROM $c.t VERSION AS OF 1 ORDER BY id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    assert(spark.sql(s"SELECT id FROM $c.t").as[Long].collect().toSeq ===
+      Seq(9L))
+  }
+
   test("DELETE FROM and TRUNCATE TABLE are versioned delete commits") {
     val (cat, _, c) = freshCatalog("x")
     cat.overwriteVersioned("t",

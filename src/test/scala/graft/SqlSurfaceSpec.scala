@@ -169,6 +169,65 @@ class SqlSurfaceSpec extends SparkSpec {
       Seq(1.0, 1.0, 1.0))
   }
 
+  test("UPDATE parsing: quoted WHERE is not a boundary; duplicate and miscased targets are handled") {
+    val cat = seeded()
+    // a ' WHERE ' inside a string literal must not split the statement
+    cat.addColumn("t", "note", org.apache.spark.sql.types.StringType)
+    cat.sql("UPDATE t SET note = 'use WHERE wisely'")
+    assert(cat.read("t").select("note").as[String].collect().toSet ===
+      Set("use WHERE wisely"))
+    // duplicate SET targets are rejected (ANSI/Delta), not last-win
+    val e = intercept[IllegalArgumentException](
+      cat.sql("UPDATE t SET m = 1.0, m = 2.0"))
+    assert(e.getMessage.contains("twice"), e.getMessage)
+    intercept[IllegalArgumentException](
+      cat.sql("UPDATE t SET m = 1.0, M = 2.0"))
+    // Spark resolution is case-insensitive; assignment targets are too
+    cat.sql("UPDATE t SET M = 7.0 WHERE id = 1")
+    assert(cat.read("t").filter(col("id") === 1L)
+      .select("m").as[Double].head() === 7.0)
+  }
+
+  test("VACUUM RETAIN keeps the version current at the horizon; RETAIN+KEEP is rejected") {
+    val root = Files.createTempDirectory("graft-sqlvr").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))     // v1
+    cat.overwriteVersioned("t", Seq((2L, 20.0)).toDF("id", "m"))     // v2
+    cat.overwriteVersioned("t", Seq((3L, 30.0)).toDF("id", "m"))     // v3
+    intercept[IllegalArgumentException](
+      cat.sql("VACUUM t RETAIN 1 HOURS KEEP 2"))
+    // cutoff between v2 and v3: v2 was current AT the horizon, so
+    // TIMESTAMP AS OF anywhere inside the window must keep resolving —
+    // v2 is retained, only v1 (superseded before the cutoff) drops.
+    // Simulate by rewriting v1/v2's stamps into the far past.
+    val now = System.currentTimeMillis()
+    def restamp(v: Long, ts: Long): Unit = {
+      val p = java.nio.file.Paths.get(root, ".versions", "t", s"v$v.manifest")
+      val txt = Files.readString(p).linesIterator.map {
+        case l if l.startsWith("meta.ts=") => s"meta.ts=$ts"
+        case l => l
+      }.mkString("\n") + "\n"
+      Files.writeString(p, txt)
+    }
+    restamp(1, now - 10 * 3600 * 1000L)
+    restamp(2, now - 9 * 3600 * 1000L)
+    cat.sql("VACUUM t RETAIN 5 HOURS")
+    assert(cat.versions("t") === Seq(2L, 3L),
+      "the version current at the horizon is retained")
+    // the promise holds: AS OF inside the window still resolves
+    assert(cat.versionAsOf("t", now - 4 * 3600 * 1000L) === 2L)
+  }
+
+  test("a CTE name shadowing a catalog table keeps CTE precedence") {
+    val cat = seeded()
+    assert(cat.sql(
+      "WITH t AS (SELECT 1 AS one) SELECT count(*) AS n FROM t")
+      .as[Long].head() === 1L,
+      "the WITH alias must win over the catalog table")
+    // and the catalog table is still reachable when no CTE shadows it
+    assert(cat.sql("SELECT count(*) AS n FROM t").as[Long].head() === 3L)
+  }
+
   test("DELETE FROM text: row-level delete as one versioned commit") {
     val cat = seeded() // ids 1,3,4 live; v3 current
     val out = cat.sql("DELETE FROM t WHERE m >= 40.0").collect().head

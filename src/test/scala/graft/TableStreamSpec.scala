@@ -346,6 +346,32 @@ class TableStreamSpec extends SparkSpec {
     assert(cat.layout("dst") === Seq("p"))
   }
 
+  test("vacuum past the checkpoint is loud from OFFSET PLANNING too (file-capped drain)") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))
+    val ckpt = s"$root/ckpt"
+    assert(drainBuffered(cat, "t", ckpt) === Set((1L, 10.0)))
+    cat.appendVersioned("t", Seq((2L, 20.0)).toDF("id", "m"))
+    cat.appendVersioned("t", Seq((3L, 30.0)).toDF("id", "m"))
+    cat.vacuum("t", keep = 1, minAgeMs = 0L)
+    // with maxFilesPerTrigger the per-version metadata probe runs in
+    // latestOffset, before any batch — the remedy message must surface
+    // there too, not the raw 'not retained' error
+    val e = intercept[StreamingQueryException] {
+      val q = cat.readStream("t", maxFilesPerTrigger = Some(1L)).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => ()
+        }.start()
+      q.awaitTermination()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("vacuum removed versions"), msgs)
+    assert(msgs.contains("Re-bootstrap"), msgs)
+  }
+
   test("partitioned tables stream with partition values resolved from dir names") {
     val (cat, root) = fresh()
     cat.overwriteVersioned("t",
