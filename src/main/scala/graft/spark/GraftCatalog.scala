@@ -162,9 +162,17 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** NOT safe against concurrent writers: the recursive delete removes
+    * a live writer's in-flight staging along with the table (same
+    * contract as Delta's DROP — an explicit destructive verb; quiesce
+    * writers first). The name guard is the catalog-root boundary: a
+    * backtick-quoted identifier like `` `..` `` or one containing a
+    * path separator must never reach the recursive delete, or DROP
+    * TABLE becomes arbitrary directory deletion. */
   override def dropTable(ident: Identifier): Boolean = {
     requireNs(ident.namespace)
     import java.nio.file.{Files, Paths}
+    if (!graft.storage.ParquetCatalog.isValidName(ident.name)) return false
     if (!cat.exists(ident.name)) return false
     def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
       val s = Files.walk(p)

@@ -70,7 +70,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     codec: String = "zstd", bloomFor: Seq[String] = Nil,
     bloomNdv: Long = 100000L) {
 
-  private def tableDir(name: String): Path = Paths.get(root, name)
+  private def tableDir(name: String): Path = {
+    ParquetCatalog.requireValidName(name)
+    Paths.get(root, name)
+  }
 
   /** Writer options every catalog write carries: compression, plus
     * parquet NATIVE bloom filters for `bloomFor` columns (sized by the
@@ -84,7 +87,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
 
   def exists(name: String): Boolean =
-    Files.exists(tableDir(name)) || isVersioned(name)
+    ParquetCatalog.isValidName(name) &&
+      (Files.exists(tableDir(name)) || isVersioned(name))
 
   def read(name: String): DataFrame =
     if (isVersioned(name)) readVersion(name, currentVersion(name))
@@ -891,8 +895,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   // ---- versioned tables: manifest snapshots -------------------------
 
-  private def versionsDir(name: String): Path =
+  private def versionsDir(name: String): Path = {
+    ParquetCatalog.requireValidName(name)
     Paths.get(root, ".versions", name)
+  }
 
   private def dataDir(name: String): Path =
     versionsDir(name).resolve("data")
@@ -2750,6 +2756,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 }
 
 object ParquetCatalog {
+  /** A table name is a SINGLE path component under the catalog root —
+    * anything else (separators, a leading dot) could address the
+    * internal trees (`.versions`, `.tmp-*`) or ESCAPE the root
+    * entirely: a backtick-quoted SQL identifier like `` `..` `` reaches
+    * the verbs verbatim, and `DROP TABLE` on it would recursively
+    * delete the root's PARENT. Names failing this check never touch
+    * the filesystem: [[ParquetCatalog.exists]] reports them absent and
+    * every path builder refuses them loudly. */
+  def isValidName(name: String): Boolean =
+    name.nonEmpty && !name.startsWith(".") &&
+      !name.exists(c => c == '/' || c == '\\')
+
+  private[graft] def requireValidName(name: String): Unit =
+    require(isValidName(name),
+      s"invalid table name '$name': must be a single path component " +
+        "(no '/', '\\', or leading '.')")
+
   /** [[ParquetCatalog.vacuum]]'s default orphan-sweep age floor: long
     * enough for any live writer's stage→commit window, short enough
     * that crashed-writer debris doesn't linger across a daily

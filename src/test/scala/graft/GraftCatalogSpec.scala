@@ -124,4 +124,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!cat.exists("u"))
     assert(spark.sql(s"SHOW TABLES IN $c").count() === 1)
   }
+
+  test("hostile table identifiers never escape the catalog root") {
+    // a backtick-quoted identifier reaches the catalog verbatim — `..`
+    // or a name with '/' must never resolve to a filesystem path, or
+    // DROP TABLE becomes arbitrary directory deletion
+    val scratch = Files.createTempDirectory("graft-esc")
+    val root = Files.createDirectory(scratch.resolve("tables"))
+    val marker = Files.writeString(scratch.resolve("marker.txt"), "live")
+    val cname = s"gcesc${System.nanoTime() % 100000}"
+    spark.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.spark.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.root", root.toString)
+    val cat = new ParquetCatalog(spark, root.toString)
+    cat.overwriteVersioned("t", Seq((1L, 1.0)).toDF("id", "m"))
+    for (bad <- Seq("..", ".", "../tables", "a/b", "a\\b", ".versions")) {
+      assert(!cat.exists(bad), s"'$bad' must read as absent")
+      intercept[Exception](cat.overwriteVersioned(bad,
+        Seq((1L, 1.0)).toDF("id", "m")))
+      intercept[Exception](spark.sql(s"DROP TABLE $cname.`$bad`"))
+    }
+    assert(Files.exists(marker), "DROP on a hostile name deleted outside root")
+    assert(Files.exists(root) && cat.exists("t"),
+      "the real table and root survive")
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $cname.`../evil` (id BIGINT)"))
+    assert(!Files.exists(scratch.resolve("evil")) &&
+      !Files.exists(scratch.resolve(".versions")),
+      "CREATE on a hostile name wrote outside root")
+  }
 }
