@@ -533,6 +533,135 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     } else reader.parquet(cand: _*)
   }
 
+  /** Conjunctive constraints IMPLIED by a row-level verb's WHERE
+    * condition: `(column, lo, hi)` numeric ranges plus `(column, value)`
+    * equality points, extracted from the expression's top-level AND
+    * conjuncts only. Any row satisfying the condition satisfies every
+    * conjunct, so pruning files by a subset of them can never lose a
+    * touched partition; an OR (or anything unrecognized) contributes
+    * nothing rather than something unsound. NULL-valued comparisons
+    * never match under three-valued logic (and the verbs coalesce a
+    * NULL condition to false), so range pruning needs no has-nulls
+    * keep. */
+  private def impliedConstraints(full: DataFrame, condition: Column):
+      (Seq[(String, Double, Double)], Seq[(String, Any)]) = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val Inf = Double.PositiveInfinity
+    // resolve through the ANALYZER (a plain Column wraps a ColumnNode in
+    // Spark 4, not a Catalyst tree): filter the frame, take the analyzed
+    // Filter's predicate — attribute references bound, literals coerced
+    val pred = full.filter(condition).queryExecution.analyzed.collectFirst {
+      case f: lp.Filter => f.condition
+    }.getOrElse(return (Nil, Nil))
+    val schema = full.schema
+    def field(e: ce.Expression): Option[org.apache.spark.sql.types.StructField] =
+      e match {
+        case a: ce.AttributeReference =>
+          schema.fields.find(_.name.equalsIgnoreCase(a.name))
+        case _ => None
+      }
+    def numField(e: ce.Expression): Option[String] = field(e).collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }
+    /** A foldable side's value (covers the coercion Casts the analyzer
+      * wraps around literals); None for NULL or non-constant. */
+    def litVal(e: ce.Expression): Option[Any] =
+      if (!e.foldable) None
+      else Option(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+    def numLit(e: ce.Expression): Option[Double] = litVal(e).collect {
+      case n: Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    }
+    /** The value as the JVM type [[SkippingIndex.bloomMightContain]]
+      * hashes (numbers and strings only). */
+    def pointLit(e: ce.Expression): Option[Any] = litVal(e).collect {
+      case n: Number => n
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    }
+    def eq(a: ce.Expression, l: ce.Expression):
+        (Seq[(String, Double, Double)], Seq[(String, Any)]) = {
+      val ranges = for (n <- numField(a).toSeq; v <- numLit(l).toSeq)
+        yield (n, v, v)
+      val points = for (f <- field(a).toSeq; v <- pointLit(l).toSeq)
+        yield (f.name, v)
+      (ranges, points)
+    }
+    def range(a: ce.Expression, lo: Option[Double], hi: Option[Double]):
+        (Seq[(String, Double, Double)], Seq[(String, Any)]) =
+      (numField(a).toSeq.map(n => (n, lo.getOrElse(-Inf), hi.getOrElse(Inf))),
+        Nil)
+    def walk(e: ce.Expression):
+        (Seq[(String, Double, Double)], Seq[(String, Any)]) = e match {
+      case ce.And(l, r) =>
+        val (lr, lps) = walk(l); val (rr, rp) = walk(r)
+        (lr ++ rr, lps ++ rp)
+      case ce.EqualTo(a, l) if field(a).isDefined => eq(a, l)
+      case ce.EqualTo(l, a) if field(a).isDefined => eq(a, l)
+      case ce.EqualNullSafe(a, l) if field(a).isDefined => eq(a, l)
+      case ce.EqualNullSafe(l, a) if field(a).isDefined => eq(a, l)
+      case ce.GreaterThan(a, l) if field(a).isDefined => range(a, numLit(l), None)
+      case ce.GreaterThanOrEqual(a, l) if field(a).isDefined => range(a, numLit(l), None)
+      case ce.LessThan(a, l) if field(a).isDefined => range(a, None, numLit(l))
+      case ce.LessThanOrEqual(a, l) if field(a).isDefined => range(a, None, numLit(l))
+      case ce.GreaterThan(l, a) if field(a).isDefined => range(a, None, numLit(l))
+      case ce.GreaterThanOrEqual(l, a) if field(a).isDefined => range(a, None, numLit(l))
+      case ce.LessThan(l, a) if field(a).isDefined => range(a, numLit(l), None)
+      case ce.LessThanOrEqual(l, a) if field(a).isDefined => range(a, numLit(l), None)
+      case ce.In(a, vs) if field(a).isDefined && vs.nonEmpty &&
+          vs.forall(numLit(_).isDefined) =>
+        val ds = vs.flatMap(numLit)
+        (numField(a).toSeq.map(n => (n, ds.min, ds.max)), Nil)
+      case _ => (Nil, Nil)
+    }
+    walk(pred)
+  }
+
+  /** The frame a row-level UPDATE/DELETE's touched-partition probe
+    * scans. Without pruning the probe is a FULL read of the version —
+    * at 100 TB a point UPDATE on an indexed key would cost a table scan
+    * just to learn which partition it touches. Here the WHERE's implied
+    * constraints prune the file list first: min/max skipping-index
+    * ranges, then parquet native bloom filters for equality points on
+    * `bloomFor` columns (the same two structures the read path's
+    * [[readRange]]/[[readPoint]] use). Files without stats/filters are
+    * conservatively kept, so the probe can only over-read, never miss a
+    * touched partition — and the verbs re-apply the real condition to
+    * whatever the probe returns. Falls back to the full frame when
+    * nothing prunes. */
+  private def probeFrame(name: String, m: TableManifest,
+      full: DataFrame, condition: Column): DataFrame = {
+    val (ranges, points) = impliedConstraints(full, condition)
+    if (ranges.isEmpty && points.isEmpty) return full
+    val sp = statsPath(name)
+    val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
+    val indexed = indexCols(name).toSet
+    val rangePreds = ranges.filter(r => indexed.contains(r._1))
+    var cand =
+      if (rangePreds.nonEmpty && SkippingIndex.existsAt(sp))
+        SkippingIndex.candidateFilesAt(sp, abs, rangePreds)
+      else abs
+    for ((c, v) <- points if bloomFor.contains(c) && cand.nonEmpty)
+      cand = SkippingIndex.bloomCandidates(spark, cand, c, v)
+    if (cand.size == abs.size) return full
+    if (cand.isEmpty) return full.limit(0)
+    // the FULL frame's schema, so partition-value typing (and thus the
+    // probe's hive path rendering) is identical to the unpruned read
+    val reader = spark.read.schema(full.schema)
+    if (m.partitionBy.isEmpty) reader.parquet(cand: _*)
+    else reader.option("basePath", dataDir(name).toString).parquet(cand: _*)
+  }
+
+  /** Diagnostic: the files [[updateWhere]]/[[deleteVersioned]]'s
+    * touched-partition probe would open for `condition` (tests pin the
+    * pruning with it, like [[pointCandidates]] for the read path). */
+  private[graft] def probeCandidates(name: String, condition: Column): Seq[String] = {
+    val m = currentManifest(name)
+    probeFrame(name, m, readVersion(name, m.version), condition)
+      .inputFiles.toSeq
+  }
+
   /** Collect one small distinct frame of partition tuples as
     * (typed values, hive rel path) — partition-count-sized, never
     * data-sized. Path strings use Spark's cast-to-string (the writer's
@@ -1837,7 +1966,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * [[delete]]; untouched partitions re-referenced as in
     * [[upsertVersioned]]. `partitionBy` defaults to the recorded
     * layout; `fromVersion` pins the read snapshot as in
-    * [[upsertVersioned]]. Returns (newVersion, rowsRemoved). */
+    * [[upsertVersioned]]. The touched-partition probe is
+    * [[probeFrame]]-pruned: a point DELETE on an indexed/bloomed key
+    * opens only candidate files, not the table. Returns (newVersion,
+    * rowsRemoved). */
   def deleteVersioned(name: String, condition: Column,
       partitionBy: Seq[String] = Nil,
       fromVersion: Option[Long] = None): (Long, Long) = {
@@ -1859,7 +1991,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       refreshIndex(name)
       (next, removed)
     } else {
-      val touched = partitionsOf(t.filter(hit), pb)
+      val touched = partitionsOf(probeFrame(name, m, t, condition).filter(hit), pb)
       val touchedRel = touched.map(_.relPath).toSet
       val carried = m.files.filterNot(f =>
         touchedRel.contains(TableManifest.partitionComponent(f)))
@@ -1893,8 +2025,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * between slices correctly (the staged files land under their new
     * hive components; the destination partition's carried files
     * coexist with them, exactly like an append into it). CHECK
-    * constraints enforce in-pass via the staging guard. Returns
-    * (newVersion, rowsUpdated). */
+    * constraints enforce in-pass via the staging guard. The
+    * touched-partition probe is [[probeFrame]]-pruned: a point UPDATE
+    * on an indexed/bloomed key opens only candidate files, not the
+    * table. Returns (newVersion, rowsUpdated). */
   def updateWhere(name: String, condition: Column,
       assignments: Map[String, Column],
       partitionBy: Seq[String] = Nil,
@@ -1933,7 +2067,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       refreshIndex(name)
       (next, updated)
     } else {
-      val touched = partitionsOf(t.filter(hit), pb)
+      val touched = partitionsOf(probeFrame(name, m, t, condition).filter(hit), pb)
       val touchedRel = touched.map(_.relPath).toSet
       val carried = m.files.filterNot(f =>
         touchedRel.contains(TableManifest.partitionComponent(f)))

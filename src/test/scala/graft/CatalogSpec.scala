@@ -691,6 +691,55 @@ class CatalogSpec extends SparkSpec {
       .orderBy("id").as[(Long, String, Double)].collect() === expected)
   }
 
+  test("row-level UPDATE/DELETE probe is index-pruned to the WHERE's range") {
+    import graft.storage.SkippingIndex
+    val root = Files.createTempDirectory("graft-upp").toString
+    val cat = new ParquetCatalog(spark, root)
+    val full = (0 until 1000).map(i => (i.toLong, s"d${i / 250}", i * 1.0))
+      .toDF("id", "day", "m")
+    cat.overwriteVersioned("t", full, Seq("day"))
+    cat.compact("t", rowsPerFile = 100, partitionBy = Seq("day"),
+      clusterBy = Seq("id"))
+    cat.index("t", Seq("id"))
+    val allFiles = cat.fileCount("t")
+    // a point UPDATE's probe must not open the whole table
+    val opened = cat.probeCandidates("t",
+        col("id") === 137L && col("m") > 0.0)
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(opened.size < allFiles,
+      s"probe opened ${opened.size} of $allFiles files — no pruning happened")
+    // cross-check vs the stats: every file whose id-range excludes 137
+    // stays closed
+    val stats = SkippingIndex.readAt(cat.statsPath("t"))
+    stats.foreach { fs =>
+      val name = fs.file.substring(fs.file.lastIndexOf('/') + 1)
+      val cs = fs.cols.find(_.column == "id").get
+      if ((cs.max.toDouble < 137.0 || cs.min.toDouble > 137.0) && !cs.hasNulls)
+        assert(!opened.contains(name), s"out-of-range file $name was opened")
+    }
+    // an OR at the top level implies no single range — the probe must
+    // fall back to the full scan rather than prune unsoundly
+    assert(cat.probeCandidates("t",
+      col("id") === 1L || col("m") > 990.0).size === allFiles)
+    // end-to-end: results are identical to the unpruned semantics
+    val (_, n) = cat.updateWhere("t", col("id") === 137L,
+      Map("m" -> lit(-1.0)))
+    assert(n === 1L)
+    assert(cat.read("t").filter(col("m") < 0).select("id")
+      .as[Long].collect() === Array(137L))
+    assert(cat.read("t").count() === 1000)
+    val (_, removed) = cat.deleteVersioned("t", col("id") >= 990L)
+    assert(removed === 10L)
+    assert(cat.read("t").count() === 990)
+    // the SQL text door takes the same pruned probe (expr-parsed WHERE)
+    val (_, n2) = cat.updateWhere("t",
+      org.apache.spark.sql.functions.expr("id = 5 AND m >= 0"),
+      Map("m" -> lit(-2.0)))
+    assert(n2 === 1L)
+    assert(cat.read("t").filter(col("m") === -2.0).select("id")
+      .as[Long].collect() === Array(5L))
+  }
+
   test("in-place scoped ops handle multi-level and path-hostile partition values") {
     val root = Files.createTempDirectory("graft-ml").toString
     val cat = new ParquetCatalog(spark, root)
