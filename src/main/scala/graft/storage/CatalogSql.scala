@@ -152,7 +152,10 @@ object CatalogSql {
       val where = parts.lift(1)
         .map(c => org.apache.spark.sql.functions.expr(c.trim))
         .getOrElse(org.apache.spark.sql.functions.lit(true))
-      val (v, n) = cat.updateWhere(t, where, assignments)
+      // same concurrency contract as the registered catalog's
+      // UPDATE/DELETE: a lost commit race re-reads and re-applies
+      // instead of surfacing ConcurrentWriteException to SQL callers
+      val (v, n) = cat.updateWhereWithRetry(t, where, assignments)
       import spark.implicits._
       Seq((t, v, n)).toDF("table_name", "new_version", "rows_updated")
     case deleteRe(t, cond) =>
@@ -161,7 +164,7 @@ object CatalogSql {
       val where = Option(cond)
         .map(org.apache.spark.sql.functions.expr)
         .getOrElse(org.apache.spark.sql.functions.lit(true))
-      val (v, n) = cat.deleteVersioned(t, where)
+      val (v, n) = cat.deleteVersionedWithRetry(t, where)
       import spark.implicits._
       Seq((t, v, n)).toDF("table_name", "new_version", "rows_deleted")
     case m if m.trim.take(10).equalsIgnoreCase("MERGE INTO") =>

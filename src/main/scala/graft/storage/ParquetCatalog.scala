@@ -2719,6 +2719,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       partitionBy: Seq[String] = Nil, maxAttempts: Int = 3): (Long, Long) =
     withRetry(maxAttempts)(deleteVersioned(name, condition, partitionBy))
 
+  /** [[updateWhere]] under [[withRetry]]: each attempt re-reads the
+    * now-current snapshot and re-applies condition + assignments, so a
+    * raced UPDATE composes with the interleaved commit instead of
+    * throwing (the same contract the registered catalog's DELETE path
+    * already has). */
+  def updateWhereWithRetry(name: String, condition: Column,
+      assignments: Map[String, Column], partitionBy: Seq[String] = Nil,
+      maxAttempts: Int = 3): (Long, Long) =
+    withRetry(maxAttempts)(
+      updateWhere(name, condition, assignments, partitionBy))
+
   /** [[applyChanges]] under [[withRetry]]: a lost race re-applies the
     * feed against the interleaved commit's state; the batch token
     * keeps a replayed window a no-op either way. */

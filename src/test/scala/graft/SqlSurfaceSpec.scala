@@ -254,4 +254,35 @@ class SqlSurfaceSpec extends SparkSpec {
       cat.sql("SELECT * FROM t VERSION AS OF 99").collect())
     assert(e2.getMessage.contains("not retained"), e2.getMessage)
   }
+
+  test("text UPDATE/DELETE retry lost commit races like the catalog plugin") {
+    // both SQL front doors must share one concurrency contract: the
+    // registered catalog's DELETE retries through withRetry, so the
+    // text path must too — an interleaved writer and a text UPDATE
+    // both land, version chain gapless, neither effect lost
+    val root = Files.createTempDirectory("graft-sqlr").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwriteVersioned("t",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "m"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+    def run(body: ParquetCatalog => Unit): Thread = new Thread(() => {
+      try {
+        val c = new ParquetCatalog(spark, root)
+        barrier.await()
+        body(c)
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    val a = run(_.appendVersionedWithRetry("t",
+      Seq((3L, 30.0)).toDF("id", "m"), maxAttempts = 5))
+    val b = run(_.sql("UPDATE t SET m = m + 100 WHERE id = 1"))
+    a.start(); b.start(); a.join(60000); b.join(60000)
+    assert(errs.isEmpty, s"both doors must absorb the race: $errs")
+    val out = cat.read("t").select("id", "m").as[(Long, Double)]
+      .collect().sortBy(_._1)
+    assert(out === Array((1L, 110.0), (2L, 20.0), (3L, 30.0)),
+      "append and text UPDATE both landed exactly once")
+    val vs = cat.versions("t")
+    assert(vs === (vs.head to vs.last), s"gapless chain expected: $vs")
+  }
 }
