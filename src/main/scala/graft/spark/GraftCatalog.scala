@@ -239,6 +239,17 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
 
   override def partitioning(): Array[Transform] = delegate.partitioning()
 
+  /** STATIC overwrite only, by design: `INSERT OVERWRITE` truncates.
+    * Spark's analyzer plans `partitionOverwriteMode=dynamic` as
+    * `OverwritePartitionsDynamicExec`, which has NO V1 fallback — it
+    * requires a full DSv2 `BatchWrite` (executor-side `DataWriter`
+    * protocol), i.e. hand-reimplementing the parquet writer this
+    * catalog deliberately delegates to the engine's V1 bridge (same
+    * rationale as the read path riding Spark's own `ParquetTable`).
+    * Dynamic-overwrite SEMANTICS are available as the engine verb
+    * [[ParquetCatalog.overwritePartitionsVersioned]]; under dynamic
+    * mode the SQL door refuses loudly at analysis instead of silently
+    * truncating. */
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]()
     caps.add(TableCapability.BATCH_READ)

@@ -78,11 +78,34 @@ object CatalogSql {
   /** `OPTIMIZE t` without `ROWS`: target rows per compacted file. */
   private val DefaultOptimizeRows = 1L << 20
 
+  /** Spark SQL identifiers are case-insensitive; the catalog's on-disk
+    * names are not. A statement naming `Orders` must reach the table
+    * stored as `orders` (every verb and the SELECT substitution route
+    * through this), exact spelling winning over a case-folded match,
+    * and a genuinely ambiguous fold (two tables differing only in
+    * case) refusing loudly rather than picking one. Unknown names pass
+    * through unchanged so downstream errors quote the user's
+    * spelling. */
+  private def resolveTable(cat: ParquetCatalog, name: String): String =
+    if (cat.exists(name)) name
+    else cat.tableNames.filter(_.equalsIgnoreCase(name)) match {
+      case Seq(one) => one
+      case Seq() => name
+      case many => throw new IllegalArgumentException(
+        s"'$name' is ambiguous under case-insensitive resolution: " +
+          many.mkString(", "))
+    }
+
   def run(spark: SparkSession, cat: ParquetCatalog,
+      statement: String): DataFrame = runResolved(spark, cat, statement)
+
+  private def runResolved(spark: SparkSession, cat: ParquetCatalog,
       statement: String): DataFrame = statement match {
-    case historyRe(t) =>
+    case historyRe(t0) =>
+      val t = resolveTable(cat, t0)
       cat.history(t)
-    case vacuumRe(t, retainH, keep) =>
+    case vacuumRe(t0, retainH, keep) =>
+      val t = resolveTable(cat, t0)
       // a silently-ignored retention bound on a destructive verb is
       // worse than a parse error
       require(retainH == null || keep == null,
@@ -92,7 +115,8 @@ object CatalogSql {
         else cat.vacuum(t, if (keep != null) keep.toInt else 1)
       import spark.implicits._
       Seq((t, removed.toLong)).toDF("table_name", "entries_removed")
-    case optimizeWhereRe(t, rows, conds) =>
+    case optimizeWhereRe(t0, rows, conds) =>
+      val t = resolveTable(cat, t0)
       // Delta's partition-scoped OPTIMIZE: equality conjunctions on a
       // layout PREFIX route to compactPartition — the other partitions'
       // files are re-referenced verbatim, zero bytes moved outside the
@@ -108,7 +132,8 @@ object CatalogSql {
         Option(rows).map(_.toLong).getOrElse(DefaultOptimizeRows), spec)
       import spark.implicits._
       Seq((t, cat.fileCount(t))).toDF("table_name", "num_files")
-    case optimizeRe(t, rows, zcols) =>
+    case optimizeRe(t0, rows, zcols) =>
+      val t = resolveTable(cat, t0)
       val zorder = Option(zcols).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       cat.compact(t,
@@ -116,7 +141,8 @@ object CatalogSql {
         partitionBy = cat.layout(t), zorderBy = zorder)
       import spark.implicits._
       Seq((t, cat.fileCount(t))).toDF("table_name", "num_files")
-    case restoreRe(t, kind, arg) =>
+    case restoreRe(t0, kind, arg) =>
+      val t = resolveTable(cat, t0)
       val from =
         if (kind.equalsIgnoreCase("VERSION")) arg.trim.toLong
         else cat.versionAsOf(t, evalTsMillis(spark,
@@ -125,7 +151,8 @@ object CatalogSql {
       import spark.implicits._
       Seq((t, from, committed))
         .toDF("table_name", "restored_from_version", "new_version")
-    case updateHeadRe(t, rest) =>
+    case updateHeadRe(t0, rest) =>
+      val t = resolveTable(cat, t0)
       // Delta `UPDATE t SET ... [WHERE ...]`: one partition-scoped
       // versioned commit ([[ParquetCatalog.updateWhere]]). The
       // SET/WHERE boundary comes from the MERGE parser's quote- and
@@ -158,7 +185,8 @@ object CatalogSql {
       val (v, n) = cat.updateWhereWithRetry(t, where, assignments)
       import spark.implicits._
       Seq((t, v, n)).toDF("table_name", "new_version", "rows_updated")
-    case deleteRe(t, cond) =>
+    case deleteRe(t0, cond) =>
+      val t = resolveTable(cat, t0)
       // `DELETE FROM t [WHERE cond]` → one partition-scoped versioned
       // delete commit (WHERE-less = all rows, history retained)
       val where = Option(cond)
@@ -187,31 +215,38 @@ object CatalogSql {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
         w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet
+    // Spark identifiers are case-insensitive: `FROM Orders` must reach
+    // a table stored as `orders` (resolveTable), not silently fall
+    // through to the session catalog; the CTE-shadowing check folds the
+    // same way
     def catalogName(r: UnresolvedRelation): Option[String] =
       r.multipartIdentifier match {
-        case Seq(one) if !cteNames(one.toLowerCase) && cat.exists(one) =>
-          Some(one)
+        case Seq(one) if !cteNames(one.toLowerCase) =>
+          Some(resolveTable(cat, one)).filter(cat.exists)
         case _ => None
       }
     val substituted = plan.transformUpWithSubqueries {
       case RelationTimeTravel(r: UnresolvedRelation, ts, v) =>
-        val name = r.multipartIdentifier match {
+        val asWritten = r.multipartIdentifier match {
           case Seq(one) => one
           case parts => throw new IllegalArgumentException(
             s"AS OF needs a bare catalog table name, got ${parts.mkString(".")}")
         }
+        val name = resolveTable(cat, asWritten)
         require(cat.isVersioned(name),
           s"VERSION/TIMESTAMP AS OF needs a versioned catalog table; " +
-            s"'$name' is not one")
+            s"'$asWritten' is not one")
         val version = v.map(_.toLong).getOrElse(
           cat.versionAsOf(name, evalTsMillis(spark, ts.getOrElse(
             throw new IllegalArgumentException("AS OF needs a version or timestamp")))))
-        // keep the table name as a qualifier so `t.col` references in
-        // the surrounding statement still resolve
-        SubqueryAlias(name, cat.readVersion(name, version).queryExecution.analyzed)
+        // keep the statement's OWN spelling as the qualifier so `t.col`
+        // references in the surrounding statement still resolve
+        SubqueryAlias(asWritten,
+          cat.readVersion(name, version).queryExecution.analyzed)
       case r: UnresolvedRelation if catalogName(r).isDefined =>
         val name = catalogName(r).get
-        SubqueryAlias(name, cat.read(name).queryExecution.analyzed)
+        SubqueryAlias(r.multipartIdentifier.head,
+          cat.read(name).queryExecution.analyzed)
     }
     SqlBridge.ofRows(spark, substituted)
   }

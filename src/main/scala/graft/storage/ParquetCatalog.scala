@@ -90,6 +90,22 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     ParquetCatalog.isValidName(name) &&
       (Files.exists(tableDir(name)) || isVersioned(name))
 
+  /** Every table name under the root — plain hive dirs plus versioned
+    * tables (which may have no plain dir) — sorted. Metadata-only: two
+    * directory listings. */
+  def tableNames: Seq[String] = {
+    def dirs(p: Path): Seq[String] =
+      if (!Files.isDirectory(p)) Nil
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.filter(Files.isDirectory(_))
+          .map(_.getFileName.toString).filterNot(_.startsWith(".")).toList
+        finally s.close()
+      }
+    (dirs(Paths.get(root)) ++ dirs(Paths.get(root, ".versions")))
+      .distinct.sorted
+  }
+
   def read(name: String): DataFrame =
     if (isVersioned(name)) readVersion(name, currentVersion(name))
     else spark.read.parquet(tableDir(name).toString)

@@ -151,8 +151,20 @@ class TableSourceProvider extends StreamSourceProvider with StreamSinkProvider
       if (partitionColumns.nonEmpty) partitionColumns
       else parameters.get("partitionBy").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    // canonicalize to an absolute normalized path: the SAME checkpoint
+    // spelled differently across restarts (relative vs absolute,
+    // trailing slash, ./ segments) must yield the SAME txn identity,
+    // or every replayed batch re-commits as a duplicate
+    def canonical(p: String): String = {
+      val path =
+        if (p.startsWith("file:"))
+          try new java.net.URI(p).getPath catch { case _: Exception => p }
+        else p
+      try java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+      catch { case _: Exception => p }
+    }
     val sinkId = parameters.get("sinkId")
-      .orElse(parameters.get("checkpointLocation"))
+      .orElse(parameters.get("checkpointLocation").map(canonical))
       .getOrElse(throw new IllegalArgumentException(
         "graft-table sink needs a stable exactly-once identity: set " +
           "option 'checkpointLocation' (the usual one) or 'sinkId'"))

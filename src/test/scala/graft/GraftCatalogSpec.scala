@@ -125,6 +125,34 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $c").count() === 1)
   }
 
+  test("dynamic INSERT OVERWRITE refuses at analysis; the engine verb covers it") {
+    // Spark plans dynamic partition overwrite as
+    // OverwritePartitionsDynamicExec, which has NO V1 fallback — a
+    // catalog on the V1 write bridge must refuse LOUDLY at analysis
+    // (never silently truncate), and the engine verb provides the
+    // semantics
+    val (cat, _, c) = freshCatalog("o")
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception](
+        spark.sql(s"INSERT OVERWRITE $c.t VALUES (9, 90.0, 'b')"))
+      assert(e.getMessage.contains("dynamic overwrite"), e.getMessage)
+      assert(cat.read("t").count() === 2, "the refusal must commit nothing")
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    // the engine verb IS the dynamic overwrite: only present partitions
+    // replaced, the rest carried verbatim
+    cat.overwritePartitionsVersioned("t",
+      Seq((9L, "b", 90.0)).toDF("id", "p", "m"), Seq("p"))
+    assert(cat.read("t").select($"id", $"p".cast("string"))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (9L, "b")))
+    // static mode keeps full-truncate semantics
+    spark.sql(s"INSERT OVERWRITE $c.t VALUES (5, 50.0, 'z')")
+    assert(cat.read("t").select("id").as[Long].collect().toSeq === Seq(5L))
+  }
+
   test("hostile table identifiers never escape the catalog root") {
     // a backtick-quoted identifier reaches the catalog verbatim — `..`
     // or a name with '/' must never resolve to a filesystem path, or

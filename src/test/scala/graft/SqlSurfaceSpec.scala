@@ -255,6 +255,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e2.getMessage.contains("not retained"), e2.getMessage)
   }
 
+  test("statement table names resolve case-insensitively, like Spark identifiers") {
+    val cat = seeded() // table stored as 't'; ids 1,3,4 live
+    assert(cat.sql("SELECT id FROM T ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+    assert(cat.sql("SELECT count(*) FROM T VERSION AS OF 1")
+      .as[Long].head() === 3L)
+    // qualified refs under the statement's own spelling still resolve
+    assert(cat.sql("SELECT T.id FROM T WHERE T.id = 3").as[Long].head() === 3L)
+    cat.sql("UPDATE T SET m = 0.0 WHERE id = 1")
+    assert(cat.read("t").filter(col("id") === 1L).select("m")
+      .as[Double].head() === 0.0)
+    assert(cat.sql("DESCRIBE HISTORY T").count() >= 4)
+    val (_, _) = (cat.sql("DELETE FROM T WHERE id = 4"), ())
+    assert(cat.read("t").select("id").as[Long].collect().sorted ===
+      Array(1L, 3L))
+  }
+
   test("text UPDATE/DELETE retry lost commit races like the catalog plugin") {
     // both SQL front doors must share one concurrency contract: the
     // registered catalog's DELETE retries through withRetry, so the

@@ -320,6 +320,34 @@ class TableStreamSpec extends SparkSpec {
     assert(cat.read("dst").count() === 3)
   }
 
+  test("the sink's exactly-once identity is canonical across checkpoint spellings") {
+    // the same checkpoint spelled as a file: URI, with ./ segments, or
+    // with a trailing slash must derive the SAME txn token — otherwise
+    // a restart that spells the path differently replays every batch
+    // as duplicate commits
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("dst", Seq((0L, 0.0)).toDF("id", "m"))
+    val provider = new graft.streaming.TableSourceProvider
+    import org.apache.spark.sql.streaming.OutputMode
+    def sink(spelling: String) = provider.createSink(spark.sqlContext,
+      Map("root" -> root, "table" -> "dst", "checkpointLocation" -> spelling),
+      Seq.empty, OutputMode.Append())
+    val batch = Seq((1L, 10.0)).toDF("id", "m")
+    sink(s"$root/ckpt").addBatch(0L, batch)
+    val v = cat.currentVersion("dst")
+    assert(cat.read("dst").count() === 2)
+    for (same <- Seq(s"file:$root/ckpt", s"$root/./ckpt/", s"$root/ckpt/"))
+      sink(same).addBatch(0L, batch)
+    assert(cat.currentVersion("dst") === v,
+      "equivalent checkpoint spellings must not re-commit the batch")
+    assert(cat.read("dst").count() === 2)
+    // a genuinely different identity DOES commit (negative control)
+    provider.createSink(spark.sqlContext,
+      Map("root" -> root, "table" -> "dst", "sinkId" -> "other"),
+      Seq.empty, OutputMode.Append()).addBatch(0L, batch)
+    assert(cat.read("dst").count() === 3)
+  }
+
   test("the graft-table SINK in merge mode (keys): update-shaped stream upserts per batch") {
     val (cat, root) = fresh()
     cat.overwriteVersioned("src", Seq((1L, "a", 10.0)).toDF("id", "p", "m"), Seq("p"))
