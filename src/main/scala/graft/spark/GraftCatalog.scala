@@ -185,9 +185,18 @@ class GraftCatalog extends TableCatalog {
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "RENAME TABLE is not supported; clone + drop instead")
+  /** `ALTER TABLE <cat>.t RENAME TO u` — a metadata-only directory
+    * move on the manifest tier ([[ParquetCatalog.renameTable]]): zero
+    * bytes rewritten, history and time travel preserved under the new
+    * name. Like DROP, not safe against concurrent writers — quiesce
+    * first. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireNs(oldIdent.namespace)
+    requireNs(newIdent.namespace)
+    graft.storage.ParquetCatalog.requireValidName(newIdent.name)
+    if (!cat.exists(oldIdent.name)) throw new NoSuchTableException(oldIdent)
+    cat.renameTable(oldIdent.name, newIdent.name)
+  }
 }
 
 /** One resolved (possibly time-traveled) catalog table. Reads delegate

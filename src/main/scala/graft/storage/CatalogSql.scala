@@ -74,6 +74,8 @@ object CatalogSql {
     "(?is)^\\s*UPDATE\\s+([\\w.]+)\\s+SET\\s+(.+?)\\s*;?\\s*$".r
   private val deleteRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.]+)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
+  private val renameTableRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+RENAME\\s+TO\\s+([\\w.]+)\\s*;?\\s*$".r
 
   /** `OPTIMIZE t` without `ROWS`: target rows per compacted file. */
   private val DefaultOptimizeRows = 1L << 20
@@ -195,6 +197,13 @@ object CatalogSql {
       val (v, n) = cat.deleteVersionedWithRetry(t, where)
       import spark.implicits._
       Seq((t, v, n)).toDF("table_name", "new_version", "rows_deleted")
+    case renameTableRe(t0, to) =>
+      // metadata-only directory move: zero bytes rewritten, history and
+      // time travel carry over under the new name
+      val t = resolveTable(cat, t0)
+      cat.renameTable(t, to)
+      import spark.implicits._
+      Seq((t, to)).toDF("from_name", "to_name")
     case m if m.trim.take(10).equalsIgnoreCase("MERGE INTO") =>
       import spark.implicits._
       Seq(cat.mergeInto(m)).toDF("version")

@@ -90,6 +90,34 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     ParquetCatalog.isValidName(name) &&
       (Files.exists(tableDir(name)) || isVersioned(name))
 
+  /** ALTER TABLE RENAME: a metadata-only move of the table's
+    * director(ies) — manifests reference data files RELATIVE to the
+    * versions dir, so ZERO bytes rewrite and the full version history,
+    * time travel, txn registry, and constraints carry over under the
+    * new name. The skipping index records absolute paths; those are
+    * relocated textually (no footer reads). NOT safe against
+    * concurrent writers (same contract as DROP TABLE — an in-flight
+    * commit's staging moves out from under it): quiesce writers
+    * first. */
+  def renameTable(from: String, to: String): Unit = {
+    require(exists(from), s"no table $from")
+    require(!exists(to), s"table $to already exists")
+    def mv(a: Path, b: Path): Unit = if (Files.exists(a)) {
+      Files.createDirectories(b.getParent)
+      Files.move(a, b, StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    mv(tableDir(from), tableDir(to))
+    mv(versionsDir(from), versionsDir(to))
+    if (SkippingIndex.existsAt(statsPath(to)))
+      SkippingIndex.relocate(statsPath(to),
+        versionsDir(from).toString, versionsDir(to).toString)
+    val plainStats = tableDir(to).resolve("_graft_stats.json")
+    if (SkippingIndex.existsAt(plainStats))
+      SkippingIndex.relocate(plainStats,
+        tableDir(from).toString, tableDir(to).toString)
+  }
+
   /** Every table name under the root — plain hive dirs plus versioned
     * tables (which may have no plain dir) — sorted. Metadata-only: two
     * directory listings. */

@@ -196,6 +196,18 @@ object SkippingIndex {
     stats
   }
 
+  /** Rewrite recorded file paths after a table-directory move —
+    * metadata-only, no footer reads. Entries outside `from` pass
+    * through unchanged (they drop out at the next reconcile). */
+  def relocate(statsPath: java.nio.file.Path, from: String, to: String): Unit = {
+    val moved = readAt(statsPath).map { fs =>
+      if (fs.file.startsWith(from + "/"))
+        fs.copy(file = to + fs.file.stripPrefix(from))
+      else fs
+    }
+    persist(statsPath, moved)
+  }
+
   def read(tableDir: String): Seq[FileStats] = {
     require(Files.exists(statsFile(tableDir)),
       s"no skipping index at ${statsFile(tableDir)} — run SkippingIndex.write first")

@@ -125,6 +125,39 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $c").count() === 1)
   }
 
+  test("RENAME TABLE is a metadata-only move preserving history and the index") {
+    val (cat, _, c) = freshCatalog("rn")
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.appendVersioned("t", Seq((3L, "a", 30.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.index("t", Seq("id"))
+    val filesBefore = cat.manifestFiles("t", cat.currentVersion("t")).toSet
+    spark.sql(s"ALTER TABLE $c.t RENAME TO u")
+    assert(!cat.exists("t") && cat.exists("u"))
+    // history + time travel carry over; the file SET is untouched
+    // (zero bytes rewritten — same relative paths, just a new dir)
+    assert(cat.currentVersion("u") === 2)
+    assert(cat.readVersion("u", 1).count() === 2)
+    assert(cat.manifestFiles("u", cat.currentVersion("u")).toSet === filesBefore)
+    assert(spark.sql(s"SELECT id FROM $c.u ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // the relocated skipping index still prunes (no stale-path keep-all)
+    val stats = graft.storage.SkippingIndex.readAt(cat.statsPath("u"))
+    assert(stats.nonEmpty &&
+      stats.forall(_.file.contains("/.versions/u/")),
+      s"stats must reference the new dir: ${stats.map(_.file)}")
+    // misuse is loud: rename onto an existing table / hostile target
+    cat.overwriteVersioned("w", Seq((1L, 1.0)).toDF("id", "m"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $c.u RENAME TO w"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $c.u RENAME TO `../evil`"))
+    assert(cat.exists("u"), "a refused rename must leave the source intact")
+    // the text door routes the same verb
+    val cat2 = cat
+    cat2.sql("ALTER TABLE u RENAME TO v")
+    assert(!cat.exists("u") && cat.exists("v"))
+    assert(cat.read("v").count() === 3)
+  }
+
   test("dynamic INSERT OVERWRITE refuses at analysis; the engine verb covers it") {
     // Spark plans dynamic partition overwrite as
     // OverwritePartitionsDynamicExec, which has NO V1 fallback — a
