@@ -125,6 +125,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $c").count() === 1)
   }
 
+  test("CTAS through the catalog: real commits, partition layout, no debris on failure") {
+    val (cat, _, c) = freshCatalog("ct")
+    cat.overwriteVersioned("src",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    // plain CTAS: created + populated through the engine's write path
+    spark.sql(s"CREATE TABLE $c.t AS SELECT id, m FROM $c.src")
+    assert(cat.read("t").select("id").as[Long].collect().sorted === Array(1L, 2L))
+    assert(cat.isVersioned("t"), "CTAS lands as a versioned table")
+    // partitioned CTAS records the layout
+    spark.sql(s"CREATE TABLE $c.tp PARTITIONED BY (p) " +
+      s"AS SELECT id, m, p FROM $c.src")
+    assert(cat.layout("tp") === Seq("p") && cat.read("tp").count() === 2)
+    // a CTAS whose WRITE fails must leave NO half-created table —
+    // Spark's non-atomic CTAS exec drops the created table on failure;
+    // this pin is the tripwire if that contract ever changes
+    spark.udf.register("ctas_boom",
+      (x: Long) => { if (x > 1) throw new RuntimeException("boom"); x })
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $c.bad AS SELECT ctas_boom(id) AS b FROM $c.src"))
+    assert(!cat.exists("bad"), "failed CTAS must not leave a table behind")
+    // CTAS onto an existing name refuses without touching the table
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $c.t AS SELECT 1L AS id"))
+    assert(cat.read("t").count() === 2, "refused CTAS must not clobber")
+  }
+
   test("RENAME TABLE is a metadata-only move preserving history and the index") {
     val (cat, _, c) = freshCatalog("rn")
     cat.overwriteVersioned("t",
