@@ -1308,15 +1308,29 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   }
 
   /** Commit, cleaning this writer's just-staged files on a lost race —
-    * nothing of a failed commit ever becomes visible. */
-  private def commitOrClean(name: String, m: TableManifest,
-      staged: Seq[String]): Unit =
+    * nothing of a failed commit ever becomes visible. Each data commit
+    * records the BYTES its staged files added (`bytesAdded` meta) so
+    * streaming admission control can budget by size from the manifest
+    * alone — the files are just-written and local to this writer, so
+    * the stats cost nothing extra at scale. */
+  private def commitOrClean(name: String, m0: TableManifest,
+      staged: Seq[String]): Unit = {
+    val m =
+      if (staged.isEmpty) m0
+      else {
+        val bytes = staged.map { r =>
+          try Files.size(versionsDir(name).resolve(r))
+          catch { case _: Exception => 0L }
+        }.sum
+        m0.copy(meta = m0.meta + ("bytesAdded" -> bytes.toString))
+      }
     try commitManifest(name, m)
     catch {
       case e: ConcurrentWriteException =>
         staged.foreach(r => Files.deleteIfExists(versionsDir(name).resolve(r)))
         throw e
     }
+  }
 
   /** Write `df` through a staging dir, then move each produced parquet
     * file into the shared `data/` tree under a version-and-nonce-unique
@@ -2323,6 +2337,29 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private[graft] def filesAddedIn(name: String, version: Long): Long =
     rawManifest(name, version).files.size.toLong
 
+  /** Bytes the commit of `version` added: the `bytesAdded` meta the
+    * commit funnel records (one raw-manifest parse, no file IO). For
+    * manifests predating the key, falls back to statting the raw
+    * manifest's file list — a conservative OVERcount on full-restage
+    * manifests (carried files included), so a byte-budgeted admission
+    * loop can only admit less, never more. */
+  private[graft] def bytesAddedIn(name: String, version: Long): Long =
+    admissionStats(name, version)._2
+
+  /** One raw-manifest parse answering BOTH admission questions for a
+    * version: (files added, bytes added) — the streaming source's
+    * per-version metadata probe stays one parse no matter which caps
+    * are set. */
+  private[graft] def admissionStats(name: String, version: Long): (Long, Long) = {
+    val m = rawManifest(name, version)
+    val bytes = m.meta.get("bytesAdded").map(_.toLong).getOrElse(
+      m.files.map { f =>
+        try Files.size(versionsDir(name).resolve(f))
+        catch { case _: Exception => 0L }
+      }.sum)
+    (m.files.size.toLong, bytes)
+  }
+
   /** A sink's committed high-water batchId in this table's exactly-once
     * registry (None: the sink never committed here). One lookup in the
     * current manifest — the public face of the `txn.` registry. */
@@ -2409,7 +2446,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * bounded, self-terminating drain. */
   def readStream(name: String, startingVersion: Long = 0L,
       maxVersionsPerTrigger: Option[Long] = None,
-      maxFilesPerTrigger: Option[Long] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format("graft.streaming.TableSourceProvider")
       .option("root", root)
@@ -2417,8 +2455,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .option("startingVersion", startingVersion.toString)
     val r2 = maxVersionsPerTrigger
       .fold(r)(n => r.option("maxVersionsPerTrigger", n.toString))
-    maxFilesPerTrigger
+    val r3 = maxFilesPerTrigger
       .fold(r2)(n => r2.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger
+      .fold(r3)(n => r3.option("maxBytesPerTrigger", n.toString))
       .load()
   }
 

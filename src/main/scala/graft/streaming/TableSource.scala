@@ -120,7 +120,8 @@ class TableSourceProvider extends StreamSourceProvider with StreamSinkProvider
     new TableSource(sqlContext, cat, table,
       schema.getOrElse(schemaFor(cat, table, parameters)), starting,
       if (changes) Some(keysOf(parameters)) else None,
-      positive("maxVersionsPerTrigger"), positive("maxFilesPerTrigger"))
+      positive("maxVersionsPerTrigger"), positive("maxFilesPerTrigger"),
+      positive("maxBytesPerTrigger"))
   }
 
   /** The WRITE half (`df.writeStream.format("graft.streaming
@@ -134,19 +135,27 @@ class TableSourceProvider extends StreamSourceProvider with StreamSinkProvider
     * streams); `partitionBy` (comma list — `.partitionBy(...)` on the
     * writer works too); `sinkId` overrides the exactly-once identity
     * (default: the query's `checkpointLocation`, which IS the replay
-    * domain). A commit race against an interleaved writer retries
-    * boundedly — safe, because the batch token makes a replayed commit
-    * a no-op regardless of which attempt landed. */
+    * domain). `Complete` output mode (streaming aggregates) maps to
+    * one versioned OVERWRITE per batch under the same replay token —
+    * each batch is the full result, so the table always holds exactly
+    * the latest aggregate with history retained. A commit race against
+    * an interleaved writer retries boundedly — safe, because the batch
+    * token makes a replayed commit a no-op regardless of which attempt
+    * landed. */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
     val (cat, table) = resolve(sqlContext, parameters)
-    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
-      s"graft-table sink supports Append/Update output modes, got $outputMode")
+    val complete = outputMode == OutputMode.Complete()
+    require(outputMode == OutputMode.Append() ||
+        outputMode == OutputMode.Update() || complete,
+      s"graft-table sink supports Append/Update/Complete modes, got $outputMode")
     val keys = parameters.get("keys").map(_.split(',').toSeq
       .map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
-    require(keys.isDefined || outputMode == OutputMode.Append(),
+    require(keys.isDefined || outputMode != OutputMode.Update(),
       "Update mode needs the 'keys' option (MERGE-per-batch)")
+    require(keys.isEmpty || !complete,
+      "Complete mode overwrites per batch; 'keys' has no effect — drop it")
     val pb =
       if (partitionColumns.nonEmpty) partitionColumns
       else parameters.get("partitionBy").toSeq
@@ -168,7 +177,7 @@ class TableSourceProvider extends StreamSourceProvider with StreamSinkProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-table sink needs a stable exactly-once identity: set " +
           "option 'checkpointLocation' (the usual one) or 'sinkId'"))
-    new TableSink(cat, table, pb, keys, sinkId)
+    new TableSink(cat, table, pb, keys, sinkId, complete)
   }
 }
 
@@ -179,14 +188,20 @@ class TableSourceProvider extends StreamSourceProvider with StreamSinkProvider
   * ([[GraftStreamFrame.batch]]) so the catalog's ordinary write path —
   * schema guard, constraint guard, manifest CAS — applies unchanged. */
 class TableSink(cat: ParquetCatalog, table: String, partitionBy: Seq[String],
-    keys: Option[Seq[String]], sinkId: String) extends Sink {
+    keys: Option[Seq[String]], sinkId: String,
+    complete: Boolean = false) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val df = GraftStreamFrame.batch(data.sparkSession,
       data.queryExecution.toRdd, data.schema)
     val token = s"$sinkId#$batchId"
     cat.withRetry() {
-      keys match {
+      if (complete)
+        // Complete mode: each batch IS the full result (streaming
+        // aggregates) — one versioned overwrite per batch, the same
+        // replay token making re-delivered batches no-ops
+        cat.overwriteVersioned(table, df, partitionBy, Some(token))
+      else keys match {
         case Some(ks) => cat.upsertBatch(table, df, ks, token,
           partitionBy = partitionBy)
         case None => cat.appendBatch(table, df, token, partitionBy)
@@ -210,7 +225,8 @@ class TableSource(sqlContext: SQLContext, cat: ParquetCatalog,
     table: String, override val schema: StructType,
     startingVersion: Long, changeKeys: Option[Seq[String]] = None,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Source with SupportsTriggerAvailableNow {
 
   private def version(o: OffsetV2): Long = o match {
@@ -234,34 +250,44 @@ class TableSource(sqlContext: SQLContext, cat: ParquetCatalog,
 
   /** The next micro-batch's end offset: the current committed version,
     * clamped by the AvailableNow bound, the per-trigger version cap,
-    * and the per-trigger FILE cap (files-added counted from raw
-    * manifests — one metadata parse per admitted version, Delta's
-    * `maxFilesPerTrigger` discipline; a single oversized commit still
-    * admits alone, so progress is always possible). Returning the
-    * start offset unchanged signals "caught up". */
+    * and the per-trigger FILE and BYTE caps (both counted from raw
+    * manifests — one metadata parse per admitted version; bytes come
+    * from the `bytesAdded` meta each commit records, Delta's
+    * `maxFilesPerTrigger`/`maxBytesPerTrigger` discipline; a single
+    * oversized commit still admits alone, so progress is always
+    * possible). Returning the start offset unchanged signals "caught
+    * up". */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = Option(start).map(version).getOrElse(startingVersion)
     val live = cat.currentVersion(table)
     val bounded = availableNowBound.fold(live)(math.min(live, _))
     val capped = maxVersionsPerTrigger.fold(bounded)(n =>
       math.min(bounded, from + n))
-    val end = maxFilesPerTrigger.fold(capped) { maxF =>
-      var v = from
-      var files = 0L
-      var open = true
-      // the per-version metadata probe can hit a vacuumed-away window
-      // just like getBatch — same loud remedy, not the raw error
-      try while (open && v < capped) {
-        val add = cat.filesAddedIn(table, v + 1)
-        if (v > from && files + add > maxF) open = false
-        else { v += 1; files += add }
-      } catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null && e.getMessage.contains("not retained") =>
-          retentionError(from, capped, e)
+    val end =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) capped
+      else {
+        var v = from
+        var files = 0L
+        var bytes = 0L
+        var open = true
+        // the per-version metadata probe can hit a vacuumed-away window
+        // just like getBatch — same loud remedy, not the raw error;
+        // ONE raw-manifest parse per examined version answers both caps
+        try while (open && v < capped) {
+          val (addF, addB) = cat.admissionStats(table, v + 1)
+          val over = maxFilesPerTrigger.exists(files + addF > _) ||
+            maxBytesPerTrigger.exists(bytes + addB > _)
+          // an oversized single commit still admits alone (v == from),
+          // so the stream can never stall
+          if (v > from && over) open = false
+          else { v += 1; files += addF; bytes += addB }
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("not retained") =>
+            retentionError(from, capped, e)
+        }
+        v
       }
-      v
-    }
     if (end <= from) start else LongOffset(end)
   }
 

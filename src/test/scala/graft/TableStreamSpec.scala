@@ -286,6 +286,85 @@ class TableStreamSpec extends SparkSpec {
     assert(batches(1L) === Set(4L, 5L))
   }
 
+  test("maxBytesPerTrigger bounds each batch by bytes-added, oversized commits admit alone") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", Seq((1L, 10.0)).toDF("id", "m"))
+    cat.appendVersioned("t", Seq((2L, 20.0)).toDF("id", "m"))
+    cat.appendVersioned("t", Seq((3L, 30.0)).toDF("id", "m"))
+    // a 1-byte budget is below ANY commit's size: every version must
+    // still admit (alone), one batch per version — the no-stall rule
+    val batches = scala.collection.concurrent.TrieMap[Long, Set[Long]]()
+    val q = cat.readStream("t", maxBytesPerTrigger = Some(1L)).writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches(id) = b.collect().map(_.getLong(0)).toSet
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(batches.size === 3, s"got $batches")
+    assert(batches(0L) === Set(1L) && batches(1L) === Set(2L) &&
+      batches(2L) === Set(3L))
+    // a budget covering everything drains in ONE batch
+    val all = scala.collection.concurrent.TrieMap[Long, Long]()
+    val q2 = cat.readStream("t", maxBytesPerTrigger = Some(1L << 30)).writeStream
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        all(id) = b.count()
+        ()
+      }.start()
+    q2.awaitTermination()
+    assert(all.size === 1 && all(0L) === 3L, s"got $all")
+    // the commits recorded their bytes: the probe needs no file stats
+    for (v <- 1L to 3L)
+      assert(cat.bytesAddedIn("t", v) > 0L, s"v$v bytesAdded missing")
+  }
+
+  test("the graft-table SINK in Complete mode: aggregate stream, overwrite per batch") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("src",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    val ckpt = s"$root/ckpt"
+    def pipe(): Unit = {
+      val agg = cat.readStream("src")
+        .groupBy("p").count()
+      val q = agg.writeStream
+        .format("graft.streaming.TableSourceProvider")
+        .option("root", root)
+        .option("table", "dst")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pipe()
+    assert(cat.read("dst").select($"p".cast("string"), $"count")
+      .as[(String, Long)].collect().toSet === Set(("a", 1L), ("b", 1L)))
+    val v = cat.currentVersion("dst")
+    // caught up: a rerun commits NOTHING (replay token on the overwrite)
+    pipe()
+    assert(cat.currentVersion("dst") === v, "replayed Complete batch re-committed")
+    // new source data → the NEXT batch REPLACES the whole result
+    cat.appendVersioned("src", Seq((3L, "a", 30.0)).toDF("id", "p", "m"), Seq("p"))
+    pipe()
+    assert(cat.read("dst").select($"p".cast("string"), $"count")
+      .as[(String, Long)].collect().toSet === Set(("a", 2L), ("b", 1L)),
+      "Complete mode must overwrite, not append")
+    // misuse is loud: keys + Complete is contradictory
+    val e = intercept[Exception] {
+      cat.readStream("src").groupBy("p").count().writeStream
+        .format("graft.streaming.TableSourceProvider")
+        .option("root", root).option("table", "dst2").option("keys", "p")
+        .option("checkpointLocation", s"$root/ckpt3")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ").contains("Complete"))
+  }
+
   test("the graft-table SINK: stream-to-table pipe, exactly-once per batch, append mode") {
     val (cat, root) = fresh()
     cat.overwriteVersioned("src", Seq((1L, 10.0)).toDF("id", "m"))
