@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29, k30, k31, k32, k33, k34)
+    k29, k30, k31, k32, k33, k34, k35)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1544,6 +1544,75 @@ object MergeQueries {
              'overwrite,update' AS ops,
              CAST(0 AS BIGINT) AS untouched_unshared
       FROM state2 GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Column mapping (k35, Delta RENAME COLUMN / type-widening parity):
+    * v1 = full overwrite (o_orderkey deliberately INT), v2 = literal
+    * `ALTER TABLE ... RENAME COLUMN o_totalprice TO price` text, v3 =
+    * `ALTER COLUMN o_orderkey TYPE BIGINT` (lossless widening), v4 =
+    * an append under the NEW shape — so the current table mixes files
+    * written under BOTH column names and BOTH key widths, resolved by
+    * Spark's parquet field ids. Live pins every run: the rename and
+    * the retype re-reference v1's files verbatim (`rename_rewrote` /
+    * `retype_rewrote` = 0 — zero bytes moved for either ALTER), and
+    * time travel reads each version under its own shape (`shapes_ok`:
+    * v1 still has `o_totalprice`, the current version only `price`).
+    * The oracle recomputes the final state from the base table. */
+  private lazy val k35 = Q(
+    "k35_column_mapping",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_cmp_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus"))
+        cat.overwriteVersioned("orders_cm", o, Seq("o_orderstatus"))
+        cat.sql("ALTER TABLE orders_cm RENAME COLUMN o_totalprice TO price")
+        cat.sql("ALTER TABLE orders_cm ALTER COLUMN o_orderkey TYPE BIGINT")
+        cat.appendVersioned("orders_cm",
+          o.filter(col("o_orderkey") % 17 === 1)
+            .select((col("o_orderkey").cast("bigint") + 7000000L).as("o_orderkey"),
+              col("o_totalprice").as("price"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        Files.writeString(marker, "ok")
+      }
+      val v1 = cat.manifestFiles("orders_cm", 1).toSet
+      val v2 = cat.manifestFiles("orders_cm", 2)
+      val renameRewrote = v2.count(!v1.contains(_))
+      val retypeRewrote = cat.manifestFiles("orders_cm", 3)
+        .count(f => !v2.contains(f))
+      val v1Cols = cat.readVersion("orders_cm", 1).columns.toSet
+      val curCols = cat.read("orders_cm").columns.toSet
+      val shapesOk =
+        if (v1Cols("o_totalprice") && !v1Cols("price") &&
+            curCols("price") && !curCols("o_totalprice")) 1L
+        else 0L
+      cat.read("orders_cm")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("price")).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("rename_rewrote", lit(renameRewrote.toLong))
+        .withColumn("retype_rewrote", lit(retypeRewrote.toLong))
+        .withColumn("shapes_ok", lit(shapesOk))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state AS (
+        SELECT o_orderkey, o_totalprice AS price, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey + 7000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 17 = 1)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             MAX(o_orderkey) AS max_key,
+             CAST(0 AS BIGINT) AS rename_rewrote,
+             CAST(0 AS BIGINT) AS retype_rewrote,
+             CAST(1 AS BIGINT) AS shapes_ok
+      FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
     * merge, v3 = restore(1). The measured output is the CURRENT table

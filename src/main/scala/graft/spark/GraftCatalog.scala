@@ -156,6 +156,14 @@ class GraftCatalog extends TableCatalog {
         require(del.fieldNames.length == 1,
           "nested DROP COLUMN is not supported")
         cat.dropColumn(ident.name, del.fieldNames.head)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "nested RENAME COLUMN is not supported")
+        cat.renameColumn(ident.name, rn.fieldNames.head, rn.newName)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "nested ALTER COLUMN TYPE is not supported")
+        cat.alterColumnType(ident.name, ut.fieldNames.head, ut.newDataType)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }

@@ -76,6 +76,12 @@ object CatalogSql {
     "(?is)^\\s*DELETE\\s+FROM\\s+([\\w.]+)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
   private val renameTableRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+RENAME\\s+TO\\s+([\\w.]+)\\s*;?\\s*$".r
+  private val renameColRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+RENAME\\s+COLUMN\\s+" +
+      "(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$").r
+  private val alterTypeRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+" +
+      "(\\w+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)\\s*;?\\s*$").r
 
   /** `OPTIMIZE t` without `ROWS`: target rows per compacted file. */
   private val DefaultOptimizeRows = 1L << 20
@@ -197,6 +203,19 @@ object CatalogSql {
       val (v, n) = cat.deleteVersionedWithRetry(t, where)
       import spark.implicits._
       Seq((t, v, n)).toDF("table_name", "new_version", "rows_deleted")
+    case renameColRe(t0, from, to) =>
+      // metadata-only column-mapping rename: one commit, bytes untouched
+      val t = resolveTable(cat, t0)
+      val v = cat.renameColumn(t, from, to)
+      import spark.implicits._
+      Seq((t, from, to, v)).toDF("table_name", "from_col", "to_col", "new_version")
+    case alterTypeRe(t0, c, typ) =>
+      // metadata-only lossless widening; lossy retypes refuse loudly
+      val t = resolveTable(cat, t0)
+      val v = cat.alterColumnType(t, c,
+        org.apache.spark.sql.types.DataType.fromDDL(typ.trim))
+      import spark.implicits._
+      Seq((t, c, typ.trim, v)).toDF("table_name", "column_name", "new_type", "new_version")
     case renameTableRe(t0, to) =>
       // metadata-only directory move: zero bytes rewritten, history and
       // time travel carry over under the new name

@@ -70,6 +70,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     codec: String = "zstd", bloomFor: Seq[String] = Nil,
     bloomNdv: Long = 100000L) {
 
+  // Column mapping rides parquet FIELD IDs — Spark's own reader
+  // resolves a requested column by its `parquet.field.id` metadata when
+  // this conf is on (the Delta/Iceberg column-mapping mechanism, no
+  // custom reader). Inert for schemas without ids, so every other read
+  // in the session behaves exactly as before.
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   private def tableDir(name: String): Path = {
     ParquetCatalog.requireValidName(name)
     Paths.get(root, name)
@@ -1258,11 +1265,77 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def restoreAsOf(name: String, tsMillis: Long): Long =
     restore(name, versionAsOf(name, tsMillis))
 
+  // ---- column mapping (logical name → stable parquet field id) ------
+  //
+  // Every staged file carries a stable integer id per column
+  // (`parquet.field.id` footer metadata; ids recorded as `colid.<name>`
+  // manifest meta and reused commit-over-commit). Once a table's
+  // mapping is ACTIVATED (`colmap=on`, flipped by the first
+  // [[renameColumn]] after verifying every live file carries ids),
+  // reader schemas re-attach the ids and Spark's own parquet reader
+  // resolves columns BY ID — so a rename is one metadata commit, old
+  // files read correctly under the new name, and files predating a
+  // column resolve it as null. Until activation nothing changes:
+  // schemas carry no ids and resolution stays by-name, so tables and
+  // scratch state written before this feature keep working untouched.
+
+  private val ColIdPrefix = "colid."
+
+  private def colIdKey(col: String): String =
+    ColIdPrefix + java.net.URLEncoder.encode(col, "UTF-8")
+
+  private def colIds(m: TableManifest): Map[String, Int] =
+    m.meta.collect { case (k, v) if k.startsWith(ColIdPrefix) =>
+      java.net.URLDecoder.decode(k.drop(ColIdPrefix.length), "UTF-8") -> v.toInt
+    }
+
+  private def mappingOn(m: TableManifest): Boolean =
+    m.meta.get("colmap").contains("on")
+
+  private def withFieldIds(s: StructType, ids: Map[String, Int]): StructType =
+    StructType(s.fields.map { f =>
+      ids.get(f.name).fold(f) { id =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong)
+          .build())
+      }
+    })
+
+  /** The ids a staged frame's columns write: prior assignments reused
+    * (case-insensitively — Spark resolution is), unseen columns get
+    * fresh ids above the prior maximum. One raw-manifest read; a CAS
+    * loss re-derives against the winner's map on retry. */
+  private def stagedColIds(name: String, schema: StructType): Map[String, Int] = {
+    val prior: Map[String, Int] =
+      if (isVersioned(name))
+        try colIds(currentManifest(name)) catch { case _: Exception => Map.empty }
+      else Map.empty
+    var next = (prior.values.toSeq :+ 0).max + 1
+    schema.fields.map { f =>
+      val id = prior.get(f.name)
+        .orElse(prior.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(f.name) => v
+        })
+        .getOrElse { val v = next; next += 1; v }
+      f.name -> id
+    }.toMap
+  }
+
+  /** Ids assigned by [[stage]], consumed by [[commitOrClean]] for the
+    * same (table, version) commit — the staged files' footers and the
+    * manifest's `colid.` entries must describe the same assignment. */
+  private val pendingColIds =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Map[String, Int]]
+
   /** The schema a manifest recorded for its (possibly heterogeneous)
-    * file set, when one was recorded. */
+    * file set, when one was recorded — with the column-mapping field
+    * ids re-attached once the table's mapping is active, so every read
+    * path resolves by id without further changes. */
   private def recordedSchema(m: TableManifest): Option[StructType] =
     if (m.files.isEmpty) None
-    else m.meta.get("schema").map(StructType.fromDDL)
+    else m.meta.get("schema").map(StructType.fromDDL).map { s =>
+      if (mappingOn(m)) withFieldIds(s, colIds(m)) else s
+    }
 
   /** Stamp the commit wall-clock into `meta.ts`, STRICTLY MONOTONIC per
     * table: the stamp is `max(now, prior ts + 1)` — Delta's commit-
@@ -1315,7 +1388,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * the stats cost nothing extra at scale. */
   private def commitOrClean(name: String, m0: TableManifest,
       staged: Seq[String]): Unit = {
-    val m =
+    val m1 =
       if (staged.isEmpty) m0
       else {
         val bytes = staged.map { r =>
@@ -1324,6 +1397,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         }.sum
         m0.copy(meta = m0.meta + ("bytesAdded" -> bytes.toString))
       }
+    // the colid assignments the staged files' footers were written with
+    // (new names get fresh entries; prior entries for columns only
+    // carried files still hold stay in place via carriedMeta)
+    val m = pendingColIds.remove((name, m0.version)).fold(m1)(ids =>
+      m1.copy(meta = m1.meta ++ ids.map { case (c, i) =>
+        colIdKey(c) -> i.toString
+      }))
     try commitManifest(name, m)
     catch {
       case e: ConcurrentWriteException =>
@@ -1343,14 +1423,26 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     Files.createDirectories(dataDir(name))
     val nn = nonce()
     val stageDir = vd.resolve(s".stage-$nn")
-    val w = writeOpts(constraintGuard(name, version, df, partitionBy)
-      .write.mode(SaveMode.Overwrite))
+    // every staged file carries the table's stable column ids in its
+    // footers (fieldId.write.enabled is Spark's default) — the enabler
+    // for metadata-only RENAME COLUMN; a no-op for readers until the
+    // table's mapping is activated
+    val ids = stagedColIds(name, df.schema)
+    pendingColIds.put((name, version), ids)
+    val guarded = constraintGuard(name, version, df, partitionBy)
+    val tagged = guarded.select(guarded.schema.fields.map { f =>
+      guarded(f.name).as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("parquet.field.id", ids(f.name).toLong).build())
+    }.toSeq: _*)
+    val w = writeOpts(tagged.write.mode(SaveMode.Overwrite))
     // a failed write (e.g. a CHECK-constraint violation raised mid-job)
     // must not leave partial staging for vacuum to babysit
     try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stageDir.toString)
     catch {
       case e: Throwable =>
+        pendingColIds.remove((name, version))
         if (Files.exists(stageDir)) deleteRecursively(stageDir)
         throw e
     }
@@ -1408,7 +1500,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * ride `src.meta`) while still carrying txn from current. */
   private def carriedMeta(m: TableManifest): Map[String, String] =
     m.meta.filter { case (k, _) =>
-      k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix)
+      k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix) ||
+        k.startsWith(ColIdPrefix) || k == "colmap"
     }
 
   /** Sink ids are URL-encoded into the meta key — they are paths
@@ -1790,10 +1883,39 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     commitOrClean(name, mf, adds)
   }
 
-  /** True when schema drift between `current` and `incoming` is purely
-    * columns added/removed — every COMMON column keeps its type (modulo
-    * the partition render exemption) and neither side duplicates a
-    * name. Only then can evolution be metadata-only; a retype needs a
+  /** Lossless numeric WIDENING `from` → `to`, restricted to the pairs
+    * Spark's own parquet readers resolve without a rewrite (verified
+    * against the vectorized reader): the integral chain
+    * byte→short→int→long, float→double, and sub-long integrals→double
+    * (exact in a double's 53-bit mantissa). long→double is excluded
+    * (lossy), as is everything non-numeric. This is what lets a retype
+    * be a METADATA commit: old files keep the narrow physical encoding
+    * and readers widen per file. */
+  private[graft] def isWidening(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Option[Int] = t match {
+      case ByteType => Some(0)
+      case ShortType => Some(1)
+      case IntegerType => Some(2)
+      case LongType => Some(3)
+      case _ => None
+    }
+    (from, to) match {
+      case (f, t) if f == t => false
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => (rank(from), rank(to)) match {
+        case (Some(a), Some(b)) => a < b
+        case _ => false
+      }
+    }
+  }
+
+  /** True when schema drift between `current` and `incoming` is
+    * metadata-reconcilable — columns added/removed, or a COMMON column
+    * LOSSLESSLY WIDENED ([[isWidening]]; old files keep the narrow
+    * encoding, readers widen) — and neither side duplicates a name.
+    * Anything else (a narrowing, an incompatible retype) needs a
     * physical restage. */
   private def addDropOnly(current: DataFrame, incoming: DataFrame,
       partitionCols: Seq[String]): Boolean = {
@@ -1803,18 +1925,28 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     current.schema.fields.length == cur.size &&
     incoming.schema.fields.length == in.size &&
     cur.keySet.intersect(in.keySet).forall { k =>
-      cur(k) == in(k) || (pc(k) && partitionRenderCompatible(cur(k), in(k)))
+      cur(k) == in(k) || (pc(k) && partitionRenderCompatible(cur(k), in(k))) ||
+        (!pc(k) && isWidening(cur(k), in(k)))
     }
   }
 
   /** Union schema a metadata-only evolution records: the table's fields
-    * (their types win, incl. partition read-back types) plus incoming-
-    * only fields, everything nullable — absent columns read as null on
-    * whichever side lacks them, parquet's name-based resolution. */
+    * (their types win, incl. partition read-back types — except that a
+    * losslessly WIDENED incoming type wins, so both generations of
+    * files read under the wide type) plus incoming-only fields,
+    * everything nullable — absent columns read as null on whichever
+    * side lacks them, parquet's name-based resolution. */
   private def unionEvolvedSchema(current: StructType,
       incoming: StructType): StructType = {
     val have = current.fieldNames.toSet
-    StructType((current.fields ++
+    val inBy = incoming.fields.map(f => f.name -> f).toMap
+    StructType((current.fields.map { f =>
+      inBy.get(f.name) match {
+        case Some(inf) if isWidening(f.dataType, inf.dataType) =>
+          f.copy(dataType = inf.dataType)
+        case _ => f
+      }
+    } ++
       incoming.fields.filterNot(f => have(f.name))).map(_.copy(nullable = true)))
   }
 
@@ -2543,6 +2675,106 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val narrowed = StructType(cur.fields.filterNot(_.name == colName)
       .map(_.copy(nullable = true)))
     val meta = Map("op" -> "alterSchema", "schema" -> narrowed.toDDL) ++
+      carriedMeta(m) - colIdKey(colName)
+    commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
+    m.version + 1
+  }
+
+  /** The CHECK constraints that reference `colName` (case-insensitive
+    * attribute parse; substring fallback when unparseable — over-
+    * blocking is the safe direction for a schema-changing verb). */
+  private def constraintsReferencing(name: String, colName: String): Seq[String] =
+    constraints(name).toSeq.collect { case (cn, e)
+        if {
+          val refs = scala.util.Try(
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(e).collect {
+                case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                  a.nameParts
+              }.flatten).getOrElse(Nil)
+          if (refs.nonEmpty) refs.exists(_.equalsIgnoreCase(colName))
+          else e.toLowerCase.contains(colName.toLowerCase)
+        } => cn
+    }
+
+  /** `ALTER TABLE RENAME COLUMN` as ONE metadata commit — Delta's
+    * column-mapping rename, built on Spark's own parquet field-id
+    * resolution: every staged file already carries a stable id per
+    * column, so the commit just re-records the schema under the new
+    * name (same id) and flips the table's mapping ON; readers resolve
+    * old files BY ID and the bytes never move. Zero-id files (written
+    * before the feature, absorbed from a plain-dir migration) make the
+    * verb refuse with the compaction remedy — an id-mapped read over
+    * such a file is a reader error, and a silent by-name fallback
+    * would null the renamed column. Partition columns refuse (their
+    * name IS the directory layout); constraint-referenced columns
+    * refuse (the CHECK expression would dangle). Time travel across
+    * the rename reads each version under ITS OWN recorded names. */
+  def renameColumn(name: String, from0: String, to: String): Long = {
+    migrateIfPlain(name)
+    require(isVersioned(name), s"no table $name")
+    val m = currentManifest(name)
+    val cur = recordedSchema(m).getOrElse(readVersion(name, m.version).schema)
+    val from = cur.fieldNames.find(_.equalsIgnoreCase(from0)).getOrElse(
+      throw new IllegalArgumentException(s"$name has no column '$from0'"))
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"$name already has a column '$to'")
+    require(!m.partitionBy.exists(_.equalsIgnoreCase(from)),
+      s"cannot rename partition column '$from' of $name: partition names " +
+        "are the directory layout; restage under a new layout instead")
+    val refs = constraintsReferencing(name, from)
+    require(refs.isEmpty,
+      s"cannot rename '$from': constraint(s) ${refs.mkString(", ")} " +
+        "reference it; drop and re-add them around the rename")
+    val ids = colIds(m)
+    val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
+    val missing = SkippingIndex.filesWithoutFieldIds(spark, abs)
+    require(missing.isEmpty && ids.contains(from),
+      s"metadata-only rename needs every data file of $name to carry " +
+        s"parquet field ids; ${missing.size} file(s) predate them " +
+        s"(e.g. ${missing.take(2).mkString(", ")}). Run compact(...) / " +
+        "OPTIMIZE first — the rewrite stamps ids — then rename.")
+    val renamed = StructType(cur.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val meta = Map("op" -> "renameColumn", "colmap" -> "on",
+      "schema" -> renamed.toDDL) ++
+      (carriedMeta(m) - colIdKey(from) - "colmap") +
+      (colIdKey(to) -> ids(from).toString)
+    commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
+    if (SkippingIndex.existsAt(statsPath(name)))
+      SkippingIndex.renameColumn(statsPath(name), from, to)
+    m.version + 1
+  }
+
+  /** `ALTER TABLE ALTER COLUMN TYPE` as ONE metadata commit, for the
+    * LOSSLESS widenings Spark's parquet readers resolve per file
+    * ([[isWidening]]: byte→short→int→long, float→double, sub-long
+    * integrals→double): the recorded schema takes the wide type, old
+    * files keep their narrow physical encoding, and readers widen on
+    * decode — zero bytes rewritten where the old path full-restaged.
+    * Anything lossy or non-numeric still refuses with the restage
+    * remedy (Delta without the type-widening table feature behaves the
+    * same). */
+  def alterColumnType(name: String, colName0: String, newType: DataType): Long = {
+    migrateIfPlain(name)
+    require(isVersioned(name), s"no table $name")
+    val m = currentManifest(name)
+    val cur = recordedSchema(m).getOrElse(readVersion(name, m.version).schema)
+    val colName = cur.fieldNames.find(_.equalsIgnoreCase(colName0)).getOrElse(
+      throw new IllegalArgumentException(s"$name has no column '$colName0'"))
+    val curType = cur.fields.find(_.name == colName).get.dataType
+    if (curType == newType) return m.version
+    require(!m.partitionBy.exists(_.equalsIgnoreCase(colName)),
+      s"cannot retype partition column '$colName' of $name: the rendered " +
+        "directory names would change; restage under a new layout instead")
+    require(isWidening(curType, newType),
+      s"only lossless widenings are metadata-only " +
+        s"(byte->short->int->long, float->double, int->double); " +
+        s"${curType.simpleString} -> ${newType.simpleString} needs a " +
+        "physical restage: read, cast, overwriteVersioned")
+    val retyped = StructType(cur.fields.map(f =>
+      if (f.name == colName) f.copy(dataType = newType) else f))
+    val meta = Map("op" -> "alterSchema", "schema" -> retyped.toDDL) ++
       carriedMeta(m)
     commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
     m.version + 1

@@ -196,6 +196,35 @@ object SkippingIndex {
     stats
   }
 
+  /** Files whose footers carry NO parquet field ids at all — the files
+    * a metadata-only column rename cannot cover (an id-mapped read
+    * schema over a zero-id file is a loud reader error, so the rename
+    * verb refuses until these are rewritten). One distributed footer
+    * pass, no data pages. */
+  def filesWithoutFieldIds(spark: SparkSession, files: Seq[String]): Seq[String] = {
+    if (files.isEmpty) return files
+    spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
+      .filter { f =>
+        val in = HadoopInputFile.fromPath(new HPath(f), new Configuration())
+        val reader = ParquetFileReader.open(in)
+        try !reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .exists(_.getId != null)
+        finally reader.close()
+      }
+      .collect().toSeq.sorted
+  }
+
+  /** Re-key one column's stats after a METADATA-ONLY column rename —
+    * the files are untouched, so the recorded min/max stay valid under
+    * the new name. */
+  def renameColumn(statsPath: java.nio.file.Path, from: String, to: String): Unit = {
+    val moved = readAt(statsPath).map { fs =>
+      fs.copy(cols = fs.cols.map(c =>
+        if (c.column == from) c.copy(column = to) else c))
+    }
+    persist(statsPath, moved)
+  }
+
   /** Rewrite recorded file paths after a table-directory move —
     * metadata-only, no footer reads. Entries outside `from` pass
     * through unchanged (they drop out at the next reconcile). */

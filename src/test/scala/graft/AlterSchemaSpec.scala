@@ -50,6 +50,128 @@ class AlterSchemaSpec extends SparkSpec {
     assert(cat.read("t").count() === 2)
   }
 
+  test("renameColumn is metadata-only: files re-referenced, values read by id") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.index("t", Seq("m"))
+    val before = cat.manifestFiles("t", 1)
+    val v = cat.renameColumn("t", "m", "metric")
+    // zero bytes rewritten; the OLD files' values surface under the
+    // NEW name (Spark's parquet field-id resolution, not a null-fill)
+    assert(cat.manifestFiles("t", v) === before, "zero files rewritten")
+    assert(cat.read("t").select($"id", $"metric")
+      .as[(Long, Double)].collect().sorted === Array((1L, 1.0), (2L, 2.0)))
+    assert(!cat.read("t").columns.contains("m"))
+    // time travel reads each version under ITS OWN names
+    assert(cat.readVersion("t", 1).select("m").as[Double].collect().sorted ===
+      Array(1.0, 2.0))
+    assert(!cat.readVersion("t", 1).columns.contains("metric"))
+    // post-rename writes mix with pre-rename files transparently
+    cat.appendVersioned("t", Seq((3L, "a", 3.0)).toDF("id", "p", "metric"),
+      Seq("p"))
+    assert(cat.read("t").select($"id", $"metric")
+      .as[(Long, Double)].collect().sorted ===
+      Array((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // the skipping index re-keyed to the new name (pruning survives)
+    assert(graft.storage.SkippingIndex.readAt(cat.statsPath("t"))
+      .forall(_.cols.exists(_.column == "metric")))
+    // a row-level verb across both file generations sees one column
+    val (_, n) = cat.updateWhere("t", col("metric") === 1.0,
+      Map("metric" -> lit(-1.0)))
+    assert(n === 1L)
+    assert(cat.read("t").filter($"metric" < 0).select("id").as[Long]
+      .collect() === Array(1L))
+  }
+
+  test("renameColumn refuses partition/constraint/conflict; pre-id files need compaction") {
+    val cat = fresh()
+    cat.overwriteVersioned("t", Seq((1L, "a", 1.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.addConstraint("t", "m_pos", "m > 0")
+    intercept[IllegalArgumentException](cat.renameColumn("t", "p", "q"))
+    intercept[IllegalArgumentException](cat.renameColumn("t", "m", "metric"))
+    intercept[IllegalArgumentException](cat.renameColumn("t", "id", "M")) // ci clash
+    intercept[IllegalArgumentException](cat.renameColumn("t", "nope", "x"))
+    // files written OUTSIDE the engine (a migrated plain dir) carry no
+    // field ids — the rename must refuse with the compaction remedy,
+    // never silently null the column
+    val root = Files.createTempDirectory("graft-noid").toString
+    val cat2 = new ParquetCatalog(spark, root)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "m").write
+      .parquet(s"$root/plain")
+    val e = intercept[IllegalArgumentException](
+      cat2.renameColumn("plain", "m", "metric"))
+    assert(e.getMessage.contains("compact") || e.getMessage.contains("OPTIMIZE"),
+      e.getMessage)
+    // compaction restages with ids; the rename then succeeds
+    cat2.compact("plain", rowsPerFile = 10)
+    cat2.renameColumn("plain", "m", "metric")
+    assert(cat2.read("plain").select($"id", $"metric")
+      .as[(Long, Double)].collect().sorted === Array((1L, 10.0), (2L, 20.0)))
+  }
+
+  test("alterColumnType widens metadata-only; lossy retypes refuse") {
+    val cat = fresh()
+    val df = Seq((1, "a", 1.5f), (2, "b", 2.5f)).toDF("id", "p", "m")
+    cat.overwriteVersioned("t", df, Seq("p"))
+    val before = cat.manifestFiles("t", 1)
+    // int -> long and float -> double: one metadata commit each, old
+    // narrow files widened at decode
+    cat.alterColumnType("t", "id", org.apache.spark.sql.types.LongType)
+    val v = cat.alterColumnType("t", "m", DoubleType)
+    assert(cat.manifestFiles("t", v) === before, "zero files rewritten")
+    val out = cat.read("t")
+    assert(out.schema("id").dataType === org.apache.spark.sql.types.LongType)
+    assert(out.schema("m").dataType === DoubleType)
+    assert(out.select($"id", $"m").as[(Long, Double)].collect().sorted ===
+      Array((1L, 1.5f.toDouble), (2L, 2.5f.toDouble)))
+    // the wide shape is the write contract; mixed generations read fine
+    cat.appendVersioned("t", Seq((3L, "a", 3.5)).toDF("id", "p", "m"), Seq("p"))
+    assert(cat.read("t").select(sum($"id")).as[Long].head() === 6L)
+    // time travel keeps the old version's narrow shape
+    assert(cat.readVersion("t", 1).schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // narrowing and non-numeric retypes refuse with the restage remedy
+    val e = intercept[IllegalArgumentException](
+      cat.alterColumnType("t", "id", org.apache.spark.sql.types.IntegerType))
+    assert(e.getMessage.contains("restage"), e.getMessage)
+    intercept[IllegalArgumentException](
+      cat.alterColumnType("t", "m", StringType))
+    intercept[IllegalArgumentException](
+      cat.alterColumnType("t", "p", org.apache.spark.sql.types.IntegerType))
+    // same-type is a no-op, not an error
+    assert(cat.alterColumnType("t", "m", DoubleType) === cat.currentVersion("t"))
+  }
+
+  test("evolveSchema append with a widened column is metadata-only, not a restage") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1, "d1", 1.0), (2, "d2", 2.0)).toDF("id", "day", "m"), Seq("day"))
+    val v1Files = cat.manifestFiles("t", 1)
+    // incoming id is LONG (wider) + a new column: the old full-restage
+    // path rewrote the table; now untouched files are re-referenced and
+    // the union schema records the wide type
+    val v2 = cat.appendVersioned("t",
+      Seq((3L, "d1", 3.0, "x")).toDF("id", "day", "m", "tag"),
+      Seq("day"), evolveSchema = true)
+    val v2Files = cat.manifestFiles("t", v2)
+    v1Files.foreach(f => assert(v2Files.contains(f),
+      s"widening evolution must re-reference $f, not restage"))
+    val out = cat.read("t")
+    assert(out.schema("id").dataType === org.apache.spark.sql.types.LongType)
+    assert(out.orderBy("id").select($"id", $"tag")
+      .as[(Long, Option[String])].collect().toSeq ===
+      Seq((1L, None), (2L, None), (3L, Some("x"))))
+    // a NARROWING still takes the full restage (existing pin holds)
+    val v3 = cat.appendVersioned("t",
+      Seq((4, "d2", 4.0, "y")).toDF("id", "day", "m", "tag")
+        .withColumn("id", col("id").cast("int")),
+      Seq("day"), evolveSchema = true)
+    assert(cat.manifestFiles("t", v3).intersect(v2Files).isEmpty,
+      "narrowing must restage")
+    assert(cat.read("t").count() === 4)
+  }
+
   test("drop refuses partition, constraint-referenced, missing, and last columns") {
     val cat = fresh()
     cat.overwriteVersioned("t", Seq((1L, "a", 1.0)).toDF("id", "p", "m"), Seq("p"))

@@ -125,6 +125,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $c").count() === 1)
   }
 
+  test("ALTER TABLE RENAME COLUMN / ALTER COLUMN TYPE through plain spark.sql") {
+    val (cat, _, c) = freshCatalog("cm")
+    cat.overwriteVersioned("t",
+      Seq((1, "a", 1.5f), (2, "b", 2.5f)).toDF("id", "p", "m"), Seq("p"))
+    val before = cat.manifestFiles("t", 1)
+    spark.sql(s"ALTER TABLE $c.t RENAME COLUMN m TO metric")
+    spark.sql(s"ALTER TABLE $c.t ALTER COLUMN id TYPE BIGINT")
+    assert(cat.manifestFiles("t", cat.currentVersion("t")) === before,
+      "both ALTERs are metadata-only")
+    // old files' float values surface under the new name, widened ints
+    assert(spark.sql(s"SELECT id, metric FROM $c.t ORDER BY id")
+      .as[(Long, Float)].collect().toSeq === Seq((1L, 1.5f), (2L, 2.5f)))
+    // time travel through the catalog reads the old shape
+    assert(spark.sql(s"SELECT m FROM $c.t VERSION AS OF 1 ORDER BY m")
+      .as[Float].collect().toSeq === Seq(1.5f, 2.5f))
+    // a lossy retype refuses through this door too
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $c.t ALTER COLUMN id TYPE INT"))
+  }
+
   test("CTAS through the catalog: real commits, partition layout, no debris on failure") {
     val (cat, _, c) = freshCatalog("ct")
     cat.overwriteVersioned("src",

@@ -255,6 +255,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e2.getMessage.contains("not retained"), e2.getMessage)
   }
 
+  test("ALTER TABLE text: RENAME COLUMN and ALTER COLUMN TYPE route to the verbs") {
+    val cat = seeded() // ids 1,3,4 live at v3; columns id, p, m
+    val before = cat.manifestFiles("t", cat.currentVersion("t"))
+    val out = cat.sql("ALTER TABLE t RENAME COLUMN m TO metric").collect().head
+    assert((out.getString(1), out.getString(2)) === ("m", "metric"))
+    cat.sql("ALTER TABLE t ALTER COLUMN metric TYPE DOUBLE") // already double: no-op
+    assert(cat.manifestFiles("t", cat.currentVersion("t")) === before,
+      "text ALTERs are metadata-only")
+    assert(cat.sql("SELECT id, metric FROM t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (3L, 30.0), (4L, 40.0)))
+    // the renamed column works in text UPDATE/DELETE predicates too
+    cat.sql("UPDATE t SET metric = metric * 2 WHERE id = 3")
+    assert(cat.read("t").filter(col("id") === 3L).select("metric")
+      .as[Double].head() === 60.0)
+  }
+
   test("statement table names resolve case-insensitively, like Spark identifiers") {
     val cat = seeded() // table stored as 't'; ids 1,3,4 live
     assert(cat.sql("SELECT id FROM T ORDER BY id")
