@@ -78,29 +78,7 @@ class GraftCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireNs(namespace)
-    import java.nio.file.{Files, Paths}
-    val r = Paths.get(root)
-    val plain =
-      if (!Files.isDirectory(r)) Seq.empty[String]
-      else {
-        val s = Files.list(r)
-        try s.iterator().asScala.filter(Files.isDirectory(_))
-          .map(_.getFileName.toString)
-          .filterNot(_.startsWith(".")).toList
-        finally s.close()
-      }
-    val versioned = {
-      val vd = r.resolve(".versions")
-      if (!Files.isDirectory(vd)) Seq.empty[String]
-      else {
-        val s = Files.list(vd)
-        try s.iterator().asScala.filter(Files.isDirectory(_))
-          .map(_.getFileName.toString).toList
-        finally s.close()
-      }
-    }
-    (plain ++ versioned).distinct.sorted
-      .map(Identifier.of(Array.empty[String], _)).toArray
+    cat.tableNames.map(Identifier.of(Array.empty[String], _)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -232,11 +210,15 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
         // version under the new (empty) layout would drop the basePath
         // and silently null every partition-column value
         val layout = cat.manifest(tableName, v).partitionBy
+        // by-field-id resolution per relation (column mapping) — the
+        // same flag the engine's own readers set, never session-wide
+        val fid = Map(
+          "spark.sql.parquet.fieldId.read.enabled" -> "true")
         val o =
           if (layout.nonEmpty && files.nonEmpty)
-            Map("basePath" -> java.nio.file.Paths
+            fid + ("basePath" -> java.nio.file.Paths
               .get(root, ".versions", tableName, "data").toString)
-          else Map.empty[String, String]
+          else fid
         (files, o, Some(frame.schema))
       } else {
         require(version.isEmpty,

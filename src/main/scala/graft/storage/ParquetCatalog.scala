@@ -70,12 +70,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     codec: String = "zstd", bloomFor: Seq[String] = Nil,
     bloomNdv: Long = 100000L) {
 
-  // Column mapping rides parquet FIELD IDs — Spark's own reader
-  // resolves a requested column by its `parquet.field.id` metadata when
-  // this conf is on (the Delta/Iceberg column-mapping mechanism, no
-  // custom reader). Inert for schemas without ids, so every other read
-  // in the session behaves exactly as before.
-  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  /** Every catalog parquet read goes through this reader: column
+    * mapping rides parquet FIELD IDs, resolved by
+    * [[graft.spark.GraftParquetFileFormat]] — the flag is scoped to
+    * the catalog's own relations, never set on the session, so
+    * non-graft reads keep their default by-name semantics. Inert for
+    * schemas without ids. Callers use `.load(paths)` (the format is
+    * pre-selected; `.parquet(paths)` would override it). */
+  private def catReader(schema: Option[StructType]):
+      org.apache.spark.sql.DataFrameReader =
+    schema.fold(spark.read)(spark.read.schema)
+      .format(classOf[graft.spark.GraftParquetFileFormat].getName)
 
   private def tableDir(name: String): Path = {
     ParquetCatalog.requireValidName(name)
@@ -109,6 +114,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def renameTable(from: String, to: String): Unit = {
     require(exists(from), s"no table $from")
     require(!exists(to), s"table $to already exists")
+    // a dotted destination would create a table the registered V2
+    // catalog can never address (it parses 'a.b' as namespace + name)
+    require(!to.contains('.'),
+      s"rename destination '$to' must be a bare table name (no '.')")
     def mv(a: Path, b: Path): Unit = if (Files.exists(a)) {
       Files.createDirectories(b.getParent)
       Files.move(a, b, StandardCopyOption.ATOMIC_MOVE)
@@ -143,7 +152,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   def read(name: String): DataFrame =
     if (isVersioned(name)) readVersion(name, currentVersion(name))
-    else spark.read.parquet(tableDir(name).toString)
+    else catReader(None).load(tableDir(name).toString)
 
   // ---- skipping-index lifecycle -------------------------------------
   //
@@ -218,11 +227,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val cand =
         if (SkippingIndex.existsAt(sp)) SkippingIndex.candidateFilesAt(sp, abs, preds)
         else abs
-      val reader = recordedSchema(m).fold(spark.read)(spark.read.schema)
+      val reader = catReader(recordedSchema(m))
       val base =
         if (cand.isEmpty) readVersion(name, m.version).limit(0)
-        else if (m.partitionBy.isEmpty) reader.parquet(cand: _*)
-        else reader.option("basePath", dataDir(name).toString).parquet(cand: _*)
+        else if (m.partitionBy.isEmpty) reader.load(cand: _*)
+        else reader.option("basePath", dataDir(name).toString).load(cand: _*)
       preds.foldLeft(base) { case (df, (c, lo, hi)) =>
         df.filter(col(c) >= lo && col(c) <= hi)
       }
@@ -576,12 +585,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (!SkippingIndex.existsAt(sp)) return read(name)
     val cand = SkippingIndex.candidateFilesAt(sp, abs, Seq((key, lo, hi)),
       keepNullsOf = Some(key))
-    val reader = schema.fold(spark.read)(spark.read.schema)
+    val reader = catReader(schema)
     if (cand.isEmpty) read(name).limit(0)
     else if (partitioned) {
       val base = if (isVersioned(name)) dataDir(name) else tableDir(name).toRealPath()
-      reader.option("basePath", base.toString).parquet(cand: _*)
-    } else reader.parquet(cand: _*)
+      reader.option("basePath", base.toString).load(cand: _*)
+    } else reader.load(cand: _*)
   }
 
   /** Conjunctive constraints IMPLIED by a row-level verb's WHERE
@@ -699,9 +708,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (cand.isEmpty) return full.limit(0)
     // the FULL frame's schema, so partition-value typing (and thus the
     // probe's hive path rendering) is identical to the unpruned read
-    val reader = spark.read.schema(full.schema)
-    if (m.partitionBy.isEmpty) reader.parquet(cand: _*)
-    else reader.option("basePath", dataDir(name).toString).parquet(cand: _*)
+    val reader = catReader(Some(full.schema))
+    if (m.partitionBy.isEmpty) reader.load(cand: _*)
+    else reader.option("basePath", dataDir(name).toString).load(cand: _*)
   }
 
   /** Diagnostic: the files [[updateWhere]]/[[deleteVersioned]]'s
@@ -895,11 +904,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val cand = SkippingIndex.bloomCandidates(spark, files, column, value)
     val pred = col(column) === lit(value)
     if (cand.isEmpty) return read(name).filter(pred).limit(0)
-    val reader = schema.fold(spark.read)(spark.read.schema)
+    val reader = catReader(schema)
     val df =
       if (partitioned)
-        reader.option("basePath", base.toRealPath().toString).parquet(cand: _*)
-      else reader.parquet(cand: _*)
+        reader.option("basePath", base.toRealPath().toString).load(cand: _*)
+      else reader.load(cand: _*)
     df.filter(pred)
   }
 
@@ -1210,11 +1219,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         StructType.fromDDL(ddl))
     }
     val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
-    val reader = recordedSchema(m).fold(spark.read)(spark.read.schema)
+    val reader = catReader(recordedSchema(m))
     if (m.partitionBy.isEmpty)
-      reader.parquet(abs: _*)
+      reader.load(abs: _*)
     else
-      reader.option("basePath", dataDir(name).toString).parquet(abs: _*)
+      reader.option("basePath", dataDir(name).toString).load(abs: _*)
   }
 
   /** The commit wall-clock (epoch millis) a retained version's manifest
@@ -1304,11 +1313,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   /** The ids a staged frame's columns write: prior assignments reused
     * (case-insensitively — Spark resolution is), unseen columns get
     * fresh ids above the prior maximum. One raw-manifest read; a CAS
-    * loss re-derives against the winner's map on retry. */
+    * loss re-derives against the winner's map on retry. A manifest
+    * read failure here propagates LOUDLY — falling back to fresh ids
+    * would silently remint the registry of a mapping-active table and
+    * id-resolve carried files to the wrong columns. */
   private def stagedColIds(name: String, schema: StructType): Map[String, Int] = {
     val prior: Map[String, Int] =
-      if (isVersioned(name))
-        try colIds(currentManifest(name)) catch { case _: Exception => Map.empty }
+      if (isVersioned(name)) colIds(currentManifest(name))
       else Map.empty
     var next = (prior.values.toSeq :+ 0).max + 1
     schema.fields.map { f =>
@@ -1323,9 +1334,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   /** Ids assigned by [[stage]], consumed by [[commitOrClean]] for the
     * same (table, version) commit — the staged files' footers and the
-    * manifest's `colid.` entries must describe the same assignment. */
+    * manifest's `colid.` entries must describe the same assignment.
+    * THREAD-LOCAL: stage and its commit run synchronously on the
+    * caller's thread, and two concurrent writers staging the SAME next
+    * version must each hand their OWN assignment to their own commit —
+    * a shared map keyed (table, version) would let the CAS winner
+    * commit the loser's ids over footers written with different
+    * ones. */
   private val pendingColIds =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Map[String, Int]]
+    new ThreadLocal[Map[(String, Long), Map[String, Int]]] {
+      override def initialValue(): Map[(String, Long), Map[String, Int]] =
+        Map.empty
+    }
 
   /** The schema a manifest recorded for its (possibly heterogeneous)
     * file set, when one was recorded — with the column-mapping field
@@ -1400,7 +1420,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // the colid assignments the staged files' footers were written with
     // (new names get fresh entries; prior entries for columns only
     // carried files still hold stay in place via carriedMeta)
-    val m = pendingColIds.remove((name, m0.version)).fold(m1)(ids =>
+    val pending = pendingColIds.get.get((name, m0.version))
+    pending.foreach(_ => pendingColIds.set(
+      pendingColIds.get - ((name, m0.version))))
+    val m = pending.fold(m1)(ids =>
       m1.copy(meta = m1.meta ++ ids.map { case (c, i) =>
         colIdKey(c) -> i.toString
       }))
@@ -1428,7 +1451,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // for metadata-only RENAME COLUMN; a no-op for readers until the
     // table's mapping is activated
     val ids = stagedColIds(name, df.schema)
-    pendingColIds.put((name, version), ids)
+    pendingColIds.set(pendingColIds.get + ((name, version) -> ids))
     val guarded = constraintGuard(name, version, df, partitionBy)
     val tagged = guarded.select(guarded.schema.fields.map { f =>
       guarded(f.name).as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
@@ -1442,7 +1465,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .parquet(stageDir.toString)
     catch {
       case e: Throwable =>
-        pendingColIds.remove((name, version))
+        pendingColIds.set(pendingColIds.get - ((name, version)))
         if (Files.exists(stageDir)) deleteRecursively(stageDir)
         throw e
     }
@@ -2304,9 +2327,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         new java.util.ArrayList[org.apache.spark.sql.Row](), s)
     }
     val abs = rels.map(f => versionsDir(name).resolve(f).toString)
-    val reader = schema.fold(spark.read)(spark.read.schema)
-    if (m.partitionBy.isEmpty) reader.parquet(abs: _*)
-    else reader.option("basePath", dataDir(name).toString).parquet(abs: _*)
+    val reader = catReader(schema)
+    if (m.partitionBy.isEmpty) reader.load(abs: _*)
+    else reader.option("basePath", dataDir(name).toString).load(abs: _*)
   }
 
   /** The schema a feed reads BOTH sides of a manifest diff under. The
@@ -2476,19 +2499,24 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * manifests (carried files included), so a byte-budgeted admission
     * loop can only admit less, never more. */
   private[graft] def bytesAddedIn(name: String, version: Long): Long =
-    admissionStats(name, version)._2
+    admissionStats(name, version, needBytes = true)._2
 
   /** One raw-manifest parse answering BOTH admission questions for a
     * version: (files added, bytes added) — the streaming source's
     * per-version metadata probe stays one parse no matter which caps
-    * are set. */
-  private[graft] def admissionStats(name: String, version: Long): (Long, Long) = {
+    * are set. Bytes are computed ONLY when asked for (`needBytes`):
+    * the fallback for pre-feature manifests stats the listed files,
+    * and a files-cap-only stream must never pay that sweep. */
+  private[graft] def admissionStats(name: String, version: Long,
+      needBytes: Boolean): (Long, Long) = {
     val m = rawManifest(name, version)
-    val bytes = m.meta.get("bytesAdded").map(_.toLong).getOrElse(
-      m.files.map { f =>
-        try Files.size(versionsDir(name).resolve(f))
-        catch { case _: Exception => 0L }
-      }.sum)
+    val bytes =
+      if (!needBytes) 0L
+      else m.meta.get("bytesAdded").map(_.toLong).getOrElse(
+        m.files.map { f =>
+          try Files.size(versionsDir(name).resolve(f))
+          catch { case _: Exception => 0L }
+        }.sum)
     (m.files.size.toLong, bytes)
   }
 

@@ -177,7 +177,13 @@ class TableSourceProvider extends StreamSourceProvider with StreamSinkProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-table sink needs a stable exactly-once identity: set " +
           "option 'checkpointLocation' (the usual one) or 'sinkId'"))
-    new TableSink(cat, table, pb, keys, sinkId, complete)
+    // migration: sinks that ran BEFORE canonicalization committed their
+    // high-water under the RAW spelling — that identity must keep
+    // answering replay probes, or the first restart after an upgrade
+    // re-commits the last delivered batch as a duplicate
+    val legacyId = parameters.get("checkpointLocation")
+      .filter(raw => parameters.get("sinkId").isEmpty && raw != sinkId)
+    new TableSink(cat, table, pb, keys, sinkId, complete, legacyId)
   }
 }
 
@@ -189,9 +195,15 @@ class TableSourceProvider extends StreamSourceProvider with StreamSinkProvider
   * schema guard, constraint guard, manifest CAS — applies unchanged. */
 class TableSink(cat: ParquetCatalog, table: String, partitionBy: Seq[String],
     keys: Option[Seq[String]], sinkId: String,
-    complete: Boolean = false) extends Sink {
+    complete: Boolean = false,
+    legacyId: Option[String] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // a batch the PRE-canonicalization identity already committed is a
+    // replay, not new work (one registry lookup; new high-waters then
+    // accumulate under the canonical id)
+    if (legacyId.exists(l =>
+        cat.sinkHighWater(table, l).exists(_ >= batchId))) return
     val df = GraftStreamFrame.batch(data.sparkSession,
       data.queryExecution.toRdd, data.schema)
     val token = s"$sinkId#$batchId"
@@ -274,7 +286,8 @@ class TableSource(sqlContext: SQLContext, cat: ParquetCatalog,
         // just like getBatch — same loud remedy, not the raw error;
         // ONE raw-manifest parse per examined version answers both caps
         try while (open && v < capped) {
-          val (addF, addB) = cat.admissionStats(table, v + 1)
+          val (addF, addB) = cat.admissionStats(table, v + 1,
+            needBytes = maxBytesPerTrigger.isDefined)
           val over = maxFilesPerTrigger.exists(files + addF > _) ||
             maxBytesPerTrigger.exists(bytes + addB > _)
           // an oversized single commit still admits alone (v == from),

@@ -425,6 +425,18 @@ class TableStreamSpec extends SparkSpec {
       Map("root" -> root, "table" -> "dst", "sinkId" -> "other"),
       Seq.empty, OutputMode.Append()).addBatch(0L, batch)
     assert(cat.read("dst").count() === 3)
+    // MIGRATION: a sink that ran before canonicalization committed its
+    // high-water under the RAW spelling; the upgraded sink must treat
+    // that batch as a replay, not re-commit it
+    val raw = s"$root/./oldckpt" // non-canonical spelling
+    new graft.streaming.TableSink(cat, "dst", Nil, None, raw)
+      .addBatch(0L, batch) // the "old version" commit, raw identity
+    val v2 = cat.currentVersion("dst")
+    sink(raw).addBatch(0L, batch) // upgraded sink, same raw spelling
+    assert(cat.currentVersion("dst") === v2,
+      "pre-canonicalization high-water must answer replay probes")
+    sink(raw).addBatch(1L, batch) // genuinely new batch still lands
+    assert(cat.currentVersion("dst") === v2 + 1)
   }
 
   test("the graft-table SINK in merge mode (keys): update-shaped stream upserts per batch") {
