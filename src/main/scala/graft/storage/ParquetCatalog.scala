@@ -1301,6 +1301,49 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private def mappingOn(m: TableManifest): Boolean =
     m.meta.get("colmap").contains("on")
 
+  // ---- dropped-name registry (resurrection guard) --------------------
+  //
+  // `dropColumn` is metadata-only: carried files keep the dropped
+  // column's PHYSICAL bytes. Re-introducing the same name later (ADD
+  // COLUMN, or an evolving append/merge whose frame carries it) under
+  // BY-NAME resolution would silently RESURRECT the pre-drop values in
+  // every carried file instead of reading null — Delta requires column
+  // mapping for DROP COLUMN precisely to close this. Each drop records
+  // a `dropped.<name>` marker (carried commit-over-commit); a
+  // re-introduction consults it: with the mapping ACTIVE a fresh field
+  // id makes the carried bytes unreachable (readers resolve by id), so
+  // the re-add stays O(metadata); with the mapping OFF the re-add runs
+  // one distributed footer check and REFUSES while any live file still
+  // physically holds the name (compaction sheds the bytes and clears
+  // the marker). Full-restage commits clear all markers — no carried
+  // file survives them.
+
+  private val DroppedPrefix = "dropped."
+
+  private def droppedKey(colName: String): String =
+    DroppedPrefix + java.net.URLEncoder.encode(
+      colName.toLowerCase(java.util.Locale.ROOT), "UTF-8")
+
+  /** Meta keys to SUBTRACT from the next commit (cleared markers).
+    * Throws when the re-introduction is unsound (mapping off + live
+    * files still hold the bytes). */
+  private def guardReintroduced(name: String, m: TableManifest,
+      reintroduced: Seq[String]): Seq[String] = {
+    val marked = reintroduced.filter(c => m.meta.contains(droppedKey(c)))
+    if (marked.isEmpty || mappingOn(m)) Nil // mapping on: fresh ids cover it
+    else {
+      val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
+      val dirty = SkippingIndex.filesContainingColumns(spark, abs, marked)
+      require(dirty.isEmpty,
+        s"cannot re-add previously dropped column(s) ${marked.mkString(", ")} " +
+          s"to $name: ${dirty.size} live file(s) still hold the old physical " +
+          s"bytes (e.g. ${dirty.take(2).mkString(", ")}) and by-name readers " +
+          "would resurrect the pre-drop values. Run compact(...) / OPTIMIZE " +
+          "first — the rewrite sheds the dropped bytes — then re-add.")
+      marked.map(droppedKey) // no live file holds the bytes: markers clear
+    }
+  }
+
   private def withFieldIds(s: StructType, ids: Map[String, Int]): StructType =
     StructType(s.fields.map { f =>
       ids.get(f.name).fold(f) { id =>
@@ -1408,14 +1451,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * the stats cost nothing extra at scale. */
   private def commitOrClean(name: String, m0: TableManifest,
       staged: Seq[String]): Unit = {
+    val stagedSet = staged.toSet
+    // a FULL-RESTAGE commit (self-contained manifest whose every file
+    // was just staged) carries no old bytes — dropped-name markers
+    // clear, so later re-adds skip the resurrection footer check
+    val mp =
+      if (m0.base.isEmpty && m0.files.forall(stagedSet.contains) &&
+          m0.meta.keys.exists(_.startsWith(DroppedPrefix)))
+        m0.copy(meta = m0.meta.filterNot(_._1.startsWith(DroppedPrefix)))
+      else m0
     val m1 =
-      if (staged.isEmpty) m0
+      if (staged.isEmpty) mp
       else {
         val bytes = staged.map { r =>
           try Files.size(versionsDir(name).resolve(r))
           catch { case _: Exception => 0L }
         }.sum
-        m0.copy(meta = m0.meta + ("bytesAdded" -> bytes.toString))
+        mp.copy(meta = mp.meta + ("bytesAdded" -> bytes.toString))
       }
     // the colid assignments the staged files' footers were written with
     // (new names get fresh entries; prior entries for columns only
@@ -1524,7 +1576,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private def carriedMeta(m: TableManifest): Map[String, String] =
     m.meta.filter { case (k, _) =>
       k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix) ||
-        k.startsWith(ColIdPrefix) || k == "colmap"
+        k.startsWith(ColIdPrefix) || k.startsWith(DroppedPrefix) ||
+        k == "colmap"
     }
 
   /** Sink ids are URL-encoded into the meta key — they are paths
@@ -1862,9 +1915,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         // added columns (and staged files for the dropped ones). At
         // 100 TB this is the difference between an add-column being a
         // metadata write and a full-table rewrite.
+        // a frame RE-INTRODUCING a dropped name: carried files still
+        // hold the old bytes — guard before anything stages (mapping
+        // on: the staged files' fresh field ids cover it; mapping off:
+        // footer-checked refusal)
+        val incomingOnly = df.schema.fieldNames.filterNot(n =>
+          current.schema.fieldNames.exists(_.equalsIgnoreCase(n))).toSeq
+        val cleared = guardReintroduced(name, m, incomingOnly)
         val evolved = unionEvolvedSchema(current.schema, df.schema)
         val rels = stage(name, df, pb, next)
-        val meta = Map("op" -> "append") ++ tokMeta +
+        val meta = Map("op" -> "append") ++ (tokMeta -- cleared) +
           ("schema" -> evolved.toDDL)
         commitAppend(name, m, pb, meta, rels)
         refreshIndex(name)
@@ -2100,6 +2160,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         (if (rels.isEmpty) emptyMeta(merged) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
     } else {
+      // an evolving merge RE-INTRODUCING a dropped name: carried
+      // partitions keep their files, so the resurrection guard runs
+      // before anything stages (see [[guardReintroduced]])
+      val cleared =
+        if (scopedEvolve)
+          guardReintroduced(name, m, source.schema.fieldNames.filterNot(n =>
+            target.schema.fieldNames.exists(_.equalsIgnoreCase(n))).toSeq)
+        else Nil
       val touched = touchedPartitions(name, target, source, keys, pb)
       val touchedRel = touched.map(_.relPath).toSet
       val carried = m.files.filterNot(f =>
@@ -2116,8 +2184,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         if (scopedEvolve)
           Map("schema" -> unionEvolvedSchema(target.schema, source.schema).toDDL)
         else propagatedSchema(m)
-      val meta = Map("op" -> "merge") ++ carriedMeta(m) ++ schemaMeta ++
-        tokenMeta(batchToken) ++
+      val meta = Map("op" -> "merge") ++ (carriedMeta(m) -- cleared) ++
+        schemaMeta ++ tokenMeta(batchToken) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
     }
@@ -2660,8 +2728,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       s"$name already has a column '$colName'")
     val widened = StructType(cur.fields.map(_.copy(nullable = true)) :+
       org.apache.spark.sql.types.StructField(colName, typ, nullable = true))
+    // re-introducing a previously DROPPED name must not resurrect the
+    // old physical bytes still sitting in carried files (mapping off:
+    // footer-checked refusal / marker clear; mapping on: the fresh id
+    // below makes them unreachable)
+    val cleared = guardReintroduced(name, m, Seq(colName))
+    // under an active mapping every recorded column needs an id — a
+    // FRESH one: no carried file holds a field with it, so the new
+    // column reads null everywhere until first written (and a re-added
+    // dropped name can never resolve to its pre-drop bytes)
+    val idMeta =
+      if (mappingOn(m))
+        Map(colIdKey(colName) -> ((colIds(m).values.toSeq :+ 0).max + 1).toString)
+      else Map.empty[String, String]
     val meta = Map("op" -> "alterSchema", "schema" -> widened.toDDL) ++
-      carriedMeta(m)
+      (carriedMeta(m) -- cleared) ++ idMeta
     commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
     m.version + 1
   }
@@ -2702,7 +2783,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     require(cur.fields.length > 1, s"cannot drop $name's last column")
     val narrowed = StructType(cur.fields.filterNot(_.name == colName)
       .map(_.copy(nullable = true)))
-    val meta = Map("op" -> "alterSchema", "schema" -> narrowed.toDDL) ++
+    // the dropped-name marker makes a later re-introduction of this
+    // name consult the resurrection guard (see [[guardReintroduced]])
+    val meta = Map("op" -> "alterSchema", "schema" -> narrowed.toDDL,
+      droppedKey(colName) -> (m.version + 1).toString) ++
       carriedMeta(m) - colIdKey(colName)
     commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
     m.version + 1

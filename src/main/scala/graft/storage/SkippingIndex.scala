@@ -214,6 +214,27 @@ object SkippingIndex {
       .collect().toSeq.sorted
   }
 
+  /** Files whose footers PHYSICALLY contain any of `cols` (top-level
+    * name match, case-insensitive like Spark's resolution) — the files
+    * that make a metadata-only re-add of a previously DROPPED column
+    * unsound under by-name resolution: their old bytes would resurrect
+    * as the "new" column's values. One distributed footer pass, no
+    * data pages. */
+  def filesContainingColumns(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): Seq[String] = {
+    if (files.isEmpty || cols.isEmpty) return Nil
+    val wanted = cols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
+      .filter { f =>
+        val in = HadoopInputFile.fromPath(new HPath(f), new Configuration())
+        val reader = ParquetFileReader.open(in)
+        try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .exists(t => wanted.contains(t.getName.toLowerCase(java.util.Locale.ROOT)))
+        finally reader.close()
+      }
+      .collect().toSeq.sorted
+  }
+
   /** Re-key one column's stats after a METADATA-ONLY column rename —
     * the files are untouched, so the recorded min/max stay valid under
     * the new name. */

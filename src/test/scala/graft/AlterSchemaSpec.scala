@@ -214,6 +214,93 @@ class AlterSchemaSpec extends SparkSpec {
       Seq((3L, -1.0, "y")).toDF("id", "m", "tag")))
   }
 
+  test("drop then re-add never resurrects old bytes: mapping off refuses until compaction") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", "secret"), (2L, "b", "hidden")).toDF("id", "p", "x"), Seq("p"))
+    cat.dropColumn("t", "x")
+    // live files still hold x's physical bytes: a by-name re-add would
+    // resurrect them — the verb must refuse with the compaction remedy
+    val e = intercept[IllegalArgumentException](cat.addColumn("t", "x", StringType))
+    assert(e.getMessage.contains("compact") || e.getMessage.contains("OPTIMIZE"),
+      e.getMessage)
+    // compaction sheds the dropped bytes; the re-add then succeeds and
+    // EVERY pre-existing row reads the re-added column as null
+    cat.compact("t", rowsPerFile = 1000, partitionBy = Seq("p"))
+    cat.addColumn("t", "x", StringType)
+    assert(cat.read("t").select("x").as[Option[String]].collect().toSeq ===
+      Seq(None, None))
+    // a DIFFERENT never-dropped name adds without any footer check
+    cat.addColumn("t", "y", DoubleType)
+    assert(cat.read("t").select("y").as[Option[Double]].collect().forall(_.isEmpty))
+  }
+
+  test("drop then re-add under an active mapping is metadata-only and reads null") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", "secret", 1.0), (2L, "b", "hidden", 2.0))
+        .toDF("id", "p", "x", "m"), Seq("p"))
+    cat.renameColumn("t", "m", "metric") // activates the mapping
+    cat.dropColumn("t", "x")
+    val before = cat.manifestFiles("t", cat.currentVersion("t"))
+    val v = cat.addColumn("t", "x", StringType)
+    // zero files rewritten AND zero resurrection: the fresh field id
+    // resolves to nothing in the carried files
+    assert(cat.manifestFiles("t", v) === before, "re-add must stay metadata-only")
+    assert(cat.read("t").select("x").as[Option[String]].collect().toSeq ===
+      Seq(None, None))
+    // new writes land under the fresh id and read back; old rows stay null
+    cat.appendVersioned("t", Seq((3L, "a", "new", 3.0))
+      .toDF("id", "p", "x", "metric"), Seq("p"))
+    assert(cat.read("t").orderBy("id").select("x")
+      .as[Option[String]].collect().toSeq === Seq(None, None, Some("new")))
+    // time travel still shows the pre-drop values under their version
+    assert(cat.readVersion("t", 1).orderBy("id").select("x")
+      .as[String].collect().toSeq === Seq("secret", "hidden"))
+  }
+
+  test("evolving append/merge re-introducing a dropped name hits the same guard") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", "secret")).toDF("id", "p", "x"), Seq("p"))
+    cat.dropColumn("t", "x")
+    // mapping OFF: an evolving append whose frame carries x must refuse
+    // (its metadata-only commit would re-reference the old bytes)
+    val e = intercept[IllegalArgumentException](cat.appendVersioned("t",
+      Seq((2L, "b", "new")).toDF("id", "p", "x"), Seq("p"), evolveSchema = true))
+    assert(e.getMessage.contains("compact") || e.getMessage.contains("OPTIMIZE"),
+      e.getMessage)
+    // ...and an evolving MERGE likewise
+    val e2 = intercept[IllegalArgumentException](cat.upsertVersioned("t",
+      Seq((2L, "b", "new")).toDF("id", "p", "x"), Seq("id"),
+      evolveSchema = true))
+    assert(e2.getMessage.contains("compact") || e2.getMessage.contains("OPTIMIZE"),
+      e2.getMessage)
+    // mapping ON: the staged files' fresh ids make it sound — old rows
+    // read null, the new row reads its value
+    val cat2 = fresh()
+    cat2.overwriteVersioned("t",
+      Seq((1L, "a", "secret", 1.0)).toDF("id", "p", "x", "m"), Seq("p"))
+    cat2.renameColumn("t", "m", "metric")
+    cat2.dropColumn("t", "x")
+    cat2.appendVersioned("t", Seq((2L, "b", "new", 2.0))
+      .toDF("id", "p", "x", "metric"), Seq("p"), evolveSchema = true)
+    assert(cat2.read("t").orderBy("id").select("x")
+      .as[Option[String]].collect().toSeq === Seq(None, Some("new")))
+  }
+
+  test("a full restage clears dropped-name markers: re-add needs no footer check") {
+    val cat = fresh()
+    cat.overwriteVersioned("t", Seq((1L, "a", "secret")).toDF("id", "p", "x"), Seq("p"))
+    cat.dropColumn("t", "x")
+    // full overwrite replaces every file — no old bytes survive, so the
+    // marker clears and the re-add is a plain metadata commit
+    cat.overwriteVersioned("t", Seq((9L, "a")).toDF("id", "p"), Seq("p"))
+    cat.addColumn("t", "x", StringType)
+    assert(cat.read("t").select("id", "x")
+      .as[(Long, Option[String])].collect().toSeq === Seq((9L, None)))
+  }
+
   test("compactionPlan reads the worklist from the manifest alone, worst-first") {
     val cat = fresh()
     cat.overwriteVersioned("t",
