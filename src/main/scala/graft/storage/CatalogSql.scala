@@ -82,6 +82,11 @@ object CatalogSql {
   private val alterTypeRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+" +
       "(\\w+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)\\s*;?\\s*$").r
+  private val addColRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+ADD\\s+COLUMNS?\\s+(.+?)\\s*;?\\s*$".r
+  private val dropColRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+DROP\\s+COLUMNS?\\s+" +
+      "\\(?\\s*([\\w\\s,]+?)\\s*\\)?\\s*;?\\s*$").r
 
   /** `OPTIMIZE t` without `ROWS`: target rows per compacted file. */
   private val DefaultOptimizeRows = 1L << 20
@@ -216,6 +221,36 @@ object CatalogSql {
         org.apache.spark.sql.types.DataType.fromDDL(typ.trim))
       import spark.implicits._
       Seq((t, c, typ.trim, v)).toDF("table_name", "column_name", "new_type", "new_version")
+    case addColRe(t0, spec0) =>
+      // `ALTER TABLE t ADD COLUMN[S] [(]name type[, name type ...][)]`
+      // → one metadata-only [[ParquetCatalog.addColumn]] commit per
+      // column (Spark's grammar, engine semantics: zero bytes moved,
+      // re-added dropped names ride the resurrection guard)
+      val t = resolveTable(cat, t0)
+      val spec = spec0.trim
+      val body =
+        if (spec.startsWith("(") && spec.endsWith(")")) spec.tail.init.trim
+        else spec
+      val cols = graft.operators.SqlMerge.splitTopLevel(body, ",").map { c =>
+        val one = c.trim
+        val sp = one.indexWhere(_.isWhitespace)
+        require(sp > 0, s"malformed ADD COLUMN entry (need `name type`): $one")
+        one.take(sp) -> org.apache.spark.sql.types.DataType
+          .fromDDL(one.drop(sp + 1).trim)
+      }
+      val v = cols.map { case (c, typ) => cat.addColumn(t, c, typ) }.last
+      import spark.implicits._
+      cols.map { case (c, typ) => (t, c, typ.simpleString, v) }
+        .toDF("table_name", "column_name", "new_type", "new_version")
+    case dropColRe(t0, spec) =>
+      // `ALTER TABLE t DROP COLUMN[S] [(]name[, name ...][)]` → one
+      // metadata-only commit per column; bytes stay until compaction
+      val t = resolveTable(cat, t0)
+      val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, "DROP COLUMN needs at least one column name")
+      val v = cols.map(c => cat.dropColumn(t, c)).last
+      import spark.implicits._
+      cols.map(c => (t, c, v)).toDF("table_name", "column_name", "new_version")
     case renameTableRe(t0, to) =>
       // metadata-only directory move: zero bytes rewritten, history and
       // time travel carry over under the new name

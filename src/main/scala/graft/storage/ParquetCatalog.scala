@@ -2839,8 +2839,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       s"cannot rename '$from': constraint(s) ${refs.mkString(", ")} " +
         "reference it; drop and re-add them around the rename")
     val ids = colIds(m)
-    val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
-    val missing = SkippingIndex.filesWithoutFieldIds(spark, abs)
+    // the distributed footer proof runs ONLY at activation: once the
+    // mapping is on, every live file was either verified then or staged
+    // with ids stamped — a second rename on a 100 TB table must not pay
+    // a pointless cluster-wide footer pass
+    val missing =
+      if (mappingOn(m)) Nil
+      else SkippingIndex.filesWithoutFieldIds(spark,
+        m.files.map(f => versionsDir(name).resolve(f).toString))
     require(missing.isEmpty && ids.contains(from),
       s"metadata-only rename needs every data file of $name to carry " +
         s"parquet field ids; ${missing.size} file(s) predate them " +

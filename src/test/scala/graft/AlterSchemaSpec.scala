@@ -289,6 +289,29 @@ class AlterSchemaSpec extends SparkSpec {
       .as[Option[String]].collect().toSeq === Seq(None, Some("new")))
   }
 
+  test("a second rename under the active mapping runs zero Spark jobs") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 1.0, 2.0)).toDF("id", "p", "m", "n"), Seq("p"))
+    cat.renameColumn("t", "m", "metric") // activation: pays the footer proof
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      cat.renameColumn("t", "n", "norm") // mapping already on: O(metadata)
+      Thread.sleep(1000) // listener bus dispatch is async; let it drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 0,
+      s"an already-mapped rename must be metadata-only, ran ${jobs.get()} job(s)")
+    assert(cat.read("t").columns.toSet === Set("id", "p", "metric", "norm"))
+    assert(cat.read("t").select("norm").as[Double].head() === 2.0)
+  }
+
   test("a full restage clears dropped-name markers: re-add needs no footer check") {
     val cat = fresh()
     cat.overwriteVersioned("t", Seq((1L, "a", "secret")).toDF("id", "p", "x"), Seq("p"))

@@ -272,6 +272,35 @@ class SqlSurfaceSpec extends SparkSpec {
       .as[Double].head() === 60.0)
   }
 
+  test("ALTER TABLE text: ADD and DROP COLUMN route to the metadata-only verbs") {
+    val cat = seeded() // ids 1,3,4 live at v3; columns id, p, m
+    val before = cat.manifestFiles("t", cat.currentVersion("t"))
+    // bare and parenthesized multi-column ADD forms, paren-typed types
+    val out = cat.sql("ALTER TABLE t ADD COLUMN tag STRING").collect().head
+    assert((out.getString(1), out.getString(2)) === ("tag", "string"))
+    cat.sql("ALTER TABLE t ADD COLUMNS (price decimal(10,2), note string)")
+    assert(cat.read("t").columns.toSet ===
+      Set("id", "p", "m", "tag", "price", "note"))
+    assert(cat.read("t").select("tag").as[Option[String]]
+      .collect().forall(_.isEmpty))
+    // DROP narrows the recorded schema; both text forms
+    cat.sql("ALTER TABLE t DROP COLUMN note")
+    cat.sql("ALTER TABLE t DROP COLUMNS (tag, price)")
+    assert(cat.read("t").columns.toSet === Set("id", "p", "m"))
+    assert(cat.manifestFiles("t", cat.currentVersion("t")) === before,
+      "text ADD/DROP COLUMN are metadata-only")
+    // re-adding a dropped name NO file ever physically held is fine —
+    // the footer check proves it clean and clears the marker
+    cat.sql("ALTER TABLE t ADD COLUMN tag STRING")
+    // ...but the resurrection guard reaches the text surface too:
+    // re-adding a name whose old bytes live in carried files refuses
+    cat.sql("ALTER TABLE t DROP COLUMN m") // m's bytes are in every file
+    val e = intercept[IllegalArgumentException](
+      cat.sql("ALTER TABLE t ADD COLUMN m DOUBLE"))
+    assert(e.getMessage.contains("compact") || e.getMessage.contains("OPTIMIZE"),
+      e.getMessage)
+  }
+
   test("statement table names resolve case-insensitively, like Spark identifiers") {
     val cat = seeded() // table stored as 't'; ids 1,3,4 live
     assert(cat.sql("SELECT id FROM T ORDER BY id")
