@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29, k30, k31, k32, k33, k34, k35)
+    k29, k30, k31, k32, k33, k34, k35, k36)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1611,6 +1611,89 @@ object MergeQueries {
              MAX(o_orderkey) AS max_key,
              CAST(0 AS BIGINT) AS rename_rewrote,
              CAST(0 AS BIGINT) AS retype_rewrote,
+             CAST(1 AS BIGINT) AS shapes_ok
+      FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Composite DDL lifecycle (k36): the schema-evolution matrix k35
+    * left unpinned, closing over the r16 resurrection fix. v1 = full
+    * overwrite with a physically-populated `secret` column; v2 = widen
+    * `o_orderkey` INT→BIGINT; v3 = RENAME `o_totalprice`→`price`
+    * (widen-then-rename — activates the mapping); v4 = DROP `secret`
+    * (drop-after-rename); v5 = ADD `secret` back (add-after-drop: the
+    * fresh field id must make every pre-drop row read NULL, never the
+    * old bytes — the resurrection bug this round fixed); v6 = append
+    * under the final shape with real `secret` values. Live pins:
+    * `ddl_rewrote` = 0 (all four ALTERs re-reference v1's files
+    * verbatim), `shapes_ok` (each version time-travels under its own
+    * shape), and the oracle's `secret_nulls`/`secret_total` pin the
+    * NULL-not-resurrected contract per partition under DuckDB. */
+  private lazy val k36 = Q(
+    "k36_ddl_lifecycle",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ddl_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_totalprice"),
+            (col("o_totalprice") * 2).as("secret"),
+            col("o_orderstatus"))
+        cat.overwriteVersioned("orders_dl", o, Seq("o_orderstatus"))
+        cat.sql("ALTER TABLE orders_dl ALTER COLUMN o_orderkey TYPE BIGINT")
+        cat.sql("ALTER TABLE orders_dl RENAME COLUMN o_totalprice TO price")
+        cat.sql("ALTER TABLE orders_dl DROP COLUMN secret")
+        cat.sql("ALTER TABLE orders_dl ADD COLUMN secret DOUBLE")
+        cat.appendVersioned("orders_dl",
+          Tables.orders(s, d).filter(col("o_orderkey") % 17 === 1)
+            .select((col("o_orderkey").cast("bigint") + 7000000L).as("o_orderkey"),
+              col("o_totalprice").as("price"),
+              (col("o_totalprice") + 1).as("secret"),
+              col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        Files.writeString(marker, "ok")
+      }
+      val v1 = cat.manifestFiles("orders_dl", 1).toSet
+      val ddlRewrote = (2L to 5L)
+        .flatMap(v => cat.manifestFiles("orders_dl", v))
+        .count(!v1.contains(_))
+      val v1Cols = cat.readVersion("orders_dl", 1).columns.toSet
+      val v4Cols = cat.readVersion("orders_dl", 4).columns.toSet
+      val curCols = cat.read("orders_dl").columns.toSet
+      val shapesOk =
+        if (v1Cols("o_totalprice") && v1Cols("secret") &&
+            curCols("price") && curCols("secret") && !v4Cols("secret")) 1L
+        else 0L
+      cat.read("orders_dl")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("price")).as("total"),
+          sum(when(col("secret").isNull, 1L).otherwise(0L)).as("secret_nulls"),
+          graft.functions.Deterministic.dsum(coalesce(col("secret"), lit(0.0)))
+            .as("secret_total"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("ddl_rewrote", lit(ddlRewrote.toLong))
+        .withColumn("shapes_ok", lit(shapesOk))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state AS (
+        SELECT o_orderkey, o_totalprice AS price, CAST(NULL AS DOUBLE) AS secret,
+               o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 7000000, o_totalprice, o_totalprice + 1, o_orderstatus
+        FROM orders WHERE o_orderkey % 17 = 1)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             CAST(SUM(CASE WHEN secret IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS secret_nulls,
+             CAST(SUM(CAST(COALESCE(secret, 0) AS DECIMAL(28,6))) AS DOUBLE)
+               AS secret_total,
+             MAX(o_orderkey) AS max_key,
+             CAST(0 AS BIGINT) AS ddl_rewrote,
              CAST(1 AS BIGINT) AS shapes_ok
       FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
 
