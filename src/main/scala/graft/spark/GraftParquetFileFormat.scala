@@ -33,4 +33,15 @@ class GraftParquetFileFormat extends ParquetFileFormat {
   }
 
   override def toString: String = "GraftParquet"
+
+  // ParquetFileFormat.equals is `other.isInstanceOf[ParquetFileFormat]`,
+  // which would let plan-cache / exchange-reuse equality CONFLATE a
+  // graft relation (field-id read forced on) with a stock parquet
+  // relation over the same files — and hand one the other's reader.
+  // Equal only to this exact class (Delta's DeltaParquetFileFormat
+  // overrides for the same reason).
+  override def equals(other: Any): Boolean =
+    other != null && other.getClass == classOf[GraftParquetFileFormat]
+
+  override def hashCode(): Int = classOf[GraftParquetFileFormat].hashCode()
 }

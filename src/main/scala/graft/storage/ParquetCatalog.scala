@@ -112,12 +112,33 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * commit's staging moves out from under it): quiesce writers
     * first. */
   def renameTable(from: String, to: String): Unit = {
-    require(exists(from), s"no table $from")
-    require(!exists(to), s"table $to already exists")
     // a dotted destination would create a table the registered V2
     // catalog can never address (it parses 'a.b' as namespace + name)
     require(!to.contains('.'),
       s"rename destination '$to' must be a bare table name (no '.')")
+    ParquetCatalog.requireValidName(to)
+    // CRASH ATOMICITY: the rename is up to two Files.move calls plus
+    // two index relocations — a crash between them strands the table
+    // split across names. A JOURNAL written before the first move makes
+    // the verb resumable: re-running the SAME rename completes the
+    // remaining tier moves (each tier moves only while its source still
+    // exists) and the journal is removed last. Without a matching
+    // journal, an existing destination is a genuine collision and
+    // refuses as before.
+    val journal = Paths.get(root, ".rename-journal")
+    val resuming = Files.exists(journal) &&
+      Files.readString(journal).linesIterator.toSeq == Seq(from, to)
+    require(exists(from) || resuming, s"no table $from")
+    require(!exists(to) || resuming, s"table $to already exists")
+    require(!Files.exists(journal) || resuming,
+      "another rename's journal is pending at " + journal +
+        s" (${Files.readString(journal).linesIterator.mkString(" -> ")}); " +
+        "re-run that rename to complete it first")
+    if (!resuming) {
+      val tmp = Paths.get(root, s".rename-tmp-${nonce()}")
+      Files.writeString(tmp, s"$from\n$to")
+      Files.move(tmp, journal, StandardCopyOption.ATOMIC_MOVE)
+    }
     def mv(a: Path, b: Path): Unit = if (Files.exists(a)) {
       Files.createDirectories(b.getParent)
       Files.move(a, b, StandardCopyOption.ATOMIC_MOVE)
@@ -132,6 +153,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (SkippingIndex.existsAt(plainStats))
       SkippingIndex.relocate(plainStats,
         tableDir(from).toString, tableDir(to).toString)
+    Files.deleteIfExists(journal)
+    ()
   }
 
   /** Every table name under the root — plain hive dirs plus versioned
@@ -1471,11 +1494,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
     // the colid assignments the staged files' footers were written with
     // (new names get fresh entries; prior entries for columns only
-    // carried files still hold stay in place via carriedMeta)
+    // carried files still hold stay in place via carriedMeta). Popped
+    // UNCONDITIONALLY but merged only when this commit actually staged
+    // files: a caller that failed between stage() and here leaves a
+    // stale entry at this (table, version) key, and a later NO-STAGE
+    // commit at the same key (e.g. a nothing-touched delete) must not
+    // record colids for footers it never wrote
     val pending = pendingColIds.get.get((name, m0.version))
     pending.foreach(_ => pendingColIds.set(
       pendingColIds.get - ((name, m0.version))))
-    val m = pending.fold(m1)(ids =>
+    val m = pending.filter(_ => staged.nonEmpty).fold(m1)(ids =>
       m1.copy(meta = m1.meta ++ ids.map { case (c, i) =>
         colIdKey(c) -> i.toString
       }))
@@ -1734,7 +1762,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         s"cannot add constraint '$cname' ($sqlExpr) to $name: existing " +
           s"rows violate it, e.g. ${bad.head}")
     val next = m.version + 1
-    val meta = Map("op" -> "setConstraint", key -> sqlExpr) ++
+    val meta = Map("op" -> "setConstraint", key -> sqlExpr,
+      "bytesAdded" -> "0") ++
       carriedMeta(m) ++ propagatedSchema(m)
     commitManifest(name, TableManifest(next, m.partitionBy, meta, m.files))
     next
@@ -1747,7 +1776,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val key = constraintKey(cname)
     require(m.meta.contains(key), s"no constraint '$cname' on $name")
     val next = m.version + 1
-    val meta = Map("op" -> "dropConstraint") ++
+    val meta = Map("op" -> "dropConstraint", "bytesAdded" -> "0") ++
       (carriedMeta(m) - key) ++ propagatedSchema(m)
     commitManifest(name, TableManifest(next, m.partitionBy, meta, m.files))
     next
@@ -2741,7 +2770,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       if (mappingOn(m))
         Map(colIdKey(colName) -> ((colIds(m).values.toSeq :+ 0).max + 1).toString)
       else Map.empty[String, String]
-    val meta = Map("op" -> "alterSchema", "schema" -> widened.toDDL) ++
+    val meta = Map("op" -> "alterSchema", "schema" -> widened.toDDL,
+      "bytesAdded" -> "0") ++
       (carriedMeta(m) -- cleared) ++ idMeta
     commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
     m.version + 1
@@ -2786,7 +2816,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // the dropped-name marker makes a later re-introduction of this
     // name consult the resurrection guard (see [[guardReintroduced]])
     val meta = Map("op" -> "alterSchema", "schema" -> narrowed.toDDL,
-      droppedKey(colName) -> (m.version + 1).toString) ++
+      droppedKey(colName) -> (m.version + 1).toString, "bytesAdded" -> "0") ++
       carriedMeta(m) - colIdKey(colName)
     commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
     m.version + 1
@@ -2854,7 +2884,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         "OPTIMIZE first — the rewrite stamps ids — then rename.")
     val renamed = StructType(cur.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    val meta = Map("op" -> "renameColumn", "colmap" -> "on",
+    val meta = Map("op" -> "renameColumn", "colmap" -> "on", "bytesAdded" -> "0",
       "schema" -> renamed.toDDL) ++
       (carriedMeta(m) - colIdKey(from) - "colmap") +
       (colIdKey(to) -> ids(from).toString)
@@ -2892,7 +2922,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         "physical restage: read, cast, overwriteVersioned")
     val retyped = StructType(cur.fields.map(f =>
       if (f.name == colName) f.copy(dataType = newType) else f))
-    val meta = Map("op" -> "alterSchema", "schema" -> retyped.toDDL) ++
+    val meta = Map("op" -> "alterSchema", "schema" -> retyped.toDDL,
+      "bytesAdded" -> "0") ++
       carriedMeta(m)
     commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
     m.version + 1
@@ -3270,7 +3301,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     try s.iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith(".tmp-") || n.startsWith(".old-") || n.startsWith(".lnk-")
+        n.startsWith(".tmp-") || n.startsWith(".old-") || n.startsWith(".lnk-") ||
+          n.startsWith(".rename-tmp-")
       }
       .filter(p => scala.util.Try(
         now3 - Files.getLastModifiedTime(p).toMillis >= minAgeMs)

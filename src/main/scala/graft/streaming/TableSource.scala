@@ -163,14 +163,25 @@ class TableSourceProvider extends StreamSourceProvider with StreamSinkProvider
     // canonicalize to an absolute normalized path: the SAME checkpoint
     // spelled differently across restarts (relative vs absolute,
     // trailing slash, ./ segments) must yield the SAME txn identity,
-    // or every replayed batch re-commits as a duplicate
+    // or every replayed batch re-commits as a duplicate. ONLY plain
+    // local paths and file: URIs canonicalize — any other scheme
+    // (s3a://, hdfs://, abfss://) passes through VERBATIM: resolving it
+    // against the driver's CWD would mint a DIFFERENT identity per app
+    // attempt (cluster restarts get fresh container dirs), re-committing
+    // replayed batches as duplicates
     def canonical(p: String): String = {
-      val path =
-        if (p.startsWith("file:"))
-          try new java.net.URI(p).getPath catch { case _: Exception => p }
-        else p
-      try java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
-      catch { case _: Exception => p }
+      val scheme = "^[A-Za-z][A-Za-z0-9+.-]*:".r.findPrefixOf(p)
+      if (scheme.exists(s => !s.equalsIgnoreCase("file:"))) p
+      else {
+        val path =
+          if (scheme.isDefined)
+            try new java.net.URI(p).getPath catch { case _: Exception => p }
+          else p
+        if (path == null) p
+        else
+          try java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+          catch { case _: Exception => p }
+      }
     }
     val sinkId = parameters.get("sinkId")
       .orElse(parameters.get("checkpointLocation").map(canonical))

@@ -324,6 +324,47 @@ class AlterSchemaSpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toSeq === Seq((9L, None)))
   }
 
+  test("metadata-only ALTERs record bytesAdded=0: admission never stats the table") {
+    val cat = fresh()
+    cat.overwriteVersioned("t", Seq((1, "a", 1.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.addConstraint("t", "id_pos", "id > 0")     // v2
+    cat.renameColumn("t", "m", "metric")           // v3
+    cat.alterColumnType("t", "metric", DoubleType) // still double: no-op —
+    cat.alterColumnType("t", "id", org.apache.spark.sql.types.LongType) // v4
+    cat.addColumn("t", "tag", StringType)          // v5
+    cat.dropColumn("t", "tag")                     // v6
+    cat.dropConstraint("t", "id_pos")              // v7
+    // a zero-byte metadata commit must never count as whole-table bytes
+    // against a streaming byte budget (that would force it to admit
+    // alone AND pay a full-table stat sweep per poll)
+    for (v <- 2L to 7L)
+      assert(cat.bytesAddedIn("t", v) === 0L, s"v$v should record 0 bytes")
+    assert(cat.bytesAddedIn("t", 1) > 0L, "data commits still record real bytes")
+  }
+
+  test("a crashed renameTable resumes from its journal; unrelated renames refuse") {
+    val root = Files.createTempDirectory("graft-rnj").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.overwriteVersioned("a", Seq((1L, 1.0)).toDF("id", "m"))
+    // simulate a crash AFTER the journal write and the versions-dir
+    // move but BEFORE the journal delete
+    Files.writeString(java.nio.file.Paths.get(root, ".rename-journal"), "a\nb")
+    Files.move(java.nio.file.Paths.get(root, ".versions", "a"),
+      java.nio.file.Paths.get(root, ".versions", "b"))
+    // an unrelated rename refuses while the journal is pending
+    cat.overwriteVersioned("c", Seq((2L, 2.0)).toDF("id", "m"))
+    val e = intercept[IllegalArgumentException](cat.renameTable("c", "d"))
+    assert(e.getMessage.contains("journal"), e.getMessage)
+    // re-running the SAME rename completes it and clears the journal
+    cat.renameTable("a", "b")
+    assert(!Files.exists(java.nio.file.Paths.get(root, ".rename-journal")))
+    assert(cat.read("b").select("id").as[Long].head() === 1L)
+    assert(!cat.exists("a"))
+    // and the now-unblocked unrelated rename proceeds
+    cat.renameTable("c", "d")
+    assert(cat.read("d").select("id").as[Long].head() === 2L)
+  }
+
   test("compactionPlan reads the worklist from the manifest alone, worst-first") {
     val cat = fresh()
     cat.overwriteVersioned("t",

@@ -260,4 +260,18 @@ class GraftCatalogSpec extends SparkSpec {
       !Files.exists(scratch.resolve(".versions")),
       "CREATE on a hostile name wrote outside root")
   }
+
+  test("GraftParquetFileFormat never compares equal to the stock parquet format") {
+    // HadoopFsRelation / plan-cache / exchange-reuse equality must not
+    // conflate a graft relation (field-id read forced on) with a stock
+    // parquet relation over the same files — Delta's
+    // DeltaParquetFileFormat overrides equals for the same reason
+    val graftFmt = new graft.spark.GraftParquetFileFormat
+    val stock = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat
+    assert(graftFmt != stock, "graft format must not equal the stock format")
+    assert(graftFmt == new graft.spark.GraftParquetFileFormat)
+    assert(graftFmt.hashCode() ===
+      (new graft.spark.GraftParquetFileFormat).hashCode())
+  }
 }

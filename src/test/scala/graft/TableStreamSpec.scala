@@ -439,6 +439,30 @@ class TableStreamSpec extends SparkSpec {
     assert(cat.currentVersion("dst") === v2 + 1)
   }
 
+  test("URI-scheme checkpoints keep a CWD-independent verbatim identity") {
+    // s3a://bucket/ckpt resolved against the driver's CWD would mint a
+    // DIFFERENT identity per app attempt (cluster restarts get fresh
+    // container dirs) — the sink must keep any non-file scheme VERBATIM
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("dst", Seq((0L, 0.0)).toDF("id", "m"))
+    val provider = new graft.streaming.TableSourceProvider
+    import org.apache.spark.sql.streaming.OutputMode
+    def sink(spelling: String) = provider.createSink(spark.sqlContext,
+      Map("root" -> root, "table" -> "dst", "checkpointLocation" -> spelling),
+      Seq.empty, OutputMode.Append())
+    val batch = Seq((1L, 10.0)).toDF("id", "m")
+    sink("s3a://bucket/ckpt").addBatch(0L, batch)
+    assert(cat.sinkHighWater("dst", "s3a://bucket/ckpt") === Some(0L),
+      "the registry identity must be the RAW scheme spelling, not a " +
+        "CWD-resolved local path")
+    // same spelling replays as a no-op; file: URIs still canonicalize
+    val v = cat.currentVersion("dst")
+    sink("s3a://bucket/ckpt").addBatch(0L, batch)
+    assert(cat.currentVersion("dst") === v)
+    sink(s"file:$root/./c2/").addBatch(0L, batch)
+    assert(cat.sinkHighWater("dst", s"$root/c2") === Some(0L))
+  }
+
   test("the graft-table SINK in merge mode (keys): update-shaped stream upserts per batch") {
     val (cat, root) = fresh()
     cat.overwriteVersioned("src", Seq((1L, "a", 10.0)).toDF("id", "p", "m"), Seq("p"))
