@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29, k30, k31, k32, k33, k34, k35, k36)
+    k29, k30, k31, k32, k33, k34, k35, k36, k37)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1695,6 +1695,67 @@ object MergeQueries {
              MAX(o_orderkey) AS max_key,
              CAST(0 AS BIGINT) AS ddl_rewrote,
              CAST(1 AS BIGINT) AS shapes_ok
+      FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Deletion vectors (k37, Delta deletion-vectors parity): v1 = full
+    * overwrite; v2, v3 = two merge-on-read `deleteVectors` commits
+    * (scattered point deletes — the shape that must NOT pay a
+    * partition rewrite at 100 TB); v4 = append under the same shape.
+    * Live pins every run: both vector commits re-reference v1's files
+    * VERBATIM (`dv_rewrote` = 0 — O(bitmap) commit cost), and the
+    * change feed replays the deletes as `delete` rows
+    * (`feed_deletes`, oracle-recomputed). The final read anti-filters
+    * through the vectors; the oracle recomputes it relationally. */
+  private lazy val k37 = Q(
+    "k37_deletion_vectors",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_dvq_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_dv", o, Seq("o_orderstatus"))
+        cat.deleteVectors("orders_dv", col("o_orderkey") % 100 === 7)
+        cat.deleteVectors("orders_dv", col("o_orderkey") % 1000 === 500)
+        cat.appendVersioned("orders_dv",
+          o.filter(col("o_orderkey") % 23 === 2)
+            .select((col("o_orderkey") + 7000000L).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderstatus")),
+          Seq("o_orderstatus"))
+        Files.writeString(marker, "ok")
+      }
+      val v1 = cat.manifestFiles("orders_dv", 1).toSet
+      val dvRewrote = (2L to 3L)
+        .flatMap(v => cat.manifestFiles("orders_dv", v))
+        .count(!v1.contains(_))
+      val feedDeletes = cat.tableChanges("orders_dv", 1, 3, Seq("o_orderkey"))
+        .filter(col("_change_type") === "delete").count()
+      cat.read("orders_dv")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("dv_rewrote", lit(dvRewrote.toLong))
+        .withColumn("feed_deletes", lit(feedDeletes))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey % 100 <> 7 AND o_orderkey % 1000 <> 500
+        UNION ALL
+        SELECT o_orderkey + 7000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 23 = 2)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             MAX(o_orderkey) AS max_key,
+             CAST(0 AS BIGINT) AS dv_rewrote,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 100 = 7 OR o_orderkey % 1000 = 500)
+               AS feed_deletes
       FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped

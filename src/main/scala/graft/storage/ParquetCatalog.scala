@@ -253,8 +253,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val reader = catReader(recordedSchema(m))
       val base =
         if (cand.isEmpty) readVersion(name, m.version).limit(0)
-        else if (m.partitionBy.isEmpty) reader.load(cand: _*)
-        else reader.option("basePath", dataDir(name).toString).load(cand: _*)
+        else if (m.partitionBy.isEmpty) dvFilter(name, m, reader.load(cand: _*))
+        else dvFilter(name, m,
+          reader.option("basePath", dataDir(name).toString).load(cand: _*))
       preds.foldLeft(base) { case (df, (c, lo, hi)) =>
         df.filter(col(c) >= lo && col(c) <= hi)
       }
@@ -609,11 +610,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val cand = SkippingIndex.candidateFilesAt(sp, abs, Seq((key, lo, hi)),
       keepNullsOf = Some(key))
     val reader = catReader(schema)
-    if (cand.isEmpty) read(name).limit(0)
-    else if (partitioned) {
-      val base = if (isVersioned(name)) dataDir(name) else tableDir(name).toRealPath()
-      reader.option("basePath", base.toString).load(cand: _*)
-    } else reader.load(cand: _*)
+    val loaded =
+      if (cand.isEmpty) read(name).limit(0)
+      else if (partitioned) {
+        val base = if (isVersioned(name)) dataDir(name) else tableDir(name).toRealPath()
+        reader.option("basePath", base.toString).load(cand: _*)
+      } else reader.load(cand: _*)
+    if (cand.nonEmpty && isVersioned(name))
+      dvFilter(name, currentManifest(name), loaded)
+    else loaded
   }
 
   /** Conjunctive constraints IMPLIED by a row-level verb's WHERE
@@ -916,14 +921,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * and this degenerates to a filtered scan. The predicate is always
     * re-applied (false positives; advisory pruning). */
   def readPoint(name: String, column: String, value: Any): DataFrame = {
-    val (files, partitioned, schema, base) =
-      if (isVersioned(name)) {
-        val m = currentManifest(name)
+    val vm = if (isVersioned(name)) Some(currentManifest(name)) else None
+    val (files, partitioned, schema, base) = vm match {
+      case Some(m) =>
         (m.files.map(f => versionsDir(name).resolve(f).toString),
           m.partitionBy.nonEmpty, recordedSchema(m), dataDir(name))
-      } else
+      case None =>
         (SkippingIndex.listFiles(tableDir(name).toString),
           hasPartitionDirs(name), None, tableDir(name))
+    }
     val cand = SkippingIndex.bloomCandidates(spark, files, column, value)
     val pred = col(column) === lit(value)
     if (cand.isEmpty) return read(name).filter(pred).limit(0)
@@ -932,7 +938,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       if (partitioned)
         reader.option("basePath", base.toRealPath().toString).load(cand: _*)
       else reader.load(cand: _*)
-    df.filter(pred)
+    // deletion vectors hold for point reads too (bloom pruning is a
+    // file filter; the row filter still applies)
+    vm.fold(df)(m => dvFilter(name, m, df)).filter(pred)
   }
 
   /** Diagnostic: how many files [[readPoint]] would open (tests pin
@@ -1243,10 +1251,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
     val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
     val reader = catReader(recordedSchema(m))
-    if (m.partitionBy.isEmpty)
-      reader.load(abs: _*)
-    else
-      reader.option("basePath", dataDir(name).toString).load(abs: _*)
+    val loaded =
+      if (m.partitionBy.isEmpty)
+        reader.load(abs: _*)
+      else
+        reader.option("basePath", dataDir(name).toString).load(abs: _*)
+    dvFilter(name, m, loaded)
   }
 
   /** The commit wall-clock (epoch millis) a retained version's manifest
@@ -1423,6 +1433,199 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       if (mappingOn(m)) withFieldIds(s, colIds(m)) else s
     }
 
+  // ---- deletion vectors (merge-on-read row-level DELETE) -------------
+  //
+  // Delta's deletion-vectors feature: a point DELETE on a 100 TB table
+  // must not rewrite the touched partition — it records the deleted
+  // ROW POSITIONS per file in a small parquet SIDECAR and commits ONE
+  // metadata entry per touched file (`dvpos.<file> -> <sidecar>`).
+  // Readers anti-filter through the positions (parquet's stable
+  // `_metadata.row_index`), so the data files never move; compaction /
+  // OPTIMIZE materializes the deletes and sheds the vectors (the
+  // commit funnel prunes pointers for files a rewrite dropped). Every
+  // sidecar holds each touched file's COMPLETE deletion set as of its
+  // commit — pointer flips are atomic with the manifest CAS, time
+  // travel reads each version under its own pointer map, and restore
+  // reverts deletions with the metadata it re-references.
+
+  private val DvPrefix = "dvpos."
+
+  private def dvKeyOf(rel: String): String =
+    DvPrefix + java.net.URLEncoder.encode(rel, "UTF-8")
+
+  /** file (manifest-relative) → sidecar (versions-dir-relative). */
+  private def dvEntries(m: TableManifest): Map[String, String] =
+    m.meta.collect { case (k, v) if k.startsWith(DvPrefix) =>
+      java.net.URLDecoder.decode(k.drop(DvPrefix.length), "UTF-8") -> v
+    }
+
+  /** Data-file BASENAMES are the join key between
+    * `_metadata.file_path` (a URI whose exact rendering varies) and
+    * the sidecars' manifest-relative paths — also what keeps the
+    * vectors valid across [[renameTable]]'s directory move with zero
+    * rewrites. [[stage]] makes them globally unique
+    * (version-nonce-index prefix); [[deleteVectors]] REFUSES on file
+    * sets whose basenames collide (files staged before the unique
+    * naming, or absorbed from a partitioned plain dir) with the
+    * compact-first remedy — compaction restages under unique names. */
+  private def baseNameOf(c: Column): Column = element_at(split(c, "/"), -1)
+
+  /** Tag a RAW file-source frame with the dv join keys. */
+  private def dvTag(df: DataFrame): DataFrame = df
+    .withColumn("__graft_dv_file", baseNameOf(col("_metadata.file_path")))
+    .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+
+  /** Sidecar total bytes below this broadcast the anti-join's build
+    * side; bigger vector sets fall back to a shuffled anti-join rather
+    * than risking the driver. */
+  private val DvBroadcastBytes = 64L << 20
+
+  /** Anti-filter a [[dvTag]]ged frame through the manifest's deletion
+    * vectors. Reading each referenced sidecar WHOLE is sound: a
+    * sidecar row can only match a read row of its own file, file
+    * basenames never recur, and any sidecar the manifest references
+    * holds its files' exact deletion sets as of this version. */
+  private def dvAnti(name: String, m: TableManifest, tagged: DataFrame,
+      rels: Option[Seq[String]] = None): DataFrame = {
+    val all = dvEntries(m)
+    val entries = rels.fold(all)(rs => all.view.filterKeys(rs.toSet).toMap)
+    if (entries.isEmpty) return tagged
+    val sidecars = entries.values.toSeq.distinct
+      .map(r => versionsDir(name).resolve(r))
+    val bytes = sidecars.map(p =>
+      try Files.size(p) catch { case _: Exception => Long.MaxValue / 1024 }).sum
+    val dv0 = spark.read.parquet(sidecars.map(_.toString): _*)
+      .select(baseNameOf(col("file")).as("__dv_file"), col("pos").as("__dv_pos"))
+    val dv = if (bytes <= DvBroadcastBytes) broadcast(dv0) else dv0
+    tagged.join(dv,
+      tagged("__graft_dv_file") === dv("__dv_file") &&
+        tagged("__graft_dv_pos") === dv("__dv_pos"), "left_anti")
+  }
+
+  /** The deletion-vector read filter every versioned read path applies:
+    * a no-op plan (and zero extra IO) when none of the files being
+    * read carry vectors. `rels` scopes the sidecar reads to the files
+    * actually loaded (CDF diffs read subsets). */
+  private def dvFilter(name: String, m: TableManifest, df: DataFrame,
+      rels: Option[Seq[String]] = None): DataFrame = {
+    val entries = dvEntries(m)
+    if (entries.isEmpty || rels.exists(!_.exists(entries.contains))) df
+    else dvAnti(name, m, dvTag(df), rels).drop("__graft_dv_file", "__graft_dv_pos")
+  }
+
+  /** Merge-on-read row-level DELETE (Delta deletion-vector parity):
+    * rows matching `condition` are recorded as (file, row-position)
+    * pairs in ONE new parquet sidecar and the commit flips one pointer
+    * per touched file — ZERO data files rewritten, O(deleted rows)
+    * bytes written, where [[deleteVersioned]] restages every touched
+    * partition. The probe is [[probeFrame]]-pruned (a point DELETE on
+    * an indexed/bloomed key opens candidate files only); already-
+    * deleted rows never re-record (each sidecar row strictly grows a
+    * file's set, so a changed pointer always means changed content —
+    * what the change feed diffs on). Readers, CDF, streams, and
+    * incremental MVs all see the deletes through the shared read
+    * filter; compaction / OPTIMIZE materializes and sheds the vectors.
+    * Returns (newVersion, rowsDeleted) — (currentVersion, 0) when
+    * nothing matched, committing nothing. */
+  def deleteVectors(name: String, condition: Column,
+      fromVersion: Option[Long] = None): (Long, Long) = {
+    migrateIfPlain(name)
+    require(isVersioned(name), s"no table $name")
+    val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
+    if (m.files.isEmpty) return (m.version, 0L)
+    // vectors key on basenames: a colliding file set (pre-unique-naming
+    // stages, partitioned plain-dir absorption) could delete the WRONG
+    // file's rows — refuse with the restage remedy
+    val collisions = m.files.groupBy(f => Paths.get(f).getFileName.toString)
+      .collect { case (b, fs) if fs.size > 1 => b }
+    require(collisions.isEmpty,
+      s"deletion vectors need unique data-file basenames in $name; " +
+        s"${collisions.size} collide (e.g. ${collisions.take(2).mkString(", ")}" +
+        ") — files predate unique staging names. Run compact(...) / " +
+        "OPTIMIZE first, or use deleteVersioned (the rewrite path).")
+    val hit = coalesce(condition, lit(false))
+    val next = m.version + 1
+    // candidate files via the same index/bloom probe the rewrite verbs
+    // use, fed the RAW frame (the probe's inputFiles must be DATA files
+    // only — the dv-filtered read would surface sidecars too), then
+    // exclude already-deleted rows via the dv join keys
+    val reader = catReader(recordedSchema(m))
+    def load(paths: Seq[String]): DataFrame =
+      if (m.partitionBy.isEmpty) reader.load(paths: _*)
+      else reader.option("basePath", dataDir(name).toString).load(paths: _*)
+    val allAbs = m.files.map(f => versionsDir(name).resolve(f).toString)
+    val cand = probeFrame(name, m, load(allAbs), condition).inputFiles.toSeq
+    if (cand.isEmpty) return (m.version, 0L)
+    val live = dvAnti(name, m, dvTag(load(cand)))
+    val newPos = live.filter(hit)
+      .select(col("__graft_dv_file").as("fileb"), col("__graft_dv_pos").as("pos"))
+      .persist()
+    try {
+      val touchedBases = newPos.select("fileb").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touchedBases.isEmpty) return (m.version, 0L)
+      val removed = newPos.count()
+      val baseToRel = m.files
+        .map(f => Paths.get(f).getFileName.toString -> f).toMap
+      val touchedRels = touchedBases.map(b => baseToRel.getOrElse(b,
+        throw new IllegalStateException(
+          s"probe surfaced file '$b' absent from $name v${m.version}")))
+      // each touched file's NEW complete set = prior positions ∪ new
+      // (new rows came from the dv-filtered read, so the union is
+      // disjoint and the set strictly grows)
+      val relMap = spark.createDataFrame(
+        touchedRels.map(r => (Paths.get(r).getFileName.toString, r)))
+        .toDF("fileb", "file")
+      val newRelPos = newPos.join(broadcast(relMap), "fileb").select("file", "pos")
+      val priorSidecars = dvEntries(m).view.filterKeys(touchedRels.contains)
+        .values.toSeq.distinct.map(r => versionsDir(name).resolve(r).toString)
+      val combined =
+        if (priorSidecars.isEmpty) newRelPos
+        else spark.read.parquet(priorSidecars: _*)
+          .where(col("file").isin(touchedRels: _*)).select("file", "pos")
+          .unionByName(newRelPos)
+      // ONE sidecar file per commit: deletes are row-scoped, so the
+      // position set is small relative to the data (a partition-sized
+      // delete belongs on the rewrite path)
+      val nn = nonce()
+      val stageDir = versionsDir(name).resolve(s".stage-$nn")
+      combined.repartition(1).write.mode(SaveMode.Overwrite)
+        .option("compression", codec).parquet(stageDir.toString)
+      val part = {
+        val s = Files.walk(stageDir)
+        try s.iterator().asScala.filter(p =>
+          p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toList.head
+        finally s.close()
+      }
+      val sidecarRel = s"data/dv-v$next-$nn.parquet"
+      Files.createDirectories(versionsDir(name).resolve(sidecarRel).getParent)
+      Files.move(part, versionsDir(name).resolve(sidecarRel),
+        StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(stageDir)
+      val meta = Map("op" -> "delete",
+        "bytesAdded" -> Files.size(versionsDir(name).resolve(sidecarRel)).toString) ++
+        carriedMeta(m) ++ propagatedSchema(m) ++
+        touchedRels.map(r => dvKeyOf(r) -> sidecarRel)
+      try commitManifest(name,
+        TableManifest(next, m.partitionBy, meta, m.files))
+      catch {
+        case e: ConcurrentWriteException =>
+          Files.deleteIfExists(versionsDir(name).resolve(sidecarRel))
+          throw e
+      }
+      (next, removed)
+    } finally {
+      newPos.unpersist()
+      ()
+    }
+  }
+
+  /** [[deleteVectors]] under [[withRetry]]: each attempt re-reads the
+    * now-current snapshot and re-applies the predicate. */
+  def deleteVectorsWithRetry(name: String, condition: Column,
+      maxAttempts: Int = 3): (Long, Long) =
+    withRetry(maxAttempts)(deleteVectors(name, condition))
+
   /** Stamp the commit wall-clock into `meta.ts`, STRICTLY MONOTONIC per
     * table: the stamp is `max(now, prior ts + 1)` — Delta's commit-
     * timestamp adjustment — so `TIMESTAMP AS OF` resolution
@@ -1450,7 +1653,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * primitive is `Files.createLink` (atomic, content-complete); on
     * object storage the same step is a conditional PUT. */
   private def commitManifest(name: String, m0: TableManifest): Unit = {
-    val m = stampTs(name, m0)
+    // deletion-vector pointers follow their data files: a SELF-CONTAINED
+    // manifest that no longer lists a file sheds its pointer here — this
+    // is how compaction/OPTIMIZE "materializes" the deletes (the rewrite
+    // read them out through the dv filter) and how every rewrite verb
+    // stays vector-correct with no per-verb code. Delta manifests only
+    // ADD files, so their carried pointers stay valid.
+    val mp =
+      if (m0.base.isEmpty && m0.meta.keys.exists(_.startsWith(DvPrefix))) {
+        val fs = m0.files.toSet
+        m0.copy(meta = m0.meta.filterNot { case (k, _) =>
+          k.startsWith(DvPrefix) &&
+            !fs.contains(java.net.URLDecoder.decode(k.drop(DvPrefix.length), "UTF-8"))
+        })
+      } else m0
+    val m = stampTs(name, mp)
     val vd = versionsDir(name)
     Files.createDirectories(vd)
     val tmp = vd.resolve(s".manifest-tmp-${nonce()}")
@@ -1555,9 +1772,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .toList
       finally s.close()
-    val rels = staged.map { p =>
+    // the per-file index makes BASENAMES globally unique: a partitioned
+    // write reuses one task's part-file name across partition dirs, and
+    // the deletion-vector join keys on basenames
+    val rels = staged.zipWithIndex.map { case (p, i) =>
       val rel = stageDir.relativize(p)
-      val fname = s"v$version-$nn-${rel.getFileName}"
+      val fname = s"v$version-$nn-$i-${rel.getFileName}"
       val destRel = Option(rel.getParent) match {
         case Some(parent) => Paths.get("data").resolve(parent).resolve(fname)
         case None => Paths.get("data").resolve(fname)
@@ -1605,7 +1825,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     m.meta.filter { case (k, _) =>
       k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix) ||
         k.startsWith(ColIdPrefix) || k.startsWith(DroppedPrefix) ||
-        k == "colmap"
+        k.startsWith(DvPrefix) || k == "colmap"
     }
 
   /** Sink ids are URL-encoded into the meta key — they are paths
@@ -1804,8 +2024,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val m = manifest(src, v)
     // a failed clone (e.g. the source vacuumed a file mid-link) must
     // not leave a half-linked tree behind — dst has no manifest yet,
-    // so nothing would ever vacuum it
-    try m.files.foreach { rel =>
+    // so nothing would ever vacuum it. Deletion-vector sidecars link
+    // along with the data files their pointers reference — the cloned
+    // meta carries the pointers, so the targets must exist in dst's
+    // own tree.
+    try (m.files ++ dvEntries(m).values.toSeq.distinct).foreach { rel =>
       val from = versionsDir(src).resolve(rel)
       val to = versionsDir(dst).resolve(rel)
       Files.createDirectories(to.getParent)
@@ -2425,8 +2648,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
     val abs = rels.map(f => versionsDir(name).resolve(f).toString)
     val reader = catReader(schema)
-    if (m.partitionBy.isEmpty) reader.load(abs: _*)
-    else reader.option("basePath", dataDir(name).toString).load(abs: _*)
+    val loaded =
+      if (m.partitionBy.isEmpty) reader.load(abs: _*)
+      else reader.option("basePath", dataDir(name).toString).load(abs: _*)
+    dvFilter(name, m, loaded, Some(rels))
   }
 
   /** The schema a feed reads BOTH sides of a manifest diff under. The
@@ -2456,7 +2681,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       keys: Seq[String]): DataFrame = {
     val ma = manifest(name, from)
     val mb = manifest(name, to)
+    // a file carried by BOTH versions contributes identical rows to
+    // both sides only if its DELETION VECTOR is also unchanged — a
+    // dv-delete changes content without changing the file list, so a
+    // changed pointer pushes the file back into the diff (read through
+    // each side's own vectors by readFileSubset)
+    val dvA = dvEntries(ma)
+    val dvB = dvEntries(mb)
     val shared = ma.files.toSet.intersect(mb.files.toSet)
+      .filter(f => dvA.get(f) == dvB.get(f))
     val canon = feedCanon(name, ma, mb)
     val a = readFileSubset(name, ma, ma.files.filterNot(shared), canon)
     val b = readFileSubset(name, mb, mb.files.filterNot(shared), canon)
@@ -2475,7 +2708,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val prev =
       if (v <= 1) TableManifest(0, cur.partitionBy, Map.empty, Nil)
       else manifest(name, v - 1)
+    // dv-changed carried files re-enter the diff (see [[changesBetween]]):
+    // a dv-delete commit reads the touched files on both sides — rows
+    // newly covered by the vectors surface as `delete` change rows
+    val dvP = dvEntries(prev)
+    val dvC = dvEntries(cur)
     val shared = prev.files.toSet.intersect(cur.files.toSet)
+      .filter(f => dvP.get(f) == dvC.get(f))
     val removed = prev.files.filterNot(shared)
     val added = cur.files.filterNot(shared)
     val canon = feedCanon(name, prev, cur)
@@ -2677,12 +2916,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       schema: StructType): DataFrame = {
     require(from <= to, s"need from <= to; got $from, $to")
     ((math.max(from, 1L) + 1L) to to).foreach { v =>
-      val removed = manifest(name, v - 1).files.toSet -- manifest(name, v).files.toSet
+      val prev = manifest(name, v - 1)
+      val cur = manifest(name, v)
+      val removed = prev.files.toSet -- cur.files.toSet
       if (removed.nonEmpty)
         throw new IllegalStateException(
           s"$name version $v removed ${removed.size} file(s) " +
-            s"(op=${manifest(name, v).meta.getOrElse("op", "?")}): an " +
+            s"(op=${cur.meta.getOrElse("op", "?")}): an " +
             "append-only stream cannot replay rewrites — consume " +
+            "tableChanges/syncIncremental instead, or start past it")
+      // a deletion-vector commit changes CONTENT without changing the
+      // file list — silently skipping it would leave already-delivered
+      // rows undeleted downstream, the same hazard as a rewrite
+      if (dvEntries(prev) != dvEntries(cur))
+        throw new IllegalStateException(
+          s"$name version $v changed deletion vectors " +
+            s"(op=${cur.meta.getOrElse("op", "?")}): an append-only " +
+            "stream cannot replay row-level deletes — consume " +
             "tableChanges/syncIncremental instead, or start past it")
     }
     val base = if (from <= 0) Set.empty[String] else manifest(name, from).files.toSet
@@ -3230,7 +3480,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val vs = versions(name)
     if (vs.nonEmpty) {
       val retained = vs.takeRight(keep)
-      val referenced = retained.flatMap(v => manifest(name, v).files).toSet
+      // deletion-vector sidecars are reference-counted exactly like
+      // data files: live while any retained manifest points at them
+      val referenced = retained.flatMap { v =>
+        val m = manifest(name, v)
+        m.files ++ dvEntries(m).values
+      }.toSet
       // a retained DELTA manifest whose base is about to be dropped is
       // first MATERIALIZED in place (atomic same-content replace of the
       // delta by its resolved snapshot) so retention never breaks a
@@ -3267,7 +3522,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         // listing may reference candidate files — re-read the live
         // manifest set and spare anything it lists
         val lateReferenced = versions(name)
-          .flatMap(v => manifest(name, v).files).toSet
+          .flatMap { v =>
+            val m = manifest(name, v)
+            m.files ++ dvEntries(m).values
+          }.toSet
         val dead = candidates.filterNot(p =>
           lateReferenced.contains(vd.relativize(p).toString))
         dead.foreach(Files.delete)

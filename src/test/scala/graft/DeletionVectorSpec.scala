@@ -1,0 +1,190 @@
+package graft
+
+import graft.storage.ParquetCatalog
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Merge-on-read row-level DELETE via deletion vectors (Delta
+  * deletion-vectors parity): a point DELETE commits O(deleted rows)
+  * sidecar bytes and flips per-file pointers — ZERO data files
+  * rewritten — while every read path (current, time travel, point,
+  * range, CDF, streams) anti-filters through the recorded positions.
+  * Compaction materializes the deletes and sheds the vectors. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): (ParquetCatalog, String) = {
+    val root = Files.createTempDirectory("graft-dv").toString
+    (new ParquetCatalog(spark, root), root)
+  }
+
+  test("a point delete is O(bitmap): zero data files rewritten, rows excluded") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t",
+      (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    val before = cat.manifestFiles("t", 1)
+    val (v, n) = cat.deleteVectors("t", col("id") === 42L)
+    assert(v === 2L && n === 1L)
+    assert(cat.manifestFiles("t", 2) === before,
+      "a vector delete must not touch data files")
+    assert(cat.read("t").count() === 99)
+    assert(cat.read("t").filter(col("id") === 42L).count() === 0)
+    // time travel still sees the row at v1
+    assert(cat.readVersion("t", 1).filter(col("id") === 42L).count() === 1)
+    // nothing-matched deletes commit nothing
+    val (v2, n2) = cat.deleteVectors("t", col("id") === 42L)
+    assert(v2 === 2L && n2 === 0L, "already-deleted rows never re-record")
+    val (v3, n3) = cat.deleteVectors("t", col("id") === 9999L)
+    assert(v3 === 2L && n3 === 0L)
+  }
+
+  test("vector deletes accumulate per file; restore reverts them") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t",
+      (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.deleteVectors("t", col("id") <= 5L)      // v2: 5 rows
+    cat.deleteVectors("t", col("id") % 10L === 0L) // v3: 5 more
+    assert(cat.read("t").count() === 40)
+    assert(cat.readVersion("t", 2).count() === 45, "each version's own vectors")
+    assert(cat.readVersion("t", 1).count() === 50)
+    assert(cat.read("t").agg(sum("id")).as[Long].head() ===
+      (1L to 50L).filterNot(i => i <= 5 || i % 10 == 0).sum)
+    // restore rewinds the pointer map with the metadata
+    cat.restore("t", 2)
+    assert(cat.read("t").count() === 45)
+    cat.restore("t", 1)
+    assert(cat.read("t").count() === 50)
+  }
+
+  test("point and range reads anti-filter through the vectors") {
+    val (cat, _) = fresh()
+    val cat2 = new ParquetCatalog(spark,
+      Files.createTempDirectory("graft-dvb").toString, bloomFor = Seq("id"))
+    cat2.overwriteVersioned("t", (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat2.index("t", Seq("id"))
+    cat2.deleteVectors("t", col("id") === 7L)
+    assert(cat2.readPoint("t", "id", 7L).count() === 0)
+    assert(cat2.readPoint("t", "id", 8L).count() === 1)
+    assert(cat2.readRange("t", Seq(("id", 1.0, 10.0))).count() === 9)
+    val _ = cat
+  }
+
+  test("the change feed sees vector deletes as delete rows; net feed drops them") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t",
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.deleteVectors("t", col("id") === 3L || col("id") === 17L)
+    val feed = cat.tableChanges("t", 1, 2, Seq("id"))
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted === Array(3L, 17L))
+    assert(feed.filter(col("_change_type") =!= "delete").count() === 0,
+      "untouched rows of the same file must not re-enter the feed")
+    // net feed across the range: deleted rows emit nothing
+    assert(cat.changesBetween("t", 1, 2, Seq("id")).count() === 0)
+    // incremental sync applies the delete downstream
+    val (dst, _) = fresh()
+    dst.applyChanges("t2", cat.tableChanges("t", 0, 1, Seq("id")), Seq("id"))
+    dst.applyChanges("t2", cat.tableChanges("t", 1, 2, Seq("id")), Seq("id"))
+    assert(dst.read("t2").count() === 18)
+    assert(dst.read("t2").filter(col("id").isin(3L, 17L)).count() === 0)
+  }
+
+  test("OPTIMIZE materializes the deletes and sheds the vectors; vacuum reclaims sidecars") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t",
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.deleteVectors("t", col("id") <= 10L)
+    def dvKeys(v: Long) =
+      cat.history("t") // force manifest materialization path is irrelevant;
+        .count() // keep linter quiet about unused
+    val _ = dvKeys _
+    cat.compact("t", rowsPerFile = 1000)
+    assert(cat.read("t").count() === 90)
+    assert(cat.read("t").filter(col("id") <= 10L).count() === 0,
+      "compaction must materialize the deletes, not resurrect")
+    // the compacted manifest carries no vector pointers: a fresh append
+    // then a full vacuum reclaims the sidecar file itself
+    cat.vacuum("t", keep = 1, minAgeMs = 0L)
+    val s = Files.walk(java.nio.file.Paths.get(root, ".versions", "t", "data"))
+    val sidecars =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("dv-")).toList
+      } finally s.close()
+    assert(sidecars.isEmpty, s"vacuum must reclaim shed sidecars, left $sidecars")
+    assert(cat.read("t").count() === 90)
+  }
+
+  test("rewrite verbs compose with vectors: updates and partition rewrites never resurrect") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t",
+      (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    cat.deleteVectors("t", col("id") === 2L) // partition a
+    cat.deleteVectors("t", col("id") === 5L) // partition b
+    // a rewrite UPDATE in partition a materializes a's delete and keeps
+    // b's vector live (pointer carried for b's untouched files)
+    val (_, nUpd) = cat.updateWhere("t", col("id") === 4L, Map("m" -> lit(-4.0)))
+    assert(nUpd === 1L)
+    assert(cat.read("t").count() === 38)
+    assert(cat.read("t").filter(col("id").isin(2L, 5L)).count() === 0)
+    assert(cat.read("t").filter(col("m") < 0).count() === 1)
+    // the versioned rewrite DELETE still composes
+    val (_, nDel) = cat.deleteVersioned("t", col("id") === 5L)
+    assert(nDel === 0L, "a vector-deleted row is already gone for the rewrite verb")
+    // appends after vector deletes stay correct
+    cat.appendVersioned("t", Seq((2L, "a", 200.0)).toDF("id", "p", "m"), Seq("p"))
+    assert(cat.read("t").filter(col("id") === 2L).select("m")
+      .as[Double].collect().toSeq === Seq(200.0),
+      "the re-appended key must show ONLY the new row, not the deleted one")
+  }
+
+  test("an append-only stream refuses to skip a vector delete; changes mode replays it") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", (1L to 9L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.appendVersioned("t", Seq((10L, 10.0)).toDF("id", "m"))
+    cat.deleteVectors("t", col("id") === 1L)
+    val e = intercept[Exception] {
+      import org.apache.spark.sql.streaming.Trigger
+      val q = cat.readStream("t").writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .format("noop").start()
+      q.awaitTermination()
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(e).getMessage.contains("deletion vectors"),
+      s"got: ${rootCause(e).getMessage}")
+    // the change stream delivers the delete rows instead
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    import org.apache.spark.sql.streaming.Trigger
+    val q2 = cat.readChangeStream("t", Seq("id")).writeStream
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        rows ++= b.select("id", "_change_type").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }.start()
+    q2.awaitTermination()
+    assert(rows.contains((1L, "delete")), s"got $rows")
+  }
+
+  test("clone carries the vectors; either side then evolves independently") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.deleteVectors("t", col("id") <= 3L)
+    cat.cloneTable("t", "c")
+    assert(cat.read("c").count() === 27, "the clone must see the deletes")
+    cat.deleteVectors("c", col("id") === 10L)
+    assert(cat.read("c").count() === 26)
+    assert(cat.read("t").count() === 27, "the source is untouched by the clone's delete")
+    // source can vacuum without breaking the clone's linked sidecars
+    cat.deleteVectors("t", col("id") === 20L)
+    cat.vacuum("t", keep = 1, minAgeMs = 0L)
+    assert(cat.read("c").count() === 26)
+  }
+}
