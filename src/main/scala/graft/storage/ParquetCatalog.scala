@@ -1043,7 +1043,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val next = m.version + 1
       // write-once versions: staging reads the still-live current files
       val rels = stage(name, slice.repartition(files), m.partitionBy, next)
-      val meta = Map("op" -> "compact") ++ carriedMeta(m) ++ propagatedSchema(m)
+      val meta = Map("op" -> "compact") ++ carriedMeta(m) ++
+        propagatedSchema(m) ++ touchedMeta(touchedRel)
       commitOrClean(name, TableManifest(next, m.partitionBy, meta,
         carried ++ rels), rels)
     } else {
@@ -1605,6 +1606,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val meta = Map("op" -> "delete",
         "bytesAdded" -> Files.size(versionsDir(name).resolve(sidecarRel)).toString) ++
         carriedMeta(m) ++ propagatedSchema(m) ++
+        touchedMeta(touchedRels.map(TableManifest.partitionComponent).toSet) ++
         touchedRels.map(r => dvKeyOf(r) -> sidecarRel)
       try commitManifest(name,
         TableManifest(next, m.partitionBy, meta, m.files))
@@ -1625,6 +1627,91 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def deleteVectorsWithRetry(name: String, condition: Column,
       maxAttempts: Int = 3): (Long, Long) =
     withRetry(maxAttempts)(deleteVectors(name, condition))
+
+  // ---- logical conflict detection (disjoint-writer fast-forward) -----
+  //
+  // Delta's conflict checker: two optimistic writers whose commits
+  // touch DISJOINT partitions do not actually conflict — the CAS loser
+  // should not have to re-read and re-stage. Partition-scoped verbs
+  // record the partition components they rewrote as `touched` meta
+  // (pure appends record the partitions they added into; full
+  // restages, ALTERs, and legacy commits record nothing = "anything").
+  // On a lost CAS, [[fastForwardScoped]] re-commits the loser's
+  // already-staged files on top of the winner when every interleaved
+  // commit declared a disjoint set and left layout, recorded schema,
+  // column mapping, and constraints untouched — otherwise the normal
+  // full retry runs.
+
+  /** The partition components a commit rewrote/added into: Some(set)
+    * when declared, None = could be anything (conservative). */
+  private def touchedOf(m: TableManifest): Option[Set[String]] =
+    m.meta.get("touched").map { v =>
+      if (v.isEmpty) Set.empty[String]
+      else v.split(',').map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
+    }
+
+  private def touchedMeta(comps: Set[String]): Map[String, String] =
+    Map("touched" -> comps.toSeq.sorted
+      .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
+
+  /** Meta a fast-forward must see UNCHANGED across every interleaved
+    * commit: recorded schema, column mapping, CHECK constraints (a new
+    * constraint must re-validate our staged rows), and the layout. */
+  private def ffGuardMeta(m: TableManifest): (Seq[String], Option[String],
+      Option[String], Map[String, String]) =
+    (m.partitionBy, m.meta.get("schema"), m.meta.get("colmap"),
+      m.meta.filter(_._1.startsWith(ConstraintPrefix)))
+
+  /** Fast-forward a partition-scoped commit whose CAS lost: when every
+    * commit since `base` declared a touched set DISJOINT from ours and
+    * changed nothing a restage would have observed, our staged files
+    * re-commit on top of the winner VERBATIM — neither writer
+    * re-stages. Returns the committed version; None = not provably
+    * disjoint (the staged files are cleaned and the caller re-runs the
+    * full optimistic retry). */
+  private def fastForwardScoped(name: String, base: TableManifest,
+      pb: Seq[String], op: String, touchedRel: Set[String],
+      rels: Seq[String], extraMeta: Map[String, String]): Option[Long] = {
+    // take over the staged colid handoff ONCE — commitStaged pops its
+    // entry per attempt, so it is re-seeded under each candidate version
+    val stagedIds = pendingColIds.get.get((name, base.version + 1))
+    pendingColIds.set(pendingColIds.get - ((name, base.version + 1)))
+    def giveUp(): None.type = {
+      rels.foreach(r => Files.deleteIfExists(versionsDir(name).resolve(r)))
+      None
+    }
+    val guard = ffGuardMeta(base)
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val w = currentManifest(name)
+      if (w.version <= base.version) return giveUp()
+      val clean =
+        try ((base.version + 1) to w.version).forall { v =>
+          val mv = manifest(name, v)
+          touchedOf(mv).exists(_.intersect(touchedRel).isEmpty) &&
+            ffGuardMeta(mv) == guard
+        } catch { case _: IllegalArgumentException => false } // vacuumed window
+      if (!clean) return giveUp()
+      val next = w.version + 1
+      stagedIds.foreach(ids =>
+        pendingColIds.set(pendingColIds.get + ((name, next) -> ids)))
+      val carried = w.files.filterNot(f =>
+        touchedRel.contains(TableManifest.partitionComponent(f)))
+      val meta = Map("op" -> op) ++ carriedMeta(w) ++ propagatedSchema(w) ++
+        extraMeta ++ touchedMeta(touchedRel)
+      try {
+        commitStaged(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+        refreshIndex(name)
+        return Some(next)
+      } catch {
+        case _: ConcurrentWriteException =>
+        // raced again: loop re-reads the new winner; the staged files
+        // are still ours to commit (commitStaged never cleans)
+      }
+    }
+    giveUp()
+  }
 
   /** Stamp the commit wall-clock into `meta.ts`, STRICTLY MONOTONIC per
     * table: the stamp is `max(now, prior ts + 1)` — Delta's commit-
@@ -1690,6 +1777,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * alone — the files are just-written and local to this writer, so
     * the stats cost nothing extra at scale. */
   private def commitOrClean(name: String, m0: TableManifest,
+      staged: Seq[String]): Unit =
+    try commitStaged(name, m0, staged)
+    catch {
+      case e: ConcurrentWriteException =>
+        staged.foreach(r => Files.deleteIfExists(versionsDir(name).resolve(r)))
+        throw e
+    }
+
+  /** [[commitOrClean]] WITHOUT the lost-race cleanup — the disjoint
+    * fast-forward path re-attempts the same staged files on top of the
+    * winner, so they must survive a lost CAS. */
+  private def commitStaged(name: String, m0: TableManifest,
       staged: Seq[String]): Unit = {
     val stagedSet = staged.toSet
     // a FULL-RESTAGE commit (self-contained manifest whose every file
@@ -1724,12 +1823,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       m1.copy(meta = m1.meta ++ ids.map { case (c, i) =>
         colIdKey(c) -> i.toString
       }))
-    try commitManifest(name, m)
-    catch {
-      case e: ConcurrentWriteException =>
-        staged.foreach(r => Files.deleteIfExists(versionsDir(name).resolve(r)))
-        throw e
-    }
+    commitManifest(name, m) // a lost CAS propagates; [[commitOrClean]] cleans
   }
 
   /** Write `df` through a staging dir, then move each produced parquet
@@ -2193,7 +2287,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       return next
     }
     val rels = stage(name, df, pb, next)
+    // appends declare the partitions they added into, so a concurrent
+    // partition-scoped writer can fast-forward past a disjoint append
     val meta = Map("op" -> "append") ++ tokMeta ++ propagatedSchema(m) ++
+      touchedMeta(rels.map(TableManifest.partitionComponent).toSet) ++
       (if (m.files.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
     commitAppend(name, m, pb, meta, rels)
     refreshIndex(name)
@@ -2437,9 +2534,19 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           Map("schema" -> unionEvolvedSchema(target.schema, source.schema).toDDL)
         else propagatedSchema(m)
       val meta = Map("op" -> "merge") ++ (carriedMeta(m) -- cleared) ++
-        schemaMeta ++ tokenMeta(batchToken) ++
+        schemaMeta ++ tokenMeta(batchToken) ++ touchedMeta(touchedRel) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
-      commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+      if (scopedEvolve || rels.isEmpty)
+        commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+      else
+        try commitStaged(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+        catch {
+          case e: ConcurrentWriteException =>
+            // disjoint-writer fast-forward: our staged files land on top
+            // of the winner without a re-read (refreshIndex runs inside)
+            return fastForwardScoped(name, m, pb, "merge", touchedRel, rels,
+              tokenMeta(batchToken)).getOrElse(throw e)
+        }
     }
     refreshIndex(name)
     next
@@ -2540,10 +2647,22 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           out
         }
       val meta = Map("op" -> "delete") ++ carriedMeta(m) ++ propagatedSchema(m) ++
+        touchedMeta(touchedRel) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(t) else Map.empty)
-      commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
-      refreshIndex(name)
-      (next, removed)
+      if (rels.isEmpty) {
+        commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+        refreshIndex(name)
+        (next, removed)
+      } else
+        try {
+          commitStaged(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+          refreshIndex(name)
+          (next, removed)
+        } catch {
+          case e: ConcurrentWriteException =>
+            (fastForwardScoped(name, m, pb, "delete", touchedRel, rels, Map.empty)
+              .getOrElse(throw e), removed)
+        }
     }
   }
 
@@ -2615,10 +2734,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           out
         }
       if (touched.isEmpty) return (m.version, 0L) // nothing matched: no commit
-      val meta = Map("op" -> "update") ++ carriedMeta(m) ++ propagatedSchema(m)
-      commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
-      refreshIndex(name)
-      (next, updated)
+      val meta = Map("op" -> "update") ++ carriedMeta(m) ++ propagatedSchema(m) ++
+        touchedMeta(touchedRel)
+      try {
+        commitStaged(name, TableManifest(next, pb, meta, carried ++ rels), rels)
+        refreshIndex(name)
+        (next, updated)
+      } catch {
+        case e: ConcurrentWriteException =>
+          (fastForwardScoped(name, m, pb, "update", touchedRel, rels, Map.empty)
+            .getOrElse(throw e), updated)
+      }
     }
   }
 
@@ -2812,6 +2938,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         }
       val meta = Map("op" -> "sync") ++ carriedMeta(m) ++
         tokenMeta(batchToken) ++ propagatedSchema(m) ++
+        touchedMeta(touchedRel) ++
         (if (carried.isEmpty && rels.isEmpty) emptyMeta(target) else Map.empty)
       commitOrClean(name, TableManifest(next, pb, meta, carried ++ rels), rels)
     }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.storage.ParquetCatalog
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Logical conflict detection (Delta's conflict checker): two
+  * optimistic writers whose commits touch DISJOINT partitions both
+  * land — the CAS loser fast-forwards its ALREADY-STAGED files onto
+  * the winner instead of re-reading and re-staging. Overlapping or
+  * non-scoped interleavings still take the full retry. The pin for
+  * "no re-staging" is the staged NAME: files are named for the version
+  * they were staged against, so the loser's v2-prefixed files landing
+  * in the v3 manifest prove the fast-forward committed them verbatim. */
+class ConflictSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): ParquetCatalog =
+    new ParquetCatalog(spark, Files.createTempDirectory("graft-ff").toString)
+
+  private def partFiles(cat: ParquetCatalog, t: String, v: Long, p: String) =
+    cat.manifestFiles(t, v).filter(_.contains(s"p=$p/")).toSet
+
+  test("disjoint-partition writers both land; the loser never re-stages") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    // writer B wins version 2 with a merge scoped to partition b
+    cat.upsertVersioned("t", Seq((2L, "b", 99.0)).toDF("id", "p", "m"),
+      Seq("id"))
+    assert(cat.currentVersion("t") === 2L)
+    // writer A computed against version 1 (the fromVersion pin = the
+    // long-transaction protocol) and targets partition a — its CAS at
+    // v2 loses, the interleaved commit is provably disjoint, and the
+    // staged files fast-forward onto v3
+    val v = cat.upsertVersioned("t", Seq((1L, "a", -1.0)).toDF("id", "p", "m"),
+      Seq("id"), fromVersion = Some(1L))
+    assert(v === 3L, "the loser must land as the NEXT version, not throw")
+    // both writers' effects are present
+    assert(cat.read("t").orderBy("id").select("m").as[Double].collect().toSeq ===
+      Seq(-1.0, 99.0))
+    // partition b's files carried VERBATIM from the winner...
+    assert(partFiles(cat, "t", 3, "b") === partFiles(cat, "t", 2, "b"))
+    // ...and partition a's new files still carry their v2- staging name:
+    // they were staged ONCE, against the pinned snapshot, never re-staged
+    val aNew = partFiles(cat, "t", 3, "a") -- partFiles(cat, "t", 2, "a")
+    assert(aNew.nonEmpty &&
+      aNew.forall(_.split('/').last.startsWith("v2-")),
+      s"fast-forwarded files must keep their staged name, got $aNew")
+  }
+
+  test("overlapping writers still conflict loudly; retry wrappers recover") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.upsertVersioned("t", Seq((2L, "b", 99.0)).toDF("id", "p", "m"), Seq("id"))
+    // same-partition interleaving: fast-forward must refuse (the loser's
+    // staged merge was computed from stale partition content)
+    intercept[graft.storage.ConcurrentWriteException](
+      cat.upsertVersioned("t", Seq((2L, "b", -2.0)).toDF("id", "p", "m"),
+        Seq("id"), fromVersion = Some(1L)))
+    assert(cat.read("t").filter(col("id") === 2L).select("m")
+      .as[Double].head() === 99.0, "the losing overlap must change nothing")
+    // ...and the withRetry wrapper resolves it by re-reading
+    val v = cat.upsertVersionedWithRetry("t",
+      Seq((2L, "b", -2.0)).toDF("id", "p", "m"), Seq("id"),
+      fromVersion = Some(1L))
+    assert(v === 3L, "the retry re-reads v2 and commits the next version")
+    assert(cat.read("t").filter(col("id") === 2L).select("m")
+      .as[Double].head() === -2.0)
+  }
+
+  test("a non-scoped interleaved commit (ALTER, overwrite) blocks the fast-forward") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    cat.addColumn("t", "tag", org.apache.spark.sql.types.StringType) // v2: schema change
+    intercept[graft.storage.ConcurrentWriteException](
+      cat.upsertVersioned("t", Seq((1L, "a", -1.0)).toDF("id", "p", "m"),
+        Seq("id"), fromVersion = Some(1L)))
+  }
+
+  test("row-level UPDATE and DELETE fast-forward past disjoint appends") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    // a concurrent APPEND into partition b (declares its partitions)
+    cat.appendVersioned("t", Seq((3L, "b", 30.0)).toDF("id", "p", "m"), Seq("p"))
+    // UPDATE scoped to partition a, computed against v1 → fast-forwards
+    val (v, n) = cat.updateWhere("t", col("id") === 1L, Map("m" -> lit(-1.0)),
+      fromVersion = Some(1L))
+    assert(v === 3L && n === 1L)
+    assert(cat.read("t").count() === 3, "the interleaved append's row survives")
+    assert(cat.read("t").filter(col("id") === 1L).select("m")
+      .as[Double].head() === -1.0)
+    // DELETE scoped to partition b, computed against v2 (before the
+    // update touched a) → disjoint → fast-forwards
+    val (v2, n2) = cat.deleteVersioned("t", col("id") === 3L,
+      fromVersion = Some(2L))
+    assert(v2 === 4L && n2 === 1L)
+    assert(cat.read("t").select("id").as[Long].collect().sorted ===
+      Array(1L, 2L))
+    assert(cat.read("t").filter(col("id") === 1L).select("m")
+      .as[Double].head() === -1.0, "the fast-forwarded update survives the delete")
+  }
+}
