@@ -91,6 +91,24 @@ object CatalogSql {
   /** `OPTIMIZE t` without `ROWS`: target rows per compacted file. */
   private val DefaultOptimizeRows = 1L << 20
 
+  /** Split a column-spec list on commas outside BOTH parens and angle
+    * brackets — DDL types nest with `<>` (`MAP<STRING, INT>`,
+    * `ARRAY<STRUCT<a INT, b INT>>`), which the MERGE parser's
+    * paren-only splitter would cut through. */
+  private def splitColumnSpecs(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '<') => depth += 1; cur += c; ()
+      case c @ (')' | '>') => depth -= 1; cur += c; ()
+      case ',' if depth == 0 => parts += cur.toString; cur.clear(); ()
+      case c => cur += c; ()
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Spark SQL identifiers are case-insensitive; the catalog's on-disk
     * names are not. A statement naming `Orders` must reach the table
     * stored as `orders` (every verb and the SELECT substitution route
@@ -225,18 +243,26 @@ object CatalogSql {
       // `ALTER TABLE t ADD COLUMN[S] [(]name type[, name type ...][)]`
       // → one metadata-only [[ParquetCatalog.addColumn]] commit per
       // column (Spark's grammar, engine semantics: zero bytes moved,
-      // re-added dropped names ride the resurrection guard)
+      // re-added dropped names ride the resurrection guard). The whole
+      // list parses and validates BEFORE any commit — a bad entry must
+      // not leave a partial DDL applied.
       val t = resolveTable(cat, t0)
       val spec = spec0.trim
       val body =
         if (spec.startsWith("(") && spec.endsWith(")")) spec.tail.init.trim
         else spec
-      val cols = graft.operators.SqlMerge.splitTopLevel(body, ",").map { c =>
-        val one = c.trim
+      val cols = splitColumnSpecs(body).map { one =>
         val sp = one.indexWhere(_.isWhitespace)
         require(sp > 0, s"malformed ADD COLUMN entry (need `name type`): $one")
         one.take(sp) -> org.apache.spark.sql.types.DataType
           .fromDDL(one.drop(sp + 1).trim)
+      }
+      require(cols.map(_._1.toLowerCase).distinct.size == cols.size,
+        s"ADD COLUMNS names a column twice: ${cols.map(_._1).mkString(", ")}")
+      val existing = cat.read(t).columns
+      cols.foreach { case (c, _) =>
+        require(!existing.exists(_.equalsIgnoreCase(c)),
+          s"$t already has a column '$c'")
       }
       val v = cols.map { case (c, typ) => cat.addColumn(t, c, typ) }.last
       import spark.implicits._
@@ -244,10 +270,16 @@ object CatalogSql {
         .toDF("table_name", "column_name", "new_type", "new_version")
     case dropColRe(t0, spec) =>
       // `ALTER TABLE t DROP COLUMN[S] [(]name[, name ...][)]` → one
-      // metadata-only commit per column; bytes stay until compaction
+      // metadata-only commit per column; bytes stay until compaction.
+      // Names validate up front so a typo cannot half-apply the list.
       val t = resolveTable(cat, t0)
       val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       require(cols.nonEmpty, "DROP COLUMN needs at least one column name")
+      require(cols.map(_.toLowerCase).distinct.size == cols.size,
+        s"DROP COLUMNS names a column twice: ${cols.mkString(", ")}")
+      val existing = cat.read(t).columns
+      cols.foreach(c => require(existing.contains(c),
+        s"$t has no column '$c'"))
       val v = cols.map(c => cat.dropColumn(t, c)).last
       import spark.implicits._
       cols.map(c => (t, c, v)).toDF("table_name", "column_name", "new_version")

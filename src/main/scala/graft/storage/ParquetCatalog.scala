@@ -135,9 +135,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         s" (${Files.readString(journal).linesIterator.mkString(" -> ")}); " +
         "re-run that rename to complete it first")
     if (!resuming) {
+      // create-exclusive claim (same primitive as the manifest CAS): a
+      // concurrent rename racing this one must LOSE loudly, not replace
+      // the journal and leave the first rename unrecoverable
       val tmp = Paths.get(root, s".rename-tmp-${nonce()}")
       Files.writeString(tmp, s"$from\n$to")
-      Files.move(tmp, journal, StandardCopyOption.ATOMIC_MOVE)
+      try Files.createLink(journal, tmp)
+      catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          throw new ConcurrentWriteException(
+            s"another rename claimed $journal concurrently; re-run after it completes")
+      }
+      Files.deleteIfExists(tmp)
+      ()
     }
     def mv(a: Path, b: Path): Unit = if (Files.exists(a)) {
       Files.createDirectories(b.getParent)
@@ -594,18 +605,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * the full table when unindexed. */
   private def readRangeWithNulls(name: String, key: String,
       lo: Double, hi: Double): DataFrame = {
-    val (sp, abs, partitioned, schema) =
-      if (isVersioned(name)) {
-        val m = currentManifest(name)
+    val vm = if (isVersioned(name)) Some(currentManifest(name)) else None
+    val (sp, abs, partitioned, schema) = vm match {
+      case Some(m) =>
         (statsPath(name),
           m.files.map(f => versionsDir(name).resolve(f).toString),
           m.partitionBy.nonEmpty && m.files.nonEmpty,
           recordedSchema(m))
-      } else {
+      case None =>
         val dir = tableDir(name)
         (dir.resolve("_graft_stats.json"), SkippingIndex.listFiles(dir.toString),
           hasPartitionDirs(name), None)
-      }
+    }
     if (!SkippingIndex.existsAt(sp)) return read(name)
     val cand = SkippingIndex.candidateFilesAt(sp, abs, Seq((key, lo, hi)),
       keepNullsOf = Some(key))
@@ -613,11 +624,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val loaded =
       if (cand.isEmpty) read(name).limit(0)
       else if (partitioned) {
-        val base = if (isVersioned(name)) dataDir(name) else tableDir(name).toRealPath()
+        val base = if (vm.isDefined) dataDir(name) else tableDir(name).toRealPath()
         reader.option("basePath", base.toString).load(cand: _*)
       } else reader.load(cand: _*)
-    if (cand.nonEmpty && isVersioned(name))
-      dvFilter(name, currentManifest(name), loaded)
+    // the SAME snapshot the candidates came from supplies the vectors —
+    // a dv commit landing mid-call must not version-skew the read
+    if (cand.nonEmpty) vm.fold(loaded)(m => dvFilter(name, m, loaded))
     else loaded
   }
 
@@ -1387,18 +1399,36 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
     })
 
+  /** The highest column id EVER assigned on this table — Delta's
+    * maxColumnId. Fresh ids must mint ABOVE it, never above the max of
+    * the LIVE map: dropping the max-id column and then adding a new
+    * one would otherwise REUSE the dropped column's physical field id,
+    * and id-resolving readers would hand the new column the dropped
+    * column's old bytes (the resurrection this tier exists to
+    * prevent). Carried as `colidmax` meta and stamped by every commit
+    * that assigns ids; manifests predating the key fall back to the
+    * live max (their prior behavior — a pre-key table that already
+    * dropped its max-id column keeps that hazard until its next
+    * compaction restamps everything). */
+  private def colIdHighWater(m: TableManifest): Int =
+    math.max(m.meta.get("colidmax").map(_.toInt).getOrElse(0),
+      (colIds(m).values.toSeq :+ 0).max)
+
   /** The ids a staged frame's columns write: prior assignments reused
     * (case-insensitively — Spark resolution is), unseen columns get
-    * fresh ids above the prior maximum. One raw-manifest read; a CAS
-    * loss re-derives against the winner's map on retry. A manifest
-    * read failure here propagates LOUDLY — falling back to fresh ids
-    * would silently remint the registry of a mapping-active table and
-    * id-resolve carried files to the wrong columns. */
+    * fresh ids above the table's ALL-TIME maximum ([[colIdHighWater]]).
+    * One raw-manifest read; a CAS loss re-derives against the winner's
+    * map on retry. A manifest read failure here propagates LOUDLY —
+    * falling back to fresh ids would silently remint the registry of a
+    * mapping-active table and id-resolve carried files to the wrong
+    * columns. */
   private def stagedColIds(name: String, schema: StructType): Map[String, Int] = {
-    val prior: Map[String, Int] =
-      if (isVersioned(name)) colIds(currentManifest(name))
-      else Map.empty
-    var next = (prior.values.toSeq :+ 0).max + 1
+    val (prior, high) =
+      if (isVersioned(name)) {
+        val m = currentManifest(name)
+        (colIds(m), colIdHighWater(m))
+      } else (Map.empty[String, Int], 0)
+    var next = high + 1
     schema.fields.map { f =>
       val id = prior.get(f.name)
         .orElse(prior.collectFirst {
@@ -1557,7 +1587,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val allAbs = m.files.map(f => versionsDir(name).resolve(f).toString)
     val cand = probeFrame(name, m, load(allAbs), condition).inputFiles.toSeq
     if (cand.isEmpty) return (m.version, 0L)
-    val live = dvAnti(name, m, dvTag(load(cand)))
+    // scope the already-deleted exclusion to the CANDIDATES' sidecars —
+    // the whole table's accumulated vectors are irrelevant to the
+    // pruned files
+    val vd = versionsDir(name)
+    // inputFiles returns URI strings ("file:/..."); map them back to
+    // manifest-relative paths via the basename index (unique, enforced
+    // above)
+    val relOfBase = m.files.map(f => Paths.get(f).getFileName.toString -> f).toMap
+    val candRels = cand.flatMap(a =>
+      relOfBase.get(a.substring(a.lastIndexOf('/') + 1)))
+    val live = dvAnti(name, m, dvTag(load(cand)), Some(candRels))
     val newPos = live.filter(hit)
       .select(col("__graft_dv_file").as("fileb"), col("__graft_dv_pos").as("pos"))
       .persist()
@@ -1671,7 +1711,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * full optimistic retry). */
   private def fastForwardScoped(name: String, base: TableManifest,
       pb: Seq[String], op: String, touchedRel: Set[String],
-      rels: Seq[String], extraMeta: Map[String, String]): Option[Long] = {
+      rels: Seq[String], extraMeta: Map[String, String],
+      addedInto: Set[String] = Set.empty): Option[Long] = {
+    // the full FOOTPRINT (rewritten ∪ added-into partitions) is what
+    // disjointness and the declared set must cover — a partition-moving
+    // UPDATE adds files into partitions it never rewrote, and an
+    // interleaved writer there IS a conflict. Only the REWRITTEN set
+    // drops files from carried: added-into partitions keep the
+    // winner's files and merely gain ours.
+    val footprint = touchedRel ++ addedInto
     // take over the staged colid handoff ONCE — commitStaged pops its
     // entry per attempt, so it is re-seeded under each candidate version
     val stagedIds = pendingColIds.get.get((name, base.version + 1))
@@ -1689,7 +1737,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val clean =
         try ((base.version + 1) to w.version).forall { v =>
           val mv = manifest(name, v)
-          touchedOf(mv).exists(_.intersect(touchedRel).isEmpty) &&
+          touchedOf(mv).exists(_.intersect(footprint).isEmpty) &&
             ffGuardMeta(mv) == guard
         } catch { case _: IllegalArgumentException => false } // vacuumed window
       if (!clean) return giveUp()
@@ -1699,7 +1747,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val carried = w.files.filterNot(f =>
         touchedRel.contains(TableManifest.partitionComponent(f)))
       val meta = Map("op" -> op) ++ carriedMeta(w) ++ propagatedSchema(w) ++
-        extraMeta ++ touchedMeta(touchedRel)
+        extraMeta ++ touchedMeta(footprint)
       try {
         commitStaged(name, TableManifest(next, pb, meta, carried ++ rels), rels)
         refreshIndex(name)
@@ -1782,6 +1830,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     catch {
       case e: ConcurrentWriteException =>
         staged.foreach(r => Files.deleteIfExists(versionsDir(name).resolve(r)))
+        pendingColIds.set(pendingColIds.get - ((name, m0.version)))
         throw e
     }
 
@@ -1810,20 +1859,22 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
     // the colid assignments the staged files' footers were written with
     // (new names get fresh entries; prior entries for columns only
-    // carried files still hold stay in place via carriedMeta). Popped
-    // UNCONDITIONALLY but merged only when this commit actually staged
-    // files: a caller that failed between stage() and here leaves a
-    // stale entry at this (table, version) key, and a later NO-STAGE
-    // commit at the same key (e.g. a nothing-touched delete) must not
-    // record colids for footers it never wrote
+    // carried files still hold stay in place via carriedMeta). Merged
+    // only when this commit actually staged files (a no-stage commit at
+    // a key a failed stage→commit sequence leaked must not record
+    // colids for footers it never wrote), and POPPED ONLY ON SUCCESS —
+    // a lost CAS leaves the entry for the fast-forward path to re-key
+    // under the winner's next version.
     val pending = pendingColIds.get.get((name, m0.version))
-    pending.foreach(_ => pendingColIds.set(
-      pendingColIds.get - ((name, m0.version))))
     val m = pending.filter(_ => staged.nonEmpty).fold(m1)(ids =>
       m1.copy(meta = m1.meta ++ ids.map { case (c, i) =>
         colIdKey(c) -> i.toString
-      }))
+      } + ("colidmax" -> math.max(
+        m1.meta.get("colidmax").map(_.toInt).getOrElse(0),
+        ids.values.max).toString)))
     commitManifest(name, m) // a lost CAS propagates; [[commitOrClean]] cleans
+    pending.foreach(_ => pendingColIds.set(
+      pendingColIds.get - ((name, m0.version))))
   }
 
   /** Write `df` through a staging dir, then move each produced parquet
@@ -1919,7 +1970,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     m.meta.filter { case (k, _) =>
       k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix) ||
         k.startsWith(ColIdPrefix) || k.startsWith(DroppedPrefix) ||
-        k.startsWith(DvPrefix) || k == "colmap"
+        k.startsWith(DvPrefix) || k == "colmap" || k == "colidmax"
     }
 
   /** Sink ids are URL-encoded into the meta key — they are paths
@@ -2734,16 +2785,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           out
         }
       if (touched.isEmpty) return (m.version, 0L) // nothing matched: no commit
+      // a partition-column assignment MOVES rows: the staged files may
+      // land in partitions the probe never named — the declared set
+      // must cover them, or a concurrent disjoint writer's fast-forward
+      // would silently drop the moved rows' files
+      val addedInto = rels.map(TableManifest.partitionComponent).toSet
       val meta = Map("op" -> "update") ++ carriedMeta(m) ++ propagatedSchema(m) ++
-        touchedMeta(touchedRel)
+        touchedMeta(touchedRel ++ addedInto)
       try {
         commitStaged(name, TableManifest(next, pb, meta, carried ++ rels), rels)
         refreshIndex(name)
         (next, updated)
       } catch {
         case e: ConcurrentWriteException =>
-          (fastForwardScoped(name, m, pb, "update", touchedRel, rels, Map.empty)
-            .getOrElse(throw e), updated)
+          (fastForwardScoped(name, m, pb, "update", touchedRel, rels, Map.empty,
+            addedInto).getOrElse(throw e), updated)
       }
     }
   }
@@ -3140,13 +3196,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // below makes them unreachable)
     val cleared = guardReintroduced(name, m, Seq(colName))
     // under an active mapping every recorded column needs an id — a
-    // FRESH one: no carried file holds a field with it, so the new
-    // column reads null everywhere until first written (and a re-added
-    // dropped name can never resolve to its pre-drop bytes)
+    // FRESH one above the ALL-TIME high-water: no file ever written
+    // holds a field with it, so the new column reads null everywhere
+    // until first written (and a re-added or re-used dropped name/id
+    // can never resolve to pre-drop bytes)
     val idMeta =
-      if (mappingOn(m))
-        Map(colIdKey(colName) -> ((colIds(m).values.toSeq :+ 0).max + 1).toString)
-      else Map.empty[String, String]
+      if (mappingOn(m)) {
+        val fresh = colIdHighWater(m) + 1
+        Map(colIdKey(colName) -> fresh.toString, "colidmax" -> fresh.toString)
+      } else Map.empty[String, String]
     val meta = Map("op" -> "alterSchema", "schema" -> widened.toDDL,
       "bytesAdded" -> "0") ++
       (carriedMeta(m) -- cleared) ++ idMeta

@@ -170,7 +170,9 @@ class TableSourceProvider extends StreamSourceProvider with StreamSinkProvider
     // attempt (cluster restarts get fresh container dirs), re-committing
     // replayed batches as duplicates
     def canonical(p: String): String = {
-      val scheme = "^[A-Za-z][A-Za-z0-9+.-]*:".r.findPrefixOf(p)
+      // single-letter "schemes" are Windows drive letters (the standard
+      // Hadoop/java.nio heuristic), not URI schemes — canonicalize them
+      val scheme = "^[A-Za-z][A-Za-z0-9+.-]+:".r.findPrefixOf(p)
       if (scheme.exists(s => !s.equalsIgnoreCase("file:"))) p
       else {
         val path =

@@ -259,6 +259,25 @@ class AlterSchemaSpec extends SparkSpec {
       .as[String].collect().toSeq === Seq("secret", "hidden"))
   }
 
+  test("fresh ids mint above the ALL-TIME high-water, never reusing a dropped id") {
+    val cat = fresh()
+    // ids at v1: id=1, p=2, m=3, z=4 (z holds the MAX id and real bytes)
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 1.0, 777.0)).toDF("id", "p", "m", "z"), Seq("p"))
+    cat.renameColumn("t", "m", "metric") // activates the mapping
+    cat.dropColumn("t", "z")             // drops the max-id column
+    // a NEW column must not inherit z's physical field id — with a
+    // live-max mint it would id-resolve to z's old bytes (777.0)
+    cat.addColumn("t", "znew", DoubleType)
+    assert(cat.read("t").select("znew").as[Option[Double]].collect().toSeq ===
+      Seq(None), "the new column must read NULL, not the dropped column's bytes")
+    // ...and the same through the evolving-append minting path
+    cat.appendVersioned("t", Seq((2L, "a", 2.0, 5.0, 6.0))
+      .toDF("id", "p", "metric", "znew", "z2"), Seq("p"), evolveSchema = true)
+    assert(cat.read("t").orderBy("id").select("z2")
+      .as[Option[Double]].collect().toSeq === Seq(None, Some(6.0)))
+  }
+
   test("evolving append/merge re-introducing a dropped name hits the same guard") {
     val cat = fresh()
     cat.overwriteVersioned("t",

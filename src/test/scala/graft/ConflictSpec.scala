@@ -80,6 +80,28 @@ class ConflictSpec extends SparkSpec {
         Seq("id"), fromVersion = Some(1L)))
   }
 
+  test("a partition-moving UPDATE declares its destination: no writer slides past it") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "x", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    // v2: an UPDATE that MOVES id=1 from partition a into partition x —
+    // its staged file lands in a partition the probe never named
+    val (v, n) = cat.updateWhere("t", col("id") === 1L, Map("p" -> lit("x")))
+    assert(v === 2L && n === 1L)
+    // a writer scoped to partition x, computed against v1, must NOT
+    // fast-forward past the move (its carried set would drop the moved
+    // row's file) — it conflicts loudly and the retry resolves it
+    intercept[graft.storage.ConcurrentWriteException](
+      cat.upsertVersioned("t", Seq((2L, "x", -2.0)).toDF("id", "p", "m"),
+        Seq("id"), fromVersion = Some(1L)))
+    cat.upsertVersionedWithRetry("t", Seq((2L, "x", -2.0)).toDF("id", "p", "m"),
+      Seq("id"), fromVersion = Some(1L))
+    assert(cat.read("t").orderBy("id").select("id", "p", "m")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "x", 10.0), (2L, "x", -2.0)),
+      "the moved row and the retried merge must both survive")
+  }
+
   test("row-level UPDATE and DELETE fast-forward past disjoint appends") {
     val cat = fresh()
     cat.overwriteVersioned("t",

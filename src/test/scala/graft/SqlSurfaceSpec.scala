@@ -289,6 +289,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(cat.read("t").columns.toSet === Set("id", "p", "m"))
     assert(cat.manifestFiles("t", cat.currentVersion("t")) === before,
       "text ADD/DROP COLUMN are metadata-only")
+    // complex nested types with top-level commas inside angle brackets
+    cat.sql("ALTER TABLE t ADD COLUMNS (tags MAP<STRING, INT>, nest ARRAY<STRUCT<a INT, b INT>>)")
+    assert(cat.read("t").schema("tags").dataType.simpleString === "map<string,int>")
+    cat.sql("ALTER TABLE t DROP COLUMNS (tags, nest)")
+    // a bad entry fails the WHOLE statement before any commit lands
+    val vBefore = cat.currentVersion("t")
+    intercept[IllegalArgumentException](
+      cat.sql("ALTER TABLE t ADD COLUMNS (fresh INT, id INT)")) // id exists
+    assert(cat.currentVersion("t") === vBefore &&
+      !cat.read("t").columns.contains("fresh"),
+      "a partially-valid ADD COLUMNS must apply nothing")
     // re-adding a dropped name NO file ever physically held is fine —
     // the footer check proves it clean and clears the marker
     cat.sql("ALTER TABLE t ADD COLUMN tag STRING")
