@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29, k30, k31, k32, k33, k34, k35, k36, k37)
+    k29, k30, k31, k32, k33, k34, k35, k36, k37, k38)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1756,6 +1756,61 @@ object MergeQueries {
              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
               WHERE o_orderkey % 100 = 7 OR o_orderkey % 1000 = 500)
                AS feed_deletes
+      FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Merge-on-read UPDATE via deletion vectors (k38): v1 = full
+    * overwrite; v2 = `updateVectors` (scattered point update — old
+    * positions vectored, updated images appended, O(delta) bytes);
+    * v3 = `deleteVectors`. Live pins: every v1 file stays referenced
+    * through BOTH vector commits (`originals_dropped` = 0 — nothing
+    * rewritten), and the change feed replays the update as
+    * postimages (`feed_updates`, oracle-recomputed). The final read
+    * resolves images + vectors; the oracle recomputes it
+    * relationally. */
+  private lazy val k38 = Q(
+    "k38_update_vectors",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_uvq_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_uv", o, Seq("o_orderstatus"))
+        cat.updateVectors("orders_uv", col("o_orderkey") % 100 === 7,
+          Map("o_totalprice" -> (col("o_totalprice") * 3)))
+        cat.deleteVectors("orders_uv", col("o_orderkey") % 100 === 55)
+        Files.writeString(marker, "ok")
+      }
+      val v1 = cat.manifestFiles("orders_uv", 1).toSet
+      val v3 = cat.manifestFiles("orders_uv", 3).toSet
+      val originalsDropped = v1.count(!v3.contains(_))
+      val feedUpdates = cat.tableChanges("orders_uv", 1, 2, Seq("o_orderkey"))
+        .filter(col("_change_type") === "update_postimage").count()
+      cat.read("orders_uv")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("originals_dropped", lit(originalsDropped.toLong))
+        .withColumn("feed_updates", lit(feedUpdates))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 100 = 7 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 100 <> 55)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             MAX(o_orderkey) AS max_key,
+             CAST(0 AS BIGINT) AS originals_dropped,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 100 = 7) AS feed_updates
       FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped

@@ -1668,6 +1668,125 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       maxAttempts: Int = 3): (Long, Long) =
     withRetry(maxAttempts)(deleteVectors(name, condition))
 
+  /** Merge-on-read row-level UPDATE (Delta's deletion-vector UPDATE):
+    * matched rows' OLD positions are vectored out and their UPDATED
+    * images appended as new files — a point UPDATE on a 100 TB table
+    * commits O(updated rows) bytes where [[updateWhere]] restages
+    * every touched partition. The probe is [[probeFrame]]-pruned;
+    * CHECK constraints enforce on the staged images; a partition-
+    * column assignment MOVES rows naturally (the image lands under its
+    * new hive component, the vector kills the old row). The change
+    * feed replays it as update_preimage/update_postimage pairs — the
+    * vectored file re-enters the diff as removed content, the staged
+    * image as added. Returns (newVersion, rowsUpdated);
+    * (currentVersion, 0) when nothing matched, committing nothing. */
+  def updateVectors(name: String, condition: Column,
+      assignments: Map[String, Column],
+      fromVersion: Option[Long] = None): (Long, Long) = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    migrateIfPlain(name)
+    require(isVersioned(name), s"no table $name")
+    val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
+    if (m.files.isEmpty) return (m.version, 0L)
+    val collisions = m.files.groupBy(f => Paths.get(f).getFileName.toString)
+      .collect { case (b, fs) if fs.size > 1 => b }
+    require(collisions.isEmpty,
+      s"deletion vectors need unique data-file basenames in $name; " +
+        s"${collisions.size} collide — files predate unique staging " +
+        "names. Run compact(...) / OPTIMIZE first, or use updateWhere.")
+    val hit = coalesce(condition, lit(false))
+    val next = m.version + 1
+    val reader = catReader(recordedSchema(m))
+    def load(paths: Seq[String]): DataFrame =
+      if (m.partitionBy.isEmpty) reader.load(paths: _*)
+      else reader.option("basePath", dataDir(name).toString).load(paths: _*)
+    val allAbs = m.files.map(f => versionsDir(name).resolve(f).toString)
+    val cand = probeFrame(name, m, load(allAbs), condition).inputFiles.toSeq
+    if (cand.isEmpty) return (m.version, 0L)
+    val relOfBase = m.files.map(f => Paths.get(f).getFileName.toString -> f).toMap
+    val candRels = cand.flatMap(a =>
+      relOfBase.get(a.substring(a.lastIndexOf('/') + 1)))
+    val matched = dvAnti(name, m, dvTag(load(cand)), Some(candRels))
+      .filter(hit).persist()
+    try {
+      val touchedBases = matched.select(col("__graft_dv_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touchedBases.isEmpty) return (m.version, 0L)
+      val updated = matched.count()
+      val touchedRels = touchedBases.map(b => relOfBase.getOrElse(b,
+        throw new IllegalStateException(
+          s"probe surfaced file '$b' absent from $name v${m.version}")))
+      // the UPDATED images, staged as ordinary appended files (hive
+      // layout moves partition-assigned rows; constraint guard applies)
+      val dataCols = matched.columns.toSeq
+        .filterNot(c => c == "__graft_dv_file" || c == "__graft_dv_pos")
+      val resolved = assignments.map { case (k, v) =>
+        dataCols.find(_.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$name has no column '$k' to assign")) -> v
+      }
+      require(resolved.size == assignments.size,
+        "UPDATE assigns the same column twice (names differ only in case)")
+      val images = matched.select(dataCols.map(c =>
+        resolved.get(c).fold(col(c))(v => v.as(c))): _*)
+      val rels = stage(name, images, m.partitionBy, next)
+      // the vectored-out OLD positions (matched rows are live by
+      // construction, so each touched file's set strictly grows)
+      val newPos = matched
+        .select(col("__graft_dv_file").as("fileb"), col("__graft_dv_pos").as("pos"))
+      val relMap = spark.createDataFrame(
+        touchedRels.map(r => (Paths.get(r).getFileName.toString, r)))
+        .toDF("fileb", "file")
+      val newRelPos = newPos.join(broadcast(relMap), "fileb").select("file", "pos")
+      val priorSidecars = dvEntries(m).view.filterKeys(touchedRels.contains)
+        .values.toSeq.distinct.map(r => versionsDir(name).resolve(r).toString)
+      val combined =
+        if (priorSidecars.isEmpty) newRelPos
+        else spark.read.parquet(priorSidecars: _*)
+          .where(col("file").isin(touchedRels: _*)).select("file", "pos")
+          .unionByName(newRelPos)
+      val nn = nonce()
+      val stageDir = versionsDir(name).resolve(s".stage-dv-$nn")
+      combined.repartition(1).write.mode(SaveMode.Overwrite)
+        .option("compression", codec).parquet(stageDir.toString)
+      val part = {
+        val s = Files.walk(stageDir)
+        try s.iterator().asScala.filter(p =>
+          p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toList.head
+        finally s.close()
+      }
+      val sidecarRel = s"data/dv-v$next-$nn.parquet"
+      Files.createDirectories(versionsDir(name).resolve(sidecarRel).getParent)
+      Files.move(part, versionsDir(name).resolve(sidecarRel),
+        StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(stageDir)
+      val meta = Map("op" -> "update") ++
+        carriedMeta(m) ++ propagatedSchema(m) ++
+        touchedMeta(touchedRels.map(TableManifest.partitionComponent).toSet ++
+          rels.map(TableManifest.partitionComponent)) ++
+        touchedRels.map(r => dvKeyOf(r) -> sidecarRel)
+      try commitStaged(name,
+        TableManifest(next, m.partitionBy, meta, m.files ++ rels), rels)
+      catch {
+        case e: ConcurrentWriteException =>
+          Files.deleteIfExists(versionsDir(name).resolve(sidecarRel))
+          rels.foreach(r => Files.deleteIfExists(versionsDir(name).resolve(r)))
+          pendingColIds.set(pendingColIds.get - ((name, next)))
+          throw e
+      }
+      refreshIndex(name)
+      (next, updated)
+    } finally {
+      matched.unpersist()
+      ()
+    }
+  }
+
+  /** [[updateVectors]] under [[withRetry]]. */
+  def updateVectorsWithRetry(name: String, condition: Column,
+      assignments: Map[String, Column], maxAttempts: Int = 3): (Long, Long) =
+    withRetry(maxAttempts)(updateVectors(name, condition, assignments))
+
   // ---- logical conflict detection (disjoint-writer fast-forward) -----
   //
   // Delta's conflict checker: two optimistic writers whose commits

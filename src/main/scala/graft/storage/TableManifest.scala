@@ -88,11 +88,29 @@ object TableManifest {
     * versions) single-file parses, not a full history sweep). */
   private[graft] val parses = new java.util.concurrent.atomic.AtomicLong
 
+  /** The manifest FORMAT version this reader understands. Writers keep
+    * emitting 1 (every feature so far — column mapping, deletion
+    * vectors, touched sets — rides meta keys old readers carry
+    * verbatim and never need to interpret for the data they return to
+    * still be right... except deletion vectors, whose pointers an
+    * r15-era reader would ignore and resurrect deleted rows; that
+    * binary predates this guard, so bumping for it would not protect
+    * anything. From HERE on, any feature an old reader would
+    * MISINTERPRET must bump the written format, and this reader
+    * refuses formats above what it knows instead of silently
+    * mis-reading them.) */
+  val MaxReaderFormat = 2
+
   def parse(p: Path): TableManifest = {
     parses.incrementAndGet()
     val lines = Files.readString(p).split('\n').toSeq.filter(_.nonEmpty)
     require(lines.headOption.exists(_.startsWith("graft-manifest ")),
       s"not a graft manifest: $p")
+    val fmt = lines.head.drop("graft-manifest ".length).trim
+    require(scala.util.Try(fmt.toInt).toOption.exists(_ <= MaxReaderFormat),
+      s"manifest $p uses format '$fmt', newer than this reader " +
+        s"(max $MaxReaderFormat): upgrade the engine before reading — " +
+        "a silent partial read could return wrong data")
     var version = -1L
     var partitionBy = Seq.empty[String]
     var base: Option[Long] = None

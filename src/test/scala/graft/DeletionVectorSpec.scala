@@ -173,6 +173,59 @@ class DeletionVectorSpec extends SparkSpec {
     assert(rows.contains((1L, "delete")), s"got $rows")
   }
 
+  test("a point UPDATE via vectors commits O(delta): old rows vectored, images appended") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t",
+      (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    val before = cat.manifestFiles("t", 1).toSet
+    val (v, n) = cat.updateVectors("t", col("id") === 42L, Map("m" -> lit(-42.0)))
+    assert(v === 2L && n === 1L)
+    val after = cat.manifestFiles("t", 2).toSet
+    assert(before.subsetOf(after), "every original file re-referenced")
+    assert((after -- before).size === 1, "exactly the updated image staged")
+    assert(cat.read("t").count() === 100, "no duplicate: the old row is vectored out")
+    assert(cat.read("t").filter(col("id") === 42L).select("m")
+      .as[Double].head() === -42.0)
+    assert(cat.readVersion("t", 1).filter(col("id") === 42L).select("m")
+      .as[Double].head() === 42.0, "time travel keeps the preimage")
+    // the change feed replays it as an update pair
+    val feed = cat.tableChanges("t", 1, 2, Seq("id"))
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .select("m").as[Double].head() === 42.0)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select("m").as[Double].head() === -42.0)
+    assert(feed.count() === 2, "untouched rows of the same file stay out of the feed")
+    // a second vector update composes (accumulating vectors + images)
+    val (_, n2) = cat.updateVectors("t", col("id") === 42L, Map("m" -> lit(7.0)))
+    assert(n2 === 1L)
+    assert(cat.read("t").filter(col("id") === 42L).select("m")
+      .as[Double].head() === 7.0)
+    assert(cat.read("t").count() === 100)
+    // nothing-matched updates commit nothing
+    assert(cat.updateVectors("t", col("id") === 9999L, Map("m" -> lit(0.0)))
+      === ((3L, 0L)))
+  }
+
+  test("a partition-moving vector UPDATE lands the image in its new slice") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    val (_, n) = cat.updateVectors("t", col("id") === 1L, Map("p" -> lit("b")))
+    assert(n === 1L)
+    assert(cat.read("t").filter(col("p") === "b").select("id")
+      .as[Long].collect().sorted === Array(1L, 2L))
+    assert(cat.read("t").filter(col("p") === "a").count() === 0,
+      "the old-slice row is vectored out")
+    assert(cat.read("t").count() === 2)
+    // constraints still guard the staged images
+    cat.addConstraint("t", "m_pos", "m > 0")
+    intercept[Exception](
+      cat.updateVectors("t", col("id") === 2L, Map("m" -> lit(-5.0))))
+    assert(cat.read("t").filter(col("id") === 2L).select("m")
+      .as[Double].head() === 20.0, "a guarded update must change nothing")
+  }
+
   test("clone carries the vectors; either side then evolves independently") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "m"))
