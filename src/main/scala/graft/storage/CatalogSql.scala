@@ -82,6 +82,14 @@ object CatalogSql {
   private val alterTypeRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+" +
       "(\\w+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)\\s*;?\\s*$").r
+  private val setPropsRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+SET\\s+TBLPROPERTIES\\s*" +
+      "\\((.+?)\\)\\s*;?\\s*$").r
+  private val unsetPropsRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+UNSET\\s+TBLPROPERTIES\\s*" +
+      "\\((.+?)\\)\\s*;?\\s*$").r
+  private val propPairRe =
+    "^\\s*'([^']+)'\\s*=\\s*'([^']*)'\\s*$".r
   private val addColRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+([\\w.]+)\\s+ADD\\s+COLUMNS?\\s+(.+?)\\s*;?\\s*$".r
   private val dropColRe =
@@ -239,6 +247,29 @@ object CatalogSql {
         org.apache.spark.sql.types.DataType.fromDDL(typ.trim))
       import spark.implicits._
       Seq((t, c, typ.trim, v)).toDF("table_name", "column_name", "new_type", "new_version")
+    case setPropsRe(t0, pairs) =>
+      // `ALTER TABLE t SET TBLPROPERTIES ('k'='v' [, ...])` — Delta's
+      // surface; 'graft.deletionVectors'='true' routes row-level
+      // DELETE/UPDATE merge-on-read through the vector tier
+      val t = resolveTable(cat, t0)
+      val kvs = graft.operators.SqlMerge.splitTopLevel(pairs, ",").map { p =>
+        propPairRe.findFirstMatchIn(p.trim).map(m => m.group(1) -> m.group(2))
+          .getOrElse(throw new IllegalArgumentException(
+            s"TBLPROPERTIES entries are 'key'='value' pairs, got: ${p.trim}"))
+      }
+      require(kvs.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+      val v = kvs.map { case (k, value) => cat.setTableProperty(t, k, value) }.last
+      import spark.implicits._
+      kvs.map { case (k, value) => (t, k, value, v) }
+        .toDF("table_name", "key", "value", "new_version")
+    case unsetPropsRe(t0, keys) =>
+      val t = resolveTable(cat, t0)
+      val ks = keys.split(',').map(_.trim.stripPrefix("'").stripSuffix("'"))
+        .filter(_.nonEmpty).toSeq
+      require(ks.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+      val v = ks.map(k => cat.unsetTableProperty(t, k)).last
+      import spark.implicits._
+      ks.map(k => (t, k, v)).toDF("table_name", "key", "new_version")
     case addColRe(t0, spec0) =>
       // `ALTER TABLE t ADD COLUMN[S] [(]name type[, name type ...][)]`
       // → one metadata-only [[ParquetCatalog.addColumn]] commit per

@@ -1727,8 +1727,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
       require(resolved.size == assignments.size,
         "UPDATE assigns the same column twice (names differ only in case)")
+      // assignments CAST to the target column's type (ANSI
+      // store-assignment, Delta's UPDATE semantics): the image file
+      // must keep the table's physical encodings — a literal that
+      // parses as DECIMAL landing in a DOUBLE column would otherwise
+      // stage a heterogeneous type the by-name reader misdecodes
       val images = matched.select(dataCols.map(c =>
-        resolved.get(c).fold(col(c))(v => v.as(c))): _*)
+        resolved.get(c).fold(col(c))(v =>
+          v.cast(matched.schema(c).dataType).as(c))): _*)
       val rels = stage(name, images, m.partitionBy, next)
       // the vectored-out OLD positions (matched rows are live by
       // construction, so each touched file's set strictly grows)
@@ -1786,6 +1792,54 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def updateVectorsWithRetry(name: String, condition: Column,
       assignments: Map[String, Column], maxAttempts: Int = 3): (Long, Long) =
     withRetry(maxAttempts)(updateVectors(name, condition, assignments))
+
+  // ---- table properties ----------------------------------------------
+  //
+  // Delta's TBLPROPERTIES: free-form key→value pairs carried
+  // commit-over-commit. The one the engine interprets is
+  // [[ParquetCatalog.DeletionVectorsProp]] = "true": row-level
+  // DELETE/UPDATE — every door (Scala verb, `cat.sql` text, the
+  // registered catalog's SupportsDelete) — routes merge-on-read
+  // through the deletion-vector tier instead of rewriting partitions.
+
+  private val PropPrefix = "prop."
+
+  private def propKey(key: String): String =
+    PropPrefix + java.net.URLEncoder.encode(key, "UTF-8")
+
+  /** Set (or overwrite) a table property — one metadata commit. */
+  def setTableProperty(name: String, key: String, value: String): Long = {
+    require(key.nonEmpty && !value.contains('\n'),
+      "property needs a key and a line-safe value")
+    migrateIfPlain(name)
+    val m = currentManifest(name)
+    val meta = Map("op" -> "setProperty", "bytesAdded" -> "0") ++
+      carriedMeta(m) ++ propagatedSchema(m) + (propKey(key) -> value)
+    commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
+    m.version + 1
+  }
+
+  /** Remove a table property — one metadata commit (absent key no-ops
+    * loudly, like Delta's UNSET IF EXISTS without the IF). */
+  def unsetTableProperty(name: String, key: String): Long = {
+    val m = currentManifest(name)
+    require(m.meta.contains(propKey(key)), s"no property '$key' on $name")
+    val meta = Map("op" -> "unsetProperty", "bytesAdded" -> "0") ++
+      (carriedMeta(m) - propKey(key)) ++ propagatedSchema(m)
+    commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
+    m.version + 1
+  }
+
+  /** The table's properties (empty for unversioned tables). */
+  def tableProperties(name: String): Map[String, String] =
+    if (!isVersioned(name)) Map.empty
+    else currentManifest(name).meta.collect {
+      case (k, v) if k.startsWith(PropPrefix) =>
+        java.net.URLDecoder.decode(k.drop(PropPrefix.length), "UTF-8") -> v
+    }
+
+  private def dvEnabled(m: TableManifest): Boolean =
+    m.meta.get(propKey(ParquetCatalog.DeletionVectorsProp)).contains("true")
 
   // ---- logical conflict detection (disjoint-writer fast-forward) -----
   //
@@ -2089,7 +2143,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     m.meta.filter { case (k, _) =>
       k.startsWith(TxnPrefix) || k.startsWith(ConstraintPrefix) ||
         k.startsWith(ColIdPrefix) || k.startsWith(DroppedPrefix) ||
-        k.startsWith(DvPrefix) || k == "colmap" || k == "colidmax"
+        k.startsWith(DvPrefix) || k.startsWith(PropPrefix) ||
+        k == "colmap" || k == "colidmax"
     }
 
   /** Sink ids are URL-encoded into the meta key — they are paths
@@ -2786,6 +2841,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     migrateIfPlain(name)
     require(isVersioned(name), s"no table $name")
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
+    // the deletion-vectors property routes every DELETE door (Scala,
+    // cat.sql text, the registered catalog) merge-on-read
+    if (dvEnabled(m)) return deleteVectors(name, condition, fromVersion)
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
     requireManifestLayout(name, partitionBy, m)
     val t = readVersion(name, m.version)
@@ -2859,6 +2917,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     migrateIfPlain(name)
     require(isVersioned(name), s"no table $name")
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
+    // the deletion-vectors property routes every UPDATE door merge-on-read
+    if (dvEnabled(m)) return updateVectors(name, condition, assignments, fromVersion)
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
     requireManifestLayout(name, partitionBy, m)
     val t = readVersion(name, m.version)
@@ -3951,6 +4011,10 @@ object ParquetCatalog {
     * that crashed-writer debris doesn't linger across a daily
     * retention job. */
   val DefaultVacuumMinAgeMs: Long = 20L * 60 * 1000
+
+  /** Table property routing row-level DELETE/UPDATE merge-on-read
+    * through deletion vectors (Delta's `enableDeletionVectors`). */
+  val DeletionVectorsProp: String = "graft.deletionVectors"
 
   /** Every Nth append commits a self-contained manifest instead of a
     * delta: bounds any reader's resolution chain to N-1 hops while

@@ -226,6 +226,54 @@ class DeletionVectorSpec extends SparkSpec {
       .as[Double].head() === 20.0, "a guarded update must change nothing")
   }
 
+  test("the deletionVectors property routes every DELETE/UPDATE door merge-on-read") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t",
+      (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    cat.sql("ALTER TABLE t SET TBLPROPERTIES ('graft.deletionVectors'='true')")
+    assert(cat.tableProperties("t") === Map("graft.deletionVectors" -> "true"))
+    val before = cat.manifestFiles("t", 2).toSet
+    // SQL DELETE text: zero data files rewritten
+    cat.sql("DELETE FROM t WHERE id = 5")
+    assert(cat.manifestFiles("t", 3).toSet === before,
+      "a property-routed DELETE must be merge-on-read")
+    assert(cat.read("t").count() === 49)
+    // SQL UPDATE text: originals kept, one image appended
+    cat.sql("UPDATE t SET m = -6.0 WHERE id = 6")
+    val after = cat.manifestFiles("t", 4).toSet
+    assert(before.subsetOf(after) && (after -- before).size === 1,
+      "a property-routed UPDATE must append one image, rewrite nothing")
+    assert(cat.read("t").filter(col("id") === 6L).select("m")
+      .as[Double].head() === -6.0)
+    // the Scala verbs route too
+    val (_, n) = cat.deleteVersioned("t", col("id") === 7L)
+    assert(n === 1L)
+    assert(cat.manifestFiles("t", 5).toSet === after, "verb DELETE routed")
+    // UNSET restores the rewrite path (the touched partition restages)
+    cat.sql("ALTER TABLE t UNSET TBLPROPERTIES ('graft.deletionVectors')")
+    assert(cat.tableProperties("t") === Map.empty)
+    cat.sql("DELETE FROM t WHERE id = 8")
+    assert(cat.read("t").count() === 47)
+    assert(!after.subsetOf(cat.manifestFiles("t", 7).toSet),
+      "after UNSET the delete rewrites its touched partition")
+  }
+
+  test("the vector read filter is a broadcast anti-join over the pruned scan") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.deleteVectors("t", col("id") === 3L)
+    val plan = cat.read("t").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join, got:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"small vectors must broadcast, got:\n$plan")
+    // a table WITHOUT vectors keeps its plain scan plan (no join at all)
+    val (cat2, _) = fresh()
+    cat2.overwriteVersioned("t", (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    val plain = cat2.read("t").queryExecution.executedPlan.toString
+    assert(!plain.contains("Join"), s"vector-free reads must not pay a join:\n$plain")
+  }
+
   test("clone carries the vectors; either side then evolves independently") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "m"))
