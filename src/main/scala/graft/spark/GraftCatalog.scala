@@ -142,6 +142,10 @@ class GraftCatalog extends TableCatalog {
         require(ut.fieldNames.length == 1,
           "nested ALTER COLUMN TYPE is not supported")
         cat.alterColumnType(ident.name, ut.fieldNames.head, ut.newDataType)
+      case sp: TableChange.SetProperty =>
+        cat.setTableProperty(ident.name, sp.property, sp.value)
+      case rp: TableChange.RemoveProperty =>
+        cat.unsetTableProperty(ident.name, rp.property)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }
@@ -231,6 +235,15 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
       classOf[ParquetFileFormat])
   }
 
+  /** The read version's deletion-vector sidecars — nonempty routes the
+    * scan through [[GraftDvScanBuilder]] (the stock file scan would
+    * resurrect vectored-out rows). */
+  private lazy val dvSidecars: Seq[String] =
+    if (cat.isVersioned(tableName))
+      cat.dvSidecarsAbs(tableName,
+        version.getOrElse(cat.currentVersion(tableName)))
+    else Nil
+
   override def name(): String = version.fold(qualifiedName)(v =>
     s"$qualifiedName@v$v")
 
@@ -259,8 +272,11 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
     caps
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = delegate.newScanBuilder(options)
+    if (dvSidecars.isEmpty) inner
+    else new GraftDvScanBuilder(inner, dvSidecars)
+  }
 
   /** `DELETE FROM <cat>.t WHERE ...` / `TRUNCATE TABLE <cat>.t` as ONE
     * versioned `delete` commit — history retained, partition-scoped

@@ -1533,6 +1533,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         tagged("__graft_dv_pos") === dv("__dv_pos"), "left_anti")
   }
 
+  /** The ABSOLUTE sidecar paths version `v` references — what the
+    * registered catalog's scan path ([[graft.spark.GraftTable]]) feeds
+    * its row-index-filtering file format; empty = vector-free. */
+  private[graft] def dvSidecarsAbs(name: String, version: Long): Seq[String] = {
+    val m = manifest(name, version)
+    dvEntries(m).values.toSeq.distinct
+      .map(r => versionsDir(name).resolve(r).toString)
+  }
+
   /** The deletion-vector read filter every versioned read path applies:
     * a no-op plan (and zero extra IO) when none of the files being
     * read carry vectors. `rels` scopes the sidecar reads to the files

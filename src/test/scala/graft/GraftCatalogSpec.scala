@@ -261,6 +261,38 @@ class GraftCatalogSpec extends SparkSpec {
       "CREATE on a hostile name wrote outside root")
   }
 
+  test("deletion vectors hold through plain spark.sql reads, AS OF, and TBLPROPERTIES") {
+    val (cat, _, c) = freshCatalog("dv")
+    cat.overwriteVersioned("t",
+      (1L to 60L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    cat.deleteVectors("t", col("id") % 10 === 3)
+    // the registered catalog's DIRECT file scan must not resurrect the
+    // vectored rows (the engine read path already can't)
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").as[Long].head() === 54L)
+    assert(spark.sql(s"SELECT count(*) FROM $c.t WHERE id = 13").as[Long].head() === 0L)
+    assert(spark.sql(s"SELECT sum(id) FROM $c.t").as[Long].head() ===
+      (1L to 60L).filterNot(_ % 10 == 3).sum)
+    // filters still apply above the scan (pushdown is disabled for
+    // vectored scans so positions stay exact — correctness first)
+    assert(spark.sql(s"SELECT id FROM $c.t WHERE p = 'a' AND id < 5 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L, 4L))
+    // time travel reads each version under ITS OWN vectors
+    assert(spark.sql(s"SELECT count(*) FROM $c.t VERSION AS OF 1")
+      .as[Long].head() === 60L)
+    // SET TBLPROPERTIES through the registered catalog routes SQL
+    // DELETE/UPDATE merge-on-read
+    spark.sql(s"ALTER TABLE $c.t SET TBLPROPERTIES ('graft.deletionVectors'='true')")
+    assert(cat.tableProperties("t") === Map("graft.deletionVectors" -> "true"))
+    val before = cat.manifestFiles("t", cat.currentVersion("t")).toSet
+    spark.sql(s"DELETE FROM $c.t WHERE id = 14")
+    assert(cat.manifestFiles("t", cat.currentVersion("t")).toSet === before,
+      "a property-routed catalog DELETE must be merge-on-read")
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").as[Long].head() === 53L)
+    spark.sql(s"ALTER TABLE $c.t UNSET TBLPROPERTIES ('graft.deletionVectors')")
+    assert(cat.tableProperties("t") === Map.empty)
+  }
+
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {
     // HadoopFsRelation / plan-cache / exchange-reuse equality must not
     // conflate a graft relation (field-id read forced on) with a stock
