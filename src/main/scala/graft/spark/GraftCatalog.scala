@@ -119,6 +119,18 @@ class GraftCatalog extends TableCatalog {
     val empty = spark.createDataFrame(
       Collections.emptyList[org.apache.spark.sql.Row](), schema)
     cat.overwriteVersioned(ident.name, empty, pb)
+    // `CREATE TABLE ... TBLPROPERTIES (...)` must not silently drop
+    // the declared properties — 'graft.deletionVectors' is semantically
+    // load-bearing. Spark-managed entries (provider, location, owner,
+    // the option. namespace) are the planner's, not the table's.
+    import scala.jdk.CollectionConverters._
+    properties.asScala.foreach { case (k, v) =>
+      val reserved = Set("provider", "location", "owner", "comment",
+        "external", "is_managed_location")
+      if (!reserved.contains(k.toLowerCase(java.util.Locale.ROOT)) &&
+          !k.startsWith("option."))
+        cat.setTableProperty(ident.name, k, v)
+    }
     loadTable(ident)
   }
 
@@ -145,7 +157,7 @@ class GraftCatalog extends TableCatalog {
       case sp: TableChange.SetProperty =>
         cat.setTableProperty(ident.name, sp.property, sp.value)
       case rp: TableChange.RemoveProperty =>
-        cat.unsetTableProperty(ident.name, rp.property)
+        cat.unsetTableProperty(ident.name, rp.property, ifExists = true)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }
@@ -201,10 +213,20 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
 
   private def spark = SparkSession.active
 
+  /** The version EVERY lazy member reads — resolved once, so the file
+    * list and the deletion-vector sidecars can never come from two
+    * different commits (a vector commit racing query planning would
+    * otherwise anti-filter version N's files through version N+1's
+    * vectors and silently drop the updated rows). */
+  private lazy val resolvedVersion: Option[Long] =
+    if (cat.isVersioned(tableName))
+      Some(version.getOrElse(cat.currentVersion(tableName)))
+    else None
+
   private lazy val delegate: ParquetTable = {
     val (paths, opts, declared) =
       if (cat.isVersioned(tableName)) {
-        val v = version.getOrElse(cat.currentVersion(tableName))
+        val v = resolvedVersion.get
         val frame = cat.readVersion(tableName, v)
         val files = cat.manifestFiles(tableName, v).map(f =>
           java.nio.file.Paths.get(root, ".versions", tableName)
@@ -239,10 +261,8 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
     * scan through [[GraftDvScanBuilder]] (the stock file scan would
     * resurrect vectored-out rows). */
   private lazy val dvSidecars: Seq[String] =
-    if (cat.isVersioned(tableName))
-      cat.dvSidecarsAbs(tableName,
-        version.getOrElse(cat.currentVersion(tableName)))
-    else Nil
+    resolvedVersion.fold(Seq.empty[String])(v =>
+      cat.dvSidecarsAbs(tableName, v))
 
   override def name(): String = version.fold(qualifiedName)(v =>
     s"$qualifiedName@v$v")
@@ -275,7 +295,9 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val inner = delegate.newScanBuilder(options)
     if (dvSidecars.isEmpty) inner
-    else new GraftDvScanBuilder(inner, dvSidecars)
+    else new GraftDvScanBuilder(inner, dvSidecars,
+      resolvedVersion.fold(Seq.empty[String])(v =>
+        cat.manifest(tableName, v).partitionBy))
   }
 
   /** `DELETE FROM <cat>.t WHERE ...` / `TRUNCATE TABLE <cat>.t` as ONE

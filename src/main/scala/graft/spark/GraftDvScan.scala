@@ -27,13 +27,40 @@ import org.apache.spark.sql.types.StructType
   *   - the vectors load once per scan on the driver and ride a
   *     broadcast to the per-file reader wrappers.
   */
-class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
+    partitionCols: Seq[String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge {
 
   override def pruneColumns(requiredSchema: StructType): Unit = inner match {
     case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
     case _ => ()
   }
+
+  /** Forward ONLY the partition-pruning filters (file-granular, so
+    * in-file row positions are untouched); withhold data filters from
+    * the parquet reader (row-group/page skipping would break the
+    * positional count) and report EVERYTHING as post-scan, so Spark
+    * re-applies the full predicate above — identical results, and a
+    * vectored 1000-partition table still scans one partition for a
+    * partition-key query. */
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val pc = partitionCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val partitionOnly = filters.filter(f =>
+      f.deterministic && f.references.nonEmpty &&
+        f.references.forall(a => pc.contains(a.name.toLowerCase(java.util.Locale.ROOT))))
+    org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge
+      .push(inner, partitionOnly)
+    filters // everything re-applies above the scan
+  }
+
+  /** Nothing is reported as pushed: the planner must keep the full
+    * predicate (partition filters are re-applied too — free). */
+  override def pushedFilters():
+      Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
 
   override def build(): Scan = new GraftDvScan(inner.build(), sidecars)
 }
@@ -62,6 +89,17 @@ class GraftDvScan(inner: Scan, sidecars: Seq[String]) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
+    // the positions load onto the DRIVER once per scan — bounded, like
+    // the engine read path's broadcast cap: a table that accumulated
+    // more vector bytes than this needs compaction, not a driver OOM
+    val bytes = sidecars.map { p =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(p))
+      catch { case _: Exception => Long.MaxValue / 1024 }
+    }.sum
+    require(bytes <= GraftDvScan.MaxDriverVectorBytes,
+      s"this table's deletion vectors total $bytes bytes — too large to " +
+        "apply on the SQL scan path. Run OPTIMIZE (compaction " +
+        "materializes the deletes and sheds the vectors), then re-query.")
     val dv: Map[String, Array[Long]] =
       spark.read.parquet(sidecars: _*).select("file", "pos").collect()
         .groupBy(r => GraftDvScan.baseName(r.getString(0)))
@@ -74,6 +112,10 @@ class GraftDvScan(inner: Scan, sidecars: Seq[String]) extends Scan with Batch {
 object GraftDvScan {
   private[spark] def baseName(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
+
+  /** Same order as the engine path's broadcast cap
+    * (`ParquetCatalog.DvBroadcastBytes`). */
+  private[spark] val MaxDriverVectorBytes: Long = 64L << 20
 }
 
 class GraftDvReaderFactory(inner: PartitionReaderFactory,

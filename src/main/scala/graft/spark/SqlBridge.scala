@@ -34,3 +34,24 @@ object SqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Bridge trait exposing Spark's `private[sql]`
+  * [[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]]
+  * to [[graft.spark.GraftDvScanBuilder]]: the deletion-vector scan
+  * wrapper must receive catalyst filters so it can forward the
+  * PARTITION-pruning subset (file-granular, position-safe) while
+  * withholding data filters from the parquet reader. */
+trait CatalystFilterPushdownBridge
+  extends org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+
+/** Companion helper: forward catalyst filters into an inner builder
+  * whose pushdown trait is `private[sql]` and so cannot be NAMED from
+  * graft packages. */
+object CatalystFilterPushdownBridge {
+  def push(b: org.apache.spark.sql.connector.read.ScanBuilder,
+      filters: Seq[Expression]): Unit = b match {
+    case p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+      p.pushFilters(filters); ()
+    case _ => ()
+  }
+}

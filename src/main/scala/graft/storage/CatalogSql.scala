@@ -264,8 +264,9 @@ object CatalogSql {
         .toDF("table_name", "key", "value", "new_version")
     case unsetPropsRe(t0, keys) =>
       val t = resolveTable(cat, t0)
-      val ks = keys.split(',').map(_.trim.stripPrefix("'").stripSuffix("'"))
-        .filter(_.nonEmpty).toSeq
+      val ks = graft.operators.SqlMerge.splitTopLevel(keys, ",")
+        .map(_.trim.stripPrefix("'").stripSuffix("'"))
+        .filter(_.nonEmpty)
       require(ks.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
       val v = ks.map(k => cat.unsetTableProperty(t, k)).last
       import spark.implicits._

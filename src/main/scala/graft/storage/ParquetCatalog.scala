@@ -1828,10 +1828,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     m.version + 1
   }
 
-  /** Remove a table property — one metadata commit (absent key no-ops
-    * loudly, like Delta's UNSET IF EXISTS without the IF). */
-  def unsetTableProperty(name: String, key: String): Long = {
+  /** Remove a table property — one metadata commit. An absent key
+    * refuses loudly by default (a typo must not silently "succeed");
+    * `ifExists = true` is the tolerant no-op the registered catalog's
+    * `UNSET TBLPROPERTIES [IF EXISTS]` path needs (Spark lowers both
+    * spellings to the same RemoveProperty change and expects catalogs
+    * to tolerate missing keys). */
+  def unsetTableProperty(name: String, key: String,
+      ifExists: Boolean = false): Long = {
+    migrateIfPlain(name)
+    require(isVersioned(name), s"no table $name")
     val m = currentManifest(name)
+    if (ifExists && !m.meta.contains(propKey(key))) return m.version
     require(m.meta.contains(propKey(key)), s"no property '$key' on $name")
     val meta = Map("op" -> "unsetProperty", "bytesAdded" -> "0") ++
       (carriedMeta(m) - propKey(key)) ++ propagatedSchema(m)

@@ -99,7 +99,7 @@ object TableManifest {
     * MISINTERPRET must bump the written format, and this reader
     * refuses formats above what it knows instead of silently
     * mis-reading them.) */
-  val MaxReaderFormat = 2
+  val MaxReaderFormat = 1
 
   def parse(p: Path): TableManifest = {
     parses.incrementAndGet()

@@ -291,6 +291,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $c.t").as[Long].head() === 53L)
     spark.sql(s"ALTER TABLE $c.t UNSET TBLPROPERTIES ('graft.deletionVectors')")
     assert(cat.tableProperties("t") === Map.empty)
+    // UNSET IF EXISTS on an absent key is a no-op, not an error
+    spark.sql(s"ALTER TABLE $c.t UNSET TBLPROPERTIES IF EXISTS ('absent.key')")
+    // CREATE TABLE ... TBLPROPERTIES lands the declared properties
+    spark.sql(s"CREATE TABLE $c.t2 (id BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('graft.deletionVectors'='true')")
+    assert(cat.tableProperties("t2")
+      .get("graft.deletionVectors").contains("true"),
+      s"got ${cat.tableProperties("t2")}")
+  }
+
+  test("a vectored catalog scan still prunes partitions (files, not row groups)") {
+    val (cat, _, c) = freshCatalog("dvp")
+    cat.overwriteVersioned("t",
+      (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    cat.deleteVectors("t", col("id") === 2L)
+    // one whole file per input partition: the partition-pruned query
+    // must read ONLY partition a's file (pruning is file-granular, so
+    // it cannot perturb in-file row positions)
+    val filesA = cat.manifestFiles("t", 2).count(_.contains("p=a/"))
+    val filesAll = cat.manifestFiles("t", 2).size
+    assert(filesA < filesAll, "fixture must have files in both partitions")
+    val pruned = spark.sql(s"SELECT id FROM $c.t WHERE p = 'a'")
+    assert(pruned.rdd.getNumPartitions === filesA,
+      "partition filters must still prune the vectored scan to a's files")
+    assert(pruned.as[Long].collect().sorted ===
+      (1L to 40L).filter(i => i % 2 == 0 && i != 2L).toArray)
+    val full = spark.sql(s"SELECT id FROM $c.t")
+    assert(full.rdd.getNumPartitions === filesAll)
+    assert(full.count() === 39)
   }
 
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {
