@@ -274,6 +274,51 @@ class DeletionVectorSpec extends SparkSpec {
     assert(!plain.contains("Join"), s"vector-free reads must not pay a join:\n$plain")
   }
 
+  test("vector verbs lose CAS races cleanly: no stray sidecars, retry recovers") {
+    val (cat, root) = fresh()
+    cat.overwriteVersioned("t", (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.appendVersioned("t", Seq((31L, 31.0)).toDF("id", "m")) // v2
+    def sidecarsOnDisk(): Seq[String] = {
+      val s = Files.walk(java.nio.file.Paths.get(root, ".versions", "t", "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("dv-")).toList
+      } finally s.close()
+    }
+    // a vector DELETE computed against v1 loses the CAS to v2's append —
+    // it must clean its just-written sidecar and throw
+    intercept[graft.storage.ConcurrentWriteException](
+      cat.deleteVectors("t", col("id") === 3L, fromVersion = Some(1L)))
+    assert(sidecarsOnDisk().isEmpty, "a lost vector delete must clean its sidecar")
+    assert(cat.read("t").count() === 31)
+    // the retry wrapper re-reads and lands it
+    val (_, n) = cat.deleteVectorsWithRetry("t", col("id") === 3L)
+    assert(n === 1L && cat.read("t").count() === 30)
+    val live = sidecarsOnDisk()
+    assert(live.size === 1)
+    // same contract for the vector UPDATE (staged image cleaned too)
+    val filesBefore = cat.manifestFiles("t", cat.currentVersion("t")).toSet
+    intercept[graft.storage.ConcurrentWriteException](
+      cat.updateVectors("t", col("id") === 4L, Map("m" -> lit(-4.0)),
+        fromVersion = Some(1L)))
+    assert(sidecarsOnDisk().toSet === live.toSet,
+      "a lost vector update must clean its sidecar")
+    val (_, n2) = cat.updateVectorsWithRetry("t", col("id") === 4L,
+      Map("m" -> lit(-4.0)))
+    assert(n2 === 1L)
+    assert(cat.read("t").filter(col("id") === 4L).select("m")
+      .as[Double].head() === -4.0)
+    // the lost update's staged image never entered any manifest: every
+    // new file carries the RETRY's version prefix (Spark may also emit
+    // an empty part-00000 alongside the image — harmless, 0 rows)
+    val vNow = cat.currentVersion("t")
+    val filesAfter = cat.manifestFiles("t", vNow).toSet
+    val newFiles = filesAfter -- filesBefore
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains(s"v$vNow-")),
+      s"only the retry's stage may join the manifest, got $newFiles")
+  }
+
   test("clone carries the vectors; either side then evolves independently") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "m"))
