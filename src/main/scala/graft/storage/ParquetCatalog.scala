@@ -1898,11 +1898,28 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * re-commit on top of the winner VERBATIM — neither writer
     * re-stages. Returns the committed version; None = not provably
     * disjoint (the staged files are cleaned and the caller re-runs the
-    * full optimistic retry). */
+    * full optimistic retry).
+    *
+    * `mergeReadGuard` (keys, distinct source-key frame): a keyed MERGE's
+    * correctness depends on its READ set — every row matching a source
+    * key, wherever it lives — not just its write footprint. Partition
+    * disjointness alone admits a non-serializable interleaving: two
+    * merges each inserting the SAME new key into different partitions
+    * both land, duplicating the key (no serial order produces that —
+    * the second merge would have MATCHED the first's row). Delta raises
+    * ConcurrentAppendException here. So a merge loser additionally
+    * scans ONLY the files the interleaved window ADDED for its key
+    * domain; any hit refuses the fast-forward (conservative — the full
+    * optimistic retry re-reads and re-merges). Rows the window REMOVED
+    * are safe to slide past: a removed row in a disjoint partition was
+    * never matched by us (a match would have made its partition part
+    * of our footprint), so winner-then-loser serial order reproduces
+    * the fast-forwarded state exactly. */
   private def fastForwardScoped(name: String, base: TableManifest,
       pb: Seq[String], op: String, touchedRel: Set[String],
       rels: Seq[String], extraMeta: Map[String, String],
-      addedInto: Set[String] = Set.empty): Option[Long] = {
+      addedInto: Set[String] = Set.empty,
+      mergeReadGuard: Option[(Seq[String], DataFrame)] = None): Option[Long] = {
     // the full FOOTPRINT (rewritten ∪ added-into partitions) is what
     // disjointness and the declared set must cover — a partition-moving
     // UPDATE adds files into partitions it never rewrote, and an
@@ -1931,6 +1948,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
             ffGuardMeta(mv) == guard
         } catch { case _: IllegalArgumentException => false } // vacuumed window
       if (!clean) return giveUp()
+      val readClear = mergeReadGuard.forall { case (keys, srcKeys) =>
+        val added = (w.files.toSet -- base.files.toSet).toSeq.sorted
+        added.isEmpty || {
+          val probe = readFileSubset(name, w, added, None)
+          val cond = keys.map(k => probe(k) <=> srcKeys(k)).reduce(_ && _)
+          probe.join(broadcast(srcKeys), cond, "left_semi").isEmpty
+        }
+      }
+      if (!readClear) return giveUp()
       val next = w.version + 1
       stagedIds.foreach(ids =>
         pendingColIds.set(pendingColIds.get + ((name, next) -> ids)))
@@ -2785,9 +2811,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         catch {
           case e: ConcurrentWriteException =>
             // disjoint-writer fast-forward: our staged files land on top
-            // of the winner without a re-read (refreshIndex runs inside)
+            // of the winner without a re-read (refreshIndex runs inside).
+            // When the merge keys contain every partition column, a
+            // source row's match can only live in its own partition —
+            // write-disjointness implies read-disjointness and no scan
+            // is needed; otherwise the guard scans the interleaved
+            // window's ADDED files for our key domain (see
+            // [[fastForwardScoped]]).
+            val guard =
+              if (pb.forall(p => keys.exists(_.equalsIgnoreCase(p)))) None
+              else Some((keys, source.select(keys.map(col): _*).distinct()))
             return fastForwardScoped(name, m, pb, "merge", touchedRel, rels,
-              tokenMeta(batchToken)).getOrElse(throw e)
+              tokenMeta(batchToken), mergeReadGuard = guard).getOrElse(throw e)
         }
     }
     refreshIndex(name)

@@ -102,6 +102,64 @@ class ConflictSpec extends SparkSpec {
       "the moved row and the retried merge must both survive")
   }
 
+  test("same-key merges into disjoint partitions refuse the fast-forward") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    // writer B wins v2: merges the NEW key 5 into partition b
+    cat.upsertVersioned("t", Seq((5L, "b", 50.0)).toDF("id", "p", "m"),
+      Seq("id"))
+    // writer A, computed against v1, merges the SAME key 5 landing in
+    // partition a — write-disjoint but READ-overlapping: a serial
+    // loser-second run would have MATCHED the winner's row and updated
+    // it, so landing both would duplicate the key (no serial order
+    // produces that state). The read-set guard must refuse.
+    intercept[graft.storage.ConcurrentWriteException](
+      cat.upsertVersioned("t", Seq((5L, "a", -5.0)).toDF("id", "p", "m"),
+        Seq("id"), fromVersion = Some(1L)))
+    assert(cat.read("t").filter(col("id") === 5L).count() === 1L,
+      "the refused merge must change nothing")
+    // the retry wrapper re-reads v2: key 5 now MATCHES and is updated
+    // (moving to partition a), never duplicated
+    cat.upsertVersionedWithRetry("t", Seq((5L, "a", -5.0)).toDF("id", "p", "m"),
+      Seq("id"), fromVersion = Some(1L))
+    val rows = cat.read("t").filter(col("id") === 5L)
+      .select("p", "m").as[(String, Double)].collect().toSeq
+    assert(rows === Seq(("a", -5.0)), s"exactly one row for key 5, got $rows")
+  }
+
+  test("merges whose keys contain the partition columns still fast-forward") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    // writer B wins v2 in partition b; keys (id, p) COVER the layout,
+    // so a source row's match can only live in its own partition —
+    // write-disjointness implies read-disjointness, no scan needed
+    cat.upsertVersioned("t", Seq((5L, "b", 50.0)).toDF("id", "p", "m"),
+      Seq("id", "p"))
+    val v = cat.upsertVersioned("t", Seq((6L, "a", 60.0)).toDF("id", "p", "m"),
+      Seq("id", "p"), fromVersion = Some(1L))
+    assert(v === 3L, "key-covering disjoint merges must fast-forward")
+    assert(cat.read("t").count() === 4)
+  }
+
+  test("disjoint merges with DIFFERENT keys still fast-forward under the read guard") {
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    // writer B wins v2: inserts key 7 into partition b
+    cat.upsertVersioned("t", Seq((7L, "b", 70.0)).toDF("id", "p", "m"),
+      Seq("id"))
+    // writer A's key domain {1} never appears in the window's added
+    // files — the content scan comes back clear and the fast-forward
+    // lands (keys do NOT cover the layout, so this exercises the scan)
+    val v = cat.upsertVersioned("t", Seq((1L, "a", -1.0)).toDF("id", "p", "m"),
+      Seq("id"), fromVersion = Some(1L))
+    assert(v === 3L, "a read-clear disjoint merge must fast-forward")
+    assert(cat.read("t").orderBy("id").select("m").as[Double].collect().toSeq ===
+      Seq(-1.0, 20.0, 70.0))
+  }
+
   test("row-level UPDATE and DELETE fast-forward past disjoint appends") {
     val cat = fresh()
     cat.overwriteVersioned("t",
