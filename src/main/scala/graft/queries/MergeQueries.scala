@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29, k30, k31, k32, k33, k34, k35, k36, k37, k38)
+    k29, k30, k31, k32, k33, k34, k35, k36, k37, k38, k39)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1811,6 +1811,78 @@ object MergeQueries {
              CAST(0 AS BIGINT) AS originals_dropped,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
               WHERE o_orderkey % 100 = 7) AS feed_updates
+      FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Merge-on-read MERGE via deletion vectors (k39, Delta's dv-enabled
+    * MERGE): v1 = full orders slice partitioned by status, v2 = the
+    * `graft.deletionVectors` property, v3 = ONE keyed MERGE whose
+    * matched rows (key % 100 = 21, price doubled) are vectored + their
+    * images appended and whose unmatched rows (negated keys of
+    * key % 100 = 77) append — `merge_rewrote` live-pins that ZERO
+    * pre-merge data files left the manifest (the O(delta)-write claim:
+    * a point upsert into a 100 TB table commits source-sized bytes,
+    * not partition-sized), and the change feed replays the merge as
+    * update pairs + inserts across the vectored files. The oracle
+    * recomputes the final state relationally. */
+  private lazy val k39 = Q(
+    "k39_merge_vectors",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_mvq_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_mv", o, Seq("o_orderstatus"))
+        cat.setTableProperty("orders_mv", "graft.deletionVectors", "true")
+        val updates = o.filter(col("o_orderkey") % 100 === 21)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderstatus"))
+        val inserts = o.filter(col("o_orderkey") % 100 === 77)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            (col("o_totalprice") + 1).as("o_totalprice"), col("o_orderstatus"))
+        cat.upsertVersioned("orders_mv", updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        Files.writeString(marker, "ok")
+      }
+      val v2 = cat.manifestFiles("orders_mv", 2).toSet
+      val v3 = cat.manifestFiles("orders_mv", 3).toSet
+      val mergeRewrote = v2.count(!v3.contains(_))
+      val feed = cat.tableChanges("orders_mv", 2, 3, Seq("o_orderkey"))
+      val feedUpdates =
+        feed.filter(col("_change_type") === "update_postimage").count()
+      val feedInserts = feed.filter(col("_change_type") === "insert").count()
+      cat.read("orders_mv")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_orderkey")).as("min_key"))
+        .withColumn("merge_rewrote", lit(mergeRewrote.toLong))
+        .withColumn("feed_updates", lit(feedUpdates))
+        .withColumn("feed_inserts", lit(feedInserts))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 100 = 21 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT -o_orderkey, o_totalprice + 1, o_orderstatus
+        FROM orders WHERE o_orderkey % 100 = 77)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             MAX(o_orderkey) AS max_key, MIN(o_orderkey) AS min_key,
+             CAST(0 AS BIGINT) AS merge_rewrote,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 100 = 21) AS feed_updates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 100 = 77) AS feed_inserts
       FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped

@@ -1553,6 +1553,61 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     else dvAnti(name, m, dvTag(df), rels).drop("__graft_dv_file", "__graft_dv_pos")
   }
 
+  /** Vectors key on basenames: a colliding file set (pre-unique-naming
+    * stages, partitioned plain-dir absorption) could delete the WRONG
+    * file's rows — refuse with the restage remedy. */
+  private def requireUniqueBasenames(name: String, m: TableManifest,
+      alternative: String): Unit = {
+    val collisions = m.files.groupBy(f => Paths.get(f).getFileName.toString)
+      .collect { case (b, fs) if fs.size > 1 => b }
+    require(collisions.isEmpty,
+      s"deletion vectors need unique data-file basenames in $name; " +
+        s"${collisions.size} collide (e.g. ${collisions.take(2).mkString(", ")}" +
+        ") — files predate unique staging names. Run compact(...) / " +
+        s"OPTIMIZE first, or use $alternative (the rewrite path).")
+  }
+
+  /** Write ONE combined sidecar for version `next`: each touched file's
+    * complete new position set = its prior positions ∪ `newPos`
+    * (`fileb`, `pos` — basename-keyed; the union is disjoint because
+    * new positions only ever come from dv-filtered reads, so a file's
+    * set strictly grows). Returns the manifest-relative sidecar path;
+    * the CALLER commits the pointer flips and deletes the sidecar on a
+    * lost CAS. */
+  private def writeDvSidecar(name: String, m: TableManifest, next: Long,
+      newPos: DataFrame, touchedRels: Seq[String]): String = {
+    val relMap = spark.createDataFrame(
+      touchedRels.map(r => (Paths.get(r).getFileName.toString, r)))
+      .toDF("fileb", "file")
+    val newRelPos = newPos.join(broadcast(relMap), "fileb").select("file", "pos")
+    val priorSidecars = dvEntries(m).view.filterKeys(touchedRels.contains)
+      .values.toSeq.distinct.map(r => versionsDir(name).resolve(r).toString)
+    val combined =
+      if (priorSidecars.isEmpty) newRelPos
+      else spark.read.parquet(priorSidecars: _*)
+        .where(col("file").isin(touchedRels: _*)).select("file", "pos")
+        .unionByName(newRelPos)
+    // ONE sidecar file per commit: deletes are row-scoped, so the
+    // position set is small relative to the data (a partition-sized
+    // delete belongs on the rewrite path)
+    val nn = nonce()
+    val stageDir = versionsDir(name).resolve(s".stage-dv-$nn")
+    combined.repartition(1).write.mode(SaveMode.Overwrite)
+      .option("compression", codec).parquet(stageDir.toString)
+    val part = {
+      val s = Files.walk(stageDir)
+      try s.iterator().asScala.filter(p =>
+        p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toList.head
+      finally s.close()
+    }
+    val sidecarRel = s"data/dv-v$next-$nn.parquet"
+    Files.createDirectories(versionsDir(name).resolve(sidecarRel).getParent)
+    Files.move(part, versionsDir(name).resolve(sidecarRel),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(stageDir)
+    sidecarRel
+  }
+
   /** Merge-on-read row-level DELETE (Delta deletion-vector parity):
     * rows matching `condition` are recorded as (file, row-position)
     * pairs in ONE new parquet sidecar and the commit flips one pointer
@@ -1573,16 +1628,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     require(isVersioned(name), s"no table $name")
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
     if (m.files.isEmpty) return (m.version, 0L)
-    // vectors key on basenames: a colliding file set (pre-unique-naming
-    // stages, partitioned plain-dir absorption) could delete the WRONG
-    // file's rows — refuse with the restage remedy
-    val collisions = m.files.groupBy(f => Paths.get(f).getFileName.toString)
-      .collect { case (b, fs) if fs.size > 1 => b }
-    require(collisions.isEmpty,
-      s"deletion vectors need unique data-file basenames in $name; " +
-        s"${collisions.size} collide (e.g. ${collisions.take(2).mkString(", ")}" +
-        ") — files predate unique staging names. Run compact(...) / " +
-        "OPTIMIZE first, or use deleteVersioned (the rewrite path).")
+    requireUniqueBasenames(name, m, "deleteVersioned")
     val hit = coalesce(condition, lit(false))
     val next = m.version + 1
     // candidate files via the same index/bloom probe the rewrite verbs
@@ -1620,38 +1666,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val touchedRels = touchedBases.map(b => baseToRel.getOrElse(b,
         throw new IllegalStateException(
           s"probe surfaced file '$b' absent from $name v${m.version}")))
-      // each touched file's NEW complete set = prior positions ∪ new
-      // (new rows came from the dv-filtered read, so the union is
-      // disjoint and the set strictly grows)
-      val relMap = spark.createDataFrame(
-        touchedRels.map(r => (Paths.get(r).getFileName.toString, r)))
-        .toDF("fileb", "file")
-      val newRelPos = newPos.join(broadcast(relMap), "fileb").select("file", "pos")
-      val priorSidecars = dvEntries(m).view.filterKeys(touchedRels.contains)
-        .values.toSeq.distinct.map(r => versionsDir(name).resolve(r).toString)
-      val combined =
-        if (priorSidecars.isEmpty) newRelPos
-        else spark.read.parquet(priorSidecars: _*)
-          .where(col("file").isin(touchedRels: _*)).select("file", "pos")
-          .unionByName(newRelPos)
-      // ONE sidecar file per commit: deletes are row-scoped, so the
-      // position set is small relative to the data (a partition-sized
-      // delete belongs on the rewrite path)
-      val nn = nonce()
-      val stageDir = versionsDir(name).resolve(s".stage-$nn")
-      combined.repartition(1).write.mode(SaveMode.Overwrite)
-        .option("compression", codec).parquet(stageDir.toString)
-      val part = {
-        val s = Files.walk(stageDir)
-        try s.iterator().asScala.filter(p =>
-          p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toList.head
-        finally s.close()
-      }
-      val sidecarRel = s"data/dv-v$next-$nn.parquet"
-      Files.createDirectories(versionsDir(name).resolve(sidecarRel).getParent)
-      Files.move(part, versionsDir(name).resolve(sidecarRel),
-        StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(stageDir)
+      val sidecarRel = writeDvSidecar(name, m, next, newPos, touchedRels)
       val meta = Map("op" -> "delete",
         "bytesAdded" -> Files.size(versionsDir(name).resolve(sidecarRel)).toString) ++
         carriedMeta(m) ++ propagatedSchema(m) ++
@@ -1697,12 +1712,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     require(isVersioned(name), s"no table $name")
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
     if (m.files.isEmpty) return (m.version, 0L)
-    val collisions = m.files.groupBy(f => Paths.get(f).getFileName.toString)
-      .collect { case (b, fs) if fs.size > 1 => b }
-    require(collisions.isEmpty,
-      s"deletion vectors need unique data-file basenames in $name; " +
-        s"${collisions.size} collide — files predate unique staging " +
-        "names. Run compact(...) / OPTIMIZE first, or use updateWhere.")
+    requireUniqueBasenames(name, m, "updateWhere")
     val hit = coalesce(condition, lit(false))
     val next = m.version + 1
     val reader = catReader(recordedSchema(m))
@@ -1749,32 +1759,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // construction, so each touched file's set strictly grows)
       val newPos = matched
         .select(col("__graft_dv_file").as("fileb"), col("__graft_dv_pos").as("pos"))
-      val relMap = spark.createDataFrame(
-        touchedRels.map(r => (Paths.get(r).getFileName.toString, r)))
-        .toDF("fileb", "file")
-      val newRelPos = newPos.join(broadcast(relMap), "fileb").select("file", "pos")
-      val priorSidecars = dvEntries(m).view.filterKeys(touchedRels.contains)
-        .values.toSeq.distinct.map(r => versionsDir(name).resolve(r).toString)
-      val combined =
-        if (priorSidecars.isEmpty) newRelPos
-        else spark.read.parquet(priorSidecars: _*)
-          .where(col("file").isin(touchedRels: _*)).select("file", "pos")
-          .unionByName(newRelPos)
-      val nn = nonce()
-      val stageDir = versionsDir(name).resolve(s".stage-dv-$nn")
-      combined.repartition(1).write.mode(SaveMode.Overwrite)
-        .option("compression", codec).parquet(stageDir.toString)
-      val part = {
-        val s = Files.walk(stageDir)
-        try s.iterator().asScala.filter(p =>
-          p.toString.endsWith(".parquet") && Files.isRegularFile(p)).toList.head
-        finally s.close()
-      }
-      val sidecarRel = s"data/dv-v$next-$nn.parquet"
-      Files.createDirectories(versionsDir(name).resolve(sidecarRel).getParent)
-      Files.move(part, versionsDir(name).resolve(sidecarRel),
-        StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(stageDir)
+      val sidecarRel = writeDvSidecar(name, m, next, newPos, touchedRels)
       val meta = Map("op" -> "update") ++
         carriedMeta(m) ++ propagatedSchema(m) ++
         touchedMeta(touchedRels.map(TableManifest.partitionComponent).toSet ++
@@ -1801,6 +1786,141 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def updateVectorsWithRetry(name: String, condition: Column,
       assignments: Map[String, Column], maxAttempts: Int = 3): (Long, Long) =
     withRetry(maxAttempts)(updateVectors(name, condition, assignments))
+
+  /** Merge-on-read keyed MERGE (Delta's dv-enabled MERGE): matched
+    * target rows' OLD positions are vectored out and their RESOLVED
+    * images appended together with the unmatched source rows — a point
+    * upsert into a 100 TB table commits O(source rows) bytes where the
+    * rewrite path restages every touched partition. Match semantics
+    * are [[graft.operators.Upsert.merge]]'s: per-column resolution
+    * (default = source value, `smartCases` override); `insertOnly`
+    * keeps matched rows untouched — a pure append, no vectors at all.
+    * Every image column is CAST to the target column's type (ANSI
+    * store-assignment, as [[updateVectors]]): appended files must keep
+    * the table's physical encodings or the by-name reader misdecodes.
+    * The match probe is [[matchScanFrame]]-pruned (index/bloom on the
+    * source's key range), and the pruning cannot lose a match, so the
+    * unmatched-source anti-join against the pruned live rows equals
+    * the anti-join against the full table. Routed from
+    * [[upsertVersioned]] when `graft.deletionVectors = true`;
+    * schema-evolving merges stay on the rewrite path (carried files
+    * under a widened schema need the recorded-union machinery there).
+    * Returns the committed version — the current version unchanged
+    * when the merge is a complete no-op. */
+  private def upsertVectors(name: String, source: DataFrame,
+      keys: Seq[String],
+      smartCases: Map[String, (Column, Column) => Column],
+      insertOnly: Boolean, m: TableManifest,
+      batchToken: Option[String]): Long = {
+    requireUniqueBasenames(name, m, "the evolveSchema merge")
+    val next = m.version + 1
+    val reader = catReader(recordedSchema(m))
+    def load(paths: Seq[String]): DataFrame =
+      if (m.partitionBy.isEmpty) reader.load(paths: _*)
+      else reader.option("basePath", dataDir(name).toString).load(paths: _*)
+    val allAbs = m.files.map(f => versionsDir(name).resolve(f).toString)
+    val full = load(allAbs)
+    val tCols = full.columns.toSeq
+    require(keys.nonEmpty, "merge requires at least one key column")
+    require(keys.forall(tCols.contains) && keys.forall(source.columns.contains),
+      s"both sides must carry the key columns ${keys.mkString(",")}")
+    val dataCols = tCols.filterNot(keys.contains)
+    val dropped = dataCols.filterNot(source.columns.contains)
+    val added = source.columns.filterNot(tCols.contains).toSeq
+    require(dropped.isEmpty && added.isEmpty,
+      s"source must be schema-aligned with target " +
+        s"(missing: ${dropped.mkString(",")}; extra: ${added.mkString(",")}); " +
+        "pass evolveSchema = true for the schema-evolving rewrite path")
+    require(smartCases.keySet.subsetOf(dataCols.toSet),
+      s"smartCases must be keyed on non-key columns; not resolvable: " +
+        s"${(smartCases.keySet -- dataCols).mkString(",")}")
+    def imgType(c: String) = full.schema(c).dataType
+    // candidate files that can hold a match (conservative: files the
+    // index cannot exclude are kept), live rows only, tagged (file,pos)
+    val relOfBase = m.files.map(f => Paths.get(f).getFileName.toString -> f).toMap
+    val candRels = matchScanFrame(name, source, keys, full).inputFiles.toSeq
+      .flatMap(a => relOfBase.get(a.substring(a.lastIndexOf('/') + 1)))
+    val candAbs = candRels.map(r => versionsDir(name).resolve(r).toString)
+    val live =
+      if (candAbs.isEmpty) None
+      else Some(dvAnti(name, m, dvTag(load(candAbs)), Some(candRels)))
+    val inserts0 = live.fold(source) { lv =>
+      val lvKeys = lv.select(keys.map(col): _*)
+      source.join(lvKeys,
+        keys.map(k => source(k) <=> lvKeys(k)).reduce(_ && _), "left_anti")
+    }
+    val inserts = inserts0.select(tCols.map(c =>
+      col(c).cast(imgType(c)).as(c)): _*)
+    if (insertOnly || live.isEmpty) {
+      // WHEN NOT MATCHED INSERT only — matched rows keep the target row
+      val rels = stage(name, inserts, m.partitionBy, next)
+      if (rels.isEmpty) {
+        pendingColIds.set(pendingColIds.get - ((name, next)))
+        return m.version
+      }
+      val meta = Map("op" -> "merge") ++ carriedMeta(m) ++
+        propagatedSchema(m) ++ tokenMeta(batchToken) ++
+        touchedMeta(rels.map(TableManifest.partitionComponent).toSet)
+      try commitStaged(name,
+        TableManifest(next, m.partitionBy, meta, m.files ++ rels), rels)
+      catch {
+        case e: ConcurrentWriteException =>
+          rels.foreach(r => Files.deleteIfExists(versionsDir(name).resolve(r)))
+          pendingColIds.set(pendingColIds.get - ((name, next)))
+          throw e
+      }
+      refreshIndex(name)
+      return next
+    }
+    val lv = live.get
+    val matched = lv.alias("t").join(source.alias("s"),
+      keys.map(k => lv(k) <=> source(k)).reduce(_ && _), "inner").persist()
+    try {
+      val touchedBases = matched.select(col("__graft_dv_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val matchImages = matched.select(tCols.map(c =>
+        (if (keys.contains(c)) col(s"t.$c")
+         else smartCases.get(c).map(f => f(col(s"t.$c"), col(s"s.$c")))
+           .getOrElse(col(s"s.$c"))).cast(imgType(c)).as(c)): _*)
+      val images =
+        if (touchedBases.isEmpty) inserts else matchImages.unionByName(inserts)
+      val rels = stage(name, images, m.partitionBy, next)
+      if (touchedBases.isEmpty && rels.isEmpty) {
+        pendingColIds.set(pendingColIds.get - ((name, next)))
+        return m.version
+      }
+      val touchedRels = touchedBases.map(b => relOfBase.getOrElse(b,
+        throw new IllegalStateException(
+          s"match scan surfaced file '$b' absent from $name v${m.version}")))
+      val dvMeta =
+        if (touchedBases.isEmpty) Map.empty[String, String]
+        else {
+          val newPos = matched.select(col("__graft_dv_file").as("fileb"),
+            col("__graft_dv_pos").as("pos"))
+          val sidecarRel = writeDvSidecar(name, m, next, newPos, touchedRels)
+          touchedRels.map(r => dvKeyOf(r) -> sidecarRel).toMap
+        }
+      val meta = Map("op" -> "merge") ++ carriedMeta(m) ++
+        propagatedSchema(m) ++ tokenMeta(batchToken) ++
+        touchedMeta(touchedRels.map(TableManifest.partitionComponent).toSet ++
+          rels.map(TableManifest.partitionComponent)) ++ dvMeta
+      try commitStaged(name,
+        TableManifest(next, m.partitionBy, meta, m.files ++ rels), rels)
+      catch {
+        case e: ConcurrentWriteException =>
+          dvMeta.values.toSeq.distinct.foreach(r =>
+            Files.deleteIfExists(versionsDir(name).resolve(r)))
+          rels.foreach(r => Files.deleteIfExists(versionsDir(name).resolve(r)))
+          pendingColIds.set(pendingColIds.get - ((name, next)))
+          throw e
+      }
+      refreshIndex(name)
+      next
+    } finally {
+      matched.unpersist()
+      ()
+    }
+  }
 
   // ---- table properties ----------------------------------------------
   //
@@ -2756,6 +2876,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       if (batchAlreadyCommitted(cur, name, tok)) return cur.version
     }
     val m = fromVersion.map(manifest(name, _)).getOrElse(currentManifest(name))
+    // the deletion-vectors property routes the MERGE doors merge-on-read
+    // too (Delta's dv-enabled MERGE): matched rows vector + append
+    // instead of rewriting their partitions. Schema-evolving merges and
+    // empty tables stay on the rewrite path.
+    if (dvEnabled(m) && !evolveSchema && m.files.nonEmpty)
+      return upsertVectors(name, source, keys, smartCases, insertOnly, m,
+        batchToken)
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
     val target = readVersion(name, m.version)
     // an evolving merge whose drift is add/drop-only STAYS partition-

@@ -259,6 +259,73 @@ class DeletionVectorSpec extends SparkSpec {
       "after UNSET the delete rewrites its touched partition")
   }
 
+  test("a dv-enabled MERGE vectors matched rows and appends: zero data files rewritten") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t",
+      (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    cat.setTableProperty("t", "graft.deletionVectors", "true")
+    val before = cat.manifestFiles("t", 2).toSet
+    // two matched updates (one per partition) + one insert
+    val v = cat.upsertVersioned("t",
+      Seq((3L, "b", -3.0), (4L, "a", -4.0), (99L, "b", 99.0))
+        .toDF("id", "p", "m"), Seq("id"))
+    assert(v === 3L)
+    assert(before.subsetOf(cat.manifestFiles("t", 3).toSet),
+      "a dv MERGE must rewrite zero data files")
+    assert(cat.read("t").count() === 41)
+    assert(cat.read("t").filter(col("id").isin(3L, 4L, 99L)).orderBy("id")
+      .select("m").as[Double].collect().toSeq === Seq(-3.0, -4.0, 99.0))
+    assert(cat.read("t").filter(col("id") === 3L).count() === 1,
+      "the matched row's old image is vectored out, never duplicated")
+    // time travel still sees the pre-merge images
+    assert(cat.readVersion("t", 2).filter(col("id") === 3L).select("m")
+      .as[Double].head() === 3.0)
+    // the change feed replays the dv merge: update pairs + the insert
+    val feed = cat.tableChanges("t", 2, 3, Seq("id"))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSeq === Seq(99L))
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select("id").as[Long].collect().sorted === Array(3L, 4L))
+  }
+
+  test("dv MERGE semantics: smartCases, insertOnly, vectored keys re-merge correctly") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "x", 30.0)).toDF("id", "q", "m"))
+    cat.setTableProperty("t", "graft.deletionVectors", "true")
+    def mOf(id: Long): Double = cat.read("t").filter(col("id") === id)
+      .select("m").as[Double].head()
+    // smart-merge resolution holds on the dv path (additive rollup)
+    cat.upsertVersioned("t",
+      Seq((1L, "x", 5.0), (7L, "z", 70.0)).toDF("id", "q", "m"), Seq("id"),
+      smartCases = Map("m" -> graft.operators.Upsert.additive))
+    assert(mOf(1L) === 15.0 && mOf(7L) === 70.0)
+    // insertOnly: the matched row keeps the target image, no vectors —
+    // the commit is a pure append on top of the same files
+    val filesBefore = cat.manifestFiles("t", cat.currentVersion("t")).toSet
+    cat.upsertVersioned("t",
+      Seq((2L, "q2", -999.0), (8L, "w", 80.0)).toDF("id", "q", "m"),
+      Seq("id"), insertOnly = true)
+    assert(mOf(2L) === 20.0, "insertOnly keeps the matched target row")
+    assert(mOf(8L) === 80.0)
+    assert(filesBefore.subsetOf(
+      cat.manifestFiles("t", cat.currentVersion("t")).toSet))
+    // a key the earlier merge vectored re-merges against its live IMAGE
+    cat.upsertVersioned("t", Seq((1L, "x", 100.0)).toDF("id", "q", "m"),
+      Seq("id"))
+    assert(mOf(1L) === 100.0)
+    assert(cat.read("t").filter(col("id") === 1L).count() === 1)
+    // a vector-DELETED key re-merges as an INSERT (the tombstoned row
+    // is logically gone, so there is nothing to match)
+    cat.deleteVersioned("t", col("id") === 3L)
+    cat.upsertVersioned("t", Seq((3L, "x", 33.0)).toDF("id", "q", "m"),
+      Seq("id"))
+    assert(cat.read("t").filter(col("id") === 3L).count() === 1 &&
+      mOf(3L) === 33.0)
+    assert(cat.read("t").count() === 5)
+  }
+
   test("the vector read filter is a broadcast anti-join over the pruned scan") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "m"))
