@@ -2,30 +2,38 @@ package graft.spark
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.FilePartition
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.graftbridge.RowIndexBridge
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The registered catalog's DELETION-VECTOR read path. The stock DSv2
   * `ParquetScan` reads files directly, so a vectored table would
   * RESURRECT deleted rows through plain `spark.sql` reads — this
-  * wrapper anti-filters each file's vectored row POSITIONS at the
+  * wrapper anti-filters each row's vectored POSITION at the
   * partition-reader level (Delta's row-index filter, expressed in V2
   * terms):
   *
-  *   - NO filter pushdown: row-group/page skipping would break the
-  *     positional count, so the builder only forwards column PRUNING
-  *     (row order and count are unaffected) and Spark's Filter
-  *     operator above the scan applies the full predicate — identical
-  *     results, vectored tables pay the pushdown loss, clean tables
-  *     never route here;
-  *   - ONE WHOLE FILE per input partition (splits re-merged), so the
-  *     running row count inside a reader IS the row's position;
+  *   - each row's file position rides the parquet readers' GENERATED
+  *     row-index column ([[RowIndexBridge.TemporaryColumnName]],
+  *     appended to the inner scan's `readDataSchema` and projected
+  *     away after the filter) — computed from row-group metadata, so
+  *     it stays correct under row-group/page skipping and splits,
+  *     which is exactly what lets data-filter pushdown stay ON (the
+  *     engine read path relies on the same `_metadata.row_index`
+  *     mechanism);
+  *   - ONE file (split) per input partition, so the reader wrapper
+  *     knows which file's vector to consult;
   *   - the vectors load once per scan on the driver and ride a
-  *     broadcast to the per-file reader wrappers.
+  *     broadcast to the per-file reader wrappers;
+  *   - every filter is still REPORTED as post-scan, so Spark
+  *     re-applies the full predicate above the scan — parquet
+  *     pushdown is best-effort row-group pruning, never the only
+  *     evaluation, and results stay identical by construction.
   */
 class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
     partitionCols: Seq[String])
@@ -37,54 +45,68 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
     case _ => ()
   }
 
-  /** Forward ONLY the partition-pruning filters (file-granular, so
-    * in-file row positions are untouched); withhold data filters from
-    * the parquet reader (row-group/page skipping would break the
-    * positional count) and report EVERYTHING as post-scan, so Spark
-    * re-applies the full predicate above — identical results, and a
-    * vectored 1000-partition table still scans one partition for a
-    * partition-key query. */
+  /** Forward ALL deterministic filters: the inner `ParquetScanBuilder`
+    * splits them into partition pruning (file-granular) and parquet
+    * data pushdown (row-group pruning) itself, and both are
+    * position-safe under the row-index mechanism. */
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    val pc = partitionCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val partitionOnly = filters.filter(f =>
-      f.deterministic && f.references.nonEmpty &&
-        f.references.forall(a => pc.contains(a.name.toLowerCase(java.util.Locale.ROOT))))
     org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge
-      .push(inner, partitionOnly)
+      .push(inner, filters.filter(_.deterministic))
     filters // everything re-applies above the scan
   }
 
   /** Nothing is reported as pushed: the planner must keep the full
-    * predicate (partition filters are re-applied too — free). */
+    * predicate (pushed filters prune row groups; they are never the
+    * only evaluation). */
   override def pushedFilters():
       Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
 
-  override def build(): Scan = new GraftDvScan(inner.build(), sidecars)
+  override def build(): Scan = inner.build() match {
+    case p: ParquetScan
+        if !p.readSchema().fieldNames.contains(RowIndexBridge.TemporaryColumnName) =>
+      new GraftDvScan(p.copy(readDataSchema = p.readDataSchema
+        .add(StructField(RowIndexBridge.TemporaryColumnName, LongType))),
+        sidecars)
+    case other => throw new IllegalStateException(
+      "GraftDvScan wraps Spark's ParquetScan (a column named " +
+        s"'${RowIndexBridge.TemporaryColumnName}' also conflicts); got " +
+        other.getClass.getName)
+  }
 }
 
-class GraftDvScan(inner: Scan, sidecars: Seq[String]) extends Scan with Batch {
+class GraftDvScan(inner: ParquetScan, sidecars: Seq[String])
+  extends Scan with Batch {
 
-  override def readSchema(): StructType = inner.readSchema()
+  /** The inner scan reads [data..., row-index, partitions...]; the
+    * row index is wrapper-internal and never surfaces. */
+  private val innerSchema: StructType = inner.readSchema()
+  private val ridxOrdinal: Int =
+    innerSchema.fieldIndex(RowIndexBridge.TemporaryColumnName)
+  private val outSchema: StructType =
+    StructType(innerSchema.fields.filterNot(
+      _.name == RowIndexBridge.TemporaryColumnName))
+
+  override def readSchema(): StructType = outSchema
 
   override def toBatch: Batch = this
 
   override def description(): String = s"GraftDvScan(${inner.description()})"
 
-  /** Re-plan the inner scan's partitions as one-whole-file units. */
+  /** Re-plan as ONE file split per input partition (stock planning
+    * bins several small files into one partition, which would hide
+    * file boundaries from the reader wrapper). Splits of one file stay
+    * separate partitions — row indexes are file-absolute. */
   override def planInputPartitions(): Array[InputPartition] = {
     val files = inner.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(
         s"GraftDvScan expected file partitions, got $other")
     }
-    files.groupBy(_.filePath.toString).values.zipWithIndex.map {
-      case (chunks, i) =>
-        val f = chunks.head
-        FilePartition(i, Array(f.copy(start = 0, length = f.fileSize)))
-    }.toArray
+    files.zipWithIndex.map { case (f, i) => FilePartition(i, Array(f)) }
+      .toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -105,7 +127,8 @@ class GraftDvScan(inner: Scan, sidecars: Seq[String]) extends Scan with Batch {
         .groupBy(r => GraftDvScan.baseName(r.getString(0)))
         .map { case (b, rows) => b -> rows.map(_.getLong(1)).distinct.sorted }
     new GraftDvReaderFactory(inner.toBatch.createReaderFactory(),
-      spark.sparkContext.broadcast(dv))
+      spark.sparkContext.broadcast(dv), outSchema, ridxOrdinal,
+      innerSchema.length)
   }
 }
 
@@ -119,28 +142,31 @@ object GraftDvScan {
 }
 
 class GraftDvReaderFactory(inner: PartitionReaderFactory,
-    dv: Broadcast[Map[String, Array[Long]]]) extends PartitionReaderFactory {
+    dv: Broadcast[Map[String, Array[Long]]], outSchema: StructType,
+    ridxOrdinal: Int, innerWidth: Int) extends PartitionReaderFactory {
 
-  /** Row readers only: the positional wrapper counts rows one by one. */
+  /** Row readers only: the positional wrapper filters row by row. */
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = inner.createReader(p)
     val file = p.asInstanceOf[FilePartition].files.head.filePath.toString
-    dv.value.get(GraftDvScan.baseName(file)) match {
-      case None => r
-      case Some(pos) => new PartitionReader[InternalRow] {
-        private var i = -1L
-        override def next(): Boolean = {
-          while (r.next()) {
-            i += 1
-            if (java.util.Arrays.binarySearch(pos, i) < 0) return true
-          }
-          false
+    val pos = dv.value.getOrElse(GraftDvScan.baseName(file), Array.emptyLongArray)
+    // project the wrapper-internal row-index column away (a mutable
+    // view, the standard reader row-reuse contract)
+    val out = ProjectingInternalRow(outSchema,
+      (0 until innerWidth).filterNot(_ == ridxOrdinal))
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = {
+        while (r.next()) {
+          if (pos.isEmpty ||
+              java.util.Arrays.binarySearch(pos,
+                r.get().getLong(ridxOrdinal)) < 0) return true
         }
-        override def get(): InternalRow = r.get()
-        override def close(): Unit = r.close()
+        false
       }
+      override def get(): InternalRow = { out.project(r.get()); out }
+      override def close(): Unit = r.close()
     }
   }
 }

@@ -35,6 +35,19 @@ object SqlBridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
 
+/** The parquet readers' generated row-index column name
+  * (`private[sql]` in Spark): a `readDataSchema` field with this name
+  * is FILLED by both the vectorized and the record reader with each
+  * row's index within its FILE — computed from row-group metadata, so
+  * it stays correct under row-group/page skipping and splits. This is
+  * the mechanism behind `_metadata.row_index`, and what lets the
+  * deletion-vector scan keep data-filter pushdown. */
+object RowIndexBridge {
+  val TemporaryColumnName: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+}
+
 /** Bridge trait exposing Spark's `private[sql]`
   * [[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]]
   * to [[graft.spark.GraftDvScanBuilder]]: the deletion-vector scan

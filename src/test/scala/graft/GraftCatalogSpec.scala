@@ -323,6 +323,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(full.count() === 39)
   }
 
+  test("vectored catalog scans keep data-filter pushdown (row-index anti-filter)") {
+    val (cat, _, c) = freshCatalog("dvf")
+    cat.overwriteVersioned("t",
+      (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    cat.deleteVectors("t", col("id") === 8L || col("id") === 9L)
+    val q = spark.sql(s"SELECT id, m FROM $c.t WHERE id = 8")
+    // the data filter must reach the parquet scan (row-group pruning):
+    // row positions ride the readers' generated row-index column, so
+    // skipping row groups can no longer perturb them
+    val descs = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }
+    assert(descs.nonEmpty && descs.head.contains("GraftDvScan"), descs.mkString)
+    assert(descs.head.contains("EqualTo(id,8)"),
+      s"data filter must be pushed into the vectored scan:\n${descs.head}")
+    // the pushed filter selects the row's group; the vector still wins
+    assert(q.count() === 0L)
+    assert(spark.sql(s"SELECT m FROM $c.t WHERE id = 10")
+      .as[Double].head() === 10.0)
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").as[Long].head() === 3998L)
+    assert(spark.sql(s"SELECT sum(id) FROM $c.t WHERE p = 'a'")
+      .as[Long].head() === (2L to 4000L by 2).sum - 8L)
+  }
+
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {
     // HadoopFsRelation / plan-cache / exchange-reuse equality must not
     // conflate a graft relation (field-id read forced on) with a stock
