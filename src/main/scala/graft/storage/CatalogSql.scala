@@ -42,6 +42,9 @@ import org.apache.spark.sql.graftbridge.SqlBridge
   *     [[ParquetCatalog.compactPartition]] (partition-prefix scoped).
   *     (These are Delta EXTENSION grammar, not Spark grammar, so they
   *     are dispatched on statement shape before parsing.)
+  *   - `REORG TABLE t APPLY (PURGE)` → [[ParquetCatalog.reorgPurge]]
+  *     (deletion-vector maintenance: coalesce sidecars, rewrite only
+  *     above-threshold files).
   *   - `UPDATE t SET c = expr [, ...] [WHERE cond]` →
   *     [[ParquetCatalog.updateWhere]] (partition-scoped versioned
   *     `update` commit; Delta's row-level UPDATE); `DELETE FROM t
@@ -69,6 +72,9 @@ object CatalogSql {
   private val optimizeWhereRe =
     ("(?is)^\\s*OPTIMIZE\\s+([\\w.]+)(?:\\s+ROWS\\s+(\\d+))?" +
       "\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
+  private val reorgRe =
+    ("(?is)^\\s*REORG\\s+TABLE\\s+([\\w.]+)\\s+APPLY\\s*" +
+      "\\(\\s*PURGE\\s*\\)\\s*;?\\s*$").r
   private val whereEqRe = "^\\s*(\\w+)\\s*=\\s*(?:'([^']*)'|(\\S+))\\s*$".r
   private val updateHeadRe =
     "(?is)^\\s*UPDATE\\s+([\\w.]+)\\s+SET\\s+(.+?)\\s*;?\\s*$".r
@@ -154,6 +160,15 @@ object CatalogSql {
         else cat.vacuum(t, if (keep != null) keep.toInt else 1)
       import spark.implicits._
       Seq((t, removed.toLong)).toDF("table_name", "entries_removed")
+    case reorgRe(t0) =>
+      // Delta's `REORG TABLE ... APPLY (PURGE)`: deletion-vector
+      // maintenance — coalesce sidecars, rewrite only files whose
+      // deleted fraction crosses the threshold
+      val t = resolveTable(cat, t0)
+      val (v, rewritten) = cat.reorgPurge(t)
+      import spark.implicits._
+      Seq((t, v, rewritten.toLong))
+        .toDF("table_name", "version", "files_rewritten")
     case optimizeWhereRe(t0, rows, conds) =>
       val t = resolveTable(cat, t0)
       // Delta's partition-scoped OPTIMIZE: equality conjunctions on a

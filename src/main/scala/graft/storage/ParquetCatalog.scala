@@ -1922,6 +1922,85 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** Delta `REORG TABLE ... APPLY (PURGE)` parity: deletion-vector
+    * MAINTENANCE without a full OPTIMIZE. Files whose deleted fraction
+    * exceeds `threshold` are rewritten live-rows-only (their vectors
+    * materialize and shed); every other vectored file keeps its bytes,
+    * its positions re-pointed at ONE coalesced sidecar — so a long run
+    * of point deletes (one sidecar per commit) collapses to a single
+    * sidecar read per scan and the SQL path's 64 MB driver cap stops
+    * growing, without rewriting the mostly-live bulk of the table the
+    * way OPTIMIZE would. Already-purged tables (nothing above
+    * threshold, at most one sidecar) no-op. Returns (newVersion,
+    * filesRewritten). */
+  def reorgPurge(name: String, threshold: Double = 0.05): (Long, Int) = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"purge threshold must be in [0,1], got $threshold")
+    migrateIfPlain(name)
+    require(isVersioned(name), s"no table $name")
+    val m = currentManifest(name)
+    val entries = dvEntries(m)
+    if (entries.isEmpty) return (m.version, 0)
+    val next = m.version + 1
+    val vd = versionsDir(name)
+    val vectoredRels = entries.keys.toSeq.sorted
+    val sidecars = entries.values.toSeq.distinct.map(r => vd.resolve(r).toString)
+    val delCounts: Map[String, Long] = spark.read.parquet(sidecars: _*)
+      .where(col("file").isin(vectoredRels: _*))
+      .groupBy("file").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rowCounts = SkippingIndex.rowCounts(spark,
+      vectoredRels.map(r => vd.resolve(r).toString))
+    val rewriteRels = vectoredRels.filter { r =>
+      val rows = math.max(1L, rowCounts.getOrElse(vd.resolve(r).toString, 1L))
+      delCounts.getOrElse(r, 0L).toDouble / rows > threshold
+    }
+    if (rewriteRels.isEmpty && sidecars.size <= 1) return (m.version, 0)
+    val keepRels = vectoredRels.filterNot(rewriteRels.contains)
+    // materialize the above-threshold files' LIVE rows as new files
+    val reader = catReader(recordedSchema(m))
+    val rels =
+      if (rewriteRels.isEmpty) Nil
+      else {
+        val abs = rewriteRels.map(r => vd.resolve(r).toString)
+        val raw =
+          if (m.partitionBy.isEmpty) reader.load(abs: _*)
+          else reader.option("basePath", dataDir(name).toString).load(abs: _*)
+        stage(name, dvFilter(name, m, raw, Some(rewriteRels)), m.partitionBy, next)
+      }
+    // ONE coalesced sidecar carrying the kept files' (unchanged) sets:
+    // writeDvSidecar unions the prior sidecars' positions with an empty
+    // new-position frame
+    val dvMeta =
+      if (keepRels.isEmpty) Map.empty[String, String]
+      else {
+        val emptyPos = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("fileb", StringType),
+            org.apache.spark.sql.types.StructField("pos", LongType))))
+        val sidecarRel = writeDvSidecar(name, m, next, emptyPos, keepRels)
+        keepRels.map(r => dvKeyOf(r) -> sidecarRel).toMap
+      }
+    val files = m.files.filterNot(rewriteRels.contains) ++ rels
+    val meta = Map("op" -> "reorg") ++
+      (carriedMeta(m) -- entries.keys.map(dvKeyOf)) ++ propagatedSchema(m) ++
+      dvMeta ++
+      touchedMeta(vectoredRels.map(TableManifest.partitionComponent).toSet ++
+        rels.map(TableManifest.partitionComponent))
+    try commitStaged(name, TableManifest(next, m.partitionBy, meta, files), rels)
+    catch {
+      case e: ConcurrentWriteException =>
+        dvMeta.values.toSeq.distinct.foreach(r =>
+          Files.deleteIfExists(vd.resolve(r)))
+        rels.foreach(r => Files.deleteIfExists(vd.resolve(r)))
+        pendingColIds.set(pendingColIds.get - ((name, next)))
+        throw e
+    }
+    refreshIndex(name)
+    (next, rewriteRels.size)
+  }
+
   // ---- table properties ----------------------------------------------
   //
   // Delta's TBLPROPERTIES: free-form key→value pairs carried

@@ -52,6 +52,18 @@ object SkippingIndex {
     * lister; manifest-versioned tables pass explicit lists instead). */
   def listFiles(dir: String): Seq[String] = listParquet(dir)
 
+  /** Footer-only row counts for explicit files (the REORG PURGE
+    * deleted-fraction denominator) — one distributed footer read, no
+    * data pages touched. */
+  def rowCounts(spark: SparkSession, files: Seq[String]): Map[String, Long] =
+    spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
+      .map { f =>
+        val in = HadoopInputFile.fromPath(new HPath(f), new Configuration())
+        val reader = ParquetFileReader.open(in)
+        try f -> reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }.collect().toMap
+
   private def listParquet(dir: String): Seq[String] = {
     // resolve the real path defensively: Files.walk does NOT traverse a
     // symlink root (manifest-versioned tables pass explicit file lists

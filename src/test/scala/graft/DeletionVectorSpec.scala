@@ -386,6 +386,51 @@ class DeletionVectorSpec extends SparkSpec {
       s"only the retry's stage may join the manifest, got $newFiles")
   }
 
+  test("REORG PURGE coalesces sidecars and rewrites only above-threshold files") {
+    val (cat, _) = fresh()
+    // one file per partition (coalesce(1)) so per-file fractions are exact
+    cat.overwriteVersioned("t",
+      (1L to 200L).map(i => (i, if (i <= 100) "a" else "b", i * 1.0))
+        .toDF("id", "p", "m").coalesce(1), Seq("p"))
+    // partition a's file: 40% deleted over two commits (above threshold);
+    // partition b's file: one point delete (1%, below)
+    cat.deleteVectors("t", col("id") <= 20L)
+    cat.deleteVectors("t", col("id") > 20L && col("id") <= 40L)
+    cat.deleteVectors("t", col("id") === 150L)
+    val vBefore = cat.currentVersion("t")
+    assert(cat.dvSidecarsAbs("t", vBefore).size === 2,
+      "fixture: one live sidecar per vectored file (each commit's " +
+        "sidecar holds its files' complete sets, superseding priors)")
+    val filesBefore = cat.manifestFiles("t", vBefore)
+    val preContent = cat.read("t").orderBy("id").select("id", "p", "m")
+      .as[(Long, String, Double)].collect().toSeq
+    val (v, rewritten) = cat.reorgPurge("t", threshold = 0.05)
+    assert(v === vBefore + 1 && rewritten === 1,
+      "only partition a's 40%-deleted file is rewritten")
+    // b's original file survives verbatim; a's is gone
+    val filesAfter = cat.manifestFiles("t", v)
+    assert(filesBefore.filter(_.contains("p=b/")).forall(filesAfter.contains),
+      "below-threshold files keep their bytes")
+    assert(!filesBefore.filter(_.contains("p=a/")).exists(filesAfter.contains),
+      "above-threshold files are replaced by live-row rewrites")
+    // the sidecars coalesce to ONE, holding only b's position
+    assert(cat.dvSidecarsAbs("t", v).size === 1)
+    // content is bit-identical to the pre-purge read
+    assert(cat.read("t").orderBy("id").select("id", "p", "m")
+      .as[(Long, String, Double)].collect().toSeq === preContent)
+    assert(cat.read("t").count() === 159)
+    // time travel: the pre-purge version still reads under its vectors
+    assert(cat.readVersion("t", vBefore).count() === 159)
+    // a second purge is a no-op (nothing above threshold, one sidecar)
+    val (v2, r2) = cat.reorgPurge("t", threshold = 0.05)
+    assert(v2 === v && r2 === 0, "an already-purged table no-ops")
+    // the Delta SQL text routes to the same verb
+    val row = cat.sql("REORG TABLE t APPLY (PURGE)").head()
+    assert(row.getString(0) === "t" && row.getLong(2) === 0L)
+    // the SQL scan path agrees post-purge
+    assert(cat.read("t").filter(col("id") === 150L).count() === 0)
+  }
+
   test("clone carries the vectors; either side then evolves independently") {
     val (cat, _) = fresh()
     cat.overwriteVersioned("t", (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "m"))
