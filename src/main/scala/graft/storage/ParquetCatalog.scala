@@ -126,13 +126,19 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // journal, an existing destination is a genuine collision and
     // refuses as before.
     val journal = Paths.get(root, ".rename-journal")
-    val resuming = Files.exists(journal) &&
-      Files.readString(journal).linesIterator.toSeq == Seq(from, to)
+    // ONE journal snapshot: exists-then-read (and a re-read inside the
+    // error message) would surface a concurrent resume's delete as an
+    // unhandled NoSuchFileException instead of the collision message
+    val journalContent: Option[String] =
+      try Some(Files.readString(journal))
+      catch { case _: java.io.IOException => None }
+    val resuming =
+      journalContent.exists(_.linesIterator.toSeq == Seq(from, to))
     require(exists(from) || resuming, s"no table $from")
     require(!exists(to) || resuming, s"table $to already exists")
-    require(!Files.exists(journal) || resuming,
+    require(journalContent.isEmpty || resuming,
       "another rename's journal is pending at " + journal +
-        s" (${Files.readString(journal).linesIterator.mkString(" -> ")}); " +
+        s" (${journalContent.get.linesIterator.mkString(" -> ")}); " +
         "re-run that rename to complete it first")
     if (!resuming) {
       // create-exclusive claim (same primitive as the manifest CAS): a
@@ -3623,8 +3629,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     migrateIfPlain(name)
     val m = currentManifest(name)
     val cur = recordedSchema(m).getOrElse(readVersion(name, m.version).schema)
-    require(!cur.fieldNames.contains(colName),
-      s"$name already has a column '$colName'")
+    // Spark resolution is case-insensitive, so existence must be too: a
+    // case-variant duplicate would make every later reference ambiguous
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"$name already has a column '$colName' (names resolve " +
+        "case-insensitively)")
     val widened = StructType(cur.fields.map(_.copy(nullable = true)) :+
       org.apache.spark.sql.types.StructField(colName, typ, nullable = true))
     // re-introducing a previously DROPPED name must not resurrect the
@@ -3659,7 +3668,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def dropColumn(name: String, colName: String): Long = {
     migrateIfPlain(name)
     val m = currentManifest(name)
-    require(!m.partitionBy.contains(colName),
+    require(!m.partitionBy.exists(_.equalsIgnoreCase(colName)),
       s"cannot drop partition column '$colName' of $name")
     // Spark resolves columns case-insensitively, so the reference check
     // must too: parse the CHECK expression and compare its attribute
@@ -3681,15 +3690,19 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         s"cannot drop '$colName': constraint '$cn' ($e) references it")
     }
     val cur = recordedSchema(m).getOrElse(readVersion(name, m.version).schema)
-    require(cur.fieldNames.contains(colName), s"$name has no column '$colName'")
+    // resolve the RECORDED spelling (Spark resolution is case-
+    // insensitive; the manifest's schema, markers, and field-id keys
+    // are keyed on the recorded case)
+    val recorded = cur.fieldNames.find(_.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(s"$name has no column '$colName'"))
     require(cur.fields.length > 1, s"cannot drop $name's last column")
-    val narrowed = StructType(cur.fields.filterNot(_.name == colName)
+    val narrowed = StructType(cur.fields.filterNot(_.name == recorded)
       .map(_.copy(nullable = true)))
     // the dropped-name marker makes a later re-introduction of this
     // name consult the resurrection guard (see [[guardReintroduced]])
     val meta = Map("op" -> "alterSchema", "schema" -> narrowed.toDDL,
-      droppedKey(colName) -> (m.version + 1).toString, "bytesAdded" -> "0") ++
-      carriedMeta(m) - colIdKey(colName)
+      droppedKey(recorded) -> (m.version + 1).toString, "bytesAdded" -> "0") ++
+      carriedMeta(m) - colIdKey(recorded)
     commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
     m.version + 1
   }

@@ -402,4 +402,25 @@ class AlterSchemaSpec extends SparkSpec {
     assert(cat.compactionPlan("t", maxFiles = 2).isEmpty)
     assert(cat.read("t").count() === 7)
   }
+
+  test("add/drop resolve names case-insensitively, like every other verb") {
+    val cat = fresh()
+    cat.overwriteVersioned("t", Seq((1L, "a", 1.0)).toDF("id", "p", "m"), Seq("p"))
+    // a case-variant ADD would record a duplicate-modulo-case schema
+    // that Spark's resolver then treats as ambiguous — refuse
+    intercept[IllegalArgumentException](cat.addColumn("t", "ID", StringType))
+    intercept[IllegalArgumentException](cat.addColumn("t", "M", DoubleType))
+    // DROP resolves the recorded spelling from a case-variant reference
+    val v = cat.dropColumn("t", "M")
+    assert(!cat.read("t").columns.contains("m"))
+    assert(cat.readVersion("t", v - 1).columns.contains("m"))
+    // the dropped-name marker still guards a re-add under EITHER case
+    // (mapping off + bytes live in carried files -> refusal)
+    intercept[IllegalArgumentException](cat.addColumn("t", "M", DoubleType))
+    intercept[IllegalArgumentException](cat.addColumn("t", "m", DoubleType))
+    // case-variant partition column refuses to drop
+    intercept[IllegalArgumentException](cat.dropColumn("t", "P"))
+    // and a genuinely absent name still errors
+    intercept[IllegalArgumentException](cat.dropColumn("t", "nope"))
+  }
 }
