@@ -78,7 +78,16 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
 }
 
 class GraftDvScan(inner: ParquetScan, sidecars: Seq[String])
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** The stock scan's size/row estimates pass through (slightly high —
+    * vectored-out rows still count — but an estimate beats the conf
+    * default, which reads as infinite and kills broadcast planning for
+    * joins INVOLVING a vectored table). */
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics =
+    inner.estimateStatistics()
 
   /** The inner scan reads [data..., row-index, partitions...]; the
     * row index is wrapper-internal and never surfaces. */
@@ -137,7 +146,12 @@ object GraftDvScan {
     p.substring(p.lastIndexOf('/') + 1)
 
   /** Same order as the engine path's broadcast cap
-    * (`ParquetCatalog.DvBroadcastBytes`). */
+    * (`ParquetCatalog.dvBroadcastBytes`). DOCUMENTED DIVERGENCE: above
+    * this, the engine read path degrades to a shuffled anti-join while
+    * this SQL-door scan REFUSES loudly — a DSv2 reader factory must
+    * materialize the positions driver-side (there is no shuffle to
+    * degrade to), and a silent driver OOM would be worse than the
+    * refusal. The remedy (OPTIMIZE / REORG PURGE) restores both doors. */
   private[spark] val MaxDriverVectorBytes: Long = 64L << 20
 }
 

@@ -1514,8 +1514,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   /** Sidecar total bytes below this broadcast the anti-join's build
     * side; bigger vector sets fall back to a shuffled anti-join rather
-    * than risking the driver. */
-  private val DvBroadcastBytes = 64L << 20
+    * than risking the driver. Tunable (`spark.graft.dv.broadcastBytes`)
+    * for executors with more or less headroom — the SQL-door scan
+    * ([[graft.spark.GraftDvScan]]) has no shuffled form and REFUSES
+    * above its cap instead, so the two doors diverge above 64 MB by
+    * design (documented there). */
+  private def dvBroadcastBytes: Long =
+    spark.conf.getOption("spark.graft.dv.broadcastBytes")
+      .map(_.toLong).getOrElse(64L << 20)
 
   /** Anti-filter a [[dvTag]]ged frame through the manifest's deletion
     * vectors. Reading each referenced sidecar WHOLE is sound: a
@@ -1533,7 +1539,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       try Files.size(p) catch { case _: Exception => Long.MaxValue / 1024 }).sum
     val dv0 = spark.read.parquet(sidecars.map(_.toString): _*)
       .select(baseNameOf(col("file")).as("__dv_file"), col("pos").as("__dv_pos"))
-    val dv = if (bytes <= DvBroadcastBytes) broadcast(dv0) else dv0
+    val dv = if (bytes <= dvBroadcastBytes) broadcast(dv0) else dv0
     tagged.join(dv,
       tagged("__graft_dv_file") === dv("__dv_file") &&
         tagged("__graft_dv_pos") === dv("__dv_pos"), "left_anti")

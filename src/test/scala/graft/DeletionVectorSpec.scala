@@ -341,6 +341,35 @@ class DeletionVectorSpec extends SparkSpec {
     assert(!plain.contains("Join"), s"vector-free reads must not pay a join:\n$plain")
   }
 
+  test("above the broadcast cap the read filter degrades to a shuffled anti-join, same rows") {
+    val (cat, _) = fresh()
+    cat.overwriteVersioned("t", (1L to 200L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.deleteVectors("t", col("id") % 3L === 0L)
+    val expected = cat.read("t").orderBy("id").collect().toSeq
+    val broadcastPlan = cat.read("t").queryExecution.executedPlan.toString
+    assert(broadcastPlan.contains("BroadcastHashJoin"))
+    // force the shuffled branch: any real sidecar outweighs a 0-byte cap
+    // (and switch off the planner's own size-based broadcast, which
+    // would otherwise re-broadcast the tiny test sidecar anyway)
+    spark.conf.set("spark.graft.dv.broadcastBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = cat.read("t")
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"still an anti-join:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"above the cap the build side must NOT broadcast:\n$plan")
+      assert(shuffled.orderBy("id").collect().toSeq === expected,
+        "both branches must return identical rows")
+      assert(shuffled.count() === 200 - 66)
+    } finally {
+      spark.conf.unset("spark.graft.dv.broadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("vector verbs lose CAS races cleanly: no stray sidecars, retry recovers") {
     val (cat, root) = fresh()
     cat.overwriteVersioned("t", (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "m"))
