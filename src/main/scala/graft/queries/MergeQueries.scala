@@ -699,7 +699,7 @@ object MergeQueries {
           SELECT k, 'update_postimage', sp, sst FROM j WHERE upd)
         ORDER BY o_orderkey, _change_type"""))
   ) ++ Seq(k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28,
-    k29, k30, k31, k32, k33, k34, k35, k36, k37, k38, k39)
+    k29, k30, k31, k32, k33, k34, k35, k36, k37, k38, k39, k40)
 
   /** Build-once CDF source table (k23/k24): v1 full overwrite → v2
     * pure append (+4M keys, partition O) → v3 partition-scoped merge
@@ -1883,6 +1883,81 @@ object MergeQueries {
               WHERE o_orderkey % 100 = 21) AS feed_updates,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
               WHERE o_orderkey % 100 = 77) AS feed_inserts
+      FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Conflict-detection fast-forward under the oracle (k40): two
+    * optimistic writers' keyed MERGEs land ONE commit apart — writer B
+    * wins v2 with a merge scoped to partition F (keys %100 = 3, price
+    * doubled); writer A, computed against the v1 snapshot
+    * (`fromVersion` pin, the long-transaction protocol), targets
+    * partition O (keys %100 = 7, price +5) and LOSES the CAS. The
+    * interleaved commit declared a disjoint `touched` set and A's key
+    * domain never appears in B's added files (the read-set guard comes
+    * back clear), so A's ALREADY-STAGED files fast-forward onto v3
+    * verbatim. Pins: `ff_version` = 3 (the loser landed as the next
+    * version — no loud conflict, no recompute) and `loser_restaged` = 0
+    * (every new partition-O file keeps its `v2-` staging prefix: the
+    * fast-forward committed the staged bytes, never re-ran the merge).
+    * The oracle recomputes the SERIAL two-merge final state
+    * relationally — the fast-forward's content equivalence sits behind
+    * the driver's hash gate, not just an sbt pin. */
+  private lazy val k40 = Q(
+    "k40_conflict_ff",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ffq_$suffix"
+      val marker = Paths.get(s"$root/_complete")
+      val cat = new graft.storage.ParquetCatalog(s, root)
+      if (!Files.exists(marker)) {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        cat.overwriteVersioned("orders_ff", o, Seq("o_orderstatus"))
+        // writer B wins v2: partition-F rows, keys %100 = 3
+        val bSrc = o.filter(col("o_orderstatus") === "F" &&
+            col("o_orderkey") % 100 === 3)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderstatus"))
+        cat.upsertVersioned("orders_ff", bSrc, Seq("o_orderkey"))
+        // writer A computed against v1, scoped to partition O — its CAS
+        // at v2 loses and the staged files fast-forward onto v3
+        val aSrc = o.filter(col("o_orderstatus") === "O" &&
+            col("o_orderkey") % 100 === 7)
+          .select(col("o_orderkey"), (col("o_totalprice") + 5).as("o_totalprice"),
+            col("o_orderstatus"))
+        cat.upsertVersioned("orders_ff", aSrc, Seq("o_orderkey"),
+          fromVersion = Some(1L))
+        Files.writeString(marker, "ok")
+      }
+      val ffVersion = cat.currentVersion("orders_ff")
+      val oPart = (v: Long) => cat.manifestFiles("orders_ff", v)
+        .filter(_.contains("o_orderstatus=O/")).toSet
+      val loserRestaged = (oPart(3L) -- oPart(2L))
+        .count(!_.split('/').last.startsWith("v2-"))
+      cat.read("orders_ff")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("ff_version", lit(ffVersion))
+        .withColumn("loser_restaged", lit(loserRestaged.toLong))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH state AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F' AND o_orderkey % 100 = 3
+                      THEN o_totalprice * 2
+                    WHEN o_orderstatus = 'O' AND o_orderkey % 100 = 7
+                      THEN o_totalprice + 5
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             MAX(o_orderkey) AS max_key,
+             CAST(3 AS BIGINT) AS ff_version,
+             CAST(0 AS BIGINT) AS loser_restaged
       FROM state GROUP BY 1 ORDER BY o_orderstatus"""))
 
   /** Delta RESTORE parity (k16): v1 = base slice, v2 = partition-scoped
