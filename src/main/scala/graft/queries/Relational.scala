@@ -1212,6 +1212,76 @@ object Relational {
                CAST(1 AS BIGINT) AS bloom_pruned
         FROM lineitem
         WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)
-        GROUP BY l_orderkey"""))
+        GROUP BY l_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // S12: storage-partitioned join (Spark SPJ, SPARK-37377 — what
+    // Iceberg reports) through the registered catalog: two tables
+    // co-partitioned on o_orderstatus joined on that key need NO
+    // shuffle on either side, and the group-by on the same key
+    // aggregates shuffle-free too — at 100 TB the difference between a
+    // metadata-aligned zipped join and re-shuffling both relations.
+    // Opt-in rides Spark's own `spark.sql.sources.v2.bucketing.enabled`
+    // (restored after). Pins: `spj_exchanges` = 0 (the FINAL adaptive
+    // plan of the executed join+agg contains zero Exchange nodes) and
+    // `spj_scan` = 1 (the layout-reporting scan actually planned). The
+    // oracle recomputes the join relationally — shuffle elimination
+    // must be invisible to results.
+    Q(
+      "s12_spj_join",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_spj_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val o = Tables.orders(s, d)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          cat.overwriteVersioned("orders_spj", o, Seq("o_orderstatus"))
+          cat.overwriteVersioned("status_dim",
+            o.groupBy("o_orderstatus").agg(count(lit(1)).as("status_n")),
+            Seq("o_orderstatus"))
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gspj$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val toggled = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = toggled.map { case (k, _) => k -> s.conf.getOption(k) }
+        toggled.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val agg = s.sql(
+            s"""SELECT t.o_orderstatus, count(*) AS n_rows,
+                       CAST(SUM(CAST(t.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                         AS total,
+                       max(d.status_n) AS status_n
+                FROM $cname.orders_spj t
+                JOIN $cname.status_dim d ON t.o_orderstatus = d.o_orderstatus
+                GROUP BY t.o_orderstatus""")
+          agg.collect() // finalize the adaptive plan before inspecting it
+          val plan = agg.queryExecution.executedPlan.toString
+          val exchanges = if (plan.contains("Exchange")) 1L else 0L
+          val spjScan = if (plan.contains("GraftSpjScan")) 1L else 0L
+          agg.withColumn("spj_exchanges", lit(exchanges))
+            .withColumn("spj_scan", lit(spjScan))
+            .orderBy("o_orderstatus")
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      },
+      Some("""
+        WITH dim AS (
+          SELECT o_orderstatus, COUNT(*) AS status_n FROM orders GROUP BY 1)
+        SELECT o.o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               MAX(d.status_n) AS status_n,
+               CAST(0 AS BIGINT) AS spj_exchanges,
+               CAST(1 AS BIGINT) AS spj_scan
+        FROM orders o JOIN dim d USING (o_orderstatus)
+        GROUP BY 1 ORDER BY o_orderstatus"""))
   )
 }

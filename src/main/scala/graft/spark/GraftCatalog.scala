@@ -292,12 +292,19 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
     caps
   }
 
+  /** Vectored tables take the positional scan; clean PARTITIONED
+    * tables report their layout for storage-partitioned joins when the
+    * user opted in via Spark's own SPJ switch (see [[GraftSpjScan]]);
+    * everything else is the stock parquet scan. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val inner = delegate.newScanBuilder(options)
-    if (dvSidecars.isEmpty) inner
-    else new GraftDvScanBuilder(inner, dvSidecars,
-      resolvedVersion.fold(Seq.empty[String])(v =>
-        cat.manifest(tableName, v).partitionBy))
+    val layout = resolvedVersion.fold(Seq.empty[String])(v =>
+      cat.manifest(tableName, v).partitionBy)
+    if (dvSidecars.nonEmpty) new GraftDvScanBuilder(inner, dvSidecars, layout)
+    else if (layout.nonEmpty && spark.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+      new GraftSpjScanBuilder(inner, layout)
+    else inner
   }
 
   /** `DELETE FROM <cat>.t WHERE ...` / `TRUNCATE TABLE <cat>.t` as ONE

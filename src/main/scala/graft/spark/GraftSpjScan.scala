@@ -1,0 +1,182 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.{Expressions, Expression => VExpression}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
+  SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** STORAGE-PARTITIONED JOINS for the registered catalog (Spark's SPJ,
+  * SPARK-37377 — the mechanism Iceberg uses): the manifest already
+  * partitions every versioned table hive-style, so a scan can REPORT
+  * that layout as a DSv2 [[KeyGroupedPartitioning]] over the identity
+  * transforms of the partition columns. Catalyst then treats the scan
+  * as pre-clustered on those keys:
+  *
+  *   - a join of two tables co-partitioned on the same key needs NO
+  *     shuffle on either side — at 100 TB that is the difference
+  *     between a metadata-aligned zipped join and re-shuffling both
+  *     relations across the cluster;
+  *   - a `GROUP BY` on the partition columns aggregates
+  *     shuffle-free (the reported partitioning satisfies the
+  *     aggregate's ClusteredDistribution).
+  *
+  * Opt-in via Spark's own switch (`spark.sql.sources.v2.bucketing
+  * .enabled`, same knob Iceberg keys on) because the trade is real:
+  * when the partitioning is reported, Spark groups the scan's splits
+  * one task per partition VALUE, so a non-join full scan of a
+  * 1000-partition table runs at most 1000-way parallel regardless of
+  * split count. Skewed/misaligned layouts are Spark's own department
+  * (`...bucketing.partiallyClusteredDistribution.enabled`,
+  * `...bucketing.pushPartValues.enabled`) — the per-split partitions
+  * this scan emits carry their keys individually, which is exactly the
+  * shape those features need. Deletion-vectored tables keep their
+  * positional scan ([[GraftDvScan]]) — correctness outranks the saved
+  * shuffle — and aggregate-pushdown scans (schema replaced by partial
+  * aggregates) stay unwrapped.
+  *
+  * The wrapper forwards ALL pushdown verbatim (filters, pruning,
+  * aggregates) and delegates split planning to the stock
+  * `ParquetScan`, re-keying each planned split by its partition value
+  * — so pruning, pushdown, vectorized reads, and split sizing are
+  * byte-identical to the unwrapped scan; only the REPORTED layout and
+  * the split→task grouping change. */
+class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates with CatalystFilterPushdownBridge {
+
+  private var aggPushed = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = inner match {
+    case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
+    case _ => ()
+  }
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    CatalystFilterPushdownBridge.pushAll(inner, filters)
+
+  override def pushedFilters():
+      Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    CatalystFilterPushdownBridge.pushed(inner)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = inner match {
+    case a: SupportsPushDownAggregates =>
+      aggPushed = a.pushAggregation(aggregation); aggPushed
+    case _ => false
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    inner match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
+      case _ => false
+    }
+
+  /** Wrap only when every partition column survived pruning (a query
+    * that never reads them cannot join/group on them, and reporting
+    * keys the plan cannot resolve would break planning) and no
+    * aggregate was pushed (the scan then emits partial-agg rows whose
+    * grouping is not the table layout). */
+  override def build(): Scan = inner.build() match {
+    case p: ParquetScan if !aggPushed && partitionBy.forall(c =>
+        p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c))) =>
+      new GraftSpjScan(p, partitionBy)
+    case other => other
+  }
+}
+
+class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String])
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsReportStatistics {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftSpjScan(${inner.description()})"
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+
+  /** The stock scan's size/row estimates pass through — without them a
+    * wrapped relation reports the conf default (effectively infinite)
+    * and the planner stops broadcasting it in OTHER joins. */
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics =
+    inner.estimateStatistics()
+
+  /** Key ordinals into the read PARTITION schema, in reported-key
+    * order — `partitionKey()` rows must line up positionally with
+    * [[outputPartitioning]]'s key expressions. */
+  private val pSchema = inner.readPartitionSchema
+  private val keyOrdinals: Seq[Int] = partitionBy.map(c =>
+    pSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
+
+  /** The stock scan's own splits (pruning/split sizing already
+    * applied), each re-keyed by its partition value. Splits stay
+    * one-per-InputPartition — Spark's exec groups same-key splits into
+    * tasks itself (and can split them back out for skew under
+    * partially-clustered SPJ). */
+  private lazy val keyedSplits: Array[GraftKeyedPartition] =
+    inner.toBatch.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"GraftSpjScan expected file partitions, got $other")
+    }.zipWithIndex.map { case (f, i) =>
+      val key = new GenericInternalRow(keyOrdinals.map(o =>
+        f.partitionValues.get(o, pSchema(o).dataType)).toArray)
+      GraftKeyedPartition(FilePartition(i, Array(f)), key)
+    }
+
+  private lazy val distinctKeys: Int =
+    keyedSplits.map(_.partitionKey().toSeq(
+      keyOrdinals.map(pSchema(_).dataType))).distinct.length
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      partitionBy.map(Expressions.identity).toArray[VExpression], distinctKeys)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keyedSplits.toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftUnwrapReaderFactory(inner.toBatch.createReaderFactory())
+}
+
+/** One stock file split plus the partition-value key Spark's
+  * key-grouped exec aligns on. */
+case class GraftKeyedPartition(delegate: FilePartition, key: InternalRow)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+/** Unwraps [[GraftKeyedPartition]] back to the stock split before
+  * delegating — reads (row AND columnar) are the stock readers'. */
+class GraftUnwrapReaderFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case k: GraftKeyedPartition => k.delegate
+    case other => other
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    inner.createReader(unwrap(p))
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    inner.createColumnarReader(unwrap(p))
+}

@@ -67,4 +67,23 @@ object CatalystFilterPushdownBridge {
       p.pushFilters(filters); ()
     case _ => ()
   }
+
+  /** Full delegation (the SPJ wrapper): forward and return the inner
+    * builder's own residual, so wrapped pushdown is byte-identical to
+    * unwrapped. */
+  def pushAll(b: org.apache.spark.sql.connector.read.ScanBuilder,
+      filters: Seq[Expression]): Seq[Expression] = b match {
+    case p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+      p.pushFilters(filters)
+    case _ => filters
+  }
+
+  /** The inner builder's reported pushed filters, for pass-through. */
+  def pushed(b: org.apache.spark.sql.connector.read.ScanBuilder):
+      Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    b match {
+      case p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        p.pushedFilters
+      case _ => Array.empty
+    }
 }

@@ -349,6 +349,101 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() === (2L to 4000L by 2).sum - 8L)
   }
 
+  /** Toggle the SPJ opt-in confs around `body`, restoring defaults. */
+  private def withSpj[A](body: => A): A = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("co-partitioned tables join with ZERO shuffle (storage-partitioned join)") {
+    val (cat, _, c) = freshCatalog("spj")
+    cat.overwriteVersioned("t1",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    cat.overwriteVersioned("t2",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("k", "p", "n"), Seq("p"))
+    // no ORDER BY: a global sort adds its own (legitimate) range
+    // exchange — the pin is the JOIN needing none
+    val sql = s"SELECT t1.id, t1.p, t2.n FROM $c.t1 t1 JOIN $c.t2 t2 " +
+      "ON t1.p = t2.p"
+    def sorted(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.sortBy(r => (r.getLong(0), r.getDouble(2)))
+    val expected = sorted(spark.sql(sql).collect().toSeq) // stock plan, shuffles
+    withSpj {
+      val q = spark.sql(sql)
+      val rows = sorted(q.collect().toSeq)
+      assert(rows === expected, "SPJ must not change the join result")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"a co-partitioned join must not shuffle either side:\n$plan")
+      assert(plan.contains("GraftSpjScan"), s"expected the SPJ scan:\n$plan")
+    }
+    // conf off: stock scan, no SPJ reporting (and of course same rows)
+    val off = spark.sql(sql)
+    assert(sorted(off.collect().toSeq) === expected)
+    assert(!off.queryExecution.executedPlan.toString.contains("GraftSpjScan"))
+  }
+
+  test("GROUP BY on the partition columns aggregates shuffle-free under SPJ") {
+    val (cat, _, c) = freshCatalog("spjagg")
+    cat.overwriteVersioned("t",
+      (1L to 40L).map(i => (i, s"p${i % 4}", i * 1.0)).toDF("id", "p", "m"),
+      Seq("p"))
+    val sql = s"SELECT p, count(*) AS n, sum(m) AS s FROM $c.t GROUP BY p"
+    def sorted(rows: Seq[org.apache.spark.sql.Row]) = rows.sortBy(_.getString(0))
+    val expected = sorted(spark.sql(sql).collect().toSeq)
+    withSpj {
+      val q = spark.sql(sql)
+      assert(sorted(q.collect().toSeq) === expected)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"grouping by the layout keys must not shuffle:\n$plan")
+    }
+  }
+
+  test("SPJ never engages where it would be wrong: pruned keys, vectors, aggregates") {
+    val (cat, _, c) = freshCatalog("spjoff")
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    withSpj {
+      // partition column pruned away → stock scan (keys unresolvable)
+      val pruned = spark.sql(s"SELECT id, m FROM $c.t ORDER BY id")
+      assert(!pruned.queryExecution.executedPlan.toString.contains("GraftSpjScan"))
+      assert(pruned.as[(Long, Double)].collect().toSeq ===
+        Seq((1L, 10.0), (2L, 20.0)))
+      // pushdown is untouched by the wrapper: same PushedFilters line
+      val q = spark.sql(s"SELECT id FROM $c.t WHERE p = 'a' AND m > 5.0")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(m), GreaterThan(m,5.0)]"),
+        plan.linesIterator.filter(_.contains("Pushed")).mkString("|"))
+      assert(q.as[Long].collect().toSeq === Seq(1L))
+      // size statistics pass through the wrapper: a tiny NON-co-
+      // partitioned table still broadcasts under the default threshold
+      cat.overwriteVersioned("u",
+        Seq((1L, "x", 1.0)).toDF("id", "q", "m"), Seq("q"))
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val j = spark.sql(s"SELECT t.id FROM $c.t t JOIN $c.u u ON t.id = u.id")
+      j.collect()
+      assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "wrapped scans must keep reporting size stats")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // a vectored table keeps the positional dv scan
+      cat.setTableProperty("t", "graft.deletionVectors", "true")
+      cat.deleteVectors("t", col("id") === 2L)
+      val dv = spark.sql(s"SELECT id, p FROM $c.t ORDER BY id")
+      val dvPlan = dv.queryExecution.executedPlan.toString
+      assert(dvPlan.contains("GraftDvScan") && !dvPlan.contains("GraftSpjScan"))
+      assert(dv.as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    }
+  }
+
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {
     // HadoopFsRelation / plan-cache / exchange-reuse equality must not
     // conflate a graft relation (field-id read forced on) with a stock
