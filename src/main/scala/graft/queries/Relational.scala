@@ -1282,6 +1282,61 @@ object Relational {
                CAST(0 AS BIGINT) AS spj_exchanges,
                CAST(1 AS BIGINT) AS spj_scan
         FROM orders o JOIN dim d USING (o_orderstatus)
-        GROUP BY 1 ORDER BY o_orderstatus"""))
+        GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // ----------------------------------------------------------------
+    // S13: the skipping index on the SQL DOOR — s9's engine-path
+    // stats-pruned scan, now through plain `spark.sql` against the
+    // registered catalog: the pushed range predicate intersects the
+    // persisted per-file min/max BEFORE split planning, so only
+    // candidate files become tasks (at 100 TB: a point/range query
+    // opens its few files, not 100k footers). Pin: `skip_pruned` = 1
+    // (the scan kept under half the clustered layout's files —
+    // extracted from the plan's `GraftSkipScan(kept=N of M files`
+    // description). The oracle is the plain full-scan filter — pruning
+    // must be invisible to results.
+    Q(
+      "s13_sql_skip",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_sqs_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val o = Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+          cat.overwriteVersioned("orders_skip", o)
+          // a fixed 12-file clustered layout at every SF: tight per-file
+          // key ranges for the index to prune on
+          val n = o.count()
+          cat.compact("orders_skip",
+            rowsPerFile = math.max(1L, n / 12), clusterBy = Seq("o_orderkey"))
+          cat.index("orders_skip", Seq("o_orderkey"))
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gsk$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val q = s.sql(
+          s"""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM $cname.orders_skip
+              WHERE o_orderkey BETWEEN 1000 AND 2000""")
+        val desc = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.headOption.getOrElse("")
+        val pruned = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc)
+          .map(m => if (m.group(1).toLong * 2 < m.group(2).toLong) 1L else 0L)
+          .getOrElse(0L)
+        q.withColumn("skip_pruned", lit(pruned)).orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(1 AS BIGINT) AS skip_pruned
+        FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 2000
+        ORDER BY o_orderkey"""))
   )
 }

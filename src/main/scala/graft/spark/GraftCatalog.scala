@@ -295,15 +295,24 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
   /** Vectored tables take the positional scan; clean PARTITIONED
     * tables report their layout for storage-partitioned joins when the
     * user opted in via Spark's own SPJ switch (see [[GraftSpjScan]]);
-    * everything else is the stock parquet scan. */
+    * indexed tables prune files through the persisted min/max stats
+    * before split planning (see [[GraftSkipScan]] — the engine read
+    * path's skipping, now on the SQL door too); everything else is the
+    * stock parquet scan. One wrapper per scan: correctness (vectors)
+    * outranks join layout, which outranks file skipping. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val inner = delegate.newScanBuilder(options)
     val layout = resolvedVersion.fold(Seq.empty[String])(v =>
       cat.manifest(tableName, v).partitionBy)
-    if (dvSidecars.nonEmpty) new GraftDvScanBuilder(inner, dvSidecars, layout)
+    lazy val statsP = cat.statsPath(tableName)
+    lazy val indexed = resolvedVersion.isDefined &&
+      graft.storage.SkippingIndex.existsAt(statsP)
+    if (dvSidecars.nonEmpty) new GraftDvScanBuilder(inner, dvSidecars, layout,
+      if (indexed) Some(statsP) else None)
     else if (layout.nonEmpty && spark.conf
         .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
       new GraftSpjScanBuilder(inner, layout)
+    else if (indexed) new GraftSkipScanBuilder(inner, statsP)
     else inner
   }
 

@@ -36,9 +36,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     evaluation, and results stay identical by construction.
   */
 class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
-    partitionCols: Seq[String])
+    partitionCols: Seq[String],
+    statsPath: Option[java.nio.file.Path] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge {
+
+  private var preds: Seq[(String, Double, Double)] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit = inner match {
     case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
@@ -48,10 +51,15 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
   /** Forward ALL deterministic filters: the inner `ParquetScanBuilder`
     * splits them into partition pruning (file-granular) and parquet
     * data pushdown (row-group pruning) itself, and both are
-    * position-safe under the row-index mechanism. */
+    * position-safe under the row-index mechanism. Numeric range
+    * conjuncts are also kept for index file-skipping (vectored engine
+    * reads are index-pruned; the SQL door matches — dropping a whole
+    * file never perturbs the surviving files' row positions). */
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (statsPath.isDefined)
+      preds = GraftFileSkipping.rangeConjuncts(filters)
     org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge
       .push(inner, filters.filter(_.deterministic))
     filters // everything re-applies above the scan
@@ -69,7 +77,7 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
         if !p.readSchema().fieldNames.contains(RowIndexBridge.TemporaryColumnName) =>
       new GraftDvScan(p.copy(readDataSchema = p.readDataSchema
         .add(StructField(RowIndexBridge.TemporaryColumnName, LongType))),
-        sidecars)
+        sidecars, statsPath.filter(_ => preds.nonEmpty), preds)
     case other => throw new IllegalStateException(
       "GraftDvScan wraps Spark's ParquetScan (a column named " +
         s"'${RowIndexBridge.TemporaryColumnName}' also conflicts); got " +
@@ -77,7 +85,9 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
   }
 }
 
-class GraftDvScan(inner: ParquetScan, sidecars: Seq[String])
+class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
+    statsPath: Option[java.nio.file.Path] = None,
+    preds: Seq[(String, Double, Double)] = Nil)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -107,12 +117,24 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String])
   /** Re-plan as ONE file split per input partition (stock planning
     * bins several small files into one partition, which would hide
     * file boundaries from the reader wrapper). Splits of one file stay
-    * separate partitions — row indexes are file-absolute. */
+    * separate partitions — row indexes are file-absolute. With an
+    * index present, non-candidate files drop out first (file-granular,
+    * so surviving files' row positions are untouched). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = inner.toBatch.planInputPartitions().flatMap {
+    val planned = inner.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(
         s"GraftDvScan expected file partitions, got $other")
+    }
+    val files = statsPath match {
+      case Some(sp) if preds.nonEmpty =>
+        val paths = planned.map(f =>
+          GraftFileSkipping.plainPath(f.filePath.toString)).distinct.toSeq
+        val cand = graft.storage.SkippingIndex
+          .candidateFilesAt(sp, paths, preds).toSet
+        planned.filter(f =>
+          cand.contains(GraftFileSkipping.plainPath(f.filePath.toString)))
+      case _ => planned
     }
     files.zipWithIndex.map { case (f, i) => FilePartition(i, Array(f)) }
       .toArray[InputPartition]

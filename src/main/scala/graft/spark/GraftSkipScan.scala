@@ -1,0 +1,195 @@
+package graft.spark
+
+import graft.storage.SkippingIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
+  Literal}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge
+import org.apache.spark.sql.types.StructType
+
+/** Shared pushdown-forwarding base for the catalog's scan-builder
+  * wrappers ([[GraftSpjScanBuilder]], [[GraftSkipScanBuilder]]): every
+  * pushdown surface the stock `ParquetScanBuilder` exposes — column
+  * pruning, catalyst filters (returning the INNER builder's own
+  * residual, so wrapped pushdown is byte-identical to unwrapped), and
+  * aggregates — delegates verbatim. Subclasses decide only what
+  * `build()` wraps. */
+abstract class GraftForwardingScanBuilder(inner: ScanBuilder)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates with CatalystFilterPushdownBridge {
+
+  /** Set when an aggregate was pushed: the scan then emits partial-agg
+    * rows, which no file-layout wrapper understands — stay stock. */
+  protected var aggPushed = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = inner match {
+    case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
+    case _ => ()
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    CatalystFilterPushdownBridge.pushAll(inner, filters)
+
+  override def pushedFilters():
+      Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    CatalystFilterPushdownBridge.pushed(inner)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = inner match {
+    case a: SupportsPushDownAggregates =>
+      aggPushed = a.pushAggregation(aggregation); aggPushed
+    case _ => false
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    inner match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
+      case _ => false
+    }
+}
+
+/** INDEX-PRUNED SQL-door scans: the engine read path prunes files
+  * through the persisted min/max skipping index
+  * ([[graft.storage.SkippingIndex]], the Delta/Iceberg stats-pruned
+  * scan) but the registered catalog's plain-SQL reads scanned every
+  * file the version lists — on a 100k-file table a point/range query
+  * paid 100k footer-opening tasks for an answer the driver-side stats
+  * already knew. This wrapper closes the gap: the pushed data filters'
+  * numeric range conjuncts are intersected with the index BEFORE split
+  * planning, and only candidate files become tasks.
+  *
+  * Safety is inherited from the index contract (it may only OVER-read):
+  * unindexed files and non-numeric/unknown columns are unconditional
+  * candidates, strict bounds are widened to inclusive, NULL rows
+  * cannot satisfy any extracted comparison so stats-excluded files
+  * cannot hide matches, and the full predicate still evaluates above
+  * the scan. Kept splits re-bin through Spark's own
+  * `FilePartition.getFilePartitions`, so task sizing matches the stock
+  * scan over the surviving files. */
+class GraftSkipScanBuilder(inner: ScanBuilder, statsPath: java.nio.file.Path)
+  extends GraftForwardingScanBuilder(inner) {
+
+  private var preds: Seq[(String, Double, Double)] = Nil
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    preds = GraftFileSkipping.rangeConjuncts(filters)
+    super.pushFilters(filters)
+  }
+
+  override def build(): Scan = inner.build() match {
+    case p: ParquetScan if !aggPushed && preds.nonEmpty =>
+      new GraftSkipScan(p, statsPath, preds)
+    case other => other
+  }
+}
+
+class GraftSkipScan(inner: ParquetScan, statsPath: java.nio.file.Path,
+    preds: Seq[(String, Double, Double)])
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = this
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics =
+    inner.estimateStatistics()
+
+  /** Stock splits filtered to index candidates. Computed once; the
+    * index read is one driver-side stats-file load. */
+  private lazy val (keptSplits, keptFiles, totalFiles) = {
+    val splits = inner.toBatch.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"GraftSkipScan expected file partitions, got $other")
+    }
+    val paths = splits.map(f =>
+      GraftFileSkipping.plainPath(f.filePath.toString)).distinct.toSeq
+    val cand = SkippingIndex.candidateFilesAt(statsPath, paths, preds).toSet
+    val kept = splits.filter(f =>
+      cand.contains(GraftFileSkipping.plainPath(f.filePath.toString)))
+    (kept, cand.size, paths.size)
+  }
+
+  /** kept/total surfaces in EXPLAIN — the tests' and gate query's pin. */
+  override def description(): String =
+    s"GraftSkipScan(kept=$keptFiles of $totalFiles files, " +
+      s"${inner.description()})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    FilePartition.getFilePartitions(SparkSession.active, keptSplits.toSeq,
+      FilePartition.maxSplitBytes(SparkSession.active,
+        keptSplits.map(_.length).sum)).toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+}
+
+/** Catalyst-filter → index-predicate translation for
+  * [[GraftSkipScan]]. */
+object GraftFileSkipping {
+
+  /** URI → plain filesystem path (the index stores plain absolute
+    * paths; split paths arrive as file: URIs). */
+  def plainPath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme != null && u.getPath != null) u.getPath else p
+    } catch { case _: Exception => p }
+
+  private def num(l: Literal): Option[Double] = l.value match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  private val All = (Double.NegativeInfinity, Double.PositiveInfinity)
+
+  /** Numeric range conjuncts from pushed filters. Only shapes where a
+    * NULL attribute value cannot satisfy the predicate are extracted
+    * (plain comparisons and IN — never null-safe equality or IS NULL),
+    * so pruning on non-null min/max stats is sound. Strict bounds stay
+    * inclusive: the index may only over-read. */
+  def rangeConjuncts(filters: Seq[Expression]): Seq[(String, Double, Double)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: Attribute, l: Literal) => num(l).map(v => (a.name, v, v))
+      case EqualTo(l: Literal, a: Attribute) => num(l).map(v => (a.name, v, v))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        num(l).map(v => (a.name, v, All._2))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        num(l).map(v => (a.name, v, All._2))
+      case LessThan(a: Attribute, l: Literal) =>
+        num(l).map(v => (a.name, All._1, v))
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        num(l).map(v => (a.name, All._1, v))
+      case GreaterThan(l: Literal, a: Attribute) => // v > a  ==  a < v
+        num(l).map(v => (a.name, All._1, v))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        num(l).map(v => (a.name, All._1, v))
+      case LessThan(l: Literal, a: Attribute) => // v < a  ==  a > v
+        num(l).map(v => (a.name, v, All._2))
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        num(l).map(v => (a.name, v, All._2))
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
+          case l: Literal => num(l).isDefined
+          case _ => false
+        } =>
+        val ds = vs.collect { case l: Literal => num(l).get }
+        Some((a.name, ds.min, ds.max))
+      case _ => None
+    }
+  }
+}

@@ -2,16 +2,13 @@ package graft.spark
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.{Expressions, Expression => VExpression}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
   SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
-import org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
@@ -51,36 +48,7 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * byte-identical to the unwrapped scan; only the REPORTED layout and
   * the split→task grouping change. */
 class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates with CatalystFilterPushdownBridge {
-
-  private var aggPushed = false
-
-  override def pruneColumns(requiredSchema: StructType): Unit = inner match {
-    case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
-    case _ => ()
-  }
-
-  override def pushFilters(
-      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
-      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-    CatalystFilterPushdownBridge.pushAll(inner, filters)
-
-  override def pushedFilters():
-      Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    CatalystFilterPushdownBridge.pushed(inner)
-
-  override def pushAggregation(aggregation: Aggregation): Boolean = inner match {
-    case a: SupportsPushDownAggregates =>
-      aggPushed = a.pushAggregation(aggregation); aggPushed
-    case _ => false
-  }
-
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    inner match {
-      case a: SupportsPushDownAggregates => a.supportCompletePushDown(aggregation)
-      case _ => false
-    }
+  extends GraftForwardingScanBuilder(inner) {
 
   /** Wrap only when every partition column survived pruning (a query
     * that never reads them cannot join/group on them, and reporting

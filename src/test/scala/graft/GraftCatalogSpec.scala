@@ -444,6 +444,51 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("indexed tables prune FILES on the SQL door (min/max skip before split planning)") {
+    val (cat, _, c) = freshCatalog("skip")
+    cat.overwriteVersioned("t",
+      (1L to 10000L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    // clustered layout → tight per-file id ranges; 10 files
+    cat.compact("t", rowsPerFile = 1000, clusterBy = Seq("id"))
+    cat.index("t", Seq("id"))
+    val q = spark.sql(s"SELECT id, m FROM $c.t WHERE id BETWEEN 2500 AND 3500")
+    val desc = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.head
+    assert(desc.contains("GraftSkipScan"), desc)
+    val kept = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc).get
+    assert(kept.group(2).toInt >= 10 && kept.group(1).toInt * 2 < kept.group(2).toInt,
+      s"a 1000-row range over a clustered 10-file layout must prune most files: $desc")
+    assert(q.collect().map(_.getLong(0)).sorted === (2500L to 3500L).toArray,
+      "pruning must be invisible to results")
+    // a filterless scan takes the stock plan (nothing to prune on)
+    val full = spark.sql(s"SELECT count(*) FROM $c.t")
+    assert(full.as[Long].head() === 10000L)
+    // appended files enter the index incrementally; a fresh key is found
+    cat.appendVersioned("t", Seq((20000L, 2.0)).toDF("id", "m"))
+    assert(spark.sql(s"SELECT id FROM $c.t WHERE id = 20000")
+      .as[Long].collect() === Array(20000L))
+    assert(spark.sql(s"SELECT count(*) FROM $c.t WHERE id <= 10000")
+      .as[Long].head() === 10000L)
+    // vectored tables index-prune too: the positional scan (one file
+    // per partition) drops non-candidate files before planning
+    cat.setTableProperty("t", "graft.deletionVectors", "true")
+    cat.deleteVectors("t", col("id") === 2600L)
+    val dvq = spark.sql(s"SELECT id FROM $c.t WHERE id BETWEEN 2500 AND 3500")
+    val dvDesc = dvq.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.head
+    assert(dvDesc.contains("GraftDvScan"), dvDesc)
+    val totalFiles = cat.manifestFiles("t", cat.currentVersion("t")).size
+    assert(totalFiles >= 11, s"fixture should have 11+ files, got $totalFiles")
+    assert(dvq.rdd.getNumPartitions * 2 < totalFiles,
+      s"vectored scan planned ${dvq.rdd.getNumPartitions} of $totalFiles files")
+    assert(dvq.collect().map(_.getLong(0)).sorted ===
+      (2500L to 3500L).filterNot(_ == 2600L).toArray)
+  }
+
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {
     // HadoopFsRelation / plan-cache / exchange-reuse equality must not
     // conflate a graft relation (field-id read forced on) with a stock
