@@ -1,0 +1,57 @@
+package graft
+
+import graft.spark.GraftFileSkipping
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Soundness rules of the catalyst-filter → index-predicate
+  * translation behind [[graft.spark.GraftSkipScan]]: only shapes a
+  * NULL row can never satisfy, strict bounds widened to inclusive,
+  * everything unrecognized contributes NO pruning. */
+class FileSkippingSpec extends AnyFunSuite {
+
+  private val id = AttributeReference("id", LongType)()
+  private val m = AttributeReference("m", DoubleType)()
+  private val s = AttributeReference("s", StringType)()
+  private def x(es: Expression*) = GraftFileSkipping.rangeConjuncts(es)
+
+  test("comparisons extract in both operand orders, strict kept inclusive") {
+    assert(x(EqualTo(id, Literal(5L))) === Seq(("id", 5.0, 5.0)))
+    assert(x(EqualTo(Literal(5L), id)) === Seq(("id", 5.0, 5.0)))
+    assert(x(GreaterThan(id, Literal(3L))) ===
+      Seq(("id", 3.0, Double.PositiveInfinity)))
+    assert(x(GreaterThanOrEqual(id, Literal(3L))) ===
+      Seq(("id", 3.0, Double.PositiveInfinity)))
+    assert(x(LessThan(id, Literal(7L))) ===
+      Seq(("id", Double.NegativeInfinity, 7.0)))
+    // 7 < id  ==  id > 7 ; 7 > id  ==  id < 7
+    assert(x(LessThan(Literal(7L), id)) ===
+      Seq(("id", 7.0, Double.PositiveInfinity)))
+    assert(x(GreaterThan(Literal(7L), id)) ===
+      Seq(("id", Double.NegativeInfinity, 7.0)))
+  }
+
+  test("And splits into conjuncts; IN takes the value envelope") {
+    assert(x(And(GreaterThanOrEqual(id, Literal(2L)),
+      LessThanOrEqual(m, Literal(9.5)))).toSet ===
+      Set(("id", 2.0, Double.PositiveInfinity),
+        ("m", Double.NegativeInfinity, 9.5)))
+    assert(x(In(id, Seq(Literal(9L), Literal(1L), Literal(4L)))) ===
+      Seq(("id", 1.0, 9.0)))
+  }
+
+  test("null-matching, disjunctive, and non-literal shapes extract nothing") {
+    assert(x(EqualNullSafe(id, Literal(5L))).isEmpty,
+      "null-safe equality can match NULL rows a stats range excludes")
+    assert(x(IsNull(id)).isEmpty)
+    assert(x(Or(EqualTo(id, Literal(1L)), EqualTo(id, Literal(2L)))).isEmpty,
+      "disjunctions are not conjunctive ranges")
+    assert(x(EqualTo(id, id)).isEmpty)
+    assert(x(EqualTo(s, Literal("x"))).isEmpty, "non-numeric literals skip")
+    assert(x(EqualTo(Cast(id, DoubleType), Literal(5.0))).isEmpty,
+      "cast-wrapped attributes are not raw column ranges")
+    assert(x(In(id, Seq(Literal(1L), id))).isEmpty,
+      "IN with a non-literal element extracts nothing")
+  }
+}

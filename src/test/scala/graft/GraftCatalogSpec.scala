@@ -391,6 +391,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!off.queryExecution.executedPlan.toString.contains("GraftSpjScan"))
   }
 
+  test("SPJ aligns mismatched partition-value sets (pushPartValues)") {
+    val (cat, _, c) = freshCatalog("spjmm")
+    cat.overwriteVersioned("t1",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    // t2 has NO partition c — one side's value set is a strict subset
+    cat.overwriteVersioned("t2",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "n"), Seq("p"))
+    val sql = s"SELECT t1.id, t2.n FROM $c.t1 t1 JOIN $c.t2 t2 ON t1.p = t2.p"
+    def sorted(rows: Seq[org.apache.spark.sql.Row]) = rows.sortBy(_.getLong(0))
+    val expected = sorted(spark.sql(sql).collect().toSeq)
+    assert(expected.size === 2)
+    withSpj {
+      val q = spark.sql(sql)
+      assert(sorted(q.collect().toSeq) === expected,
+        "a missing partition value on one side must not change results")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"pushPartValues must align the sets without a shuffle:\n$plan")
+    }
+  }
+
   test("GROUP BY on the partition columns aggregates shuffle-free under SPJ") {
     val (cat, _, c) = freshCatalog("spjagg")
     cat.overwriteVersioned("t",
