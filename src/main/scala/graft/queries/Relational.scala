@@ -1337,6 +1337,62 @@ object Relational {
                CAST(1 AS BIGINT) AS skip_pruned
         FROM orders
         WHERE o_orderkey BETWEEN 1000 AND 2000
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // S14: s11's bloom-pruned point lookup, through the SQL DOOR — a
+    // plain `spark.sql` equality probe on a bloom-indexed key over a
+    // RANDOM (non-clustered) layout, where min/max stats cannot prune
+    // (every file's range spans the key space). One driver-side footer
+    // probe detects the blooms, then a distributed bloom pass keeps ~1
+    // file + false positives — a 100 TB point lookup opens a handful
+    // of files instead of the table. Pin: `bloom_pruned` = 1 (kept
+    // under half the 24 files). Oracle = plain filtered scan.
+    Q(
+      "s14_sql_bloom",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_sqb_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val bcat = new graft.storage.ParquetCatalog(s, root,
+          bloomFor = Seq("l_orderkey"), bloomNdv = 100000L)
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        if (!Files.exists(marker)) {
+          bcat.overwriteVersioned("li_sb", li.repartition(24))
+          bcat.index("li_sb", Seq("l_orderkey"))
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gsb$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val key = li.agg(max(col("l_orderkey"))).head().getLong(0)
+        val q = s.sql(
+          s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM $cname.li_sb WHERE l_orderkey = $key""")
+        val desc = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.headOption.getOrElse("")
+        val pruned = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc)
+          .map(m => if (m.group(1).toLong * 2 < m.group(2).toLong) 1L else 0L)
+          .getOrElse(0L)
+        q.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_rows"),
+            graft.functions.Deterministic.dsum(col("l_extendedprice")).as("total"),
+            min(col("l_linenumber")).as("min_line"),
+            max(col("l_linenumber")).as("max_line"))
+          .withColumn("bloom_pruned", lit(pruned))
+      },
+      Some("""
+        SELECT l_orderkey, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               MIN(l_linenumber) AS min_line, MAX(l_linenumber) AS max_line,
+               CAST(1 AS BIGINT) AS bloom_pruned
+        FROM lineitem
+        WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)
+        GROUP BY l_orderkey"""))
   )
 }

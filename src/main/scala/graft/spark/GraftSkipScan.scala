@@ -76,21 +76,23 @@ class GraftSkipScanBuilder(inner: ScanBuilder, statsPath: java.nio.file.Path)
   extends GraftForwardingScanBuilder(inner) {
 
   private var preds: Seq[(String, Double, Double)] = Nil
+  private var points: Seq[(String, Any)] = Nil
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     preds = GraftFileSkipping.rangeConjuncts(filters)
+    points = GraftFileSkipping.pointConjuncts(filters)
     super.pushFilters(filters)
   }
 
   override def build(): Scan = inner.build() match {
-    case p: ParquetScan if !aggPushed && preds.nonEmpty =>
-      new GraftSkipScan(p, statsPath, preds)
+    case p: ParquetScan if !aggPushed && (preds.nonEmpty || points.nonEmpty) =>
+      new GraftSkipScan(p, statsPath, preds, points)
     case other => other
   }
 }
 
 class GraftSkipScan(inner: ParquetScan, statsPath: java.nio.file.Path,
-    preds: Seq[(String, Double, Double)])
+    preds: Seq[(String, Double, Double)], points: Seq[(String, Any)] = Nil)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = inner.readSchema()
@@ -104,8 +106,14 @@ class GraftSkipScan(inner: ParquetScan, statsPath: java.nio.file.Path,
       org.apache.spark.sql.connector.read.Statistics =
     inner.estimateStatistics()
 
-  /** Stock splits filtered to index candidates. Computed once; the
-    * index read is one driver-side stats-file load. */
+  /** Stock splits filtered to index candidates: min/max ranges first
+    * (one driver-side stats-file load), then — for equality conjuncts
+    * on columns whose files carry parquet bloom filters (one footer
+    * probe decides before any job launches) — a distributed bloom pass
+    * over what survived. Min/max cannot prune a point probe on a
+    * high-cardinality column under a random layout (every file's range
+    * spans the key space); the blooms are what make a SQL-door point
+    * lookup open ~1 file instead of the table. */
   private lazy val (keptSplits, keptFiles, totalFiles) = {
     val splits = inner.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files
@@ -114,7 +122,15 @@ class GraftSkipScan(inner: ParquetScan, statsPath: java.nio.file.Path,
     }
     val paths = splits.map(f =>
       GraftFileSkipping.plainPath(f.filePath.toString)).distinct.toSeq
-    val cand = SkippingIndex.candidateFilesAt(statsPath, paths, preds).toSet
+    var cand =
+      if (preds.isEmpty) paths.toSet
+      else SkippingIndex.candidateFilesAt(statsPath, paths, preds).toSet
+    for ((col, v) <- points if cand.size > 1) {
+      val ordered = cand.toSeq.sorted
+      if (SkippingIndex.hasBloomFilter(ordered.head, col))
+        cand = SkippingIndex
+          .bloomCandidates(SparkSession.active, ordered, col, v).toSet
+    }
     val kept = splits.filter(f =>
       cand.contains(GraftFileSkipping.plainPath(f.filePath.toString)))
     (kept, cand.size, paths.size)
@@ -189,6 +205,29 @@ object GraftFileSkipping {
         } =>
         val ds = vs.collect { case l: Literal => num(l).get }
         Some((a.name, ds.min, ds.max))
+      case _ => None
+    }
+  }
+
+  /** Typed equality conjuncts, for parquet-bloom pruning — the exact
+    * value matters there (blooms hash the column's physical type, so
+    * the double-erased range form cannot drive them). Only plain
+    * non-null-matching equality; unsupported value types are simply
+    * never extracted ([[graft.storage.SkippingIndex.bloomMightContain]]
+    * keeps files it cannot hash for anyway). */
+  def pointConjuncts(filters: Seq[Expression]): Seq[(String, Any)] = {
+    def typed(l: Literal): Option[Any] = l.value match {
+      case n: java.lang.Number => Some(n)
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: Attribute, l: Literal) => typed(l).map(a.name -> _)
+      case EqualTo(l: Literal, a: Attribute) => typed(l).map(a.name -> _)
       case _ => None
     }
   }

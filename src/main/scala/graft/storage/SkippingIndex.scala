@@ -372,6 +372,24 @@ object SkippingIndex {
       .collect().toSeq.sorted
   }
 
+  /** Driver-side probe: does `file` carry a bloom filter for `column`
+    * in ANY row group? One footer read — what lets a read path decide
+    * whether a distributed [[bloomCandidates]] pass can pay off before
+    * launching it (files written by the same `bloomFor` catalog all
+    * carry the filter; a bloom-less table skips the job entirely). */
+  def hasBloomFilter(file: String, column: String): Boolean =
+    try {
+      val in = HadoopInputFile.fromPath(new HPath(file), new Configuration())
+      val reader = ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.exists { block =>
+          block.getColumns.asScala.find(_.getPath.toDotString == column)
+            .exists(cmd =>
+              reader.getBloomFilterDataReader(block).readBloomFilter(cmd) != null)
+        }
+      } finally reader.close()
+    } catch { case _: Exception => false }
+
   /** One file's verdict: false ONLY when every row group has a bloom
     * filter for the column and none might contain the value. Runs
     * inside a task. */

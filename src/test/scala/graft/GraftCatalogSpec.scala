@@ -511,6 +511,40 @@ class GraftCatalogSpec extends SparkSpec {
       (2500L to 3500L).filterNot(_ == 2600L).toArray)
   }
 
+  test("bloom filters prune SQL-door point lookups on random layouts") {
+    val (plainCat, root, c) = freshCatalog("blm")
+    // write through a bloomFor catalog over the same root: blooms are a
+    // write-time file property; the registered catalog reads them back
+    val bcat = new ParquetCatalog(spark, root, bloomFor = Seq("id"))
+    bcat.overwriteVersioned("t",
+      (1L to 20000L).map(i => (i, i * 1.0)).toDF("id", "m").repartition(8))
+    bcat.index("t", Seq("id"))
+    def desc(q: org.apache.spark.sql.DataFrame): String =
+      q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+    val q = spark.sql(s"SELECT id, m FROM $c.t WHERE id = 12345")
+    val d = desc(q)
+    assert(d.contains("GraftSkipScan"), d)
+    val kept = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(d).get
+    // min/max is useless here (every round-robin file spans the key
+    // space) — only the blooms can prune, to ~1 file + false positives
+    assert(kept.group(2).toInt === 8 && kept.group(1).toInt * 2 < 8,
+      s"blooms must prune a random layout: $d")
+    assert(q.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))) ===
+      Seq((12345L, 12345.0)))
+    // a bloom-less table: the one-footer probe suppresses the
+    // distributed pass; every file stays a candidate (conservative)
+    plainCat.overwriteVersioned("u",
+      (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "m").repartition(4))
+    plainCat.index("u", Seq("id"))
+    val d2 = desc(spark.sql(s"SELECT id FROM $c.u WHERE id = 77"))
+    val kept2 = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(d2).get
+    assert(kept2.group(1) === kept2.group(2),
+      s"without blooms a point probe keeps every file: $d2")
+  }
+
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {
     // HadoopFsRelation / plan-cache / exchange-reuse equality must not
     // conflate a graft relation (field-id read forced on) with a stock
