@@ -311,7 +311,8 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
       if (indexed) Some(statsP) else None)
     else if (layout.nonEmpty && spark.conf
         .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
-      new GraftSpjScanBuilder(inner, layout)
+      new GraftSpjScanBuilder(inner, layout,
+        if (indexed) Some(statsP) else None)
     else if (indexed) new GraftSkipScanBuilder(inner, statsP)
     else inner
   }

@@ -42,6 +42,7 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
   with org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge {
 
   private var preds: Seq[(String, Double, Double)] = Nil
+  private var points: Seq[(String, Any)] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit = inner match {
     case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
@@ -58,8 +59,10 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    if (statsPath.isDefined)
+    if (statsPath.isDefined) {
       preds = GraftFileSkipping.rangeConjuncts(filters)
+      points = GraftFileSkipping.pointConjuncts(filters)
+    }
     org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge
       .push(inner, filters.filter(_.deterministic))
     filters // everything re-applies above the scan
@@ -77,7 +80,8 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
         if !p.readSchema().fieldNames.contains(RowIndexBridge.TemporaryColumnName) =>
       new GraftDvScan(p.copy(readDataSchema = p.readDataSchema
         .add(StructField(RowIndexBridge.TemporaryColumnName, LongType))),
-        sidecars, statsPath.filter(_ => preds.nonEmpty), preds)
+        sidecars, statsPath.filter(_ => preds.nonEmpty || points.nonEmpty),
+        preds, points)
     case other => throw new IllegalStateException(
       "GraftDvScan wraps Spark's ParquetScan (a column named " +
         s"'${RowIndexBridge.TemporaryColumnName}' also conflicts); got " +
@@ -87,7 +91,8 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
 
 class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     statsPath: Option[java.nio.file.Path] = None,
-    preds: Seq[(String, Double, Double)] = Nil)
+    preds: Seq[(String, Double, Double)] = Nil,
+    points: Seq[(String, Any)] = Nil)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -127,14 +132,8 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
         s"GraftDvScan expected file partitions, got $other")
     }
     val files = statsPath match {
-      case Some(sp) if preds.nonEmpty =>
-        val paths = planned.map(f =>
-          GraftFileSkipping.plainPath(f.filePath.toString)).distinct.toSeq
-        val cand = graft.storage.SkippingIndex
-          .candidateFilesAt(sp, paths, preds).toSet
-        planned.filter(f =>
-          cand.contains(GraftFileSkipping.plainPath(f.filePath.toString)))
-      case _ => planned
+      case Some(sp) => GraftFileSkipping.filterSplits(sp, preds, points, planned)._1
+      case None => planned
     }
     files.zipWithIndex.map { case (f, i) => FilePartition(i, Array(f)) }
       .toArray[InputPartition]

@@ -1,6 +1,5 @@
 package graft.spark
 
-import graft.storage.SkippingIndex
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
   Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
@@ -106,35 +105,15 @@ class GraftSkipScan(inner: ParquetScan, statsPath: java.nio.file.Path,
       org.apache.spark.sql.connector.read.Statistics =
     inner.estimateStatistics()
 
-  /** Stock splits filtered to index candidates: min/max ranges first
-    * (one driver-side stats-file load), then — for equality conjuncts
-    * on columns whose files carry parquet bloom filters (one footer
-    * probe decides before any job launches) — a distributed bloom pass
-    * over what survived. Min/max cannot prune a point probe on a
-    * high-cardinality column under a random layout (every file's range
-    * spans the key space); the blooms are what make a SQL-door point
-    * lookup open ~1 file instead of the table. */
-  private lazy val (keptSplits, keptFiles, totalFiles) = {
-    val splits = inner.toBatch.planInputPartitions().flatMap {
-      case fp: FilePartition => fp.files
-      case other => throw new IllegalStateException(
-        s"GraftSkipScan expected file partitions, got $other")
-    }
-    val paths = splits.map(f =>
-      GraftFileSkipping.plainPath(f.filePath.toString)).distinct.toSeq
-    var cand =
-      if (preds.isEmpty) paths.toSet
-      else SkippingIndex.candidateFilesAt(statsPath, paths, preds).toSet
-    for ((col, v) <- points if cand.size > 1) {
-      val ordered = cand.toSeq.sorted
-      if (SkippingIndex.hasBloomFilter(ordered.head, col))
-        cand = SkippingIndex
-          .bloomCandidates(SparkSession.active, ordered, col, v).toSet
-    }
-    val kept = splits.filter(f =>
-      cand.contains(GraftFileSkipping.plainPath(f.filePath.toString)))
-    (kept, cand.size, paths.size)
-  }
+  /** Stock splits filtered to index candidates (see
+    * [[GraftFileSkipping.filterSplits]]). */
+  private lazy val (keptSplits, keptFiles, totalFiles) =
+    GraftFileSkipping.filterSplits(statsPath, preds, points,
+      inner.toBatch.planInputPartitions().flatMap {
+        case fp: FilePartition => fp.files
+        case other => throw new IllegalStateException(
+          s"GraftSkipScan expected file partitions, got $other")
+      })
 
   /** kept/total surfaces in EXPLAIN — the tests' and gate query's pin. */
   override def description(): String =
@@ -150,9 +129,38 @@ class GraftSkipScan(inner: ParquetScan, statsPath: java.nio.file.Path,
     inner.toBatch.createReaderFactory()
 }
 
-/** Catalyst-filter → index-predicate translation for
-  * [[GraftSkipScan]]. */
+/** Catalyst-filter → index-predicate translation and the shared
+  * split-filtering pass behind [[GraftSkipScan]], [[GraftSpjScan]],
+  * and [[GraftDvScan]]. */
 object GraftFileSkipping {
+
+  /** Planned splits filtered to index candidates: min/max ranges first
+    * (one driver-side stats-file load), then — for equality conjuncts
+    * on columns whose files carry parquet bloom filters (one footer
+    * probe decides before any job launches) — a distributed bloom pass
+    * over what survived. Min/max cannot prune a point probe on a
+    * high-cardinality column under a random layout (every file's range
+    * spans the key space); the blooms are what make a SQL-door point
+    * lookup open ~1 file instead of the table. Returns (kept splits,
+    * kept file count, total file count). */
+  def filterSplits(statsPath: java.nio.file.Path,
+      preds: Seq[(String, Double, Double)], points: Seq[(String, Any)],
+      splits: Array[org.apache.spark.sql.execution.datasources.PartitionedFile]):
+      (Array[org.apache.spark.sql.execution.datasources.PartitionedFile], Int, Int) = {
+    val paths = splits.map(f => plainPath(f.filePath.toString)).distinct.toSeq
+    var cand =
+      if (preds.isEmpty) paths.toSet
+      else graft.storage.SkippingIndex
+        .candidateFilesAt(statsPath, paths, preds).toSet
+    for ((col, v) <- points if cand.size > 1) {
+      val ordered = cand.toSeq.sorted
+      if (graft.storage.SkippingIndex.hasBloomFilter(ordered.head, col))
+        cand = graft.storage.SkippingIndex
+          .bloomCandidates(SparkSession.active, ordered, col, v).toSet
+    }
+    val kept = splits.filter(f => cand.contains(plainPath(f.filePath.toString)))
+    (kept, cand.size, paths.size)
+  }
 
   /** URI → plain filesystem path (the index stores plain absolute
     * paths; split paths arrive as file: URIs). */

@@ -47,8 +47,22 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * — so pruning, pushdown, vectorized reads, and split sizing are
   * byte-identical to the unwrapped scan; only the REPORTED layout and
   * the split→task grouping change. */
-class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String])
+class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
+    statsPath: Option[java.nio.file.Path] = None)
   extends GraftForwardingScanBuilder(inner) {
+
+  private var preds: Seq[(String, Double, Double)] = Nil
+  private var points: Seq[(String, Any)] = Nil
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (statsPath.isDefined) {
+      preds = GraftFileSkipping.rangeConjuncts(filters)
+      points = GraftFileSkipping.pointConjuncts(filters)
+    }
+    super.pushFilters(filters)
+  }
 
   /** Wrap only when every partition column survived pruning (a query
     * that never reads them cannot join/group on them, and reporting
@@ -58,18 +72,27 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String])
   override def build(): Scan = inner.build() match {
     case p: ParquetScan if !aggPushed && partitionBy.forall(c =>
         p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c))) =>
-      new GraftSpjScan(p, partitionBy)
+      new GraftSpjScan(p, partitionBy,
+        statsPath.filter(_ => preds.nonEmpty || points.nonEmpty), preds, points)
     case other => other
   }
 }
 
-class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String])
+class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
+    statsPath: Option[java.nio.file.Path] = None,
+    preds: Seq[(String, Double, Double)] = Nil,
+    points: Seq[(String, Any)] = Nil)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics {
 
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = this
-  override def description(): String = s"GraftSpjScan(${inner.description()})"
+  override def description(): String = statsPath match {
+    case Some(_) =>
+      val _ = keyedSplits // force the counts
+      s"GraftSpjScan(kept=$keptFiles of $totalFiles files, ${inner.description()})"
+    case None => s"GraftSpjScan(${inner.description()})"
+  }
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
   override def supportedCustomMetrics():
@@ -91,20 +114,33 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String])
     pSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
 
   /** The stock scan's own splits (pruning/split sizing already
-    * applied), each re-keyed by its partition value. Splits stay
-    * one-per-InputPartition — Spark's exec groups same-key splits into
-    * tasks itself (and can split them back out for skew under
-    * partially-clustered SPJ). */
-  private lazy val keyedSplits: Array[GraftKeyedPartition] =
-    inner.toBatch.planInputPartitions().flatMap {
+    * applied), index-filtered when the table carries stats
+    * ([[GraftFileSkipping.filterSplits]] — skipping composes with the
+    * reported layout: a dropped file only removes rows the predicate
+    * excludes, so key-grouped alignment is unaffected), each re-keyed
+    * by its partition value. Splits stay one-per-InputPartition —
+    * Spark's exec groups same-key splits into tasks itself (and can
+    * split them back out for skew under partially-clustered SPJ). */
+  private var keptFiles = 0
+  private var totalFiles = 0
+  private lazy val keyedSplits: Array[GraftKeyedPartition] = {
+    val planned = inner.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(
         s"GraftSpjScan expected file partitions, got $other")
-    }.zipWithIndex.map { case (f, i) =>
+    }
+    val files = statsPath match {
+      case Some(sp) =>
+        val (kept, k, t) = GraftFileSkipping.filterSplits(sp, preds, points, planned)
+        keptFiles = k; totalFiles = t; kept
+      case None => planned
+    }
+    files.zipWithIndex.map { case (f, i) =>
       val key = new GenericInternalRow(keyOrdinals.map(o =>
         f.partitionValues.get(o, pSchema(o).dataType)).toArray)
       GraftKeyedPartition(FilePartition(i, Array(f)), key)
     }
+  }
 
   private lazy val distinctKeys: Int =
     keyedSplits.map(_.partitionKey().toSeq(

@@ -430,6 +430,33 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SPJ composes with index skipping: layout-grouped AND file-pruned") {
+    val (cat, _, c) = freshCatalog("spjskip")
+    cat.overwriteVersioned("t",
+      (1L to 8000L).map(i => (i, s"p${i % 2}", i * 1.0)).toDF("id", "p", "m"),
+      Seq("p"))
+    cat.compact("t", rowsPerFile = 1000, partitionBy = Seq("p"),
+      clusterBy = Seq("id"))
+    cat.index("t", Seq("id"))
+    val sql = s"SELECT p, count(*) AS n FROM $c.t " +
+      "WHERE id BETWEEN 100 AND 900 GROUP BY p"
+    val expected = spark.sql(sql).collect().toSeq.sortBy(_.getString(0))
+    withSpj {
+      val q = spark.sql(sql)
+      assert(q.collect().toSeq.sortBy(_.getString(0)) === expected)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"still shuffle-free:\n$plan")
+      val desc = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+      val kept = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc).getOrElse(
+        fail(s"SPJ scan over an indexed table must report skipping: $desc"))
+      assert(kept.group(2).toInt >= 8 && kept.group(1).toInt * 2 < kept.group(2).toInt,
+        s"the range must prune most clustered files under SPJ too: $desc")
+    }
+  }
+
   test("SPJ never engages where it would be wrong: pruned keys, vectors, aggregates") {
     val (cat, _, c) = freshCatalog("spjoff")
     cat.overwriteVersioned("t",
