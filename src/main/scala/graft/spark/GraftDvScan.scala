@@ -42,7 +42,7 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
   with org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge {
 
   private var preds: Seq[(String, Double, Double)] = Nil
-  private var points: Seq[(String, Any)] = Nil
+  private var points: Seq[(String, Seq[Any])] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit = inner match {
     case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
@@ -92,7 +92,7 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
 class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     statsPath: Option[java.nio.file.Path] = None,
     preds: Seq[(String, Double, Double)] = Nil,
-    points: Seq[(String, Any)] = Nil)
+    points: Seq[(String, Seq[Any])] = Nil)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 

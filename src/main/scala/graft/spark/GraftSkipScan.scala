@@ -75,7 +75,7 @@ class GraftSkipScanBuilder(inner: ScanBuilder, statsPath: java.nio.file.Path)
   extends GraftForwardingScanBuilder(inner) {
 
   private var preds: Seq[(String, Double, Double)] = Nil
-  private var points: Seq[(String, Any)] = Nil
+  private var points: Seq[(String, Seq[Any])] = Nil
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     preds = GraftFileSkipping.rangeConjuncts(filters)
@@ -91,7 +91,7 @@ class GraftSkipScanBuilder(inner: ScanBuilder, statsPath: java.nio.file.Path)
 }
 
 class GraftSkipScan(inner: ParquetScan, statsPath: java.nio.file.Path,
-    preds: Seq[(String, Double, Double)], points: Seq[(String, Any)] = Nil)
+    preds: Seq[(String, Double, Double)], points: Seq[(String, Seq[Any])] = Nil)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = inner.readSchema()
@@ -144,7 +144,7 @@ object GraftFileSkipping {
     * lookup open ~1 file instead of the table. Returns (kept splits,
     * kept file count, total file count). */
   def filterSplits(statsPath: java.nio.file.Path,
-      preds: Seq[(String, Double, Double)], points: Seq[(String, Any)],
+      preds: Seq[(String, Double, Double)], points: Seq[(String, Seq[Any])],
       splits: Array[org.apache.spark.sql.execution.datasources.PartitionedFile]):
       (Array[org.apache.spark.sql.execution.datasources.PartitionedFile], Int, Int) = {
     val paths = splits.map(f => plainPath(f.filePath.toString)).distinct.toSeq
@@ -152,11 +152,11 @@ object GraftFileSkipping {
       if (preds.isEmpty) paths.toSet
       else graft.storage.SkippingIndex
         .candidateFilesAt(statsPath, paths, preds).toSet
-    for ((col, v) <- points if cand.size > 1) {
+    for ((col, vs) <- points if cand.size > 1) {
       val ordered = cand.toSeq.sorted
       if (graft.storage.SkippingIndex.hasBloomFilter(ordered.head, col))
         cand = graft.storage.SkippingIndex
-          .bloomCandidates(SparkSession.active, ordered, col, v).toSet
+          .bloomCandidatesAny(SparkSession.active, ordered, col, vs).toSet
     }
     val kept = splits.filter(f => cand.contains(plainPath(f.filePath.toString)))
     (kept, cand.size, paths.size)
@@ -217,13 +217,20 @@ object GraftFileSkipping {
     }
   }
 
-  /** Typed equality conjuncts, for parquet-bloom pruning — the exact
-    * value matters there (blooms hash the column's physical type, so
-    * the double-erased range form cannot drive them). Only plain
-    * non-null-matching equality; unsupported value types are simply
-    * never extracted ([[graft.storage.SkippingIndex.bloomMightContain]]
-    * keeps files it cannot hash for anyway). */
-  def pointConjuncts(filters: Seq[Expression]): Seq[(String, Any)] = {
+  /** How many IN-list literals a bloom pass will hash per file before
+    * giving up on pruning — a 10k-element IN would spend more on
+    * hashing than the saved reads. */
+  private val MaxBloomInValues = 16
+
+  /** Typed equality/IN conjuncts, for parquet-bloom pruning — the
+    * exact value matters there (blooms hash the column's physical
+    * type, so the double-erased range form cannot drive them). An
+    * IN-list entry keeps a file when ANY value might be contained.
+    * Only plain non-null-matching shapes; unsupported value types are
+    * simply never extracted
+    * ([[graft.storage.SkippingIndex.bloomMightContain]] keeps files it
+    * cannot hash for anyway). */
+  def pointConjuncts(filters: Seq[Expression]): Seq[(String, Seq[Any])] = {
     def typed(l: Literal): Option[Any] = l.value match {
       case n: java.lang.Number => Some(n)
       case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
@@ -234,8 +241,14 @@ object GraftFileSkipping {
       case other => Seq(other)
     }
     filters.flatMap(conjuncts).flatMap {
-      case EqualTo(a: Attribute, l: Literal) => typed(l).map(a.name -> _)
-      case EqualTo(l: Literal, a: Attribute) => typed(l).map(a.name -> _)
+      case EqualTo(a: Attribute, l: Literal) =>
+        typed(l).map(v => a.name -> Seq(v))
+      case EqualTo(l: Literal, a: Attribute) =>
+        typed(l).map(v => a.name -> Seq(v))
+      case In(a: Attribute, vs) if vs.nonEmpty &&
+          vs.size <= MaxBloomInValues =>
+        val ts = vs.map { case l: Literal => typed(l); case _ => None }
+        if (ts.forall(_.isDefined)) Some(a.name -> ts.map(_.get)) else None
       case _ => None
     }
   }

@@ -52,7 +52,7 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
   extends GraftForwardingScanBuilder(inner) {
 
   private var preds: Seq[(String, Double, Double)] = Nil
-  private var points: Seq[(String, Any)] = Nil
+  private var points: Seq[(String, Seq[Any])] = Nil
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
@@ -81,7 +81,7 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
 class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
     statsPath: Option[java.nio.file.Path] = None,
     preds: Seq[(String, Double, Double)] = Nil,
-    points: Seq[(String, Any)] = Nil)
+    points: Seq[(String, Seq[Any])] = Nil)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics {
 

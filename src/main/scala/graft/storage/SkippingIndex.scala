@@ -390,6 +390,35 @@ object SkippingIndex {
       } finally reader.close()
     } catch { case _: Exception => false }
 
+  /** [[bloomCandidates]] for an IN-list: a file survives when ANY of
+    * `values` might be contained (footers open once per file, all
+    * values checked against the same filters). */
+  def bloomCandidatesAny(spark: SparkSession, files: Seq[String],
+      column: String, values: Seq[Any]): Seq[String] = {
+    if (files.isEmpty || values.isEmpty) return files
+    spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
+      .filter(f => bloomMightContainAny(f, column, values))
+      .collect().toSeq.sorted
+  }
+
+  private def bloomMightContainAny(file: String, column: String,
+      values: Seq[Any]): Boolean = {
+    val in = HadoopInputFile.fromPath(new HPath(file), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      reader.getFooter.getBlocks.asScala.exists { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case None => true
+          case Some(cmd) =>
+            val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cmd)
+            if (bf == null) true
+            else values.exists(v =>
+              bloomHash(cmd, bf, v).forall(bf.findHash))
+        }
+      }
+    } finally reader.close()
+  }
+
   /** One file's verdict: false ONLY when every row group has a bloom
     * filter for the column and none might contain the value. Runs
     * inside a task. */
@@ -403,27 +432,30 @@ object SkippingIndex {
           case Some(cmd) =>
             val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cmd)
             if (bf == null) true // no filter written: keep
-            else {
-              // the hash must be computed over the column's PHYSICAL
-              // type — hashing a Long against an INT32 column would
-              // wrongly prune — so coerce (or keep when impossible)
-              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-              val hash: Option[Long] =
-                (cmd.getPrimitiveType.getPrimitiveTypeName, value) match {
-                  case (INT64, n: Number) => Some(bf.hash(n.longValue()))
-                  case (INT32, n: Number)
-                      if n.longValue().isValidInt => Some(bf.hash(n.intValue()))
-                  case (DOUBLE, n: Number) => Some(bf.hash(n.doubleValue()))
-                  case (FLOAT, n: Number) => Some(bf.hash(n.floatValue()))
-                  case (BINARY, s: String) =>
-                    Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
-                  case _ => None
-                }
-              hash.forall(bf.findHash)
-            }
+            else bloomHash(cmd, bf, value).forall(bf.findHash)
         }
       }
     } finally reader.close()
+  }
+
+  /** The hash must be computed over the column's PHYSICAL type —
+    * hashing a Long against an INT32 column would wrongly prune — so
+    * coerce, or return None (= keep the file) when impossible. */
+  private def bloomHash(
+      cmd: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      value: Any): Option[Long] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    (cmd.getPrimitiveType.getPrimitiveTypeName, value) match {
+      case (INT64, n: Number) => Some(bf.hash(n.longValue()))
+      case (INT32, n: Number)
+          if n.longValue().isValidInt => Some(bf.hash(n.intValue()))
+      case (DOUBLE, n: Number) => Some(bf.hash(n.doubleValue()))
+      case (FLOAT, n: Number) => Some(bf.hash(n.floatValue()))
+      case (BINARY, s: String) =>
+        Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+      case _ => None
+    }
   }
 
   /** Index-pruned range scan: read only intersecting files, re-apply the

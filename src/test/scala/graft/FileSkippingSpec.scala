@@ -41,6 +41,22 @@ class FileSkippingSpec extends AnyFunSuite {
       Seq(("id", 1.0, 9.0)))
   }
 
+  test("point conjuncts keep TYPED values; IN keeps its list, bounded") {
+    assert(GraftFileSkipping.pointConjuncts(Seq(EqualTo(id, Literal(5L)))) ===
+      Seq("id" -> Seq(5L)))
+    assert(GraftFileSkipping.pointConjuncts(Seq(EqualTo(Literal("x"), s))) ===
+      Seq("s" -> Seq("x")), "string equality drives blooms (not ranges)")
+    assert(GraftFileSkipping.pointConjuncts(
+      Seq(In(id, Seq(Literal(3L), Literal(9L))))) === Seq("id" -> Seq(3L, 9L)))
+    val big = In(id, (1 to 17).map(i => Literal(i.toLong)))
+    assert(GraftFileSkipping.pointConjuncts(Seq(big)).isEmpty,
+      "oversized IN lists cost more to hash than they save")
+    assert(GraftFileSkipping.pointConjuncts(
+      Seq(In(id, Seq(Literal(1L), id)))).isEmpty)
+    assert(GraftFileSkipping.pointConjuncts(
+      Seq(EqualNullSafe(id, Literal(5L)))).isEmpty)
+  }
+
   test("null-matching, disjunctive, and non-literal shapes extract nothing") {
     assert(x(EqualNullSafe(id, Literal(5L))).isEmpty,
       "null-safe equality can match NULL rows a stats range excludes")

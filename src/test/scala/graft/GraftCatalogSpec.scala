@@ -561,6 +561,14 @@ class GraftCatalogSpec extends SparkSpec {
       s"blooms must prune a random layout: $d")
     assert(q.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))) ===
       Seq((12345L, 12345.0)))
+    // an IN-list probe blooms each value once per footer: a file
+    // survives when ANY listed key might be present
+    val dIn = desc(spark.sql(s"SELECT id FROM $c.t WHERE id IN (12345, 17)"))
+    val keptIn = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(dIn).get
+    assert(keptIn.group(2).toInt === 8 && keptIn.group(1).toInt * 2 < 8,
+      s"IN blooms must prune: $dIn")
+    assert(spark.sql(s"SELECT id FROM $c.t WHERE id IN (12345, 17)")
+      .as[Long].collect().sorted === Array(17L, 12345L))
     // a bloom-less table: the one-footer probe suppresses the
     // distributed pass; every file stays a candidate (conservative)
     plainCat.overwriteVersioned("u",
