@@ -580,6 +580,35 @@ class GraftCatalogSpec extends SparkSpec {
       s"without blooms a point probe keeps every file: $d2")
   }
 
+  test("pruning edges: everything-pruned scans and empty tables stay correct") {
+    val (cat, _, c) = freshCatalog("edge")
+    cat.overwriteVersioned("t",
+      (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.compact("t", rowsPerFile = 250, clusterBy = Seq("id"))
+    cat.index("t", Seq("id"))
+    // a predicate outside every file's range prunes ALL files
+    val none = spark.sql(s"SELECT id FROM $c.t WHERE id > 5000")
+    val d = none.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.head
+    assert(d.contains("kept=0 of 4 files"), d)
+    assert(none.count() === 0L)
+    // an empty partitioned table under SPJ: zero input partitions, no crash
+    cat.overwriteVersioned("e",
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("p",
+            org.apache.spark.sql.types.StringType)))), Seq("p"))
+    withSpj {
+      assert(spark.sql(s"SELECT * FROM $c.e").count() === 0L)
+      assert(spark.sql(
+        s"SELECT t.p FROM $c.e t JOIN $c.e u ON t.p = u.p").count() === 0L)
+    }
+  }
+
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {
     // HadoopFsRelation / plan-cache / exchange-reuse equality must not
     // conflate a graft relation (field-id read forced on) with a stock
