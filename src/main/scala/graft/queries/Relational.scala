@@ -1393,6 +1393,51 @@ object Relational {
                CAST(1 AS BIGINT) AS bloom_pruned
         FROM lineitem
         WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)
-        GROUP BY l_orderkey"""))
+        GROUP BY l_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // S15: metadata-only COUNT(*) (Delta/Iceberg parity) — a bare
+    // `SELECT count(*)` through the registered catalog never reads a
+    // data page: manifest file list + footer row counts − the
+    // version's deletion-vector positions. Exercised across a vector
+    // DELETE and time travel; `meta_count` pins that BOTH counts
+    // planned the metadata scan (no file scan in either plan). The
+    // oracle recomputes both counts relationally.
+    Q(
+      "s15_sql_count",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_sqc_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val o = Tables.orders(s, d)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          cat.overwriteVersioned("orders_cnt", o, Seq("o_orderstatus"))
+          cat.setTableProperty("orders_cnt", "graft.deletionVectors", "true")
+          cat.deleteVectors("orders_cnt", col("o_orderkey") % 100 === 55)
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gct$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val cur = s.sql(s"SELECT count(*) FROM $cname.orders_cnt")
+        val v1 = s.sql(
+          s"SELECT count(*) FROM $cname.orders_cnt VERSION AS OF 1")
+        val metaPlanned =
+          if (cur.queryExecution.executedPlan.toString.contains("GraftCountStarScan") &&
+            v1.queryExecution.executedPlan.toString.contains("GraftCountStarScan"))
+            1L else 0L
+        import s.implicits._
+        Seq((cur.as[Long].head(), v1.as[Long].head(), metaPlanned))
+          .toDF("n_current", "n_v1", "meta_count")
+      },
+      Some("""
+        SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 != 55)
+                 AS n_current,
+               (SELECT COUNT(*) FROM orders) AS n_v1,
+               CAST(1 AS BIGINT) AS meta_count"""))
   )
 }

@@ -307,14 +307,22 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
     lazy val statsP = cat.statsPath(tableName)
     lazy val indexed = resolvedVersion.isDefined &&
       graft.storage.SkippingIndex.existsAt(statsP)
-    if (dvSidecars.nonEmpty) new GraftDvScanBuilder(inner, dvSidecars, layout,
-      if (indexed) Some(statsP) else None)
-    else if (layout.nonEmpty && spark.conf
-        .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
-      new GraftSpjScanBuilder(inner, layout,
+    val chosen: ScanBuilder =
+      if (dvSidecars.nonEmpty) new GraftDvScanBuilder(inner, dvSidecars, layout,
         if (indexed) Some(statsP) else None)
-    else if (indexed) new GraftSkipScanBuilder(inner, statsP)
-    else inner
+      else if (layout.nonEmpty && spark.conf
+          .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+        new GraftSpjScanBuilder(inner, layout,
+          if (indexed) Some(statsP) else None)
+      else if (indexed) new GraftSkipScanBuilder(inner, statsP)
+      else inner
+    // outermost: a bare SELECT count(*) answers from the manifest +
+    // footer metadata (minus vectored positions) without a data page
+    if (resolvedVersion.isDefined && spark.conf
+        .get("spark.graft.sql.metadataCount", "true").toBoolean)
+      new GraftCountStarBuilder(chosen,
+        () => cat.exactRowCount(tableName, resolvedVersion.get))
+    else chosen
   }
 
   /** `DELETE FROM <cat>.t WHERE ...` / `TRUNCATE TABLE <cat>.t` as ONE

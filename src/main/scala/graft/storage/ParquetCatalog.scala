@@ -4247,6 +4247,43 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
   }
 
+  /** EXACT row count of version `v` without reading a single data
+    * page — Delta/Iceberg's metadata-only `COUNT(*)` (the registered
+    * catalog's [[graft.spark.GraftCountStarBuilder]] answers plain
+    * `SELECT count(*)` from this): per-file footer row counts (served
+    * from the skipping index when present, one distributed footer read
+    * for whatever it misses) minus the version's deletion-vector
+    * positions. Vector sets are counted per file AGAINST ITS OWN
+    * current sidecar — older sidecars still carry superseded subsets
+    * of re-vectored files, sound for the anti-join read filter (set
+    * membership) but double-counting here. At 100 TB: a count that
+    * scanned would read every row; this reads O(files) footers once
+    * and O(deleted) sidecar rows. */
+  def exactRowCount(name: String, version: Long): Long = {
+    require(isVersioned(name), s"no versioned table $name")
+    val m = manifest(name, version)
+    if (m.files.isEmpty) return 0L
+    val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
+    val indexed: Map[String, Long] =
+      if (SkippingIndex.existsAt(statsPath(name)))
+        SkippingIndex.readAt(statsPath(name)).map(fs => fs.file -> fs.rows).toMap
+      else Map.empty
+    val missing = abs.filterNot(indexed.contains)
+    val counted =
+      if (missing.isEmpty) Map.empty[String, Long]
+      else SkippingIndex.rowCounts(spark, missing)
+    val raw = abs.map(f => indexed.getOrElse(f, counted(f))).sum
+    val entries = dvEntries(m)
+    val deleted =
+      if (entries.isEmpty) 0L
+      else entries.toSeq.groupBy(_._2).map { case (sidecar, pairs) =>
+        spark.read.parquet(versionsDir(name).resolve(sidecar).toString)
+          .where(col("file").isin(pairs.map(_._1): _*))
+          .select(lit(1))
+      }.reduce(_.union(_)).count()
+    raw - deleted
+  }
+
   /** Number of data files currently backing the table (compaction
     * telemetry). */
   def fileCount(name: String): Long =

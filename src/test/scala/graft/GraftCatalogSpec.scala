@@ -580,6 +580,48 @@ class GraftCatalogSpec extends SparkSpec {
       s"without blooms a point probe keeps every file: $d2")
   }
 
+  test("SELECT count(*) answers from metadata, deletion vectors subtracted") {
+    val (cat, _, c) = freshCatalog("cnt")
+    cat.overwriteVersioned("t",
+      (1L to 5000L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+        .toDF("id", "p", "m"), Seq("p"))
+    def planOf(sql: String) = {
+      val q = spark.sql(sql)
+      (q, q.queryExecution.executedPlan.toString)
+    }
+    val (q1, p1) = planOf(s"SELECT count(*) FROM $c.t")
+    assert(p1.contains("GraftCountStarScan"),
+      s"a bare count must never plan a file scan:\n$p1")
+    assert(q1.as[Long].head() === 5000L)
+    // vectored deletes subtract exactly (per-file pointer sidecars)
+    cat.setTableProperty("t", "graft.deletionVectors", "true")
+    cat.deleteVectors("t", col("id") % 10L === 0L)
+    cat.deleteVectors("t", col("id") === 1L)
+    val (q2, p2) = planOf(s"SELECT count(*) FROM $c.t")
+    assert(p2.contains("GraftCountStarScan"), p2)
+    assert(q2.as[Long].head() === 5000L - 500L - 1L)
+    // time travel counts THAT version
+    assert(spark.sql(s"SELECT count(*) FROM $c.t VERSION AS OF 1")
+      .as[Long].head() === 5000L)
+    // anything beyond a bare count takes the real scan
+    val (qf, pf) = planOf(s"SELECT count(*) FROM $c.t WHERE id > 100")
+    assert(!pf.contains("GraftCountStarScan"), pf)
+    assert(qf.as[Long].head() === 4410L) // 101..5000 minus %10==0 (490)
+    val (qc, pc) = planOf(s"SELECT count(id) FROM $c.t")
+    assert(!pc.contains("GraftCountStarScan"), "count(col) has NULL semantics")
+    assert(qc.as[Long].head() === 4499L)
+    val (qg, pg) = planOf(s"SELECT p, count(*) FROM $c.t GROUP BY p")
+    assert(!pg.contains("GraftCountStarScan"))
+    assert(qg.count() === 2L)
+    // kill switch restores the stock path
+    spark.conf.set("spark.graft.sql.metadataCount", "false")
+    try {
+      val (qo, po) = planOf(s"SELECT count(*) FROM $c.t")
+      assert(!po.contains("GraftCountStarScan"), po)
+      assert(qo.as[Long].head() === 4499L)
+    } finally spark.conf.unset("spark.graft.sql.metadataCount")
+  }
+
   test("pruning edges: everything-pruned scans and empty tables stay correct") {
     val (cat, _, c) = freshCatalog("edge")
     cat.overwriteVersioned("t",
