@@ -267,6 +267,13 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
   override def name(): String = version.fold(qualifiedName)(v =>
     s"$qualifiedName@v$v")
 
+  /** The engine's TBLPROPERTIES surface through Spark's own
+    * `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED` (which read
+    * `Table.properties()` — the default empty map would hide
+    * semantically load-bearing entries like `graft.deletionVectors`). */
+  override def properties(): java.util.Map[String, String] =
+    cat.tableProperties(tableName).asJava
+
   override def schema(): StructType = delegate.schema
 
   override def partitioning(): Array[Transform] = delegate.partitioning()

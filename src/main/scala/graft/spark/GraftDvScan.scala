@@ -41,7 +41,7 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge {
 
-  private var preds: Seq[(String, Double, Double)] = Nil
+  private var preds: Seq[(String, Double, Double, Set[String])] = Nil
   private var points: Seq[(String, Seq[Any])] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit = inner match {
@@ -91,7 +91,7 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
 
 class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     statsPath: Option[java.nio.file.Path] = None,
-    preds: Seq[(String, Double, Double)] = Nil,
+    preds: Seq[(String, Double, Double, Set[String])] = Nil,
     points: Seq[(String, Seq[Any])] = Nil)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {

@@ -74,7 +74,7 @@ abstract class GraftForwardingScanBuilder(inner: ScanBuilder)
 class GraftSkipScanBuilder(inner: ScanBuilder, statsPath: java.nio.file.Path)
   extends GraftForwardingScanBuilder(inner) {
 
-  private var preds: Seq[(String, Double, Double)] = Nil
+  private var preds: Seq[(String, Double, Double, Set[String])] = Nil
   private var points: Seq[(String, Seq[Any])] = Nil
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
@@ -91,7 +91,7 @@ class GraftSkipScanBuilder(inner: ScanBuilder, statsPath: java.nio.file.Path)
 }
 
 class GraftSkipScan(inner: ParquetScan, statsPath: java.nio.file.Path,
-    preds: Seq[(String, Double, Double)], points: Seq[(String, Seq[Any])] = Nil)
+    preds: Seq[(String, Double, Double, Set[String])], points: Seq[(String, Seq[Any])] = Nil)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = inner.readSchema()
@@ -144,14 +144,14 @@ object GraftFileSkipping {
     * lookup open ~1 file instead of the table. Returns (kept splits,
     * kept file count, total file count). */
   def filterSplits(statsPath: java.nio.file.Path,
-      preds: Seq[(String, Double, Double)], points: Seq[(String, Seq[Any])],
+      preds: Seq[(String, Double, Double, Set[String])], points: Seq[(String, Seq[Any])],
       splits: Array[org.apache.spark.sql.execution.datasources.PartitionedFile]):
       (Array[org.apache.spark.sql.execution.datasources.PartitionedFile], Int, Int) = {
     val paths = splits.map(f => plainPath(f.filePath.toString)).distinct.toSeq
     var cand =
       if (preds.isEmpty) paths.toSet
       else graft.storage.SkippingIndex
-        .candidateFilesAt(statsPath, paths, preds).toSet
+        .candidateFilesTyped(statsPath, paths, preds).toSet
     for ((col, vs) <- points if cand.size > 1) {
       val ordered = cand.toSeq.sorted
       if (graft.storage.SkippingIndex.hasBloomFilter(ordered.head, col))
@@ -170,49 +170,77 @@ object GraftFileSkipping {
       if (u.getScheme != null && u.getPath != null) u.getPath else p
     } catch { case _: Exception => p }
 
-  private def num(l: Literal): Option[Double] = l.value match {
-    case n: java.lang.Number => Some(n.doubleValue())
-    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-    case _ => None
-  }
-
   private val All = (Double.NegativeInfinity, Double.PositiveInfinity)
 
-  /** Numeric range conjuncts from pushed filters. Only shapes where a
-    * NULL attribute value cannot satisfy the predicate are extracted
-    * (plain comparisons and IN — never null-safe equality or IS NULL),
-    * so pruning on non-null min/max stats is sound. Strict bounds stay
-    * inclusive: the index may only over-read. */
-  def rangeConjuncts(filters: Seq[Expression]): Seq[(String, Double, Double)] = {
+  /** Literal → (raw double, stats types the raw value may prune beyond
+    * plain numerics). Catalyst DATE/TIMESTAMP literals are ALREADY in
+    * the column's raw physical units — epoch days (`INT32:DATE`) and
+    * epoch micros (`INT64:TIMESTAMP`, the engine's pinned-UTC sessions
+    * make adjusted and NTZ micros coincide) — so they may prune those
+    * annotated stats, which user-unit engine predicates never can. */
+  private def ranged(l: Literal): Option[(Double, Set[String])] =
+    (l.value, l.dataType) match {
+      case (n: java.lang.Number, org.apache.spark.sql.types.DateType) =>
+        Some(n.doubleValue() -> Set("INT32:DATE"))
+      case (n: java.lang.Number, org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType) =>
+        Some(n.doubleValue() -> Set("INT64:TIMESTAMP"))
+      case (n: java.lang.Number, _) => Some(n.doubleValue() -> Set.empty[String])
+      case (d: org.apache.spark.sql.types.Decimal, _) =>
+        Some(d.toDouble -> Set.empty[String])
+      case _ => None
+    }
+
+  /** Numeric (and raw-unit temporal) range conjuncts from pushed
+    * filters. Only shapes where a NULL attribute value cannot satisfy
+    * the predicate are extracted (plain comparisons and IN — never
+    * null-safe equality or IS NULL), so pruning on non-null min/max
+    * stats is sound. Strict bounds stay inclusive, and raw temporal
+    * bounds widen ±2 units (micros past 2^53 round in double — the
+    * widening keeps that rounding strictly over-reading): the index
+    * may only over-read. */
+  def rangeConjuncts(filters: Seq[Expression]):
+      Seq[(String, Double, Double, Set[String])] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    def mk(a: Attribute, lo: Option[(Double, Set[String])],
+        hi: Option[(Double, Set[String])]):
+        Option[(String, Double, Double, Set[String])] = {
+      val raw = (lo.toSeq ++ hi.toSeq).flatMap(_._2).toSet
+      val pad = if (raw.isEmpty) 0.0 else 2.0
+      Some((a.name, lo.map(_._1 - pad).getOrElse(All._1),
+        hi.map(_._1 + pad).getOrElse(All._2), raw))
+    }
     filters.flatMap(conjuncts).flatMap {
-      case EqualTo(a: Attribute, l: Literal) => num(l).map(v => (a.name, v, v))
-      case EqualTo(l: Literal, a: Attribute) => num(l).map(v => (a.name, v, v))
+      case EqualTo(a: Attribute, l: Literal) =>
+        ranged(l).flatMap(v => mk(a, Some(v), Some(v)))
+      case EqualTo(l: Literal, a: Attribute) =>
+        ranged(l).flatMap(v => mk(a, Some(v), Some(v)))
       case GreaterThan(a: Attribute, l: Literal) =>
-        num(l).map(v => (a.name, v, All._2))
+        ranged(l).flatMap(v => mk(a, Some(v), None))
       case GreaterThanOrEqual(a: Attribute, l: Literal) =>
-        num(l).map(v => (a.name, v, All._2))
+        ranged(l).flatMap(v => mk(a, Some(v), None))
       case LessThan(a: Attribute, l: Literal) =>
-        num(l).map(v => (a.name, All._1, v))
+        ranged(l).flatMap(v => mk(a, None, Some(v)))
       case LessThanOrEqual(a: Attribute, l: Literal) =>
-        num(l).map(v => (a.name, All._1, v))
+        ranged(l).flatMap(v => mk(a, None, Some(v)))
       case GreaterThan(l: Literal, a: Attribute) => // v > a  ==  a < v
-        num(l).map(v => (a.name, All._1, v))
+        ranged(l).flatMap(v => mk(a, None, Some(v)))
       case GreaterThanOrEqual(l: Literal, a: Attribute) =>
-        num(l).map(v => (a.name, All._1, v))
+        ranged(l).flatMap(v => mk(a, None, Some(v)))
       case LessThan(l: Literal, a: Attribute) => // v < a  ==  a > v
-        num(l).map(v => (a.name, v, All._2))
+        ranged(l).flatMap(v => mk(a, Some(v), None))
       case LessThanOrEqual(l: Literal, a: Attribute) =>
-        num(l).map(v => (a.name, v, All._2))
+        ranged(l).flatMap(v => mk(a, Some(v), None))
       case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
-          case l: Literal => num(l).isDefined
+          case l: Literal => ranged(l).isDefined
           case _ => false
         } =>
-        val ds = vs.collect { case l: Literal => num(l).get }
-        Some((a.name, ds.min, ds.max))
+        val ds = vs.collect { case l: Literal => ranged(l).get }
+        mk(a, Some((ds.map(_._1).min, ds.flatMap(_._2).toSet)),
+          Some((ds.map(_._1).max, ds.flatMap(_._2).toSet)))
       case _ => None
     }
   }

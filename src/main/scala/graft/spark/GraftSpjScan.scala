@@ -51,7 +51,7 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
     statsPath: Option[java.nio.file.Path] = None)
   extends GraftForwardingScanBuilder(inner) {
 
-  private var preds: Seq[(String, Double, Double)] = Nil
+  private var preds: Seq[(String, Double, Double, Set[String])] = Nil
   private var points: Seq[(String, Seq[Any])] = Nil
 
   override def pushFilters(
@@ -80,7 +80,7 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
 
 class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
     statsPath: Option[java.nio.file.Path] = None,
-    preds: Seq[(String, Double, Double)] = Nil,
+    preds: Seq[(String, Double, Double, Set[String])] = Nil,
     points: Seq[(String, Seq[Any])] = Nil)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics {

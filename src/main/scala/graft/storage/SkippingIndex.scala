@@ -327,6 +327,19 @@ object SkippingIndex {
     * requirement, since NULL keys fall outside every [lo,hi]. */
   def candidateFilesAt(statsPath: java.nio.file.Path, files: Seq[String],
       preds: Seq[(String, Double, Double)],
+      keepNullsOf: Option[String] = None): Seq[String] =
+    candidateFilesTyped(statsPath, files,
+      preds.map(p => (p._1, p._2, p._3, Set.empty[String])), keepNullsOf)
+
+  /** [[candidateFilesAt]] for predicates that ADDITIONALLY name the
+    * exact stats types they may prune beyond the plain numerics — the
+    * catalyst-literal path: a `DATE`/`TIMESTAMP` literal is already in
+    * the column's raw physical units (epoch days / micros), so a
+    * raw-value compare against `INT32:DATE` / `INT64:TIMESTAMP`
+    * min/max is sound THERE, while engine callers passing user-unit
+    * doubles keep the conservative refusal. */
+  def candidateFilesTyped(statsPath: java.nio.file.Path, files: Seq[String],
+      preds: Seq[(String, Double, Double, Set[String])],
       keepNullsOf: Option[String] = None): Seq[String] = {
     val currentSet = files.toSet
     val indexed = readAt(statsPath)
@@ -337,9 +350,12 @@ object SkippingIndex {
         val nullKeep = keepNullsOf.exists { c =>
           fs.cols.find(_.column == c).forall(_.hasNulls)
         }
-        nullKeep || preds.forall { case (column, lo, hi) =>
+        nullKeep || preds.forall { case (column, lo, hi, rawTypes) =>
           fs.cols.find(_.column == column) match {
             case None => true
+            case Some(cs) if rawTypes.contains(cs.typ) =>
+              try cs.max.toDouble >= lo && cs.min.toDouble <= hi
+              catch { case _: NumberFormatException => true }
             case Some(cs) => overlaps(cs, lo, hi)
           }
         }

@@ -2,43 +2,71 @@ package graft
 
 import graft.spark.GraftFileSkipping
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType,
+  TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Soundness rules of the catalyst-filter → index-predicate
   * translation behind [[graft.spark.GraftSkipScan]]: only shapes a
   * NULL row can never satisfy, strict bounds widened to inclusive,
-  * everything unrecognized contributes NO pruning. */
+  * raw-unit temporal literals carry the exact stats type they may
+  * prune, everything unrecognized contributes NO pruning. */
 class FileSkippingSpec extends AnyFunSuite {
 
   private val id = AttributeReference("id", LongType)()
   private val m = AttributeReference("m", DoubleType)()
   private val s = AttributeReference("s", StringType)()
+  private val d = AttributeReference("d", DateType)()
+  private val ts = AttributeReference("ts", TimestampType)()
+  private val inf = Double.PositiveInfinity
   private def x(es: Expression*) = GraftFileSkipping.rangeConjuncts(es)
 
   test("comparisons extract in both operand orders, strict kept inclusive") {
-    assert(x(EqualTo(id, Literal(5L))) === Seq(("id", 5.0, 5.0)))
-    assert(x(EqualTo(Literal(5L), id)) === Seq(("id", 5.0, 5.0)))
-    assert(x(GreaterThan(id, Literal(3L))) ===
-      Seq(("id", 3.0, Double.PositiveInfinity)))
+    assert(x(EqualTo(id, Literal(5L))) === Seq(("id", 5.0, 5.0, Set.empty)))
+    assert(x(EqualTo(Literal(5L), id)) === Seq(("id", 5.0, 5.0, Set.empty)))
+    assert(x(GreaterThan(id, Literal(3L))) === Seq(("id", 3.0, inf, Set.empty)))
     assert(x(GreaterThanOrEqual(id, Literal(3L))) ===
-      Seq(("id", 3.0, Double.PositiveInfinity)))
-    assert(x(LessThan(id, Literal(7L))) ===
-      Seq(("id", Double.NegativeInfinity, 7.0)))
+      Seq(("id", 3.0, inf, Set.empty)))
+    assert(x(LessThan(id, Literal(7L))) === Seq(("id", -inf, 7.0, Set.empty)))
     // 7 < id  ==  id > 7 ; 7 > id  ==  id < 7
-    assert(x(LessThan(Literal(7L), id)) ===
-      Seq(("id", 7.0, Double.PositiveInfinity)))
-    assert(x(GreaterThan(Literal(7L), id)) ===
-      Seq(("id", Double.NegativeInfinity, 7.0)))
+    assert(x(LessThan(Literal(7L), id)) === Seq(("id", 7.0, inf, Set.empty)))
+    assert(x(GreaterThan(Literal(7L), id)) === Seq(("id", -inf, 7.0, Set.empty)))
   }
 
   test("And splits into conjuncts; IN takes the value envelope") {
     assert(x(And(GreaterThanOrEqual(id, Literal(2L)),
       LessThanOrEqual(m, Literal(9.5)))).toSet ===
-      Set(("id", 2.0, Double.PositiveInfinity),
-        ("m", Double.NegativeInfinity, 9.5)))
+      Set(("id", 2.0, inf, Set.empty), ("m", -inf, 9.5, Set.empty)))
     assert(x(In(id, Seq(Literal(9L), Literal(1L), Literal(4L)))) ===
-      Seq(("id", 1.0, 9.0)))
+      Seq(("id", 1.0, 9.0, Set.empty)))
+  }
+
+  test("DATE/TIMESTAMP literals prune their raw-unit stats types, padded") {
+    // catalyst date literals are epoch DAYS (Int), timestamps epoch
+    // MICROS (Long) — exactly the raw values INT32:DATE / INT64:
+    // TIMESTAMP stats record; ±2 padding keeps double rounding of
+    // far-future micros strictly over-reading
+    assert(x(GreaterThanOrEqual(d, Literal(19723, DateType))) ===
+      Seq(("d", 19721.0, inf, Set("INT32:DATE"))))
+    assert(x(EqualTo(ts, Literal(1700000000000000L, TimestampType))) ===
+      Seq(("ts", 1700000000000000.0 - 2, 1700000000000000.0 + 2,
+        Set("INT64:TIMESTAMP"))))
+    assert(x(LessThan(Literal(19000, DateType), d)) ===
+      Seq(("d", 18998.0, inf, Set("INT32:DATE"))))
+  }
+
+  test("null-matching, disjunctive, and non-literal shapes extract nothing") {
+    assert(x(EqualNullSafe(id, Literal(5L))).isEmpty,
+      "null-safe equality can match NULL rows a stats range excludes")
+    assert(x(IsNull(id)).isEmpty)
+    assert(x(Or(EqualTo(id, Literal(1L)), EqualTo(id, Literal(2L)))).isEmpty,
+      "disjunctions are not conjunctive ranges")
+    assert(x(EqualTo(id, id)).isEmpty)
+    assert(x(EqualTo(s, Literal("x"))).isEmpty, "non-numeric literals skip")
+    assert(x(EqualTo(Cast(id, DoubleType), Literal(5.0))).isEmpty,
+      "cast-wrapped attributes are not raw column ranges")
+    assert(x(In(id, Seq(Literal(1L), id))).isEmpty,
+      "IN with a non-literal element extracts nothing")
   }
 
   test("point conjuncts keep TYPED values; IN keeps its list, bounded") {
@@ -55,19 +83,5 @@ class FileSkippingSpec extends AnyFunSuite {
       Seq(In(id, Seq(Literal(1L), id)))).isEmpty)
     assert(GraftFileSkipping.pointConjuncts(
       Seq(EqualNullSafe(id, Literal(5L)))).isEmpty)
-  }
-
-  test("null-matching, disjunctive, and non-literal shapes extract nothing") {
-    assert(x(EqualNullSafe(id, Literal(5L))).isEmpty,
-      "null-safe equality can match NULL rows a stats range excludes")
-    assert(x(IsNull(id)).isEmpty)
-    assert(x(Or(EqualTo(id, Literal(1L)), EqualTo(id, Literal(2L)))).isEmpty,
-      "disjunctions are not conjunctive ranges")
-    assert(x(EqualTo(id, id)).isEmpty)
-    assert(x(EqualTo(s, Literal("x"))).isEmpty, "non-numeric literals skip")
-    assert(x(EqualTo(Cast(id, DoubleType), Literal(5.0))).isEmpty,
-      "cast-wrapped attributes are not raw column ranges")
-    assert(x(In(id, Seq(Literal(1L), id))).isEmpty,
-      "IN with a non-literal element extracts nothing")
   }
 }

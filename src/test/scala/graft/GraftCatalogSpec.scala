@@ -284,6 +284,10 @@ class GraftCatalogSpec extends SparkSpec {
     // DELETE/UPDATE merge-on-read
     spark.sql(s"ALTER TABLE $c.t SET TBLPROPERTIES ('graft.deletionVectors'='true')")
     assert(cat.tableProperties("t") === Map("graft.deletionVectors" -> "true"))
+    // ...and SHOW TBLPROPERTIES reads them back through Table.properties()
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $c.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("graft.deletionVectors").contains("true"), shown.toString)
     val before = cat.manifestFiles("t", cat.currentVersion("t")).toSet
     spark.sql(s"DELETE FROM $c.t WHERE id = 14")
     assert(cat.manifestFiles("t", cat.currentVersion("t")).toSet === before,
@@ -536,6 +540,33 @@ class GraftCatalogSpec extends SparkSpec {
       s"vectored scan planned ${dvq.rdd.getNumPartitions} of $totalFiles files")
     assert(dvq.collect().map(_.getLong(0)).sorted ===
       (2500L to 3500L).filterNot(_ == 2600L).toArray)
+  }
+
+  test("DATE range predicates prune files through the index (raw epoch units)") {
+    val (cat, _, c) = freshCatalog("dskip")
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, java.sql.Date.valueOf(base.plusDays(i / 10)))
+    }
+    cat.overwriteVersioned("t", rows.toDF("id", "d"))
+    cat.compact("t", rowsPerFile = 500, clusterBy = Seq("d")) // 8 files
+    cat.index("t", Seq("d"))
+    val q = spark.sql(
+      s"SELECT id FROM $c.t WHERE d BETWEEN DATE'2024-02-01' AND DATE'2024-02-10'")
+    val desc = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.head
+    val kept = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc).get
+    assert(kept.group(2).toInt === 8 && kept.group(1).toInt * 2 < 8,
+      s"a 10-day window over a year-clustered layout must prune: $desc")
+    val expected = rows.filter { case (_, dt) =>
+      val ld = dt.toLocalDate
+      !ld.isBefore(java.time.LocalDate.of(2024, 2, 1)) &&
+        !ld.isAfter(java.time.LocalDate.of(2024, 2, 10))
+    }.map(_._1).sorted
+    assert(q.as[Long].collect().sorted === expected.toArray,
+      "date pruning must be invisible to results")
   }
 
   test("bloom filters prune SQL-door point lookups on random layouts") {
