@@ -1438,6 +1438,64 @@ object Relational {
         SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 != 55)
                  AS n_current,
                (SELECT COUNT(*) FROM orders) AS n_v1,
-               CAST(1 AS BIGINT) AS meta_count"""))
+               CAST(1 AS BIGINT) AS meta_count""")),
+
+    // ----------------------------------------------------------------
+    // S16: TIME-RANGE file skipping on the SQL door — the most common
+    // predicate on a 100 TB table is a timestamp window, and raw-unit
+    // catalyst literals (epoch micros) are what make `INT64:TIMESTAMP`
+    // min/max stats safely prunable (engine user-unit doubles never
+    // are). A 3-month window over the ~6.5-year time-clustered orders
+    // layout is pinned opening under half the files (`time_pruned`);
+    // the oracle is the plain filtered aggregate — pruning invisible
+    // to results.
+    Q(
+      "s16_sql_time_skip",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_tsk_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val o = Tables.orders(s, d)
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+          cat.overwriteVersioned("orders_ts", o)
+          val n = o.count()
+          cat.compact("orders_ts",
+            rowsPerFile = math.max(1L, n / 12), clusterBy = Seq("o_orderdate"))
+          cat.index("orders_ts", Seq("o_orderdate"))
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gst$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val q = s.sql(
+          s"""SELECT o_orderkey, o_totalprice
+              FROM $cname.orders_ts
+              WHERE o_orderdate >= TIMESTAMP'1996-03-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP'1996-06-01 00:00:00'""")
+        val desc = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.headOption.getOrElse("")
+        val pruned = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc)
+          .map(m => if (m.group(1).toLong * 2 < m.group(2).toLong) 1L else 0L)
+          .getOrElse(0L)
+        q.agg(count(lit(1)).as("n_rows"),
+            graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .withColumn("time_pruned", lit(pruned))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+               CAST(1 AS BIGINT) AS time_pruned
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-06-01 00:00:00'"""))
   )
 }
