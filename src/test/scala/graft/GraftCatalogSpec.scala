@@ -682,6 +682,40 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("the wrapper stack composes: vectors + index + SPJ conf + metadata count") {
+    val (cat, _, c) = freshCatalog("stack")
+    cat.overwriteVersioned("t",
+      (1L to 4000L).map(i => (i, s"p${i % 2}", i * 1.0)).toDF("id", "p", "m"),
+      Seq("p"))
+    cat.compact("t", rowsPerFile = 500, partitionBy = Seq("p"),
+      clusterBy = Seq("id"))
+    cat.index("t", Seq("id"))
+    cat.setTableProperty("t", "graft.deletionVectors", "true")
+    cat.deleteVectors("t", col("id") % 100 === 7)
+    def desc(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.headOption.getOrElse("")
+    withSpj {
+      // bare count: metadata path wins over every scan wrapper, and the
+      // vectored positions subtract (served from the INDEXED fast path)
+      val cnt = spark.sql(s"SELECT count(*) FROM $c.t")
+      assert(cnt.queryExecution.executedPlan.toString.contains("GraftCountStarScan"))
+      assert(cnt.as[Long].head() === 4000L - 40L)
+      // a range query: vectored tables keep the positional scan (never
+      // SPJ), which still file-skips through the index
+      val q = spark.sql(s"SELECT id FROM $c.t WHERE id BETWEEN 100 AND 600")
+      val d = desc(q)
+      assert(d.contains("GraftDvScan"), d)
+      assert(q.collect().map(_.getLong(0)).sorted ===
+        (100L to 600L).filterNot(_ % 100 == 7).toArray)
+      assert(q.rdd.getNumPartitions * 2 <
+        cat.manifestFiles("t", cat.currentVersion("t")).size,
+        "the vectored scan must have index-pruned its one-file partitions")
+    }
+  }
+
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {
     // HadoopFsRelation / plan-cache / exchange-reuse equality must not
     // conflate a graft relation (field-id read forced on) with a stock
