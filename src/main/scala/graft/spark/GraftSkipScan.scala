@@ -154,7 +154,14 @@ object GraftFileSkipping {
         .candidateFilesTyped(statsPath, paths, preds).toSet
     for ((col, vs) <- points if cand.size > 1) {
       val ordered = cand.toSeq.sorted
-      if (graft.storage.SkippingIndex.hasBloomFilter(ordered.head, col))
+      // probe up to three files for a bloom before launching the
+      // distributed pass: ONE bloom-less file (say, appended by a
+      // writer configured without blooms) must not silently disable
+      // pruning for the rest — and a genuinely bloom-less table still
+      // never pays a job (the pass itself keeps bloom-less files, so
+      // proceeding on any hit is conservative either way)
+      if (ordered.take(3).exists(f =>
+          graft.storage.SkippingIndex.hasBloomFilter(f, col)))
         cand = graft.storage.SkippingIndex
           .bloomCandidatesAny(SparkSession.active, ordered, col, vs).toSet
     }
