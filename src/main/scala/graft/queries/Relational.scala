@@ -1454,7 +1454,10 @@ object Relational {
       (s, d) => {
         import java.nio.file.{Files, Paths}
         val suffix = graft.storage.Scratch.fingerprint(d).take(8)
-        val root = s"${sys.props("java.io.tmpdir")}/graft_tsk_$suffix"
+        // _tsk2: the r18 full-annotation index tags obsolete any _tsk
+        // scratch built by earlier rounds (its truncated tags would no
+        // longer match and the pruning pin would read stale)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_tsk2_$suffix"
         val marker = Paths.get(s"$root/_complete")
         val cat = new graft.storage.ParquetCatalog(s, root)
         if (!Files.exists(marker)) {

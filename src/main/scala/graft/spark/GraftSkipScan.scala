@@ -161,7 +161,7 @@ object GraftFileSkipping {
       // never pays a job (the pass itself keeps bloom-less files, so
       // proceeding on any hit is conservative either way)
       if (ordered.take(3).exists(f =>
-          graft.storage.SkippingIndex.hasBloomFilter(f, col)))
+          graft.storage.SkippingIndex.hasBloomFilter(SparkSession.active, f, col)))
         cand = graft.storage.SkippingIndex
           .bloomCandidatesAny(SparkSession.active, ordered, col, vs).toSet
     }
@@ -182,16 +182,25 @@ object GraftFileSkipping {
   /** Literal → (raw double, stats types the raw value may prune beyond
     * plain numerics). Catalyst DATE/TIMESTAMP literals are ALREADY in
     * the column's raw physical units — epoch days (`INT32:DATE`) and
-    * epoch micros (`INT64:TIMESTAMP`, the engine's pinned-UTC sessions
-    * make adjusted and NTZ micros coincide) — so they may prune those
-    * annotated stats, which user-unit engine predicates never can. */
+    * epoch micros — so they may prune those annotated stats, which
+    * user-unit engine predicates never can. The timestamp match is
+    * VARIANT-EXACT against the index's full annotation: a
+    * `TimestampType` literal is an instant in epoch MICROS, comparable
+    * only to `TIMESTAMP(MICROS,true)` stats (instant semantics, any
+    * session timezone); a `TimestampNTZType` literal is wall-clock
+    * micros, comparable only to `TIMESTAMP(MICROS,false)`. MILLIS/
+    * NANOS-stored files (e.g. written under a non-default
+    * `spark.sql.parquet.outputTimestampType`, or absorbed external
+    * parquet) record a different annotation and stay conservatively
+    * unprunable — a 1000× unit mismatch must over-read, never prune. */
   private def ranged(l: Literal): Option[(Double, Set[String])] =
     (l.value, l.dataType) match {
       case (n: java.lang.Number, org.apache.spark.sql.types.DateType) =>
         Some(n.doubleValue() -> Set("INT32:DATE"))
-      case (n: java.lang.Number, org.apache.spark.sql.types.TimestampType |
-          org.apache.spark.sql.types.TimestampNTZType) =>
-        Some(n.doubleValue() -> Set("INT64:TIMESTAMP"))
+      case (n: java.lang.Number, org.apache.spark.sql.types.TimestampType) =>
+        Some(n.doubleValue() -> Set("INT64:TIMESTAMP(MICROS,true)"))
+      case (n: java.lang.Number, org.apache.spark.sql.types.TimestampNTZType) =>
+        Some(n.doubleValue() -> Set("INT64:TIMESTAMP(MICROS,false)"))
       case (n: java.lang.Number, _) => Some(n.doubleValue() -> Set.empty[String])
       case (d: org.apache.spark.sql.types.Decimal, _) =>
         Some(d.toDouble -> Set.empty[String])

@@ -6,6 +6,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.util.SerializableConfiguration
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
@@ -39,12 +40,21 @@ object SkippingIndex {
   private def statsFile(tableDir: String) =
     Paths.get(tableDir, "_graft_stats.json")
 
+  /** The SESSION's Hadoop configuration, the same resolution the stock
+    * scan path uses — a bare `new Configuration()` would miss
+    * filesystem settings (object-store credentials, custom schemes) and
+    * silently turn every footer/bloom probe into a conservative miss.
+    * Serializable-wrapped so the distributed passes can ship it. */
+  private def hconf(spark: SparkSession): SerializableConfiguration =
+    new SerializableConfiguration(spark.sessionState.newHadoopConf())
+
   /** Distributed footer read over every parquet file under `dir`. */
   def collect(spark: SparkSession, dir: String, cols: Seq[String]): Seq[FileStats] = {
     val files = listParquet(dir)
     val wanted = cols.toSet
+    val conf = hconf(spark)
     spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
-      .map { f => readFooter(f, wanted) }
+      .map { f => readFooter(f, wanted, conf.value) }
       .collect().toSeq.sortBy(_.file)
   }
 
@@ -55,14 +65,16 @@ object SkippingIndex {
   /** Footer-only row counts for explicit files (the REORG PURGE
     * deleted-fraction denominator) — one distributed footer read, no
     * data pages touched. */
-  def rowCounts(spark: SparkSession, files: Seq[String]): Map[String, Long] =
+  def rowCounts(spark: SparkSession, files: Seq[String]): Map[String, Long] = {
+    val conf = hconf(spark)
     spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
       .map { f =>
-        val in = HadoopInputFile.fromPath(new HPath(f), new Configuration())
+        val in = HadoopInputFile.fromPath(new HPath(f), conf.value)
         val reader = ParquetFileReader.open(in)
         try f -> reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         finally reader.close()
       }.collect().toMap
+  }
 
   private def listParquet(dir: String): Seq[String] = {
     // resolve the real path defensively: Files.walk does NOT traverse a
@@ -77,8 +89,9 @@ object SkippingIndex {
 
   /** Footer-only stats for one file: per requested column, min of
     * row-group mins / max of row-group maxes. Runs inside a task. */
-  private def readFooter(file: String, cols: Set[String]): FileStats = {
-    val in = HadoopInputFile.fromPath(new HPath(file), new Configuration())
+  private def readFooter(file: String, cols: Set[String],
+      conf: Configuration): FileStats = {
+    val in = HadoopInputFile.fromPath(new HPath(file), conf)
     val reader = ParquetFileReader.open(in)
     try {
       val footer = reader.getFooter
@@ -97,10 +110,14 @@ object SkippingIndex {
           // TIMESTAMP store epoch offsets) so a raw-physical-value
           // numeric compare against a user-unit predicate can never
           // wrongly prune — overlaps() only trusts plain INT32/INT64/
-          // FLOAT/DOUBLE.
+          // FLOAT/DOUBLE. The FULL annotation is kept (unit AND
+          // isAdjustedToUTC for timestamps — `TIMESTAMP(MICROS,true)`,
+          // never truncated at '('): a MILLIS- or NANOS-stored file, or
+          // an NTZ one, must NOT be prunable by an epoch-micros
+          // instant literal, and the pruners opt in per exact variant.
           val prim = ss.head.`type`()
           val ann = Option(prim.getLogicalTypeAnnotation)
-            .map(a => ":" + a.toString.takeWhile(_ != '(')).getOrElse("")
+            .map(a => ":" + a.toString).getOrElse("")
           val typ = prim.getPrimitiveTypeName.name() + ann
           // genericGetMin/Max are Comparable within one physical type
           val mins = ss.map(_.genericGetMin.asInstanceOf[Comparable[Any]])
@@ -140,11 +157,12 @@ object SkippingIndex {
   def writeAt(spark: SparkSession, statsPath: java.nio.file.Path,
       files: Seq[String], cols: Seq[String]): Seq[FileStats] = {
     val wanted = cols.toSet
+    val conf = hconf(spark)
     val stats =
       if (files.isEmpty) Seq.empty
       else spark.sparkContext
         .parallelize(files, math.max(1, math.min(files.size, 32)))
-        .map(f => readFooter(f, wanted)).collect().toSeq.sortBy(_.file)
+        .map(f => readFooter(f, wanted, conf.value)).collect().toSeq.sortBy(_.file)
     persist(statsPath, stats)
     stats
   }
@@ -198,11 +216,12 @@ object SkippingIndex {
     val knownSet = known.map(_.file).toSet
     val fresh = files.filterNot(knownSet.contains)
     val wanted = useCols.toSet
+    val conf = hconf(spark)
     val freshStats =
       if (fresh.isEmpty) Seq.empty
       else spark.sparkContext
         .parallelize(fresh, math.max(1, math.min(fresh.size, 32)))
-        .map(f => readFooter(f, wanted)).collect().toSeq
+        .map(f => readFooter(f, wanted, conf.value)).collect().toSeq
     val stats = (known ++ freshStats).sortBy(_.file)
     persist(statsPath, stats)
     stats
@@ -215,9 +234,10 @@ object SkippingIndex {
     * pass, no data pages. */
   def filesWithoutFieldIds(spark: SparkSession, files: Seq[String]): Seq[String] = {
     if (files.isEmpty) return files
+    val conf = hconf(spark)
     spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
       .filter { f =>
-        val in = HadoopInputFile.fromPath(new HPath(f), new Configuration())
+        val in = HadoopInputFile.fromPath(new HPath(f), conf.value)
         val reader = ParquetFileReader.open(in)
         try !reader.getFooter.getFileMetaData.getSchema.getFields.asScala
           .exists(_.getId != null)
@@ -236,9 +256,10 @@ object SkippingIndex {
       cols: Seq[String]): Seq[String] = {
     if (files.isEmpty || cols.isEmpty) return Nil
     val wanted = cols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val conf = hconf(spark)
     spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
       .filter { f =>
-        val in = HadoopInputFile.fromPath(new HPath(f), new Configuration())
+        val in = HadoopInputFile.fromPath(new HPath(f), conf.value)
         val reader = ParquetFileReader.open(in)
         try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
           .exists(t => wanted.contains(t.getName.toLowerCase(java.util.Locale.ROOT)))
@@ -383,8 +404,9 @@ object SkippingIndex {
   def bloomCandidates(spark: SparkSession, files: Seq[String], column: String,
       value: Any): Seq[String] = {
     if (files.isEmpty) return files
+    val conf = hconf(spark)
     spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
-      .filter(f => bloomMightContain(f, column, value))
+      .filter(f => bloomMightContain(f, column, value, conf.value))
       .collect().toSeq.sorted
   }
 
@@ -392,10 +414,13 @@ object SkippingIndex {
     * in ANY row group? One footer read — what lets a read path decide
     * whether a distributed [[bloomCandidates]] pass can pay off before
     * launching it (files written by the same `bloomFor` catalog all
-    * carry the filter; a bloom-less table skips the job entirely). */
-  def hasBloomFilter(file: String, column: String): Boolean =
+    * carry the filter; a bloom-less table skips the job entirely).
+    * Reads with the SESSION's Hadoop conf, like the scan path — any
+    * probe failure degrades to false (no bloom pass), never an error. */
+  def hasBloomFilter(spark: SparkSession, file: String, column: String): Boolean =
     try {
-      val in = HadoopInputFile.fromPath(new HPath(file), new Configuration())
+      val in = HadoopInputFile.fromPath(new HPath(file),
+        spark.sessionState.newHadoopConf())
       val reader = ParquetFileReader.open(in)
       try {
         reader.getFooter.getBlocks.asScala.exists { block =>
@@ -412,14 +437,15 @@ object SkippingIndex {
   def bloomCandidatesAny(spark: SparkSession, files: Seq[String],
       column: String, values: Seq[Any]): Seq[String] = {
     if (files.isEmpty || values.isEmpty) return files
+    val conf = hconf(spark)
     spark.sparkContext.parallelize(files, math.max(1, math.min(files.size, 32)))
-      .filter(f => bloomMightContainAny(f, column, values))
+      .filter(f => bloomMightContainAny(f, column, values, conf.value))
       .collect().toSeq.sorted
   }
 
   private def bloomMightContainAny(file: String, column: String,
-      values: Seq[Any]): Boolean = {
-    val in = HadoopInputFile.fromPath(new HPath(file), new Configuration())
+      values: Seq[Any], conf: Configuration): Boolean = {
+    val in = HadoopInputFile.fromPath(new HPath(file), conf)
     val reader = ParquetFileReader.open(in)
     try {
       reader.getFooter.getBlocks.asScala.exists { block =>
@@ -438,8 +464,9 @@ object SkippingIndex {
   /** One file's verdict: false ONLY when every row group has a bloom
     * filter for the column and none might contain the value. Runs
     * inside a task. */
-  def bloomMightContain(file: String, column: String, value: Any): Boolean = {
-    val in = HadoopInputFile.fromPath(new HPath(file), new Configuration())
+  def bloomMightContain(file: String, column: String, value: Any,
+      conf: Configuration): Boolean = {
+    val in = HadoopInputFile.fromPath(new HPath(file), conf)
     val reader = ParquetFileReader.open(in)
     try {
       reader.getFooter.getBlocks.asScala.exists { block =>

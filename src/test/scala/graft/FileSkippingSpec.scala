@@ -3,7 +3,7 @@ package graft
 import graft.spark.GraftFileSkipping
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StringType,
-  TimestampType}
+  TimestampNTZType, TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Soundness rules of the catalyst-filter → index-predicate
@@ -43,14 +43,20 @@ class FileSkippingSpec extends AnyFunSuite {
 
   test("DATE/TIMESTAMP literals prune their raw-unit stats types, padded") {
     // catalyst date literals are epoch DAYS (Int), timestamps epoch
-    // MICROS (Long) — exactly the raw values INT32:DATE / INT64:
-    // TIMESTAMP stats record; ±2 padding keeps double rounding of
-    // far-future micros strictly over-reading
+    // MICROS (Long) — exactly the raw values INT32:DATE /
+    // INT64:TIMESTAMP(MICROS,…) stats record; ±2 padding keeps double
+    // rounding of far-future micros strictly over-reading. The
+    // timestamp stats match is VARIANT-EXACT: instant (TimestampType)
+    // literals prune only adjusted-to-UTC MICROS stats, NTZ literals
+    // only non-adjusted MICROS — MILLIS/NANOS variants never match.
     assert(x(GreaterThanOrEqual(d, Literal(19723, DateType))) ===
       Seq(("d", 19721.0, inf, Set("INT32:DATE"))))
     assert(x(EqualTo(ts, Literal(1700000000000000L, TimestampType))) ===
       Seq(("ts", 1700000000000000.0 - 2, 1700000000000000.0 + 2,
-        Set("INT64:TIMESTAMP"))))
+        Set("INT64:TIMESTAMP(MICROS,true)"))))
+    assert(x(LessThan(Literal(1700000000000000L, TimestampNTZType), ts)) ===
+      Seq(("ts", 1700000000000000.0 - 2, inf,
+        Set("INT64:TIMESTAMP(MICROS,false)"))))
     assert(x(LessThan(Literal(19000, DateType), d)) ===
       Seq(("d", 18998.0, inf, Set("INT32:DATE"))))
   }

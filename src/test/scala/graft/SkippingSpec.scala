@@ -139,6 +139,63 @@ class SkippingSpec extends SparkSpec {
     assert(SkippingIndex.scan(spark, dir, "v", 9, 9).count() == 1)
   }
 
+  test("timestamp stats record the FULL annotation; MILLIS files never micros-prune") {
+    import spark.implicits._
+    val (_, root) = freshCatalog()
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2020-06-01 00:00:00")
+
+    // Spark's DEFAULT writer stores TimestampType as INT96 — parquet
+    // records no usable stats for it, so such columns are never
+    // prunable (conservative by construction)
+    val int96Dir = s"$root/ts_int96"
+    Seq(t0, t1).toDF("ts").coalesce(1).write.parquet(int96Dir)
+    val int96Stats = SkippingIndex.write(spark, int96Dir, Seq("ts"))
+    assert(int96Stats.head.cols.isEmpty,
+      "INT96 carries no stats — the column must simply be unindexed")
+
+    // opted into TIMESTAMP_MICROS, the annotation records adjusted-UTC
+    val microsDir = s"$root/ts_micros"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try Seq(t0, t1).toDF("ts").coalesce(1).write.parquet(microsDir)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val microsStats = SkippingIndex.write(spark, microsDir, Seq("ts"))
+    assert(microsStats.head.cols.head.typ === "INT64:TIMESTAMP(MICROS,true)",
+      "the index must keep unit AND isAdjustedToUTC — pruners opt in per variant")
+
+    // same logical values stored as MILLIS: raw stats are 1000× smaller
+    val millisDir = s"$root/ts_millis"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try Seq(t0, t1).toDF("ts").coalesce(1).write.parquet(millisDir)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val millisStats = SkippingIndex.write(spark, millisDir, Seq("ts"))
+    assert(millisStats.head.cols.head.typ === "INT64:TIMESTAMP(MILLIS,true)")
+
+    // an epoch-MICROS instant window BELOW the data, declared prunable
+    // only for the MICROS variant: the micros file prunes, the millis
+    // file — whose raw millis stats would "intersect" the micros window
+    // 1000× off — must be conservatively KEPT
+    val lo = t0.getTime * 1000.0 - 86400e6 * 30
+    val hi = t0.getTime * 1000.0 - 86400e6 * 1
+    val micros = Set("INT64:TIMESTAMP(MICROS,true)")
+    val microsCand = SkippingIndex.candidateFilesTyped(
+      java.nio.file.Paths.get(microsDir, "_graft_stats.json"),
+      microsStats.map(_.file), Seq(("ts", lo, hi, micros)))
+    assert(microsCand.isEmpty, "micros stats prune a disjoint micros window")
+    val millisCand = SkippingIndex.candidateFilesTyped(
+      java.nio.file.Paths.get(millisDir, "_graft_stats.json"),
+      millisStats.map(_.file), Seq(("ts", lo, hi, micros)))
+    assert(millisCand === millisStats.map(_.file),
+      "MILLIS-stored files must never be pruned by micros bounds")
+
+    // NTZ storage records isAdjustedToUTC=false — a distinct variant
+    val ntzDir = s"$root/ts_ntz"
+    Seq(java.time.LocalDateTime.of(2020, 1, 1, 0, 0))
+      .toDF("ts").coalesce(1).write.parquet(ntzDir)
+    val ntzStats = SkippingIndex.write(spark, ntzDir, Seq("ts"))
+    assert(ntzStats.head.cols.head.typ === "INT64:TIMESTAMP(MICROS,false)")
+  }
+
   test("pruned scan of a partitioned layout keeps partition columns") {
     val (cat, root) = freshCatalog()
     cat.overwrite("orders",
