@@ -29,20 +29,27 @@ object Bench {
     }
 
     // Host-calibration workload: fixed and data-independent — codegen'd
-    // arithmetic over a 200M-row range, a 4096-key hash shuffle, and a
+    // arithmetic over a 1G-row range, a 4096-key hash shuffle, and a
     // hash aggregation, i.e. the same machinery the real queries spend
-    // their time in. Timed after one warmup, so its runtime varies only
-    // with the host. Per-query numbers divided by `calibration_sec` are
-    // comparable across rounds even when the bench machine changes
-    // (observed r6→r7: ~1.5–1.7× uniform wall-clock drift on identical
-    // code at the same commit — see README "Bench methodology").
+    // their time in. Its runtime varies only with the host. Per-query
+    // numbers divided by `calibration_sec` are comparable across rounds
+    // even when the bench machine changes (observed r6→r7: ~1.5–1.7×
+    // uniform wall-clock drift on identical code at the same commit —
+    // see README "Bench methodology").
+    //
+    // r18 hardening: every r17 block's pre/post probes disagreed
+    // 25–48% because the 200M-row probe finished sub-second — inside
+    // JIT/GC jitter. Now SECONDS-long (1G rows, ~2–4 s a run), two
+    // warmups, median of 5; a window is trustworthy only when pre and
+    // post agree within ~5%, and the driver's cross-round ratios
+    // should be read against that agreement.
     def calibration(): Double = {
       import org.apache.spark.sql.functions._
-      def run(): Unit = spark.range(0, 200000000L, 1, 32)
+      def run(): Unit = spark.range(0, 1000000000L, 1, 32)
         .select(pmod(xxhash64(col("id")), lit(4096)).as("k"), col("id"))
         .groupBy("k").agg(sum("id").as("s"), count(lit(1)).as("c"))
         .agg(sum(col("s") + col("c"))).collect()
-      run(); Seq.fill(3)(time(run())).sorted.apply(1)
+      run(); run(); Seq.fill(5)(time(run())).sorted.apply(2)
     }
 
     // optional filter for local iteration: comma-separated query names

@@ -1499,6 +1499,190 @@ object Relational {
                CAST(1 AS BIGINT) AS time_pruned
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1996-06-01 00:00:00'"""))
+          AND o_orderdate <  TIMESTAMP '1996-06-01 00:00:00'""")),
+
+    // ----------------------------------------------------------------
+    // S17: the skipping structures declared as TBLPROPERTIES — a table
+    // whose ENTIRE lifecycle is plain SQL (CTAS with
+    // `graft.bloomFor`/`graft.indexFor`, then INSERT INTO) acquires
+    // parquet native blooms and a self-maintaining min/max index with
+    // zero engine API: the write verbs honor the properties, every
+    // commit reconciles the index. The pin is s14's: a point lookup on
+    // the random 24-file layout keeps under half the files — only the
+    // blooms can do that there — INCLUDING the second (INSERT-appended)
+    // batch's files. Oracle = plain filtered aggregate.
+    Q(
+      "s17_sql_tblprops",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_tbp_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cname = s"gtp$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        if (!Files.exists(marker)) {
+          li.createOrReplaceTempView("li_props_src")
+          s.sql(
+            s"""CREATE TABLE $cname.li_props
+                TBLPROPERTIES('graft.bloomFor'='l_orderkey',
+                              'graft.indexFor'='l_orderkey')
+                AS SELECT /*+ REPARTITION(16) */ * FROM li_props_src
+                   WHERE l_linenumber <= 4""")
+          s.sql(
+            s"""INSERT INTO $cname.li_props
+                SELECT /*+ REPARTITION(8) */ * FROM li_props_src
+                WHERE l_linenumber > 4""")
+          Files.writeString(marker, "ok")
+        }
+        val key = li.agg(max(col("l_orderkey"))).head().getLong(0)
+        val q = s.sql(
+          s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM $cname.li_props WHERE l_orderkey = $key""")
+        val desc = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan.description()
+        }.headOption.getOrElse("")
+        val pruned = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc)
+          .map(m => if (m.group(1).toLong * 2 < m.group(2).toLong) 1L else 0L)
+          .getOrElse(0L)
+        q.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_rows"),
+            graft.functions.Deterministic.dsum(col("l_extendedprice")).as("total"),
+            min(col("l_linenumber")).as("min_line"),
+            max(col("l_linenumber")).as("max_line"))
+          .withColumn("props_pruned", lit(pruned))
+      },
+      Some("""
+        SELECT l_orderkey, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               MIN(l_linenumber) AS min_line, MAX(l_linenumber) AS max_line,
+               CAST(1 AS BIGINT) AS props_pruned
+        FROM lineitem
+        WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)
+        GROUP BY l_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // S18: metadata-only MIN/MAX and PARTITION-FILTERED COUNT — the
+    // rest of the Delta/Iceberg metadata-aggregate surface beyond s15's
+    // bare count: `min(x)`/`max(x)` fold the persisted per-file index
+    // stats (exact per-file aggregates), and a COUNT whose predicate
+    // the scan consumed EXACTLY (partition columns only) counts the
+    // surviving files' footer rows. `meta_agg` pins that ALL THREE
+    // statements planned the single-row metadata scan — zero data
+    // pages at any scale. The oracle recomputes everything
+    // relationally.
+    Q(
+      "s18_sql_meta_agg",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_sma_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val o = Tables.orders(s, d)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          cat.overwriteVersioned("orders_ma", o, Seq("o_orderstatus"))
+          cat.index("orders_ma", Seq("o_orderkey"))
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gma$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val mm = s.sql(
+          s"""SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              FROM $cname.orders_ma""")
+        val cf = s.sql(
+          s"""SELECT count(*) AS n_f FROM $cname.orders_ma
+              WHERE o_orderstatus = 'F'""")
+        val mf = s.sql(
+          s"""SELECT max(o_orderkey) AS max_key_f FROM $cname.orders_ma
+              WHERE o_orderstatus = 'F'""")
+        val metaAgg =
+          if (Seq(mm, cf, mf).forall(_.queryExecution.executedPlan.toString
+              .contains("GraftCountStarScan"))) 1L else 0L
+        val r1 = mm.head(); val n = cf.head().getLong(0); val mk = mf.head().getLong(0)
+        import s.implicits._
+        Seq((r1.getLong(0), r1.getLong(1), n, mk, metaAgg))
+          .toDF("min_key", "max_key", "n_f", "max_key_f", "meta_agg")
+      },
+      Some("""
+        SELECT (SELECT MIN(o_orderkey) FROM orders) AS min_key,
+               (SELECT MAX(o_orderkey) FROM orders) AS max_key,
+               (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS n_f,
+               (SELECT MAX(o_orderkey) FROM orders WHERE o_orderstatus = 'F')
+                 AS max_key_f,
+               CAST(1 AS BIGINT) AS meta_agg""")),
+
+    // ----------------------------------------------------------------
+    // S19: bucket-transform storage-partitioned join — s12 keys on an
+    // identity PARTITION column; real fact-dim joins key on
+    // high-cardinality IDs, where the layout must be a HASH-BUCKETED
+    // one. Two tables bucketed on the join key by the engine verb
+    // report `bucket(16, key)` KeyGroupedPartitioning (resolved
+    // through the catalog's own V2 bucket function — the Iceberg
+    // mechanism) and the per-customer aggregate join runs with ZERO
+    // Exchange, pinned in the executed adaptive plan. At 100 TB this
+    // is the write-once shuffle: every later run of the daily join
+    // pays no exchange on either side. Oracle = the plain relational
+    // join.
+    Q(
+      "s19_sql_bucket_join",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_sbj_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          cat.overwriteBucketedVersioned("orders_b",
+            Tables.orders(s, d)
+              .select("o_orderkey", "o_custkey", "o_totalprice"),
+            "o_custkey", 16)
+          cat.overwriteBucketedVersioned("cust_b",
+            Tables.customer(s, d).select("c_custkey", "c_name"),
+            "c_custkey", 16)
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gbj$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val toggled = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = toggled.map { case (k, _) => k -> s.conf.getOption(k) }
+        toggled.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val agg = s.sql(
+            s"""SELECT c.c_custkey, count(*) AS n_orders,
+                       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                         AS total
+                FROM $cname.orders_b o
+                JOIN $cname.cust_b c ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey""")
+          agg.collect() // finalize the adaptive plan before inspecting it
+          val plan = agg.queryExecution.executedPlan.toString
+          val exchanges = if (plan.contains("Exchange")) 1L else 0L
+          val spjScan = if (plan.contains("GraftSpjScan")) 1L else 0L
+          agg.withColumn("bucket_exchanges", lit(exchanges))
+            .withColumn("bucket_spj", lit(spjScan))
+            .orderBy("c_custkey")
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      },
+      Some("""
+        SELECT c.c_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               CAST(0 AS BIGINT) AS bucket_exchanges,
+               CAST(1 AS BIGINT) AS bucket_spj
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey ORDER BY c.c_custkey"""))
   )
 }

@@ -53,7 +53,25 @@ import scala.jdk.CollectionConverters._
   * object itself is stateless metadata (root path + name); every
   * operation re-reads the manifests, so concurrent engine-API writers
   * and SQL writers see each other through the same CAS. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** The V2 function namespace: exactly [[GraftBucketFunction]] — what
+    * resolves the `bucket(n, col)` transforms bucketed tables report
+    * (storage-partitioned joins need the catalog to supply the
+    * function so both sides' transforms compare equal and are
+    * evaluable — Iceberg's SparkFunctions pattern). */
+  override def listFunctions(namespace: Array[String]):
+      Array[Identifier] = {
+    requireNs(namespace)
+    Array(Identifier.of(Array.empty[String], "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var root: String = _
@@ -314,22 +332,43 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
     lazy val statsP = cat.statsPath(tableName)
     lazy val indexed = resolvedVersion.isDefined &&
       graft.storage.SkippingIndex.existsAt(statsP)
+    lazy val spjOn = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    lazy val bucketed = resolvedVersion
+      .filter(_ => layout == Seq(ParquetCatalog.BucketPartCol))
+      .flatMap(v => cat.bucketSpecAt(tableName, v))
     val chosen: ScanBuilder =
       if (dvSidecars.nonEmpty) new GraftDvScanBuilder(inner, dvSidecars, layout,
         if (indexed) Some(statsP) else None)
-      else if (layout.nonEmpty && spark.conf
-          .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+      else if (bucketed.isDefined && spjOn)
+        // bucket-declared layout: report bucket(n, col) instead of the
+        // synthetic identity partitioning, so equi-joins on the DATA
+        // column itself go Exchange-free
+        new GraftSpjScanBuilder(inner, layout,
+          if (indexed) Some(statsP) else None, bucketed)
+      else if (layout.nonEmpty && spjOn)
         new GraftSpjScanBuilder(inner, layout,
           if (indexed) Some(statsP) else None)
-      else if (indexed) new GraftSkipScanBuilder(inner, statsP)
+      else if (indexed || layout.nonEmpty)
+        // partitioned-but-unindexed tables still take the skip wrapper,
+        // solely for its runtime (dynamic-partition-pruning) filtering
+        new GraftSkipScanBuilder(inner, if (indexed) Some(statsP) else None)
       else inner
-    // outermost: a bare SELECT count(*) answers from the manifest +
-    // footer metadata (minus vectored positions) without a data page
+    // outermost: a bare (or exactly-partition-filtered) COUNT(*) /
+    // MIN / MAX answers from the manifest + footer/index metadata
+    // (minus vectored positions) without a data page
     if (resolvedVersion.isDefined && spark.conf
-        .get("spark.graft.sql.metadataCount", "true").toBoolean)
-      new GraftCountStarBuilder(chosen,
-        () => cat.exactRowCount(tableName, resolvedVersion.get))
-    else chosen
+        .get("spark.graft.sql.metadataCount", "true").toBoolean) {
+      val v = resolvedVersion.get
+      def allFiles(): Seq[String] = cat.dataFilesAbs(tableName, v)
+      new GraftCountStarBuilder(chosen, delegate.schema,
+        () => cat.exactRowCount(tableName, v),
+        files => cat.exactRowCountFor(tableName, v, files),
+        (col, dt, files) =>
+          cat.statsMinMax(tableName, v, col, dt, files.getOrElse(allFiles())),
+        minMaxEnabled = spark.conf
+          .get("spark.graft.sql.metadataMinMax", "true").toBoolean)
+    } else chosen
   }
 
   /** `DELETE FROM <cat>.t WHERE ...` / `TRUNCATE TABLE <cat>.t` as ONE

@@ -2,81 +2,154 @@ package graft.spark
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** METADATA-ONLY `COUNT(*)` (Delta/Iceberg parity): a plain
-  * `SELECT count(*) FROM <catalog>.t` never needs a data page — the
-  * manifest's file list plus per-file footer row counts (served from
-  * the skipping index when present) minus the version's
-  * deletion-vector positions IS the answer. This outermost builder
-  * wrapper intercepts Spark's aggregate pushdown when the aggregation
-  * is pure `CountStar` (no grouping, and NO filters were pushed — any
-  * predicate routes to the normal scan) and replaces the whole scan
-  * with one single-row partition carrying the count; Spark's final
-  * aggregation sums the one partial row. At 100 TB that is O(files)
-  * footer metadata once (then O(1) from the index) instead of reading
-  * every row of the table. Kill switch: `spark.graft.sql.metadataCount
-  * = false` restores the stock scan-and-count. Everything that is not
-  * a bare count delegates verbatim to the wrapped builder chain
+/** METADATA-ONLY aggregates (Delta/Iceberg parity): a plain
+  * `SELECT count(*) [, min(x), max(x)] FROM <catalog>.t` never needs a
+  * data page —
+  *
+  *   - `COUNT(*)`: the manifest's file list plus per-file footer row
+  *     counts (served from the skipping index when present) minus the
+  *     version's deletion-vector positions;
+  *   - `MIN(x)`/`MAX(x)`: min-of-mins / max-of-maxes over the persisted
+  *     per-file index stats, which are EXACT per-file aggregates — see
+  *     [[graft.storage.ParquetCatalog.statsMinMax]] for the refusal
+  *     conditions (vectors, unindexed or all-null files, any type whose
+  *     footer stats are not exact round-trippable values);
+  *   - filters are allowed when the inner builder consumed them EXACTLY
+  *     (returned no residual — i.e. they referenced only partition
+  *     columns, the case where Spark removes the Filter node and the
+  *     inner scan's file index reduces the file list precisely): the
+  *     answer then aggregates over the SURVIVING files only.
+  *
+  * This outermost builder wrapper intercepts Spark's aggregate pushdown
+  * and replaces the whole scan with one single-row partition carrying
+  * the partial values; Spark's final aggregation folds the one row. At
+  * 100 TB that is O(files) footer metadata once (then O(1) from the
+  * index) instead of reading every row. Kill switches:
+  * `spark.graft.sql.metadataCount = false` restores the stock
+  * scan-and-count; `spark.graft.sql.metadataMinMax = false` keeps the
+  * count interception but routes MIN/MAX to the real scan. Everything
+  * not answerable delegates verbatim to the wrapped builder chain
   * (dv / SPJ / skip / stock). */
-class GraftCountStarBuilder(inner: ScanBuilder, countRows: () => Long)
+class GraftCountStarBuilder(inner: ScanBuilder, tableSchema: StructType,
+    countAll: () => Long, countFor: Seq[String] => Long,
+    minMaxFor: (String, org.apache.spark.sql.types.DataType, Option[Seq[String]])
+      => Option[(Any, Any)],
+    minMaxEnabled: Boolean = true)
   extends GraftForwardingScanBuilder(inner) {
 
-  private var filtered = false
-  private var countSchema: Option[StructType] = None
+  private var sawFilters = false
+  private var allConsumed = true
+  private var metaSchema: Option[StructType] = None
+  private var metaRow: Seq[Any] = Nil
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    if (filters.nonEmpty) filtered = true
-    super.pushFilters(filters)
+    if (filters.nonEmpty) sawFilters = true
+    val residual = super.pushFilters(filters)
+    if (residual.nonEmpty) allConsumed = false
+    residual
+  }
+
+  /** The surviving data files of the inner scan (post partition
+    * pruning) — None when the planned partitions are not file-shaped
+    * (then nothing is intercepted). */
+  private def innerFiles(): Option[Seq[String]] = {
+    val parts = inner.build().toBatch.planInputPartitions().toSeq
+    val files = parts.map {
+      case fp: FilePartition => Some(fp.files.toSeq)
+      case k: GraftKeyedPartition => Some(k.delegate.files.toSeq)
+      case _ => None
+    }
+    if (files.exists(_.isEmpty)) None
+    else Some(files.flatten.flatten
+      .map(f => GraftFileSkipping.plainPath(f.filePath.toString)).distinct)
   }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val bareCount = !filtered &&
-      aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.nonEmpty &&
-      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-    if (bareCount) {
-      countSchema = Some(StructType(
-        aggregation.aggregateExpressions.indices.map(i =>
-          StructField(s"count_star_$i", LongType, nullable = false))))
-      aggPushed = true
-      true
-    } else super.pushAggregation(aggregation)
+    val shapes = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(Left(()))
+      case m: Min => m.column() match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          Some(Right((r.fieldNames.head, false)))
+        case _ => None
+      }
+      case m: Max => m.column() match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          Some(Right((r.fieldNames.head, true)))
+        case _ => None
+      }
+      case _ => None
+    }
+    val answerable = aggregation.groupByExpressions.isEmpty &&
+      shapes.nonEmpty && shapes.forall(_.isDefined) &&
+      (!sawFilters || allConsumed) &&
+      (minMaxEnabled || shapes.forall(_.exists(_.isLeft)))
+    if (!answerable) return super.pushAggregation(aggregation)
+    // a filtered count/min-max aggregates over the surviving files
+    // only; the bare forms use the whole version (count via the O(1)
+    // index path)
+    val files = if (sawFilters) innerFiles() else None
+    if (sawFilters && files.isEmpty) return super.pushAggregation(aggregation)
+    val resolved: Seq[Option[(Any, StructField)]] = shapes.map(_.get).map {
+      case Left(()) =>
+        val n = if (sawFilters) countFor(files.get) else countAll()
+        Some((n, StructField("count_star", LongType, nullable = false)))
+      case Right((col, wantMax)) =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(col)).flatMap { f =>
+          minMaxFor(f.name, f.dataType, files).map { case (mn, mx) =>
+            (if (wantMax) mx else mn,
+              StructField(if (wantMax) s"max_${f.name}" else s"min_${f.name}",
+                f.dataType))
+          }
+        }
+    }
+    if (resolved.exists(_.isEmpty)) return super.pushAggregation(aggregation)
+    metaSchema = Some(StructType(resolved.map(_.get._2)))
+    metaRow = resolved.map(_.get._1)
+    aggPushed = true
+    true
   }
 
-  /** Partial, not complete: the one emitted row is a count PARTIAL and
-    * Spark's final aggregation sums it — the protocol every partition-
-    * counted file source uses, with exactly one partition here. */
+  /** Partial, not complete: the one emitted row carries aggregate
+    * PARTIALS and Spark's final aggregation folds it — the protocol
+    * every partition-aggregated file source uses, with exactly one
+    * partition here. */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    countSchema.isEmpty && super.supportCompletePushDown(aggregation)
+    metaSchema.isEmpty && super.supportCompletePushDown(aggregation)
 
-  override def build(): Scan = countSchema match {
-    case Some(schema) => new GraftCountStarScan(schema, countRows())
+  override def build(): Scan = metaSchema match {
+    case Some(schema) => new GraftCountStarScan(schema, metaRow)
     case None => inner.build()
   }
 }
 
-class GraftCountStarScan(schema: StructType, count: Long)
+/** One single-row partition carrying the metadata-answered partials. */
+class GraftCountStarScan(schema: StructType, row: Seq[Any])
   extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftCountStarScan(rows=$count, metadata-only)"
+    s"GraftCountStarScan(${schema.fieldNames.zip(row)
+      .map { case (n, v) => s"$n=$v" }.mkString(", ")}, metadata-only)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftCountPartition(count, schema.length))
+    Array(GraftCountPartition(row))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCountReaderFactory
 }
 
-case class GraftCountPartition(count: Long, width: Int) extends InputPartition
+case class GraftCountPartition(row: Seq[Any]) extends InputPartition
 
 class GraftCountReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -86,8 +159,7 @@ class GraftCountReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean =
         if (emitted) false else { emitted = true; true }
       override def get(): InternalRow =
-        new GenericInternalRow(
-          Array.fill[Any](cp.width)(cp.count))
+        new GenericInternalRow(cp.row.toArray)
       override def close(): Unit = ()
     }
   }

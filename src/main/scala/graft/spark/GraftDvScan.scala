@@ -78,10 +78,21 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
   override def build(): Scan = inner.build() match {
     case p: ParquetScan
         if !p.readSchema().fieldNames.contains(RowIndexBridge.TemporaryColumnName) =>
+      // under Spark's SPJ opt-in, a vectored PARTITIONED table also
+      // reports its layout (the one-split-per-file plan already keys
+      // naturally) — but only when every partition column survived
+      // pruning, mirroring [[GraftSpjScanBuilder]]
+      val spjOn = SparkSession.active.conf
+        .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+      val reportBy =
+        if (spjOn && partitionCols.nonEmpty && partitionCols.forall(c =>
+            p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c))))
+          partitionCols
+        else Nil
       new GraftDvScan(p.copy(readDataSchema = p.readDataSchema
         .add(StructField(RowIndexBridge.TemporaryColumnName, LongType))),
         sidecars, statsPath.filter(_ => preds.nonEmpty || points.nonEmpty),
-        preds, points)
+        preds, points, reportBy)
     case other => throw new IllegalStateException(
       "GraftDvScan wraps Spark's ParquetScan (a column named " +
         s"'${RowIndexBridge.TemporaryColumnName}' also conflicts); got " +
@@ -92,9 +103,57 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
 class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     statsPath: Option[java.nio.file.Path] = None,
     preds: Seq[(String, Double, Double, Set[String])] = Nil,
-    points: Seq[(String, Seq[Any])] = Nil)
+    points: Seq[(String, Seq[Any])] = Nil,
+    partitionBy: Seq[String] = Nil)
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED JOINS compose with vectors (the r17 verdict's
+    * last wrapper gap): the positional scan already plans ONE split per
+    * file, so attaching each split's partition key and reporting
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * costs nothing — a co-partitioned join where one side carries a
+    * deletion vector stops shuffling BOTH sides. `partitionBy` arrives
+    * non-empty only under Spark's SPJ opt-in with every partition
+    * column surviving pruning (builder-gated); otherwise the scan
+    * reports unknown partitioning exactly as before. */
+  private lazy val pSchema = inner.readPartitionSchema
+  private lazy val keyOrdinals: Seq[Int] = partitionBy.map(c =>
+    pSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
+
+  /** Frozen at first read (pre-runtime-filter), so the reported
+    * partitioning stays stable across `filter()` re-plans —
+    * `BatchScanExec` itself verifies the filtered keys against it. */
+  private lazy val distinctKeys: Int = planInputPartitions().toSeq.collect {
+    case k: GraftKeyedPartition =>
+      k.partitionKey().toSeq(keyOrdinals.map(pSchema(_).dataType))
+  }.distinct.length
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (partitionBy.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partitionBy.map(org.apache.spark.sql.connector.expressions.Expressions
+          .identity).toArray[org.apache.spark.sql.connector.expressions.Expression],
+        distinctKeys)
+
+  /** Dynamic partition pruning ([[GraftFileSkipping.runtimeKeep]]):
+    * whole-file drops by partition value never perturb surviving
+    * files' row positions, so the vector anti-filter is unaffected. */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner.readPartitionSchema.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    synchronized { runtimePreds = predicates }
+
+  private var runtimePreds: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
 
   /** The stock scan's size/row estimates pass through (slightly high —
     * vectored-out rows still count — but an estimate beats the conf
@@ -126,17 +185,26 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     * index present, non-candidate files drop out first (file-granular,
     * so surviving files' row positions are untouched). */
   override def planInputPartitions(): Array[InputPartition] = {
+    val keep = synchronized {
+      GraftFileSkipping.runtimeKeep(runtimePreds, inner.readPartitionSchema)
+    }
     val planned = inner.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(
         s"GraftDvScan expected file partitions, got $other")
-    }
+    }.filter(keep)
     val files = statsPath match {
       case Some(sp) => GraftFileSkipping.filterSplits(sp, preds, points, planned)._1
       case None => planned
     }
-    files.zipWithIndex.map { case (f, i) => FilePartition(i, Array(f)) }
-      .toArray[InputPartition]
+    files.zipWithIndex.map { case (f, i) =>
+      val fp = FilePartition(i, Array(f))
+      if (partitionBy.isEmpty) fp: InputPartition
+      else GraftKeyedPartition(fp,
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          keyOrdinals.map(o =>
+            f.partitionValues.get(o, pSchema(o).dataType)).toArray))
+    }.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -183,9 +251,18 @@ class GraftDvReaderFactory(inner: PartitionReaderFactory,
   /** Row readers only: the positional wrapper filters row by row. */
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+  /** SPJ-keyed partitions unwrap back to their one-file split. */
+  private def unwrap(p: InputPartition): FilePartition = p match {
+    case k: GraftKeyedPartition => k.delegate
+    case fp: FilePartition => fp
+    case other => throw new IllegalStateException(
+      s"GraftDvReaderFactory expected a file partition, got $other")
+  }
+
+  override def createReader(p0: InputPartition): PartitionReader[InternalRow] = {
+    val p = unwrap(p0)
     val r = inner.createReader(p)
-    val file = p.asInstanceOf[FilePartition].files.head.filePath.toString
+    val file = p.files.head.filePath.toString
     val pos = dv.value.getOrElse(GraftDvScan.baseName(file), Array.emptyLongArray)
     // project the wrapper-internal row-index column away (a mutable
     // view, the standard reader row-reuse contract)

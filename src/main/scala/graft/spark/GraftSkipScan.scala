@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
-  SupportsPushDownRequiredColumns, SupportsReportStatistics}
+  SupportsPushDownRequiredColumns, SupportsReportStatistics,
+  SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge
@@ -71,28 +72,38 @@ abstract class GraftForwardingScanBuilder(inner: ScanBuilder)
   * the scan. Kept splits re-bin through Spark's own
   * `FilePartition.getFilePartitions`, so task sizing matches the stock
   * scan over the surviving files. */
-class GraftSkipScanBuilder(inner: ScanBuilder, statsPath: java.nio.file.Path)
+class GraftSkipScanBuilder(inner: ScanBuilder,
+    statsPath: Option[java.nio.file.Path])
   extends GraftForwardingScanBuilder(inner) {
 
   private var preds: Seq[(String, Double, Double, Set[String])] = Nil
   private var points: Seq[(String, Seq[Any])] = Nil
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    preds = GraftFileSkipping.rangeConjuncts(filters)
-    points = GraftFileSkipping.pointConjuncts(filters)
+    if (statsPath.isDefined) {
+      preds = GraftFileSkipping.rangeConjuncts(filters)
+      points = GraftFileSkipping.pointConjuncts(filters)
+    }
     super.pushFilters(filters)
   }
 
+  /** Wrap when the index can prune (extracted conjuncts against a
+    * persisted stats file) OR the layout is partitioned — the latter
+    * solely for runtime (dynamic-partition-pruning) filtering, which
+    * the stock DSv2 `ParquetScan` does not implement at all. */
   override def build(): Scan = inner.build() match {
-    case p: ParquetScan if !aggPushed && (preds.nonEmpty || points.nonEmpty) =>
+    case p: ParquetScan if !aggPushed &&
+        ((statsPath.isDefined && (preds.nonEmpty || points.nonEmpty)) ||
+          p.readPartitionSchema.nonEmpty) =>
       new GraftSkipScan(p, statsPath, preds, points)
     case other => other
   }
 }
 
-class GraftSkipScan(inner: ParquetScan, statsPath: java.nio.file.Path,
+class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
     preds: Seq[(String, Double, Double, Set[String])], points: Seq[(String, Seq[Any])] = Nil)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = this
@@ -105,25 +116,68 @@ class GraftSkipScan(inner: ParquetScan, statsPath: java.nio.file.Path,
       org.apache.spark.sql.connector.read.Statistics =
     inner.estimateStatistics()
 
-  /** Stock splits filtered to index candidates (see
-    * [[GraftFileSkipping.filterSplits]]). */
-  private lazy val (keptSplits, keptFiles, totalFiles) =
-    GraftFileSkipping.filterSplits(statsPath, preds, points,
-      inner.toBatch.planInputPartitions().flatMap {
+  /** Dynamic partition pruning (see [[GraftFileSkipping.runtimeKeep]]):
+    * runtime IN-predicates over the partition columns drop whole splits
+    * before tasks launch; `filter` invalidates the cached candidate set
+    * so the re-plan [[planInputPartitions]] sees the pruned list. */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner.readPartitionSchema.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    synchronized { runtimePreds = predicates; cached = None }
+
+  private var runtimePreds: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
+  private var cached: Option[(Array[
+    org.apache.spark.sql.execution.datasources.PartitionedFile], Int, Int)] = None
+
+  /** Stock splits, runtime-partition-filtered, then index-filtered to
+    * candidates (see [[GraftFileSkipping.filterSplits]]). Cached until
+    * a runtime filter arrives. `total` stays the PRE-runtime-filter
+    * file count, so the explain pin keeps meaning "of the version's
+    * planned files". */
+  private def computed = synchronized {
+    cached.getOrElse {
+      val planned = inner.toBatch.planInputPartitions().flatMap {
         case fp: FilePartition => fp.files
         case other => throw new IllegalStateException(
           s"GraftSkipScan expected file partitions, got $other")
-      })
+      }
+      val total = planned
+        .map(f => GraftFileSkipping.plainPath(f.filePath.toString))
+        .distinct.length
+      val keep = GraftFileSkipping.runtimeKeep(runtimePreds,
+        inner.readPartitionSchema)
+      val kept = planned.filter(keep)
+      val r = statsPath match {
+        case Some(sp) if preds.nonEmpty || points.nonEmpty =>
+          val (splits, k, _) = GraftFileSkipping.filterSplits(sp, preds, points, kept)
+          (splits, k, total)
+        case _ =>
+          (kept, kept.map(f =>
+            GraftFileSkipping.plainPath(f.filePath.toString)).distinct.length,
+            total)
+      }
+      cached = Some(r)
+      r
+    }
+  }
 
   /** kept/total surfaces in EXPLAIN — the tests' and gate query's pin. */
-  override def description(): String =
+  override def description(): String = {
+    val (_, keptFiles, totalFiles) = computed
     s"GraftSkipScan(kept=$keptFiles of $totalFiles files, " +
       s"${inner.description()})"
+  }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (keptSplits, _, _) = computed
     FilePartition.getFilePartitions(SparkSession.active, keptSplits.toSeq,
       FilePartition.maxSplitBytes(SparkSession.active,
         keptSplits.map(_.length).sum)).toArray[InputPartition]
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     inner.toBatch.createReaderFactory()
@@ -167,6 +221,75 @@ object GraftFileSkipping {
     }
     val kept = splits.filter(f => cand.contains(plainPath(f.filePath.toString)))
     (kept, cand.size, paths.size)
+  }
+
+  /** DSv2 RUNTIME filters (dynamic partition pruning) → a driver-side
+    * split filter over partition VALUES. Spark injects these for
+    * equi-joins against a filtered build side
+    * (`PartitionPruning` → `BatchScanExec.filter`), as `IN`/`=`
+    * predicates of one [[NamedReference]] plus literal values — the
+    * stock DSv2 `ParquetScan` implements no runtime filtering at all,
+    * so this is what makes a `dim-filter → fact` join on the SQL door
+    * open only the fact partitions the dim rows name. Soundness: the
+    * filter only ever DROPS splits whose partition value is absent
+    * from the literal set, which for the equi-join predicates Spark
+    * injects cannot contribute rows; anything unrecognized — multi-part
+    * field paths, non-literal children, a dataType differing from the
+    * partition column's — keeps every split. */
+  def runtimeKeep(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate],
+      pSchema: StructType):
+      org.apache.spark.sql.execution.datasources.PartitionedFile => Boolean = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLiteral,
+      NamedReference}
+    import org.apache.spark.sql.types._
+    // atomic types whose catalyst-internal values compare reliably by
+    // equals (UTF8String, boxed primitives, Decimal) — partition
+    // columns are always one of these
+    def atomic(dt: DataType): Boolean = dt match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+          LongType | FloatType | DoubleType | DateType | TimestampType |
+          TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    val rules: Seq[(Int, DataType, Set[Any])] =
+      predicates.toSeq.flatMap { p =>
+        val kids = p.children().toSeq
+        val ok = (p.name() == "IN" || p.name() == "=") && kids.nonEmpty
+        kids match {
+          case Seq(ref: NamedReference, lits @ _*) if ok &&
+              ref.fieldNames.length == 1 &&
+              lits.forall(_.isInstanceOf[VLiteral[_]]) =>
+            val ord = pSchema.fieldNames.indexWhere(
+              _.equalsIgnoreCase(ref.fieldNames.head))
+            if (ord < 0) None
+            else {
+              val dt = pSchema(ord).dataType
+              val vs = lits.map(_.asInstanceOf[VLiteral[_]])
+              // a literal typed differently from the partition column
+              // would compare boxed-unequal and wrongly prune — refuse.
+              // Values normalize to catalyst-internal form (identity
+              // for already-internal ones, String→UTF8String etc. for
+              // external), matching `partitionValues`' representation.
+              if (atomic(dt) && vs.forall(l => l.dataType == dt && l.value != null))
+                Some((ord, dt, vs.map(l =>
+                  org.apache.spark.sql.catalyst.CatalystTypeConverters
+                    .convertToCatalyst(l.value)).toSet))
+              else None
+            }
+          case _ => None
+        }
+      }
+    if (rules.isEmpty) (_ => true)
+    else
+      f => rules.forall { case (ord, dt, allowed) =>
+        val v = if (f.partitionValues.isNullAt(ord)) null
+          else f.partitionValues.get(ord, dt)
+        // a NULL partition value can never satisfy the equi-join these
+        // predicates guard — dropping it mirrors Spark's own DPP
+        v != null && allowed.contains(v)
+      }
   }
 
   /** URI → plain filesystem path (the index stores plain absolute

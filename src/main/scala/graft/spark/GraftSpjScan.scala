@@ -48,7 +48,8 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * byte-identical to the unwrapped scan; only the REPORTED layout and
   * the split→task grouping change. */
 class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
-    statsPath: Option[java.nio.file.Path] = None)
+    statsPath: Option[java.nio.file.Path] = None,
+    bucketOf: Option[(String, Int)] = None)
   extends GraftForwardingScanBuilder(inner) {
 
   private var preds: Seq[(String, Double, Double, Set[String])] = Nil
@@ -68,10 +69,19 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
     * that never reads them cannot join/group on them, and reporting
     * keys the plan cannot resolve would break planning) and no
     * aggregate was pushed (the scan then emits partial-agg rows whose
-    * grouping is not the table layout). */
+    * grouping is not the table layout). In BUCKET mode the resolvable
+    * reference is the bucketed DATA column instead (the reported
+    * transform is `bucket(n, col)`, whose key values come from the
+    * layout's bucket-id dirs, not from output columns). */
   override def build(): Scan = inner.build() match {
-    case p: ParquetScan if !aggPushed && partitionBy.forall(c =>
-        p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c))) =>
+    case p: ParquetScan if !aggPushed && bucketOf.exists { case (c, _) =>
+        p.readSchema().fieldNames.exists(_.equalsIgnoreCase(c)) } =>
+      new GraftSpjScan(p, Nil,
+        statsPath.filter(_ => preds.nonEmpty || points.nonEmpty), preds, points,
+        bucketOf)
+    case p: ParquetScan if !aggPushed && bucketOf.isEmpty &&
+        partitionBy.forall(c =>
+          p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c))) =>
       new GraftSpjScan(p, partitionBy,
         statsPath.filter(_ => preds.nonEmpty || points.nonEmpty), preds, points)
     case other => other
@@ -81,9 +91,11 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
 class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
     statsPath: Option[java.nio.file.Path] = None,
     preds: Seq[(String, Double, Double, Set[String])] = Nil,
-    points: Seq[(String, Seq[Any])] = Nil)
+    points: Seq[(String, Seq[Any])] = Nil,
+    bucketOf: Option[(String, Int)] = None)
   extends Scan with Batch with SupportsReportPartitioning
-  with SupportsReportStatistics {
+  with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = this
@@ -136,25 +148,80 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
       case None => planned
     }
     files.zipWithIndex.map { case (f, i) =>
-      val key = new GenericInternalRow(keyOrdinals.map(o =>
-        f.partitionValues.get(o, pSchema(o).dataType)).toArray)
+      val key = bucketOf match {
+        // bucket mode: the key is the file's bucket id, recovered from
+        // its `_gbucket=<id>` layout dir (the read schema need not —
+        // and usually does not — carry the synthetic column)
+        case Some(_) => new GenericInternalRow(
+          Array[Any](GraftSpjScan.bucketIdOf(f.filePath.toString)))
+        case None => new GenericInternalRow(keyOrdinals.map(o =>
+          f.partitionValues.get(o, pSchema(o).dataType)).toArray)
+      }
       GraftKeyedPartition(FilePartition(i, Array(f)), key)
     }
   }
 
-  private lazy val distinctKeys: Int =
-    keyedSplits.map(_.partitionKey().toSeq(
-      keyOrdinals.map(pSchema(_).dataType))).distinct.length
+  /** Dynamic partition pruning over the reported keys: Spark's
+    * `BatchScanExec` re-plans after `filter` and itself verifies the
+    * surviving keys against [[outputPartitioning]] (the SPJ machinery
+    * handles dropped groups via its push-part-values path, exactly as
+    * with Iceberg). [[distinctKeys]] stays the UNFILTERED count so the
+    * reported partitioning is stable across the re-plan. */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    partitionBy.map(Expressions.column).toArray
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    synchronized { runtimePreds = predicates }
 
-  override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      partitionBy.map(Expressions.identity).toArray[VExpression], distinctKeys)
+  private var runtimePreds: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
 
-  override def planInputPartitions(): Array[InputPartition] =
-    keyedSplits.toArray[InputPartition]
+  private lazy val distinctKeys: Int = bucketOf match {
+    case Some(_) =>
+      keyedSplits.map(_.partitionKey().getInt(0)).distinct.length
+    case None =>
+      keyedSplits.map(_.partitionKey().toSeq(
+        keyOrdinals.map(pSchema(_).dataType))).distinct.length
+  }
+
+  override def outputPartitioning(): Partitioning = bucketOf match {
+    case Some((c, n)) =>
+      // the transform resolves through the catalog's own
+      // FunctionCatalog ([[GraftBucketFunction]]) — Iceberg's pattern
+      new KeyGroupedPartitioning(
+        Array[VExpression](Expressions.bucket(n, c)), distinctKeys)
+    case None =>
+      new KeyGroupedPartitioning(
+        partitionBy.map(Expressions.identity).toArray[VExpression], distinctKeys)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = synchronized {
+    if (runtimePreds.isEmpty) keyedSplits.toArray[InputPartition]
+    else {
+      val keep = GraftFileSkipping.runtimeKeep(runtimePreds, pSchema)
+      keyedSplits.filter(k => k.delegate.files.forall(keep))
+        .toArray[InputPartition]
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftUnwrapReaderFactory(inner.toBatch.createReaderFactory())
+}
+
+object GraftSpjScan {
+  private val BucketDir =
+    ("/" + java.util.regex.Pattern.quote(
+      graft.storage.ParquetCatalog.BucketPartCol) + "=(\\d+)/").r
+
+  /** Bucket id from a bucketed layout's file path — loud on anything
+    * else (a bucket-declared table whose files lack the dir is a
+    * corrupted layout; silently keying it 0 would mis-align a join). */
+  private[spark] def bucketIdOf(path: String): Int =
+    BucketDir.findFirstMatchIn(path).map(_.group(1).toInt).getOrElse(
+      throw new IllegalStateException(
+        s"bucketed table file carries no ${
+          graft.storage.ParquetCatalog.BucketPartCol}=<id> component: $path"))
 }
 
 /** One stock file split plus the partition-value key Spark's

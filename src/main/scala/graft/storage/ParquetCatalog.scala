@@ -90,13 +90,35 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   /** Writer options every catalog write carries: compression, plus
     * parquet NATIVE bloom filters for `bloomFor` columns (sized by the
     * expected per-file distinct count `bloomNdv`) — the point-lookup
-    * skipping structure [[readPoint]] prunes with. */
-  private def writeOpts[T](w: org.apache.spark.sql.DataFrameWriter[T]):
-      org.apache.spark.sql.DataFrameWriter[T] =
-    bloomFor.foldLeft(w.option("compression", codec)) { (w, c) =>
+    * skipping structure [[readPoint]] prunes with. Table-aware: the
+    * constructor knobs are unioned with the TABLE's own
+    * `graft.bloomFor` / `graft.bloomNdv` TBLPROPERTIES, the SQL-door
+    * spelling (`CREATE TABLE ... TBLPROPERTIES` + `INSERT INTO` yields
+    * bloomed files with zero engine API). */
+  private def writeOpts[T](name: String,
+      w: org.apache.spark.sql.DataFrameWriter[T]):
+      org.apache.spark.sql.DataFrameWriter[T] = {
+    val (cols, ndv) = effectiveBlooms(name)
+    cols.foldLeft(w.option("compression", codec)) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }
+  }
+
+  /** Bloom columns/NDV in effect for `name`: constructor settings ∪
+    * the table's declared properties (versioned tables only — plain
+    * dirs have no manifest to carry properties). */
+  private def effectiveBlooms(name: String): (Seq[String], Long) = {
+    val props =
+      if (ParquetCatalog.isValidName(name) && isVersioned(name))
+        tableProperties(name)
+      else Map.empty[String, String]
+    val extra = props.get(ParquetCatalog.BloomForProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val ndv = props.get(ParquetCatalog.BloomNdvProp)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(bloomNdv)
+    ((bloomFor ++ extra).distinct, ndv)
+  }
 
   def exists(name: String): Boolean =
     ParquetCatalog.isValidName(name) &&
@@ -242,12 +264,24 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     stats.flatMap(_.cols.map(_.column)).distinct.sorted
   }
 
-  /** Incrementally reconcile the index with the table's current files
-    * (no-op for unindexed tables). */
+  /** Incrementally reconcile the index with the table's current files.
+    * No-op for unindexed tables UNLESS the table declares
+    * `graft.indexFor` — then the first reconcile CREATES the index on
+    * the declared columns, making a pure-SQL table lifecycle
+    * (`CREATE TABLE ... TBLPROPERTIES('graft.indexFor'='id')` +
+    * `INSERT INTO`) self-indexing with zero engine API. The declared
+    * set also feeds incremental refreshes, so later property changes
+    * pick up new columns for files indexed from then on. */
   private def refreshIndex(name: String): Unit =
     if (isVersioned(name)) {
+      val declared = tableProperties(name).get(ParquetCatalog.IndexForProp)
+        .toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       if (SkippingIndex.existsAt(statsPath(name))) {
-        SkippingIndex.refreshAt(spark, statsPath(name), manifestFilesAbs(name)); ()
+        SkippingIndex.refreshAt(spark, statsPath(name),
+          manifestFilesAbs(name), declared); ()
+      } else if (declared.nonEmpty) {
+        SkippingIndex.writeAt(spark, statsPath(name),
+          manifestFilesAbs(name), declared); ()
       }
     } else {
       val dir = tableDir(name).toString
@@ -293,7 +327,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (isVersioned(name)) { overwriteVersioned(name, df, partitionBy); return }
     val priorIndex = indexCols(name) // the swap discards the old stats file
     val tmp = Paths.get(root, s".tmp-$name-${nonce()}")
-    val w = writeOpts(df.write.mode(SaveMode.Overwrite))
+    val w = writeOpts(name, df.write.mode(SaveMode.Overwrite))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
     val dest = tableDir(name)
@@ -312,7 +346,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     else if (!exists(name)) overwrite(name, df, partitionBy)
     else {
       if (hasPartitionDirs(name)) requireLayout(name, partitionBy, diskLayout(name))
-      writeOpts(df.write.mode(SaveMode.Overwrite))
+      writeOpts(name, df.write.mode(SaveMode.Overwrite))
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionBy: _*)
         .parquet(tableDir(name).toString)
@@ -352,7 +386,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       evolved.unpersist()
       return
     }
-    val w = writeOpts(df.write.mode(SaveMode.Append))
+    val w = writeOpts(name, df.write.mode(SaveMode.Append))
     (if (pb.nonEmpty) w.partitionBy(pb: _*) else w)
       .parquet(tableDir(name).toString)
     refreshIndex(name)
@@ -2036,6 +2070,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val meta = Map("op" -> "setProperty", "bytesAdded" -> "0") ++
       carriedMeta(m) ++ propagatedSchema(m) + (propKey(key) -> value)
     commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
+    // a newly declared graft.indexFor takes effect NOW (one footer
+    // pass over the current files), not at the next data commit
+    if (key == ParquetCatalog.IndexForProp) refreshIndex(name)
     m.version + 1
   }
 
@@ -2327,7 +2364,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         .withMetadata(f.metadata)
         .putLong("parquet.field.id", ids(f.name).toLong).build())
     }.toSeq: _*)
-    val w = writeOpts(tagged.write.mode(SaveMode.Overwrite))
+    val w = writeOpts(name, tagged.write.mode(SaveMode.Overwrite))
     // a failed write (e.g. a CHECK-constraint violation raised mid-job)
     // must not leave partial staging for vacuum to babysit
     try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -2670,6 +2707,53 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * as a manifest commit. A pre-existing unversioned table is migrated
     * as the first retained version. Returns the new version number;
     * throws [[ConcurrentWriteException]] on a commit race. */
+  /** Hash-BUCKETED versioned overwrite: rows land under `n` bucket
+    * partitions keyed by `pmod(hash(col), n)` — catalyst Murmur3,
+    * seed 42, the exact function [[graft.spark.GraftBucketFunction]]
+    * exposes to Spark — stored as hive dirs of the synthetic
+    * [[ParquetCatalog.BucketPartCol]] column, with the spec recorded
+    * as the [[ParquetCatalog.BucketByProp]] TBLPROPERTY. The
+    * registered catalog then reports scans of this table as a
+    * `bucket(n, col)` KeyGroupedPartitioning under Spark's SPJ opt-in,
+    * so co-bucketed equi-joins through plain `spark.sql` run with ZERO
+    * Exchange — the write-once shuffle the engine-door
+    * [[graft.storage.Bucketed]] tables already get from Spark's
+    * session-catalog bucketing, now on the graft catalog's own door.
+    * The bucket column surfaces in the schema (documented; SELECTs of
+    * the declared columns are unaffected). */
+  def overwriteBucketedVersioned(name: String, df: DataFrame,
+      bucketCol: String, numBuckets: Int): Long = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(df.columns.exists(_.equalsIgnoreCase(bucketCol)),
+      s"no column $bucketCol to bucket by")
+    require(!df.columns.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol)),
+      s"column ${ParquetCatalog.BucketPartCol} is reserved for the bucket id")
+    val bucketed = df.withColumn(ParquetCatalog.BucketPartCol,
+      pmod(hash(col(bucketCol)), lit(numBuckets)))
+    overwriteVersioned(name, bucketed, Seq(ParquetCatalog.BucketPartCol))
+    setTableProperty(name, ParquetCatalog.BucketByProp,
+      s"$bucketCol,$numBuckets")
+  }
+
+  /** The table's declared bucket layout, when any: (column, buckets). */
+  def bucketSpec(name: String): Option[(String, Int)] =
+    if (!isVersioned(name)) None
+    else bucketSpecAt(name, currentManifest(name).version)
+
+  /** [[bucketSpec]] of a SPECIFIC version — time-traveled scans must
+    * report the layout THEIR manifest declares (a later re-bucketing
+    * with a different column/count must not mis-key an old version's
+    * splits). */
+  def bucketSpecAt(name: String, version: Long): Option[(String, Int)] =
+    manifest(name, version).meta
+      .get(propKey(ParquetCatalog.BucketByProp)).flatMap { v =>
+        v.split(',') match {
+          case Array(c, n) if n.nonEmpty && n.forall(_.isDigit) =>
+            Some((c, n.toInt))
+          case _ => None
+        }
+      }
+
   def overwriteVersioned(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       batchToken: Option[String] = None): Long = {
@@ -3397,7 +3481,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * are restaged (preimages and deletes name the OLD partition, so a
     * partition-moving update touches both); every other partition's
     * files are re-referenced verbatim. Exactly-once via `batchToken`
-    * — a replayed feed window commits nothing. */
+    * — a replayed feed window commits nothing.
+    *
+    * CONCURRENCY PROOF (why sync needs no merge-style read-set guard):
+    * this verb commits via [[commitOrClean]], NEVER
+    * [[fastForwardScoped]] — a lost CAS always throws
+    * [[ConcurrentWriteException]], and [[applyChangesWithRetry]]
+    * re-reads the WINNER's committed state before recomputing, so the
+    * loser's effects are always computed loser-second over the winner.
+    * The recompute SLICE is complete for the fed keys because
+    * [[touchedPartitions]] adds the partitions where any fed key
+    * currently lives (index-pruned match probe, the merge verbs' own):
+    * a key another writer landed in a partition the feed never names
+    * is moved/overwritten by [[Upsert.applyFeed]]'s key anti-join, not
+    * duplicated. Pinned in ConflictSpec ("concurrent keyed syncs never
+    * fast-forward"). */
   def applyChanges(name: String, feed: DataFrame, keys: Seq[String],
       partitionBy: Seq[String] = Nil,
       batchToken: Option[String] = None): Long = {
@@ -3430,7 +3528,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     } else {
       require(pb.forall(feed.columns.contains),
         s"feed must carry the partition columns ${pb.mkString(",")}")
-      val touched = partitionsOf(feed, pb)
+      // the recompute slice covers the partitions the feed NAMES plus —
+      // through the merge verbs' index-pruned match probe
+      // ([[touchedPartitions]]) — the partitions where any fed key
+      // CURRENTLY lives: a concurrent writer (or a feed whose change
+      // types are stale about the target) may have landed a fed key in
+      // a partition the feed does not name, and [[Upsert.applyFeed]]'s
+      // key anti-join then moves/overwrites it instead of duplicating.
+      // Keys covering the layout skip the probe (a key's row can only
+      // live in its own partition), keeping the common CDC path
+      // O(feed + matches).
+      val touched = touchedPartitions(name, target, feed, keys, pb)
       val touchedRel = touched.map(_.relPath).toSet
       val carried = m.files.filterNot(f =>
         touchedRel.contains(TableManifest.partitionComponent(f)))
@@ -4262,18 +4370,39 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def exactRowCount(name: String, version: Long): Long = {
     require(isVersioned(name), s"no versioned table $name")
     val m = manifest(name, version)
-    if (m.files.isEmpty) return 0L
-    val abs = m.files.map(f => versionsDir(name).resolve(f).toString)
+    exactRowCountFor(name, version,
+      m.files.map(f => versionsDir(name).resolve(f).toString))
+  }
+
+  /** Absolute data-file paths of version `version` — the registered
+    * catalog's metadata-aggregate glue resolves the whole-version file
+    * set through this. */
+  def dataFilesAbs(name: String, version: Long): Seq[String] =
+    manifest(name, version).files
+      .map(f => versionsDir(name).resolve(f).toString)
+
+  /** [[exactRowCount]] restricted to a SUBSET of the version's data
+    * files (absolute paths) — what answers a metadata `COUNT(*)` whose
+    * predicate referenced ONLY partition columns: the scan's file
+    * index already reduced the file list exactly, so the count is the
+    * kept files' footer rows minus THEIR deletion-vector positions. */
+  def exactRowCountFor(name: String, version: Long,
+      filesAbs: Seq[String]): Long = {
+    require(isVersioned(name), s"no versioned table $name")
+    val m = manifest(name, version)
+    if (filesAbs.isEmpty) return 0L
     val indexed: Map[String, Long] =
       if (SkippingIndex.existsAt(statsPath(name)))
         SkippingIndex.readAt(statsPath(name)).map(fs => fs.file -> fs.rows).toMap
       else Map.empty
-    val missing = abs.filterNot(indexed.contains)
+    val missing = filesAbs.filterNot(indexed.contains)
     val counted =
       if (missing.isEmpty) Map.empty[String, Long]
       else SkippingIndex.rowCounts(spark, missing)
-    val raw = abs.map(f => indexed.getOrElse(f, counted(f))).sum
-    val entries = dvEntries(m)
+    val raw = filesAbs.map(f => indexed.getOrElse(f, counted(f))).sum
+    val keepRel = filesAbs
+      .map(f => versionsDir(name).relativize(Paths.get(f)).toString).toSet
+    val entries = dvEntries(m).filter { case (rel, _) => keepRel.contains(rel) }
     val deleted =
       if (entries.isEmpty) 0L
       else entries.toSeq.groupBy(_._2).map { case (sidecar, pairs) =>
@@ -4282,6 +4411,80 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           .select(lit(1))
       }.reduce(_.union(_)).count()
     raw - deleted
+  }
+
+  /** EXACT (min, max) of `column` over `filesAbs` of version `version`,
+    * answered purely from the persisted skipping index — the
+    * Delta/Iceberg metadata `MIN`/`MAX`. Per-file footer min/max are
+    * exact aggregates of the file's values, so the min-of-mins /
+    * max-of-maxes over ALL live files is the true answer — but ONLY
+    * when every condition below holds; anything else returns None and
+    * the caller routes to the real scan:
+    *
+    *   - the version carries NO deletion vectors (a vector could have
+    *     deleted the extremal row);
+    *   - every non-empty file has index stats for the column whose
+    *     recorded type is EXACTLY the one `dataType` implies — all-null
+    *     files record no stats and are indistinguishable from
+    *     unindexed, so they conservatively bail too;
+    *   - the type round-trips losslessly through the index's string
+    *     rendering: integral, DATE, and exact-micros TIMESTAMP types
+    *     only. FLOAT/DOUBLE are excluded (NaN/-0.0 footer-stats
+    *     semantics differ from SQL ordering), strings/decimals too
+    *     (footer binary stats may be truncated).
+    *
+    * Returns Some((null, null)) for an empty file set — SQL MIN/MAX of
+    * no rows. Values are catalyst-internal for `dataType`. */
+  def statsMinMax(name: String, version: Long, column: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      filesAbs: Seq[String]): Option[(Any, Any)] = {
+    import org.apache.spark.sql.types._
+    require(isVersioned(name), s"no versioned table $name")
+    val m = manifest(name, version)
+    if (dvEntries(m).nonEmpty) return None
+    if (!SkippingIndex.existsAt(statsPath(name))) return None
+    def parse(typ: String, s: String): Option[Any] = (dataType, typ) match {
+      case (IntegerType, "INT32") => s.toIntOption
+      case (IntegerType, t) if t.startsWith("INT32:INT(32,true")
+        => s.toIntOption
+      case (LongType, "INT64") => s.toLongOption
+      case (LongType, t) if t.startsWith("INT64:INT(64,true")
+        => s.toLongOption
+      case (ShortType, t) if t.startsWith("INT32:INT(16,true")
+        => s.toShortOption
+      case (ByteType, t) if t.startsWith("INT32:INT(8,true")
+        => s.toByteOption
+      case (DateType, "INT32:DATE") => s.toIntOption
+      case (TimestampType, "INT64:TIMESTAMP(MICROS,true)") => s.toLongOption
+      case (TimestampNTZType, "INT64:TIMESTAMP(MICROS,false)") => s.toLongOption
+      case _ => None
+    }
+    val stats = SkippingIndex.readAt(statsPath(name))
+      .map(fs => fs.file -> fs).toMap
+    val perFile = filesAbs.flatMap { f =>
+      stats.get(f) match {
+        case Some(fs) if fs.rows == 0 => None // no rows, no contribution
+        case Some(fs) =>
+          Some(fs.cols.find(_.column.equalsIgnoreCase(column)).flatMap(cs =>
+            parse(cs.typ, cs.min).zip(parse(cs.typ, cs.max))))
+        case None => Some(None) // unindexed file: cannot answer
+      }
+    }
+    if (perFile.isEmpty) Some((null, null))
+    else if (perFile.exists(_.isEmpty)) None
+    else {
+      val vs = perFile.flatten
+      @annotation.nowarn
+      def ord: Ordering[Any] = dataType match {
+        case TimestampType | TimestampNTZType | LongType =>
+          Ordering.Long.on[Any](_.asInstanceOf[Long])
+        case IntegerType | DateType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+        case ShortType => Ordering.Short.on[Any](_.asInstanceOf[Short])
+        case ByteType => Ordering.Byte.on[Any](_.asInstanceOf[Byte])
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      Some((vs.map(_._1).min(ord), vs.map(_._2).max(ord)))
+    }
   }
 
   /** Number of data files currently backing the table (compaction
@@ -4329,6 +4532,26 @@ object ParquetCatalog {
   /** Table property routing row-level DELETE/UPDATE merge-on-read
     * through deletion vectors (Delta's `enableDeletionVectors`). */
   val DeletionVectorsProp: String = "graft.deletionVectors"
+
+  /** TBLPROPERTY spellings of the constructor's skipping knobs — what
+    * lets a table created purely through SQL acquire parquet blooms
+    * (`graft.bloomFor` = comma-separated columns, sized by
+    * `graft.bloomNdv`) and a self-maintaining min/max skipping index
+    * (`graft.indexFor` = comma-separated columns). */
+  val BloomForProp: String = "graft.bloomFor"
+  val BloomNdvProp: String = "graft.bloomNdv"
+  val IndexForProp: String = "graft.indexFor"
+
+  /** Bucketed-layout declaration, `<column>,<numBuckets>` — written by
+    * [[ParquetCatalog.overwriteBucketedVersioned]], reported by the
+    * registered catalog as a `bucket(n, col)` KeyGroupedPartitioning
+    * (storage-partitioned joins without an identity partition join
+    * key). */
+  val BucketByProp: String = "graft.bucketBy"
+
+  /** The synthetic partition column bucketed layouts are stored under
+    * (hive dirs `_gbucket=<id>`). */
+  val BucketPartCol: String = "_gbucket"
 
   /** Every Nth append commits a self-contained manifest instead of a
     * delta: bounds any reader's resolution chain to N-1 hops while

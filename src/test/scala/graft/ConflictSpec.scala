@@ -160,6 +160,38 @@ class ConflictSpec extends SparkSpec {
       Seq(-1.0, 20.0, 70.0))
   }
 
+  test("concurrent keyed syncs never fast-forward: the loser recomputes over the winner") {
+    // applyChanges commits via commitOrClean — a lost CAS THROWS (no
+    // fast-forward path exists for sync), so the retry wrapper always
+    // recomputes against the winner's committed state. That makes the
+    // merge guard's nightmare (the same NEW key landing twice through a
+    // stale snapshot) impossible here: whatever the interleaving, a key
+    // fed by both writers ends as exactly ONE row.
+    val cat = fresh()
+    cat.overwriteVersioned("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "p", "m"), Seq("p"))
+    def feed(p: String, m: Double) =
+      Seq((5L, "insert", p, m)).toDF("id", "_change_type", "p", "m")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val runs = Seq(feed("a", -5.0), feed("c", 55.0)).map(f =>
+        scala.concurrent.Future(
+          cat.applyChangesWithRetry("t", f, Seq("id"), Seq("p"))))
+      runs.foreach(r =>
+        scala.concurrent.Await.result(r, scala.concurrent.duration.Duration(120, "s")))
+    } finally pool.shutdown()
+    val rows = cat.read("t").filter(col("id") === 5L)
+      .select("p", "m").as[(String, Double)].collect().toSeq
+    assert(rows.length === 1,
+      s"a key fed by two concurrent syncs must land exactly once, got $rows")
+    assert(Set(("a", -5.0), ("c", 55.0)).contains(rows.head),
+      s"the surviving image must be one writer's, got $rows")
+    // and the losing sync's recompute preserved everything else
+    assert(cat.read("t").count() === 3)
+  }
+
   test("row-level UPDATE and DELETE fast-forward past disjoint appends") {
     val cat = fresh()
     cat.overwriteVersioned("t",

@@ -75,6 +75,38 @@ class FileSkippingSpec extends AnyFunSuite {
       "IN with a non-literal element extracts nothing")
   }
 
+  test("runtime (DPP) predicates drop splits by partition value; anything unsound keeps") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.execution.datasources.PartitionedFile
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val pSchema = StructType(Seq(StructField("p", IntegerType)))
+    def split(p: java.lang.Integer) = PartitionedFile(
+      new GenericInternalRow(Array[Any](p)),
+      org.apache.spark.paths.SparkPath.fromPathString(s"/tmp/f$p.parquet"),
+      0L, 10L, Array.empty)
+    def in(col: String, vs: Any*) = new Predicate("IN",
+      (Expressions.column(col) +: vs.map(Expressions.literal))
+        .toArray[org.apache.spark.sql.connector.expressions.Expression])
+    val keep = GraftFileSkipping.runtimeKeep(Array(in("p", 1, 3)), pSchema)
+    assert(keep(split(1)) && keep(split(3)) && !keep(split(2)))
+    assert(!keep(split(null)),
+      "a NULL partition value cannot satisfy the guarded equi-join")
+    // column name resolution is case-insensitive, like Spark's
+    assert(!GraftFileSkipping.runtimeKeep(Array(in("P", 9)), pSchema)(split(1)))
+    // unsound shapes contribute NO pruning: unknown column, literal
+    // dataType differing from the partition column's, non-IN names
+    assert(GraftFileSkipping.runtimeKeep(Array(in("q", 9)), pSchema)(split(1)))
+    assert(GraftFileSkipping.runtimeKeep(Array(in("p", 9L)), pSchema)(split(1)),
+      "a LONG literal against an INT partition column must refuse, not prune")
+    assert(GraftFileSkipping.runtimeKeep(
+      Array(new Predicate("IS_NULL",
+        Array[org.apache.spark.sql.connector.expressions.Expression](
+          Expressions.column("p")))), pSchema)(split(1)))
+    assert(GraftFileSkipping.runtimeKeep(Array.empty, pSchema)(split(1)))
+  }
+
   test("point conjuncts keep TYPED values; IN keeps its list, bounded") {
     assert(GraftFileSkipping.pointConjuncts(Seq(EqualTo(id, Literal(5L)))) ===
       Seq("id" -> Seq(5L)))

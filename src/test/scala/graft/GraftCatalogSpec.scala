@@ -497,6 +497,68 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("co-BUCKETED tables join with zero Exchange (bucket-transform SPJ)") {
+    val (cat, _, c) = freshCatalog("bspj")
+    // two tables hash-bucketed on the JOIN KEY itself (not a partition
+    // column): the scans report bucket(8, id) through the catalog's own
+    // V2 bucket function, and Spark's SPJ machinery aligns the bucket
+    // ids — no Exchange on either side
+    cat.overwriteBucketedVersioned("f",
+      (1L to 2000L).map(i => (i, i * 2.0)).toDF("id", "m"), "id", 8)
+    cat.overwriteBucketedVersioned("g",
+      (1500L to 3000L).map(i => (i, s"v$i")).toDF("id", "tag"), "id", 8)
+    val sql = s"SELECT f.id, f.m, g.tag FROM $c.f f JOIN $c.g g ON f.id = g.id"
+    val expected = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+    assert(expected.length === 501)
+    withSpj {
+      val q = spark.sql(sql)
+      assert(q.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))).sorted === expected,
+        "bucket SPJ must not change the join result")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"a co-bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("GraftSpjScan"), s"expected the SPJ scan:\n$plan")
+    }
+    // conf off: same rows through the stock scan
+    assert(spark.sql(sql).collect().length === 501)
+    // mismatched bucket counts must NOT zip-align: results stay correct
+    // (Spark sees incompatible partitionings and shuffles)
+    cat.overwriteBucketedVersioned("h",
+      (1500L to 3000L).map(i => (i, s"w$i")).toDF("id", "tag"), "id", 4)
+    withSpj {
+      val q2 = spark.sql(
+        s"SELECT f.id, h.tag FROM $c.f f JOIN $c.h h ON f.id = h.id")
+      assert(q2.collect().length === 501,
+        "bucket-count mismatch must fall back to a correct (shuffled) join")
+    }
+  }
+
+  test("SPJ composes with deletion vectors: zero-Exchange join, deletes honored") {
+    val (cat, _, c) = freshCatalog("spjdv")
+    cat.overwriteVersioned("t1",
+      (1L to 400L).map(i => (i, s"p${i % 4}", i * 1.0)).toDF("id", "p", "m"),
+      Seq("p"))
+    cat.overwriteVersioned("t2",
+      Seq(("p0", 0L), ("p1", 1L), ("p2", 2L), ("p3", 3L)).toDF("p", "n"),
+      Seq("p"))
+    cat.setTableProperty("t1", "graft.deletionVectors", "true")
+    cat.deleteVectors("t1", col("id") % 10 === 3)
+    val sql = s"SELECT t1.id, t2.n FROM $c.t1 t1 JOIN $c.t2 t2 ON t1.p = t2.p"
+    val expected = spark.sql(sql).collect().map(_.getLong(0)).sorted // stock, shuffles
+    assert(expected.length === 400 - 40, "vector deletes visible pre-SPJ")
+    withSpj {
+      val q = spark.sql(sql)
+      assert(q.collect().map(_.getLong(0)).sorted === expected,
+        "SPJ over a vectored side must not change results")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"a co-partitioned join with one vectored side must not shuffle:\n$plan")
+      assert(plan.contains("GraftDvScan"), s"vectors keep the positional scan:\n$plan")
+    }
+  }
+
   test("indexed tables prune FILES on the SQL door (min/max skip before split planning)") {
     val (cat, _, c) = freshCatalog("skip")
     cat.overwriteVersioned("t",
@@ -714,6 +776,98 @@ class GraftCatalogSpec extends SparkSpec {
         cat.manifestFiles("t", cat.currentVersion("t")).size,
         "the vectored scan must have index-pruned its one-file partitions")
     }
+  }
+
+  test("graft.bloomFor / graft.indexFor TBLPROPERTIES make a SQL-only table self-skipping") {
+    val (cat, root, c) = freshCatalog("props")
+    spark.sql(
+      s"""CREATE TABLE $c.t
+          TBLPROPERTIES('graft.bloomFor'='id', 'graft.indexFor'='id',
+                        'graft.bloomNdv'='50000')
+          AS SELECT /*+ REPARTITION(8) */ id, CAST(id * 1.5 AS DOUBLE) AS m
+             FROM range(0, 4000)""")
+    spark.sql(s"INSERT INTO $c.t " +
+      s"SELECT /*+ REPARTITION(4) */ id, CAST(id * 1.5 AS DOUBLE) FROM range(4000, 6000)")
+    // the index self-materialized and covers BOTH batches' files
+    assert(graft.storage.SkippingIndex.existsAt(cat.statsPath("t")))
+    val stats = graft.storage.SkippingIndex.readAt(cat.statsPath("t"))
+    val live = cat.manifestFiles("t", cat.currentVersion("t")).size
+    assert(stats.size === live, s"both commits indexed: ${stats.size} vs $live")
+    // 0-row files (an empty write partition) carry no stats and no
+    // blooms — they are unconditional candidates, so exclude them from
+    // the per-file pins
+    val nonEmpty = stats.filter(_.rows > 0)
+    assert(nonEmpty.nonEmpty && nonEmpty.forall(_.cols.exists(_.column == "id")))
+    // every non-empty file carries a parquet native bloom for id —
+    // including the INSERT-appended ones
+    assert(nonEmpty.map(_.file).forall(f =>
+      graft.storage.SkippingIndex.hasBloomFilter(spark, f, "id")))
+    // a point lookup through plain SQL prunes via those blooms (random
+    // layout: min/max cannot help)
+    val q = spark.sql(s"SELECT id, m FROM $c.t WHERE id = 4321")
+    assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((4321L, 6481.5)))
+    val desc = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.headOption.getOrElse("")
+    val m = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc)
+    assert(m.isDefined, s"expected the skip wrapper: $desc")
+    assert(m.get.group(2).toInt === live)
+    assert(m.get.group(1).toInt * 2 < live,
+      s"blooms must prune the point lookup: $desc")
+  }
+
+  test("dynamic partition pruning engages on the SQL door (runtime V2 filtering)") {
+    val (cat, _, c) = freshCatalog("dpp")
+    // 6 partitions, several files each; the dim filter names ONE
+    cat.overwriteVersioned("fact",
+      (1L to 600L).map(i => (i, s"p${i % 6}", i * 1.0)).toDF("id", "p", "m"),
+      Seq("p"))
+    cat.overwriteVersioned("dim",
+      Seq(("p1", 1L), ("p2", 2L), ("p3", 3L)).toDF("p", "n"))
+    val sql = s"SELECT f.id, d.n FROM $c.fact f JOIN $c.dim d " +
+      s"ON f.p = d.p WHERE d.n = 1"
+    // ground truth with DPP off (the stock pre-r18 behavior)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    val expected =
+      try spark.sql(sql).collect().map(_.getLong(0)).sorted
+      finally spark.conf
+        .unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    val q = spark.sql(sql)
+    assert(q.collect().map(_.getLong(0)).sorted === expected,
+      "DPP must never change results")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a runtime filter on the fact scan:\n$plan")
+    // the scan description re-reads the post-filter state: of the 6
+    // partitions' files, only p1's survived
+    val m = "GraftSkipScan\\(kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"expected the skip wrapper on a partitioned table:\n$plan")
+    assert(m.get.group(1).toInt * 3 <= m.get.group(2).toInt,
+      s"runtime filter must have dropped the other partitions' files: ${m.get}")
+  }
+
+  test("dynamic partition pruning composes with deletion vectors") {
+    val (cat, _, c) = freshCatalog("dppdv")
+    cat.overwriteVersioned("fact",
+      (1L to 600L).map(i => (i, s"p${i % 6}", i * 1.0)).toDF("id", "p", "m"),
+      Seq("p"))
+    cat.setTableProperty("fact", "graft.deletionVectors", "true")
+    cat.deleteVectors("fact", col("id") % 10 === 3)
+    cat.overwriteVersioned("dim",
+      Seq(("p1", 1L), ("p2", 2L), ("p4", 4L)).toDF("p", "n"))
+    // the selective dim filter is what makes Spark inject the runtime
+    // pruning subquery on the fact side
+    val q = spark.sql(
+      s"SELECT f.id FROM $c.fact f JOIN $c.dim d ON f.p = d.p WHERE d.n = 1")
+    val got = q.collect().map(_.getLong(0)).sorted
+    assert(got === (1L to 600L).filter(i => i % 6 == 1 && i % 10 != 3).toArray,
+      "vector-deleted rows stay deleted under DPP")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftDvScan"), plan)
+    assert(plan.contains("dynamicpruning"),
+      s"expected a runtime filter on the vectored fact scan:\n$plan")
   }
 
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {
