@@ -64,9 +64,10 @@ object SkipRehearsal {
       // 2) steady state (OS page cache warm): re-run the same call
       val (_, warmMs) = time(graft.storage.SkippingIndex
         .candidateFilesAt(statsPath, files, Seq(("id", lo, hi))))
-      // 3) the metadata-count fold over the parsed index
+      // 3) the metadata-count fold over the (generation-cached) index —
+      // the exactRowCount production path
       val (total, countMs) = time {
-        graft.storage.SkippingIndex.readAt(statsPath).map(_.rows).sum
+        graft.storage.SkippingIndex.readAtCached(statsPath).map(_.rows).sum
       }
       val bytes = java.nio.file.Files.size(statsPath)
       println(f"[skip-rehearsal] n=$n%6d statsBytes=$bytes%9d " +

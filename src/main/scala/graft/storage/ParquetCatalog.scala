@@ -4393,7 +4393,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (filesAbs.isEmpty) return 0L
     val indexed: Map[String, Long] =
       if (SkippingIndex.existsAt(statsPath(name)))
-        SkippingIndex.readAt(statsPath(name)).map(fs => fs.file -> fs.rows).toMap
+        SkippingIndex.readAtCached(statsPath(name)).map(fs => fs.file -> fs.rows).toMap
       else Map.empty
     val missing = filesAbs.filterNot(indexed.contains)
     val counted =
@@ -4459,7 +4459,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       case (TimestampNTZType, "INT64:TIMESTAMP(MICROS,false)") => s.toLongOption
       case _ => None
     }
-    val stats = SkippingIndex.readAt(statsPath(name))
+    val stats = SkippingIndex.readAtCached(statsPath(name))
       .map(fs => fs.file -> fs).toMap
     val perFile = filesAbs.flatMap { f =>
       stats.get(f) match {

@@ -304,6 +304,36 @@ object SkippingIndex {
     jsonToStats(Files.readString(statsPath))
   }
 
+  /** Parsed-index cache keyed by (path, size, mtime). Sound because
+    * data files are IMMUTABLE (version-nonce names): a stale snapshot
+    * can only be stale in the direction the index contract already
+    * covers (files it has not seen are unconditional candidates, files
+    * no longer listed drop out at reconcile) — and every real index
+    * rewrite lands via atomic rename, changing the mtime key anyway.
+    * The JSON parse is the dominant per-query planning cost at scale
+    * (~1 s at 100k files, docs/SKIP_REHEARSAL.md); paying it once per
+    * INDEX GENERATION instead of once per query keeps the SQL door's
+    * driver-side planning flat. Bounded at [[CacheCap]] generations. */
+  private val CacheCap = 32
+  private val parsedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[FileStats]]()
+
+  /** [[readAt]] through the generation cache. */
+  def readAtCached(statsPath: java.nio.file.Path): Seq[FileStats] = {
+    require(Files.exists(statsPath),
+      s"no skipping index at $statsPath — run SkippingIndex.writeAt first")
+    val key = (statsPath.toString, Files.size(statsPath),
+      Files.getLastModifiedTime(statsPath).toMillis)
+    val hit = parsedCache.get(key)
+    if (hit != null) return hit
+    val parsed = jsonToStats(Files.readString(statsPath))
+    // evict superseded generations of the same path, then cap hard
+    parsedCache.keySet.removeIf(k => k._1 == key._1 && k != key)
+    if (parsedCache.size >= CacheCap) parsedCache.clear()
+    parsedCache.put(key, parsed)
+    parsed
+  }
+
   /** Files whose [min,max] for `column` intersects [lo,hi] (numeric
     * compare for numeric physical types, lexicographic for BINARY).
     * Files with no stats for the column are conservatively KEPT. */
@@ -363,7 +393,7 @@ object SkippingIndex {
       preds: Seq[(String, Double, Double, Set[String])],
       keepNullsOf: Option[String] = None): Seq[String] = {
     val currentSet = files.toSet
-    val indexed = readAt(statsPath)
+    val indexed = readAtCached(statsPath)
     val indexedSet = indexed.map(_.file).toSet
     val pruned = indexed
       .filter(fs => currentSet.contains(fs.file))
