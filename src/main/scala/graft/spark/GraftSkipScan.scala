@@ -87,14 +87,14 @@ class GraftSkipScanBuilder(inner: ScanBuilder,
     super.pushFilters(filters)
   }
 
-  /** Wrap when the index can prune (extracted conjuncts against a
-    * persisted stats file) OR the layout is partitioned — the latter
-    * solely for runtime (dynamic-partition-pruning) filtering, which
-    * the stock DSv2 `ParquetScan` does not implement at all. */
+  /** Wrap whenever a persisted index exists (planned conjuncts prune
+    * immediately; otherwise the index still serves runtime dynamic
+    * FILE pruning) or the layout is partitioned (runtime dynamic
+    * PARTITION pruning) — the stock DSv2 `ParquetScan` implements no
+    * runtime filtering at all. */
   override def build(): Scan = inner.build() match {
     case p: ParquetScan if !aggPushed &&
-        ((statsPath.isDefined && (preds.nonEmpty || points.nonEmpty)) ||
-          p.readPartitionSchema.nonEmpty) =>
+        (statsPath.isDefined || p.readPartitionSchema.nonEmpty) =>
       new GraftSkipScan(p, statsPath, preds, points)
     case other => other
   }
@@ -116,14 +116,25 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
       org.apache.spark.sql.connector.read.Statistics =
     inner.estimateStatistics()
 
-  /** Dynamic partition pruning (see [[GraftFileSkipping.runtimeKeep]]):
-    * runtime IN-predicates over the partition columns drop whole splits
-    * before tasks launch; `filter` invalidates the cached candidate set
-    * so the re-plan [[planInputPartitions]] sees the pruned list. */
+  /** Dynamic partition pruning (see [[GraftFileSkipping.runtimeKeep]])
+    * PLUS dynamic FILE pruning: runtime IN-predicates over the
+    * partition columns drop whole splits by partition value, and over
+    * INDEXED data columns they drive the same min/max + bloom pass as
+    * planned-time conjuncts (Databricks' dynamic file pruning, on the
+    * persisted index) — a fact-dim join keyed on the fact's CLUSTERED
+    * key opens only the dim keys' file neighborhood, even though the
+    * key is no partition column. `filter` invalidates the cached
+    * candidate set so the re-plan sees the pruned list. */
   override def filterAttributes(): Array[
-      org.apache.spark.sql.connector.expressions.NamedReference] =
-    inner.readPartitionSchema.fieldNames
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val indexed = statsPath.toSeq.flatMap(sp =>
+      graft.storage.SkippingIndex.readAtCached(sp)
+        .flatMap(_.cols.map(_.column))).distinct
+    (inner.readPartitionSchema.fieldNames ++ indexed.filter(c =>
+      inner.readDataSchema.fieldNames.exists(_.equalsIgnoreCase(c))))
+      .distinct
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     synchronized { runtimePreds = predicates; cached = None }
@@ -151,9 +162,17 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
       val keep = GraftFileSkipping.runtimeKeep(runtimePreds,
         inner.readPartitionSchema)
       val kept = planned.filter(keep)
+      // dynamic FILE pruning: runtime IN/= over indexed DATA columns
+      // translate to the same envelope + point conjuncts the planned
+      // filters use, and ride the identical index/bloom pass
+      val (rPreds, rPoints) = GraftFileSkipping.runtimeIndexConjuncts(
+        runtimePreds, inner.readDataSchema)
+      val allPreds = preds ++ rPreds
+      val allPoints = points ++ rPoints
       val r = statsPath match {
-        case Some(sp) if preds.nonEmpty || points.nonEmpty =>
-          val (splits, k, _) = GraftFileSkipping.filterSplits(sp, preds, points, kept)
+        case Some(sp) if allPreds.nonEmpty || allPoints.nonEmpty =>
+          val (splits, k, _) =
+            GraftFileSkipping.filterSplits(sp, allPreds, allPoints, kept)
           (splits, k, total)
         case _ =>
           (kept, kept.map(f =>
@@ -290,6 +309,74 @@ object GraftFileSkipping {
         // predicates guard — dropping it mirrors Spark's own DPP
         v != null && allowed.contains(v)
       }
+  }
+
+  /** How many runtime IN-list values a bloom pass will hash per file —
+    * DPP value lists can be large; above this, only the (always-cheap)
+    * min/max envelope prunes. */
+  private val MaxRuntimeBloomValues = 64
+
+  /** Runtime IN/= predicates over DATA columns → the same (envelope,
+    * points) conjuncts planned-time filters produce, for dynamic FILE
+    * pruning through the index/bloom pass. Sound like the planner-side
+    * extraction: values typed EXACTLY as the read schema's column
+    * (else refuse), null literals dropped (IN/= never match null),
+    * envelopes widened ±2 for raw-unit temporal tags, unsupported
+    * shapes contribute nothing. */
+  def runtimeIndexConjuncts(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate],
+      dataSchema: StructType):
+      (Seq[(String, Double, Double, Set[String])], Seq[(String, Seq[Any])]) = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLiteral,
+      NamedReference}
+    import org.apache.spark.sql.types._
+    val preds = Seq.newBuilder[(String, Double, Double, Set[String])]
+    val points = Seq.newBuilder[(String, Seq[Any])]
+    predicates.foreach { p =>
+      val kids = p.children().toSeq
+      kids match {
+        case Seq(ref: NamedReference, lits @ _*)
+            if (p.name() == "IN" || p.name() == "=") &&
+              ref.fieldNames.length == 1 && lits.nonEmpty &&
+              lits.forall(_.isInstanceOf[VLiteral[_]]) =>
+          dataSchema.fields.find(_.name.equalsIgnoreCase(ref.fieldNames.head))
+            .foreach { f =>
+              val vs = lits.map(_.asInstanceOf[VLiteral[_]])
+                .filter(l => l.dataType == f.dataType && l.value != null)
+              if (vs.nonEmpty && vs.size == lits.size) {
+                val col = f.name
+                // envelope over the raw numeric view of the values
+                def env(pad: Double, tags: Set[String]): Unit = {
+                  val ds = vs.map(_.value.asInstanceOf[Number].doubleValue())
+                  preds += ((col, ds.min - pad, ds.max + pad, tags))
+                }
+                f.dataType match {
+                  case ByteType | ShortType | IntegerType | LongType |
+                      FloatType | DoubleType => env(0.0, Set.empty)
+                  case DateType => env(2.0, Set("INT32:DATE"))
+                  case TimestampType =>
+                    env(2.0, Set("INT64:TIMESTAMP(MICROS,true)"))
+                  case TimestampNTZType =>
+                    env(2.0, Set("INT64:TIMESTAMP(MICROS,false)"))
+                  case _ => ()
+                }
+                // bloom points: JVM-typed values (the footer hash layer
+                // keeps files for anything it cannot hash)
+                if (vs.size <= MaxRuntimeBloomValues) {
+                  val typed = vs.flatMap(_.value match {
+                    case n: Number => Some(n)
+                    case s: org.apache.spark.unsafe.types.UTF8String =>
+                      Some(s.toString)
+                    case _ => None
+                  })
+                  if (typed.size == vs.size) points += ((col, typed))
+                }
+              }
+            }
+        case _ => ()
+      }
+    }
+    (preds.result(), points.result())
   }
 
   /** URI → plain filesystem path (the index stores plain absolute

@@ -848,6 +848,38 @@ class GraftCatalogSpec extends SparkSpec {
       s"runtime filter must have dropped the other partitions' files: ${m.get}")
   }
 
+  test("dynamic FILE pruning: runtime join filters drive the min/max index") {
+    val (cat, _, c) = freshCatalog("dfp")
+    // fact: UNPARTITIONED, key-clustered + indexed — the layout where
+    // partition pruning can't help but the index can
+    cat.overwriteVersioned("fact",
+      (1L to 10000L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.compact("fact", rowsPerFile = 1000, clusterBy = Seq("id"))
+    cat.index("fact", Seq("id"))
+    // dim: few keys, all in one narrow band of the fact's key space
+    cat.overwriteVersioned("dim",
+      Seq((2100L, 1L), (2200L, 1L), (2300L, 2L)).toDF("id", "n"))
+    val sql = s"SELECT f.id, f.m FROM $c.fact f JOIN $c.dim d " +
+      s"ON f.id = d.id WHERE d.n = 1"
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    val expected =
+      try spark.sql(sql).collect().map(_.getLong(0)).sorted
+      finally spark.conf
+        .unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    assert(expected === Array(2100L, 2200L))
+    val q = spark.sql(sql)
+    assert(q.collect().map(_.getLong(0)).sorted === expected,
+      "dynamic file pruning must never change results")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a runtime filter on the fact scan:\n$plan")
+    val m = "GraftSkipScan\\(kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"expected the skip wrapper:\n$plan")
+    assert(m.get.group(2).toInt === 10)
+    assert(m.get.group(1).toInt <= 2,
+      s"the dim's narrow key band must prune the clustered fact files: ${m.get}")
+  }
+
   test("dynamic partition pruning composes with deletion vectors") {
     val (cat, _, c) = freshCatalog("dppdv")
     cat.overwriteVersioned("fact",
