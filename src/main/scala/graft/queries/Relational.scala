@@ -1580,7 +1580,7 @@ object Relational {
       (s, d) => {
         import java.nio.file.{Files, Paths}
         val suffix = graft.storage.Scratch.fingerprint(d).take(8)
-        val root = s"${sys.props("java.io.tmpdir")}/graft_sma_$suffix"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_sma2_$suffix"
         val marker = Paths.get(s"$root/_complete")
         val cat = new graft.storage.ParquetCatalog(s, root)
         if (!Files.exists(marker)) {
@@ -1595,7 +1595,8 @@ object Relational {
           classOf[graft.spark.GraftCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cname.root", root)
         val mm = s.sql(
-          s"""SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+          s"""SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                     count(o_orderkey) AS n_keys
               FROM $cname.orders_ma""")
         val cf = s.sql(
           s"""SELECT count(*) AS n_f FROM $cname.orders_ma
@@ -1608,12 +1609,13 @@ object Relational {
               .contains("GraftCountStarScan"))) 1L else 0L
         val r1 = mm.head(); val n = cf.head().getLong(0); val mk = mf.head().getLong(0)
         import s.implicits._
-        Seq((r1.getLong(0), r1.getLong(1), n, mk, metaAgg))
-          .toDF("min_key", "max_key", "n_f", "max_key_f", "meta_agg")
+        Seq((r1.getLong(0), r1.getLong(1), r1.getLong(2), n, mk, metaAgg))
+          .toDF("min_key", "max_key", "n_keys", "n_f", "max_key_f", "meta_agg")
       },
       Some("""
         SELECT (SELECT MIN(o_orderkey) FROM orders) AS min_key,
                (SELECT MAX(o_orderkey) FROM orders) AS max_key,
+               (SELECT COUNT(o_orderkey) FROM orders) AS n_keys,
                (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS n_f,
                (SELECT MAX(o_orderkey) FROM orders WHERE o_orderstatus = 'F')
                  AS max_key_f,
@@ -1683,6 +1685,71 @@ object Relational {
                CAST(0 AS BIGINT) AS bucket_exchanges,
                CAST(1 AS BIGINT) AS bucket_spj
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_custkey ORDER BY c.c_custkey"""))
+        GROUP BY c.c_custkey ORDER BY c.c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // S20: dynamic FILE pruning — a fact-dim join keyed on the fact's
+    // CLUSTERED (not partitioned) key: Spark's runtime join filter
+    // (dynamic partition pruning machinery) reaches the scan as an
+    // IN-list, and the wrapper drives it through the SAME min/max +
+    // bloom index pass as a static predicate (Databricks' dynamic file
+    // pruning, on the persisted index). The dim's keys live in one
+    // narrow band of the key space, so the clustered fact opens ~2 of
+    // its 12 files — `dfp_pruned` pins kept*2 < total from the
+    // executed plan. Oracle = the plain relational join.
+    Q(
+      "s20_sql_dfp",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_dfp_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val o = Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+          cat.overwriteVersioned("orders_dfp", o)
+          val n = o.count()
+          cat.compact("orders_dfp",
+            rowsPerFile = math.max(1L, n / 12), clusterBy = Seq("o_orderkey"))
+          cat.index("orders_dfp", Seq("o_orderkey"))
+          // dim keys confined to one narrow band of the key space
+          cat.overwriteVersioned("keys_dim",
+            o.select("o_orderkey").distinct()
+              .filter(col("o_orderkey").between(1000, 1400))
+              .withColumn("flag", lit(1L)))
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gdfp$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val q = s.sql(
+          s"""SELECT f.o_orderkey, f.o_custkey, f.o_totalprice
+              FROM $cname.orders_dfp f
+              JOIN $cname.keys_dim k ON f.o_orderkey = k.o_orderkey
+              WHERE k.flag = 1""")
+        q.collect() // finalize the adaptive plan (runtime filter ran)
+        val plan = q.queryExecution.executedPlan.toString
+        val pruned =
+          "GraftSkipScan\\(kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(plan)
+            .map(m => if (m.group(1).toLong * 2 < m.group(2).toLong) 1L else 0L)
+            .getOrElse(0L)
+        val dpp = if (plan.contains("dynamicpruning")) 1L else 0L
+        q.agg(count(lit(1)).as("n_rows"),
+            graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .withColumn("dfp_pruned", lit(pruned))
+          .withColumn("dfp_runtime_filter", lit(dpp))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+               CAST(1 AS BIGINT) AS dfp_pruned,
+               CAST(1 AS BIGINT) AS dfp_runtime_filter
+        FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 1400"""))
   )
 }

@@ -366,6 +366,8 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
         files => cat.exactRowCountFor(tableName, v, files),
         (col, dt, files) =>
           cat.statsMinMax(tableName, v, col, dt, files.getOrElse(allFiles())),
+        (col, files) =>
+          cat.statsNonNullCount(tableName, v, col, files.getOrElse(allFiles())),
         minMaxEnabled = spark.conf
           .get("spark.graft.sql.metadataMinMax", "true").toBoolean)
     } else chosen

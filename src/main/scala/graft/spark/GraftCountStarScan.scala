@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
-  CountStar, Max, Min}
+  Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.execution.datasources.FilePartition
@@ -42,8 +42,15 @@ class GraftCountStarBuilder(inner: ScanBuilder, tableSchema: StructType,
     countAll: () => Long, countFor: Seq[String] => Long,
     minMaxFor: (String, org.apache.spark.sql.types.DataType, Option[Seq[String]])
       => Option[(Any, Any)],
+    countColFor: (String, Option[Seq[String]]) => Option[Long] =
+      (_, _) => None,
     minMaxEnabled: Boolean = true)
   extends GraftForwardingScanBuilder(inner) {
+
+  sealed private trait MetaAgg
+  private case object CountAll extends MetaAgg
+  private case class MinMaxOf(col: String, wantMax: Boolean) extends MetaAgg
+  private case class CountOf(col: String) extends MetaAgg
 
   private var sawFilters = false
   private var allConsumed = true
@@ -75,35 +82,39 @@ class GraftCountStarBuilder(inner: ScanBuilder, tableSchema: StructType,
   }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val shapes = aggregation.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some(Left(()))
-      case m: Min => m.column() match {
-        case r: NamedReference if r.fieldNames.length == 1 =>
-          Some(Right((r.fieldNames.head, false)))
-        case _ => None
-      }
-      case m: Max => m.column() match {
-        case r: NamedReference if r.fieldNames.length == 1 =>
-          Some(Right((r.fieldNames.head, true)))
-        case _ => None
-      }
+    def ref1(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
       case _ => None
     }
+    val shapes: Seq[Option[MetaAgg]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(CountAll)
+        case m: Min => ref1(m.column()).map(MinMaxOf(_, wantMax = false))
+        case m: Max => ref1(m.column()).map(MinMaxOf(_, wantMax = true))
+        case c: Count if !c.isDistinct => ref1(c.column()).map(CountOf)
+        case _ => None
+      }
     val answerable = aggregation.groupByExpressions.isEmpty &&
       shapes.nonEmpty && shapes.forall(_.isDefined) &&
       (!sawFilters || allConsumed) &&
-      (minMaxEnabled || shapes.forall(_.exists(_.isLeft)))
+      (minMaxEnabled || shapes.forall(_.contains(CountAll)))
     if (!answerable) return super.pushAggregation(aggregation)
-    // a filtered count/min-max aggregates over the surviving files
-    // only; the bare forms use the whole version (count via the O(1)
-    // index path)
+    // a filtered aggregate folds over the surviving files only; the
+    // bare forms use the whole version (count via the O(1) index path)
     val files = if (sawFilters) innerFiles() else None
     if (sawFilters && files.isEmpty) return super.pushAggregation(aggregation)
     val resolved: Seq[Option[(Any, StructField)]] = shapes.map(_.get).map {
-      case Left(()) =>
+      case CountAll =>
         val n = if (sawFilters) countFor(files.get) else countAll()
         Some((n, StructField("count_star", LongType, nullable = false)))
-      case Right((col, wantMax)) =>
+      case CountOf(col) =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(col)).flatMap { f =>
+          countColFor(f.name, files).map(n =>
+            (n, StructField(s"count_${f.name}", LongType, nullable = false)))
+        }
+      case MinMaxOf(col, wantMax) =>
         tableSchema.fields.find(_.name.equalsIgnoreCase(col)).flatMap { f =>
           minMaxFor(f.name, f.dataType, files).map { case (mn, mx) =>
             (if (wantMax) mx else mn,

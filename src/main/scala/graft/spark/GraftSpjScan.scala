@@ -166,16 +166,54 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
     * surviving keys against [[outputPartitioning]] (the SPJ machinery
     * handles dropped groups via its push-part-values path, exactly as
     * with Iceberg). [[distinctKeys]] stays the UNFILTERED count so the
-    * reported partitioning is stable across the re-plan. */
+    * reported partitioning is stable across the re-plan. In BUCKET
+    * mode the filterable attribute is the bucketed DATA column:
+    * runtime IN values hash through [[GraftBoundBucket]] (the same
+    * function that laid the files out) to a set of allowed bucket ids
+    * — sound because a file in bucket b contains ONLY values hashing
+    * to b, so it cannot contain any listed value hashing elsewhere. */
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
-    partitionBy.map(Expressions.column).toArray
+    bucketOf match {
+      case Some((c, _)) => Array(Expressions.column(c))
+      case None => partitionBy.map(Expressions.column).toArray
+    }
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     synchronized { runtimePreds = predicates }
 
   private var runtimePreds: Array[
     org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
+
+  /** Bucket ids the runtime IN/= values allow — None when any
+    * predicate shape/type is unrecognized (then nothing prunes). */
+  private def allowedBuckets(): Option[Set[Int]] = bucketOf.flatMap {
+    case (c, n) =>
+      import org.apache.spark.sql.connector.expressions.{Literal => VLiteral,
+        NamedReference}
+      val colType = inner.readSchema().fields
+        .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(return None)
+      val bucketer = new GraftBoundBucket(colType)
+      val sets = runtimePreds.toSeq.map { p =>
+        p.children().toSeq match {
+          case Seq(ref: NamedReference, lits @ _*)
+              if (p.name() == "IN" || p.name() == "=") &&
+                ref.fieldNames.length == 1 &&
+                ref.fieldNames.head.equalsIgnoreCase(c) && lits.nonEmpty &&
+                lits.forall(_.isInstanceOf[VLiteral[_]]) =>
+            val vs = lits.map(_.asInstanceOf[VLiteral[_]])
+            if (vs.forall(l => l.dataType == colType && l.value != null))
+              Some(vs.map(l => bucketer.produceResult(
+                new GenericInternalRow(Array[Any](n, l.value))).toInt).toSet)
+            else None
+          case _ => None
+        }
+      }
+      // conjunction: intersect the recognized predicates' bucket sets
+      val known = sets.flatten
+      if (known.isEmpty) None else Some(known.reduce(_ intersect _))
+  }
 
   private lazy val distinctKeys: Int = bucketOf match {
     case Some(_) =>
@@ -198,10 +236,17 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
 
   override def planInputPartitions(): Array[InputPartition] = synchronized {
     if (runtimePreds.isEmpty) keyedSplits.toArray[InputPartition]
-    else {
-      val keep = GraftFileSkipping.runtimeKeep(runtimePreds, pSchema)
-      keyedSplits.filter(k => k.delegate.files.forall(keep))
-        .toArray[InputPartition]
+    else bucketOf match {
+      case Some(_) => allowedBuckets() match {
+        case Some(ids) =>
+          keyedSplits.filter(k => ids.contains(k.partitionKey().getInt(0)))
+            .toArray[InputPartition]
+        case None => keyedSplits.toArray[InputPartition]
+      }
+      case None =>
+        val keep = GraftFileSkipping.runtimeKeep(runtimePreds, pSchema)
+        keyedSplits.filter(k => k.delegate.files.forall(keep))
+          .toArray[InputPartition]
     }
   }
 

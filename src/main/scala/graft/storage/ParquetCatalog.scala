@@ -4435,6 +4435,33 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     *
     * Returns Some((null, null)) for an empty file set — SQL MIN/MAX of
     * no rows. Values are catalyst-internal for `dataType`. */
+  /** EXACT non-null count of `column` over `filesAbs` of version
+    * `version` — the metadata `COUNT(col)`: Σ(file rows − file null
+    * count) from the persisted index. None (→ real scan) when the
+    * version carries vectors, any non-empty file lacks an EXACT null
+    * count for the column (pre-r18 index entries record −1; all-null
+    * files record no entry at all and are indistinguishable from
+    * unindexed), or no index exists. */
+  def statsNonNullCount(name: String, version: Long, column: String,
+      filesAbs: Seq[String]): Option[Long] = {
+    require(isVersioned(name), s"no versioned table $name")
+    val m = manifest(name, version)
+    if (dvEntries(m).nonEmpty) return None
+    if (!SkippingIndex.existsAt(statsPath(name))) return None
+    val stats = SkippingIndex.readAtCached(statsPath(name))
+      .map(fs => fs.file -> fs).toMap
+    val perFile = filesAbs.flatMap { f =>
+      stats.get(f) match {
+        case Some(fs) if fs.rows == 0 => None
+        case Some(fs) =>
+          Some(fs.cols.find(_.column.equalsIgnoreCase(column))
+            .filter(_.nulls >= 0).map(cs => fs.rows - cs.nulls))
+        case None => Some(None)
+      }
+    }
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
+  }
+
   def statsMinMax(name: String, version: Long, column: String,
       dataType: org.apache.spark.sql.types.DataType,
       filesAbs: Seq[String]): Option[(Any, Any)] = {

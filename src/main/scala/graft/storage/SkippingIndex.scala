@@ -32,9 +32,12 @@ import scala.jdk.CollectionConverters._
 object SkippingIndex {
 
   /** One file's stats for one column (values carried as strings with a
-    * type tag so the JSON stays dependency-free). */
+    * type tag so the JSON stays dependency-free). `nulls` is the EXACT
+    * per-file null count when every chunk recorded one, −1 when
+    * unknown (pre-r18 index files, or chunks without the stat) — what
+    * lets a metadata `COUNT(col)` answer as rows − nulls. */
   final case class ColStats(column: String, typ: String, min: String, max: String,
-      hasNulls: Boolean)
+      hasNulls: Boolean, nulls: Long = -1L)
   final case class FileStats(file: String, rows: Long, cols: Seq[ColStats])
 
   private def statsFile(tableDir: String) =
@@ -130,7 +133,13 @@ object SkippingIndex {
             val st = c.getStatistics
             st == null || !st.isNumNullsSet || st.getNumNulls > 0
           }
-          Some(ColStats(name, typ, render(mn), render(mx), nulls))
+          // exact null count only when EVERY chunk recorded one
+          val exactNulls =
+            if (chunks.forall { c =>
+                val st = c.getStatistics; st != null && st.isNumNullsSet })
+              chunks.map(_.getStatistics.getNumNulls).sum
+            else -1L
+          Some(ColStats(name, typ, render(mn), render(mx), nulls, exactNulls))
         }
       }
       FileStats(file, rows, stats)
@@ -574,7 +583,7 @@ object SkippingIndex {
   private def statsToJson(stats: Seq[FileStats]): String =
     stats.map { fs =>
       val cols = fs.cols.map(c =>
-        s"""{"column":${esc(c.column)},"typ":${esc(c.typ)},"min":${esc(c.min)},"max":${esc(c.max)},"hasNulls":${c.hasNulls}}""")
+        s"""{"column":${esc(c.column)},"typ":${esc(c.typ)},"min":${esc(c.min)},"max":${esc(c.max)},"hasNulls":${c.hasNulls},"nulls":${c.nulls}}""")
         .mkString("[", ",", "]")
       s"""{"file":${esc(fs.file)},"rows":${fs.rows},"cols":$cols}"""
     }.mkString("[\n", ",\n", "\n]")
@@ -635,7 +644,9 @@ object SkippingIndex {
         val colsJson = outer.substring(colsStart)
         val cols = splitObjects(colsJson).map { c =>
           ColStats(field(c, "column"), field(c, "typ"),
-            field(c, "min"), field(c, "max"), field(c, "hasNulls") == "true")
+            field(c, "min"), field(c, "max"), field(c, "hasNulls") == "true",
+            // absent in pre-r18 index files → unknown
+            if (c.contains("\"nulls\":")) field(c, "nulls").toLong else -1L)
         }
         Some(FileStats(field(outer.substring(0, colsStart), "file"),
           field(outer.substring(0, colsStart), "rows").toLong, cols))

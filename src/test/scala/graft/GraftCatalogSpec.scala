@@ -535,6 +535,49 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("runtime join filters prune BUCKETS: values hash to allowed bucket ids") {
+    val (cat, _, c) = freshCatalog("bdpp")
+    cat.overwriteBucketedVersioned("f",
+      (1L to 4000L).map(i => (i, i * 1.0)).toDF("id", "m"), "id", 8)
+    cat.overwriteVersioned("dim",
+      Seq((42L, 1L), (43L, 2L), (77L, 1L)).toDF("id", "n"))
+    val sql = s"SELECT f.id, f.m FROM $c.f f JOIN $c.dim d " +
+      s"ON f.id = d.id WHERE d.n = 1"
+    val expected = spark.sql(sql).collect().map(_.getLong(0)).sorted
+    assert(expected === Array(42L, 77L))
+    // SPJ reporting on, broadcast ALLOWED: the dim broadcasts, DPP
+    // injects a runtime IN over f.id, and the scan maps the values
+    // through the bucket hash — only their buckets' files plan
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val q = spark.sql(sql)
+      assert(q.collect().map(_.getLong(0)).sorted === expected,
+        "bucket runtime pruning must never change results")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") && plan.contains("GraftSpjScan"),
+        s"expected a runtime filter on the bucketed scan:\n$plan")
+      // the key-grouped exec keeps its 8 group SLOTS, so the pin is the
+      // fact scan's output rows: only the two allowed buckets' files
+      // were read (~1000 of 4000 rows), the rest never planned
+      def scanRows(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+        val own = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            return scanRows(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            return scanRows(s.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.scan.isInstanceOf[graft.spark.GraftSpjScan] =>
+            b.metrics("numOutputRows").value
+          case _ => 0L
+        }
+        own + p.children.map(scanRows).sum
+      }
+      val read = scanRows(q.queryExecution.executedPlan)
+      assert(read > 0 && read <= 1500,
+        s"runtime bucket pruning must skip the other buckets' files, read $read of 4000")
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("SPJ composes with deletion vectors: zero-Exchange join, deletes honored") {
     val (cat, _, c) = freshCatalog("spjdv")
     cat.overwriteVersioned("t1",
@@ -713,6 +756,44 @@ class GraftCatalogSpec extends SparkSpec {
       assert(!po.contains("GraftCountStarScan"), po)
       assert(qo.as[Long].head() === 4499L)
     } finally spark.conf.unset("spark.graft.sql.metadataCount")
+  }
+
+  test("metadata MIN/MAX/COUNT(col) fold the index; unsound shapes route to the scan") {
+    val (cat, _, c) = freshCatalog("magg")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    // nullable measure: every third row's m is NULL
+    val rows = (1L to 3000L).map(i =>
+      Row(i, if (i % 3 == 0) null else i * 1.0)).asJava
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType), StructField("m", DoubleType))))
+    cat.overwriteVersioned("t", df.repartition(6))
+    cat.index("t", Seq("id", "m"))
+    val q = spark.sql(
+      s"SELECT count(*) AS n, count(m) AS nm, min(id) AS lo, max(id) AS hi FROM $c.t")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().head.toSeq === Seq(3000L, 2000L, 1L, 3000L))
+    // a DOUBLE min/max must NOT answer from stats (NaN/-0.0 footer
+    // semantics) — the whole aggregate routes to the real scan
+    val dq = spark.sql(s"SELECT min(m) AS lo FROM $c.t")
+    assert(!dq.queryExecution.executedPlan.toString.contains("GraftCountStarScan"))
+    assert(dq.collect().head.getDouble(0) === 1.0)
+    // count(DISTINCT m) is never metadata-answerable
+    val dd = spark.sql(s"SELECT count(DISTINCT m) AS d FROM $c.t")
+    assert(!dd.queryExecution.executedPlan.toString.contains("GraftCountStarScan"))
+    assert(dd.collect().head.getLong(0) === 2000L)
+    // vectors kill MIN/MAX and COUNT(col) (an extremal/non-null row may
+    // be deleted) but the bare COUNT still subtracts positions
+    cat.setTableProperty("t", "graft.deletionVectors", "true")
+    cat.deleteVectors("t", col("id") <= 10L)
+    val vq = spark.sql(s"SELECT min(id) AS lo FROM $c.t")
+    assert(!vq.queryExecution.executedPlan.toString.contains("GraftCountStarScan"))
+    assert(vq.collect().head.getLong(0) === 11L)
+    val vc = spark.sql(s"SELECT count(*) AS n FROM $c.t")
+    assert(vc.queryExecution.executedPlan.toString.contains("GraftCountStarScan"))
+    assert(vc.collect().head.getLong(0) === 2990L)
   }
 
   test("pruning edges: everything-pruned scans and empty tables stay correct") {
