@@ -112,9 +112,53 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
   override def supportedCustomMetrics():
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     inner.supportedCustomMetrics()
+
+  /** The stock estimate, TIGHTENED by the index when the planned range
+    * conjuncts prune files: rows = Σ index rows and bytes = Σ split
+    * lengths over the SURVIVING candidate files only (no bloom pass —
+    * estimation must never launch a job). The stock parquet estimate
+    * is post-partition-pruning byte size, blind to stats pruning; the
+    * index-backed figure is what lets AQE/broadcast planning see that
+    * a filtered slice of a 100 TB clustered table is broadcast-small.
+    * Still an upper bound (pushed data filters prune further inside
+    * kept files) — the same estimate class as stock, strictly tighter.
+    * Unknown whenever any planned file lacks an index entry. */
   override def estimateStatistics():
-      org.apache.spark.sql.connector.read.Statistics =
-    inner.estimateStatistics()
+      org.apache.spark.sql.connector.read.Statistics = {
+    val innerStats = inner.estimateStatistics()
+    val tightened: Option[(Long, Long)] = statsPath.flatMap { sp =>
+      if (preds.isEmpty) None
+      else {
+        val stats = graft.storage.SkippingIndex.readAtCached(sp)
+          .map(fs => fs.file -> fs.rows).toMap
+        val parts = inner.toBatch.planInputPartitions().toSeq
+        if (!parts.forall(_.isInstanceOf[FilePartition])) None
+        else {
+          val splits = parts.flatMap {
+            case fp: FilePartition => fp.files
+          }
+          val byFile = splits
+            .groupBy(f => GraftFileSkipping.plainPath(f.filePath.toString))
+            .view.mapValues(_.map(_.length).sum).toMap
+          if (!byFile.keys.forall(stats.contains)) None
+          else {
+            val cand = graft.storage.SkippingIndex
+              .candidateFilesTyped(sp, byFile.keys.toSeq.sorted, preds).toSet
+            val keptFiles = byFile.keys.filter(cand.contains).toSeq
+            Some((keptFiles.map(stats).sum, keptFiles.map(byFile).sum))
+          }
+        }
+      }
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        tightened.fold(innerStats.sizeInBytes())(t =>
+          java.util.OptionalLong.of(math.max(1L, t._2)))
+      override def numRows(): java.util.OptionalLong =
+        tightened.fold(innerStats.numRows())(t =>
+          java.util.OptionalLong.of(t._1))
+    }
+  }
 
   /** Dynamic partition pruning (see [[GraftFileSkipping.runtimeKeep]])
     * PLUS dynamic FILE pruning: runtime IN-predicates over the

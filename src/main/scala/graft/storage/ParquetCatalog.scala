@@ -3851,6 +3851,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * name IS the directory layout); constraint-referenced columns
     * refuse (the CHECK expression would dangle). Time travel across
     * the rename reads each version under ITS OWN recorded names. */
+  /** Rewrite the column-referencing skipping declarations
+    * (`graft.bloomFor` / `graft.indexFor` / `graft.bucketBy`) in a
+    * commit's meta after a column rename — comma-list aware, numeric
+    * segments (the bucket count) untouched. */
+  private def renamedProps(meta: Map[String, String], from: String,
+      to: String): Map[String, String] = {
+    def fix(v: String): String = v.split(',').map { seg =>
+      val c = seg.trim
+      if (c.equalsIgnoreCase(from)) to else c
+    }.mkString(",")
+    Seq(ParquetCatalog.BloomForProp, ParquetCatalog.IndexForProp,
+      ParquetCatalog.BucketByProp).foldLeft(meta) { (mm, p) =>
+      val k = propKey(p)
+      mm.get(k).fold(mm)(v => mm + (k -> fix(v)))
+    }
+  }
+
   def renameColumn(name: String, from0: String, to: String): Long = {
     migrateIfPlain(name)
     require(isVersioned(name), s"no table $name")
@@ -3883,10 +3900,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         "OPTIMIZE first — the rewrite stamps ids — then rename.")
     val renamed = StructType(cur.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    val meta = Map("op" -> "renameColumn", "colmap" -> "on", "bytesAdded" -> "0",
-      "schema" -> renamed.toDDL) ++
+    // skipping declarations FOLLOW the renamed column: a graft.bloomFor/
+    // indexFor/bucketBy still naming the old spelling would silently
+    // stop applying to files staged after the rename
+    val meta = renamedProps(Map("op" -> "renameColumn", "colmap" -> "on",
+      "bytesAdded" -> "0", "schema" -> renamed.toDDL) ++
       (carriedMeta(m) - colIdKey(from) - "colmap") +
-      (colIdKey(to) -> ids(from).toString)
+      (colIdKey(to) -> ids(from).toString), from, to)
     commitManifest(name, TableManifest(m.version + 1, m.partitionBy, meta, m.files))
     if (SkippingIndex.existsAt(statsPath(name)))
       SkippingIndex.renameColumn(statsPath(name), from, to)

@@ -216,7 +216,7 @@ object SkippingIndex {
   def refreshAt(spark: SparkSession, statsPath: java.nio.file.Path,
       files: Seq[String], cols: Seq[String] = Nil): Seq[FileStats] = {
     require(Files.exists(statsPath), s"no index at $statsPath")
-    val prior = jsonToStats(Files.readString(statsPath))
+    val prior = readAtCached(statsPath) // generation-cached: one parse per index rewrite
     val useCols =
       if (cols.nonEmpty) cols
       else prior.flatMap(_.cols.map(_.column)).distinct.sorted

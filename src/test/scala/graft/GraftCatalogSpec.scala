@@ -897,6 +897,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(m.get.group(2).toInt === live)
     assert(m.get.group(1).toInt * 2 < live,
       s"blooms must prune the point lookup: $desc")
+    // a metadata-only RENAME carries the declarations to the new name:
+    // files staged AFTER the rename still get blooms + index entries
+    spark.sql(s"ALTER TABLE $c.t RENAME COLUMN id TO ident")
+    assert(cat.tableProperties("t")(graft.storage.ParquetCatalog.BloomForProp)
+      === "ident")
+    assert(cat.tableProperties("t")(graft.storage.ParquetCatalog.IndexForProp)
+      === "ident")
+    spark.sql(s"INSERT INTO $c.t " +
+      s"SELECT /*+ REPARTITION(2) */ id, CAST(id * 1.5 AS DOUBLE) FROM range(6000, 7000)")
+    val after = graft.storage.SkippingIndex.readAt(cat.statsPath("t"))
+      .filter(_.file.contains("/v"))
+    val newFiles = after.filter(fs => fs.rows > 0 &&
+      !stats.exists(_.file == fs.file))
+    assert(newFiles.nonEmpty)
+    assert(newFiles.forall(_.cols.exists(_.column == "ident")),
+      s"post-rename files must index the NEW name: ${newFiles.map(_.cols)}")
+    assert(newFiles.map(_.file).forall(f =>
+      graft.storage.SkippingIndex.hasBloomFilter(spark, f, "ident")),
+      "post-rename files must carry blooms under the NEW name")
   }
 
   test("dynamic partition pruning engages on the SQL door (runtime V2 filtering)") {
@@ -927,6 +946,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(m.isDefined, s"expected the skip wrapper on a partitioned table:\n$plan")
     assert(m.get.group(1).toInt * 3 <= m.get.group(2).toInt,
       s"runtime filter must have dropped the other partitions' files: ${m.get}")
+  }
+
+  test("index-tightened estimates: a filtered clustered scan reports its slice, not the table") {
+    val (cat, _, c) = freshCatalog("est")
+    cat.overwriteVersioned("big",
+      (1L to 100000L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.compact("big", rowsPerFile = 10000, clusterBy = Seq("id"))
+    cat.index("big", Seq("id"))
+    def relStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.head
+    val full = relStats(spark.sql(s"SELECT id, m FROM $c.big"))
+    val slice = relStats(
+      spark.sql(s"SELECT id, m FROM $c.big WHERE id BETWEEN 20001 AND 30000"))
+    // a small prefix of the ten files survives the index (range
+    // sampling can put 2-3 files across the band): bytes shrink
+    assert(slice.sizeInBytes * 2 <= full.sizeInBytes,
+      s"slice ${slice.sizeInBytes} vs full ${full.sizeInBytes}")
+    // the filtered relation carries the EXACT index row sum of its
+    // kept files (compaction's range sampling makes files uneven, and
+    // a boundary can straddle two — bound, not equality); the
+    // unfiltered scan keeps the stock estimate (no rowCount)
+    assert(slice.rowCount.exists(rc => rc >= 10000 && rc * 2 <= 100000),
+      s"index-backed row bound expected, got ${slice.rowCount}")
+    assert(full.rowCount.isEmpty,
+      "no conjuncts, no tightening - stock estimate passes through")
+    // the bound is an estimate, never a truth source: results unchanged
+    assert(spark.sql(s"SELECT count(*) FROM $c.big WHERE id BETWEEN 20001 AND 30000")
+      .head().getLong(0) === 10000L)
   }
 
   test("dynamic FILE pruning: runtime join filters drive the min/max index") {
