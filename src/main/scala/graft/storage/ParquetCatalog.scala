@@ -3861,11 +3861,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val c = seg.trim
       if (c.equalsIgnoreCase(from)) to else c
     }.mkString(",")
-    Seq(ParquetCatalog.BloomForProp, ParquetCatalog.IndexForProp,
-      ParquetCatalog.BucketByProp).foldLeft(meta) { (mm, p) =>
-      val k = propKey(p)
-      mm.get(k).fold(mm)(v => mm + (k -> fix(v)))
+    // bucketBy is "<column>,<count>": only the column segment renames
+    // (a column pathologically named like the count must not drag the
+    // count along)
+    def fixBucket(v: String): String = v.split(',') match {
+      case Array(c, n) if c.trim.equalsIgnoreCase(from) => s"$to,${n.trim}"
+      case _ => v
     }
+    val base = Seq(ParquetCatalog.BloomForProp, ParquetCatalog.IndexForProp)
+      .foldLeft(meta) { (mm, p) =>
+        val k = propKey(p)
+        mm.get(k).fold(mm)(v => mm + (k -> fix(v)))
+      }
+    val bk = propKey(ParquetCatalog.BucketByProp)
+    base.get(bk).fold(base)(v => base + (bk -> fixBucket(v)))
   }
 
   def renameColumn(name: String, from0: String, to: String): Long = {

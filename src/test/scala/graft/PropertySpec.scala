@@ -13,6 +13,43 @@ import org.scalacheck.rng.Seed
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("the V2 bucket function equals the write verb's pmod(hash(col), n) exactly") {
+    // the soundness cornerstone of bucket SPJ and runtime bucket
+    // pruning: Spark may EVALUATE GraftBoundBucket (push-part-values,
+    // runtime IN mapping), and any divergence from the catalyst hash
+    // the writer used would misroute rows. Property: for arbitrary
+    // values and bucket counts, both paths agree — long, int, string.
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val ns = Gen.listOfN(6, Gen.chooseNum(1, 64)).sample.get
+    val longs = Gen.listOfN(50,
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)).sample.get
+    val ints = Gen.listOfN(50,
+      Gen.chooseNum(Int.MinValue, Int.MaxValue)).sample.get
+    val strs = Gen.listOfN(50, Gen.alphaNumStr).sample.get
+    for (n <- ns) {
+      val fL = new graft.spark.GraftBoundBucket(LongType)
+      val sqlL = longs.toDF("v")
+        .select(pmod(hash(col("v")), lit(n)).as("b")).as[Int].collect()
+      val fnL = longs.map(v => fL.produceResult(
+        new GenericInternalRow(Array[Any](n, v))).toInt)
+      assert(sqlL.toSeq === fnL, s"long hash mismatch at n=$n")
+      val fI = new graft.spark.GraftBoundBucket(IntegerType)
+      val sqlI = ints.toDF("v")
+        .select(pmod(hash(col("v")), lit(n)).as("b")).as[Int].collect()
+      val fnI = ints.map(v => fI.produceResult(
+        new GenericInternalRow(Array[Any](n, v))).toInt)
+      assert(sqlI.toSeq === fnI, s"int hash mismatch at n=$n")
+      val fS = new graft.spark.GraftBoundBucket(StringType)
+      val sqlS = strs.toDF("v")
+        .select(pmod(hash(col("v")), lit(n)).as("b")).as[Int].collect()
+      val fnS = strs.map(v => fS.produceResult(new GenericInternalRow(
+        Array[Any](n, org.apache.spark.unsafe.types.UTF8String.fromString(v))))
+        .toInt)
+      assert(sqlS.toSeq === fnS, s"string hash mismatch at n=$n")
+    }
+  }
+
   test("quality score is always within [0,100]") {
     val rows = Gen.listOfN(200, for {
       hd <- Gen.oneOf(true, false)
