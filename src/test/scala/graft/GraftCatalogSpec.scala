@@ -497,6 +497,38 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SPJ survives skew handling: partially-clustered distribution stays correct") {
+    val (cat, _, c) = freshCatalog("spjskew")
+    // heavily skewed layout: partition a carries 50x partition b's rows,
+    // split across several files (per-split keys are what Spark's
+    // partially-clustered SPJ re-splits on)
+    cat.overwriteVersioned("f",
+      ((1L to 5000L).map(i => (i, "a", i * 1.0)) ++
+        (5001L to 5100L).map(i => (i, "b", i * 1.0))).toDF("id", "p", "m"),
+      Seq("p"))
+    cat.compact("f", rowsPerFile = 1000, partitionBy = Seq("p"))
+    cat.overwriteVersioned("g",
+      Seq(("a", 1L), ("b", 2L)).toDF("p", "n"), Seq("p"))
+    val sql = s"SELECT f.id, g.n FROM $c.f f JOIN $c.g g ON f.p = g.p"
+    val expected = spark.sql(sql).count()
+    assert(expected === 5100L)
+    withSpj {
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+        "true")
+      try {
+        val q = spark.sql(sql)
+        assert(q.count() === expected,
+          "partially-clustered SPJ must not change results")
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("GraftSpjScan"), s"expected the SPJ scan:\n$plan")
+        assert(!plan.contains("Exchange"),
+          s"skew handling must not reintroduce a shuffle:\n$plan")
+      } finally spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    }
+  }
+
   test("co-BUCKETED tables join with zero Exchange (bucket-transform SPJ)") {
     val (cat, _, c) = freshCatalog("bspj")
     // two tables hash-bucketed on the JOIN KEY itself (not a partition
