@@ -4452,10 +4452,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     *
     *   - the version carries NO deletion vectors (a vector could have
     *     deleted the extremal row);
-    *   - every non-empty file has index stats for the column whose
-    *     recorded type is EXACTLY the one `dataType` implies — all-null
-    *     files record no stats and are indistinguishable from
-    *     unindexed, so they conservatively bail too;
+    *   - every non-empty file has stats for the column whose recorded
+    *     type is EXACTLY the one `dataType` implies — files the
+    *     reconciled index no longer covers (time travel, unindexed
+    *     tables) get ONE distributed footer pass
+    *     ([[statsWithFallback]], zero data pages); all-null files
+    *     record no stats and conservatively bail;
     *   - the type round-trips losslessly through the index's string
     *     rendering: integral, DATE, and exact-micros TIMESTAMP types
     *     only. FLOAT/DOUBLE are excluded (NaN/-0.0 footer-stats
@@ -4466,19 +4468,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * no rows. Values are catalyst-internal for `dataType`. */
   /** EXACT non-null count of `column` over `filesAbs` of version
     * `version` — the metadata `COUNT(col)`: Σ(file rows − file null
-    * count) from the persisted index. None (→ real scan) when the
-    * version carries vectors, any non-empty file lacks an EXACT null
-    * count for the column (pre-r18 index entries record −1; all-null
-    * files record no entry at all and are indistinguishable from
-    * unindexed), or no index exists. */
+    * count) from the persisted index, with the [[statsWithFallback]]
+    * footer pass covering files the index no longer lists. None
+    * (→ real scan) when the version carries vectors or any non-empty
+    * file lacks an EXACT null count for the column (pre-r18 index
+    * entries record −1; all-null files record no entry at all). */
   def statsNonNullCount(name: String, version: Long, column: String,
       filesAbs: Seq[String]): Option[Long] = {
     require(isVersioned(name), s"no versioned table $name")
     val m = manifest(name, version)
     if (dvEntries(m).nonEmpty) return None
-    if (!SkippingIndex.existsAt(statsPath(name))) return None
-    val stats = SkippingIndex.readAtCached(statsPath(name))
-      .map(fs => fs.file -> fs).toMap
+    val stats = statsWithFallback(name, column, filesAbs)
     val perFile = filesAbs.flatMap { f =>
       stats.get(f) match {
         case Some(fs) if fs.rows == 0 => None
@@ -4491,6 +4491,23 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
   }
 
+  /** Index entries for `filesAbs`, footer-reading whatever the
+    * reconciled index no longer covers (time-traveled versions, or an
+    * unindexed table) — ONE distributed footer pass over the gap, zero
+    * data pages, exactly [[exactRowCount]]'s missing-file policy. */
+  private def statsWithFallback(name: String, column: String,
+      filesAbs: Seq[String]): Map[String, SkippingIndex.FileStats] = {
+    val indexed: Map[String, SkippingIndex.FileStats] =
+      if (SkippingIndex.existsAt(statsPath(name)))
+        SkippingIndex.readAtCached(statsPath(name))
+          .map(fs => fs.file -> fs).toMap
+      else Map.empty
+    val missing = filesAbs.filterNot(indexed.contains)
+    if (missing.isEmpty) indexed
+    else indexed ++ SkippingIndex.collectFor(spark, missing, Seq(column))
+      .map(fs => fs.file -> fs)
+  }
+
   def statsMinMax(name: String, version: Long, column: String,
       dataType: org.apache.spark.sql.types.DataType,
       filesAbs: Seq[String]): Option[(Any, Any)] = {
@@ -4498,7 +4515,6 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     require(isVersioned(name), s"no versioned table $name")
     val m = manifest(name, version)
     if (dvEntries(m).nonEmpty) return None
-    if (!SkippingIndex.existsAt(statsPath(name))) return None
     def parse(typ: String, s: String): Option[Any] = (dataType, typ) match {
       case (IntegerType, "INT32") => s.toIntOption
       case (IntegerType, t) if t.startsWith("INT32:INT(32,true")
@@ -4515,15 +4531,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       case (TimestampNTZType, "INT64:TIMESTAMP(MICROS,false)") => s.toLongOption
       case _ => None
     }
-    val stats = SkippingIndex.readAtCached(statsPath(name))
-      .map(fs => fs.file -> fs).toMap
+    val stats = statsWithFallback(name, column, filesAbs)
     val perFile = filesAbs.flatMap { f =>
       stats.get(f) match {
         case Some(fs) if fs.rows == 0 => None // no rows, no contribution
         case Some(fs) =>
           Some(fs.cols.find(_.column.equalsIgnoreCase(column)).flatMap(cs =>
             parse(cs.typ, cs.min).zip(parse(cs.typ, cs.max))))
-        case None => Some(None) // unindexed file: cannot answer
+        case None => Some(None) // footer pass missed it too: cannot answer
       }
     }
     if (perFile.isEmpty) Some((null, null))

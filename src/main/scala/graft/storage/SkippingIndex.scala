@@ -159,6 +159,20 @@ object SkippingIndex {
     stats
   }
 
+  /** Footer stats for EXPLICIT files WITHOUT touching any persisted
+    * index — the metadata-aggregate fallback for files the reconciled
+    * index no longer covers (time-traveled versions): one distributed
+    * footer pass, zero data pages. */
+  def collectFor(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): Seq[FileStats] = {
+    if (files.isEmpty) return Nil
+    val wanted = cols.toSet
+    val conf = hconf(spark)
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .map(f => readFooter(f, wanted, conf.value)).collect().toSeq.sortBy(_.file)
+  }
+
   /** [[write]] over an EXPLICIT file list with an explicit stats-file
     * location — the manifest-versioned form ([[ParquetCatalog]] keeps
     * one stats file per table next to its manifests, covering exactly

@@ -828,6 +828,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(vc.collect().head.getLong(0) === 2990L)
   }
 
+  test("metadata MIN/MAX/COUNT answer for TIME-TRAVELED versions (footer fallback)") {
+    val (cat, _, c) = freshCatalog("mtt")
+    cat.overwriteVersioned("t",
+      (1L to 500L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    cat.index("t", Seq("id"))
+    // v2 replaces everything: the reconciled index drops v1's files
+    cat.overwriteVersioned("t",
+      (1000L to 1100L).map(i => (i, i * 1.0)).toDF("id", "m"))
+    val q = spark.sql(
+      s"SELECT min(id) AS lo, max(id) AS hi, count(id) AS n " +
+        s"FROM $c.t VERSION AS OF 1")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().head.toSeq === Seq(1L, 500L, 500L),
+      "the traveled version's footers answer, not the current index")
+    // current version still answers from the index
+    val cur = spark.sql(s"SELECT min(id) AS lo, max(id) AS hi FROM $c.t")
+    assert(cur.queryExecution.executedPlan.toString.contains("GraftCountStarScan"))
+    assert(cur.collect().head.toSeq === Seq(1000L, 1100L))
+  }
+
   test("pruning edges: everything-pruned scans and empty tables stay correct") {
     val (cat, _, c) = freshCatalog("edge")
     cat.overwriteVersioned("t",
