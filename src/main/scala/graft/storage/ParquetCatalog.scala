@@ -2346,8 +2346,25 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * name. Returns the manifest-relative paths — EMPTY for an empty
     * frame (Spark writes no data files for one); callers then record
     * the schema in manifest meta instead, see [[emptyMeta]]. */
-  private def stage(name: String, df: DataFrame, partitionBy: Seq[String],
+  private def stage(name: String, df0: DataFrame, partitionBy: Seq[String],
       version: Long): Seq[String] = {
+    // HIDDEN-PARTITION semantics for bucket-declared tables: the bucket
+    // id column is DERIVED, never trusted — a plain `INSERT INTO` (or
+    // any verb's restage) supplying a wrong `_gbucket` value would
+    // corrupt the layout invariant bucket SPJ and runtime bucket
+    // pruning rely on (a file's rows all hashing to its bucket), and
+    // the misrouted rows would silently vanish from zipped joins. So
+    // every staged frame recomputes it from the declared column
+    // (Iceberg's hidden bucket transform). The re-bucketing verb
+    // commits its NEW spec before restaging, so this always derives
+    // under the spec the commit will carry.
+    val df = bucketSpec(name) match {
+      case Some((c, n)) if df0.columns.exists(_.equalsIgnoreCase(c)) &&
+          df0.columns.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol)) =>
+        df0.withColumn(ParquetCatalog.BucketPartCol,
+          pmod(hash(col(c)), lit(n)))
+      case _ => df0
+    }
     val vd = versionsDir(name)
     Files.createDirectories(dataDir(name))
     val nn = nonce()
@@ -2720,7 +2737,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * [[graft.storage.Bucketed]] tables already get from Spark's
     * session-catalog bucketing, now on the graft catalog's own door.
     * The bucket column surfaces in the schema (documented; SELECTs of
-    * the declared columns are unaffected). */
+    * the declared columns are unaffected).
+    *
+    * The bucket id is a DERIVED (hidden-partition) column everywhere:
+    * [[stage]] recomputes it on every write to a bucket-declared
+    * table, so a plain `INSERT INTO` supplying a wrong `_gbucket`
+    * value cannot corrupt the layout invariant SPJ relies on.
+    * RE-bucketing an existing table is two commits (spec, then data) —
+    * a reader racing between them can see ONE misaligned window where
+    * the reported spec predates the restage; like [[renameTable]],
+    * re-layout is not concurrent-reader-safe: quiesce SPJ-dependent
+    * readers around it (plain scans are unaffected — bucket ids only
+    * matter to join alignment). */
   def overwriteBucketedVersioned(name: String, df: DataFrame,
       bucketCol: String, numBuckets: Int): Long = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
@@ -2730,9 +2758,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       s"column ${ParquetCatalog.BucketPartCol} is reserved for the bucket id")
     val bucketed = df.withColumn(ParquetCatalog.BucketPartCol,
       pmod(hash(col(bucketCol)), lit(numBuckets)))
-    overwriteVersioned(name, bucketed, Seq(ParquetCatalog.BucketPartCol))
-    setTableProperty(name, ParquetCatalog.BucketByProp,
-      s"$bucketCol,$numBuckets")
+    if (isVersioned(name)) {
+      // RE-bucketing: the new spec commits FIRST so the restage's
+      // hidden-partition derivation (see [[stage]]) runs under the
+      // spec this layout will be read with — property-then-data, the
+      // same ordering a reader tolerant of the one-commit window needs
+      // anyway (the old layout stays fully readable until the
+      // overwrite lands)
+      setTableProperty(name, ParquetCatalog.BucketByProp,
+        s"$bucketCol,$numBuckets")
+      overwriteVersioned(name, bucketed, Seq(ParquetCatalog.BucketPartCol))
+    } else {
+      overwriteVersioned(name, bucketed, Seq(ParquetCatalog.BucketPartCol))
+      setTableProperty(name, ParquetCatalog.BucketByProp,
+        s"$bucketCol,$numBuckets")
+    }
   }
 
   /** The table's declared bucket layout, when any: (column, buckets). */
@@ -3784,6 +3824,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     val m = currentManifest(name)
     require(!m.partitionBy.exists(_.equalsIgnoreCase(colName)),
       s"cannot drop partition column '$colName' of $name")
+    // the bucket id derives from the declared column on every write —
+    // dropping it would leave an underivable layout
+    require(!bucketSpec(name).exists(_._1.equalsIgnoreCase(colName)),
+      s"cannot drop '$colName' of $name: the table's bucketed layout " +
+        s"(${ParquetCatalog.BucketByProp}) derives from it; re-layout " +
+        "with overwriteBucketedVersioned or unset the property first")
     // Spark resolves columns case-insensitively, so the reference check
     // must too: parse the CHECK expression and compare its attribute
     // references by lowercased name (an unparseable expression falls

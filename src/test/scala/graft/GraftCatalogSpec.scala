@@ -497,6 +497,33 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("the bucket id is DERIVED: a hostile INSERT cannot corrupt the layout") {
+    val (cat, _, c) = freshCatalog("bder")
+    cat.overwriteBucketedVersioned("f",
+      (1L to 800L).map(i => (i, i * 2.0)).toDF("id", "m"), "id", 8)
+    cat.overwriteBucketedVersioned("g",
+      (700L to 900L).map(i => (i, s"v$i")).toDF("id", "tag"), "id", 8)
+    // INSERT supplies a WRONG bucket id for key 650 (inside f's id
+    // range, outside g's) — the write path must recompute it (hidden
+    // partitioning), or bucket SPJ would silently drop the row from
+    // zipped joins
+    spark.sql(s"INSERT INTO $c.g VALUES (650, 'hostile', 999)")
+    val stored = spark.sql(s"SELECT _gbucket FROM $c.g WHERE id = 650")
+      .head().getInt(0)
+    assert(stored >= 0 && stored < 8, s"derived bucket id, got $stored")
+    val sql = s"SELECT f.id, g.tag FROM $c.f f JOIN $c.g g ON f.id = g.id"
+    withSpj {
+      val rows = spark.sql(sql).collect()
+      assert(rows.length === 102, "700..800 plus the inserted 650")
+      assert(rows.exists(r => r.getLong(0) == 650L && r.getString(1) == "hostile"),
+        "the corrected row must join under SPJ")
+      assert(!spark.sql(sql).queryExecution.executedPlan.toString
+        .contains("Exchange"))
+    }
+    // the derivation column cannot be dropped out from under the layout
+    intercept[Exception](cat.dropColumn("g", "id"))
+  }
+
   test("SPJ survives skew handling: partially-clustered distribution stays correct") {
     val (cat, _, c) = freshCatalog("spjskew")
     // heavily skewed layout: partition a carries 50x partition b's rows,
