@@ -316,6 +316,20 @@ object GraftFileSkipping {
       case _: DecimalType => true
       case _ => false
     }
+    // SQL equality treats -0.0 = 0.0 AND NaN = NaN as true, while the
+    // scala set membership below unboxes to primitive == (NaN never
+    // matches) and boxed equals distinguishes ±0.0 — either way a
+    // float/double partition dir could be wrongly pruned. Normalize
+    // both the literal set and the partition value to canonical BITS:
+    // `+ 0.0` collapses -0.0 to 0.0, and to(Long|Int)Bits collapses
+    // every NaN payload to the canonical one, then compares exactly.
+    def normZero(v: Any): Any = v match {
+      case d: java.lang.Double => java.lang.Long.valueOf(
+        java.lang.Double.doubleToLongBits(d.doubleValue() + 0.0d))
+      case f: java.lang.Float => java.lang.Integer.valueOf(
+        java.lang.Float.floatToIntBits(f.floatValue() + 0.0f))
+      case other => other
+    }
     val rules: Seq[(Int, DataType, Set[Any])] =
       predicates.toSeq.flatMap { p =>
         val kids = p.children().toSeq
@@ -336,9 +350,9 @@ object GraftFileSkipping {
               // for already-internal ones, String→UTF8String etc. for
               // external), matching `partitionValues`' representation.
               if (atomic(dt) && vs.forall(l => l.dataType == dt && l.value != null))
-                Some((ord, dt, vs.map(l =>
+                Some((ord, dt, vs.map(l => normZero(
                   org.apache.spark.sql.catalyst.CatalystTypeConverters
-                    .convertToCatalyst(l.value)).toSet))
+                    .convertToCatalyst(l.value))).toSet))
               else None
             }
           case _ => None
@@ -348,7 +362,7 @@ object GraftFileSkipping {
     else
       f => rules.forall { case (ord, dt, allowed) =>
         val v = if (f.partitionValues.isNullAt(ord)) null
-          else f.partitionValues.get(ord, dt)
+          else normZero(f.partitionValues.get(ord, dt))
         // a NULL partition value can never satisfy the equi-join these
         // predicates guard — dropping it mirrors Spark's own DPP
         v != null && allowed.contains(v)

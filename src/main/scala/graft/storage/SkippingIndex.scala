@@ -231,9 +231,11 @@ object SkippingIndex {
       files: Seq[String], cols: Seq[String] = Nil): Seq[FileStats] = {
     require(Files.exists(statsPath), s"no index at $statsPath")
     val prior = readAtCached(statsPath) // generation-cached: one parse per index rewrite
+    // explicit columns UNION the prior index's set — a later
+    // `graft.indexFor` declaration naming only B must not silently
+    // stop collecting engine-indexed column A's stats for new files
     val useCols =
-      if (cols.nonEmpty) cols
-      else prior.flatMap(_.cols.map(_.column)).distinct.sorted
+      (cols ++ prior.flatMap(_.cols.map(_.column))).distinct.sorted
     val currentSet = files.toSet
     val known = prior.filter(fs => currentSet.contains(fs.file))
     val knownSet = known.map(_.file).toSet

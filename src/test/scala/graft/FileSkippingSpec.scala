@@ -107,6 +107,33 @@ class FileSkippingSpec extends AnyFunSuite {
     assert(GraftFileSkipping.runtimeKeep(Array.empty, pSchema)(split(1)))
   }
 
+  test("±0.0 double partition values follow SQL equality, never wrongly prune") {
+    // SQL (and Spark's own DPP evaluation) treats -0.0 = 0.0 as TRUE;
+    // boxed equals does not — a -0.0-valued partition dir must keep
+    // when the build side supplies 0.0, and vice versa. NaN keeps
+    // matching itself (boxed equals == SQL there).
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.execution.datasources.PartitionedFile
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val pSchema = StructType(Seq(StructField("p", DoubleType)))
+    def split(p: Double) = PartitionedFile(
+      new GenericInternalRow(Array[Any](java.lang.Double.valueOf(p))),
+      org.apache.spark.paths.SparkPath.fromPathString(s"/tmp/fd.parquet"),
+      0L, 10L, Array.empty)
+    def in(vs: Double*) = new Predicate("IN",
+      (Expressions.column("p") +: vs.map(v => Expressions.literal(v)))
+        .toArray[org.apache.spark.sql.connector.expressions.Expression])
+    val keepZero = GraftFileSkipping.runtimeKeep(Array(in(0.0)), pSchema)
+    assert(keepZero(split(-0.0)), "-0.0 dir must survive a 0.0 build side")
+    assert(keepZero(split(0.0)) && !keepZero(split(1.0)))
+    val keepNeg = GraftFileSkipping.runtimeKeep(Array(in(-0.0)), pSchema)
+    assert(keepNeg(split(0.0)), "0.0 dir must survive a -0.0 build side")
+    val keepNaN = GraftFileSkipping.runtimeKeep(Array(in(Double.NaN)), pSchema)
+    assert(keepNaN(split(Double.NaN)) && !keepNaN(split(0.0)))
+  }
+
   test("runtime data-column predicates translate to envelope + bloom conjuncts") {
     import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions}
     import org.apache.spark.sql.connector.expressions.filter.Predicate

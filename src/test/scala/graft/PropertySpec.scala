@@ -50,6 +50,86 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("the V2 bucket function matches the write hash on date/timestamp/decimal/small types") {
+    // r19: realistic non-long join keys — date-keyed dims, decimal
+    // ids, timestamp keys — bucket through the SAME catalyst hash.
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DateType,
+      Decimal, DecimalType, ShortType, TimestampNTZType, TimestampType}
+    val ns = Seq(1, 7, 16, 64)
+    val days = Gen.listOfN(40, Gen.chooseNum(-100000, 100000)).sample.get
+    val micros = Gen.listOfN(40,
+      Gen.chooseNum(-3000000000000000L, 3000000000000000L)).sample.get
+    val shorts = Gen.listOfN(40,
+      Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt)).sample.get
+      .map(_.toShort)
+    val bytes = Gen.listOfN(40,
+      Gen.chooseNum(Byte.MinValue.toInt, Byte.MaxValue.toInt)).sample.get
+      .map(_.toByte)
+    val decs = Gen.listOfN(40,
+      Gen.chooseNum(-1000000000L, 1000000000L)).sample.get
+      .map(v => BigDecimal(BigInt(v), 2))
+    val wides = Gen.listOfN(40,
+      Gen.chooseNum(-1000000000L, 1000000000L)).sample.get
+      .map(v => BigDecimal(BigInt(v) * BigInt("1000000000000007"), 6))
+    def fn(dt: org.apache.spark.sql.types.DataType, n: Int, v: Any): Int =
+      new graft.spark.GraftBoundBucket(dt).produceResult(
+        new GenericInternalRow(Array[Any](n, v))).toInt
+    for (n <- ns) {
+      val sqlD = days.toDF("v")
+        .select(pmod(hash(expr("date_from_unix_date(v)")), lit(n)).as("b"))
+        .as[Int].collect()
+      assert(sqlD.toSeq === days.map(fn(DateType, n, _)),
+        s"date hash mismatch at n=$n")
+      val sqlT = micros.toDF("v")
+        .select(pmod(hash(timestamp_micros(col("v"))), lit(n)).as("b"))
+        .as[Int].collect()
+      assert(sqlT.toSeq === micros.map(fn(TimestampType, n, _)),
+        s"timestamp hash mismatch at n=$n")
+      // NTZ micros hash through the identical long branch; pin one
+      // real NTZ column round-trip for the binding itself
+      assert(micros.map(fn(TimestampNTZType, n, _)) ===
+        micros.map(fn(TimestampType, n, _)))
+      val sqlNtz = Seq(java.time.LocalDateTime.of(2024, 3, 1, 12, 30, 15))
+        .toDF("v").select(pmod(hash(col("v")), lit(n)).as("b")).as[Int].collect()
+      val ntzMicros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(java.time.LocalDateTime.of(2024, 3, 1, 12, 30, 15))
+      assert(sqlNtz.head === fn(TimestampNTZType, n, ntzMicros))
+      val sqlS = shorts.toDF("v")
+        .select(pmod(hash(col("v")), lit(n)).as("b")).as[Int].collect()
+      assert(sqlS.toSeq === shorts.map(fn(ShortType, n, _)))
+      val sqlB = bytes.toDF("v")
+        .select(pmod(hash(col("v")), lit(n)).as("b")).as[Int].collect()
+      assert(sqlB.toSeq === bytes.map(fn(ByteType, n, _)))
+      val sqlBool = Seq(true, false).toDF("v")
+        .select(pmod(hash(col("v")), lit(n)).as("b")).as[Int].collect()
+      assert(sqlBool.toSeq === Seq(true, false).map(fn(BooleanType, n, _)))
+      // compact decimal (precision ≤ 18): hashed as the unscaled long
+      val sqlDec = decs.toDF("v")
+        .select(pmod(hash(col("v").cast(DecimalType(18, 2))), lit(n)).as("b"))
+        .as[Int].collect()
+      assert(sqlDec.toSeq === decs.map(d =>
+        fn(DecimalType(18, 2), n, Decimal(d, 18, 2))),
+        s"compact decimal hash mismatch at n=$n")
+      // wide decimal (precision > 18): hashed as the unscaled bytes
+      val sqlWide = wides.toDF("v")
+        .select(pmod(hash(col("v").cast(DecimalType(38, 6))), lit(n)).as("b"))
+        .as[Int].collect()
+      assert(sqlWide.toSeq === wides.map(d =>
+        fn(DecimalType(38, 6), n, Decimal(d, 38, 6))),
+        s"wide decimal hash mismatch at n=$n")
+    }
+    // FLOAT/DOUBLE (±0.0/NaN hash traps) and anything else refuse to bind
+    intercept[UnsupportedOperationException] {
+      graft.spark.GraftBucketFunction.bind(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType))))
+    }
+  }
+
   test("quality score is always within [0,100]") {
     val rows = Gen.listOfN(200, for {
       hd <- Gen.oneOf(true, false)

@@ -229,6 +229,31 @@ class SkippingSpec extends SparkSpec {
     assert(cand.size < refreshed.size)
   }
 
+  test("refresh with explicit columns UNIONS the prior index's set, never replaces") {
+    // r19 (ADVICE): a table engine-indexed on A whose later
+    // `graft.indexFor` declares only B must keep collecting A's stats
+    // for NEW files — replacement would permanently degrade skipping
+    // and the metadata-aggregate door for everything staged from then
+    // on.
+    val (cat, _) = freshCatalog()
+    val orders = Tables.orders(spark, sf)
+    cat.overwriteVersioned("orders", orders.filter(col("o_orderkey") <= 700))
+    cat.index("orders", Seq("o_orderkey"))
+    cat.setTableProperty("orders",
+      graft.storage.ParquetCatalog.IndexForProp, "o_custkey")
+    val before = SkippingIndex.readAt(cat.statsPath("orders")).map(_.file).toSet
+    cat.appendVersioned("orders", orders.filter(col("o_orderkey") > 700))
+    val refreshed = SkippingIndex.readAt(cat.statsPath("orders"))
+    val fresh = refreshed.filterNot(fs => before.contains(fs.file))
+    assert(fresh.nonEmpty, "the append must index new files")
+    fresh.foreach { fs =>
+      assert(fs.cols.exists(_.column == "o_custkey"),
+        s"appended file ${fs.file} missing the declared column")
+      assert(fs.cols.exists(_.column == "o_orderkey"),
+        s"appended file ${fs.file} lost the prior indexed column")
+    }
+  }
+
   test("unclustered layout prunes little — clustering is what makes stats tight") {
     val (cat, root) = freshCatalog()
     // random layout: hash-repartition, no clustering
