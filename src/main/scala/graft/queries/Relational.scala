@@ -1750,6 +1750,79 @@ object Relational {
                CAST(1 AS BIGINT) AS dfp_pruned,
                CAST(1 AS BIGINT) AS dfp_runtime_filter
         FROM orders
-        WHERE o_orderkey BETWEEN 1000 AND 1400"""))
+        WHERE o_orderkey BETWEEN 1000 AND 1400""")),
+
+    // ----------------------------------------------------------------
+    // S21: composite partition + bucket layout — the canonical 100 TB
+    // fact shape (Iceberg's `days(ts), bucket(16, id)` multi-transform
+    // spec): the fact is identity-partitioned by status AND
+    // hash-bucketed by the join key, the dim co-bucketed. The status
+    // filter prunes partitions at planning, the key join zips bucket
+    // groups with ZERO Exchange — BOTH in one executed plan, which the
+    // single-transform s12/s19 layouts cannot express (they force a
+    // choice between date pruning and shuffle-free joins). Pinned:
+    // zero Exchange, the SPJ scan, and PartitionFilters over the
+    // status column, all from the same executed adaptive plan. Oracle
+    // = the plain relational join.
+    Q(
+      "s21_sql_part_bucket",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_cpb_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          cat.overwriteBucketedVersioned("orders_pb",
+            Tables.orders(s, d).select("o_orderkey", "o_custkey",
+              "o_orderstatus", "o_totalprice"),
+            "o_custkey", 16, partitionBy = Seq("o_orderstatus"))
+          cat.overwriteBucketedVersioned("cust_pb",
+            Tables.customer(s, d).select("c_custkey", "c_name"),
+            "c_custkey", 16)
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gpb$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val toggled = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = toggled.map { case (k, _) => k -> s.conf.getOption(k) }
+        toggled.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val agg = s.sql(
+            s"""SELECT c.c_custkey, count(*) AS n_orders,
+                       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                         AS total
+                FROM $cname.orders_pb o
+                JOIN $cname.cust_pb c ON o.o_custkey = c.c_custkey
+                WHERE o.o_orderstatus = 'F'
+                GROUP BY c.c_custkey""")
+          agg.collect() // finalize the adaptive plan before inspecting it
+          val plan = agg.queryExecution.executedPlan.toString
+          val exchanges = if (plan.contains("Exchange")) 1L else 0L
+          val spjScan = if (plan.contains("GraftSpjScan")) 1L else 0L
+          val partPruned =
+            if ("PartitionFilters: \\[[^\\]]*o_orderstatus".r
+                .findFirstIn(plan).isDefined) 1L else 0L
+          agg.withColumn("pb_exchanges", lit(exchanges))
+            .withColumn("pb_spj", lit(spjScan))
+            .withColumn("pb_part_pruned", lit(partPruned))
+            .orderBy("c_custkey")
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      },
+      Some("""
+        SELECT c.c_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               CAST(0 AS BIGINT) AS pb_exchanges,
+               CAST(1 AS BIGINT) AS pb_spj,
+               CAST(1 AS BIGINT) AS pb_part_pruned
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY c.c_custkey ORDER BY c.c_custkey"""))
   )
 }

@@ -334,17 +334,22 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
       graft.storage.SkippingIndex.existsAt(statsP)
     lazy val spjOn = spark.conf
       .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    // bucket layouts keep the synthetic id INNERMOST; any identity
+    // prefix (composite `partitionBy(date) + bucket(key)` — the
+    // canonical 100 TB fact shape) is reported alongside the bucket
+    // transform, so date pruning and shuffle-free key joins compose
     lazy val bucketed = resolvedVersion
-      .filter(_ => layout == Seq(ParquetCatalog.BucketPartCol))
+      .filter(_ => layout.lastOption.contains(ParquetCatalog.BucketPartCol))
       .flatMap(v => cat.bucketSpecAt(tableName, v))
     val chosen: ScanBuilder =
       if (dvSidecars.nonEmpty) new GraftDvScanBuilder(inner, dvSidecars, layout,
         if (indexed) Some(statsP) else None)
       else if (bucketed.isDefined && spjOn)
         // bucket-declared layout: report bucket(n, col) instead of the
-        // synthetic identity partitioning, so equi-joins on the DATA
-        // column itself go Exchange-free
-        new GraftSpjScanBuilder(inner, layout,
+        // synthetic identity partitioning — plus identity transforms
+        // for any composite prefix — so equi-joins on the DATA column
+        // itself go Exchange-free
+        new GraftSpjScanBuilder(inner, layout.dropRight(1),
           if (indexed) Some(statsP) else None, bucketed)
       else if (layout.nonEmpty && spjOn)
         new GraftSpjScanBuilder(inner, layout,

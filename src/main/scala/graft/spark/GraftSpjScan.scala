@@ -72,11 +72,21 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
     * grouping is not the table layout). In BUCKET mode the resolvable
     * reference is the bucketed DATA column instead (the reported
     * transform is `bucket(n, col)`, whose key values come from the
-    * layout's bucket-id dirs, not from output columns). */
+    * layout's bucket-id dirs, not from output columns) — and a
+    * COMPOSITE layout's identity prefix keys additionally on every
+    * prefix column that survived pruning. Degrading to FEWER key
+    * components is always sound: splits that differ only in a dropped
+    * component share a reported key and Spark groups them into one
+    * task — so a key-only join over a date-partitioned+bucketed fact
+    * (the date consumed by its filter) reports plain `bucket(n, col)`
+    * and aligns with an un-partitioned co-bucketed dim with no
+    * subset-join-keys session flag needed. */
   override def build(): Scan = inner.build() match {
     case p: ParquetScan if !aggPushed && bucketOf.exists { case (c, _) =>
         p.readSchema().fieldNames.exists(_.equalsIgnoreCase(c)) } =>
-      new GraftSpjScan(p, Nil,
+      val prefix = partitionBy.filter(c =>
+        p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      new GraftSpjScan(p, prefix,
         statsPath.filter(_ => preds.nonEmpty || points.nonEmpty), preds, points,
         bucketOf)
     case p: ParquetScan if !aggPushed && bucketOf.isEmpty &&
@@ -148,15 +158,17 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
       case None => planned
     }
     files.zipWithIndex.map { case (f, i) =>
-      val key = bucketOf match {
-        // bucket mode: the key is the file's bucket id, recovered from
-        // its `_gbucket=<id>` layout dir (the read schema need not —
-        // and usually does not — carry the synthetic column)
-        case Some(_) => new GenericInternalRow(
-          Array[Any](GraftSpjScan.bucketIdOf(f.filePath.toString)))
-        case None => new GenericInternalRow(keyOrdinals.map(o =>
-          f.partitionValues.get(o, pSchema(o).dataType)).toArray)
-      }
+      // bucket mode: the trailing key component is the file's bucket
+      // id, recovered from its `_gbucket=<id>` layout dir (the read
+      // schema need not — and usually does not — carry the synthetic
+      // column); a composite layout's identity prefix values lead
+      val prefixVals = keyOrdinals.map(o =>
+        f.partitionValues.get(o, pSchema(o).dataType))
+      val key = new GenericInternalRow(bucketOf match {
+        case Some(_) => (prefixVals :+
+          (GraftSpjScan.bucketIdOf(f.filePath.toString): Any)).toArray
+        case None => prefixVals.toArray
+      })
       GraftKeyedPartition(FilePartition(i, Array(f)), key)
     }
   }
@@ -175,7 +187,8 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
     bucketOf match {
-      case Some((c, _)) => Array(Expressions.column(c))
+      case Some((c, _)) =>
+        (partitionBy :+ c).map(Expressions.column).toArray
       case None => partitionBy.map(Expressions.column).toArray
     }
   override def filter(predicates: Array[
@@ -194,6 +207,10 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
       val colType = inner.readSchema().fields
         .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
         .getOrElse(return None)
+      // a spec over a type the bucket function cannot hash (possible
+      // only on tables written before the write-side validation) must
+      // degrade to no-pruning, never crash the runtime re-plan
+      if (!GraftBucketFunction.supports(colType)) return None
       val bucketer = new GraftBoundBucket(colType)
       val sets = runtimePreds.toSeq.map { p =>
         p.children().toSeq match {
@@ -215,20 +232,21 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
       if (known.isEmpty) None else Some(known.reduce(_ intersect _))
   }
 
-  private lazy val distinctKeys: Int = bucketOf match {
-    case Some(_) =>
-      keyedSplits.map(_.partitionKey().getInt(0)).distinct.length
-    case None =>
-      keyedSplits.map(_.partitionKey().toSeq(
-        keyOrdinals.map(pSchema(_).dataType))).distinct.length
+  private lazy val distinctKeys: Int = {
+    val types = keyOrdinals.map(pSchema(_).dataType) ++
+      bucketOf.map(_ => org.apache.spark.sql.types.IntegerType)
+    keyedSplits.map(_.partitionKey().toSeq(types)).distinct.length
   }
 
   override def outputPartitioning(): Partitioning = bucketOf match {
     case Some((c, n)) =>
-      // the transform resolves through the catalog's own
-      // FunctionCatalog ([[GraftBucketFunction]]) — Iceberg's pattern
+      // the bucket transform resolves through the catalog's own
+      // FunctionCatalog ([[GraftBucketFunction]]) — Iceberg's pattern;
+      // composite layouts lead with their identity prefix (Iceberg's
+      // `days(ts), bucket(16, id)` multi-transform spec)
       new KeyGroupedPartitioning(
-        Array[VExpression](Expressions.bucket(n, c)), distinctKeys)
+        (partitionBy.map(Expressions.identity) :+ Expressions.bucket(n, c))
+          .toArray[VExpression], distinctKeys)
     case None =>
       new KeyGroupedPartitioning(
         partitionBy.map(Expressions.identity).toArray[VExpression], distinctKeys)
@@ -236,17 +254,22 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
 
   override def planInputPartitions(): Array[InputPartition] = synchronized {
     if (runtimePreds.isEmpty) keyedSplits.toArray[InputPartition]
-    else bucketOf match {
-      case Some(_) => allowedBuckets() match {
-        case Some(ids) =>
-          keyedSplits.filter(k => ids.contains(k.partitionKey().getInt(0)))
+    else {
+      // identity components prune by partition value (composite
+      // prefixes included — runtimeKeep resolves by name and ignores
+      // predicates over non-partition columns)…
+      val keep = GraftFileSkipping.runtimeKeep(runtimePreds, pSchema)
+      val byPart = keyedSplits.filter(k => k.delegate.files.forall(keep))
+      // …and in bucket mode, runtime values over the bucketed DATA
+      // column hash to allowed bucket ids (the key's trailing
+      // component)
+      (bucketOf, allowedBuckets()) match {
+        case (Some(_), Some(ids)) =>
+          byPart.filter(k =>
+            ids.contains(k.partitionKey().getInt(keyOrdinals.length)))
             .toArray[InputPartition]
-        case None => keyedSplits.toArray[InputPartition]
+        case _ => byPart.toArray[InputPartition]
       }
-      case None =>
-        val keep = GraftFileSkipping.runtimeKeep(runtimePreds, pSchema)
-        keyedSplits.filter(k => k.delegate.files.forall(keep))
-          .toArray[InputPartition]
     }
   }
 

@@ -2750,10 +2750,33 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * readers around it (plain scans are unaffected — bucket ids only
     * matter to join alignment). */
   def overwriteBucketedVersioned(name: String, df: DataFrame,
-      bucketCol: String, numBuckets: Int): Long = {
+      bucketCol: String, numBuckets: Int,
+      partitionBy: Seq[String] = Nil): Long = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     require(df.columns.exists(_.equalsIgnoreCase(bucketCol)),
       s"no column $bucketCol to bucket by")
+    // COMPOSITE layouts (the canonical 100 TB fact shape —
+    // `partitionBy(date) + bucket(key)`, Iceberg's multi-transform
+    // spec): identity dirs first, the bucket id innermost, so date
+    // pruning AND shuffle-free key joins compose in one plan
+    require(partitionBy.forall(p => df.columns.exists(_.equalsIgnoreCase(p))),
+      s"partition columns ${partitionBy.mkString(",")} must all exist")
+    require(!partitionBy.exists(_.equalsIgnoreCase(bucketCol)),
+      s"$bucketCol cannot be both the bucket column and an identity " +
+        "partition column")
+    require(!partitionBy.exists(
+      _.equalsIgnoreCase(ParquetCatalog.BucketPartCol)),
+      s"${ParquetCatalog.BucketPartCol} is implicit — it is always the " +
+        "innermost layout level")
+    // the declared spec must be one the catalog's V2 bucket function
+    // can bind — otherwise the layout writes fine but every runtime
+    // (DPP) re-plan over the bucket column would hit the function's
+    // unsupported-type branch instead of degrading
+    val bucketType = df.schema.fields
+      .find(_.name.equalsIgnoreCase(bucketCol)).get.dataType
+    require(graft.spark.GraftBucketFunction.supports(bucketType),
+      s"cannot bucket by $bucketCol: type $bucketType has no bucket " +
+        "function (integral types, string, date, timestamp, decimal do)")
     require(!df.columns.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol)),
       s"column ${ParquetCatalog.BucketPartCol} is reserved for the bucket id")
     val bucketed = df.withColumn(ParquetCatalog.BucketPartCol,
@@ -2767,9 +2790,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // overwrite lands)
       setTableProperty(name, ParquetCatalog.BucketByProp,
         s"$bucketCol,$numBuckets")
-      overwriteVersioned(name, bucketed, Seq(ParquetCatalog.BucketPartCol))
+      overwriteVersioned(name, bucketed,
+        partitionBy :+ ParquetCatalog.BucketPartCol)
     } else {
-      overwriteVersioned(name, bucketed, Seq(ParquetCatalog.BucketPartCol))
+      overwriteVersioned(name, bucketed,
+        partitionBy :+ ParquetCatalog.BucketPartCol)
       setTableProperty(name, ParquetCatalog.BucketByProp,
         s"$bucketCol,$numBuckets")
     }

@@ -594,6 +594,82 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("composite partitionBy + bucket layouts: date pruning AND zero-Exchange compose") {
+    // r19: the canonical 100 TB fact shape — identity-partitioned by a
+    // date-like column AND hash-bucketed by the join key. One layout
+    // serves both partition pruning and shuffle-free key joins.
+    val (cat, _, c) = freshCatalog("cpb")
+    cat.overwriteBucketedVersioned("f",
+      (1L to 4000L).map(i => (i, s"d${i % 4}", i * 1.0))
+        .toDF("id", "day", "m"),
+      "id", 8, partitionBy = Seq("day"))
+    cat.overwriteBucketedVersioned("dim",
+      (1L to 3000L).map(i => (i, s"v$i")).toDF("id", "tag"), "id", 8)
+
+    // 1) key-only join UNDER a day filter: the day column is consumed
+    //    by planning-time partition pruning, so the fact degrades to
+    //    plain bucket(8, id) keys and zips with the un-partitioned
+    //    co-bucketed dim — zero Exchange and partition pruning in the
+    //    SAME executed plan, no subset-join-keys flag needed
+    val sql = s"SELECT f.id, f.m, d.tag FROM $c.f f JOIN $c.dim d " +
+      s"ON f.id = d.id WHERE f.day = 'd1'"
+    val expected = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+    assert(expected.length === 750)
+    withSpj {
+      val q = spark.sql(sql)
+      assert(q.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))).sorted === expected)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"key join under a day filter must not shuffle:\n$plan")
+      assert(plan.contains("GraftSpjScan"), s"expected the SPJ scan:\n$plan")
+      assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+        s"the day filter must prune partitions in the same plan:\n$plan")
+    }
+
+    // 2) both key components in the query: GROUP BY (day, id) over the
+    //    reported [identity(day), bucket(8, id)] aggregates shuffle-free
+    withSpj {
+      val agg = spark.sql(
+        s"SELECT day, id, count(*) AS n FROM $c.f GROUP BY day, id")
+      assert(agg.collect().length === 4000)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"GROUP BY over the composite keys must not shuffle:\n$plan")
+    }
+
+    // 3) two co-composite tables joined on BOTH components: zero
+    //    Exchange through the multi-transform keys
+    cat.overwriteBucketedVersioned("g",
+      (2000L to 6000L).map(i => (i, s"d${i % 4}", s"w$i"))
+        .toDF("id", "day", "tag"),
+      "id", 8, partitionBy = Seq("day"))
+    val sql3 = s"SELECT f.id, f.day, g.tag FROM $c.f f JOIN $c.g g " +
+      s"ON f.id = g.id AND f.day = g.day"
+    val expected3 = spark.sql(sql3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(expected3.length === 2001)
+    withSpj {
+      val q3 = spark.sql(sql3)
+      assert(q3.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).sorted === expected3)
+      val plan3 = q3.queryExecution.executedPlan.toString
+      assert(!plan3.contains("Exchange"),
+        s"co-composite join on (day, id) must not shuffle:\n$plan3")
+    }
+
+    // 4) the derivation survives the composite: a hostile INSERT
+    //    cannot place a row in the wrong bucket dir (stage() re-derives
+    //    under the composite layout)
+    spark.sql(s"INSERT INTO $c.f VALUES (9001, 1.5, 'd1', 99)")
+    val loc = spark.sql(s"SELECT _gbucket FROM $c.f WHERE id = 9001")
+      .as[Int].head()
+    val want = Seq(9001L).toDF("id")
+      .select(pmod(hash(col("id")), lit(8))).as[Int].head()
+    assert(loc === want, "INSERT INTO a composite table must re-derive")
+  }
+
   test("runtime join filters prune BUCKETS: values hash to allowed bucket ids") {
     val (cat, _, c) = freshCatalog("bdpp")
     cat.overwriteBucketedVersioned("f",
