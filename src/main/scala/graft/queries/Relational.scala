@@ -1823,6 +1823,78 @@ object Relational {
                CAST(1 AS BIGINT) AS pb_part_pruned
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderstatus = 'F'
+        GROUP BY c.c_custkey ORDER BY c.c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // S22: the PURE-SQL bucketed lifecycle — zero engine API: a
+    // two-phase load through `CREATE TABLE ... PARTITIONED BY
+    // (bucket(16, key)) AS SELECT` plus `INSERT INTO` (which must keep
+    // deriving — the INSERT even supplies a hostile bucket id that the
+    // write path discards), a dim CTAS declaring `graft.bucketBy` as a
+    // TBLPROPERTY, and the co-bucketed join running zero-Exchange
+    // through plain spark.sql. s19 proved the layout through the
+    // engine verb; this is the same guarantee for a user who only ever
+    // types SQL. Oracle = the plain relational join.
+    Q(
+      "s22_sql_bucket_ddl",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_bdl_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cname = s"gbd$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        if (!Files.exists(marker)) {
+          Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .createOrReplaceTempView(s"orders_src_$suffix")
+          Tables.customer(s, d).select("c_custkey", "c_name")
+            .createOrReplaceTempView(s"cust_src_$suffix")
+          s.sql(
+            s"""CREATE TABLE $cname.orders_bd
+                PARTITIONED BY (bucket(16, o_custkey))
+                AS SELECT * FROM orders_src_$suffix WHERE o_orderkey > 1000""")
+          s.sql(
+            s"""INSERT INTO $cname.orders_bd
+                SELECT *, 0 FROM orders_src_$suffix WHERE o_orderkey <= 1000""")
+          s.sql(
+            s"""CREATE TABLE $cname.cust_bd
+                TBLPROPERTIES('graft.bucketBy'='c_custkey,16')
+                AS SELECT * FROM cust_src_$suffix""")
+          Files.writeString(marker, "ok")
+        }
+        val toggled = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = toggled.map { case (k, _) => k -> s.conf.getOption(k) }
+        toggled.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val agg = s.sql(
+            s"""SELECT c.c_custkey, count(*) AS n_orders,
+                       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                         AS total
+                FROM $cname.orders_bd o
+                JOIN $cname.cust_bd c ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey""")
+          agg.collect() // finalize the adaptive plan before inspecting it
+          val plan = agg.queryExecution.executedPlan.toString
+          val exchanges = if (plan.contains("Exchange")) 1L else 0L
+          val spjScan = if (plan.contains("GraftSpjScan")) 1L else 0L
+          agg.withColumn("bd_exchanges", lit(exchanges))
+            .withColumn("bd_spj", lit(spjScan))
+            .orderBy("c_custkey")
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      },
+      Some("""
+        SELECT c.c_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               CAST(0 AS BIGINT) AS bd_exchanges,
+               CAST(1 AS BIGINT) AS bd_spj
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey ORDER BY c.c_custkey"""))
   )
 }

@@ -128,15 +128,34 @@ class GraftCatalog extends TableCatalog
     requireNs(ident.namespace)
     require(!cat.exists(ident.name),
       s"table ${ident.name} already exists in catalog $catalogName")
-    val pb = partitions.toSeq.map {
-      case t if t.name == "identity" =>
-        t.references.head.fieldNames.mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"only identity partitioning is supported, got $other")
+    // identity transforms become the layout prefix; ONE trailing
+    // `bucket(n, col)` becomes the graft.bucketBy declaration (the
+    // idiomatic Iceberg-style DDL spelling) — the first data batch
+    // lays out `<prefix>/_gbucket=<id>` dirs and every later write
+    // re-derives the id (hidden partitioning, see
+    // [[ParquetCatalog.overwriteBucketedVersioned]])
+    val (idTs, bucketT) = partitions.toSeq.span(_.name == "identity") match {
+      case (ids, Seq()) => (ids, None)
+      case (ids, Seq(b)) if b.name == "bucket" => (ids, Some(b))
+      case _ => throw new UnsupportedOperationException(
+        "only identity partitioning, optionally with ONE trailing " +
+          s"bucket(n, col), is supported, got ${partitions.mkString(", ")}")
+    }
+    val pb = idTs.map(t => t.references.head.fieldNames.mkString("."))
+    val bucketSpec = bucketT.map { b =>
+      val n = b.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Integer] => l.value.asInstanceOf[Integer]
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"bucket transform needs an integer bucket count, got $b"))
+      (b.references.head.fieldNames.mkString("."), n.intValue)
     }
     val empty = spark.createDataFrame(
       Collections.emptyList[org.apache.spark.sql.Row](), schema)
     cat.overwriteVersioned(ident.name, empty, pb)
+    bucketSpec.foreach { case (c, n) =>
+      cat.setTableProperty(ident.name, ParquetCatalog.BucketByProp, s"$c,$n")
+    }
     // `CREATE TABLE ... TBLPROPERTIES (...)` must not silently drop
     // the declared properties — 'graft.deletionVectors' is semantically
     // load-bearing. Spark-managed entries (provider, location, owner,

@@ -2061,8 +2061,43 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   private def propKey(key: String): String =
     PropPrefix + java.net.URLEncoder.encode(key, "UTF-8")
 
-  /** Set (or overwrite) a table property — one metadata commit. */
+  /** Set (or overwrite) a table property — one metadata commit. A
+    * [[ParquetCatalog.BucketByProp]] declaration is validated HERE
+    * (format, column existence, bucket-function type support) so a
+    * `CREATE TABLE`/`ALTER TABLE` typo fails at declaration, not as a
+    * mystery on the first write. The declaration takes effect on the
+    * next write that lays out the table (the first batch into an empty
+    * table, or any full overwrite); [[overwriteBucketedVersioned]]
+    * re-layouts in place. */
   def setTableProperty(name: String, key: String, value: String): Long = {
+    if (key == ParquetCatalog.BucketByProp) {
+      val parts = value.split(',')
+      require(parts.length == 2 && parts(1).nonEmpty &&
+        parts(1).forall(_.isDigit) && parts(1).toInt > 0,
+        s"${ParquetCatalog.BucketByProp} must be '<column>,<numBuckets>'" +
+          s", got '$value'")
+      migrateIfPlain(name)
+      val m0 = currentManifest(name)
+      recordedSchema(m0)
+        .orElse(scala.util.Try(readVersion(name, m0.version).schema).toOption)
+        .foreach { sch =>
+          val f = sch.fields.find(_.name.equalsIgnoreCase(parts(0)))
+          require(f.isDefined, s"no column '${parts(0)}' on $name to bucket by")
+          require(graft.spark.GraftBucketFunction.supports(f.get.dataType),
+            s"cannot bucket $name by '${parts(0)}': type " +
+              s"${f.get.dataType} has no bucket function (integral " +
+              "types, string, date, timestamp, decimal do)")
+        }
+    }
+    setTablePropertyUnchecked(name, key, value)
+  }
+
+  /** [[setTableProperty]] minus the bucket-spec schema validation — the
+    * re-bucketing verb commits its spec BEFORE restaging, at which
+    * point the new bucket column may not exist in the current version
+    * yet (it arrives with the overwrite one commit later). */
+  private[storage] def setTablePropertyUnchecked(name: String, key: String,
+      value: String): Long = {
     require(key.nonEmpty && !value.contains('\n'),
       "property needs a key and a line-safe value")
     migrateIfPlain(name)
@@ -2354,13 +2389,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // corrupt the layout invariant bucket SPJ and runtime bucket
     // pruning rely on (a file's rows all hashing to its bucket), and
     // the misrouted rows would silently vanish from zipped joins. So
-    // every staged frame recomputes it from the declared column
-    // (Iceberg's hidden bucket transform). The re-bucketing verb
-    // commits its NEW spec before restaging, so this always derives
-    // under the spec the commit will carry.
+    // every frame staged UNDER A BUCKETED LAYOUT recomputes it from the
+    // declared column (Iceberg's hidden bucket transform) — added when
+    // absent (the pure-SQL CTAS/INSERT door, r19) and replaced when
+    // supplied. The re-bucketing verb commits its NEW spec before
+    // restaging, so this always derives under the spec the commit will
+    // carry; frames staged under a layout WITHOUT the bucket level
+    // (a still-declared-only table's appends) stay untouched, so the
+    // synthetic column never leaks into a data file.
     val df = bucketSpec(name) match {
-      case Some((c, n)) if df0.columns.exists(_.equalsIgnoreCase(c)) &&
-          df0.columns.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol)) =>
+      case Some((c, n)) if partitionBy.exists(
+            _.equalsIgnoreCase(ParquetCatalog.BucketPartCol)) &&
+          df0.columns.exists(_.equalsIgnoreCase(c)) =>
         df0.withColumn(ParquetCatalog.BucketPartCol,
           pmod(hash(col(c)), lit(n)))
       case _ => df0
@@ -2788,7 +2828,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // same ordering a reader tolerant of the one-commit window needs
       // anyway (the old layout stays fully readable until the
       // overwrite lands)
-      setTableProperty(name, ParquetCatalog.BucketByProp,
+      setTablePropertyUnchecked(name, ParquetCatalog.BucketByProp,
         s"$bucketCol,$numBuckets")
       overwriteVersioned(name, bucketed,
         partitionBy :+ ParquetCatalog.BucketPartCol)
@@ -2819,10 +2859,34 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         }
       }
 
+  /** The effective layout for a write adopting the table's layout: a
+    * declared [[ParquetCatalog.BucketByProp]] appends the synthetic
+    * bucket level when the caller's layout lacks it — what makes the
+    * pure-SQL lifecycle (`CREATE TABLE ... TBLPROPERTIES
+    * ('graft.bucketBy'='key,16')` + INSERT) lay out buckets with zero
+    * engine API, composing with any identity `PARTITIONED BY` prefix.
+    * A declared spec whose column the frame cannot supply refuses
+    * loudly: silently writing an un-bucketed layout under a standing
+    * declaration would strand the table between the two. */
+  private def declaredBucketLayout(name: String, df: DataFrame,
+      partitionBy: Seq[String]): Seq[String] =
+    if (!isVersioned(name) || partitionBy.exists(
+        _.equalsIgnoreCase(ParquetCatalog.BucketPartCol))) partitionBy
+    else bucketSpec(name) match {
+      case Some((c, _)) =>
+        require(df.columns.exists(_.equalsIgnoreCase(c)),
+          s"$name declares ${ParquetCatalog.BucketByProp}='$c,...' but " +
+            s"the frame has no column '$c' to derive the layout from; " +
+            "supply it or unset the property first")
+        partitionBy :+ ParquetCatalog.BucketPartCol
+      case None => partitionBy
+    }
+
   def overwriteVersioned(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       batchToken: Option[String] = None): Long = {
     migrateIfPlain(name)
+    val pb = declaredBucketLayout(name, df, partitionBy)
     val prior = versions(name).lastOption
     batchToken.foreach { tok =>
       prior.foreach { v =>
@@ -2831,12 +2895,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
     }
     val next = prior.getOrElse(0L) + 1
-    val rels = stage(name, df, partitionBy, next)
+    val rels = stage(name, df, pb, next)
     val meta = Map("op" -> "overwrite") ++
       prior.map(v => carriedMeta(manifest(name, v))).getOrElse(Map.empty) ++
       tokenMeta(batchToken) ++
       (if (rels.isEmpty) emptyMeta(df) else Map.empty)
-    commitOrClean(name, TableManifest(next, partitionBy, meta, rels), rels)
+    commitOrClean(name, TableManifest(next, pb, meta, rels), rels)
     refreshIndex(name)
     next
   }
@@ -2869,6 +2933,17 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       if (batchAlreadyCommitted(m, name, tok)) return m.version
     }
     val pb = if (partitionBy.nonEmpty) partitionBy else m.partitionBy
+    // the first data batch into a (row-)EMPTY table under a declared
+    // graft.bucketBy adopts the bucket layout by ROUTING THROUGH the
+    // full overwrite: the create-time zero-row placeholder file must
+    // not survive into the bucketed layout (its path carries no
+    // _gbucket dir, which would poison split keying). CREATE TABLE +
+    // INSERT INTO / CTAS — the pure-SQL bucketing door (r19); once the
+    // table holds rows, a layout change stays the explicit overwrite.
+    if (bucketSpecAt(name, m.version).isDefined &&
+        !pb.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol)) &&
+        (m.files.isEmpty || exactRowCount(name, m.version) == 0L))
+      return overwriteVersioned(name, df, pb, batchToken)
     requireManifestLayout(name, partitionBy, m)
     val current = readVersion(name, m.version)
     val next = m.version + 1

@@ -713,6 +713,67 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("pure-SQL bucketed lifecycle: DDL bucket transform + CTAS property lay out buckets") {
+    // r19: zero engine API — CREATE TABLE ... PARTITIONED BY
+    // (bucket(8, id)) and CTAS with graft.bucketBy both produce
+    // bucketed layouts; INSERT INTO keeps deriving. As on the engine
+    // door, the synthetic _gbucket column surfaces in the schema once
+    // the layout exists (supplied values are discarded and re-derived).
+    val (_, _, c) = freshCatalog("sqlb")
+    spark.sql(
+      s"CREATE TABLE $c.f (id BIGINT, m DOUBLE) PARTITIONED BY (bucket(8, id))")
+    spark.sql(s"INSERT INTO $c.f SELECT id, id * 2.0 FROM range(1, 2001)")
+    spark.sql(s"CREATE TABLE $c.g TBLPROPERTIES('graft.bucketBy'='id,8') " +
+      s"AS SELECT id, concat('v', id) AS tag FROM range(1500, 3001)")
+    val sql = s"SELECT f.id, f.m, g.tag FROM $c.f f JOIN $c.g g ON f.id = g.id"
+    val expected = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+    assert(expected.length === 501)
+    withSpj {
+      val q = spark.sql(sql)
+      assert(q.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))).sorted === expected)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SQL-declared co-bucketed tables must join shuffle-free:\n$plan")
+      assert(plan.contains("GraftSpjScan"), s"expected the SPJ scan:\n$plan")
+    }
+    // INSERT INTO keeps deriving — the hostile bucket id 99 is
+    // discarded and the row lands in the hash-correct dir (joins see it)
+    spark.sql(s"INSERT INTO $c.g VALUES (650, 'late', 99)")
+    withSpj {
+      val rows = spark.sql(sql).collect()
+      assert(rows.length === 502)
+      assert(rows.exists(r => r.getLong(0) == 650L && r.getString(2) == "late"))
+      assert(!spark.sql(sql).queryExecution.executedPlan.toString
+        .contains("Exchange"))
+    }
+    // composite via pure DDL: identity prefix + trailing bucket
+    spark.sql(s"CREATE TABLE $c.h (id BIGINT, day STRING, m DOUBLE) " +
+      s"PARTITIONED BY (day, bucket(8, id))")
+    spark.sql(s"INSERT INTO $c.h " +
+      s"SELECT id, concat('d', id % 3), id * 1.0 FROM range(1, 901)")
+    withSpj {
+      // h ∩ g on id = {650} (g holds 1500..3000 plus the late 650,
+      // h holds 1..900); 650 % 3 = 2 → partition d2
+      val q = spark.sql(s"SELECT h.id, h.m, g.tag FROM $c.h h " +
+        s"JOIN $c.g g ON h.id = g.id WHERE h.day = 'd2'")
+      val rows = q.collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(650L))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"DDL composite join under a day filter must not shuffle:\n$plan")
+      assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+        s"the day filter must prune partitions:\n$plan")
+    }
+    // declaration-time validation: junk value and unbucketable types
+    // refuse at CREATE/ALTER, not on the first write
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $c.f SET TBLPROPERTIES('graft.bucketBy'='nope')"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $c.f SET TBLPROPERTIES('graft.bucketBy'='m,8')"))
+  }
+
   test("SPJ composes with deletion vectors: zero-Exchange join, deletes honored") {
     val (cat, _, c) = freshCatalog("spjdv")
     cat.overwriteVersioned("t1",
