@@ -86,14 +86,13 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
         p.readSchema().fieldNames.exists(_.equalsIgnoreCase(c)) } =>
       val prefix = partitionBy.filter(c =>
         p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
-      new GraftSpjScan(p, prefix,
-        statsPath.filter(_ => preds.nonEmpty || points.nonEmpty), preds, points,
-        bucketOf)
+      // statsPath passes through even without planned conjuncts — the
+      // index also serves RUNTIME dynamic file pruning (r19)
+      new GraftSpjScan(p, prefix, statsPath, preds, points, bucketOf)
     case p: ParquetScan if !aggPushed && bucketOf.isEmpty &&
         partitionBy.forall(c =>
           p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c))) =>
-      new GraftSpjScan(p, partitionBy,
-        statsPath.filter(_ => preds.nonEmpty || points.nonEmpty), preds, points)
+      new GraftSpjScan(p, partitionBy, statsPath, preds, points)
     case other => other
   }
 }
@@ -185,12 +184,19 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
     * — sound because a file in bucket b contains ONLY values hashing
     * to b, so it cannot contain any listed value hashing elsewhere. */
   override def filterAttributes(): Array[
-      org.apache.spark.sql.connector.expressions.NamedReference] =
-    bucketOf match {
-      case Some((c, _)) =>
-        (partitionBy :+ c).map(Expressions.column).toArray
-      case None => partitionBy.map(Expressions.column).toArray
-    }
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // runtime filters are accepted over the identity key columns, the
+    // bucketed data column, AND any indexed data column — the last is
+    // what routes a join's runtime IN-list into the min/max + bloom
+    // pass (dynamic FILE pruning, r19), which plain GraftSkipScan
+    // already had and SPJ scans previously lost entirely
+    val indexed = statsPath.toSeq.flatMap(sp =>
+      graft.storage.SkippingIndex.readAtCached(sp)
+        .flatMap(_.cols.map(_.column))).distinct
+      .filter(c => inner.readDataSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    (partitionBy ++ bucketOf.map(_._1) ++ indexed).distinct
+      .map(Expressions.column).toArray
+  }
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     synchronized { runtimePreds = predicates }
@@ -260,15 +266,36 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
       // predicates over non-partition columns)…
       val keep = GraftFileSkipping.runtimeKeep(runtimePreds, pSchema)
       val byPart = keyedSplits.filter(k => k.delegate.files.forall(keep))
-      // …and in bucket mode, runtime values over the bucketed DATA
-      // column hash to allowed bucket ids (the key's trailing
-      // component)
-      (bucketOf, allowedBuckets()) match {
+      // …in bucket mode, runtime values over the bucketed DATA column
+      // hash to allowed bucket ids (the key's trailing component)…
+      val byBucket = (bucketOf, allowedBuckets()) match {
         case (Some(_), Some(ids)) =>
           byPart.filter(k =>
             ids.contains(k.partitionKey().getInt(keyOrdinals.length)))
-            .toArray[InputPartition]
-        case _ => byPart.toArray[InputPartition]
+        case _ => byPart
+      }
+      // …and runtime IN/= over INDEXED data columns ride the same
+      // min/max + bloom pass as planned conjuncts (dynamic FILE
+      // pruning on the persisted index, r19). Sound like every other
+      // index path: dropping a file only removes rows the runtime
+      // equi-join predicate excludes, so key-grouped alignment is
+      // unaffected; unrecognized shapes contribute nothing.
+      statsPath match {
+        case Some(sp) =>
+          val (rPreds, rPoints) = GraftFileSkipping.runtimeIndexConjuncts(
+            runtimePreds, inner.readDataSchema)
+          if (rPreds.isEmpty && rPoints.isEmpty) byBucket.toArray[InputPartition]
+          else {
+            val files = byBucket.flatMap(_.delegate.files)
+            val (kept, _, _) =
+              GraftFileSkipping.filterSplits(sp, rPreds, rPoints, files)
+            val keptPaths = kept.map(f =>
+              GraftFileSkipping.plainPath(f.filePath.toString)).toSet
+            byBucket.filter(_.delegate.files.forall(f =>
+              keptPaths.contains(GraftFileSkipping.plainPath(f.filePath.toString))))
+              .toArray[InputPartition]
+          }
+        case None => byBucket.toArray[InputPartition]
       }
     }
   }

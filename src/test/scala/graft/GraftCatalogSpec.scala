@@ -774,6 +774,52 @@ class GraftCatalogSpec extends SparkSpec {
       s"ALTER TABLE $c.f SET TBLPROPERTIES('graft.bucketBy'='m,8')"))
   }
 
+  test("dynamic FILE pruning engages on SPJ scans (runtime index pass)") {
+    // r19: a partitioned (hence SPJ-wrapped) fact used to lose
+    // index-driven runtime file pruning entirely — the SPJ builder
+    // dropped statsPath without planned conjuncts and its runtime path
+    // pruned only partitions/buckets. Now the runtime IN rides the
+    // same min/max + bloom pass as on GraftSkipScan.
+    val (cat, _, c) = freshCatalog("sdfp")
+    val fact = (1L to 4000L)
+      .map(i => (i, if (i <= 2000) "a" else "b", i * 1.0))
+      .toDF("id", "p", "m").repartitionByRange(8, col("id"))
+    cat.overwriteVersioned("f", fact, Seq("p"))
+    cat.index("f", Seq("id"))
+    cat.overwriteVersioned("dim",
+      (100L to 300L).map(i => (i, 1L)).toDF("id", "n"))
+    val sql = s"SELECT f.id, f.p, f.m FROM $c.f f " +
+      s"JOIN $c.dim d ON f.id = d.id WHERE d.n = 1"
+    val expected = spark.sql(sql).collect().map(_.getLong(0)).sorted
+    assert(expected.length === 201)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val q = spark.sql(sql)
+      assert(q.collect().map(_.getLong(0)).sorted === expected,
+        "runtime file pruning must never change results")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") && plan.contains("GraftSpjScan"),
+        s"expected a runtime filter on the SPJ scan:\n$plan")
+      def scanRows(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+        val own = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            return scanRows(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            return scanRows(s.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.scan.isInstanceOf[graft.spark.GraftSpjScan] =>
+            b.metrics("numOutputRows").value
+          case _ => 0L
+        }
+        own + p.children.map(scanRows).sum
+      }
+      val read = scanRows(q.queryExecution.executedPlan)
+      // the dim's keys live in ONE of the fact's 8 clustered files
+      assert(read > 0 && read <= 1000,
+        s"runtime index pruning must skip the other files, read $read of 4000")
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("SPJ composes with deletion vectors: zero-Exchange join, deletes honored") {
     val (cat, _, c) = freshCatalog("spjdv")
     cat.overwriteVersioned("t1",
