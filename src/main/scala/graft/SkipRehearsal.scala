@@ -74,6 +74,39 @@ object SkipRehearsal {
         f"kept=${cand.size}%5d coldMs=$coldMs%8.1f warmMs=$warmMs%8.1f " +
         f"countMs=$countMs%8.1f totalRows=$total%d")
     }
+
+    // r19: the BINARY index encoding at the under-compacted-100 TB
+    // scale (1M files of ~100 MB) — the legacy-JSON loop above keeps
+    // the historical numbers comparable; this one measures what the
+    // engine now writes. Same key-clustered shape, same ~0.1% range.
+    for (n <- Seq(100000, 1000000)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"skip-rehearsal-bin-$n")
+      val statsPath = dir.resolve("_graft_stats.json")
+      val stats = (0 until n).map { i =>
+        graft.storage.SkippingIndex.FileStats(
+          s"/data/t/part-$i.parquet", 1000L,
+          Seq(graft.storage.SkippingIndex.ColStats("id", "INT64",
+            (i * 1000L).toString, (i * 1000L + 999).toString,
+            hasNulls = false, nulls = 0L)))
+      }
+      val (_, persistMs) = time(
+        graft.storage.SkippingIndex.persistStats(statsPath, stats))
+      val files = (0 until n).map(i => s"/data/t/part-$i.parquet")
+      val lo = (n / 2) * 1000.0
+      val hi = lo + n.toDouble
+      val (cand, coldMs) = time(graft.storage.SkippingIndex
+        .candidateFilesAt(statsPath, files, Seq(("id", lo, hi))))
+      val (_, warmMs) = time(graft.storage.SkippingIndex
+        .candidateFilesAt(statsPath, files, Seq(("id", lo, hi))))
+      val (total, countMs) = time {
+        graft.storage.SkippingIndex.readAtCached(statsPath).map(_.rows).sum
+      }
+      val bytes = java.nio.file.Files.size(statsPath)
+      println(f"[skip-rehearsal-bin] n=$n%7d statsBytes=$bytes%9d " +
+        f"kept=${cand.size}%5d persistMs=$persistMs%8.1f " +
+        f"coldMs=$coldMs%8.1f warmMs=$warmMs%8.1f " +
+        f"countMs=$countMs%8.1f totalRows=$total%d")
+    }
     spark.stop()
   }
 }
