@@ -362,7 +362,7 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
       .flatMap(v => cat.bucketSpecAt(tableName, v))
     val chosen: ScanBuilder =
       if (dvSidecars.nonEmpty) new GraftDvScanBuilder(inner, dvSidecars, layout,
-        if (indexed) Some(statsP) else None)
+        if (indexed) Some(statsP) else None, bucketed)
       else if (bucketed.isDefined && spjOn)
         // bucket-declared layout: report bucket(n, col) instead of the
         // synthetic identity partitioning — plus identity transforms

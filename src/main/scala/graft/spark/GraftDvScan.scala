@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
     partitionCols: Seq[String],
-    statsPath: Option[java.nio.file.Path] = None)
+    statsPath: Option[java.nio.file.Path] = None,
+    bucketOf: Option[(String, Int)] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge {
 
@@ -81,18 +82,26 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
       // under Spark's SPJ opt-in, a vectored PARTITIONED table also
       // reports its layout (the one-split-per-file plan already keys
       // naturally) — but only when every partition column survived
-      // pruning, mirroring [[GraftSpjScanBuilder]]
+      // pruning, mirroring [[GraftSpjScanBuilder]]. A vectored
+      // BUCKETED table reports bucket(n, col) with any surviving
+      // identity prefix (r19 — previously dv silently LOST the bucket
+      // layout and every co-bucketed join shuffled).
       val spjOn = SparkSession.active.conf
         .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+      val bucketMode = spjOn && bucketOf.exists { case (bc, _) =>
+        p.readSchema().fieldNames.exists(_.equalsIgnoreCase(bc)) }
       val reportBy =
-        if (spjOn && partitionCols.nonEmpty && partitionCols.forall(c =>
+        if (bucketMode)
+          partitionCols.dropRight(1).filter(c => p.readPartitionSchema
+            .fieldNames.exists(_.equalsIgnoreCase(c)))
+        else if (spjOn && partitionCols.nonEmpty && partitionCols.forall(c =>
             p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c))))
           partitionCols
         else Nil
       new GraftDvScan(p.copy(readDataSchema = p.readDataSchema
         .add(StructField(RowIndexBridge.TemporaryColumnName, LongType))),
-        sidecars, statsPath.filter(_ => preds.nonEmpty || points.nonEmpty),
-        preds, points, reportBy)
+        sidecars, statsPath, preds, points, reportBy,
+        if (bucketMode) bucketOf else None)
     case other => throw new IllegalStateException(
       "GraftDvScan wraps Spark's ParquetScan (a column named " +
         s"'${RowIndexBridge.TemporaryColumnName}' also conflicts); got " +
@@ -104,7 +113,8 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     statsPath: Option[java.nio.file.Path] = None,
     preds: Seq[(String, Double, Double, Set[String])] = Nil,
     points: Seq[(String, Seq[Any])] = Nil,
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil,
+    bucketOf: Option[(String, Int)] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -123,31 +133,48 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
   private lazy val keyOrdinals: Seq[Int] = partitionBy.map(c =>
     pSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
 
+  private def keyed: Boolean = partitionBy.nonEmpty || bucketOf.isDefined
+  private lazy val keyTypes =
+    keyOrdinals.map(pSchema(_).dataType) ++
+      bucketOf.map(_ => org.apache.spark.sql.types.IntegerType)
+
   /** Frozen at first read (pre-runtime-filter), so the reported
     * partitioning stays stable across `filter()` re-plans —
     * `BatchScanExec` itself verifies the filtered keys against it. */
   private lazy val distinctKeys: Int = planInputPartitions().toSeq.collect {
-    case k: GraftKeyedPartition =>
-      k.partitionKey().toSeq(keyOrdinals.map(pSchema(_).dataType))
+    case k: GraftKeyedPartition => k.partitionKey().toSeq(keyTypes)
   }.distinct.length
 
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (partitionBy.isEmpty)
+    if (!keyed)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
-    else
+    else {
+      import org.apache.spark.sql.connector.expressions.{Expression => VExpr,
+        Expressions}
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        partitionBy.map(org.apache.spark.sql.connector.expressions.Expressions
-          .identity).toArray[org.apache.spark.sql.connector.expressions.Expression],
+        (partitionBy.map(c => Expressions.identity(c): VExpr) ++
+          bucketOf.map { case (c, n) => Expressions.bucket(n, c): VExpr })
+          .toArray[VExpr],
         distinctKeys)
+    }
 
   /** Dynamic partition pruning ([[GraftFileSkipping.runtimeKeep]]):
     * whole-file drops by partition value never perturb surviving
-    * files' row positions, so the vector anti-filter is unaffected. */
+    * files' row positions, so the vector anti-filter is unaffected —
+    * and the same is true of bucket-id drops and index-driven runtime
+    * FILE drops (r19), both file-granular. */
   override def filterAttributes(): Array[
-      org.apache.spark.sql.connector.expressions.NamedReference] =
-    inner.readPartitionSchema.fieldNames
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val indexed = statsPath.toSeq.flatMap(sp =>
+      graft.storage.SkippingIndex.readAtCached(sp)
+        .flatMap(_.cols.map(_.column))).distinct
+      .filter(c => inner.readDataSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    (inner.readPartitionSchema.fieldNames.toSeq ++ bucketOf.map(_._1) ++ indexed)
+      .distinct
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     synchronized { runtimePreds = predicates }
@@ -185,25 +212,49 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     * index present, non-candidate files drop out first (file-granular,
     * so surviving files' row positions are untouched). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val keep = synchronized {
-      GraftFileSkipping.runtimeKeep(runtimePreds, inner.readPartitionSchema)
-    }
+    val rtPreds = synchronized { runtimePreds }
+    val keep = GraftFileSkipping.runtimeKeep(rtPreds, inner.readPartitionSchema)
     val planned = inner.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(
         s"GraftDvScan expected file partitions, got $other")
     }.filter(keep)
-    val files = statsPath match {
-      case Some(sp) => GraftFileSkipping.filterSplits(sp, preds, points, planned)._1
-      case None => planned
+    // planned + runtime conjuncts both ride the index pass — all
+    // whole-file drops, so surviving files' row positions are intact
+    val (rPreds, rPoints) =
+      if (statsPath.isDefined && rtPreds.nonEmpty)
+        GraftFileSkipping.runtimeIndexConjuncts(rtPreds, inner.readDataSchema)
+      else (Nil, Nil)
+    val allPreds = preds ++ rPreds
+    val allPoints = points ++ rPoints
+    val indexKept = statsPath match {
+      case Some(sp) if allPreds.nonEmpty || allPoints.nonEmpty =>
+        GraftFileSkipping.filterSplits(sp, allPreds, allPoints, planned)._1
+      case _ => planned
+    }
+    // runtime bucket pruning: values over the bucketed DATA column
+    // hash to allowed ids; a file in another bucket cannot match
+    val files = GraftSpjScan.allowedBuckets(rtPreds, inner.readSchema(),
+        bucketOf) match {
+      case Some(ids) => indexKept.filter(f =>
+        ids.contains(GraftSpjScan.bucketIdOf(f.filePath.toString)))
+      case None => indexKept
     }
     files.zipWithIndex.map { case (f, i) =>
       val fp = FilePartition(i, Array(f))
-      if (partitionBy.isEmpty) fp: InputPartition
-      else GraftKeyedPartition(fp,
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          keyOrdinals.map(o =>
-            f.partitionValues.get(o, pSchema(o).dataType)).toArray))
+      if (!keyed) fp: InputPartition
+      else {
+        val prefixVals = keyOrdinals.map(o =>
+          f.partitionValues.get(o, pSchema(o).dataType))
+        val key = bucketOf match {
+          case Some(_) => prefixVals :+
+            (GraftSpjScan.bucketIdOf(f.filePath.toString): Any)
+          case None => prefixVals
+        }
+        GraftKeyedPartition(fp,
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            key.toArray))
+      }
     }.toArray[InputPartition]
   }
 

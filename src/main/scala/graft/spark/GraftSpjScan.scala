@@ -206,37 +206,8 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
 
   /** Bucket ids the runtime IN/= values allow — None when any
     * predicate shape/type is unrecognized (then nothing prunes). */
-  private def allowedBuckets(): Option[Set[Int]] = bucketOf.flatMap {
-    case (c, n) =>
-      import org.apache.spark.sql.connector.expressions.{Literal => VLiteral,
-        NamedReference}
-      val colType = inner.readSchema().fields
-        .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-        .getOrElse(return None)
-      // a spec over a type the bucket function cannot hash (possible
-      // only on tables written before the write-side validation) must
-      // degrade to no-pruning, never crash the runtime re-plan
-      if (!GraftBucketFunction.supports(colType)) return None
-      val bucketer = new GraftBoundBucket(colType)
-      val sets = runtimePreds.toSeq.map { p =>
-        p.children().toSeq match {
-          case Seq(ref: NamedReference, lits @ _*)
-              if (p.name() == "IN" || p.name() == "=") &&
-                ref.fieldNames.length == 1 &&
-                ref.fieldNames.head.equalsIgnoreCase(c) && lits.nonEmpty &&
-                lits.forall(_.isInstanceOf[VLiteral[_]]) =>
-            val vs = lits.map(_.asInstanceOf[VLiteral[_]])
-            if (vs.forall(l => l.dataType == colType && l.value != null))
-              Some(vs.map(l => bucketer.produceResult(
-                new GenericInternalRow(Array[Any](n, l.value))).toInt).toSet)
-            else None
-          case _ => None
-        }
-      }
-      // conjunction: intersect the recognized predicates' bucket sets
-      val known = sets.flatten
-      if (known.isEmpty) None else Some(known.reduce(_ intersect _))
-  }
+  private def allowedBuckets(): Option[Set[Int]] =
+    GraftSpjScan.allowedBuckets(runtimePreds, inner.readSchema(), bucketOf)
 
   private lazy val distinctKeys: Int = {
     val types = keyOrdinals.map(pSchema(_).dataType) ++
@@ -305,6 +276,48 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
 }
 
 object GraftSpjScan {
+
+  /** Bucket ids the runtime IN/= values over the bucketed DATA column
+    * allow — shared by [[GraftSpjScan]] and [[GraftDvScan]]. None when
+    * any predicate shape/type is unrecognized, or the spec's type has
+    * no bucket function (pre-validation tables) — then nothing prunes;
+    * pruning is sound because a file in bucket b holds ONLY values
+    * hashing to b. */
+  private[spark] def allowedBuckets(
+      runtimePreds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      readSchema: StructType,
+      bucketOf: Option[(String, Int)]): Option[Set[Int]] = bucketOf.flatMap {
+    case (c, n) =>
+      import org.apache.spark.sql.connector.expressions.{Literal => VLiteral,
+        NamedReference}
+      val colType = readSchema.fields
+        .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(return None)
+      // a spec over a type the bucket function cannot hash (possible
+      // only on tables written before the write-side validation) must
+      // degrade to no-pruning, never crash the runtime re-plan
+      if (!GraftBucketFunction.supports(colType)) return None
+      val bucketer = new GraftBoundBucket(colType)
+      val sets = runtimePreds.toSeq.map { p =>
+        p.children().toSeq match {
+          case Seq(ref: NamedReference, lits @ _*)
+              if (p.name() == "IN" || p.name() == "=") &&
+                ref.fieldNames.length == 1 &&
+                ref.fieldNames.head.equalsIgnoreCase(c) && lits.nonEmpty &&
+                lits.forall(_.isInstanceOf[VLiteral[_]]) =>
+            val vs = lits.map(_.asInstanceOf[VLiteral[_]])
+            if (vs.forall(l => l.dataType == colType && l.value != null))
+              Some(vs.map(l => bucketer.produceResult(
+                new GenericInternalRow(Array[Any](n, l.value))).toInt).toSet)
+            else None
+          case _ => None
+        }
+      }
+      // conjunction: intersect the recognized predicates' bucket sets
+      val known = sets.flatten
+      if (known.isEmpty) None else Some(known.reduce(_ intersect _))
+  }
+
   private val BucketDir =
     ("/" + java.util.regex.Pattern.quote(
       graft.storage.ParquetCatalog.BucketPartCol) + "=(\\d+)/").r

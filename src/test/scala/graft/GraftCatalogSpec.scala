@@ -844,6 +844,36 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("bucket SPJ composes with deletion vectors (dv no longer loses the layout)") {
+    // r19: dv wins the wrapper slot, but it now CARRIES the bucket
+    // keys — a co-bucketed join where one side has vectored deletes
+    // stays zero-Exchange with the deletes honored. Previously the
+    // positional scan reported identity over _gbucket (useless to a
+    // join on the data column) and every such join shuffled.
+    val (cat, _, c) = freshCatalog("dvb")
+    cat.overwriteBucketedVersioned("f",
+      (1L to 2000L).map(i => (i, i * 2.0)).toDF("id", "m"), "id", 8)
+    cat.overwriteBucketedVersioned("g",
+      (1500L to 3000L).map(i => (i, s"v$i")).toDF("id", "tag"), "id", 8)
+    cat.setTableProperty("f", "graft.deletionVectors", "true")
+    cat.deleteVectors("f", col("id") % 10 === 3)
+    val sql = s"SELECT f.id, f.m, g.tag FROM $c.f f JOIN $c.g g ON f.id = g.id"
+    val expected = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+    assert(expected.length === 501 - 50, "vector deletes visible pre-SPJ")
+    withSpj {
+      val q = spark.sql(sql)
+      assert(q.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))).sorted === expected,
+        "bucket SPJ over a vectored side must not change results")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"a co-bucketed join with one vectored side must not shuffle:\n$plan")
+      assert(plan.contains("GraftDvScan"),
+        s"vectors keep the positional scan:\n$plan")
+    }
+  }
+
   test("indexed tables prune FILES on the SQL door (min/max skip before split planning)") {
     val (cat, _, c) = freshCatalog("skip")
     cat.overwriteVersioned("t",
