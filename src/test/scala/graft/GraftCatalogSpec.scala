@@ -639,6 +639,29 @@ class GraftCatalogSpec extends SparkSpec {
         s"GROUP BY over the composite keys must not shuffle:\n$plan")
     }
 
+    // 2b) no day filter, day in OUTPUT: the fact reports composite
+    //     keys while the dim is bucket-only — a key-only join then
+    //     needs Spark's own subset-join-keys opt-in to zip (the fact's
+    //     groups re-group on the projected bucket component)
+    withSpj {
+      val flags = Seq(
+        "spark.sql.sources.v2.bucketing" +
+          ".allowJoinKeysSubsetOfPartitionKeys.enabled",
+        // Spark requires this OFF for subset-key co-partitioning —
+        // its default (true) demands join keys cover ALL cluster keys
+        "spark.sql.requireAllClusterKeysForCoPartition")
+      spark.conf.set(flags.head, "true")
+      spark.conf.set(flags(1), "false")
+      try {
+        val q = spark.sql(s"SELECT f.day, f.id, d.tag FROM $c.f f " +
+          s"JOIN $c.dim d ON f.id = d.id")
+        assert(q.collect().length === 3000)
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"subset join keys must zip composite vs bucket-only:\n$plan")
+      } finally flags.foreach(spark.conf.unset)
+    }
+
     // 3) two co-composite tables joined on BOTH components: zero
     //    Exchange through the multi-transform keys
     cat.overwriteBucketedVersioned("g",
