@@ -795,6 +795,30 @@ class GraftCatalogSpec extends SparkSpec {
       s"ALTER TABLE $c.f SET TBLPROPERTIES('graft.bucketBy'='nope')"))
     intercept[Exception](spark.sql(
       s"ALTER TABLE $c.f SET TBLPROPERTIES('graft.bucketBy'='m,8')"))
+
+    // INSERT OVERWRITE re-lays the bucketed layout (full overwrites of
+    // a declared table always derive) …
+    spark.sql(s"INSERT OVERWRITE $c.g " +
+      s"SELECT id, concat('w', id) AS tag, 7 FROM range(1500, 2501)")
+    withSpj {
+      val q = spark.sql(sql)
+      assert(q.collect().length === 501)
+      assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the overwritten layout must keep zipping")
+    }
+    // …and a pure-SQL RE-BUCKET is ALTER + INSERT OVERWRITE: the new
+    // declaration takes effect at the next full overwrite
+    spark.sql(s"ALTER TABLE $c.g SET TBLPROPERTIES('graft.bucketBy'='id,4')")
+    spark.sql(s"INSERT OVERWRITE $c.g " +
+      s"SELECT id, concat('x', id) AS tag, 0 FROM range(1500, 2501)")
+    val spec = spark.sql(s"SHOW TBLPROPERTIES $c.g")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(spec("graft.bucketBy") === "id,4")
+    // 8-bucket f no longer zips with 4-bucket g — correct, shuffled
+    withSpj {
+      assert(spark.sql(sql).collect().length === 501,
+        "a bucket-count mismatch must stay correct (shuffled)")
+    }
   }
 
   test("dynamic FILE pruning engages on SPJ scans (runtime index pass)") {
