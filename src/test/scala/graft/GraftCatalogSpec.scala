@@ -691,6 +691,15 @@ class GraftCatalogSpec extends SparkSpec {
     val want = Seq(9001L).toDF("id")
       .select(pmod(hash(col("id")), lit(8))).as[Int].head()
     assert(loc === want, "INSERT INTO a composite table must re-derive")
+
+    // 5) metadata aggregates compose with the composite layout: a
+    //    day-only filter is consumed exactly by partition pruning, so
+    //    COUNT(*) answers from manifest + footer metadata, no data page
+    val cq = spark.sql(s"SELECT count(*) AS n FROM $c.f WHERE day = 'd1'")
+    assert(cq.head().getLong(0) === 1001L) // 1000 originals + the insert
+    assert(cq.queryExecution.executedPlan.toString
+      .contains("GraftCountStarScan"),
+      "composite tables keep the metadata-count door")
   }
 
   test("runtime join filters prune BUCKETS: values hash to allowed bucket ids") {
