@@ -1895,6 +1895,71 @@ object Relational {
                CAST(0 AS BIGINT) AS bd_exchanges,
                CAST(1 AS BIGINT) AS bd_spj
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey ORDER BY c.c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // S23: bucket SPJ × deletion vectors — the r19 wrapper fix under
+    // the oracle gate: a co-bucketed join where the FACT side carries
+    // vectored row-level deletes still runs zero-Exchange through the
+    // positional scan (which now reports the bucket keys), and the
+    // deleted rows are gone from the aggregate. Before r19 this shape
+    // silently shuffled both sides. Oracle = the plain join minus the
+    // deleted keys.
+    Q(
+      "s23_sql_bucket_dv",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_bdv_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          cat.overwriteBucketedVersioned("orders_bv",
+            Tables.orders(s, d)
+              .select("o_orderkey", "o_custkey", "o_totalprice"),
+            "o_custkey", 16)
+          cat.overwriteBucketedVersioned("cust_bv",
+            Tables.customer(s, d).select("c_custkey", "c_name"),
+            "c_custkey", 16)
+          cat.setTableProperty("orders_bv", "graft.deletionVectors", "true")
+          cat.deleteVectors("orders_bv", col("o_orderkey") % 10 === 3)
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gbv$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val toggled = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = toggled.map { case (k, _) => k -> s.conf.getOption(k) }
+        toggled.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val agg = s.sql(
+            s"""SELECT c.c_custkey, count(*) AS n_orders,
+                       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                         AS total
+                FROM $cname.orders_bv o
+                JOIN $cname.cust_bv c ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey""")
+          agg.collect() // finalize the adaptive plan before inspecting it
+          val plan = agg.queryExecution.executedPlan.toString
+          val exchanges = if (plan.contains("Exchange")) 1L else 0L
+          val dvScan = if (plan.contains("GraftDvScan")) 1L else 0L
+          agg.withColumn("bv_exchanges", lit(exchanges))
+            .withColumn("bv_dv_spj", lit(dvScan))
+            .orderBy("c_custkey")
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      },
+      Some("""
+        SELECT c.c_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               CAST(0 AS BIGINT) AS bv_exchanges,
+               CAST(1 AS BIGINT) AS bv_dv_spj
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey % 10 <> 3
         GROUP BY c.c_custkey ORDER BY c.c_custkey"""))
   )
 }

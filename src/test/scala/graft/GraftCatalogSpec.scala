@@ -900,6 +900,32 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("NULL bucket keys stay correct under bucket SPJ") {
+    // the write side routes NULL keys to pmod(hash(null), n) =
+    // pmod(seed, n) — a fixed bucket — while equi-joins never match
+    // NULL: inner joins must drop them, left joins must pad them,
+    // both without an Exchange
+    val (cat, _, c) = freshCatalog("bnul")
+    cat.overwriteBucketedVersioned("f",
+      ((1L to 600L).map(i => (Some(i): Option[Long], i * 2.0)) ++
+        (1 to 37).map(_ => (None: Option[Long], -1.0))).toDF("id", "m"),
+      "id", 8)
+    cat.overwriteBucketedVersioned("g",
+      (500L to 900L).map(i => (i, s"v$i")).toDF("id", "tag"), "id", 8)
+    withSpj {
+      val inner = spark.sql(
+        s"SELECT f.id, g.tag FROM $c.f f JOIN $c.g g ON f.id = g.id")
+      assert(inner.collect().length === 101, "NULL keys never equi-match")
+      assert(!inner.queryExecution.executedPlan.toString.contains("Exchange"))
+      val left = spark.sql(s"SELECT f.id, f.m, g.tag FROM $c.f f " +
+        s"LEFT JOIN $c.g g ON f.id = g.id")
+      val rows = left.collect()
+      assert(rows.length === 637, "left join keeps the NULL-key rows")
+      assert(rows.count(_.isNullAt(0)) === 37)
+      assert(!left.queryExecution.executedPlan.toString.contains("Exchange"))
+    }
+  }
+
   test("bucket SPJ composes with deletion vectors (dv no longer loses the layout)") {
     // r19: dv wins the wrapper slot, but it now CARRIES the bucket
     // keys — a co-bucketed join where one side has vectored deletes
