@@ -1960,6 +1960,63 @@ object Relational {
                CAST(1 AS BIGINT) AS bv_dv_spj
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderkey % 10 <> 3
-        GROUP BY c.c_custkey ORDER BY c.c_custkey"""))
+        GROUP BY c.c_custkey ORDER BY c.c_custkey""")),
+
+    // ----------------------------------------------------------------
+    // S24: STRING min/max file skipping (r19) — string-keyed
+    // clustering (entity ids, ISO dates as strings) is the most common
+    // 100 TB layout after numerics, and the engine previously refused
+    // all string range pruning (strings drove blooms only). Spark
+    // compares strings as unsigned UTF-8 bytes — exactly parquet's
+    // declared STRING stats sort order — so the intersect is sound
+    // against `BINARY:STRING` stats (and ONLY those: raw
+    // binary/decimal stats still never prune). A ~200-name band over
+    // the c_name-clustered layout opens ~2 of 12 files, pinned from
+    // the executed plan. Oracle = the plain filtered aggregate.
+    Q(
+      "s24_sql_string_skip",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_ssk_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val cust = Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_acctbal")
+          cat.overwriteVersioned("cust_ss", cust)
+          val n = cust.count()
+          cat.compact("cust_ss",
+            rowsPerFile = math.max(1L, n / 12), clusterBy = Seq("c_name"))
+          cat.index("cust_ss", Seq("c_name"))
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gss$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val q = s.sql(
+          s"""SELECT c_custkey, c_name, c_acctbal FROM $cname.cust_ss
+              WHERE c_name BETWEEN 'Customer#000000100'
+                                AND 'Customer#000000299'""")
+        q.collect()
+        val plan = q.queryExecution.executedPlan.toString
+        val pruned =
+          "GraftSkipScan\\(kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(plan)
+            .map(m => if (m.group(1).toLong * 2 < m.group(2).toLong) 1L else 0L)
+            .getOrElse(0L)
+        q.agg(count(lit(1)).as("n_rows"),
+            graft.functions.Deterministic.dsum(col("c_acctbal")).as("total"),
+            min(col("c_name")).as("min_name"),
+            max(col("c_name")).as("max_name"))
+          .withColumn("str_pruned", lit(pruned))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               MIN(c_name) AS min_name, MAX(c_name) AS max_name,
+               CAST(1 AS BIGINT) AS str_pruned
+        FROM customer
+        WHERE c_name BETWEEN 'Customer#000000100' AND 'Customer#000000299'"""))
   )
 }

@@ -44,6 +44,7 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
 
   private var preds: Seq[(String, Double, Double, Set[String])] = Nil
   private var points: Seq[(String, Seq[Any])] = Nil
+  private var strPreds: Seq[(String, Option[String], Option[String])] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit = inner match {
     case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
@@ -63,6 +64,7 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
     if (statsPath.isDefined) {
       preds = GraftFileSkipping.rangeConjuncts(filters)
       points = GraftFileSkipping.pointConjuncts(filters)
+      strPreds = GraftFileSkipping.stringRangeConjuncts(filters)
     }
     org.apache.spark.sql.graftbridge.CatalystFilterPushdownBridge
       .push(inner, filters.filter(_.deterministic))
@@ -101,7 +103,7 @@ class GraftDvScanBuilder(inner: ScanBuilder, sidecars: Seq[String],
       new GraftDvScan(p.copy(readDataSchema = p.readDataSchema
         .add(StructField(RowIndexBridge.TemporaryColumnName, LongType))),
         sidecars, statsPath, preds, points, reportBy,
-        if (bucketMode) bucketOf else None)
+        if (bucketMode) bucketOf else None, strPreds)
     case other => throw new IllegalStateException(
       "GraftDvScan wraps Spark's ParquetScan (a column named " +
         s"'${RowIndexBridge.TemporaryColumnName}' also conflicts); got " +
@@ -114,7 +116,8 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     preds: Seq[(String, Double, Double, Set[String])] = Nil,
     points: Seq[(String, Seq[Any])] = Nil,
     partitionBy: Seq[String] = Nil,
-    bucketOf: Option[(String, Int)] = None)
+    bucketOf: Option[(String, Int)] = None,
+    strPreds: Seq[(String, Option[String], Option[String])] = Nil)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -228,8 +231,10 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     val allPreds = preds ++ rPreds
     val allPoints = points ++ rPoints
     val indexKept = statsPath match {
-      case Some(sp) if allPreds.nonEmpty || allPoints.nonEmpty =>
-        GraftFileSkipping.filterSplits(sp, allPreds, allPoints, planned)._1
+      case Some(sp) if allPreds.nonEmpty || allPoints.nonEmpty ||
+          strPreds.nonEmpty =>
+        GraftFileSkipping.filterSplits(sp, allPreds, allPoints, planned,
+          strPreds)._1
       case _ => planned
     }
     // runtime bucket pruning: values over the bucketed DATA column

@@ -78,11 +78,13 @@ class GraftSkipScanBuilder(inner: ScanBuilder,
 
   private var preds: Seq[(String, Double, Double, Set[String])] = Nil
   private var points: Seq[(String, Seq[Any])] = Nil
+  private var strPreds: Seq[(String, Option[String], Option[String])] = Nil
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     if (statsPath.isDefined) {
       preds = GraftFileSkipping.rangeConjuncts(filters)
       points = GraftFileSkipping.pointConjuncts(filters)
+      strPreds = GraftFileSkipping.stringRangeConjuncts(filters)
     }
     super.pushFilters(filters)
   }
@@ -95,13 +97,14 @@ class GraftSkipScanBuilder(inner: ScanBuilder,
   override def build(): Scan = inner.build() match {
     case p: ParquetScan if !aggPushed &&
         (statsPath.isDefined || p.readPartitionSchema.nonEmpty) =>
-      new GraftSkipScan(p, statsPath, preds, points)
+      new GraftSkipScan(p, statsPath, preds, points, strPreds)
     case other => other
   }
 }
 
 class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
-    preds: Seq[(String, Double, Double, Set[String])], points: Seq[(String, Seq[Any])] = Nil)
+    preds: Seq[(String, Double, Double, Set[String])], points: Seq[(String, Seq[Any])] = Nil,
+    strPreds: Seq[(String, Option[String], Option[String])] = Nil)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
 
@@ -127,7 +130,7 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
       org.apache.spark.sql.connector.read.Statistics = {
     val innerStats = inner.estimateStatistics()
     val tightened: Option[(Long, Long)] = statsPath.flatMap { sp =>
-      if (preds.isEmpty) None
+      if (preds.isEmpty && strPreds.isEmpty) None
       else {
         val stats = graft.storage.SkippingIndex.readAtCached(sp)
           .map(fs => fs.file -> fs.rows).toMap
@@ -143,7 +146,8 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
           if (!byFile.keys.forall(stats.contains)) None
           else {
             val cand = graft.storage.SkippingIndex
-              .candidateFilesTyped(sp, byFile.keys.toSeq.sorted, preds).toSet
+              .candidateFilesTyped(sp, byFile.keys.toSeq.sorted, preds,
+                strPreds = strPreds).toSet
             val keptFiles = byFile.keys.filter(cand.contains).toSeq
             Some((keptFiles.map(stats).sum, keptFiles.map(byFile).sum))
           }
@@ -214,9 +218,11 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
       val allPreds = preds ++ rPreds
       val allPoints = points ++ rPoints
       val r = statsPath match {
-        case Some(sp) if allPreds.nonEmpty || allPoints.nonEmpty =>
+        case Some(sp) if allPreds.nonEmpty || allPoints.nonEmpty ||
+            strPreds.nonEmpty =>
           val (splits, k, _) =
-            GraftFileSkipping.filterSplits(sp, allPreds, allPoints, kept)
+            GraftFileSkipping.filterSplits(sp, allPreds, allPoints, kept,
+              strPreds)
           (splits, k, total)
         case _ =>
           (kept, kept.map(f =>
@@ -262,13 +268,14 @@ object GraftFileSkipping {
     * kept file count, total file count). */
   def filterSplits(statsPath: java.nio.file.Path,
       preds: Seq[(String, Double, Double, Set[String])], points: Seq[(String, Seq[Any])],
-      splits: Array[org.apache.spark.sql.execution.datasources.PartitionedFile]):
+      splits: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+      strPreds: Seq[(String, Option[String], Option[String])] = Nil):
       (Array[org.apache.spark.sql.execution.datasources.PartitionedFile], Int, Int) = {
     val paths = splits.map(f => plainPath(f.filePath.toString)).distinct.toSeq
     var cand =
-      if (preds.isEmpty) paths.toSet
+      if (preds.isEmpty && strPreds.isEmpty) paths.toSet
       else graft.storage.SkippingIndex
-        .candidateFilesTyped(statsPath, paths, preds).toSet
+        .candidateFilesTyped(statsPath, paths, preds, strPreds = strPreds).toSet
     for ((col, vs) <- points if cand.size > 1) {
       val ordered = cand.toSeq.sorted
       // probe up to three files for a bloom before launching the
@@ -528,6 +535,67 @@ object GraftFileSkipping {
       case _ => None
     }
   }
+
+  /** STRING range conjuncts ([lo, hi] inclusive, None = unbounded
+    * side) from pushed filters — the r19 string-skipping channel.
+    * Spark compares strings as UNSIGNED UTF-8 bytes (UTF8String binary
+    * order), which is exactly parquet's declared sort order for
+    * STRING-annotated BINARY stats, so a byte-wise intersect against
+    * the recorded min/max can prune string-clustered layouts the same
+    * way numerics do. Only null-rejecting attribute-vs-literal shapes
+    * extract (the same discipline as [[rangeConjuncts]]); the index
+    * side additionally gates on the exact `BINARY:STRING` stats
+    * annotation, so raw binary/decimal stats never wrongly prune. */
+  def stringRangeConjuncts(filters: Seq[Expression]):
+      Seq[(String, Option[String], Option[String])] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def str(l: Literal): Option[String] = l.value match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case _ => None
+    }
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: Attribute, l: Literal) =>
+        str(l).map(v => (a.name, Some(v), Some(v)))
+      case EqualTo(l: Literal, a: Attribute) =>
+        str(l).map(v => (a.name, Some(v), Some(v)))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        str(l).map(v => (a.name, Some(v), None))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        str(l).map(v => (a.name, Some(v), None))
+      case LessThan(a: Attribute, l: Literal) =>
+        str(l).map(v => (a.name, None, Some(v)))
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        str(l).map(v => (a.name, None, Some(v)))
+      case GreaterThan(l: Literal, a: Attribute) => // v > a  ==  a < v
+        str(l).map(v => (a.name, None, Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        str(l).map(v => (a.name, None, Some(v)))
+      case LessThan(l: Literal, a: Attribute) => // v < a  ==  a > v
+        str(l).map(v => (a.name, Some(v), None))
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        str(l).map(v => (a.name, Some(v), None))
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
+          case l: Literal => str(l).isDefined
+          case _ => false
+        } =>
+        // envelope over the UTF-8 byte order (min/max of the values)
+        val bs = vs.collect { case l: Literal => str(l).get }
+        implicit val ord: Ordering[String] =
+          (x: String, y: String) => GraftFileSkipping.compareUtf8(x, y)
+        Some((a.name, Some(bs.min(ord)), Some(bs.max(ord))))
+      case _ => None
+    }
+  }
+
+  /** Unsigned UTF-8 byte comparison — the order Spark's UTF8String and
+    * parquet's STRING stats both use. */
+  def compareUtf8(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** How many IN-list literals a bloom pass will hash per file before
     * giving up on pruning — a 10k-element IN would spend more on

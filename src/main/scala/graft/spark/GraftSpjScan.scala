@@ -54,6 +54,7 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
 
   private var preds: Seq[(String, Double, Double, Set[String])] = Nil
   private var points: Seq[(String, Seq[Any])] = Nil
+  private var strPreds: Seq[(String, Option[String], Option[String])] = Nil
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
@@ -61,6 +62,7 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
     if (statsPath.isDefined) {
       preds = GraftFileSkipping.rangeConjuncts(filters)
       points = GraftFileSkipping.pointConjuncts(filters)
+      strPreds = GraftFileSkipping.stringRangeConjuncts(filters)
     }
     super.pushFilters(filters)
   }
@@ -88,11 +90,13 @@ class GraftSpjScanBuilder(inner: ScanBuilder, partitionBy: Seq[String],
         p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
       // statsPath passes through even without planned conjuncts — the
       // index also serves RUNTIME dynamic file pruning (r19)
-      new GraftSpjScan(p, prefix, statsPath, preds, points, bucketOf)
+      new GraftSpjScan(p, prefix, statsPath, preds, points, bucketOf,
+        strPreds)
     case p: ParquetScan if !aggPushed && bucketOf.isEmpty &&
         partitionBy.forall(c =>
           p.readPartitionSchema.fieldNames.exists(_.equalsIgnoreCase(c))) =>
-      new GraftSpjScan(p, partitionBy, statsPath, preds, points)
+      new GraftSpjScan(p, partitionBy, statsPath, preds, points,
+        strPreds = strPreds)
     case other => other
   }
 }
@@ -101,7 +105,8 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
     statsPath: Option[java.nio.file.Path] = None,
     preds: Seq[(String, Double, Double, Set[String])] = Nil,
     points: Seq[(String, Seq[Any])] = Nil,
-    bucketOf: Option[(String, Int)] = None)
+    bucketOf: Option[(String, Int)] = None,
+    strPreds: Seq[(String, Option[String], Option[String])] = Nil)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -152,7 +157,8 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
     }
     val files = statsPath match {
       case Some(sp) =>
-        val (kept, k, t) = GraftFileSkipping.filterSplits(sp, preds, points, planned)
+        val (kept, k, t) =
+          GraftFileSkipping.filterSplits(sp, preds, points, planned, strPreds)
         keptFiles = k; totalFiles = t; kept
       case None => planned
     }

@@ -454,7 +454,12 @@ object SkippingIndex {
     * leave NaN bounds / null typ / nullOrAbsent=true — every gap reads
     * as "keep". */
   private final case class ColArrays(minD: Array[Double], maxD: Array[Double],
-      typ: Array[String], numeric: Array[Boolean], nullOrAbsent: Array[Boolean])
+      typ: Array[String], numeric: Array[Boolean], nullOrAbsent: Array[Boolean],
+      // UTF-8 bytes of min/max, populated ONLY for `BINARY:STRING`
+      // stats (null elsewhere) — the r19 string-skipping channel;
+      // unsigned byte order is both Spark's UTF8String order and
+      // parquet's declared STRING sort order
+      minB: Array[Array[Byte]], maxB: Array[Array[Byte]])
   /** One parsed generation: stats (API form), the file-membership set,
     * and the columnar planning arrays — all built once per index
     * rewrite, amortized over every query against the generation. */
@@ -484,11 +489,16 @@ object SkippingIndex {
         var ca = cols.get(cs.column)
         if (ca == null) {
           ca = ColArrays(Array.fill(n)(Double.NaN), Array.fill(n)(Double.NaN),
-            new Array[String](n), new Array[Boolean](n), Array.fill(n)(true))
+            new Array[String](n), new Array[Boolean](n), Array.fill(n)(true),
+            new Array[Array[Byte]](n), new Array[Array[Byte]](n))
           cols.put(cs.column, ca)
         }
         ca.minD(i) = cs.minD; ca.maxD(i) = cs.maxD; ca.typ(i) = cs.typ
         ca.numeric(i) = numericType(cs.typ); ca.nullOrAbsent(i) = cs.hasNulls
+        if (cs.typ == "BINARY:STRING") {
+          ca.minB(i) = cs.min.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ca.maxB(i) = cs.max.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
       }
       i += 1
     }
@@ -560,7 +570,8 @@ object SkippingIndex {
     * doubles keep the conservative refusal. */
   def candidateFilesTyped(statsPath: java.nio.file.Path, files: Seq[String],
       preds: Seq[(String, Double, Double, Set[String])],
-      keepNullsOf: Option[String] = None): Seq[String] = {
+      keepNullsOf: Option[String] = None,
+      strPreds: Seq[(String, Option[String], Option[String])] = Nil): Seq[String] = {
     val currentSet = new java.util.HashSet[String](files.size * 2)
     files.foreach(currentSet.add)
     val entry = cachedIndex(statsPath)
@@ -589,6 +600,28 @@ object SkippingIndex {
             val t = ca.typ(j)
             if (t != null && (ca.numeric(j) || rawTypes.contains(t)) &&
                 (ca.maxD(j) < lo || ca.minD(j) > hi)) keep(j) = false
+          }
+          j += 1
+        }
+      }
+    }
+    // string ranges: unsigned UTF-8 byte intersect against
+    // `BINARY:STRING` stats ONLY (raw binary/decimal stats stay
+    // unprunable); missing bytes (absent stats, other types) keep
+    if (constrained) strPreds.foreach { case (column, lo, hi) =>
+      val ca = entry.cols.get(column)
+      if (ca != null) {
+        val loB = lo.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hiB = hi.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var j = 0
+        while (j < n) {
+          if (keep(j) && (nullKeep == null || !nullKeep(j)) &&
+              ca.typ(j) == "BINARY:STRING" && ca.minB(j) != null) {
+            val below = loB.exists(b =>
+              java.util.Arrays.compareUnsigned(ca.maxB(j), b) < 0)
+            val above = hiB.exists(b =>
+              java.util.Arrays.compareUnsigned(ca.minB(j), b) > 0)
+            if (below || above) keep(j) = false
           }
           j += 1
         }

@@ -107,6 +107,31 @@ class FileSkippingSpec extends AnyFunSuite {
     assert(GraftFileSkipping.runtimeKeep(Array.empty, pSchema)(split(1)))
   }
 
+  test("string range conjuncts extract with UTF-8 byte-order envelopes (r19)") {
+    def sx(es: Expression*) = GraftFileSkipping.stringRangeConjuncts(es)
+    assert(sx(EqualTo(s, Literal("m"))) === Seq(("s", Some("m"), Some("m"))))
+    assert(sx(EqualTo(Literal("m"), s)) === Seq(("s", Some("m"), Some("m"))))
+    assert(sx(GreaterThan(s, Literal("b"))) === Seq(("s", Some("b"), None)))
+    assert(sx(LessThan(s, Literal("q"))) === Seq(("s", None, Some("q"))))
+    assert(sx(LessThanOrEqual(Literal("q"), s)) === Seq(("s", Some("q"), None)),
+      "reversed operands flip the bound")
+    assert(sx(And(GreaterThanOrEqual(s, Literal("c")),
+      LessThanOrEqual(s, Literal("f")))).toSet ===
+      Set(("s", Some("c"), None), ("s", None, Some("f"))))
+    // IN envelope uses UNSIGNED UTF-8 order: 'Z' (0x5A) < 'a' (0x61)
+    assert(sx(In(s, Seq(Literal("b"), Literal("Z"), Literal("a")))) ===
+      Seq(("s", Some("Z"), Some("b"))))
+    // non-string literals, non-attribute shapes: nothing extracts
+    assert(sx(EqualTo(id, Literal(5L))).isEmpty)
+    assert(sx(EqualNullSafe(s, Literal("x"))).isEmpty,
+      "null-safe equality can match NULL — never prune on it")
+    assert(sx(In(s, Seq(Literal("a"), s))).isEmpty)
+    // the comparator itself: unsigned bytes, multi-byte code points
+    assert(GraftFileSkipping.compareUtf8("Z", "a") < 0)
+    assert(GraftFileSkipping.compareUtf8("é", "z") > 0,
+      "multi-byte UTF-8 sorts after ASCII — byte order, not char order")
+  }
+
   test("±0.0 double partition values follow SQL equality, never wrongly prune") {
     // SQL (and Spark's own DPP evaluation) treats -0.0 = 0.0 as TRUE;
     // boxed equals does not — a -0.0-valued partition dir must keep

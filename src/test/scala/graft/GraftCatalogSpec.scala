@@ -1001,6 +1001,40 @@ class GraftCatalogSpec extends SparkSpec {
       (2500L to 3500L).filterNot(_ == 2600L).toArray)
   }
 
+  test("STRING range predicates prune files through the index (r19)") {
+    // string-keyed clustering (ids, ISO dates as strings) is the most
+    // common 100 TB layout after numerics; the UTF-8 byte order Spark
+    // compares strings with IS parquet's declared STRING stats order,
+    // so min/max intersect prunes exactly like numerics — and only
+    // against `BINARY:STRING` stats, never raw binary/decimal.
+    val (cat, _, c) = freshCatalog("sskip")
+    cat.overwriteVersioned("t",
+      (1 to 8000).map(i => (f"k$i%05d", i.toLong)).toDF("name", "v"))
+    cat.compact("t", rowsPerFile = 1000, clusterBy = Seq("name"))
+    cat.index("t", Seq("name"))
+    val q = spark.sql(
+      s"SELECT name, v FROM $c.t WHERE name BETWEEN 'k02500' AND 'k03500'")
+    val rows = q.collect()
+    assert(rows.length === 1001)
+    assert(rows.map(_.getString(0)).min === "k02500")
+    val desc = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.head
+    val kk = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc).get
+    assert(kk.group(2).toInt >= 8 && kk.group(1).toInt <= 3,
+      s"a 1k-name band must open ~2 of ${kk.group(2)} clustered files: $desc")
+    // string equality prunes the same way (range [s,s] + bloom door)
+    val eq = spark.sql(s"SELECT v FROM $c.t WHERE name = 'k00042'")
+    assert(eq.collect().map(_.getLong(0)).toSeq === Seq(42L))
+    val desc2 = eq.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.head
+    val kk2 = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc2).get
+    assert(kk2.group(1).toInt <= 2, s"point lookup must stay narrow: $desc2")
+  }
+
   test("DATE range predicates prune files through the index (raw epoch units)") {
     val (cat, _, c) = freshCatalog("dskip")
     val base = java.time.LocalDate.of(2024, 1, 1)
