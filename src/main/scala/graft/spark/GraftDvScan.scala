@@ -224,17 +224,18 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     }.filter(keep)
     // planned + runtime conjuncts both ride the index pass — all
     // whole-file drops, so surviving files' row positions are intact
-    val (rPreds, rPoints) =
+    val (rPreds, rPoints, rStrs) =
       if (statsPath.isDefined && rtPreds.nonEmpty)
         GraftFileSkipping.runtimeIndexConjuncts(rtPreds, inner.readDataSchema)
-      else (Nil, Nil)
+      else (Nil, Nil, Nil)
     val allPreds = preds ++ rPreds
     val allPoints = points ++ rPoints
+    val allStrs = strPreds ++ rStrs
     val indexKept = statsPath match {
       case Some(sp) if allPreds.nonEmpty || allPoints.nonEmpty ||
-          strPreds.nonEmpty =>
+          allStrs.nonEmpty =>
         GraftFileSkipping.filterSplits(sp, allPreds, allPoints, planned,
-          strPreds)._1
+          allStrs)._1
       case _ => planned
     }
     // runtime bucket pruning: values over the bucketed DATA column

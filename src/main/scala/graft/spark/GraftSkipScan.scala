@@ -213,16 +213,17 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
       // dynamic FILE pruning: runtime IN/= over indexed DATA columns
       // translate to the same envelope + point conjuncts the planned
       // filters use, and ride the identical index/bloom pass
-      val (rPreds, rPoints) = GraftFileSkipping.runtimeIndexConjuncts(
+      val (rPreds, rPoints, rStrs) = GraftFileSkipping.runtimeIndexConjuncts(
         runtimePreds, inner.readDataSchema)
       val allPreds = preds ++ rPreds
       val allPoints = points ++ rPoints
+      val allStrs = strPreds ++ rStrs
       val r = statsPath match {
         case Some(sp) if allPreds.nonEmpty || allPoints.nonEmpty ||
-            strPreds.nonEmpty =>
+            allStrs.nonEmpty =>
           val (splits, k, _) =
             GraftFileSkipping.filterSplits(sp, allPreds, allPoints, kept,
-              strPreds)
+              allStrs)
           (splits, k, total)
         case _ =>
           (kept, kept.map(f =>
@@ -391,12 +392,14 @@ object GraftFileSkipping {
   def runtimeIndexConjuncts(predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate],
       dataSchema: StructType):
-      (Seq[(String, Double, Double, Set[String])], Seq[(String, Seq[Any])]) = {
+      (Seq[(String, Double, Double, Set[String])], Seq[(String, Seq[Any])],
+        Seq[(String, Option[String], Option[String])]) = {
     import org.apache.spark.sql.connector.expressions.{Literal => VLiteral,
       NamedReference}
     import org.apache.spark.sql.types._
     val preds = Seq.newBuilder[(String, Double, Double, Set[String])]
     val points = Seq.newBuilder[(String, Seq[Any])]
+    val strs = Seq.newBuilder[(String, Option[String], Option[String])]
     predicates.foreach { p =>
       val kids = p.children().toSeq
       kids match {
@@ -423,6 +426,16 @@ object GraftFileSkipping {
                     env(2.0, Set("INT64:TIMESTAMP(MICROS,true)"))
                   case TimestampNTZType =>
                     env(2.0, Set("INT64:TIMESTAMP(MICROS,false)"))
+                  case StringType =>
+                    // STRING envelope over the UTF-8 byte order (r19):
+                    // a string-keyed dim's runtime IN prunes the fact
+                    // by [min,max] even without declared blooms
+                    val ss = vs.map(_.value
+                      .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                      .toString)
+                    implicit val ord: Ordering[String] =
+                      (x: String, y: String) => compareUtf8(x, y)
+                    strs += ((col, Some(ss.min(ord)), Some(ss.max(ord))))
                   case _ => ()
                 }
                 // bloom points: JVM-typed values (the footer hash layer
@@ -441,7 +454,7 @@ object GraftFileSkipping {
         case _ => ()
       }
     }
-    (preds.result(), points.result())
+    (preds.result(), points.result(), strs.result())
   }
 
   /** URI → plain filesystem path (the index stores plain absolute

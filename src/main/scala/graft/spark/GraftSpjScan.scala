@@ -259,13 +259,14 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
       // unaffected; unrecognized shapes contribute nothing.
       statsPath match {
         case Some(sp) =>
-          val (rPreds, rPoints) = GraftFileSkipping.runtimeIndexConjuncts(
+          val (rPreds, rPoints, rStrs) = GraftFileSkipping.runtimeIndexConjuncts(
             runtimePreds, inner.readDataSchema)
-          if (rPreds.isEmpty && rPoints.isEmpty) byBucket.toArray[InputPartition]
+          if (rPreds.isEmpty && rPoints.isEmpty && rStrs.isEmpty)
+            byBucket.toArray[InputPartition]
           else {
             val files = byBucket.flatMap(_.delegate.files)
             val (kept, _, _) =
-              GraftFileSkipping.filterSplits(sp, rPreds, rPoints, files)
+              GraftFileSkipping.filterSplits(sp, rPreds, rPoints, files, rStrs)
             val keptPaths = kept.map(f =>
               GraftFileSkipping.plainPath(f.filePath.toString)).toSet
             byBucket.filter(_.delegate.files.forall(f =>

@@ -167,23 +167,26 @@ class FileSkippingSpec extends AnyFunSuite {
     val schema = StructType(Seq(StructField("id", LT), StructField("s", ST)))
     def in(col: String, vs: Any*) = new Predicate("IN",
       (Expressions.column(col) +: vs.map(Expressions.literal)).toArray[VExpr])
-    val (preds, points) = GraftFileSkipping.runtimeIndexConjuncts(
+    val (preds, points, _) = GraftFileSkipping.runtimeIndexConjuncts(
       Array(in("id", 2100L, 2300L, 2200L)), schema)
     assert(preds === Seq(("id", 2100.0, 2300.0, Set.empty)),
       "the envelope spans the runtime values")
     assert(points === Seq("id" -> Seq(2100L, 2300L, 2200L)))
-    // strings: no envelope (lexicographic trap), blooms only
-    val (p2, pt2) = GraftFileSkipping.runtimeIndexConjuncts(
+    // strings: UTF-8 byte-order envelope (r19) PLUS blooms
+    val (p2, pt2, st2) = GraftFileSkipping.runtimeIndexConjuncts(
       Array(in("s",
-        org.apache.spark.unsafe.types.UTF8String.fromString("x"))), schema)
-    assert(p2.isEmpty && pt2 === Seq("s" -> Seq("x")))
+        org.apache.spark.unsafe.types.UTF8String.fromString("x"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("Z"))), schema)
+    assert(p2.isEmpty && pt2 === Seq("s" -> Seq("x", "Z")))
+    assert(st2 === Seq(("s", Some("Z"), Some("x"))),
+      "runtime string IN contributes a byte-order envelope")
     // type mismatch (int literal vs long column) refuses everything
-    val (p3, pt3) = GraftFileSkipping.runtimeIndexConjuncts(
+    val (p3, pt3, st3) = GraftFileSkipping.runtimeIndexConjuncts(
       Array(in("id", 5)), schema)
-    assert(p3.isEmpty && pt3.isEmpty)
+    assert(p3.isEmpty && pt3.isEmpty && st3.isEmpty)
     // oversized IN keeps the cheap envelope, skips the bloom hashing
     val big = in("id", (1L to 65L): _*)
-    val (p4, pt4) = GraftFileSkipping.runtimeIndexConjuncts(Array(big), schema)
+    val (p4, pt4, _) = GraftFileSkipping.runtimeIndexConjuncts(Array(big), schema)
     assert(p4 === Seq(("id", 1.0, 65.0, Set.empty)) && pt4.isEmpty)
   }
 

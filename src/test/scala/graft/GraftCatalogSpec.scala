@@ -1420,6 +1420,33 @@ class GraftCatalogSpec extends SparkSpec {
       s"the dim's narrow key band must prune the clustered fact files: ${m.get}")
   }
 
+  test("dynamic FILE pruning over STRING join keys (runtime UTF-8 envelope)") {
+    // r19: a string-keyed fact-dim join runtime-prunes the fact by the
+    // dim keys' UTF-8 [min,max] envelope — no declared blooms needed,
+    // and the 64-value bloom cap does not gate the (always-cheap)
+    // envelope
+    val (cat, _, c) = freshCatalog("ssdfp")
+    cat.overwriteVersioned("f",
+      (1 to 8000).map(i => (f"k$i%05d", i.toLong)).toDF("name", "v"))
+    cat.compact("f", rowsPerFile = 1000, clusterBy = Seq("name"))
+    cat.index("f", Seq("name"))
+    cat.overwriteVersioned("dim",
+      (2500 to 2700).map(i => (f"k$i%05d", 1L)).toDF("name", "n"))
+    val sql = s"SELECT f.name, f.v FROM $c.f f " +
+      s"JOIN $c.dim d ON f.name = d.name WHERE d.n = 1"
+    val expected = spark.sql(sql).collect().map(_.getString(0)).sorted
+    assert(expected.length === 201)
+    val q = spark.sql(sql)
+    assert(q.collect().map(_.getString(0)).sorted === expected,
+      "runtime string pruning must never change results")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"expected a runtime filter:\n$plan")
+    val kk = "GraftSkipScan\\(kept=(\\d+) of (\\d+) files".r
+      .findFirstMatchIn(plan).get
+    assert(kk.group(1).toInt * 2 < kk.group(2).toInt,
+      s"the dim's 201-name band lives in ~1 of ${kk.group(2)} files:\n$plan")
+  }
+
   test("dynamic partition pruning composes with deletion vectors") {
     val (cat, _, c) = freshCatalog("dppdv")
     cat.overwriteVersioned("fact",
