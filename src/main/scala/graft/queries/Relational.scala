@@ -2017,6 +2017,67 @@ object Relational {
                MIN(c_name) AS min_name, MAX(c_name) AS max_name,
                CAST(1 AS BIGINT) AS str_pruned
         FROM customer
-        WHERE c_name BETWEEN 'Customer#000000100' AND 'Customer#000000299'"""))
+        WHERE c_name BETWEEN 'Customer#000000100' AND 'Customer#000000299'""")),
+
+    // ----------------------------------------------------------------
+    // S25: DECIMAL min/max file skipping (r19) — money columns are the
+    // canonical DECIMAL case and the engine previously refused all
+    // decimal pruning (unscaled-int stats). The conjunct now converts
+    // to the SAME unscaled units and prunes variant-exactly against
+    // the `DECIMAL(p,s)` annotation (mismatched precision/scale or
+    // binary-backed wide decimals keep conservatively). A mid-range
+    // price band over the price-clustered layout opens a minority of
+    // the files, pinned from the executed plan. Oracle = the plain
+    // filtered aggregate over the same cast.
+    Q(
+      "s25_sql_decimal_skip",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_dsk_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val o = Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+              .as("price"))
+          cat.overwriteVersioned("orders_dec", o)
+          val n = o.count()
+          cat.compact("orders_dec",
+            rowsPerFile = math.max(1L, n / 12), clusterBy = Seq("price"))
+          cat.index("orders_dec", Seq("price"))
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gdk$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val q = s.sql(
+          s"""SELECT o_orderkey, price FROM $cname.orders_dec
+              WHERE price BETWEEN 30000.00 AND 60000.00""")
+        q.collect()
+        val plan = q.queryExecution.executedPlan.toString
+        val pruned =
+          "GraftSkipScan\\(kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(plan)
+            .map(m => if (m.group(1).toLong * 2 < m.group(2).toLong) 1L else 0L)
+            .getOrElse(0L)
+        q.agg(count(lit(1)).as("n_rows"),
+            min(col("price")).cast("double").as("min_price"),
+            max(col("price")).cast("double").as("max_price"),
+            min(col("o_orderkey")).as("min_key"))
+          .withColumn("dec_pruned", lit(pruned))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS min_price,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS max_price,
+               MIN(o_orderkey) AS min_key,
+               CAST(1 AS BIGINT) AS dec_pruned
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(12,2))
+                BETWEEN 30000.00 AND 60000.00"""))
   )
 }

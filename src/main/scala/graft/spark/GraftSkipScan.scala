@@ -436,6 +436,15 @@ object GraftFileSkipping {
                     implicit val ord: Ordering[String] =
                       (x: String, y: String) => compareUtf8(x, y)
                     strs += ((col, Some(ss.min(ord)), Some(ss.max(ord))))
+                  case dt: DecimalType =>
+                    // unscaled-unit envelope, tag-gated exactly like
+                    // the planned-time decimal conjuncts
+                    val ds = vs.map(_.value
+                      .asInstanceOf[org.apache.spark.sql.types.Decimal]
+                      .toJavaBigDecimal.movePointRight(dt.scale).doubleValue())
+                    preds += ((col, ds.min - 2.0, ds.max + 2.0,
+                      Set(s"INT32:DECIMAL(${dt.precision},${dt.scale})",
+                        s"INT64:DECIMAL(${dt.precision},${dt.scale})")))
                   case _ => ()
                 }
                 // bloom points: JVM-typed values (the footer hash layer
@@ -490,6 +499,19 @@ object GraftFileSkipping {
       case (n: java.lang.Number, org.apache.spark.sql.types.TimestampNTZType) =>
         Some(n.doubleValue() -> Set("INT64:TIMESTAMP(MICROS,false)"))
       case (n: java.lang.Number, _) => Some(n.doubleValue() -> Set.empty[String])
+      case (d: org.apache.spark.sql.types.Decimal,
+          dt: org.apache.spark.sql.types.DecimalType) =>
+        // int-backed DECIMAL stats are exact UNSCALED integers
+        // annotated `DECIMAL(p,s)` (r19): convert the literal to the
+        // same unscaled units and tag BOTH physical widths variant-
+        // exactly — a precision/scale-mismatched file (schema
+        // evolution, absorbed parquet) or a binary-backed wide decimal
+        // carries a different tag and conservatively keeps; the ±2
+        // raw-tag pad keeps double rounding of wide unscaled values
+        // strictly over-reading
+        Some(d.toJavaBigDecimal.movePointRight(dt.scale).doubleValue() ->
+          Set(s"INT32:DECIMAL(${dt.precision},${dt.scale})",
+            s"INT64:DECIMAL(${dt.precision},${dt.scale})"))
       case (d: org.apache.spark.sql.types.Decimal, _) =>
         Some(d.toDouble -> Set.empty[String])
       case _ => None

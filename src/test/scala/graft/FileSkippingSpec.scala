@@ -107,6 +107,25 @@ class FileSkippingSpec extends AnyFunSuite {
     assert(GraftFileSkipping.runtimeKeep(Array.empty, pSchema)(split(1)))
   }
 
+  test("DECIMAL literals prune their unscaled-int stats, tag-gated (r19)") {
+    import org.apache.spark.sql.types.{Decimal, DecimalType}
+    val amt = AttributeReference("amt", DecimalType(12, 2))()
+    val lit = Literal(Decimal(BigDecimal("12.34"), 12, 2), DecimalType(12, 2))
+    val tags = Set("INT32:DECIMAL(12,2)", "INT64:DECIMAL(12,2)")
+    assert(x(GreaterThanOrEqual(amt, lit)) ===
+      Seq(("amt", 1234.0 - 2, inf, tags)),
+      "the literal converts to UNSCALED units and tags both widths")
+    assert(x(EqualTo(amt, lit)) ===
+      Seq(("amt", 1234.0 - 2, 1234.0 + 2, tags)))
+    // a wide literal (binary-backed column) tags annotations no
+    // INT32/INT64 file records — the conjunct exists but matches
+    // nothing, i.e. keeps everything
+    val wide = AttributeReference("w", DecimalType(38, 6))()
+    val wlit = Literal(Decimal(BigDecimal("1.000001"), 38, 6), DecimalType(38, 6))
+    assert(x(EqualTo(wide, wlit)).head._4 ===
+      Set("INT32:DECIMAL(38,6)", "INT64:DECIMAL(38,6)"))
+  }
+
   test("string range conjuncts extract with UTF-8 byte-order envelopes (r19)") {
     def sx(es: Expression*) = GraftFileSkipping.stringRangeConjuncts(es)
     assert(sx(EqualTo(s, Literal("m"))) === Seq(("s", Some("m"), Some("m"))))

@@ -1035,6 +1035,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(kk2.group(1).toInt <= 2, s"point lookup must stay narrow: $desc2")
   }
 
+  test("DECIMAL range predicates prune files through the index (r19)") {
+    // int-backed decimal stats are exact UNSCALED integers; a
+    // DECIMAL(12,2) predicate converts to the same units and prunes an
+    // amount-clustered layout, gated variant-exactly on the
+    // `DECIMAL(p,s)` annotation so mismatched or binary-backed files
+    // keep conservatively
+    import org.apache.spark.sql.types.DecimalType
+    val (cat, _, c) = freshCatalog("dskip")
+    val df = (1 to 8000).map(i => (i.toLong, BigDecimal(i, 2)))
+      .toDF("id", "amt")
+      .select(col("id"), col("amt").cast(DecimalType(12, 2)).as("amt"))
+    cat.overwriteVersioned("t", df)
+    cat.compact("t", rowsPerFile = 1000, clusterBy = Seq("amt"))
+    cat.index("t", Seq("amt"))
+    val q = spark.sql(
+      s"SELECT id, amt FROM $c.t WHERE amt BETWEEN 25.00 AND 35.00")
+    val rows = q.collect()
+    assert(rows.length === 1001)
+    val desc = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.head
+    val kk = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc).get
+    assert(kk.group(2).toInt >= 8 && kk.group(1).toInt <= 3,
+      s"a 10-unit band must open ~2 of ${kk.group(2)} amount-clustered files: $desc")
+  }
+
   test("DATE range predicates prune files through the index (raw epoch units)") {
     val (cat, _, c) = freshCatalog("dskip")
     val base = java.time.LocalDate.of(2024, 1, 1)
