@@ -4675,6 +4675,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       case (DateType, "INT32:DATE") => s.toIntOption
       case (TimestampType, "INT64:TIMESTAMP(MICROS,true)") => s.toLongOption
       case (TimestampNTZType, "INT64:TIMESTAMP(MICROS,false)") => s.toLongOption
+      // int-backed DECIMAL stats are EXACT unscaled integers (unlike
+      // the truncatable binary form, which stays refused): answerable
+      // when the annotation matches the column's precision/scale
+      // variant-exactly (r19)
+      case (dt: DecimalType, t)
+          if t == s"INT32:DECIMAL(${dt.precision},${dt.scale})" ||
+            t == s"INT64:DECIMAL(${dt.precision},${dt.scale})" =>
+        s.toLongOption.map(u =>
+          Decimal(BigDecimal(BigInt(u), dt.scale), dt.precision, dt.scale))
       case _ => None
     }
     val stats = statsWithFallback(name, column, filesAbs)
@@ -4698,6 +4707,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         case IntegerType | DateType => Ordering.Int.on[Any](_.asInstanceOf[Int])
         case ShortType => Ordering.Short.on[Any](_.asInstanceOf[Short])
         case ByteType => Ordering.Byte.on[Any](_.asInstanceOf[Byte])
+        case _: DecimalType => Ordering.fromLessThan[Any]((a, b) =>
+          a.asInstanceOf[Decimal] < b.asInstanceOf[Decimal])
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
       Some((vs.map(_._1).min(ord), vs.map(_._2).max(ord)))

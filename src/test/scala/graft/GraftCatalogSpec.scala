@@ -1060,6 +1060,15 @@ class GraftCatalogSpec extends SparkSpec {
     val kk = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc).get
     assert(kk.group(2).toInt >= 8 && kk.group(1).toInt <= 3,
       s"a 10-unit band must open ~2 of ${kk.group(2)} amount-clustered files: $desc")
+    // metadata MIN/MAX answers from the index for int-backed decimals
+    // too (exact unscaled stats — unlike the refused binary form)
+    val mm = spark.sql(s"SELECT MIN(amt) AS mn, MAX(amt) AS mx FROM $c.t")
+    val r = mm.head()
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("0.01")) == 0)
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("80.00")) == 0)
+    assert(mm.queryExecution.executedPlan.toString
+      .contains("GraftCountStarScan"),
+      "decimal MIN/MAX must answer from metadata")
   }
 
   test("DATE range predicates prune files through the index (raw epoch units)") {
