@@ -448,12 +448,18 @@ object GraftFileSkipping {
                   case _ => ()
                 }
                 // bloom points: JVM-typed values (the footer hash layer
-                // keeps files for anything it cannot hash)
+                // keeps files for anything it cannot hash); compact
+                // decimals as their unscaled long, like planned points
                 if (vs.size <= MaxRuntimeBloomValues) {
-                  val typed = vs.flatMap(_.value match {
-                    case n: Number => Some(n)
-                    case s: org.apache.spark.unsafe.types.UTF8String =>
+                  val typed = vs.flatMap(l => (l.value, f.dataType) match {
+                    case (n: Number, _) => Some(n)
+                    case (s: org.apache.spark.unsafe.types.UTF8String, _) =>
                       Some(s.toString)
+                    case (d: org.apache.spark.sql.types.Decimal,
+                        dt: DecimalType)
+                        if dt.precision <=
+                          org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS =>
+                      Some(java.lang.Long.valueOf(d.toUnscaledLong))
                     case _ => None
                   })
                   if (typed.size == vs.size) points += ((col, typed))
@@ -646,9 +652,17 @@ object GraftFileSkipping {
     * ([[graft.storage.SkippingIndex.bloomMightContain]] keeps files it
     * cannot hash for anyway). */
   def pointConjuncts(filters: Seq[Expression]): Seq[(String, Seq[Any])] = {
-    def typed(l: Literal): Option[Any] = l.value match {
-      case n: java.lang.Number => Some(n)
-      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    def typed(l: Literal): Option[Any] = (l.value, l.dataType) match {
+      case (n: java.lang.Number, _) => Some(n)
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) => Some(s.toString)
+      // compact decimals hash as their UNSCALED long — exactly the
+      // INT32/INT64 physical value the column's bloom was built over
+      // (the literal's scale matches the column's after analysis);
+      // wide (binary-backed) decimals stay unextracted (r19)
+      case (d: org.apache.spark.sql.types.Decimal,
+          dt: org.apache.spark.sql.types.DecimalType)
+          if dt.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS =>
+        Some(java.lang.Long.valueOf(d.toUnscaledLong))
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {

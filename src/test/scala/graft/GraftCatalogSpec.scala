@@ -1138,6 +1138,21 @@ class GraftCatalogSpec extends SparkSpec {
     val kept2 = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(d2).get
     assert(kept2.group(1) === kept2.group(2),
       s"without blooms a point probe keeps every file: $d2")
+    // compact DECIMAL point lookups bloom as their unscaled long (r19)
+    // — the exact physical value the column's filter was built over
+    import org.apache.spark.sql.types.DecimalType
+    val dcat = new ParquetCatalog(spark, root, bloomFor = Seq("amt"))
+    dcat.overwriteVersioned("v",
+      (1L to 20000L).map(i => (i, BigDecimal(i, 2))).toDF("id", "amt")
+        .select(col("id"), col("amt").cast(DecimalType(12, 2)).as("amt"))
+        .repartition(8))
+    dcat.index("v", Seq("amt"))
+    val qd = spark.sql(s"SELECT id FROM $c.v WHERE amt = 123.45")
+    val dd = desc(qd)
+    val keptD = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(dd).get
+    assert(keptD.group(2).toInt === 8 && keptD.group(1).toInt * 2 < 8,
+      s"decimal blooms must prune a random layout: $dd")
+    assert(qd.as[Long].collect().toSeq === Seq(12345L))
   }
 
   test("SELECT count(*) answers from metadata, deletion vectors subtracted") {
