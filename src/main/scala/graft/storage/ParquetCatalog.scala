@@ -1050,8 +1050,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       else df.repartition(files)
     if (isVersioned(name)) {
       // write-once versions: the new commit's staging write reads the
-      // still-live current version — no persist barrier needed
-      overwriteVersioned(name, repart, partitionBy)
+      // still-live current version — no persist barrier needed.
+      // An UNSTATED partitionBy preserves the current layout (Delta
+      // OPTIMIZE semantics, r19) — compaction is a file-size verb, a
+      // re-layout is the explicit overwrite; composite bucket prefixes
+      // in particular must not silently flatten
+      val pb = if (partitionBy.nonEmpty) partitionBy else layout(name)
+      overwriteVersioned(name, repart, pb)
       val prior = indexCols(name)
       if (prior.nonEmpty) index(name, prior)
     } else {

@@ -900,6 +900,39 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("compaction preserves bucket layouts (OPTIMIZE semantics, r19)") {
+    // an unstated partitionBy used to FLATTEN the layout — on a
+    // declared-bucket table that silently demoted _gbucket to a data
+    // column and every later join shuffled; compaction now defaults to
+    // the current layout on both doors
+    val (cat, _, c) = freshCatalog("cmpb")
+    cat.overwriteBucketedVersioned("f",
+      (1L to 2000L).map(i => (i, s"d${i % 3}", i * 1.0))
+        .toDF("id", "day", "m"),
+      "id", 8, partitionBy = Seq("day"))
+    cat.overwriteBucketedVersioned("g",
+      (1L to 1500L).map(i => (i, s"v$i")).toDF("id", "tag"), "id", 8)
+    cat.compact("f", rowsPerFile = 500)
+    assert(cat.layout("f") ===
+      Seq("day", graft.storage.ParquetCatalog.BucketPartCol))
+    val sql = s"SELECT f.id, g.tag FROM $c.f f JOIN $c.g g " +
+      s"ON f.id = g.id WHERE f.day = 'd1'"
+    withSpj {
+      val q = spark.sql(sql)
+      assert(q.collect().length === 500)
+      assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the compacted layout must keep zipping")
+    }
+    cat.sql(s"OPTIMIZE f") // the SQL door passes the layout explicitly
+    assert(cat.layout("f") ===
+      Seq("day", graft.storage.ParquetCatalog.BucketPartCol))
+    withSpj {
+      assert(spark.sql(sql).collect().length === 500)
+      assert(!spark.sql(sql).queryExecution.executedPlan.toString
+        .contains("Exchange"))
+    }
+  }
+
   test("NULL bucket keys stay correct under bucket SPJ") {
     // the write side routes NULL keys to pmod(hash(null), n) =
     // pmod(seed, n) — a fixed bucket — while equi-joins never match
