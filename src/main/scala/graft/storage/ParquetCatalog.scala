@@ -2427,6 +2427,27 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         .putLong("parquet.field.id", ids(f.name).toLong).build())
     }.toSeq: _*)
     val w = writeOpts(name, tagged.write.mode(SaveMode.Overwrite))
+    // Spark's DEFAULT TimestampType encoding is INT96 — parquet records
+    // NO stats for it, which would make every self-written event-time
+    // column unprunable and metadata-MIN/MAX-blind. Staged LTZ columns
+    // therefore write TIMESTAMP_MICROS (stats-bearing, annotated
+    // `TIMESTAMP(MICROS,true)` — the variant the pruners accept) unless
+    // the session explicitly chose MILLIS/MICROS itself. Session-conf
+    // only (parquet has no per-write option); concurrent graft stages
+    // want the same value, and the prior resolved value is restored.
+    def hasLtz(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.TimestampType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasLtz(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasLtz(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasLtz(m.keyType) || hasLtz(m.valueType)
+      case _ => false
+    }
+    val TsKey = "spark.sql.parquet.outputTimestampType"
+    val priorTs = spark.conf.get(TsKey, "INT96")
+    val tsOverride = priorTs == "INT96" &&
+      tagged.schema.fields.exists(f => hasLtz(f.dataType))
+    if (tsOverride) spark.conf.set(TsKey, "TIMESTAMP_MICROS")
     // a failed write (e.g. a CHECK-constraint violation raised mid-job)
     // must not leave partial staging for vacuum to babysit
     try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -2436,7 +2457,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         pendingColIds.set(pendingColIds.get - ((name, version)))
         if (Files.exists(stageDir)) deleteRecursively(stageDir)
         throw e
-    }
+    } finally if (tsOverride) spark.conf.set(TsKey, priorTs)
     val s = Files.walk(stageDir)
     val staged =
       try s.iterator().asScala

@@ -1104,6 +1104,41 @@ class GraftCatalogSpec extends SparkSpec {
       "decimal MIN/MAX must answer from metadata")
   }
 
+  test("staged LTZ timestamps write MICROS stats: prunable + metadata MIN/MAX (r19)") {
+    // Spark's default writer stores TimestampType as INT96 (no stats);
+    // the stage path now opts LTZ columns into TIMESTAMP_MICROS, so
+    // self-written event-time columns skip files and answer MIN/MAX
+    // from metadata like every other type
+    val (cat, _, c) = freshCatalog("ltz")
+    val base = 1577836800000L // 2020-01-01T00:00:00Z
+    val df = (0 until 8000)
+      .map(i => (i.toLong, new java.sql.Timestamp(base + i * 3600000L)))
+      .toDF("id", "ts")
+    cat.overwriteVersioned("t", df)
+    cat.compact("t", rowsPerFile = 1000, clusterBy = Seq("ts"))
+    cat.index("t", Seq("ts"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
+      val q = spark.sql(s"SELECT id, ts FROM $c.t WHERE ts BETWEEN " +
+        "TIMESTAMP'2020-04-15 00:00:00' AND TIMESTAMP'2020-05-15 00:00:00'")
+      assert(q.collect().length === 721) // hourly rows in the 30-day window
+      val desc = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+      val kk = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc).get
+      assert(kk.group(2).toInt >= 8 && kk.group(1).toInt <= 3,
+        s"a 30-day window must open ~1 of ${kk.group(2)} time-clustered files: $desc")
+      val mm = spark.sql(s"SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM $c.t")
+      val r = mm.head()
+      assert(r.getTimestamp(0).getTime === base)
+      assert(r.getTimestamp(1).getTime === base + 7999L * 3600000L)
+      assert(mm.queryExecution.executedPlan.toString
+        .contains("GraftCountStarScan"),
+        "LTZ MIN/MAX must answer from metadata once stats exist")
+    } finally spark.conf.unset("spark.sql.session.timeZone")
+  }
+
   test("DATE range predicates prune files through the index (raw epoch units)") {
     val (cat, _, c) = freshCatalog("dskip")
     val base = java.time.LocalDate.of(2024, 1, 1)
