@@ -2078,6 +2078,59 @@ object Relational {
                CAST(1 AS BIGINT) AS dec_pruned
         FROM orders
         WHERE CAST(o_totalprice AS DECIMAL(12,2))
-                BETWEEN 30000.00 AND 60000.00"""))
+                BETWEEN 30000.00 AND 60000.00""")),
+
+    // ----------------------------------------------------------------
+    // S26: metadata-only MIN/MAX for STRINGS (r20) — s18 answers
+    // numeric/temporal/decimal extremes from the index; string
+    // entity-id MIN/MAX is an equally common interactive query and was
+    // blanket-refused (footer string stats can be truncated bounds
+    // rather than values). The index now records `BINARY:STRING` only
+    // for byte-exact UTF-8 round-trips, and the fold answers when
+    // EVERY surviving file's extreme is short enough to be provably
+    // untruncated (< 64 bytes — below any real writer truncation
+    // config; graft's writer never truncates). Pinned: the bare
+    // MIN/MAX AND a partition-filtered MAX both plan the single-row
+    // GraftCountStarScan — zero data pages at any scale. Oracle
+    // recomputes relationally.
+    Q(
+      "s26_sql_string_meta",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val suffix = graft.storage.Scratch.fingerprint(d).take(8)
+        val root = s"${sys.props("java.io.tmpdir")}/graft_ssm_$suffix"
+        val marker = Paths.get(s"$root/_complete")
+        val cat = new graft.storage.ParquetCatalog(s, root)
+        if (!Files.exists(marker)) {
+          val cust = Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_mktsegment")
+          cat.overwriteVersioned("cust_sm", cust, Seq("c_mktsegment"))
+          cat.index("cust_sm", Seq("c_name"))
+          Files.writeString(marker, "ok")
+        }
+        val cname = s"gsm$suffix"
+        s.conf.set(s"spark.sql.catalog.$cname",
+          classOf[graft.spark.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cname.root", root)
+        val mm = s.sql(
+          s"""SELECT min(c_name) AS min_name, max(c_name) AS max_name
+              FROM $cname.cust_sm""")
+        val mf = s.sql(
+          s"""SELECT max(c_name) AS max_name_b FROM $cname.cust_sm
+              WHERE c_mktsegment = 'BUILDING'""")
+        val metaAgg =
+          if (Seq(mm, mf).forall(_.queryExecution.executedPlan.toString
+              .contains("GraftCountStarScan"))) 1L else 0L
+        val r = mm.head(); val mb = mf.head().getString(0)
+        import s.implicits._
+        Seq((r.getString(0), r.getString(1), mb, metaAgg))
+          .toDF("min_name", "max_name", "max_name_b", "meta_agg")
+      },
+      Some("""
+        SELECT (SELECT MIN(c_name) FROM customer) AS min_name,
+               (SELECT MAX(c_name) FROM customer) AS max_name,
+               (SELECT MAX(c_name) FROM customer
+                 WHERE c_mktsegment = 'BUILDING') AS max_name_b,
+               CAST(1 AS BIGINT) AS meta_agg"""))
   )
 }

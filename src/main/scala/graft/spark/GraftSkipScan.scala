@@ -459,7 +459,10 @@ object GraftFileSkipping {
                         dt: DecimalType)
                         if dt.precision <=
                           org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS =>
-                      Some(java.lang.Long.valueOf(d.toUnscaledLong))
+                      // typed carrier: the bloom layer probes only
+                      // chunks whose DECIMAL(p,s) annotation matches
+                      Some(graft.storage.SkippingIndex.DecimalPoint(
+                        d.toUnscaledLong, dt.precision, dt.scale))
                     case _ => None
                   })
                   if (typed.size == vs.size) points += ((col, typed))
@@ -656,13 +659,17 @@ object GraftFileSkipping {
       case (n: java.lang.Number, _) => Some(n)
       case (s: org.apache.spark.unsafe.types.UTF8String, _) => Some(s.toString)
       // compact decimals hash as their UNSCALED long — exactly the
-      // INT32/INT64 physical value the column's bloom was built over
-      // (the literal's scale matches the column's after analysis);
-      // wide (binary-backed) decimals stay unextracted (r19)
+      // INT32/INT64 physical value the column's bloom was built over —
+      // carried WITH the (p,s) they were scaled under, so the bloom
+      // layer can refuse a chunk whose DECIMAL annotation differs
+      // (absorbed parquet at another scale stores different unscaled
+      // values for the same number); wide (binary-backed) decimals
+      // stay unextracted (r19)
       case (d: org.apache.spark.sql.types.Decimal,
           dt: org.apache.spark.sql.types.DecimalType)
           if dt.precision <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS =>
-        Some(java.lang.Long.valueOf(d.toUnscaledLong))
+        Some(graft.storage.SkippingIndex.DecimalPoint(
+          d.toUnscaledLong, dt.precision, dt.scale))
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {

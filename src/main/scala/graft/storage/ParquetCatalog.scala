@@ -1025,38 +1025,66 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       zorderBy: Seq[String] = Nil, zorderBits: Int = 8): Unit = {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "pick clusterBy OR zorderBy, not both")
+    // a bare compact()/OPTIMIZE clusters by the DECLARED layout (r20):
+    // `graft.clusterBy` / `graft.zorderBy` are table metadata, so the
+    // maintenance job never retypes the cluster key (explicit
+    // arguments still win for a one-off re-cluster)
+    val (cBy, zBy) =
+      if (clusterBy.nonEmpty || zorderBy.nonEmpty) (clusterBy, zorderBy)
+      else (declaredCols(name, ParquetCatalog.ClusterByProp),
+        declaredCols(name, ParquetCatalog.ZorderByProp))
     val df = read(name)
+    // one aggregate row carries every z-ordered column's lo/hi
+    def zkeyOf(frame: DataFrame): Column = {
+      val aggs = zBy.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val row = frame.agg(aggs.head, aggs.tail: _*).head()
+      val lohi = zBy.indices.map(i =>
+        (rowDouble(row, 2 * i), rowDouble(row, 2 * i + 1)))
+      graft.functions.ZOrder.zorderKey(zorderBits,
+        zBy.zip(lohi).map { case (c, (lo, hi)) =>
+          graft.functions.ZOrder.bucketize(col(c), lo, hi, zorderBits)
+        }: _*)
+    }
+    // An UNSTATED partitionBy preserves the current layout (Delta
+    // OPTIMIZE semantics, r19) — compaction is a file-size verb, a
+    // re-layout is the explicit overwrite; composite bucket prefixes
+    // in particular must not silently flatten
+    val layoutCols =
+      if (partitionBy.nonEmpty || !isVersioned(name)) partitionBy
+      else layout(name)
+    if (layoutCols.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol))) {
+      // BUCKETED layouts: the (identity × bucket) cell is the
+      // compaction unit — stage's clustered write distribution lands
+      // exactly one file per cell, with the cluster / z-order key
+      // applied INSIDE each cell by stage itself, after the hidden
+      // bucket derivation (an ordering established before the derived
+      // column's replacement would be voided and re-sorted away by the
+      // dynamic-partition writer). `rowsPerFile` does not subdivide a
+      // cell: the bucket count is the declared parallelism — re-bucket
+      // to resize cells.
+      val ord = if (zBy.nonEmpty) Seq(zkeyOf(df)) else cBy.map(col)
+      overwriteVersioned(name, df, layoutCols, orderWithinCells = ord)
+      val prior = indexCols(name)
+      if (prior.nonEmpty) index(name, prior)
+      return
+    }
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
     val repart =
-      if (zorderBy.nonEmpty) {
-        // one aggregate row carries every column's lo/hi
-        val aggs = zorderBy.flatMap(c =>
-          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        val lohi = zorderBy.indices.map(i =>
-          (rowDouble(row, 2 * i), rowDouble(row, 2 * i + 1)))
-        val zkey = graft.functions.ZOrder.zorderKey(zorderBits,
-          zorderBy.zip(lohi).map { case (c, (lo, hi)) =>
-            graft.functions.ZOrder.bucketize(col(c), lo, hi, zorderBits)
-          }: _*)
-        df.withColumn("__zkey", zkey)
+      if (zBy.nonEmpty) {
+        df.withColumn("__zkey", zkeyOf(df))
           .repartitionByRange(files, col("__zkey"))
           .sortWithinPartitions(col("__zkey"))
           .drop("__zkey")
-      } else if (clusterBy.nonEmpty)
-        df.repartitionByRange(files, clusterBy.map(col): _*)
-          .sortWithinPartitions(clusterBy.map(col): _*)
+      } else if (cBy.nonEmpty)
+        df.repartitionByRange(files, cBy.map(col): _*)
+          .sortWithinPartitions(cBy.map(col): _*)
       else df.repartition(files)
     if (isVersioned(name)) {
       // write-once versions: the new commit's staging write reads the
-      // still-live current version — no persist barrier needed.
-      // An UNSTATED partitionBy preserves the current layout (Delta
-      // OPTIMIZE semantics, r19) — compaction is a file-size verb, a
-      // re-layout is the explicit overwrite; composite bucket prefixes
-      // in particular must not silently flatten
-      val pb = if (partitionBy.nonEmpty) partitionBy else layout(name)
-      overwriteVersioned(name, repart, pb)
+      // still-live current version — no persist barrier needed
+      overwriteVersioned(name, repart, layoutCols)
       val prior = indexCols(name)
       if (prior.nonEmpty) index(name, prior)
     } else {
@@ -2094,6 +2122,24 @@ final class ParquetCatalog(spark: SparkSession, root: String,
               "types, string, date, timestamp, decimal do)")
         }
     }
+    if (key == ParquetCatalog.ClusterByProp || key == ParquetCatalog.ZorderByProp) {
+      val other = if (key == ParquetCatalog.ClusterByProp)
+        ParquetCatalog.ZorderByProp else ParquetCatalog.ClusterByProp
+      require(!tableProperties(name).contains(other),
+        s"$name already declares $other — pick clusterBy OR zorderBy, " +
+          "not both (unset the other first)")
+      val cols = value.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, s"$key needs at least one column")
+      migrateIfPlain(name)
+      val m0 = currentManifest(name)
+      recordedSchema(m0)
+        .orElse(scala.util.Try(readVersion(name, m0.version).schema).toOption)
+        .foreach { sch =>
+          cols.foreach(c => require(
+            sch.fields.exists(_.name.equalsIgnoreCase(c)),
+            s"no column '$c' on $name to cluster by"))
+        }
+    }
     setTablePropertyUnchecked(name, key, value)
   }
 
@@ -2142,6 +2188,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       case (k, v) if k.startsWith(PropPrefix) =>
         java.net.URLDecoder.decode(k.drop(PropPrefix.length), "UTF-8") -> v
     }
+
+  /** A comma-list property's declared columns (empty when unset). */
+  private def declaredCols(name: String, prop: String): Seq[String] =
+    tableProperties(name).get(prop).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   private def dvEnabled(m: TableManifest): Boolean =
     m.meta.get(propKey(ParquetCatalog.DeletionVectorsProp)).contains("true")
@@ -2386,8 +2437,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * name. Returns the manifest-relative paths — EMPTY for an empty
     * frame (Spark writes no data files for one); callers then record
     * the schema in manifest meta instead, see [[emptyMeta]]. */
+  /** `orderWithinCells`: extra sort expressions applied INSIDE each
+    * layout cell after distribution (compact's z-order key); see the
+    * clustered-write block below. */
   private def stage(name: String, df0: DataFrame, partitionBy: Seq[String],
-      version: Long): Seq[String] = {
+      version: Long, orderWithinCells: Seq[Column] = Nil): Seq[String] = {
     // HIDDEN-PARTITION semantics for bucket-declared tables: the bucket
     // id column is DERIVED, never trusted — a plain `INSERT INTO` (or
     // any verb's restage) supplying a wrong `_gbucket` value would
@@ -2402,7 +2456,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // carry; frames staged under a layout WITHOUT the bucket level
     // (a still-declared-only table's appends) stay untouched, so the
     // synthetic column never leaks into a data file.
-    val df = bucketSpec(name) match {
+    val derived = bucketSpec(name) match {
       case Some((c, n)) if partitionBy.exists(
             _.equalsIgnoreCase(ParquetCatalog.BucketPartCol)) &&
           df0.columns.exists(_.equalsIgnoreCase(c)) =>
@@ -2410,6 +2464,38 @@ final class ParquetCatalog(spark: SparkSession, root: String,
           pmod(hash(col(c)), lit(n)))
       case _ => df0
     }
+    // CLUSTERED WRITE DISTRIBUTION (r20): stage used to write the
+    // CALLER's task layout verbatim, so an N-task INSERT into a
+    // `partitionBy(date) + bucket(k)` table emitted up to N×dates×k
+    // files per batch — a real file-count explosion at 100 TB whose
+    // only remedy was a later full compact(). Under a bucketed layout
+    // the staged frame hash-redistributes by the layout columns, so
+    // each (identity × bucket) cell lands in exactly one task — AT
+    // MOST ONE file per cell per batch. A declared `graft.clusterBy`
+    // (or compact's explicit `orderWithinCells` z-order key)
+    // additionally sorts within each task, layout prefix FIRST and as
+    // expressions rather than temp columns: the dynamic-partition
+    // writer's required ordering is then already satisfied and it
+    // never re-sorts the cluster order away. Runs AFTER the hidden
+    // bucket derivation (sorting a column the derivation would replace
+    // would void the ordering and trigger that re-sort). One extra
+    // batch-sized shuffle per write; `spark.graft.write.
+    // distributeByLayout = false` restores the verbatim task layout.
+    // Identity-only layouts are NOT redistributed: without a bucket
+    // level a hot partition would collapse into a single task.
+    val df =
+      if (partitionBy.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol))
+          && spark.conf.get("spark.graft.write.distributeByLayout", "true")
+            .toBoolean) {
+        val cells = partitionBy.map(col)
+        val ord =
+          if (orderWithinCells.nonEmpty) orderWithinCells
+          else declaredCols(name, ParquetCatalog.ClusterByProp)
+            .filter(c => derived.columns.exists(_.equalsIgnoreCase(c)))
+            .map(col)
+        val re = derived.repartition(cells: _*)
+        if (ord.nonEmpty) re.sortWithinPartitions(cells ++ ord: _*) else re
+      } else derived
     val vd = versionsDir(name)
     Files.createDirectories(dataDir(name))
     val nn = nonce()
@@ -2443,11 +2529,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         hasLtz(m.keyType) || hasLtz(m.valueType)
       case _ => false
     }
-    val TsKey = "spark.sql.parquet.outputTimestampType"
-    val priorTs = spark.conf.get(TsKey, "INT96")
-    val tsOverride = priorTs == "INT96" &&
-      tagged.schema.fields.exists(f => hasLtz(f.dataType))
-    if (tsOverride) spark.conf.set(TsKey, "TIMESTAMP_MICROS")
+    // refcounted per session (ParquetCatalog.LtzMicrosOverride): the
+    // conf flips on the FIRST concurrent stage's entry and restores on
+    // the LAST's exit, so overlapping staged writes can never interleave
+    // a restore into another stage's planning window (which would write
+    // stats-less INT96 files mid-batch)
+    val tsOverride = tagged.schema.fields.exists(f => hasLtz(f.dataType)) &&
+      ParquetCatalog.LtzMicrosOverride.enter(spark)
     // a failed write (e.g. a CHECK-constraint violation raised mid-job)
     // must not leave partial staging for vacuum to babysit
     try (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -2457,7 +2545,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         pendingColIds.set(pendingColIds.get - ((name, version)))
         if (Files.exists(stageDir)) deleteRecursively(stageDir)
         throw e
-    } finally if (tsOverride) spark.conf.set(TsKey, priorTs)
+    } finally if (tsOverride) ParquetCatalog.LtzMicrosOverride.exit(spark)
     val s = Files.walk(stageDir)
     val staged =
       try s.iterator().asScala
@@ -2910,7 +2998,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
 
   def overwriteVersioned(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
-      batchToken: Option[String] = None): Long = {
+      batchToken: Option[String] = None,
+      orderWithinCells: Seq[Column] = Nil): Long = {
     migrateIfPlain(name)
     val pb = declaredBucketLayout(name, df, partitionBy)
     val prior = versions(name).lastOption
@@ -2921,7 +3010,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
     }
     val next = prior.getOrElse(0L) + 1
-    val rels = stage(name, df, pb, next)
+    val rels = stage(name, df, pb, next, orderWithinCells)
     val meta = Map("op" -> "overwrite") ++
       prior.map(v => carriedMeta(manifest(name, v))).getOrElse(Map.empty) ++
       tokenMeta(batchToken) ++
@@ -4040,7 +4129,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       case Array(c, n) if c.trim.equalsIgnoreCase(from) => s"$to,${n.trim}"
       case _ => v
     }
-    val base = Seq(ParquetCatalog.BloomForProp, ParquetCatalog.IndexForProp)
+    val base = Seq(ParquetCatalog.BloomForProp, ParquetCatalog.IndexForProp,
+      ParquetCatalog.ClusterByProp, ParquetCatalog.ZorderByProp)
       .foldLeft(meta) { (mm, p) =>
         val k = propKey(p)
         mm.get(k).fold(mm)(v => mm + (k -> fix(v)))
@@ -4710,6 +4800,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
             t == s"INT64:DECIMAL(${dt.precision},${dt.scale})" =>
         s.toLongOption.map(u =>
           Decimal(BigDecimal(BigInt(u), dt.scale), dt.precision, dt.scale))
+      // STRING stats answer when the index proves EXACTNESS (r20): the
+      // `BINARY:STRING` tag is only recorded when the footer bytes
+      // round-trip UTF-8 byte-exactly (SkippingIndex r20 — lossy
+      // decodes demote); the U+FFFD guard covers pre-r20 entries. The
+      // < 64-byte ceiling guards against TRUNCATED footer stats, which
+      // bound the range but need not be real values: parquet-mr only
+      // truncates when explicitly configured, never below the 64-byte
+      // column-index default in practice, and graft's own writer never
+      // truncates — a value shorter than every real truncation length
+      // is the recorded extreme itself. Longer values refuse → the
+      // stock scan answers.
+      case (StringType, "BINARY:STRING")
+          if s.indexOf('�') < 0 &&
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length < 64 =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
       case _ => None
     }
     val stats = statsWithFallback(name, column, filesAbs)
@@ -4735,6 +4840,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         case ByteType => Ordering.Byte.on[Any](_.asInstanceOf[Byte])
         case _: DecimalType => Ordering.fromLessThan[Any]((a, b) =>
           a.asInstanceOf[Decimal] < b.asInstanceOf[Decimal])
+        // UTF8String.compareTo IS the unsigned-byte stats order
+        case StringType => Ordering.fromLessThan[Any]((a, b) =>
+          a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].compareTo(
+            b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) < 0)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
       Some((vs.map(_._1).min(ord), vs.map(_._2).max(ord)))
@@ -4803,6 +4912,20 @@ object ParquetCatalog {
     * key). */
   val BucketByProp: String = "graft.bucketBy"
 
+  /** DECLARATIVE clustering (comma-separated columns), mirroring
+    * `graft.bucketBy` (r20): `OPTIMIZE t` / engine-door `compact()`
+    * with no explicit cluster arguments default to the declared
+    * layout — Delta's clustered-table shape, where the cluster key is
+    * table metadata retyped by no maintenance job. `graft.clusterBy`
+    * (lexicographic range-cluster) additionally rides EVERY staged
+    * write into a bucketed layout as an in-task sort, so min/max stats
+    * stay tight between OPTIMIZE runs; `graft.zorderBy` applies at
+    * OPTIMIZE/compact only (its key needs a min/max normalization pass
+    * per write). Mutually exclusive; renames follow like the other
+    * declarations. */
+  val ClusterByProp: String = "graft.clusterBy"
+  val ZorderByProp: String = "graft.zorderBy"
+
   /** The synthetic partition column bucketed layouts are stored under
     * (hive dirs `_gbucket=<id>`). */
   val BucketPartCol: String = "_gbucket"
@@ -4812,4 +4935,35 @@ object ParquetCatalog {
     * keeping per-append metadata O(delta) — Delta's checkpoint-interval
     * trade, applied to the manifest format. */
   val SnapshotInterval: Int = 10
+
+  /** Process-wide, per-session refcount around the staged-write LTZ
+    * MICROS override (`spark.sql.parquet.outputTimestampType` is
+    * session-global and parquet has no per-write option): the conf
+    * flips INT96 → TIMESTAMP_MICROS when the first concurrent stage
+    * enters and restores when the last exits, so an overlapping stage
+    * can never observe (or be broken by) a mid-flight restore. A
+    * session already set to a non-INT96 value is the user's explicit
+    * unit choice — `enter` declines and nothing is touched. */
+  private[storage] object LtzMicrosOverride {
+    private val TsKey = "spark.sql.parquet.outputTimestampType"
+    private val depth = new java.util.HashMap[org.apache.spark.sql.SparkSession, Int]()
+    /** True when the override is engaged for this stage (caller must
+      * then balance with [[exit]]). */
+    def enter(spark: org.apache.spark.sql.SparkSession): Boolean =
+      depth.synchronized {
+        val d = depth.getOrDefault(spark, 0)
+        if (d == 0) {
+          if (spark.conf.get(TsKey, "INT96") != "INT96") return false
+          spark.conf.set(TsKey, "TIMESTAMP_MICROS")
+        }
+        depth.put(spark, d + 1)
+        true
+      }
+    def exit(spark: org.apache.spark.sql.SparkSession): Unit =
+      depth.synchronized {
+        val d = depth.getOrDefault(spark, 0)
+        if (d <= 1) { depth.remove(spark); spark.conf.set(TsKey, "INT96") }
+        else depth.put(spark, d - 1)
+      }
+  }
 }

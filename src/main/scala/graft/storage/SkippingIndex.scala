@@ -131,12 +131,24 @@ object SkippingIndex {
           val prim = ss.head.`type`()
           val ann = Option(prim.getLogicalTypeAnnotation)
             .map(a => ":" + a.toString).getOrElse("")
-          val typ = prim.getPrimitiveTypeName.name() + ann
+          val typ0 = prim.getPrimitiveTypeName.name() + ann
           // genericGetMin/Max are Comparable within one physical type
           val mins = ss.map(_.genericGetMin.asInstanceOf[Comparable[Any]])
           val maxs = ss.map(_.genericGetMax.asInstanceOf[Comparable[Any]])
           val mn = mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
           val mx = maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+          // STRING stats are only PRUNABLE (and metadata-MIN/MAX-
+          // answerable) when the UTF-8 decode round-trips byte-exactly:
+          // Spark string columns can carry invalid UTF-8 (e.g.
+          // CAST(binary AS STRING)), whose decode substitutes U+FFFD
+          // and can shift the recorded min UP or max DOWN — a
+          // byte-intersect against such bounds could wrongly drop files
+          // holding real extreme values. Lossy stats demote to a tag no
+          // pruner matches, so the files conservatively keep.
+          val typ =
+            if (typ0 == "BINARY:STRING" && !(utf8Exact(mn) && utf8Exact(mx)))
+              "BINARY:STRING(lossy)"
+            else typ0
           // conservative: a chunk with absent statistics or an unset
           // null count is UNKNOWN → treat as possibly-null
           val nulls = chunks.exists { c =>
@@ -159,6 +171,18 @@ object SkippingIndex {
   private def render(v: Any): String = v match {
     case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
     case other => other.toString
+  }
+
+  /** True when a footer Binary stat decodes to UTF-8 and re-encodes to
+    * the SAME bytes — the condition under which the string-rendered
+    * min/max preserve the column's unsigned-byte order. */
+  private def utf8Exact(v: Any): Boolean = v match {
+    case b: org.apache.parquet.io.api.Binary =>
+      val bytes = b.getBytes
+      java.util.Arrays.equals(bytes,
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case _ => false
   }
 
   /** Build + atomically persist the index for `cols` of catalog table
@@ -241,6 +265,12 @@ object SkippingIndex {
     stats.foreach { fs =>
       str(fs.file)
       out.writeLong(fs.rows)
+      // writeShort truncates silently past 65535 and would desync the
+      // decode cursor, corrupting the whole persisted index — refuse
+      // loudly at write time (no real table indexes 64k columns)
+      require(fs.cols.size <= 0xFFFF,
+        s"cannot persist skipping index: ${fs.file} carries " +
+          s"${fs.cols.size} indexed columns (max 65535)")
       out.writeShort(fs.cols.size)
       fs.cols.foreach { c =>
         str(c.column); str(c.typ); str(c.min); str(c.max)
@@ -495,7 +525,13 @@ object SkippingIndex {
         }
         ca.minD(i) = cs.minD; ca.maxD(i) = cs.maxD; ca.typ(i) = cs.typ
         ca.numeric(i) = numericType(cs.typ); ca.nullOrAbsent(i) = cs.hasNulls
-        if (cs.typ == "BINARY:STRING") {
+        // the U+FFFD guard covers PRE-r20 persisted entries, written
+        // before lossy decodes were demoted at build time: a stat that
+        // may have passed through replacement-substitution cannot bound
+        // the column's byte order (a real string containing U+FFFD just
+        // keeps its files — conservative only)
+        if (cs.typ == "BINARY:STRING" &&
+            cs.min.indexOf('�') < 0 && cs.max.indexOf('�') < 0) {
           ca.minB(i) = cs.min.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           ca.maxB(i) = cs.max.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
@@ -503,9 +539,18 @@ object SkippingIndex {
       i += 1
     }
     val entry = CachedIndex(parsed, fset, files, cols)
-    // evict superseded generations of the same path, then cap hard
+    // evict superseded generations of the same path, then cap hard —
+    // by SINGLE victims, never clear(): dropping every hot table's
+    // parsed arrays at once would re-pay the full decode+array build
+    // per table on its next query (a latency cliff in sessions
+    // scanning many indexed tables)
     parsedCache.keySet.removeIf(k => k._1 == key._1 && k != key)
-    if (parsedCache.size >= CacheCap) parsedCache.clear()
+    if (parsedCache.size >= CacheCap) {
+      val it = parsedCache.keySet().iterator()
+      while (parsedCache.size >= CacheCap && it.hasNext) {
+        val k = it.next(); if (k != key) it.remove()
+      }
+    }
     parsedCache.put(key, entry)
     entry
   }
@@ -731,15 +776,41 @@ object SkippingIndex {
     } finally reader.close()
   }
 
+  /** A decimal point-lookup value: the UNSCALED long plus the (p,s) it
+    * was scaled under. [[bloomHash]] probes it only against a column
+    * chunk whose DECIMAL annotation matches variant-exactly — a file
+    * with a different scale (absorbed external parquet carrying its own
+    * blooms) stores different unscaled values for the same logical
+    * number, and probing it with mis-scaled longs would wrongly prune;
+    * the mismatch keeps the file, mirroring the min/max tag gate. */
+  final case class DecimalPoint(unscaled: Long, precision: Int, scale: Int)
+
   /** The hash must be computed over the column's PHYSICAL type —
     * hashing a Long against an INT32 column would wrongly prune — so
-    * coerce, or return None (= keep the file) when impossible. */
+    * coerce, or return None (= keep the file) when impossible. Plain
+    * numeric probes additionally refuse DECIMAL-annotated chunks (their
+    * ints are unscaled values in different units). */
   private def bloomHash(
       cmd: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
       bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
       value: Any): Option[Long] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{
+      DecimalLogicalTypeAnnotation => DecAnn}
+    val ann = cmd.getPrimitiveType.getLogicalTypeAnnotation
     (cmd.getPrimitiveType.getPrimitiveTypeName, value) match {
+      case (pt, dp: DecimalPoint) => ann match {
+        case d: DecAnn
+            if d.getPrecision == dp.precision && d.getScale == dp.scale =>
+          pt match {
+            case INT64 => Some(bf.hash(dp.unscaled))
+            case INT32 if dp.unscaled.isValidInt =>
+              Some(bf.hash(dp.unscaled.toInt))
+            case _ => None
+          }
+        case _ => None
+      }
+      case (_, _: Number) if ann.isInstanceOf[DecAnn] => None
       case (INT64, n: Number) => Some(bf.hash(n.longValue()))
       case (INT32, n: Number)
           if n.longValue().isValidInt => Some(bf.hash(n.intValue()))

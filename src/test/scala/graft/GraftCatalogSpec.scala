@@ -1303,6 +1303,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(vc.collect().head.getLong(0) === 2990L)
   }
 
+  test("metadata MIN/MAX answers for STRINGS when stats are provably exact (r20)") {
+    val (cat, _, c) = freshCatalog("smm")
+    cat.overwriteVersioned("t",
+      (1 to 5000).map(i => (f"k$i%05d", i.toLong)).toDF("name", "v")
+        .repartition(6))
+    cat.index("t", Seq("name"))
+    val q = spark.sql(s"SELECT min(name) AS lo, max(name) AS hi FROM $c.t")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().head.toSeq === Seq("k00001", "k05000"))
+    // a ≥64-byte extreme could be a truncating writer's BOUND rather
+    // than a value — the fold refuses and the real scan answers
+    val (cat2, _, c2) = freshCatalog("smml")
+    val long = "x" * 80
+    cat2.overwriteVersioned("t",
+      (1 to 100).map(i => (f"$long$i%04d", i.toLong)).toDF("name", "v"))
+    cat2.index("t", Seq("name"))
+    val lq = spark.sql(s"SELECT min(name) AS lo FROM $c2.t")
+    assert(!lq.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
+      "over-long string stats must refuse the metadata fold")
+    assert(lq.collect().head.getString(0) === s"${long}0001")
+    // invalid-UTF-8 strings carry LOSSY stats — refuse, scan answers
+    val (cat3, _, c3) = freshCatalog("smmb")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val rows = (1 to 50).map(i =>
+      Row(Array[Byte](0xFF.toByte, (i % 100).toByte))).asJava
+    val bdf = spark.createDataFrame(rows,
+      StructType(Seq(StructField("b", BinaryType))))
+      .select(col("b").cast("string").as("s"))
+    cat3.overwriteVersioned("t", bdf)
+    cat3.index("t", Seq("s"))
+    val bq = spark.sql(s"SELECT max(s) AS hi FROM $c3.t")
+    assert(!bq.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
+      "lossy string stats must refuse the metadata fold")
+    assert(bq.collect().head.getString(0) ===
+      cat3.read("t").agg(max(col("s"))).head().getString(0))
+  }
+
   test("metadata MIN/MAX/COUNT answer for TIME-TRAVELED versions (footer fallback)") {
     val (cat, _, c) = freshCatalog("mtt")
     cat.overwriteVersioned("t",
@@ -1586,6 +1626,99 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("GraftDvScan"), plan)
     assert(plan.contains("dynamicpruning"),
       s"expected a runtime filter on the vectored fact scan:\n$plan")
+  }
+
+  test("clustered write distribution: one file per (partition × bucket) cell (r20)") {
+    val (cat, _, c) = freshCatalog("cwd")
+    // a deliberately MANY-task frame: stage used to write the caller's
+    // task layout verbatim, landing up to 16 tasks × 3 days × 16
+    // buckets files per batch — the 100 TB file-count explosion
+    val df = (1L to 6000L).map(i => (i, s"d${i % 3}", i * 1.0))
+      .toDF("id", "day", "m").repartition(16)
+    cat.overwriteBucketedVersioned("f", df, "id", 16,
+      partitionBy = Seq("day"))
+    val cells = 3 * 16
+    def maxPerCell(): Long = cat.read("f")
+      .select(col("day"), col("_gbucket"), input_file_name().as("fn"))
+      .groupBy("day", "_gbucket").agg(countDistinct(col("fn")).as("nf"))
+      .agg(max(col("nf"))).as[Long].head()
+    assert(cat.fileCount("f") <= cells,
+      s"${cat.fileCount("f")} files for $cells cells")
+    assert(maxPerCell() === 1L,
+      "a multi-task overwrite must land exactly one file per cell")
+    // a multi-task INSERT batch adds AT MOST one more file per cell
+    spark.sql(s"INSERT INTO $c.f SELECT id + 10000, 1.0, " +
+      s"concat('d', CAST(id % 3 AS STRING)), 0 FROM range(3000)")
+    assert(maxPerCell() <= 2L, "one batch = at most one file per cell")
+    assert(cat.fileCount("f") <= 2L * cells)
+    // bare OPTIMIZE bin-packs back to one file per cell and the layout
+    // keeps zipping
+    cat.sql("OPTIMIZE f")
+    assert(maxPerCell() === 1L)
+    cat.overwriteBucketedVersioned("dim",
+      (1L to 3000L).map(i => (i, s"v$i")).toDF("id", "tag"), "id", 16)
+    withSpj {
+      val q = spark.sql(
+        s"SELECT f.id, d.tag FROM $c.f f JOIN $c.dim d ON f.id = d.id")
+      assert(q.collect().length === 3000)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"distributed writes must preserve the zipped layout:\n$plan")
+    }
+  }
+
+  test("declarative clustering: graft.clusterBy drives bare OPTIMIZE, follows renames (r20)") {
+    val (cat, _, c) = freshCatalog("dcl")
+    spark.sql(s"CREATE TABLE $c.t (k BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('graft.clusterBy'='k', 'graft.indexFor'='k')")
+    // scattered inserts: every file spans most of the key space
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $c.t SELECT CAST(pmod(hash(id + ${i * 7919}), " +
+        s"6000) AS BIGINT), 1.0 FROM range(2000)")
+    }
+    def keptOf(sqlText: String): (Int, Int) = {
+      val q = spark.sql(sqlText)
+      val desc = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+      val m = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    def kept(colName: String): (Int, Int) =
+      keptOf(s"SELECT * FROM $c.t WHERE $colName BETWEEN 100 AND 600")
+    val (a0, b0) = kept("k")
+    assert(a0 === b0, s"scattered layout should keep all files: $a0 of $b0")
+    // bare OPTIMIZE — no ZORDER clause anywhere — picks up the DECLARED
+    // cluster key
+    cat.sql("OPTIMIZE t ROWS 1000")
+    val (a1, b1) = kept("k")
+    assert(b1 >= 5 && a1 * 2 < b1,
+      s"declared clusterBy must cluster a bare OPTIMIZE: kept $a1 of $b1")
+    // the declaration FOLLOWS a column rename, like bloomFor/indexFor
+    spark.sql(s"ALTER TABLE $c.t RENAME COLUMN k TO kk")
+    assert(cat.tableProperties("t")(ParquetCatalog.ClusterByProp) === "kk")
+    val (a2, b2) = kept("kk")
+    assert(a2 * 2 < b2, "clustering survives the rename")
+    // clusterBy and zorderBy are mutually exclusive at declaration
+    intercept[IllegalArgumentException](
+      cat.setTableProperty("t", ParquetCatalog.ZorderByProp, "v"))
+    // a declaration naming a missing column refuses at declare time
+    intercept[IllegalArgumentException](
+      cat.setTableProperty("t", ParquetCatalog.ClusterByProp, "nope"))
+    // declared zorderBy: bare engine-door compact() z-orders BOTH
+    // columns (the multi-dimension skip ZOrderSpec measures)
+    val (cat2, _, c2) = freshCatalog("dclz")
+    cat2.overwriteVersioned("z",
+      (1L to 8000L).map(i => (i % 97, (i * 31) % 89, i))
+        .toDF("a", "b", "n"))
+    cat2.setTableProperty("z", ParquetCatalog.ZorderByProp, "a,b")
+    cat2.compact("z", rowsPerFile = 500) // bare: no cluster arguments
+    cat2.index("z", Seq("a", "b"))
+    val (ka, ta) = keptOf(s"SELECT * FROM $c2.z WHERE a BETWEEN 10 AND 20")
+    val (kb, tb) = keptOf(s"SELECT * FROM $c2.z WHERE b BETWEEN 10 AND 20")
+    assert(ta >= 8 && ka < ta && kb < tb,
+      s"declared zorder must prune BOTH dimensions: a=$ka of $ta, b=$kb of $tb")
   }
 
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {

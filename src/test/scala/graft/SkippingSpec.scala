@@ -266,4 +266,54 @@ class SkippingSpec extends SparkSpec {
     assert(cand.size == stats.size,
       s"random layout should not prune: ${cand.size} of ${stats.size}")
   }
+
+  test("invalid-UTF-8 string stats demote to lossy and never string-prune") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lossy").toString + "/t"
+    // 0x41 0xFF is invalid UTF-8: the lossy decode substitutes U+FFFD
+    // (bytes EF BF BD), which sorts BELOW the original 0xFF byte — a
+    // byte-intersect trusting that max would wrongly drop the file for
+    // probes between them
+    val hiBytes = Array[Byte](0x41, 0xFF.toByte)
+    Seq(Tuple1(Array[Byte](0x41)), Tuple1(hiBytes)).toDF("b")
+      .select(col("b").cast("string").as("s"))
+      .coalesce(1).write.parquet(dir)
+    val stats = SkippingIndex.write(spark, dir, Seq("s"))
+    val cs = stats.head.cols.find(_.column == "s").get
+    assert(cs.typ == "BINARY:STRING(lossy)", s"got ${cs.typ}")
+    // probe ABOVE the lossy-decoded max: the file must survive
+    val files = SkippingIndex.listFiles(dir)
+    val cand = SkippingIndex.candidateFilesTyped(
+      java.nio.file.Paths.get(dir, "_graft_stats.json"), files, Nil,
+      strPreds = Seq(("s", Some("A��"), None)))
+    assert(cand == files, "lossy string stats must keep the file")
+    // and valid-UTF-8 stats still carry the prunable tag
+    val dir2 = Files.createTempDirectory("graft-lossy2").toString + "/t"
+    Seq("alpha", "omega").toDF("s").coalesce(1).write.parquet(dir2)
+    val cs2 = SkippingIndex.write(spark, dir2, Seq("s"))
+      .head.cols.find(_.column == "s").get
+    assert(cs2.typ == "BINARY:STRING")
+  }
+
+  test("decimal bloom probes gate on the chunk's DECIMAL(p,s) annotation") {
+    val dir = Files.createTempDirectory("graft-decbloom").toString + "/t"
+    spark.range(100).select(col("id").cast("decimal(9,2)").as("d"))
+      .coalesce(1).write
+      .option("parquet.bloom.filter.enabled#d", "true").parquet(dir)
+    val files = SkippingIndex.listFiles(dir)
+    // present value (5.00 = unscaled 500) under the matching (9,2): kept
+    assert(SkippingIndex.bloomCandidates(spark, files, "d",
+      SkippingIndex.DecimalPoint(500L, 9, 2)) == files)
+    // absent value under the matching annotation: pruned
+    assert(SkippingIndex.bloomCandidates(spark, files, "d",
+      SkippingIndex.DecimalPoint(123457L, 9, 2)).isEmpty)
+    // same unscaled long at a DIFFERENT scale aliases a different
+    // number — the annotation mismatch must keep the file
+    assert(SkippingIndex.bloomCandidates(spark, files, "d",
+      SkippingIndex.DecimalPoint(123457L, 9, 3)) == files)
+    // a plain numeric probe against a DECIMAL-annotated chunk is in
+    // different units — refuse (keep), mirroring the min/max tag gate
+    assert(SkippingIndex.bloomCandidates(spark, files, "d",
+      java.lang.Long.valueOf(123457L)) == files)
+  }
 }
