@@ -1721,6 +1721,94 @@ class GraftCatalogSpec extends SparkSpec {
       s"declared zorder must prune BOTH dimensions: a=$ka of $ta, b=$kb of $tb")
   }
 
+  test("composite layouts under time travel: old versions keep THEIR multi-transform keys (r20)") {
+    val (cat, _, c) = freshCatalog("cttv")
+    // v1: composite partitionBy(day) + bucket(8, id)
+    cat.overwriteBucketedVersioned("f",
+      (1L to 2000L).map(i => (i, s"d${i % 3}", i * 1.0)).toDF("id", "day", "m"),
+      "id", 8, partitionBy = Seq("day"))
+    val v1 = cat.currentVersion("f")
+    cat.overwriteBucketedVersioned("dim8",
+      (1L to 1500L).map(i => (i, s"v$i")).toDF("id", "tag"), "id", 8)
+    // re-layout the fact: DIFFERENT bucket count, no identity prefix
+    cat.overwriteBucketedVersioned("f",
+      (1L to 2000L).map(i => (i, s"d${i % 3}", i * 2.0)).toDF("id", "day", "m"),
+      "id", 16)
+    cat.overwriteBucketedVersioned("dim16",
+      (1L to 1500L).map(i => (i, s"w$i")).toDF("id", "tag"), "id", 16)
+    // the traveled composite version zips against a dim co-bucketed to
+    // ITS spec: the day filter consumes the identity component, the
+    // fact degrades to bucket(8, id), zero Exchange
+    val sqlOld = s"SELECT f.id, f.m, d.tag FROM $c.f VERSION AS OF $v1 f " +
+      s"JOIN $c.dim8 d ON f.id = d.id WHERE f.day = 'd1'"
+    val expected = spark.sql(sqlOld).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+    assert(expected.nonEmpty)
+    withSpj {
+      val q = spark.sql(sqlOld)
+      assert(q.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))).sorted === expected)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"the traveled composite version must zip with its own spec:\n$plan")
+      assert(plan.contains("GraftSpjScan"), plan)
+    }
+    withSpj {
+      // the CURRENT version zips against the 16-bucket dim
+      val q = spark.sql(s"SELECT f.id, d.tag FROM $c.f f " +
+        s"JOIN $c.dim16 d ON f.id = d.id")
+      assert(q.collect().length === 1500)
+      assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+      // traveled-vs-16 is bucket-MISALIGNED: it must NOT zip (an
+      // Exchange appears) and results stay correct
+      val m = spark.sql(s"SELECT f.id, d.tag FROM $c.f VERSION AS OF $v1 f " +
+        s"JOIN $c.dim16 d ON f.id = d.id WHERE f.day = 'd1'")
+      assert(m.queryExecution.executedPlan.toString.contains("Exchange"),
+        "mismatched bucket specs must shuffle, never zip wrongly")
+      assert(m.collect().length === 500)
+    }
+  }
+
+  test("DATE and DECIMAL bucket KEYS run zipped joins end-to-end (r20)") {
+    // the bucket function hashes date/decimal byte-identically to
+    // pmod(hash(col), n) (PropertySpec); this pins the WHOLE path — a
+    // non-string/int key through layout, V2 function binding, and a
+    // zero-Exchange co-bucketed join
+    val (cat, _, c) = freshCatalog("dbk")
+    val dates = (1L to 1200L).map(i => (i, java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i % 365)), i * 1.0))
+      .toDF("n", "dkey", "m")
+    cat.overwriteBucketedVersioned("fd", dates, "dkey", 8)
+    cat.overwriteBucketedVersioned("dd",
+      (0L to 364L).map(i => (java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i)), s"t$i"))
+        .toDF("dkey", "tag"), "dkey", 8)
+    withSpj {
+      val q = spark.sql(s"SELECT f.n, d.tag FROM $c.fd f " +
+        s"JOIN $c.dd d ON f.dkey = d.dkey")
+      assert(q.collect().length === 1200)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"DATE-bucketed co-bucketed join must not shuffle:\n$plan")
+    }
+    val decs = (1L to 1200L).map(i => (i, BigDecimal(i % 500) / 100))
+      .toDF("n", "k").select(col("n"),
+        col("k").cast(org.apache.spark.sql.types.DecimalType(9, 2)).as("k"))
+    cat.overwriteBucketedVersioned("fk", decs, "k", 8)
+    cat.overwriteBucketedVersioned("dk",
+      (0L to 499L).map(i => (BigDecimal(i) / 100, s"v$i")).toDF("k", "tag")
+        .select(col("k").cast(org.apache.spark.sql.types.DecimalType(9, 2))
+          .as("k"), col("tag")), "k", 8)
+    withSpj {
+      val q = spark.sql(s"SELECT f.n, d.tag FROM $c.fk f " +
+        s"JOIN $c.dk d ON f.k = d.k")
+      assert(q.collect().length === 1200)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"DECIMAL-bucketed co-bucketed join must not shuffle:\n$plan")
+    }
+  }
+
   test("GraftParquetFileFormat never compares equal to the stock parquet format") {
     // HadoopFsRelation / plan-cache / exchange-reuse equality must not
     // conflate a graft relation (field-id read forced on) with a stock
