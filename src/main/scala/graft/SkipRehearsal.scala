@@ -106,6 +106,21 @@ object SkipRehearsal {
         f"kept=${cand.size}%5d persistMs=$persistMs%8.1f " +
         f"coldMs=$coldMs%8.1f warmMs=$warmMs%8.1f " +
         f"countMs=$countMs%8.1f totalRows=$total%d")
+      // r20: PARTITION-FILTERED planning — the caller's live list is
+      // what a 1-of-200-partitions query passes after Spark's own
+      // partition pruning (n/200 files). Planning must be O(that
+      // list), not O(all n index entries): the r19 warm residual was
+      // the full-index reconciliation even for a pruned slice.
+      val slice = (0 until n by 200).map(i => s"/data/t/part-$i.parquet")
+      val (sCand, sliceMs) = time(graft.storage.SkippingIndex
+        .candidateFilesAt(statsPath, slice, Seq(("id", lo, hi))))
+      // and the metadata COUNT fold over the slice (exactRowCountFor's
+      // per-file cached-lookup shape)
+      val (sRows, sCountMs) = time(slice.flatMap(f =>
+        graft.storage.SkippingIndex.rowCountAtCached(statsPath, f)).sum)
+      println(f"[skip-rehearsal-slice] n=$n%7d sliceFiles=${slice.size}%6d " +
+        f"kept=${sCand.size}%4d warmSliceMs=$sliceMs%8.1f " +
+        f"sliceCountMs=$sCountMs%8.1f sliceRows=$sRows%d")
     }
     spark.stop()
   }

@@ -170,8 +170,7 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] = {
     val indexed = statsPath.toSeq.flatMap(sp =>
-      graft.storage.SkippingIndex.readAtCached(sp)
-        .flatMap(_.cols.map(_.column))).distinct
+      graft.storage.SkippingIndex.columnsAtCached(sp))
       .filter(c => inner.readDataSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
     (inner.readPartitionSchema.fieldNames.toSeq ++ bucketOf.map(_._1) ++ indexed)
       .distinct

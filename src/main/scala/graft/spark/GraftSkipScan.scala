@@ -132,8 +132,6 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
     val tightened: Option[(Long, Long)] = statsPath.flatMap { sp =>
       if (preds.isEmpty && strPreds.isEmpty) None
       else {
-        val stats = graft.storage.SkippingIndex.readAtCached(sp)
-          .map(fs => fs.file -> fs.rows).toMap
         val parts = inner.toBatch.planInputPartitions().toSeq
         if (!parts.forall(_.isInstanceOf[FilePartition])) None
         else {
@@ -143,13 +141,19 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
           val byFile = splits
             .groupBy(f => GraftFileSkipping.plainPath(f.filePath.toString))
             .view.mapValues(_.map(_.length).sum).toMap
-          if (!byFile.keys.forall(stats.contains)) None
+          // per-file cached lookups — never an O(index) map rebuild
+          // per estimate call
+          val rows = byFile.keys.toSeq.sorted.flatMap(f =>
+            graft.storage.SkippingIndex.rowCountAtCached(sp, f)
+              .map(f -> _))
+          if (rows.size != byFile.size) None
           else {
+            val rowsMap = rows.toMap
             val cand = graft.storage.SkippingIndex
               .candidateFilesTyped(sp, byFile.keys.toSeq.sorted, preds,
                 strPreds = strPreds).toSet
             val keptFiles = byFile.keys.filter(cand.contains).toSeq
-            Some((keptFiles.map(stats).sum, keptFiles.map(byFile).sum))
+            Some((keptFiles.map(rowsMap).sum, keptFiles.map(byFile).sum))
           }
         }
       }
@@ -176,8 +180,7 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] = {
     val indexed = statsPath.toSeq.flatMap(sp =>
-      graft.storage.SkippingIndex.readAtCached(sp)
-        .flatMap(_.cols.map(_.column))).distinct
+      graft.storage.SkippingIndex.columnsAtCached(sp))
     (inner.readPartitionSchema.fieldNames ++ indexed.filter(c =>
       inner.readDataSchema.fieldNames.exists(_.equalsIgnoreCase(c))))
       .distinct

@@ -197,8 +197,7 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
     // pass (dynamic FILE pruning, r19), which plain GraftSkipScan
     // already had and SPJ scans previously lost entirely
     val indexed = statsPath.toSeq.flatMap(sp =>
-      graft.storage.SkippingIndex.readAtCached(sp)
-        .flatMap(_.cols.map(_.column))).distinct
+      graft.storage.SkippingIndex.columnsAtCached(sp))
       .filter(c => inner.readDataSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
     (partitionBy ++ bucketOf.map(_._1) ++ indexed).distinct
       .map(Expressions.column).toArray

@@ -4682,9 +4682,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     require(isVersioned(name), s"no versioned table $name")
     val m = manifest(name, version)
     if (filesAbs.isEmpty) return 0L
+    // per-file cached lookups — O(queried files), never an O(index)
+    // map rebuild per count (r20)
+    val hasIndex = SkippingIndex.existsAt(statsPath(name))
     val indexed: Map[String, Long] =
-      if (SkippingIndex.existsAt(statsPath(name)))
-        SkippingIndex.readAtCached(statsPath(name)).map(fs => fs.file -> fs.rows).toMap
+      if (hasIndex)
+        filesAbs.flatMap(f =>
+          SkippingIndex.rowCountAtCached(statsPath(name), f).map(f -> _)).toMap
       else Map.empty
     val missing = filesAbs.filterNot(indexed.contains)
     val counted =
@@ -4759,10 +4763,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * data pages, exactly [[exactRowCount]]'s missing-file policy. */
   private def statsWithFallback(name: String, column: String,
       filesAbs: Seq[String]): Map[String, SkippingIndex.FileStats] = {
+    // per-file cached lookups — O(queried files), never an O(index)
+    // map rebuild per aggregate (r20)
     val indexed: Map[String, SkippingIndex.FileStats] =
       if (SkippingIndex.existsAt(statsPath(name)))
-        SkippingIndex.readAtCached(statsPath(name))
-          .map(fs => fs.file -> fs).toMap
+        filesAbs.flatMap(f =>
+          SkippingIndex.fileStatsAtCached(statsPath(name), f).map(f -> _)).toMap
       else Map.empty
     val missing = filesAbs.filterNot(indexed.contains)
     if (missing.isEmpty) indexed

@@ -490,11 +490,16 @@ object SkippingIndex {
       // unsigned byte order is both Spark's UTF8String order and
       // parquet's declared STRING sort order
       minB: Array[Array[Byte]], maxB: Array[Array[Byte]])
-  /** One parsed generation: stats (API form), the file-membership set,
+  /** One parsed generation: stats (API form), the file → array-row
+    * index, per-file row counts, the distinct indexed column names,
     * and the columnar planning arrays — all built once per index
-    * rewrite, amortized over every query against the generation. */
+    * rewrite, amortized over every query against the generation. The
+    * row index is what makes per-query planning O(caller's files):
+    * a partition-pruned split list looks its files up directly, never
+    * walking all n index entries (the r19 1M-file warm residual). */
   private final case class CachedIndex(stats: Seq[FileStats],
-      fileSet: java.util.HashSet[String], files: Array[String],
+      rowIndex: java.util.HashMap[String, Integer], rows: Array[Long],
+      columns: Seq[String],
       cols: java.util.HashMap[String, ColArrays])
   private val parsedCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), CachedIndex]()
@@ -508,13 +513,13 @@ object SkippingIndex {
     if (hit != null) return hit
     val parsed = decodeStats(Files.readAllBytes(statsPath))
     val n = parsed.size
-    val fset = new java.util.HashSet[String](n * 2)
-    val files = new Array[String](n)
+    val rowIndex = new java.util.HashMap[String, Integer](n * 2)
+    val rows = new Array[Long](n)
     val cols = new java.util.HashMap[String, ColArrays]()
     var i = 0
     parsed.foreach { s =>
-      files(i) = s.file
-      fset.add(s.file)
+      rowIndex.put(s.file, i)
+      rows(i) = s.rows
       s.cols.foreach { cs =>
         var ca = cols.get(cs.column)
         if (ca == null) {
@@ -538,7 +543,12 @@ object SkippingIndex {
       }
       i += 1
     }
-    val entry = CachedIndex(parsed, fset, files, cols)
+    val columns = {
+      val ks = new java.util.ArrayList(cols.keySet())
+      java.util.Collections.sort(ks)
+      ks.asScala.toSeq
+    }
+    val entry = CachedIndex(parsed, rowIndex, rows, columns, cols)
     // evict superseded generations of the same path, then cap hard —
     // by SINGLE victims, never clear(): dropping every hot table's
     // parsed arrays at once would re-pay the full decode+array build
@@ -617,17 +627,17 @@ object SkippingIndex {
       preds: Seq[(String, Double, Double, Set[String])],
       keepNullsOf: Option[String] = None,
       strPreds: Seq[(String, Option[String], Option[String])] = Nil): Seq[String] = {
-    val currentSet = new java.util.HashSet[String](files.size * 2)
-    files.foreach(currentSet.add)
     val entry = cachedIndex(statsPath)
-    val n = entry.files.length
-    // membership first, then one tight primitive loop per predicate —
-    // a column the generation never indexed constrains nothing, a file
-    // without that column's stats has NaN bounds (NaN compares false →
-    // keep), and a nullKeep-flagged file skips range pruning entirely
-    val keep = new Array[Boolean](n)
-    var i = 0
-    while (i < n) { keep(i) = currentSet.contains(entry.files(i)); i += 1 }
+    // O(caller's files) planning (r20): iterate the (already
+    // partition-pruned) live list and look each file up in the
+    // generation's row index — never a pass over all n index entries.
+    // A 1-of-200-partitions query over a 1M-file table plans in
+    // O(kept) — the complexity a per-partition index shard would give,
+    // without giving up the single atomically-replaced stats file.
+    // Semantics unchanged: a column the generation never indexed
+    // constrains nothing, a file without stats has NaN bounds (NaN
+    // compares false → keep), unindexed files are unconditional
+    // candidates, and a nullKeep-flagged file skips range pruning.
     val nullKeep: Array[Boolean] = keepNullsOf match {
       case Some(c) =>
         val ca = entry.cols.get(c)
@@ -636,48 +646,83 @@ object SkippingIndex {
       case None => null
     }
     val constrained = keepNullsOf.isEmpty || nullKeep != null
-    if (constrained) preds.foreach { case (column, lo, hi, rawTypes) =>
-      val ca = entry.cols.get(column)
-      if (ca != null) {
-        var j = 0
-        while (j < n) {
-          if (keep(j) && (nullKeep == null || !nullKeep(j))) {
-            val t = ca.typ(j)
-            if (t != null && (ca.numeric(j) || rawTypes.contains(t)) &&
-                (ca.maxD(j) < lo || ca.minD(j) > hi)) keep(j) = false
-          }
-          j += 1
-        }
-      }
-    }
+    // resolve each predicate's column arrays ONCE, outside the file loop
+    val numPreds =
+      if (!constrained) IndexedSeq.empty
+      else preds.flatMap { case (column, lo, hi, rawTypes) =>
+        Option(entry.cols.get(column)).map(ca => (ca, lo, hi, rawTypes))
+      }.toIndexedSeq
     // string ranges: unsigned UTF-8 byte intersect against
     // `BINARY:STRING` stats ONLY (raw binary/decimal stats stay
     // unprunable); missing bytes (absent stats, other types) keep
-    if (constrained) strPreds.foreach { case (column, lo, hi) =>
-      val ca = entry.cols.get(column)
-      if (ca != null) {
-        val loB = lo.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val hiB = hi.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var j = 0
-        while (j < n) {
-          if (keep(j) && (nullKeep == null || !nullKeep(j)) &&
-              ca.typ(j) == "BINARY:STRING" && ca.minB(j) != null) {
-            val below = loB.exists(b =>
-              java.util.Arrays.compareUnsigned(ca.maxB(j), b) < 0)
-            val above = hiB.exists(b =>
-              java.util.Arrays.compareUnsigned(ca.minB(j), b) > 0)
-            if (below || above) keep(j) = false
+    val strP =
+      if (!constrained) IndexedSeq.empty
+      else strPreds.flatMap { case (column, lo, hi) =>
+        Option(entry.cols.get(column)).map(ca => (ca,
+          lo.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          hi.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      }.toIndexedSeq
+    val out = Vector.newBuilder[String]
+    files.foreach { f =>
+      val idx = entry.rowIndex.get(f)
+      if (idx == null) out += f // unindexed → unconditional candidate
+      else {
+        val j = idx.intValue
+        var keep = true
+        if (nullKeep == null || !nullKeep(j)) {
+          var i = 0
+          while (keep && i < numPreds.length) {
+            val (ca, lo, hi, rawTypes) = numPreds(i)
+            val t = ca.typ(j)
+            if (t != null && (ca.numeric(j) || rawTypes.contains(t)) &&
+                (ca.maxD(j) < lo || ca.minD(j) > hi)) keep = false
+            i += 1
           }
-          j += 1
+          i = 0
+          while (keep && i < strP.length) {
+            val (ca, loB, hiB) = strP(i)
+            if (ca.typ(j) == "BINARY:STRING" && ca.minB(j) != null) {
+              val below = loB.exists(b =>
+                java.util.Arrays.compareUnsigned(ca.maxB(j), b) < 0)
+              val above = hiB.exists(b =>
+                java.util.Arrays.compareUnsigned(ca.minB(j), b) > 0)
+              if (below || above) keep = false
+            }
+            i += 1
+          }
         }
+        if (keep) out += f
       }
     }
-    val out = Vector.newBuilder[String]
-    i = 0
-    while (i < n) { if (keep(i)) out += entry.files(i); i += 1 }
-    val pruned = out.result()
-    val unindexed = files.filterNot(entry.fileSet.contains)
-    (pruned ++ unindexed).sorted
+    out.result().sorted
+  }
+
+  // ---- O(1)/O(kept) cached per-generation views (r20) -----------------
+  //
+  // The scan wrappers used to rebuild O(n) structures PER QUERY from
+  // `readAtCached` (a 1M-entry rows map for estimates, a full column
+  // flatMap for runtime-filter attributes, a full file→stats map for
+  // the metadata folds). These accessors serve the same answers from
+  // the generation cache in O(1) per file / O(1) per call.
+
+  /** The generation's distinct indexed column names (sorted). */
+  def columnsAtCached(statsPath: java.nio.file.Path): Seq[String] =
+    cachedIndex(statsPath).columns
+
+  /** One file's footer row count, when the generation indexes it. */
+  def rowCountAtCached(statsPath: java.nio.file.Path,
+      file: String): Option[Long] = {
+    val entry = cachedIndex(statsPath)
+    val idx = entry.rowIndex.get(file)
+    if (idx == null) None else Some(entry.rows(idx.intValue))
+  }
+
+  /** One file's full index entry, when the generation indexes it. */
+  def fileStatsAtCached(statsPath: java.nio.file.Path,
+      file: String): Option[FileStats] = {
+    val entry = cachedIndex(statsPath)
+    val idx = entry.rowIndex.get(file)
+    if (idx == null) None else Some(entry.stats(idx.intValue))
   }
 
   // ---- point-lookup pruning via parquet's NATIVE bloom filters ------
