@@ -1071,9 +1071,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     }
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    lazy val zk = zkeyOf(df) // bounds aggregate runs at most once
     val repart =
       if (zBy.nonEmpty) {
-        df.withColumn("__zkey", zkeyOf(df))
+        df.withColumn("__zkey", zk)
           .repartitionByRange(files, col("__zkey"))
           .sortWithinPartitions(col("__zkey"))
           .drop("__zkey")
@@ -1083,8 +1084,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       else df.repartition(files)
     if (isVersioned(name)) {
       // write-once versions: the new commit's staging write reads the
-      // still-live current version — no persist barrier needed
-      overwriteVersioned(name, repart, layoutCols)
+      // still-live current version — no persist barrier needed. The
+      // requested cluster ordering rides through to stage() so ITS
+      // in-task sort (which runs after the hidden bucket derivation)
+      // matches this call's intent, never a stale declaration
+      val ord = if (zBy.nonEmpty) Seq(zk) else cBy.map(col)
+      overwriteVersioned(name, repart, layoutCols, orderWithinCells = ord)
       val prior = indexCols(name)
       if (prior.nonEmpty) index(name, prior)
     } else {
@@ -1126,8 +1131,16 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       val carried = m.files.filterNot(f =>
         touchedRel.contains(TableManifest.partitionComponent(f)))
       val next = m.version + 1
-      // write-once versions: staging reads the still-live current files
-      val rels = stage(name, slice.repartition(files), m.partitionBy, next)
+      // write-once versions: staging reads the still-live current
+      // files. Under a bucketed layout stage() distributes by the
+      // layout cells itself (one file per cell, declared cluster sort
+      // applied inside) — a pre-repartition here would just add a
+      // wasted shuffle and void the cell ordering.
+      val sliceIn =
+        if (m.partitionBy.exists(
+            _.equalsIgnoreCase(ParquetCatalog.BucketPartCol))) slice
+        else slice.repartition(files)
+      val rels = stage(name, sliceIn, m.partitionBy, next)
       val meta = Map("op" -> "compact") ++ carriedMeta(m) ++
         propagatedSchema(m) ++ touchedMeta(touchedRel)
       commitOrClean(name, TableManifest(next, m.partitionBy, meta,
@@ -2483,19 +2496,28 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // distributeByLayout = false` restores the verbatim task layout.
     // Identity-only layouts are NOT redistributed: without a bucket
     // level a hot partition would collapse into a single task.
+    val declaredOrd =
+      if (orderWithinCells.nonEmpty) orderWithinCells
+      else declaredCols(name, ParquetCatalog.ClusterByProp)
+        .filter(c => derived.columns.exists(_.equalsIgnoreCase(c)))
+        .map(col)
     val df =
       if (partitionBy.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol))
           && spark.conf.get("spark.graft.write.distributeByLayout", "true")
             .toBoolean) {
         val cells = partitionBy.map(col)
-        val ord =
-          if (orderWithinCells.nonEmpty) orderWithinCells
-          else declaredCols(name, ParquetCatalog.ClusterByProp)
-            .filter(c => derived.columns.exists(_.equalsIgnoreCase(c)))
-            .map(col)
         val re = derived.repartition(cells: _*)
-        if (ord.nonEmpty) re.sortWithinPartitions(cells ++ ord: _*) else re
-      } else derived
+        if (declaredOrd.nonEmpty)
+          re.sortWithinPartitions(cells ++ declaredOrd: _*)
+        else re
+      } else if (declaredOrd.nonEmpty)
+        // non-bucketed declared-cluster tables: the in-task sort costs
+        // no shuffle and keeps ROW-GROUP min/max tight between
+        // OPTIMIZE runs (each task's files stay internally ordered;
+        // the layout prefix keeps the dynamic-partition writer from
+        // re-sorting the order away)
+        derived.sortWithinPartitions(partitionBy.map(col) ++ declaredOrd: _*)
+      else derived
     val vd = versionsDir(name)
     Files.createDirectories(dataDir(name))
     val nn = nonce()

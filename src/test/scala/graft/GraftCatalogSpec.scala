@@ -1655,6 +1655,11 @@ class GraftCatalogSpec extends SparkSpec {
     // keeps zipping
     cat.sql("OPTIMIZE f")
     assert(maxPerCell() === 1L)
+    // slice-scoped OPTIMIZE WHERE rides the same cell distribution
+    spark.sql(s"INSERT INTO $c.f SELECT id + 20000, 2.0, 'd1', 0 " +
+      s"FROM range(500)")
+    cat.sql("OPTIMIZE f WHERE day = 'd1'")
+    assert(maxPerCell() === 1L)
     cat.overwriteBucketedVersioned("dim",
       (1L to 3000L).map(i => (i, s"v$i")).toDF("id", "tag"), "id", 16)
     withSpj {
