@@ -115,9 +115,11 @@ object SkipRehearsal {
       val (sCand, sliceMs) = time(graft.storage.SkippingIndex
         .candidateFilesAt(statsPath, slice, Seq(("id", lo, hi))))
       // and the metadata COUNT fold over the slice (exactRowCountFor's
-      // per-file cached-lookup shape)
-      val (sRows, sCountMs) = time(slice.flatMap(f =>
-        graft.storage.SkippingIndex.rowCountAtCached(statsPath, f)).sum)
+      // resolve-once view + per-file lookup shape)
+      val (sRows, sCountMs) = time {
+        val view = graft.storage.SkippingIndex.viewAtCached(statsPath)
+        slice.flatMap(f => view.rowCount(f)).sum
+      }
       println(f"[skip-rehearsal-slice] n=$n%7d sliceFiles=${slice.size}%6d " +
         f"kept=${sCand.size}%4d warmSliceMs=$sliceMs%8.1f " +
         f"sliceCountMs=$sCountMs%8.1f sliceRows=$sRows%d")

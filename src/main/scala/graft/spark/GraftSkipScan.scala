@@ -141,11 +141,11 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
           val byFile = splits
             .groupBy(f => GraftFileSkipping.plainPath(f.filePath.toString))
             .view.mapValues(_.map(_.length).sum).toMap
-          // per-file cached lookups — never an O(index) map rebuild
-          // per estimate call
+          // per-file cached lookups off one resolved generation view —
+          // never an O(index) map rebuild per estimate call
+          val view = graft.storage.SkippingIndex.viewAtCached(sp)
           val rows = byFile.keys.toSeq.sorted.flatMap(f =>
-            graft.storage.SkippingIndex.rowCountAtCached(sp, f)
-              .map(f -> _))
+            view.rowCount(f).map(f -> _))
           if (rows.size != byFile.size) None
           else {
             val rowsMap = rows.toMap

@@ -4704,14 +4704,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     require(isVersioned(name), s"no versioned table $name")
     val m = manifest(name, version)
     if (filesAbs.isEmpty) return 0L
-    // per-file cached lookups — O(queried files), never an O(index)
-    // map rebuild per count (r20)
-    val hasIndex = SkippingIndex.existsAt(statsPath(name))
+    // per-file cached lookups off ONE resolved generation view —
+    // O(queried files), never an O(index) map rebuild per count (r20)
     val indexed: Map[String, Long] =
-      if (hasIndex)
-        filesAbs.flatMap(f =>
-          SkippingIndex.rowCountAtCached(statsPath(name), f).map(f -> _)).toMap
-      else Map.empty
+      if (SkippingIndex.existsAt(statsPath(name))) {
+        val view = SkippingIndex.viewAtCached(statsPath(name))
+        filesAbs.flatMap(f => view.rowCount(f).map(f -> _)).toMap
+      } else Map.empty
     val missing = filesAbs.filterNot(indexed.contains)
     val counted =
       if (missing.isEmpty) Map.empty[String, Long]
@@ -4785,13 +4784,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * data pages, exactly [[exactRowCount]]'s missing-file policy. */
   private def statsWithFallback(name: String, column: String,
       filesAbs: Seq[String]): Map[String, SkippingIndex.FileStats] = {
-    // per-file cached lookups — O(queried files), never an O(index)
-    // map rebuild per aggregate (r20)
+    // per-file cached lookups off ONE resolved generation view —
+    // O(queried files), never an O(index) map rebuild per aggregate (r20)
     val indexed: Map[String, SkippingIndex.FileStats] =
-      if (SkippingIndex.existsAt(statsPath(name)))
-        filesAbs.flatMap(f =>
-          SkippingIndex.fileStatsAtCached(statsPath(name), f).map(f -> _)).toMap
-      else Map.empty
+      if (SkippingIndex.existsAt(statsPath(name))) {
+        val view = SkippingIndex.viewAtCached(statsPath(name))
+        filesAbs.flatMap(f => view.fileStats(f).map(f -> _)).toMap
+      } else Map.empty
     val missing = filesAbs.filterNot(indexed.contains)
     if (missing.isEmpty) indexed
     else indexed ++ SkippingIndex.collectFor(spark, missing, Seq(column))

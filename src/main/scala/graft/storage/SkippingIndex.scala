@@ -709,21 +709,27 @@ object SkippingIndex {
   def columnsAtCached(statsPath: java.nio.file.Path): Seq[String] =
     cachedIndex(statsPath).columns
 
-  /** One file's footer row count, when the generation indexes it. */
-  def rowCountAtCached(statsPath: java.nio.file.Path,
-      file: String): Option[Long] = {
-    val entry = cachedIndex(statsPath)
-    val idx = entry.rowIndex.get(file)
-    if (idx == null) None else Some(entry.rows(idx.intValue))
+  /** One RESOLVED generation for bulk per-file lookups: the
+    * (path, size, mtime) cache key — three filesystem calls — is
+    * computed ONCE here, then every lookup is a single hash probe. A
+    * metadata COUNT fold over a 1M-file version must not pay the key
+    * computation per file. */
+  final class GenerationView private[SkippingIndex] (entry: CachedIndex) {
+    /** One file's footer row count, when the generation indexes it. */
+    def rowCount(file: String): Option[Long] = {
+      val idx = entry.rowIndex.get(file)
+      if (idx == null) None else Some(entry.rows(idx.intValue))
+    }
+    /** One file's full index entry, when the generation indexes it. */
+    def fileStats(file: String): Option[FileStats] = {
+      val idx = entry.rowIndex.get(file)
+      if (idx == null) None else Some(entry.stats(idx.intValue))
+    }
   }
 
-  /** One file's full index entry, when the generation indexes it. */
-  def fileStatsAtCached(statsPath: java.nio.file.Path,
-      file: String): Option[FileStats] = {
-    val entry = cachedIndex(statsPath)
-    val idx = entry.rowIndex.get(file)
-    if (idx == null) None else Some(entry.stats(idx.intValue))
-  }
+  /** Bulk-lookup view of the cached generation at `statsPath`. */
+  def viewAtCached(statsPath: java.nio.file.Path): GenerationView =
+    new GenerationView(cachedIndex(statsPath))
 
   // ---- point-lookup pruning via parquet's NATIVE bloom filters ------
   //
