@@ -388,8 +388,11 @@ private[spark] class GraftTable(cat: ParquetCatalog, root: String,
       new GraftCountStarBuilder(chosen, delegate.schema,
         () => cat.exactRowCount(tableName, v),
         files => cat.exactRowCountFor(tableName, v, files),
-        (col, dt, files) =>
-          cat.statsMinMax(tableName, v, col, dt, files.getOrElse(allFiles())),
+        (col, dt, files, wantMax) => {
+          val (mn, mx) =
+            cat.statsMinMax(tableName, v, col, dt, files.getOrElse(allFiles()))
+          if (wantMax) mx else mn
+        },
         (col, files) =>
           cat.statsNonNullCount(tableName, v, col, files.getOrElse(allFiles())),
         minMaxEnabled = spark.conf

@@ -40,8 +40,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * (dv / SPJ / skip / stock). */
 class GraftCountStarBuilder(inner: ScanBuilder, tableSchema: StructType,
     countAll: () => Long, countFor: Seq[String] => Long,
-    minMaxFor: (String, org.apache.spark.sql.types.DataType, Option[Seq[String]])
-      => Option[(Any, Any)],
+    // (column, type, surviving files, wantMax) → the one requested
+    // extreme when provable — per-SIDE, so min can answer while max
+    // refuses (deletion-vector asymmetry, r20)
+    minMaxFor: (String, org.apache.spark.sql.types.DataType,
+      Option[Seq[String]], Boolean) => Option[Any],
     countColFor: (String, Option[Seq[String]]) => Option[Long] =
       (_, _) => None,
     minMaxEnabled: Boolean = true)
@@ -116,8 +119,8 @@ class GraftCountStarBuilder(inner: ScanBuilder, tableSchema: StructType,
         }
       case MinMaxOf(col, wantMax) =>
         tableSchema.fields.find(_.name.equalsIgnoreCase(col)).flatMap { f =>
-          minMaxFor(f.name, f.dataType, files).map { case (mn, mx) =>
-            (if (wantMax) mx else mn,
+          minMaxFor(f.name, f.dataType, files, wantMax).map { v =>
+            (v,
               StructField(if (wantMax) s"max_${f.name}" else s"min_${f.name}",
                 f.dataType))
           }

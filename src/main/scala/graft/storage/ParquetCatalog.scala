@@ -2135,6 +2135,10 @@ final class ParquetCatalog(spark: SparkSession, root: String,
               "types, string, date, timestamp, decimal do)")
         }
     }
+    if (key == ParquetCatalog.WriteSplitsProp)
+      require(value.trim.toIntOption.exists(_ > 0),
+        s"${ParquetCatalog.WriteSplitsProp} must be a positive int, " +
+          s"got '$value'")
     if (key == ParquetCatalog.ClusterByProp || key == ParquetCatalog.ZorderByProp) {
       val other = if (key == ParquetCatalog.ClusterByProp)
         ParquetCatalog.ZorderByProp else ParquetCatalog.ClusterByProp
@@ -2509,6 +2513,34 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         val re = derived.repartition(cells: _*)
         if (declaredOrd.nonEmpty)
           re.sortWithinPartitions(cells ++ declaredOrd: _*)
+        else re
+      } else if (partitionBy.nonEmpty &&
+          spark.conf.get("spark.graft.write.distributeByLayout", "true")
+            .toBoolean &&
+          declaredCols(name, ParquetCatalog.WriteSplitsProp).headOption
+            .flatMap(_.toIntOption).exists(_ > 0)) {
+        // IDENTITY-only layouts with a declared `graft.writeSplits=S`:
+        // distribute by (identity cols, row-salt mod S) — each
+        // partition lands in AT MOST S files per batch while still
+        // spreading across S tasks, so a hot partition never collapses
+        // into one task (why identity layouts get no automatic
+        // distribution). The salt is a shuffle key only, never written.
+        val s = declaredCols(name, ParquetCatalog.WriteSplitsProp)
+          .head.toInt
+        val keys = partitionBy.map(col) :+
+          pmod(floor(rand(42) * s).cast("int"), lit(s))
+        // explicit task count with collision headroom: (partition,
+        // salt) combos are HASHED into tasks, and a task holding two
+        // combos of one partition merges their files — a floor well
+        // above the salt domain keeps the spread real even in
+        // small-shuffle sessions (the cap ≤ S per partition holds
+        // regardless; sessions with larger shuffle.partitions keep
+        // their own parallelism)
+        val n = math.max(s,
+          math.max(64, spark.sessionState.conf.numShufflePartitions))
+        val re = derived.repartition(n, keys: _*)
+        if (declaredOrd.nonEmpty)
+          re.sortWithinPartitions(partitionBy.map(col) ++ declaredOrd: _*)
         else re
       } else if (declaredOrd.nonEmpty)
         // non-bucketed declared-cluster tables: the in-task sort costs
@@ -4797,13 +4829,21 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       .map(fs => fs.file -> fs)
   }
 
+  /** Per-SIDE exact (min, max) of `column` from the index: each side
+    * is Some only when provable. Deletion vectors narrow a column's
+    * range only INWARD, so a vectored file's stats cannot PROVE an
+    * extreme (its extremal row may be deleted) — but when an
+    * UNVECTORED file attains the global min-of-mins / max-of-maxes,
+    * that row provably survives and that SIDE is still exact (r20;
+    * previously any vector refused both). A `min(x)`-only query thus
+    * answers from metadata even while `max(x)` routes to the scan. */
   def statsMinMax(name: String, version: Long, column: String,
       dataType: org.apache.spark.sql.types.DataType,
-      filesAbs: Seq[String]): Option[(Any, Any)] = {
+      filesAbs: Seq[String]): (Option[Any], Option[Any]) = {
     import org.apache.spark.sql.types._
     require(isVersioned(name), s"no versioned table $name")
     val m = manifest(name, version)
-    if (dvEntries(m).nonEmpty) return None
+    val dv = dvEntries(m).keySet
     def parse(typ: String, s: String): Option[Any] = (dataType, typ) match {
       case (IntegerType, "INT32") => s.toIntOption
       case (IntegerType, t) if t.startsWith("INT32:INT(32,true")
@@ -4845,19 +4885,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       case _ => None
     }
     val stats = statsWithFallback(name, column, filesAbs)
-    val perFile = filesAbs.flatMap { f =>
+    val perFile: Seq[(String, Option[(Any, Any)])] = filesAbs.flatMap { f =>
       stats.get(f) match {
         case Some(fs) if fs.rows == 0 => None // no rows, no contribution
         case Some(fs) =>
-          Some(fs.cols.find(_.column.equalsIgnoreCase(column)).flatMap(cs =>
+          Some(f -> fs.cols.find(_.column.equalsIgnoreCase(column)).flatMap(cs =>
             parse(cs.typ, cs.min).zip(parse(cs.typ, cs.max))))
-        case None => Some(None) // footer pass missed it too: cannot answer
+        case None => Some(f -> None) // footer pass missed it too: cannot answer
       }
     }
-    if (perFile.isEmpty) Some((null, null))
-    else if (perFile.exists(_.isEmpty)) None
+    if (perFile.isEmpty) (Some(null), Some(null))
+    else if (perFile.exists(_._2.isEmpty)) (None, None)
     else {
-      val vs = perFile.flatten
+      val pairs = perFile.map { case (f, v) => (f, v.get) }
+      val vs = pairs.map(_._2)
       @annotation.nowarn
       def ord: Ordering[Any] = dataType match {
         case TimestampType | TimestampNTZType | LongType =>
@@ -4873,7 +4914,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
             b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) < 0)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
-      Some((vs.map(_._1).min(ord), vs.map(_._2).max(ord)))
+      val mn = vs.map(_._1).min(ord)
+      val mx = vs.map(_._2).max(ord)
+      if (dv.isEmpty) (Some(mn), Some(mx))
+      else {
+        // a side is provable only when some UNVECTORED file attains it
+        // (that file's extremal row survives all deletes)
+        def unvectored(f: String): Boolean =
+          !dv.contains(versionsDir(name).relativize(Paths.get(f)).toString)
+        val mnOk = pairs.exists { case (f, (lo, _)) =>
+          ord.equiv(lo, mn) && unvectored(f) }
+        val mxOk = pairs.exists { case (f, (_, hi)) =>
+          ord.equiv(hi, mx) && unvectored(f) }
+        (if (mnOk) Some(mn) else None, if (mxOk) Some(mx) else None)
+      }
     }
   }
 
@@ -4952,6 +5006,13 @@ object ParquetCatalog {
     * declarations. */
   val ClusterByProp: String = "graft.clusterBy"
   val ZorderByProp: String = "graft.zorderBy"
+
+  /** Write-distribution cap for IDENTITY-only layouts (r20): a
+    * positive int S — each identity partition lands in at most S
+    * files per batch (distributed across S tasks via a row salt).
+    * Bucketed layouts ignore it: there the (identity × bucket) cell
+    * is the unit and the bucket count is the declared parallelism. */
+  val WriteSplitsProp: String = "graft.writeSplits"
 
   /** The synthetic partition column bucketed layouts are stored under
     * (hive dirs `_gbucket=<id>`). */

@@ -1343,6 +1343,35 @@ class GraftCatalogSpec extends SparkSpec {
       cat3.read("t").agg(max(col("s"))).head().getString(0))
   }
 
+  test("metadata MIN/MAX tolerates vectors when an unvectored file attains the extreme (r20)") {
+    val (cat, _, c) = freshCatalog("mmdv")
+    // two key-disjoint files: low [1..1000] and high [2001..3000]
+    cat.overwriteVersioned("t",
+      (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "m").coalesce(1))
+    cat.appendVersioned("t",
+      (2001L to 3000L).map(i => (i, i * 1.0)).toDF("id", "m").coalesce(1))
+    cat.index("t", Seq("id"))
+    cat.setTableProperty("t", "graft.deletionVectors", "true")
+    cat.deleteVectors("t", col("id") === 2500L) // vector on the HIGH file only
+    // min attained by the UNVECTORED low file: its extremal row
+    // provably survives — answers from metadata
+    val q = spark.sql(s"SELECT min(id) AS lo FROM $c.t")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.head().getLong(0) === 1L)
+    // max attained ONLY by the vectored file (its max row may be the
+    // deleted one): refuses, the real scan answers
+    val mq = spark.sql(s"SELECT max(id) AS hi FROM $c.t")
+    assert(!mq.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
+      "a vectored extremal file must refuse the metadata fold")
+    assert(mq.head().getLong(0) === 3000L)
+    // and when the vector actually deletes the extreme, the scan's
+    // answer moves — the refusal was load-bearing
+    cat.deleteVectors("t", col("id") === 3000L)
+    assert(spark.sql(s"SELECT max(id) AS hi FROM $c.t").head().getLong(0)
+      === 2999L)
+  }
+
   test("metadata MIN/MAX/COUNT answer for TIME-TRAVELED versions (footer fallback)") {
     val (cat, _, c) = freshCatalog("mtt")
     cat.overwriteVersioned("t",
@@ -1724,6 +1753,25 @@ class GraftCatalogSpec extends SparkSpec {
     val (kb, tb) = keptOf(s"SELECT * FROM $c2.z WHERE b BETWEEN 10 AND 20")
     assert(ta >= 8 && ka < ta && kb < tb,
       s"declared zorder must prune BOTH dimensions: a=$ka of $ta, b=$kb of $tb")
+  }
+
+  test("graft.writeSplits caps identity-partition files per batch (r20)") {
+    val (cat, _, c) = freshCatalog("wsp")
+    val frame = (1L to 6000L).map(i => (i, s"d${i % 3}")).toDF("id", "day")
+      .repartition(16)
+    cat.overwriteVersioned("t", frame, Seq("day"))
+    // identity layouts get NO automatic distribution: up to 16 × 3 files
+    val before = cat.fileCount("t")
+    assert(before > 9, s"fixture should fragment: $before files")
+    // declared cap: each day lands in at most 3 files per batch,
+    // spread over 3 tasks (never collapsed into one)
+    cat.setTableProperty("t", ParquetCatalog.WriteSplitsProp, "3")
+    cat.overwriteVersioned("t", frame, Seq("day"))
+    val after = cat.fileCount("t")
+    assert(after <= 9 && after >= 6, s"expected 6..9 files, got $after")
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").head().getLong(0) === 6000L)
+    intercept[IllegalArgumentException](
+      cat.setTableProperty("t", ParquetCatalog.WriteSplitsProp, "0"))
   }
 
   test("composite layouts under time travel: old versions keep THEIR multi-transform keys (r20)") {

@@ -409,4 +409,100 @@ class PropertySpec extends SparkSpec {
       assert(extract(1) === math.min(math.max(y, 0), mask))
     }
   }
+
+  test("candidate planning matches a reference model on random indexes") {
+    // the r20 O(caller's-files) planner must be semantically identical
+    // to the specification: per conjunct, a file with matching-type
+    // stats drops only when [min,max] misses [lo,hi]; unindexed files,
+    // absent stats, unparseable (NaN) bounds, lossy string tags, and
+    // nullKeep-flagged files all conservatively keep.
+    import graft.storage.SkippingIndex
+    import graft.storage.SkippingIndex.{ColStats, FileStats}
+    for (round <- 0 until 25) {
+      val rnd = new scala.util.Random(4242 + round)
+      val n = 1 + rnd.nextInt(40)
+      val stats = (0 until n).map { i =>
+        val cols = Seq.newBuilder[ColStats]
+        if (rnd.nextInt(4) > 0) {
+          val a = rnd.nextInt(1000) - 500; val b = a + rnd.nextInt(200)
+          cols += ColStats("x", "INT64", a.toString, b.toString,
+            rnd.nextBoolean(), rnd.nextInt(3) - 1L)
+        }
+        if (rnd.nextInt(4) > 0) {
+          val p = f"k${rnd.nextInt(900)}%03d"; val q = f"k${rnd.nextInt(900)}%03d"
+          val (l, h) = if (p <= q) (p, q) else (q, p)
+          val tag = if (rnd.nextInt(5) == 0) "BINARY:STRING(lossy)"
+            else "BINARY:STRING"
+          cols += ColStats("s", tag, l, h, rnd.nextBoolean(), -1L)
+        }
+        FileStats(s"/t/f$i.parquet", 10L, cols.result())
+      }
+      val dir = java.nio.file.Files.createTempDirectory("prop-skip")
+      val sp = dir.resolve("_graft_stats.json")
+      SkippingIndex.persistStats(sp, stats)
+      val live = (stats.map(_.file).filter(_ => rnd.nextBoolean()) ++
+        Seq.fill(rnd.nextInt(3))(s"/t/unknown${rnd.nextInt(100)}.parquet"))
+        .distinct
+      val preds =
+        if (rnd.nextBoolean()) {
+          val lo = rnd.nextInt(1000) - 500
+          Seq(("x", lo.toDouble, (lo + rnd.nextInt(300)).toDouble,
+            Set.empty[String]))
+        } else Nil
+      val strPreds =
+        if (rnd.nextBoolean()) {
+          val p = f"k${rnd.nextInt(900)}%03d"; val q = f"k${rnd.nextInt(900)}%03d"
+          val (l, h) = if (p <= q) (p, q) else (q, p)
+          Seq(("s", Some(l), Some(h)))
+        } else Nil
+      val keepNulls = if (rnd.nextInt(4) == 0) Some("x") else None
+      val got = SkippingIndex.candidateFilesTyped(sp, live, preds,
+        keepNulls, strPreds)
+      // straight-from-the-spec reference model
+      val byFile = stats.map(fs => fs.file -> fs).toMap
+      val genHasNullCol =
+        keepNulls.forall(c => stats.exists(_.cols.exists(_.column == c)))
+      def refKeep(f: String): Boolean = byFile.get(f) match {
+        case None => true
+        case Some(fs) =>
+          if (!genHasNullCol) true // keepNullsOf column never indexed
+          else {
+            val nullSkip = keepNulls.exists(c =>
+              fs.cols.find(_.column == c).forall(_.hasNulls))
+            if (nullSkip) true
+            else {
+              val numOk = preds.forall { case (c, lo, hi, raw) =>
+                fs.cols.find(_.column == c).forall { cs =>
+                  val numeric = cs.typ match {
+                    case "INT32" | "INT64" | "FLOAT" | "DOUBLE" => true
+                    case t => t.startsWith("INT32:INT") ||
+                      t.startsWith("INT64:INT")
+                  }
+                  if (!(numeric || raw.contains(cs.typ))) true
+                  else {
+                    val mn = cs.min.toDoubleOption.getOrElse(Double.NaN)
+                    val mx = cs.max.toDoubleOption.getOrElse(Double.NaN)
+                    !(mx < lo || mn > hi)
+                  }
+                }
+              }
+              val strOk = strPreds.forall { case (c, lo, hi) =>
+                fs.cols.find(_.column == c).forall { cs =>
+                  if (cs.typ != "BINARY:STRING") true
+                  else {
+                    val below = lo.exists(b => cs.max < b)
+                    val above = hi.exists(b => cs.min > b)
+                    !(below || above)
+                  }
+                }
+              }
+              numOk && strOk
+            }
+          }
+      }
+      val want = live.filter(refKeep).sorted
+      assert(got === want,
+        s"round=$round preds=$preds strPreds=$strPreds nulls=$keepNulls")
+    }
+  }
 }
