@@ -99,7 +99,13 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       w: org.apache.spark.sql.DataFrameWriter[T]):
       org.apache.spark.sql.DataFrameWriter[T] = {
     val (cols, ndv) = effectiveBlooms(name)
-    cols.foldLeft(w.option("compression", codec)) { (w, c) =>
+    cols.foldLeft(w.option("compression", codec)
+      // pin footer-statistics truncation OFF for every graft-staged
+      // file (a session hadoop conf could otherwise enable it): this
+      // is what lets [[statsMinMax]] treat a graft-staged file's
+      // BINARY stats as EXACT values, never adjusted bounds
+      .option("parquet.statistics.truncate.length",
+        Integer.MAX_VALUE.toString)) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }
@@ -1064,7 +1070,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // cell: the bucket count is the declared parallelism — re-bucket
       // to resize cells.
       val ord = if (zBy.nonEmpty) Seq(zkeyOf(df)) else cBy.map(col)
-      overwriteVersioned(name, df, layoutCols, orderWithinCells = ord)
+      // forceDistribute: OPTIMIZE is explicitly a rewrite job — it
+      // must bin-pack cells even when the write-path kill switch
+      // disabled automatic distribution
+      overwriteVersioned(name, df, layoutCols, orderWithinCells = ord,
+        forceDistribute = true, identitySplits = false)
       val prior = indexCols(name)
       if (prior.nonEmpty) index(name, prior)
       return
@@ -1089,7 +1099,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // in-task sort (which runs after the hidden bucket derivation)
       // matches this call's intent, never a stale declaration
       val ord = if (zBy.nonEmpty) Seq(zk) else cBy.map(col)
-      overwriteVersioned(name, repart, layoutCols, orderWithinCells = ord)
+      overwriteVersioned(name, repart, layoutCols, orderWithinCells = ord,
+        identitySplits = false)
       val prior = indexCols(name)
       if (prior.nonEmpty) index(name, prior)
     } else {
@@ -1134,13 +1145,15 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // write-once versions: staging reads the still-live current
       // files. Under a bucketed layout stage() distributes by the
       // layout cells itself (one file per cell, declared cluster sort
-      // applied inside) — a pre-repartition here would just add a
-      // wasted shuffle and void the cell ordering.
-      val sliceIn =
-        if (m.partitionBy.exists(
-            _.equalsIgnoreCase(ParquetCatalog.BucketPartCol))) slice
-        else slice.repartition(files)
-      val rels = stage(name, sliceIn, m.partitionBy, next)
+      // applied inside; forced — OPTIMIZE WHERE is a rewrite job) — a
+      // pre-repartition here would just add a wasted shuffle and void
+      // the cell ordering. Identity layouts bin-pack to `files` tasks;
+      // a declared writeSplits salt must not void that.
+      val bucketedLay = m.partitionBy.exists(
+        _.equalsIgnoreCase(ParquetCatalog.BucketPartCol))
+      val sliceIn = if (bucketedLay) slice else slice.repartition(files)
+      val rels = stage(name, sliceIn, m.partitionBy, next,
+        forceDistribute = bucketedLay, identitySplits = false)
       val meta = Map("op" -> "compact") ++ carriedMeta(m) ++
         propagatedSchema(m) ++ touchedMeta(touchedRel)
       commitOrClean(name, TableManifest(next, m.partitionBy, meta,
@@ -2455,10 +2468,20 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     * frame (Spark writes no data files for one); callers then record
     * the schema in manifest meta instead, see [[emptyMeta]]. */
   /** `orderWithinCells`: extra sort expressions applied INSIDE each
-    * layout cell after distribution (compact's z-order key); see the
-    * clustered-write block below. */
+    * layout cell after distribution (compact's cluster / z-order
+    * key) — when set, the frame is taken as ALREADY ordered on
+    * non-redistributing paths. `forceDistribute`: apply the bucketed
+    * cell distribution even under the kill switch (compaction IS a
+    * rewrite job — OPTIMIZE must never silently no-op because write
+    * shuffles are off). `identitySplits`: let a declared
+    * `graft.writeSplits` salt-redistribute identity layouts —
+    * compaction verbs disable it (the salt would void their own
+    * bin-packing and clustering). See the clustered-write block
+    * below. */
   private def stage(name: String, df0: DataFrame, partitionBy: Seq[String],
-      version: Long, orderWithinCells: Seq[Column] = Nil): Seq[String] = {
+      version: Long, orderWithinCells: Seq[Column] = Nil,
+      forceDistribute: Boolean = false,
+      identitySplits: Boolean = true): Seq[String] = {
     // HIDDEN-PARTITION semantics for bucket-declared tables: the bucket
     // id column is DERIVED, never trusted — a plain `INSERT INTO` (or
     // any verb's restage) supplying a wrong `_gbucket` value would
@@ -2500,35 +2523,35 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     // distributeByLayout = false` restores the verbatim task layout.
     // Identity-only layouts are NOT redistributed: without a bucket
     // level a hot partition would collapse into a single task.
-    val declaredOrd =
-      if (orderWithinCells.nonEmpty) orderWithinCells
-      else declaredCols(name, ParquetCatalog.ClusterByProp)
-        .filter(c => derived.columns.exists(_.equalsIgnoreCase(c)))
-        .map(col)
+    val distributeOn = spark.conf
+      .get("spark.graft.write.distributeByLayout", "true").toBoolean
+    val declaredOrd = declaredCols(name, ParquetCatalog.ClusterByProp)
+      .filter(c => derived.columns.exists(_.equalsIgnoreCase(c)))
+      .map(col)
+    // an explicit orderWithinCells (compact's requested cluster key)
+    // always wins over the declaration
+    val ord = if (orderWithinCells.nonEmpty) orderWithinCells else declaredOrd
     val df =
       if (partitionBy.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol))
-          && spark.conf.get("spark.graft.write.distributeByLayout", "true")
-            .toBoolean) {
+          && (distributeOn || forceDistribute)) {
         val cells = partitionBy.map(col)
         val re = derived.repartition(cells: _*)
-        if (declaredOrd.nonEmpty)
-          re.sortWithinPartitions(cells ++ declaredOrd: _*)
-        else re
-      } else if (partitionBy.nonEmpty &&
-          spark.conf.get("spark.graft.write.distributeByLayout", "true")
-            .toBoolean &&
+        if (ord.nonEmpty) re.sortWithinPartitions(cells ++ ord: _*) else re
+      } else if (partitionBy.nonEmpty && distributeOn && identitySplits &&
           declaredCols(name, ParquetCatalog.WriteSplitsProp).headOption
             .flatMap(_.toIntOption).exists(_ > 0)) {
         // IDENTITY-only layouts with a declared `graft.writeSplits=S`:
-        // distribute by (identity cols, row-salt mod S) — each
+        // distribute by (identity cols, row-salt in [0,S)) — each
         // partition lands in AT MOST S files per batch while still
         // spreading across S tasks, so a hot partition never collapses
         // into one task (why identity layouts get no automatic
-        // distribution). The salt is a shuffle key only, never written.
+        // distribution). The salt is a shuffle key only, never
+        // written. Compaction verbs pass identitySplits = false: they
+        // arrange their own distribution (rowsPerFile bin-packing,
+        // range clustering) which the salt would void.
         val s = declaredCols(name, ParquetCatalog.WriteSplitsProp)
           .head.toInt
-        val keys = partitionBy.map(col) :+
-          pmod(floor(rand(42) * s).cast("int"), lit(s))
+        val keys = partitionBy.map(col) :+ floor(rand(42) * s).cast("int")
         // explicit task count with collision headroom: (partition,
         // salt) combos are HASHED into tasks, and a task holding two
         // combos of one partition merges their files — a floor well
@@ -2539,15 +2562,18 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         val n = math.max(s,
           math.max(64, spark.sessionState.conf.numShufflePartitions))
         val re = derived.repartition(n, keys: _*)
-        if (declaredOrd.nonEmpty)
-          re.sortWithinPartitions(partitionBy.map(col) ++ declaredOrd: _*)
+        if (ord.nonEmpty)
+          re.sortWithinPartitions(partitionBy.map(col) ++ ord: _*)
         else re
-      } else if (declaredOrd.nonEmpty)
+      } else if (orderWithinCells.isEmpty && declaredOrd.nonEmpty)
         // non-bucketed declared-cluster tables: the in-task sort costs
         // no shuffle and keeps ROW-GROUP min/max tight between
         // OPTIMIZE runs (each task's files stay internally ordered;
         // the layout prefix keeps the dynamic-partition writer from
-        // re-sorting the order away)
+        // re-sorting the order away). Skipped when the caller passed
+        // an explicit ordering — compact's frames arrive ALREADY
+        // sorted, and a second sort would just re-evaluate the cluster
+        // key per row for nothing.
         derived.sortWithinPartitions(partitionBy.map(col) ++ declaredOrd: _*)
       else derived
     val vd = versionsDir(name)
@@ -3053,7 +3079,9 @@ final class ParquetCatalog(spark: SparkSession, root: String,
   def overwriteVersioned(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       batchToken: Option[String] = None,
-      orderWithinCells: Seq[Column] = Nil): Long = {
+      orderWithinCells: Seq[Column] = Nil,
+      forceDistribute: Boolean = false,
+      identitySplits: Boolean = true): Long = {
     migrateIfPlain(name)
     val pb = declaredBucketLayout(name, df, partitionBy)
     val prior = versions(name).lastOption
@@ -3064,7 +3092,8 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
     }
     val next = prior.getOrElse(0L) + 1
-    val rels = stage(name, df, pb, next, orderWithinCells)
+    val rels = stage(name, df, pb, next, orderWithinCells,
+      forceDistribute, identitySplits)
     val meta = Map("op" -> "overwrite") ++
       prior.map(v => carriedMeta(manifest(name, v))).getOrElse(Map.empty) ++
       tokenMeta(batchToken) ++
@@ -4870,24 +4899,33 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       // STRING stats answer when the index proves EXACTNESS (r20): the
       // `BINARY:STRING` tag is only recorded when the footer bytes
       // round-trip UTF-8 byte-exactly (SkippingIndex r20 — lossy
-      // decodes demote); the U+FFFD guard covers pre-r20 entries. The
-      // < 64-byte ceiling guards against TRUNCATED footer stats, which
-      // bound the range but need not be real values: parquet-mr only
-      // truncates when explicitly configured, never below the 64-byte
-      // column-index default in practice, and graft's own writer never
-      // truncates — a value shorter than every real truncation length
-      // is the recorded extreme itself. Longer values refuse → the
-      // stock scan answers.
-      case (StringType, "BINARY:STRING")
-          if s.indexOf('�') < 0 &&
-            s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length < 64 =>
+      // decodes demote); the U+FFFD guard covers pre-r20 entries.
+      // TRUNCATED footer stats — bounds, not values — are excluded by
+      // the per-FILE gate below: only graft-STAGED files answer, and
+      // [[writeOpts]] pins truncation off for those, so a recorded
+      // string extreme is the extreme itself (values past parquet-mr's
+      // 4 KB stats cap are dropped entirely, never truncated). Absorbed
+      // files (arrow-rs and friends truncate at 64 by default, with
+      // boundary-adjusted bounds that no length heuristic can detect)
+      // refuse → the stock scan answers.
+      case (StringType, "BINARY:STRING") if s.indexOf('�') < 0 =>
         Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
       case _ => None
     }
     val stats = statsWithFallback(name, column, filesAbs)
+    // STRING extremes are only provably untruncated for files graft's
+    // own writer staged (version-nonce-index basenames; [[writeOpts]]
+    // pins truncation off there) — an absorbed/migrated file's footer
+    // may carry boundary-adjusted truncated BOUNDS no heuristic can
+    // tell from values
+    val stagedName = "^v\\d+-[0-9a-f]+-\\d+-".r
+    def graftStaged(f: String): Boolean =
+      stagedName.findPrefixOf(Paths.get(f).getFileName.toString).isDefined
     val perFile: Seq[(String, Option[(Any, Any)])] = filesAbs.flatMap { f =>
       stats.get(f) match {
         case Some(fs) if fs.rows == 0 => None // no rows, no contribution
+        case Some(_) if dataType == StringType && !graftStaged(f) =>
+          Some(f -> None) // unknown writer: stats may be truncated bounds
         case Some(fs) =>
           Some(f -> fs.cols.find(_.column.equalsIgnoreCase(column)).flatMap(cs =>
             parse(cs.typ, cs.min).zip(parse(cs.typ, cs.max))))

@@ -1313,17 +1313,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
       q.queryExecution.executedPlan.toString)
     assert(q.collect().head.toSeq === Seq("k00001", "k05000"))
-    // a ≥64-byte extreme could be a truncating writer's BOUND rather
-    // than a value — the fold refuses and the real scan answers
+    // long values answer too: graft's writer pins footer-stat
+    // truncation OFF, so a staged file's recorded extreme IS a value
     val (cat2, _, c2) = freshCatalog("smml")
     val long = "x" * 80
     cat2.overwriteVersioned("t",
       (1 to 100).map(i => (f"$long$i%04d", i.toLong)).toDF("name", "v"))
     cat2.index("t", Seq("name"))
     val lq = spark.sql(s"SELECT min(name) AS lo FROM $c2.t")
-    assert(!lq.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
-      "over-long string stats must refuse the metadata fold")
+    assert(lq.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
+      lq.queryExecution.executedPlan.toString)
     assert(lq.collect().head.getString(0) === s"${long}0001")
+    // ABSORBED (migrated) files keep their original names — an unknown
+    // writer may truncate string stats into boundary-adjusted BOUNDS,
+    // so string extremes refuse there while numerics still answer
+    val (cat4, _, c4) = freshCatalog("smma")
+    cat4.overwrite("t", (1 to 100).map(i => (f"m$i%04d", i)).toDF("name", "v"))
+    cat4.setTableProperty("t", ParquetCatalog.IndexForProp, "name,v")
+    val aq = spark.sql(s"SELECT min(name) AS lo FROM $c4.t")
+    assert(!aq.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
+      "absorbed files' string stats must refuse the metadata fold")
+    assert(aq.collect().head.getString(0) === "m0001")
+    val nq = spark.sql(s"SELECT max(v) AS hi FROM $c4.t")
+    assert(nq.queryExecution.executedPlan.toString.contains("GraftCountStarScan"),
+      "numeric extremes still answer on absorbed files")
+    assert(nq.collect().head.getInt(0) === 100)
     // invalid-UTF-8 strings carry LOSSY stats — refuse, scan answers
     val (cat3, _, c3) = freshCatalog("smmb")
     import org.apache.spark.sql.Row
@@ -1689,6 +1703,16 @@ class GraftCatalogSpec extends SparkSpec {
       s"FROM range(500)")
     cat.sql("OPTIMIZE f WHERE day = 'd1'")
     assert(maxPerCell() === 1L)
+    // compaction is a rewrite job: it bin-packs cells even when the
+    // write-path distribution kill switch is off
+    spark.conf.set("spark.graft.write.distributeByLayout", "false")
+    try {
+      spark.sql(s"INSERT INTO $c.f SELECT id + 30000, 3.0, " +
+        s"concat('d', CAST(id % 3 AS STRING)), 0 FROM range(2000)")
+      cat.sql("OPTIMIZE f")
+      assert(maxPerCell() === 1L,
+        "OPTIMIZE must compact even with write distribution off")
+    } finally spark.conf.unset("spark.graft.write.distributeByLayout")
     cat.overwriteBucketedVersioned("dim",
       (1L to 3000L).map(i => (i, s"v$i")).toDF("id", "tag"), "id", 16)
     withSpj {
@@ -1772,6 +1796,21 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $c.t").head().getLong(0) === 6000L)
     intercept[IllegalArgumentException](
       cat.setTableProperty("t", ParquetCatalog.WriteSplitsProp, "0"))
+    // OPTIMIZE's own clustering is NOT voided by the salt (compaction
+    // verbs disable identity splits): a clustered rewrite under a
+    // standing writeSplits declaration still range-clusters
+    cat.setTableProperty("t", ParquetCatalog.ClusterByProp, "id")
+    cat.setTableProperty("t", ParquetCatalog.IndexForProp, "id")
+    cat.sql("OPTIMIZE t ROWS 1000")
+    val q = spark.sql(s"SELECT * FROM $c.t WHERE id BETWEEN 100 AND 500")
+    val desc = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.head
+    val kk = "kept=(\\d+) of (\\d+) files".r.findFirstMatchIn(desc).get
+    assert(kk.group(2).toInt >= 6 && kk.group(1).toInt * 2 < kk.group(2).toInt,
+      s"OPTIMIZE under writeSplits must still cluster: $desc")
+    assert(q.collect().length === 401)
   }
 
   test("composite layouts under time travel: old versions keep THEIR multi-transform keys (r20)") {
