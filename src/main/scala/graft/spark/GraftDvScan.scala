@@ -184,13 +184,15 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
   private var runtimePreds: Array[
     org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
 
-  /** The stock scan's size/row estimates pass through (slightly high —
-    * vectored-out rows still count — but an estimate beats the conf
-    * default, which reads as infinite and kills broadcast planning for
-    * joins INVOLVING a vectored table). */
+  /** The stock scan's size/row estimates pass through, index-tightened
+    * when planned conjuncts prune (r20 — shared
+    * [[GraftFileSkipping.tightenedStatistics]]). Slightly high either
+    * way (vectored-out rows still count), but an estimate beats the
+    * conf default, which reads as infinite and kills broadcast
+    * planning for joins INVOLVING a vectored table. */
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics =
-    inner.estimateStatistics()
+    GraftFileSkipping.tightenedStatistics(inner, statsPath, preds, strPreds)
 
   /** The inner scan reads [data..., row-index, partitions...]; the
     * row index is wrapper-internal and never surfaces. */

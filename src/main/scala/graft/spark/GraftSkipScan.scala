@@ -127,46 +127,8 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
     * kept files) — the same estimate class as stock, strictly tighter.
     * Unknown whenever any planned file lacks an index entry. */
   override def estimateStatistics():
-      org.apache.spark.sql.connector.read.Statistics = {
-    val innerStats = inner.estimateStatistics()
-    val tightened: Option[(Long, Long)] = statsPath.flatMap { sp =>
-      if (preds.isEmpty && strPreds.isEmpty) None
-      else {
-        val parts = inner.toBatch.planInputPartitions().toSeq
-        if (!parts.forall(_.isInstanceOf[FilePartition])) None
-        else {
-          val splits = parts.flatMap {
-            case fp: FilePartition => fp.files
-          }
-          val byFile = splits
-            .groupBy(f => GraftFileSkipping.plainPath(f.filePath.toString))
-            .view.mapValues(_.map(_.length).sum).toMap
-          // per-file cached lookups off one resolved generation view —
-          // never an O(index) map rebuild per estimate call
-          val view = graft.storage.SkippingIndex.viewAtCached(sp)
-          val rows = byFile.keys.toSeq.sorted.flatMap(f =>
-            view.rowCount(f).map(f -> _))
-          if (rows.size != byFile.size) None
-          else {
-            val rowsMap = rows.toMap
-            val cand = graft.storage.SkippingIndex
-              .candidateFilesTyped(sp, byFile.keys.toSeq.sorted, preds,
-                strPreds = strPreds).toSet
-            val keptFiles = byFile.keys.filter(cand.contains).toSeq
-            Some((keptFiles.map(rowsMap).sum, keptFiles.map(byFile).sum))
-          }
-        }
-      }
-    }
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        tightened.fold(innerStats.sizeInBytes())(t =>
-          java.util.OptionalLong.of(math.max(1L, t._2)))
-      override def numRows(): java.util.OptionalLong =
-        tightened.fold(innerStats.numRows())(t =>
-          java.util.OptionalLong.of(t._1))
-    }
-  }
+      org.apache.spark.sql.connector.read.Statistics =
+    GraftFileSkipping.tightenedStatistics(inner, statsPath, preds, strPreds)
 
   /** Dynamic partition pruning (see [[GraftFileSkipping.runtimeKeep]])
     * PLUS dynamic FILE pruning: runtime IN-predicates over the
@@ -260,6 +222,65 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
   * split-filtering pass behind [[GraftSkipScan]], [[GraftSpjScan]],
   * and [[GraftDvScan]]. */
 object GraftFileSkipping {
+
+  /** The stock estimate, TIGHTENED by the index when planned range /
+    * string conjuncts prune files: rows = Σ index rows and bytes =
+    * Σ split lengths over the SURVIVING candidate files only (no bloom
+    * pass — estimation must never launch a job). The stock parquet
+    * estimate is post-partition-pruning byte size, blind to stats
+    * pruning; the index-backed figure is what lets AQE/broadcast
+    * planning see that a filtered slice of a 100 TB clustered table is
+    * broadcast-small. Still an upper bound (pushed data filters prune
+    * further inside kept files) — the same estimate class as stock,
+    * strictly tighter. Falls back to the inner estimate whenever any
+    * planned file lacks an index entry. Shared by all three scan
+    * wrappers (skip / SPJ / dv — r20; previously only GraftSkipScan
+    * tightened, so a filtered BUCKETED fact slice looked
+    * full-table-sized to the broadcast planner). */
+  def tightenedStatistics(inner: ParquetScan,
+      statsPath: Option[java.nio.file.Path],
+      preds: Seq[(String, Double, Double, Set[String])],
+      strPreds: Seq[(String, Option[String], Option[String])]):
+      org.apache.spark.sql.connector.read.Statistics = {
+    val innerStats = inner.estimateStatistics()
+    val tightened: Option[(Long, Long)] = statsPath.flatMap { sp =>
+      if (preds.isEmpty && strPreds.isEmpty) None
+      else {
+        val parts = inner.toBatch.planInputPartitions().toSeq
+        if (!parts.forall(_.isInstanceOf[FilePartition])) None
+        else {
+          val splits = parts.flatMap {
+            case fp: FilePartition => fp.files
+          }
+          val byFile = splits
+            .groupBy(f => plainPath(f.filePath.toString))
+            .view.mapValues(_.map(_.length).sum).toMap
+          // per-file cached lookups off one resolved generation view —
+          // never an O(index) map rebuild per estimate call
+          val view = graft.storage.SkippingIndex.viewAtCached(sp)
+          val rows = byFile.keys.toSeq.sorted.flatMap(f =>
+            view.rowCount(f).map(f -> _))
+          if (rows.size != byFile.size) None
+          else {
+            val rowsMap = rows.toMap
+            val cand = graft.storage.SkippingIndex
+              .candidateFilesTyped(sp, byFile.keys.toSeq.sorted, preds,
+                strPreds = strPreds).toSet
+            val keptFiles = byFile.keys.filter(cand.contains).toSeq
+            Some((keptFiles.map(rowsMap).sum, keptFiles.map(byFile).sum))
+          }
+        }
+      }
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        tightened.fold(innerStats.sizeInBytes())(t =>
+          java.util.OptionalLong.of(math.max(1L, t._2)))
+      override def numRows(): java.util.OptionalLong =
+        tightened.fold(innerStats.numRows())(t =>
+          java.util.OptionalLong.of(t._1))
+    }
+  }
 
   /** Planned splits filtered to index candidates: min/max ranges first
     * (one driver-side stats-file load), then — for equality conjuncts

@@ -125,12 +125,16 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
       Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     inner.supportedCustomMetrics()
 
-  /** The stock scan's size/row estimates pass through — without them a
+  /** The stock scan's size/row estimates pass through, TIGHTENED by
+    * the index when planned conjuncts prune
+    * ([[GraftFileSkipping.tightenedStatistics]]) — without estimates a
     * wrapped relation reports the conf default (effectively infinite)
-    * and the planner stops broadcasting it in OTHER joins. */
+    * and the planner stops broadcasting it in OTHER joins; without
+    * tightening, a filtered slice of a bucketed fact looks
+    * full-table-sized to the broadcast planner. */
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics =
-    inner.estimateStatistics()
+    GraftFileSkipping.tightenedStatistics(inner, statsPath, preds, strPreds)
 
   /** Key ordinals into the read PARTITION schema, in reported-key
     * order — `partitionKey()` rows must line up positionally with

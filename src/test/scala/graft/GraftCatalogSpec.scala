@@ -1588,6 +1588,26 @@ class GraftCatalogSpec extends SparkSpec {
     // the bound is an estimate, never a truth source: results unchanged
     assert(spark.sql(s"SELECT count(*) FROM $c.big WHERE id BETWEEN 20001 AND 30000")
       .head().getLong(0) === 10000L)
+    // BUCKETED tables tighten too (r20): batch-appended id bands give
+    // each cell file a tight id range (the production shape — time/id
+    // monotonic appends), and under the SPJ wrapper a filtered slice
+    // must not look full-table-sized to the broadcast planner
+    def band(b: Long) = ((b - 1) * 10000L + 1 to b * 10000L)
+      .map(i => (i, i % 7, i * 1.0)).toDF("id", "grp", "m")
+    cat.overwriteBucketedVersioned("bb", band(1), "grp", 4)
+    (2L to 10L).foreach { b =>
+      band(b).createOrReplaceTempView("bb_band")
+      // the supplied bucket id is hostile-on-purpose: stage re-derives
+      spark.sql(s"INSERT INTO $c.bb SELECT id, grp, m, 0 FROM bb_band")
+    }
+    cat.index("bb", Seq("id"))
+    withSpj {
+      val fullB = relStats(spark.sql(s"SELECT id, grp, m FROM $c.bb"))
+      val sliceB = relStats(spark.sql(
+        s"SELECT id, grp, m FROM $c.bb WHERE id BETWEEN 20001 AND 30000"))
+      assert(sliceB.sizeInBytes * 2 <= fullB.sizeInBytes,
+        s"SPJ slice ${sliceB.sizeInBytes} vs full ${fullB.sizeInBytes}")
+    }
   }
 
   test("dynamic FILE pruning: runtime join filters drive the min/max index") {
