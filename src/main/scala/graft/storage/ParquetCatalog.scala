@@ -3142,19 +3142,35 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         !pb.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol)) &&
         (m.files.isEmpty || exactRowCount(name, m.version) == 0L))
       return overwriteVersioned(name, df, pb, batchToken)
+    // HIDDEN-partition parity with the SQL door (r20): an engine-door
+    // append to a bucketed table used to demand the synthetic
+    // `_gbucket` column in the frame (schema-drift refusal) even
+    // though stage() re-derives it anyway — derive it here so
+    // `append(name, df)` works on bucketed tables exactly like
+    // `INSERT INTO` does
+    val dfb = bucketSpecAt(name, m.version) match {
+      case Some((bc, nb))
+          if pb.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol)) &&
+            !df.columns.exists(
+              _.equalsIgnoreCase(ParquetCatalog.BucketPartCol)) &&
+            df.columns.exists(_.equalsIgnoreCase(bc)) =>
+        df.withColumn(ParquetCatalog.BucketPartCol,
+          pmod(hash(col(bc)), lit(nb)))
+      case _ => df
+    }
     requireManifestLayout(name, partitionBy, m)
     val current = readVersion(name, m.version)
     val next = m.version + 1
     val tokMeta = carriedMeta(m) ++ tokenMeta(batchToken)
-    if (!schemaMatches(current, df, pb)) {
-      if (!evolveSchema) failSchemaDrift(name, current, df, pb)
+    if (!schemaMatches(current, dfb, pb)) {
+      if (!evolveSchema) failSchemaDrift(name, current, dfb, pb)
       // the metadata-only branch stages df AS GIVEN, so it must carry
       // every partition column (partitionBy on a missing column is an
       // AnalysisException deep in the writer); a frame that dropped one
       // falls through to the union-by-name restage, whose null
       // partition handles it — same gate upsertVersioned's scopedEvolve
       // applies
-      if (addDropOnly(current, df, pb) && pb.forall(df.columns.contains)) {
+      if (addDropOnly(current, dfb, pb) && pb.forall(dfb.columns.contains)) {
         // METADATA-ONLY evolution: add/drop-column drift never touches
         // existing bytes — the commit RE-REFERENCES 100% of the prior
         // files and records the union schema in manifest meta; readers
@@ -3166,11 +3182,11 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         // hold the old bytes — guard before anything stages (mapping
         // on: the staged files' fresh field ids cover it; mapping off:
         // footer-checked refusal)
-        val incomingOnly = df.schema.fieldNames.filterNot(n =>
+        val incomingOnly = dfb.schema.fieldNames.filterNot(n =>
           current.schema.fieldNames.exists(_.equalsIgnoreCase(n))).toSeq
         val cleared = guardReintroduced(name, m, incomingOnly)
-        val evolved = unionEvolvedSchema(current.schema, df.schema)
-        val rels = stage(name, df, pb, next)
+        val evolved = unionEvolvedSchema(current.schema, dfb.schema)
+        val rels = stage(name, dfb, pb, next)
         val meta = Map("op" -> "append") ++ (tokMeta -- cleared) +
           ("schema" -> evolved.toDDL)
         commitAppend(name, m, pb, meta, rels)
@@ -3179,7 +3195,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       }
       // a common column changed TYPE: only a full union-by-name restage
       // can reconcile the physical encodings (Spark widens or fails)
-      val evolved = current.unionByName(df, allowMissingColumns = true)
+      val evolved = current.unionByName(dfb, allowMissingColumns = true)
       val rels = stage(name, evolved, pb, next)
       val meta = Map("op" -> "append") ++ tokMeta ++
         (if (rels.isEmpty) emptyMeta(evolved) else Map.empty)
@@ -3187,12 +3203,12 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       refreshIndex(name)
       return next
     }
-    val rels = stage(name, df, pb, next)
+    val rels = stage(name, dfb, pb, next)
     // appends declare the partitions they added into, so a concurrent
     // partition-scoped writer can fast-forward past a disjoint append
     val meta = Map("op" -> "append") ++ tokMeta ++ propagatedSchema(m) ++
       touchedMeta(rels.map(TableManifest.partitionComponent).toSet) ++
-      (if (m.files.isEmpty && rels.isEmpty) emptyMeta(df) else Map.empty)
+      (if (m.files.isEmpty && rels.isEmpty) emptyMeta(dfb) else Map.empty)
     commitAppend(name, m, pb, meta, rels)
     refreshIndex(name)
     next

@@ -1595,12 +1595,16 @@ class GraftCatalogSpec extends SparkSpec {
     def band(b: Long) = ((b - 1) * 10000L + 1 to b * 10000L)
       .map(i => (i, i % 7, i * 1.0)).toDF("id", "grp", "m")
     cat.overwriteBucketedVersioned("bb", band(1), "grp", 4)
-    (2L to 10L).foreach { b =>
-      band(b).createOrReplaceTempView("bb_band")
-      // the supplied bucket id is hostile-on-purpose: stage re-derives
-      spark.sql(s"INSERT INTO $c.bb SELECT id, grp, m, 0 FROM bb_band")
-    }
+    // engine-door appends derive the hidden bucket id themselves (r20
+    // — parity with INSERT INTO, which always could)
+    (2L to 10L).foreach(b => cat.appendVersioned("bb", band(b)))
     cat.index("bb", Seq("id"))
+    assert(spark.sql(s"SELECT count(*) FROM $c.bb").head().getLong(0)
+      === 100000L)
+    val derived = spark.sql(
+      s"SELECT count(*) FROM $c.bb WHERE _gbucket <> pmod(hash(grp), 4)")
+    assert(derived.head().getLong(0) === 0L,
+      "engine-door appends must derive correct bucket ids")
     withSpj {
       val fullB = relStats(spark.sql(s"SELECT id, grp, m FROM $c.bb"))
       val sliceB = relStats(spark.sql(

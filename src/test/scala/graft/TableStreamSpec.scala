@@ -525,4 +525,48 @@ class TableStreamSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSet ===
       Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
   }
+
+  test("bucketed-table sink: derivation + cell distribution + exactly-once (r20)") {
+    // the canonical 100 TB ingest: a micro-batch sink appending into a
+    // hash-bucketed fact. The sink never mentions the hidden bucket id
+    // (stage derives it), each batch lands at most one file per cell
+    // (the clustered write distribution), and batch-token replay stays
+    // a no-op.
+    val (cat, root) = fresh()
+    cat.overwriteBucketedVersioned("agg",
+      Seq((100L, 0.0)).toDF("k", "v"), "k", 4)
+    cat.overwriteVersioned("src",
+      (1L to 30L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    def pump(): Unit = {
+      val q = cat.readStream("src").writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            cat.appendVersioned("agg", b.repartition(5),
+              batchToken = Some(s"snk#$id"))
+            ()
+        }.start()
+      q.awaitTermination()
+    }
+    pump()
+    assert(cat.read("agg").count() === 31L)
+    pump() // nothing new: replay must not double-apply
+    assert(cat.read("agg").count() === 31L)
+    cat.appendVersioned("src", (31L to 40L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    pump()
+    assert(cat.read("agg").count() === 41L)
+    // the layout invariant bucket SPJ rests on: every row's file dir
+    // matches the derived id
+    assert(cat.read("agg")
+      .filter(pmod(hash(col("k")), lit(4)) =!= col("_gbucket"))
+      .count() === 0L, "sink rows must land in their derived bucket")
+    // one file per cell per batch: initial overwrite + two appends
+    val perCell = cat.read("agg")
+      .select(col("_gbucket"), input_file_name().as("fn"))
+      .groupBy("_gbucket").agg(countDistinct(col("fn")).as("nf"))
+      .agg(max(col("nf"))).as[Long].head()
+    assert(perCell <= 3L, s"expected <=3 files per cell, got $perCell")
+  }
 }
