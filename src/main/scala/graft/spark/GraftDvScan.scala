@@ -190,9 +190,11 @@ class GraftDvScan(inner: ParquetScan, sidecars: Seq[String],
     * way (vectored-out rows still count), but an estimate beats the
     * conf default, which reads as infinite and kills broadcast
     * planning for joins INVOLVING a vectored table. */
-  override def estimateStatistics():
-      org.apache.spark.sql.connector.read.Statistics =
+  // memoized: re-requested at each AQE re-optimization, conjuncts fixed
+  private lazy val tightened =
     GraftFileSkipping.tightenedStatistics(inner, statsPath, preds, strPreds)
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics = tightened
 
   /** The inner scan reads [data..., row-index, partitions...]; the
     * row index is wrapper-internal and never surfaces. */

@@ -126,9 +126,12 @@ class GraftSkipScan(inner: ParquetScan, statsPath: Option[java.nio.file.Path],
     * Still an upper bound (pushed data filters prune further inside
     * kept files) — the same estimate class as stock, strictly tighter.
     * Unknown whenever any planned file lacks an index entry. */
-  override def estimateStatistics():
-      org.apache.spark.sql.connector.read.Statistics =
+  // memoized: Spark re-requests estimates at each AQE re-optimization,
+  // and the planned conjuncts are fixed once pushdown completes
+  private lazy val tightened =
     GraftFileSkipping.tightenedStatistics(inner, statsPath, preds, strPreds)
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics = tightened
 
   /** Dynamic partition pruning (see [[GraftFileSkipping.runtimeKeep]])
     * PLUS dynamic FILE pruning: runtime IN-predicates over the

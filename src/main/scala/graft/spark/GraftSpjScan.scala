@@ -132,9 +132,11 @@ class GraftSpjScan(inner: ParquetScan, partitionBy: Seq[String],
     * and the planner stops broadcasting it in OTHER joins; without
     * tightening, a filtered slice of a bucketed fact looks
     * full-table-sized to the broadcast planner. */
-  override def estimateStatistics():
-      org.apache.spark.sql.connector.read.Statistics =
+  // memoized: re-requested at each AQE re-optimization, conjuncts fixed
+  private lazy val tightened =
     GraftFileSkipping.tightenedStatistics(inner, statsPath, preds, strPreds)
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics = tightened
 
   /** Key ordinals into the read PARTITION schema, in reported-key
     * order — `partitionKey()` rows must line up positionally with

@@ -2500,8 +2500,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
       case Some((c, n)) if partitionBy.exists(
             _.equalsIgnoreCase(ParquetCatalog.BucketPartCol)) &&
           df0.columns.exists(_.equalsIgnoreCase(c)) =>
-        df0.withColumn(ParquetCatalog.BucketPartCol,
-          pmod(hash(col(c)), lit(n)))
+        df0.withColumn(ParquetCatalog.BucketPartCol, bucketIdExpr(c, n))
       case _ => df0
     }
     // CLUSTERED WRITE DISTRIBUTION (r20): stage used to write the
@@ -2565,16 +2564,19 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         if (ord.nonEmpty)
           re.sortWithinPartitions(partitionBy.map(col) ++ ord: _*)
         else re
-      } else if (orderWithinCells.isEmpty && declaredOrd.nonEmpty)
-        // non-bucketed declared-cluster tables: the in-task sort costs
-        // no shuffle and keeps ROW-GROUP min/max tight between
-        // OPTIMIZE runs (each task's files stay internally ordered;
-        // the layout prefix keeps the dynamic-partition writer from
-        // re-sorting the order away). Skipped when the caller passed
-        // an explicit ordering — compact's frames arrive ALREADY
-        // sorted, and a second sort would just re-evaluate the cluster
-        // key per row for nothing.
-        derived.sortWithinPartitions(partitionBy.map(col) ++ declaredOrd: _*)
+      } else if (ord.nonEmpty &&
+          !(partitionBy.isEmpty && orderWithinCells.nonEmpty))
+        // non-bucketed clustered tables: the in-task sort costs no
+        // shuffle and keeps ROW-GROUP min/max tight between OPTIMIZE
+        // runs. The PARTITIONED case must always sort here with the
+        // layout prefix first — even when the caller pre-sorted by the
+        // cluster key alone — because the dynamic-partition writer
+        // otherwise inserts its own partition-column sort, whose
+        // spill-merge does not preserve the within-partition cluster
+        // order. Only the UNPARTITIONED pre-sorted case (compact's
+        // frames, which arrive already ordered and face no writer
+        // re-sort) skips the redundant per-row re-evaluation.
+        derived.sortWithinPartitions(partitionBy.map(col) ++ ord: _*)
       else derived
     val vd = versionsDir(name)
     Files.createDirectories(dataDir(name))
@@ -3014,7 +3016,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
     require(!df.columns.exists(_.equalsIgnoreCase(ParquetCatalog.BucketPartCol)),
       s"column ${ParquetCatalog.BucketPartCol} is reserved for the bucket id")
     val bucketed = df.withColumn(ParquetCatalog.BucketPartCol,
-      pmod(hash(col(bucketCol)), lit(numBuckets)))
+      bucketIdExpr(bucketCol, numBuckets))
     if (isVersioned(name)) {
       // RE-bucketing: the new spec commits FIRST so the restage's
       // hidden-partition derivation (see [[stage]]) runs under the
@@ -3033,6 +3035,14 @@ final class ParquetCatalog(spark: SparkSession, root: String,
         s"$bucketCol,$numBuckets")
     }
   }
+
+  /** THE hidden bucket derivation — one definition for every site
+    * that computes `_gbucket` (stage's re-derivation, the bucketed
+    * overwrite verb, the engine-door append), byte-identical to the V2
+    * bucket function ([[graft.spark.GraftBucketFunction]], PropertySpec
+    * hash-match pins). */
+  private def bucketIdExpr(c: String, n: Int): Column =
+    pmod(hash(col(c)), lit(n))
 
   /** The table's declared bucket layout, when any: (column, buckets). */
   def bucketSpec(name: String): Option[(String, Int)] =
@@ -3154,8 +3164,7 @@ final class ParquetCatalog(spark: SparkSession, root: String,
             !df.columns.exists(
               _.equalsIgnoreCase(ParquetCatalog.BucketPartCol)) &&
             df.columns.exists(_.equalsIgnoreCase(bc)) =>
-        df.withColumn(ParquetCatalog.BucketPartCol,
-          pmod(hash(col(bc)), lit(nb)))
+        df.withColumn(ParquetCatalog.BucketPartCol, bucketIdExpr(bc, nb))
       case _ => df
     }
     requireManifestLayout(name, partitionBy, m)
