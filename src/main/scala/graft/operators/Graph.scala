@@ -71,7 +71,7 @@ object Graph {
     val base = (scale * (dampDen - dampNum) / dampDen) / n
     var ranks = nodes.withColumn("rank", lit(init))
     Loop.pinned(spark) {
-      for (_ <- 1 to iterations) {
+      for (i <- 1 to iterations) {
         val contribs = edgesD
           .join(ranks.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), expr("rank div outdeg").as("contrib"))
@@ -81,7 +81,15 @@ object Graph {
           .select(col("id"),
             (lit(base) + expr(s"($dampNum * coalesce(c, cast(0 as bigint))) div $dampDen"))
               .as("rank"))
-          .localCheckpoint()
+          // lazy per-round checkpoint: the plan is cut each round (so
+          // Catalyst never sees a growing tree) but nothing executes
+          // until the LAST round's eager checkpoint pulls the whole
+          // chain as ONE job — a fixed-iteration loop has no per-round
+          // action to fuse with, so eager rounds were pure scheduling
+          // serialization. The last round stays eager because the
+          // persisted scaffolding (e/nodes/edgesD) is unpersisted right
+          // after the loop and must not be recomputed per reference.
+          .localCheckpoint(eager = i == iterations)
       }
     }
     nodes.unpersist()
@@ -136,7 +144,7 @@ object Graph {
     val base = (scale * (dampDen - dampNum) / dampDen) / n
     var ranks = nodes.withColumn("rank", lit(init))
     Loop.pinned(spark) {
-      for (_ <- 1 to iterations) {
+      for (i <- 1 to iterations) {
         val contribs = edgesD
           .join(ranks.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"),
@@ -147,7 +155,8 @@ object Graph {
           .select(col("id"),
             (lit(base) + expr(s"($dampNum * coalesce(c, cast(0 as bigint))) div $dampDen"))
               .as("rank"))
-          .localCheckpoint()
+          // lazy rounds + one eager tail — see pageRankFixedPoint
+          .localCheckpoint(eager = i == iterations)
       }
     }
     nodes.unpersist()
@@ -195,15 +204,23 @@ object Graph {
     var drained = false
     Loop.pinned(spark) {
       for (h <- 1 to maxHops if !drained) {
+        // lazy checkpoint + count(): ONE job materializes the round's
+        // frontier AND answers the drain check (the count computes over
+        // the checkpointed RDD, storing its blocks as a side effect) —
+        // the eager-checkpoint + isEmpty + eager-visited-union shape
+        // was three sequential jobs per hop for the same answer
         val next = e
           .join(frontier.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id")).distinct()
           .join(visited.select("id"), Seq("id"), "left_anti")
           .withColumn("hop", lit(h))
-          .localCheckpoint()
-        if (next.isEmpty) drained = true
+          .localCheckpoint(eager = false)
+        if (next.count() == 0L) drained = true
         else {
-          visited = visited.unionByName(next).localCheckpoint()
+          // lazy: both union arms are materialized checkpoints, so the
+          // next round's anti-join (or the caller's action) computes
+          // this union without touching `e` — safe across e.unpersist()
+          visited = visited.unionByName(next).localCheckpoint(eager = false)
           frontier = next.select("id")
         }
       }
@@ -245,7 +262,7 @@ object Graph {
       .distinct().persist()
     var labels = nodes.withColumn("label", col("id"))
     Loop.pinned(spark) {
-      for (_ <- 1 to rounds) {
+      for (r <- 1 to rounds) {
         val adopted = e
           .join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"), col("label"))
@@ -257,7 +274,8 @@ object Graph {
           .join(adopted, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("adopted"), col("prev")).as("label"))
-          .localCheckpoint()
+          // lazy rounds + one eager tail — see pageRankFixedPoint
+          .localCheckpoint(eager = r == rounds)
       }
     }
     nodes.unpersist()

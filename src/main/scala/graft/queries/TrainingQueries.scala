@@ -891,8 +891,13 @@ object TrainingQueries {
           col("c_name").as("name_b"))
         a.join(b, "blk")
           .filter(col("id_a") < col("id_b"))
-          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-          .filter(col("dist") <= 1)
+          // bounded form (SPARK-44125): walks only the ±1 diagonal band
+          // with a length-difference early exit — O(threshold·len) per
+          // pair instead of O(len²); returns the exact distance within
+          // the bound and -1 above it, so `between(0, 1)` keeps exactly
+          // the rows `levenshtein(a,b) <= 1` kept, with identical dist
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
+          .filter(col("dist").between(0, 1))
           .select("id_a", "id_b", "dist")
           .orderBy("id_a", "id_b")
       },
@@ -1075,8 +1080,9 @@ object TrainingQueries {
               struct(col("nid2").as("nid"), col("nname2").as("nname"))))
               .as("nbr"))
           .filter(col("nbr.nid").isNotNull)
-          .withColumn("dist", levenshtein(col("name"), col("nbr.nname")))
-          .filter(col("dist") <= 2)
+          // bounded levenshtein: exact within the bound, -1 above (j11)
+          .withColumn("dist", levenshtein(col("name"), col("nbr.nname"), 2))
+          .filter(col("dist").between(0, 2))
           .select(least(col("id"), col("nbr.nid")).as("id_a"),
             greatest(col("id"), col("nbr.nid")).as("id_b"), col("dist"))
           .orderBy("id_a", "id_b")
@@ -1126,8 +1132,9 @@ object TrainingQueries {
         val b = blocked.select(col("blk"), col("c_custkey").as("id_b"),
           col("c_name").as("name_b"))
         val pairsPrefix = a.join(b, "blk")
+          // bounded levenshtein: banded O(threshold·len) per pair (j11)
           .filter(col("id_a") < col("id_b") &&
-            levenshtein(col("name_a"), col("name_b")) <= 1)
+            levenshtein(col("name_a"), col("name_b"), 1).between(0, 1))
           .select("id_a", "id_b")
         // family 2: SNM prefix-15 sort, w = 2 successors, lev <= 2 (d17)
         val w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
@@ -1141,7 +1148,7 @@ object TrainingQueries {
               struct(col("nid1").as("nid"), col("nname1").as("nname")),
               struct(col("nid2").as("nid"), col("nname2").as("nname")))).as("nbr"))
           .filter(col("nbr.nid").isNotNull &&
-            levenshtein(col("name"), col("nbr.nname")) <= 2)
+            levenshtein(col("name"), col("nbr.nname"), 2).between(0, 2))
           .select(least(col("id"), col("nbr.nid")).as("id_a"),
             greatest(col("id"), col("nbr.nid")).as("id_b"))
         val pairs = pairsPrefix.unionByName(pairsSnm).distinct()
