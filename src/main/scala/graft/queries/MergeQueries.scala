@@ -883,7 +883,7 @@ object MergeQueries {
       val t3 = cat.commitTimestamp("orders_tt", 3).get
       val asOf = cat.readAsOf("orders_tt", t2)
       val v2 = cat.readVersion("orders_tt", 2)
-      val mismatch = asOf.exceptAll(v2).count() + v2.exceptAll(asOf).count()
+      val mismatch = Pins.symmetricDiffCount(asOf, v2)
       asOf.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
@@ -1241,8 +1241,7 @@ object MergeQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_totalprice").cast("decimal(28,6)")).as("sum_o_totalprice"))
       val mv = cat.read("mv_by_status")
-      val mismatch = mv.exceptAll(recomputed).count() +
-        recomputed.exceptAll(mv).count()
+      val mismatch = Pins.symmetricDiffCount(mv, recomputed)
       mv.select(col("o_orderstatus"), col("n_rows"),
           col("sum_o_totalprice").cast("double").as("total"))
         .withColumn("mv_version", lit(mvv))
@@ -1321,17 +1320,14 @@ object MergeQueries {
         "SELECT o_orderkey, o_totalprice, o_orderstatus " +
           "FROM orders_sqt VERSION AS OF 2")
       val viaApi = cat.readVersion("orders_sqt", 2).select(cols.map(col): _*)
-      val textVsApi = viaText.exceptAll(viaApi).count() +
-        viaApi.exceptAll(viaText).count()
+      val textVsApi = Pins.symmetricDiffCount(viaText, viaApi)
       val t2 = cat.commitTimestamp("orders_sqt", 2).get
       val viaTs = cat.sql(
         "SELECT o_orderkey, o_totalprice, o_orderstatus " +
           s"FROM orders_sqt TIMESTAMP AS OF timestamp_millis($t2)")
-      val tsMismatch = viaTs.exceptAll(viaApi).count() +
-        viaApi.exceptAll(viaTs).count()
+      val tsMismatch = Pins.symmetricDiffCount(viaTs, viaApi)
       val current = cat.read("orders_sqt").select(cols.map(col): _*)
-      val restoredMismatch = current.exceptAll(viaApi).count() +
-        viaApi.exceptAll(current).count()
+      val restoredMismatch = Pins.symmetricDiffCount(current, viaApi)
       val ops = cat.sql("DESCRIBE HISTORY orders_sqt")
         .select("operation").collect().map(_.getString(0)).mkString(",")
       cat.sql("""
@@ -1409,7 +1405,7 @@ object MergeQueries {
       val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
       val src = cat.read("orders_sp").select(cols.map(col): _*)
       val dst = cat.read("orders_sp_dst").select(cols.map(col): _*)
-      val mismatch = src.exceptAll(dst).count() + dst.exceptAll(src).count()
+      val mismatch = Pins.symmetricDiffCount(src, dst)
       dst.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
