@@ -344,11 +344,18 @@ object Graph {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_rep")).as("neighbor_min"))
+      // lazy checkpoint BEFORE the self-join below: its two sides key on
+      // different columns (cluster_rep vs id), so no exchange is reused
+      // and an un-cut `stepped` plan — including the edge join and the
+      // neighbor-min aggregation above — would be computed twice per
+      // round. The cut costs nothing extra: the round's convergence
+      // aggregate materializes the blocks anyway.
       val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_rep"),
             coalesce(col("neighbor_min"), col("cluster_rep")))
             .as("cluster_rep"))
+        .transform(graft.spark.Lineage.truncateLazy)
       // pointer jump (path compression): follow the rep's own label
       // once per round — labels are always node ids, so the lookup
       // hits — squaring the propagation distance: O(log diameter)
@@ -417,9 +424,17 @@ object Graph {
       val emitted =
         if (large) linked.filter(col("v") > col("u"))
           .select(col("v").as("src"), col("m").as("dst"))
-        else linked.filter(col("v") <= col("u"))
-          .select(col("v").as("src"), col("m").as("dst"))
-          .union(linked.select(col("u").as("src"), col("m").as("dst")))
+        // small-star emits up to two rows per adjacency row — as ONE
+        // conditional explode, not a union of two selects over `linked`:
+        // the union form embeds the window subtree twice in the plan
+        // (different projections, no exchange reuse), paying the
+        // adjacency shuffle+sort twice per pass
+        else linked.select(explode(array(
+            when(col("v") <= col("u"),
+              struct(col("v").as("src"), col("m").as("dst"))),
+            struct(col("u").as("src"), col("m").as("dst")))).as("__s"))
+          .filter(col("__s").isNotNull)
+          .select(col("__s.src").as("src"), col("__s.dst").as("dst"))
       emitted.filter(col("src") =!= col("dst")).distinct()
     }
     var edges = pairs
