@@ -114,9 +114,15 @@ object Dedup {
     * hash-agg (bucket sizes), join shapes unchanged. */
   def lshCandidatePairs(bandRows: DataFrame, idCol: String,
       maxBucket: Int = 4096): DataFrame = {
-    val sizes = bandRows.groupBy("band", "key")
+    // persisted: bandRows feeds the size aggregate, both all-pairs join
+    // sides, and the star branch — callers typically pass the raw
+    // minhash→band pipeline, which would otherwise recompute per
+    // reference (the [[graft.operators.Similarity.nearDupPairsBanded]]
+    // pattern; the bench clears the cache per query)
+    val bands = bandRows.persist()
+    val sizes = bands.groupBy("band", "key")
       .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__hub"))
-    val tagged = bandRows.join(sizes, Seq("band", "key"))
+    val tagged = bands.join(sizes, Seq("band", "key"))
     val small = tagged.filter(col("__n") <= maxBucket)
     val l = small.select(col("band"), col("key"), col(idCol).as("id_a"))
     val r = small.select(col("band"), col("key"), col(idCol).as("id_b"))
@@ -337,6 +343,10 @@ object Dedup {
     val banded = sigs.select(col(idCol).as("id"), col("simhash"),
       explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.bandbits"))
+      // persisted: feeds the size aggregate, both pair sides, and the
+      // star branch — callers pass the raw signature scan, which would
+      // otherwise recompute per reference (lshCandidatePairs's pattern)
+      .persist()
     val sizes = banded.groupBy("band", "bandbits")
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"),
         min_by(col("simhash"), col("id")).as("__hubsig"))

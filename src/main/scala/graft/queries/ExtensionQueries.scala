@@ -1606,8 +1606,10 @@ object ExtensionQueries {
         val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text",
           k = 3, carry = Seq.empty).persist()
         val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        // persisted: cold feeds BOTH sides of the pair self-join below,
+        // which would otherwise run the df-count join twice
         val cold = sh.join(dfc.filter(col("df") <= 64), "shingle")
-          .select("doc_id", "shingle")
+          .select("doc_id", "shingle").persist()
         val pairs = cold.select(col("doc_id").as("id_a"), col("shingle"))
           .join(cold.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
           .filter(col("id_a") < col("id_b"))
