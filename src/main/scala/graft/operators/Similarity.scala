@@ -91,7 +91,12 @@ object Similarity {
     }
 
   private def planeDot(vec: Column, plane: Int, dim: Int): Column =
-    dotF(vec, array(planeWeights(plane, dim).map(lit): _*).cast("array<float>"))
+    // ONE array literal, not a 64-element CreateArray: the inline form
+    // rebuilt the weight array per row AND blew the generated method
+    // past codegen size limits when 16 planes × 64 elements stack up in
+    // one projection (the banded paths), dropping whole stages back to
+    // interpreted execution. Same floats, same dotF, bit-identical.
+    dotF(vec, typedlit(planeWeights(plane, dim)))
 
   private def planeSign(vec: Column, plane: Int, dim: Int): Column =
     when(planeDot(vec, plane, dim) >= 0, 1).otherwise(0)

@@ -885,12 +885,14 @@ object TrainingQueries {
         val c = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"),
             substring(col("c_name"), 1, 16).as("blk"))
-        val a = c.select(col("blk"), col("c_custkey").as("id_a"),
-          col("c_name").as("name_a"))
-        val b = c.select(col("blk"), col("c_custkey").as("id_b"),
-          col("c_name").as("name_b"))
-        a.join(b, "blk")
-          .filter(col("id_a") < col("id_b"))
+        // candidate generation by single-deletion neighborhoods
+        // (operators.EditJoin): entity keys share long constant
+        // prefixes, so the within-block self-join degenerates to one
+        // giant block scanned O(n²·len) in a single task; the del-1 key
+        // join emits the same verified pairs from O(n·len) keys. The
+        // exact bounded levenshtein below re-verifies every candidate,
+        // so the kept rows — and their dist — are identical.
+        graft.operators.EditJoin.candidatesLev1(c, "blk", "c_custkey", "c_name")
           // bounded form (SPARK-44125): walks only the ±1 diagonal band
           // with a length-difference early exit — O(threshold·len) per
           // pair instead of O(len²); returns the exact distance within
@@ -1125,16 +1127,15 @@ object TrainingQueries {
       "er1_entity_resolution",
       (s, d) => {
         val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
-        // family 1: prefix-16 blocks, lev <= 1 (j11)
+        // family 1: prefix-16 blocks, lev <= 1 (j11) — candidates via
+        // single-deletion neighborhoods (EditJoin; see j11): same
+        // verified pair set as the within-block self-join without its
+        // degenerate one-giant-block O(n²) scan
         val blocked = c.withColumn("blk", substring(col("c_name"), 1, 16))
-        val a = blocked.select(col("blk"), col("c_custkey").as("id_a"),
-          col("c_name").as("name_a"))
-        val b = blocked.select(col("blk"), col("c_custkey").as("id_b"),
-          col("c_name").as("name_b"))
-        val pairsPrefix = a.join(b, "blk")
+        val pairsPrefix = graft.operators.EditJoin
+          .candidatesLev1(blocked, "blk", "c_custkey", "c_name")
           // bounded levenshtein: banded O(threshold·len) per pair (j11)
-          .filter(col("id_a") < col("id_b") &&
-            levenshtein(col("name_a"), col("name_b"), 1).between(0, 1))
+          .filter(levenshtein(col("name_a"), col("name_b"), 1).between(0, 1))
           .select("id_a", "id_b")
         // family 2: SNM prefix-15 sort, w = 2 successors, lev <= 2 (d17)
         val w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
