@@ -24,6 +24,8 @@ object JobProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_PROBE_LOOPW").foreach(w =>
+      spark.conf.set("spark.graft.loop.partitions", w))
 
     final case class JobRec(id: Int, var start: Long = 0L, var end: Long = 0L,
         var stages: Int = 0, var tasks: Int = 0)

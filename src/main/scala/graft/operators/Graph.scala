@@ -57,20 +57,33 @@ object Graph {
       s"damping must be a proper fraction, got $dampNum/$dampDen")
     val spark = edges.sparkSession
     val e = edges.persist() // read 4x below before edgesD caches
+    // nodes cached hash-partitioned AND sorted on id at the loop width:
+    // the per-round rejoin (nodes left-join contribs) then moves
+    // nothing — without this the node frame re-shuffled every round
+    val loopW = Loop.resolveWidth(spark, Loop.widthFor(edges))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().persist()
-    val n = nodes.count()
+      .distinct()
+      .repartition(loopW, col("id")).sortWithinPartitions("id")
+      .persist()
+    val n = nodes.count() // setup runs at session width, not loop width
     require(n > 0, "pageRank over an empty edge list")
-    // edge list decorated with out-degree once, up front; re-used
-    // (not re-shuffled) every round
+    // edge list decorated with out-degree once, up front, and stored
+    // HASH-PARTITIONED AND SORTED on the per-round join key at exactly
+    // the loop width (derived from the edge list's size estimate —
+    // scale-adaptive, Loop.widthFor): each round's edge join then
+    // exchanges and sorts only the node-sized rank frame; the edge
+    // side is stationary, and nothing is broadcast per round
+    // (Loop scaladoc — the old plan re-broadcast the edge list every
+    // round because its parquet stats undersell the in-memory size).
     val edgesD = e
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(loopW, col("src")).sortWithinPartitions("src")
       .persist()
-    val init = scale / n
-    val base = (scale * (dampDen - dampNum) / dampDen) / n
-    var ranks = nodes.withColumn("rank", lit(init))
-    Loop.pinned(spark) {
+    val result = Loop.pinned(spark, Some(loopW)) {
+      val init = scale / n
+      val base = (scale * (dampDen - dampNum) / dampDen) / n
+      var ranks = nodes.withColumn("rank", lit(init))
       for (i <- 1 to iterations) {
         val contribs = edgesD
           .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -91,11 +104,12 @@ object Graph {
           // after the loop and must not be recomputed per reference.
           .localCheckpoint(eager = i == iterations)
       }
+      ranks
     }
     nodes.unpersist()
     edgesD.unpersist()
     e.unpersist()
-    ranks
+    result
   }
 
   /** Out-degree per source vertex: (src, outdeg). */
@@ -132,18 +146,24 @@ object Graph {
       s"damping must be a proper fraction, got $dampNum/$dampDen")
     val spark = edges.sparkSession
     val e = edges.persist()
+    // nodes and edgesD co-partitioned at loop width, no per-round
+    // broadcasts — see pageRankFixedPoint
+    val loopW = Loop.resolveWidth(spark, Loop.widthFor(edges))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().persist()
-    val n = nodes.count()
+      .distinct()
+      .repartition(loopW, col("id")).sortWithinPartitions("id")
+      .persist()
+    val n = nodes.count() // setup at session width
     require(n > 0, "pageRankWeighted over an empty edge list")
     val edgesD = e
       .join(e.groupBy("src").agg(sum("weight").as("wsum")), "src")
+      .repartition(loopW, col("src")).sortWithinPartitions("src")
       .persist()
-    val init = scale / n
-    val base = (scale * (dampDen - dampNum) / dampDen) / n
-    var ranks = nodes.withColumn("rank", lit(init))
-    Loop.pinned(spark) {
+    val result = Loop.pinned(spark, Some(loopW)) {
+      val init = scale / n
+      val base = (scale * (dampDen - dampNum) / dampDen) / n
+      var ranks = nodes.withColumn("rank", lit(init))
       for (i <- 1 to iterations) {
         val contribs = edgesD
           .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -158,11 +178,12 @@ object Graph {
           // lazy rounds + one eager tail — see pageRankFixedPoint
           .localCheckpoint(eager = i == iterations)
       }
+      ranks
     }
     nodes.unpersist()
     edgesD.unpersist()
     e.unpersist()
-    ranks
+    result
   }
 
   /** Minimum-hop BFS distances from `source`, capped at `maxHops`.
@@ -195,14 +216,19 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
-    // the edge list is re-joined every round: materialize it once (at
-    // cluster scale this is the already-persisted/bucketed edge table —
-    // the point is the per-round plan must not re-derive it)
-    val e = edges.persist()
     var visited = Seq((source, 0)).toDF("id", "hop")
     var frontier = visited.select("id")
     var drained = false
-    Loop.pinned(spark) {
+    // the edge list is re-joined every round: materialize it once,
+    // HASH-PARTITIONED AND SORTED on the join key at the loop width
+    // (at cluster scale this is the already-persisted/bucketed edge
+    // table) — each hop's frontier join then exchanges and sorts only
+    // the frontier, never the edges, and nothing is re-broadcast per
+    // hop (Loop scaladoc)
+    val loopW = Loop.resolveWidth(spark, Loop.widthFor(edges))
+    val e = edges.repartition(loopW, col("src")).sortWithinPartitions("src")
+      .persist()
+    Loop.pinned(spark, Some(loopW)) {
       for (h <- 1 to maxHops if !drained) {
         // lazy checkpoint + count(): ONE job materializes the round's
         // frontier AND answers the drain check (the count computes over
@@ -256,12 +282,19 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
-    val e = edges.persist() // re-joined every round; derive once
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().persist()
-    var labels = nodes.withColumn("label", col("id"))
-    Loop.pinned(spark) {
+    // re-joined every round: materialize once, hash-partitioned and
+    // sorted on the join key at the loop width — each round's edge
+    // join then exchanges and sorts only the node-sized label frame,
+    // never the edges, and nothing is re-broadcast per round
+    // (Loop scaladoc; the old plan re-broadcast the edge list 3×)
+    val loopW = Loop.resolveWidth(spark, Loop.widthFor(edges))
+    val e = edges.repartition(loopW, col("src")).sortWithinPartitions("src")
+      .persist()
+    val result = Loop.pinned(spark, Some(loopW)) {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct().persist()
+      var labels = nodes.withColumn("label", col("id"))
       for (r <- 1 to rounds) {
         val adopted = e
           .join(labels.withColumnRenamed("id", "src"), "src")
@@ -277,10 +310,11 @@ object Graph {
           // lazy rounds + one eager tail — see pageRankFixedPoint
           .localCheckpoint(eager = r == rounds)
       }
+      nodes.unpersist()
+      labels
     }
-    nodes.unpersist()
     e.unpersist()
-    labels
+    result
   }
 
   /** Connected components over an undirected pair list — THE shared
@@ -303,8 +337,11 @@ object Graph {
       maxIter: Int = 20): DataFrame =
     // every reduce side in the loop is dup-edge-endpoint-sized, so the
     // loop runs under Loop.pinned (narrow shuffles, no AQE re-plan per
-    // round); the corpus-sized singleton rejoin below plans under the
-    // caller's conf because it executes after pinned() restores it
+    // round, conf-default width — the loop frames are dup-edge-sized
+    // by design, and join-derived pair pipelines have no usable size
+    // estimate for widthFor); the corpus-sized singleton rejoin below
+    // plans under the caller's conf because it executes after pinned()
+    // restores it
     graft.spark.Loop.pinned(nodes.sparkSession) {
     // Lineage.truncate (not persist) on every iterated frame: persist
     // truncates EXECUTION but the logical plan still embeds the previous
@@ -316,10 +353,15 @@ object Graph {
     // symmetrize in ONE pass over `pairs` (explode, not self-union): the
     // candidate pipeline feeding this is typically expensive and
     // unpersisted — a union would execute it twice before the checkpoint.
+    // The checkpoint stores edges HASH-PARTITIONED AND SORTED on dst
+    // (LogicalRDD preserves both), so every round's label join
+    // exchanges and sorts only the endpoint-sized label frame — the
+    // edge side of the loop is stationary.
     val edges = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .repartition(col("dst")).sortWithinPartitions("dst")
       .transform(graft.spark.Lineage.truncate)
     // iterate ONLY over edge endpoints: every other node is a
     // singleton that cannot change, and carrying it through each

@@ -34,12 +34,52 @@ object Loop {
   /** Session conf key: shuffle width inside pinned iterative loops. */
   val PartitionsConf = "spark.graft.loop.partitions"
 
-  def pinned[T](spark: SparkSession)(body: => T): T = {
-    val keys = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+  /** Scale-adaptive loop width: the loop input's SCAN parallelism,
+    * clamped to [4, session shuffle width]. Derived, not constant — at
+    * sf0.1 the parquet edge lists read as 12-16 splits so the loop's
+    * per-round merge over the stationary edge frame keeps that
+    * parallelism; at 100 TB the same code sees data/maxPartitionBytes
+    * splits and the loop inherits the session width instead of
+    * silently serializing onto 4 reducers. Meaningful for LEAF-ish
+    * inputs (a scan, a cached table) whose partition count reflects
+    * data volume; shuffle-derived frames just report the session conf,
+    * which the clamp tolerates — pass those loops no hint instead. An
+    * explicit `spark.graft.loop.partitions` still overrides (checked
+    * inside [[pinned]] and [[resolveWidth]]). */
+  def widthFor(input: org.apache.spark.sql.DataFrame): Option[Int] = {
+    val spark = input.sparkSession
+    val session =
+      try spark.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => 200 }
+    val in =
+      try input.rdd.getNumPartitions
+      catch { case _: Throwable => 4 }
+    Some(math.max(4, math.min(session, in)))
+  }
+
+  /** The width [[pinned]] will actually use for the given hint — for
+    * callers that must pre-partition a stationary frame with an
+    * explicit (conf-independent) partition count. */
+  def resolveWidth(spark: SparkSession, width: Option[Int]): Int =
+    spark.conf.getOption(PartitionsConf).map(_.toInt)
+      .orElse(width).getOrElse(4)
+
+  def pinned[T](spark: SparkSession, width: Option[Int] = None)(body: => T): T = {
+    val keys = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
     val saved = keys.map(c => c -> spark.conf.getOption(c))
     spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption(PartitionsConf).getOrElse("4"))
+      spark.conf.getOption(PartitionsConf)
+        .orElse(width.map(_.toString)).getOrElse("4"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // No size-estimate broadcasts inside a loop: both join sides are
+    // DATA-sized (edge lists, label/rank frames) and a broadcast join
+    // re-collects and re-builds its hash relation EVERY round — at
+    // sf0.1 that was ~0.3 s/round re-broadcasting a 1.3M-row edge list
+    // whose parquet stats undersell its in-memory size, and at 100 TB
+    // the same plan is an OOM. Loops run co-partitioned joins against
+    // stationary (cached, pre-partitioned) frames instead.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try body
     finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
