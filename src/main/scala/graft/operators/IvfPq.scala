@@ -85,18 +85,20 @@ object IvfPq {
   }
 
   /** Approximate vector from the index entry: coarse centroid + PQ
-    * reconstruction of the residual codes. */
-  private def reconstruct(listId: Column, codes: Column, model: Model): Column = {
-    val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
-    zip_with(
-      element_at(coarseLit, listId + 1),
-      ProductQuantizer.reconstructCol(codes, model.pq),
-      (a, b) => a + b).cast("array<float>")
-  }
+    * reconstruction of the residual codes. Codegen'd
+    * ([[graft.functions.PqReconstruct]] — one float add per element,
+    * exactly what the previous zip_with lambda computed); the HOF form
+    * was a CodegenFallback evaluated per candidate row of every search
+    * and twice per corpus row of every `withNorm` index build. */
+  private def reconstruct(listId: Column, codes: Column, model: Model): Column =
+    graft.functions.PqFunctions.pqReconstruct(listId, codes,
+      model.coarse, model.pq.codebooks, model.pq.subDim)
 
   /** Per-query probe set: the nProbe coarse lists nearest each query —
-    * a broadcast crossJoin against the model-sized centroid frame. */
-  private def probeSet(queries: DataFrame, idCol: String, vecCol: String,
+    * a broadcast crossJoin against the model-sized centroid frame.
+    * `private[graft]` so queries comparing SEVERAL indexes under the
+    * same queries/model (v18/v19) can compute it once. */
+  private[graft] def probeSet(queries: DataFrame, idCol: String, vecCol: String,
       model: Model, nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -137,8 +139,21 @@ object IvfPq {
       vecCol: String, model: Model, k: Int, nProbe: Int,
       bounded: Boolean = false): DataFrame = {
     val probes = probeSet(queries, idCol, vecCol, model, nProbe)
-    val probedLists = probes.select("list_id").distinct()
-      .collect().map(_.getInt(0)).sorted // model-bounded: ≤ nLists
+    searchIndexProbed(probes, collectProbedLists(probes), idx, idCol,
+      model, k, bounded)
+  }
+
+  /** The probed list ids for a probe frame — model-bounded: ≤ nLists. */
+  private[graft] def collectProbedLists(probes: DataFrame): Array[Int] =
+    probes.select("list_id").distinct().collect().map(_.getInt(0)).sorted
+
+  /** [[searchIndex]] with a PRECOMPUTED probe set and probed-list ids:
+    * several index scans over the same queries/model (the v18/v19
+    * full-vs-maintained comparisons) share one probe ranking and one
+    * probed-list collect instead of re-running both per index. */
+  private[graft] def searchIndexProbed(probes: DataFrame,
+      probedLists: Array[Int], idx: DataFrame, idCol: String,
+      model: Model, k: Int, bounded: Boolean = false): DataFrame = {
     val pruned = idx
       .filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
       .withColumnRenamed(idCol, "neighbor_id")

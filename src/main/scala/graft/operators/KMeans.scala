@@ -76,26 +76,43 @@ object KMeans {
     graft.spark.Loop.pinned(df.sparkSession) {
     while (i < iters) {
       val assigned = assign(df, vecCol, cents)
-      // one shuffle: per-(cluster, dim) decimal mean + the global inertia
+      // one shuffle: per-cluster EXACT decimal sums of every dimension
+      // as ONE vector aggregate ([[graft.functions.DecimalVectorSum]])
+      // + row count + the global inertia. No posexplode (the exploded
+      // form materialized dim× the corpus rows and ran dim redundant
+      // decimal sq_dist sums per cluster, every iteration) and no
+      // dim-wide aggregate column list (whose per-iteration analysis
+      // cost dominated at gate scale). The vector aggregate reproduces
+      // the identical per-element decimal cast and exact integer
+      // accumulation, so every centroid and inertia value is
+      // bit-identical to the exploded form's.
       val stats = assigned
-        .select(col("cluster_id"), col("sq_dist"),
-          posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cluster_id", "pos")
-        .agg(Deterministic.dsum(col("x").cast("double")).as("sx"),
-          count(lit(1)).as("n"),
-          Deterministic.dsum(col("sq_dist")).as("sd"))
-        .collect() // k·dim rows — bounded by the model, not the data
-      // inertia: each input row contributes its sq_dist once per dim in
-      // the exploded frame, so divide the dim-summed total back out.
-      // Sort before the driver-side sum — collect() order follows
-      // partition arrival, and a float sum must not depend on it.
-      inertias += stats
-        .sortBy(r => (r.getAs[Int]("cluster_id"), r.getAs[Int]("pos")))
-        .map(_.getAs[Double]("sd")).sum / dim
+        .groupBy("cluster_id")
+        .agg(graft.functions.VectorAggregates.dsumVec(col(vecCol), dim).as("sx"),
+          count(lit(1)).as("n"), Deterministic.dsum(col("sq_dist")).as("sd"))
+        .collect() // ≤ k rows — model-bounded
+        .sortBy(_.getAs[Int]("cluster_id"))
+      // inertia: replay the exploded form's driver-side fold exactly —
+      // it summed the per-(cluster, pos) sd (the same value dim times
+      // per cluster, clusters in ascending order) then divided by dim;
+      // the repeated additions keep the float result bit-identical.
+      var acc = 0.0
+      stats.foreach { r =>
+        val sd = r.getAs[Double]("sd")
+        var j = 0
+        while (j < dim) { acc += sd; j += 1 }
+      }
+      inertias += acc / dim
       val next = cents.map(_.clone())
       stats.foreach { r =>
-        val c = r.getAs[Int]("cluster_id"); val p = r.getAs[Int]("pos")
-        next(c)(p) = (r.getAs[Double]("sx") / r.getAs[Long]("n")).toFloat
+        val c = r.getAs[Int]("cluster_id")
+        val n = r.getAs[Long]("n")
+        val sx = r.getAs[scala.collection.Seq[Double]]("sx")
+        var p = 0
+        while (p < dim) {
+          next(c)(p) = (sx(p) / n).toFloat
+          p += 1
+        }
       }
       cents = next // clusters with no rows kept their previous value
       i += 1

@@ -66,16 +66,26 @@ object ProductQuantizer {
           NearestCentroidFunctions.nearestCentroid(col("sv"), books(s)))
           .otherwise(acc)
       }
+      // per-(subspace, code) EXACT decimal sums of every sub-dimension
+      // as ONE vector aggregate — no posexplode (the exploded form
+      // materialized subDim× the subvector rows per Lloyd round; see
+      // KMeans.train and graft.functions.DecimalVectorSum for the
+      // bit-identical-accumulation argument).
       val stats = subs.withColumn("code", assign)
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "code", "pos")
-        .agg(Deterministic.dsum(col("x").cast("double")).as("sx"),
+        .groupBy("sub", "code")
+        .agg(graft.functions.VectorAggregates.dsumVec(col("sv"), sd).as("sx"),
           count(lit(1)).as("n"))
-        .collect() // m·k·subDim rows — bounded by the model, not the data
+        .collect() // ≤ m·k rows — model-bounded
       val next = books.map(_.map(_.clone()))
       stats.foreach { r =>
-        next(r.getAs[Int]("sub"))(r.getAs[Int]("code"))(r.getAs[Int]("pos")) =
-          (r.getAs[Double]("sx") / r.getAs[Long]("n")).toFloat
+        val sub = r.getAs[Int]("sub"); val code = r.getAs[Int]("code")
+        val n = r.getAs[Long]("n")
+        val sx = r.getAs[scala.collection.Seq[Double]]("sx")
+        var p = 0
+        while (p < sd) {
+          next(sub)(code)(p) = (sx(p) / n).toFloat
+          p += 1
+        }
       }
       books = next // empty codes keep their previous codeword
     }
@@ -91,15 +101,13 @@ object ProductQuantizer {
         slice(vec, s * model.subDim + 1, model.subDim),
         model.codebooks(s))): _*)
 
-  /** Reconstruction from codes: concatenated codeword lookups against
-    * the codebook literal — `array<float>` ready for the existing
-    * cosine machinery. */
-  def reconstructCol(codes: Column, model: Model): Column = {
-    val cb = typedlit(
-      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    flatten(transform(sequence(lit(0), lit(model.m - 1)), s =>
-      element_at(element_at(cb, s + 1), element_at(codes, s + 1) + 1)))
-  }
+  /** Reconstruction from codes: concatenated codeword lookups —
+    * `array<float>` ready for the existing cosine machinery. Codegen'd
+    * ([[graft.functions.PqCodewords]]); the declarative
+    * flatten/transform/element_at form was a CodegenFallback HOF
+    * evaluated per scanned row on the PQ search hot path. */
+  def reconstructCol(codes: Column, model: Model): Column =
+    graft.functions.PqFunctions.pqCodewords(codes, model.codebooks, model.subDim)
 
   /** End to end: encode the corpus, search the reconstructed vectors
     * with the original query vectors. The corpus side carries only

@@ -800,9 +800,14 @@ object VectorQueries {
         val incrIdx = incrementalIvfPqIndex(s, d, model)
         val queries = emb.filter(col("vec_id") < 5)
         val k = 10
+        // both index scans share ONE probe ranking + probed-list
+        // collect (deterministic, so sharing is pure work elimination)
+        val probes = IvfPq.probeSet(queries, "vec_id", "embedding", model,
+          nProbe = 8)
+        val lists = IvfPq.collectProbedLists(probes)
         def run(i: org.apache.spark.sql.DataFrame) =
-          IvfPq.searchIndex(queries, i, "vec_id", "embedding", model,
-            k, nProbe = 8).select("query_id", "neighbor_id", "rank")
+          IvfPq.searchIndexProbed(probes, lists, i, "vec_id", model, k)
+            .select("query_id", "neighbor_id", "rank")
         val a = run(fullIdx)
         val b = run(incrIdx)
         a.join(b, Seq("query_id", "neighbor_id", "rank"), "full_outer")
@@ -841,9 +846,13 @@ object VectorQueries {
           metaCols = Seq("label"))
         val queries = emb.filter(col("vec_id") < 5)
         val k = 10
+        // shared probe ranking + probed-list collect (see v18)
+        val probes = IvfPq.probeSet(queries, "vec_id", "embedding", model,
+          nProbe = 8)
+        val lists = IvfPq.collectProbedLists(probes)
         def run(i: org.apache.spark.sql.DataFrame) =
-          IvfPq.searchIndex(queries, i, "vec_id", "embedding", model,
-            k, nProbe = 8).select("query_id", "neighbor_id", "rank")
+          IvfPq.searchIndexProbed(probes, lists, i, "vec_id", model, k)
+            .select("query_id", "neighbor_id", "rank")
         run(deletedIdx)
           .join(run(rebuiltIdx),
             Seq("query_id", "neighbor_id", "rank"), "full_outer")
