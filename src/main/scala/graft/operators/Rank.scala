@@ -31,33 +31,43 @@ object Rank {
   }
 
   /** Dense global row_number over a total order, computed without a
-    * single-partition window. */
+    * single-partition window: range-partition by the sort key, tag each
+    * row with its range-partition id, rank WITHIN partitions by a
+    * window partitioned on that id (every window group is one bounded
+    * range slice), and add exclusive per-partition offsets computed
+    * from the partition sizes (driver sees one row per partition, never
+    * per data row). Stays entirely inside Catalyst/codegen — the
+    * earlier RDD `mapPartitionsWithIndex` roundtrip paid external-row
+    * conversion for every data row and hid the frame from the
+    * optimizer. The tagged frame persists because the size aggregate
+    * and the ranking pass both read it (one range shuffle, not two). */
   def globalRank(df: DataFrame, orderCols: Seq[String],
-      rankCol: String = "rank"): DataFrame = {
-    val spark = df.sparkSession
+      rankCol: String = "rank"): DataFrame =
+    globalRankN(df, orderCols, rankCol)._1
+
+  /** [[globalRank]] plus the TOTAL row count — already known from the
+    * per-partition size collect, so consumers that need N (equi-depth
+    * bucketing) don't pay a separate count job. */
+  def globalRankN(df: DataFrame, orderCols: Seq[String],
+      rankCol: String = "rank"): (DataFrame, Long) = {
     val sortExprs = orderCols.map(col)
-    val partitioned = df.repartitionByRange(sortExprs: _*)
+    val tagged = df.repartitionByRange(sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
-    val withLocal = partitioned.rdd.mapPartitionsWithIndex {
-      case (pid, rows) =>
-        var i = 0L
-        rows.map { r => i += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ i) }
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      partitioned.schema.fields :+
-        org.apache.spark.sql.types.StructField("__pid", org.apache.spark.sql.types.IntegerType) :+
-        org.apache.spark.sql.types.StructField("__local", LongType))
-    val local = spark.createDataFrame(withLocal, schema)
-    // per-partition sizes -> exclusive prefix offsets (driver-side: one
-    // row per partition, never per data row)
-    val sizes = local.groupBy("__pid").agg(max("__local").as("n"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val sizes = tagged.groupBy("__pid").agg(count(lit(1)).as("n"))
       .orderBy("__pid").collect()
     val offsets = sizes.scanLeft(0L)(_ + _.getAs[Long]("n")).init
     val offsetMap = sizes.map(_.getAs[Int]("__pid")).zip(offsets).toMap
     val offsetExpr = offsetMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
       when(col("__pid") === pid, off).otherwise(acc)
     }
-    local.withColumn(rankCol, (col("__local") + offsetExpr).cast(LongType))
-      .drop("__pid", "__local")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__pid").orderBy(sortExprs: _*)
+    val ranked = tagged
+      .withColumn(rankCol,
+        (row_number().over(w).cast(LongType) + offsetExpr).cast(LongType))
+      .drop("__pid")
+    (ranked, sizes.map(_.getAs[Long]("n")).sum)
   }
 }

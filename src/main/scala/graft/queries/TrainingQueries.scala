@@ -987,18 +987,26 @@ object TrainingQueries {
     // ----------------------------------------------------------------
     // Equi-depth histogram (h3): 10 equal-count buckets over
     // events.value with per-bucket boundaries — the quantile audit that
-    // drives curriculum binning and balanced batch construction. This
-    // is the exact oracle form (global ntile over a total tie-break
-    // order — a single-partition sort window, the w1 caveat); the 100×
-    // path derives boundaries once via t14's approx percentiles and
-    // broadcast-bins the scan, trading exactness for a narrow pass.
+    // drives curriculum binning and balanced batch construction. EXACT
+    // ntile semantics without the single-partition sort window (the
+    // last unbounded one in a query path — the w1 caveat): the global
+    // rank comes from Rank.globalRank (range-partition + in-partition
+    // rank + per-partition offsets, no reducer sees more than its
+    // slice), and the bucket is ntile's closed form over (rank, N) —
+    // the first N mod 10 buckets hold ceil(N/10) rows, the rest
+    // floor(N/10). Identical buckets, identical hash, scale-safe.
     Q(
       "h3_equidepth_hist",
       (s, d) => {
-        val w = Window.orderBy("value", "event_id")
-        Tables.events(s, d)
-          .select(col("event_id"), col("value"))
-          .withColumn("bucket", ntile(10).over(w))
+        val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+        val (ranked, n) = graft.operators.Rank.globalRankN(
+          ev, Seq("value", "event_id"), "rank")
+        val q = n / 10; val r = n % 10
+        ranked
+          .withColumn("bucket", expr(
+            s"""CAST(CASE WHEN rank <= $r * ($q + 1)
+                THEN (rank - 1) div ($q + 1) + 1
+                ELSE $r + (rank - 1 - $r * ($q + 1)) div $q + 1 END AS INT)"""))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_rows"),
             min("value").as("lo"), max("value").as("hi"))
