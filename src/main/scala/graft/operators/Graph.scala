@@ -167,8 +167,14 @@ object Graph {
       for (i <- 1 to iterations) {
         val contribs = edgesD
           .join(ranks.withColumnRenamed("id", "src"), "src")
+          // exact (rank · weight) div wsum via the codegen'd 128-bit
+          // mul-div (graft.functions.MulDiv) — identical values to the
+          // DECIMAL(38,0) form (MulDivSpec pins it across the overflow
+          // boundary) without its per-edge decimal cast+multiply+divide,
+          // which dominated each round's task time
           .select(col("dst").as("id"),
-            expr("CAST(rank AS DECIMAL(38,0)) * weight div wsum").as("contrib"))
+            graft.functions.MulDivFunctions.mulDiv(
+              col("rank"), col("weight"), col("wsum")).as("contrib"))
           .groupBy("id")
           .agg(sum("contrib").as("c"))
         ranks = nodes.join(contribs, Seq("id"), "left")

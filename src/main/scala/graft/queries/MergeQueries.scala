@@ -1096,8 +1096,12 @@ object MergeQueries {
       drain()
       val first = s.read.parquet(out).count()
       drain() // caught-up restart from the same checkpoint
-      val second = s.read.parquet(out).count()
-      s.read.parquet(out)
+      // ONE read after the restart serves both the replay count and the
+      // measured aggregate — the listing reflects post-restart state,
+      // so a replay that DID write rows would still be counted
+      val outDf = s.read.parquet(out)
+      val second = outDf.count()
+      outDf
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
           graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
@@ -1148,8 +1152,10 @@ object MergeQueries {
       drain()
       val first = s.read.parquet(out).count()
       drain() // caught-up restart
-      val second = s.read.parquet(out).count()
-      s.read.parquet(out)
+      // one post-restart read serves both replay count and aggregate (k28)
+      val outDf = s.read.parquet(out)
+      val second = outDf.count()
+      outDf
         .groupBy("_commit_version", "_change_type")
         .agg(count(lit(1)).as("n_rows"),
           graft.functions.Deterministic.dsum(col("o_totalprice")).as("total"))
